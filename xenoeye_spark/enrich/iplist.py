@@ -1,0 +1,136 @@
+"""Named IP lists — membership of an address in a CIDR set.
+
+Reference: iplist.c — per-list bitwise tries built from one-CIDR-per-line
+files (iplist.c:218-297), looked up per flow (iplist.c:160-216). Filters
+reference lists by name: ``dst net bogon``.
+
+Spark-first design (no UDF, no shuffle): membership is
+    OR over distinct prefix lengths L: (ip >> (32-L)) IN {nets with len L}
+Each IN-set compiles to a codegen hash-set probe; with the handful of
+distinct prefix lengths real lists have, the whole predicate stays inside
+WholeStageCodegen. For very large lists (millions of prefixes) use
+``match_expr_bucketed`` (broadcast-join form) instead.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+from collections import defaultdict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class IpList:
+    def __init__(self, name: str, cidrs: list[str]):
+        self.name = name
+        self.v4: dict[int, set[int]] = defaultdict(set)   # plen -> masked nets
+        self.v6: dict[int, set[bytes]] = defaultdict(set)  # plen -> packed prefixes
+        for c in cidrs:
+            c = c.strip()
+            if not c or c.startswith("#"):
+                continue
+            net = ipaddress.ip_network(c, strict=False)
+            if net.version == 4:
+                self.v4[net.prefixlen].add(int(net.network_address))
+            else:
+                self.v6[net.prefixlen].add(net.network_address.packed)
+
+    @classmethod
+    def from_file(cls, name: str, path: str) -> "IpList":
+        with open(path) as fh:
+            return cls(name, fh.readlines())
+
+    def match_expr(self, ip_col: Column) -> Column:
+        """IPv4 membership as a pure Column predicate."""
+        conds: list[Column] = []
+        c = ip_col.cast("long")
+        for plen in sorted(self.v4, reverse=True):
+            nets = self.v4[plen]
+            if plen == 0:
+                conds.append(F.lit(True))
+                continue
+            shift = 32 - plen
+            shifted = F.shiftrightunsigned(c, shift) if shift else c
+            vals = [n >> shift for n in nets]
+            conds.append(
+                shifted.isin(vals) if len(vals) > 1 else (shifted == F.lit(vals[0]))
+            )
+        if not conds:
+            return F.lit(False)
+        out = conds[0]
+        for cond in conds[1:]:
+            out = out | cond
+        return ip_col.isNotNull() & out
+
+    def match_expr6(self, ip6_col: Column) -> Column:
+        """IPv6 membership over BinaryType(16); byte-granular prefixes only
+        (non-multiple-of-8 lengths are rounded up — stricter — and noted)."""
+        conds: list[Column] = []
+        for plen in sorted(self.v6, reverse=True):
+            nbytes = (plen + 7) // 8
+            for p in self.v6[plen]:
+                if nbytes == 0:
+                    conds.append(F.lit(True))
+                else:
+                    conds.append(
+                        F.expr(f"substring({_colname(ip6_col)}, 1, {nbytes})")
+                        == F.lit(p[:nbytes])
+                    )
+        if not conds:
+            return F.lit(False)
+        out = conds[0]
+        for cond in conds[1:]:
+            out = out | cond
+        return ip6_col.isNotNull() & out
+
+    def to_df(self, spark) -> DataFrame:
+        """(plen, net) rows for the broadcast-join path."""
+        rows = [
+            (self.name, plen, net)
+            for plen, nets in self.v4.items()
+            for net in nets
+        ]
+        return spark.createDataFrame(rows, "list_name string, plen int, net long")
+
+
+def _colname(col: Column) -> str:
+    s = str(col)
+    return s[len("Column<'") : -len("'>")]
+
+
+def match_bucketed(
+    flows: DataFrame,
+    ip_col: str,
+    lists_df: DataFrame,
+    out_col: str = "in_list",
+) -> DataFrame:
+    """Broadcast-join membership for very large lists.
+
+    ``lists_df``: (plen int, net long) — one row per prefix. For each
+    distinct plen we compute the masked address and broadcast-join; a flow
+    is a member if ANY plen matched. Implemented as explode-over-plens +
+    broadcast semi-join + groupBy — use only when IN-list compilation is
+    impractical (>~100k prefixes).
+    """
+    plens = [r[0] for r in lists_df.select("plen").distinct().collect()]
+    dim = lists_df.withColumn(
+        "net_masked", F.col("net")
+    ).select("plen", "net_masked").distinct()
+    exploded = flows.withColumn("plen", F.explode(F.array(*[F.lit(p) for p in plens])))
+    exploded = exploded.withColumn(
+        "net_masked",
+        F.when(F.col("plen") == 0, F.lit(0)).otherwise(
+            F.expr(
+                f"shiftleft(shiftrightunsigned(cast({ip_col} as bigint), "
+                f"32 - plen), 32 - plen)"
+            )
+        ),
+    )
+    # matched rows (semi-join keeps flow rows that hit any prefix)
+    matched = exploded.join(
+        F.broadcast(dim),
+        on=["plen", "net_masked"],
+        how="left_semi",
+    ).drop("plen", "net_masked").distinct()
+    return matched

@@ -1,0 +1,136 @@
+"""mavg — per-key exponentially-decayed moving averages with thresholds.
+
+Reference semantics (monit-objects-mavg.c:571-593, INTERNALS.md:144-162):
+on every flow for its key-tuple,
+    dt = now - time_prev
+    if dt >= T:  N = V            (window fully elapsed -> reset)
+    else:        N = N - (dt/T)*N + V
+reported rate = N / T_seconds (monit-objects-mavg.c:549).
+
+Per-key thresholds come from a CSV keyed by the key-tuple with a default
+vector fallback (monit-objects-mavg-limfile.c, CONFIG.md:438-469). Overlimit
+-> NEW/UPDATE/ALMOST_GONE/GONE state machine with back2norm timer
+(monit-objects-mavg-act.c:342-444).
+
+Spark shape: the recurrence is order-sensitive within a key, so batch replay
+uses applyInPandas per key with rows sorted by arrival time — numpy inside,
+Arrow transfer, keys processed data-parallel across executors. The streaming
+variant (transformWithState) lives in xenoeye_spark.streaming.
+
+Scale: state per key is O(1) (one float + one timestamp per aggregable
+field); the shuffle is by key-tuple — same key cardinality the reference
+caps at 256MB/mavg. Skewed keys are a non-issue because per-key work is
+proportional to that key's row count (no replay amplification).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ewma_replay_py(times_ns: np.ndarray, vals: np.ndarray, window_ns: int):
+    """Scalar oracle-exact replay of mavg_recalc (monit-objects-mavg.c:571-593).
+
+    Returns the final accumulator N after feeding every (t, v) in order.
+    """
+    n = 0.0
+    tprev = None
+    for t, v in zip(times_ns, vals):
+        if tprev is None:
+            n = float(v)
+        else:
+            dt = t - tprev
+            if dt >= window_ns:
+                n = float(v)
+            else:
+                n = n - (dt / window_ns) * n + float(v)
+        tprev = int(t)
+    return n, tprev
+
+
+def mavg_rates(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    window_sec: int,
+    ts_col: str = "ts",
+    decay_to: int | None = None,
+) -> DataFrame:
+    """Batch replay: final per-key moving-average rate (value/sec).
+
+    ``decay_to``: optional unix-nanosecond instant to decay the accumulator
+    to before reporting (the reference's background threads decay silently
+    idle keys, monit-objects-mavg-act.c:391-397).
+    Output: key_cols..., ``mavg_val`` (accumulator), ``rate`` (val/sec).
+    """
+    window_ns = int(window_sec * 1e9)
+
+    out_fields = [df.schema[k] for k in key_cols] + [
+        T.StructField("mavg_val", T.DoubleType()),
+        T.StructField("rate", T.DoubleType()),
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ts_ns", kind="mergesort")
+        n, tprev = ewma_replay_py(
+            pdf["_ts_ns"].to_numpy(), pdf["_val"].to_numpy(), window_ns
+        )
+        if decay_to is not None and tprev is not None:
+            dt = decay_to - tprev
+            if dt >= window_ns:
+                n = 0.0
+            elif dt > 0:
+                n = n - (dt / window_ns) * n
+        row = {k: [pdf[k].iloc[0]] for k in key_cols}
+        row["mavg_val"] = [n]
+        row["rate"] = [n / window_sec]
+        return pd.DataFrame(row)
+
+    prepped = df.select(
+        *key_cols,
+        F.col(ts_col).cast("timestamp").cast("double").alias("_ts_sec"),
+        F.col(val_col).cast("double").alias("_val"),
+    ).withColumn("_ts_ns", (F.col("_ts_sec") * F.lit(1e9)).cast("long"))
+
+    return prepped.groupBy(*key_cols).applyInPandas(replay, schema=out_schema)
+
+
+@dataclass
+class Limit:
+    """One limit level of an mavg section (CONFIG.md:376-435)."""
+    name: str
+    default_threshold: float
+
+
+def mavg_overlimit(
+    rates: DataFrame,
+    limits: DataFrame | None,
+    default_threshold: float,
+    key_cols: list[str],
+    under: bool = False,
+) -> DataFrame:
+    """Join per-key thresholds (broadcast; default fallback) and emit rows
+    over (or under, monit-objects-mavg-under.c) their limit.
+
+    ``limits`` schema: key_cols... + ``threshold`` double.
+    """
+    out = rates
+    if limits is not None:
+        out = out.join(F.broadcast(limits), on=key_cols, how="left")
+        thr = F.coalesce(F.col("threshold"), F.lit(default_threshold))
+        out = out.drop("threshold")
+    else:
+        thr = F.lit(default_threshold)
+    out = out.withColumn("threshold", thr)
+    cond = (F.col("rate") < F.col("threshold")) if under else (
+        F.col("rate") >= F.col("threshold")
+    )
+    return out.filter(cond)
