@@ -1,38 +1,550 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each query exercises one operator family from SURVEY.md §2 (or the
+beyond-reference datapipe surface), expressed through xenoeye_spark
+components over the driver's TPC-H-ish tables. Oracle SQL is the same
+computation in ANSI/DuckDB SQL; column names are aliased identically on
+both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xenoeye_spark.catalog import RANGE, STRF, FilterField
+from xenoeye_spark.dsl.compiler import FilterContext, compile_filter
+from xenoeye_spark.datapipe.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from xenoeye_spark.datapipe.similarity import brute_force_topk
+from xenoeye_spark.datapipe.text import language_id, simhash64, text_stats, STOPWORDS
+from xenoeye_spark.enrich.geoip import GeoDB
+from xenoeye_spark.enrich.iplist import IpList
+from xenoeye_spark.functions.scalar import (
+    SERVICE_NAMES,
+    div_l,
+    div_r,
+    min2,
+    portstr,
+    tfstr,
+    xdiv,
+)
+from xenoeye_spark.operators.classify import stamp_classes, top_percent_classes
+from xenoeye_spark.operators.mavg import mavg_rates
+from xenoeye_spark.operators.topn import top_n_with_others
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver table. events.parquet carries TIMESTAMP(NANOS) which
+    Spark's vectorized reader rejects; read nanos as long and rebuild a
+    (microsecond) timestamp column — DuckDB reads nanos natively, and all
+    queries only use >= second granularity, so the truncation is benign."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# DSL field binding for the events table (the DSL is catalog-driven; here we
+# bind it to generic columns instead of flow fields)
+# ---------------------------------------------------------------------------
+EVENTS_FIELDS = {
+    "etype": FilterField("etype", STRF, "event_type", "event_type"),
+    "user": FilterField("user", RANGE, "user_id", "user_id"),
+    "eid": FilterField("eid", RANGE, "event_id", "event_id"),
+}
+
+LINEITEM_FIELDS = {
+    "qty": FilterField("qty", RANGE, "l_quantity", "l_quantity"),
+    "rflag": FilterField("rflag", STRF, "l_returnflag", "l_returnflag"),
+    "lstatus": FilterField("lstatus", STRF, "l_linestatus", "l_linestatus"),
+    "pkey": FilterField("pkey", RANGE, "l_partkey", "l_partkey"),
+    "skey": FilterField("skey", RANGE, "l_suppkey", "l_suppkey"),
+}
+
+# synthetic IPv4 for LPM demos: 10.0.0.0 + (user_id % 4096)
+_IP_BASE = 167772160  # 10.0.0.0
+
+
+def _cidr_range(cidr: str) -> tuple[int, int]:
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr)
+    return int(net.network_address), int(net.broadcast_address)
+
+
+MYNET_CIDRS = ["10.0.1.0/24", "10.0.2.0/23", "10.0.8.0/21"]
+
+GEO_PREFIXES = [
+    ("10.0.0.0/20", "wide"),     # covers 10.0.0.0-10.0.15.255
+    ("10.0.2.0/24", "mid"),      # more specific -> wins inside
+    ("10.0.2.128/25", "narrow"), # most specific
+]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_fwm_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fwm: tumbling 1h window, groupBy-SUM, top-5 + others NULL-key row
+    (monit-objects-fwm.c:403-481)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window(F.col("ts"), "1 hour").start.alias("time"),
+        F.col("user_id"),
+    ).agg(F.sum("value").alias("sum_value"))
+    out = top_n_with_others(
+        agg,
+        key_cols=["user_id"],
+        val_cols=["sum_value"],
+        order_by=[F.col("sum_value").desc()],
+        n=5,
+        partition_by=["time"],
+    )
+    return out.select("time", "user_id", F.round("sum_value", 6).alias("sum_value"))
+
+
+def q_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter DSL: value-list folding, ranges, NOT/AND/OR precedence
+    (filter-parser.c grammar) bound to the events table."""
+    ev = _t(spark, sf_dir, "events")
+    ctx = FilterContext(fields=EVENTS_FIELDS)
+    cond = compile_filter(
+        "etype 'click' or 'view' and not user 100-199", ctx
+    )
+    out = ev.filter(cond).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    return out
+
+
+def q_filter_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical monitoring objects: child filter evaluated under the
+    parent's = conjunction (netflow.c:213-244)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ctx = FilterContext(fields=LINEITEM_FIELDS)
+    parent = compile_filter("rflag 'A' or 'R'", ctx)
+    child = compile_filter("qty 10-30 and not lstatus 'F'", ctx)
+    out = li.filter(parent).filter(child).groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
+    return out
+
+
+def q_scalar_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """div / div_r / div_l / min scalar-function key fields
+    (filter.h:396-418, monit-objects.c:679-717)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # explicit floor: DuckDB CAST(double AS BIGINT) rounds-to-nearest while
+    # Spark cast truncates — floor() on both sides pins the semantics
+    price = F.floor(F.col("l_extendedprice")).cast("long")
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        xdiv(price, qty).alias("d"),
+        div_r(price, qty, 100).alias("dr"),
+        div_l(price, qty, 10).alias("dl"),
+        min2(F.col("l_partkey"), F.col("l_suppkey")).alias("mn"),
+    )
+
+
+def q_classify_toppercent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification model build: classes covering 60% of total value
+    (classification.c:540-608)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.sum("value").alias("val"))
+    kept = top_percent_classes(agg, ["event_type"], "val", 60)
+    return kept.select("event_type", F.round("val", 6).alias("val"))
+
+
+def q_classify_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification stamping: label each record with its class or ''
+    (classification.c:873-958)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.sum("value").alias("val"))
+    model = top_percent_classes(agg, ["event_type"], "val", 60).withColumn(
+        "class_name", F.col("event_type")
+    )
+    stamped = stamp_classes(ev, model, ["event_type"], "class0", "class_name")
+    return stamped.groupBy("class0").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_iplist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-list membership (iplist.c:160-216): codegen'd prefix-set predicate
+    over a synthesized IPv4 column."""
+    ev = _t(spark, sf_dir, "events")
+    ipl = IpList("mynet", MYNET_CIDRS)
+    with_ip = ev.withColumn("ip", (F.lit(_IP_BASE) + F.col("user_id") % 4096))
+    out = with_ip.withColumn(
+        "in_mynet", ipl.match_expr(F.col("ip"))
+    ).groupBy("in_mynet").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    return out
+
+
+def q_geoip_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP longest-prefix-match enrichment with overlapping prefixes
+    (geoip.c:91-181; '?' on miss, monit-objects.c:766-769)."""
+    ev = _t(spark, sf_dir, "events")
+    db = GeoDB([(cidr, {"country": name}) for cidr, name in GEO_PREFIXES])
+    with_ip = ev.withColumn("ip", (F.lit(_IP_BASE) + F.col("user_id") % 8192))
+    out = with_ip.withColumn(
+        "country", db.lookup_expr("country", F.col("ip"))
+    ).groupBy("country").agg(F.count(F.lit(1)).alias("n"))
+    return out
+
+
+def q_portstr_tfstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """portstr/tfstr naming functions (utils.c:22-37) over synthesized
+    port/flag columns."""
+    ev = _t(spark, sf_dir, "events")
+    port = (F.col("user_id") % 1024).cast("long")
+    flags = (F.col("event_id") % 256).cast("long")
+    return ev.select(
+        F.col("event_id"),
+        portstr(port).alias("port_label"),
+        tfstr(flags).alias("flags_label"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (datapipe tier 1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram token-shingle Jaccard near-dup pairs (exact all-pairs
+    baseline; LSH is the scale path, see q_dedup_minhash_lsh)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact Jaccard — the 100-TB
+    near-dup path. No SQL oracle (hash family not SQL-expressible);
+    driver records rows-only. Cross-checked in tests/test_datapipe.py
+    against the exact all-pairs baseline."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n=3, num_hashes=64)
+    cands = lsh_candidate_pairs(sigs, bands=16)
+    verified = ngram_jaccard_pairs(docs, n=3, threshold=0.35, candidates=cands)
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality metrics (datapipe)."""
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (datapipe)."""
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (datapipe ANN
+    baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (datapipe; xxhash64-based, no SQL
+    oracle — rows-only check, property-tested in tests/)."""
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_mavg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average EWMA replay per key (monit-objects-mavg.c:571-593).
+    Order-sensitive recurrence -> no SQL oracle; rows-only check here,
+    exact scalar-oracle trajectory tests in tests/test_mavg.py."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.withColumn("k", (F.col("user_id") % 32).cast("long"))
+    out = mavg_rates(keyed, ["k"], "value", window_sec=3600)
+    return out.select("k", F.round("rate", 6).alias("rate"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fwm windowed top-N + others on sf0.001."""
+    return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "fwm_topn_others": q_fwm_topn_others,
+        "filter_dsl": q_filter_dsl,
+        "filter_hierarchy": q_filter_hierarchy,
+        "scalar_div": q_scalar_div,
+        "classify_toppercent": q_classify_toppercent,
+        "classify_stamp": q_classify_stamp,
+        "iplist_match": q_iplist_match,
+        "geoip_lpm": q_geoip_lpm,
+        "portstr_tfstr": q_portstr_tfstr,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "sim_topk": q_sim_topk,
+        "simhash": q_simhash,
+        "mavg_ewma": q_mavg_ewma,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same computation, same column names
+# ---------------------------------------------------------------------------
+
+def _portstr_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {p} THEN '{name} (' || {col} || ')'"
+        for p, name in SERVICE_NAMES.items()
+    )
+    return f"CASE {whens} ELSE CAST({col} AS VARCHAR) END"
+
+
+def _tfstr_concat(col: str) -> str:
+    parts = ", ".join(
+        f"CASE WHEN ({col} & {bit}) != 0 THEN '{name}' END"
+        for bit, name in [
+            (0x80, "CWR"), (0x40, "ECE"), (0x20, "URG"), (0x10, "ACK"),
+            (0x08, "PSH"), (0x04, "RST"), (0x02, "SYN"), (0x01, "FIN"),
+        ]
+    )
+    return f"concat_ws('+', {parts})"
+
+
+def _iplist_cond(col: str, cidrs: list[str]) -> str:
+    parts = []
+    for c in cidrs:
+        lo, hi = _cidr_range(c)
+        parts.append(f"({col} BETWEEN {lo} AND {hi})")
+    return "(" + " OR ".join(parts) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingles = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len(t) - 2, 0) + 1), "
+        "i -> array_to_string(t[i:i+2], ' ')))"
+    )
+    stop_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    geo_case = (
+        f"CASE WHEN ip BETWEEN {_cidr_range('10.0.2.128/25')[0]} AND {_cidr_range('10.0.2.128/25')[1]} THEN 'narrow' "
+        f"WHEN ip BETWEEN {_cidr_range('10.0.2.0/24')[0]} AND {_cidr_range('10.0.2.0/24')[1]} THEN 'mid' "
+        f"WHEN ip BETWEEN {_cidr_range('10.0.0.0/20')[0]} AND {_cidr_range('10.0.0.0/20')[1]} THEN 'wide' "
+        "ELSE '?' END"
+    )
+    langs = list(STOPWORDS)
+    lang_scores = ", ".join(
+        f"len(list_filter(t, x -> x IN ({', '.join(repr(w) for w in sw)}))) AS s_{lang}"
+        for lang, sw in STOPWORDS.items()
+    )
+    lang_best = f"greatest({', '.join('s_' + l for l in langs)})"
+    lang_case = "CASE " + " ".join(
+        f"WHEN s_{l} = best AND best > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+
+    return {
+        "fwm_topn_others": f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS time, user_id, SUM(value) AS sum_value
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY time ORDER BY sum_value DESC, user_id ASC
+  ) AS rn FROM agg
+)
+SELECT time, user_id, round(sum_value, 6) AS sum_value
+FROM ranked WHERE rn <= 5
+UNION ALL
+SELECT time, NULL AS user_id, round(SUM(sum_value), 6) AS sum_value
+FROM ranked WHERE rn > 5 GROUP BY time
+""",
+        "filter_dsl": """
+-- value-list folding (filter-parser.c:46-86): "etype 'click' or 'view'"
+-- is ONE IN-list predicate, so AND applies to the whole rule
+SELECT event_type, COUNT(*) AS n, round(SUM(value), 6) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'view')
+  AND NOT (user_id BETWEEN 100 AND 199)
+GROUP BY event_type
+""",
+        "filter_hierarchy": """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       round(SUM(l_quantity), 6) AS sum_qty
+FROM lineitem
+WHERE (l_returnflag IN ('A', 'R'))
+  AND (CAST(l_quantity AS BIGINT) BETWEEN 10 AND 30 AND NOT l_linestatus = 'F')
+GROUP BY l_returnflag, l_linestatus
+""",
+        "scalar_div": """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_extendedprice) AS BIGINT) AS p,
+         CAST(floor(l_quantity) AS BIGINT) AS q,
+         l_partkey, l_suppkey
+  FROM lineitem
+), d AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN q = 0 THEN 0 ELSE p // q END AS d,
+         l_partkey, l_suppkey
+  FROM b
+)
+SELECT l_orderkey, l_linenumber, d,
+       (d // 100) * 100 AS dr,
+       CASE WHEN d <= 0 THEN 0
+            ELSE CAST(power(10, length(CAST(d AS VARCHAR)) - 1) AS BIGINT)
+       END AS dl,
+       least(l_partkey, l_suppkey) AS mn
+FROM d
+""",
+        "classify_toppercent": """
+WITH agg AS (
+  SELECT event_type, SUM(value) AS val FROM events GROUP BY 1
+), tot AS (SELECT SUM(val) AS t FROM agg),
+cum AS (
+  SELECT event_type, val,
+         COALESCE(SUM(val) OVER (
+           ORDER BY val DESC, event_type ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prev_cum
+  FROM agg
+)
+SELECT event_type, round(val, 6) AS val
+FROM cum, tot WHERE prev_cum * 100 < 60 * t
+""",
+        "classify_stamp": """
+WITH agg AS (
+  SELECT event_type, SUM(value) AS val FROM events GROUP BY 1
+), tot AS (SELECT SUM(val) AS t FROM agg),
+cum AS (
+  SELECT event_type, val,
+         COALESCE(SUM(val) OVER (
+           ORDER BY val DESC, event_type ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prev_cum
+  FROM agg
+), kept AS (
+  SELECT event_type FROM cum, tot WHERE prev_cum * 100 < 60 * t
+)
+SELECT COALESCE(k.event_type, '') AS class0, COUNT(*) AS n
+FROM events e LEFT JOIN kept k USING (event_type)
+GROUP BY 1
+""",
+        "iplist_match": f"""
+WITH w AS (
+  SELECT *, {_IP_BASE} + (user_id % 4096) AS ip FROM events
+)
+SELECT {_iplist_cond('ip', MYNET_CIDRS)} AS in_mynet,
+       COUNT(*) AS n, round(SUM(value), 6) AS sum_value
+FROM w GROUP BY 1
+""",
+        "geoip_lpm": f"""
+WITH w AS (
+  SELECT *, {_IP_BASE} + (user_id % 8192) AS ip FROM events
+)
+SELECT {geo_case} AS country, COUNT(*) AS n
+FROM w GROUP BY 1
+""",
+        "portstr_tfstr": f"""
+WITH w AS (
+  SELECT event_id, user_id % 1024 AS port, event_id % 256 AS flags
+  FROM events
+)
+SELECT event_id, {_portstr_case('port')} AS port_label,
+       {_tfstr_concat('flags')} AS flags_label
+FROM w
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram_jaccard": f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, {shingles} AS s FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
+             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)) END, 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
+      ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(a.s || b.s)) END >= 0.35
+""",
+        "text_stats": f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, len(t) AS n_tokens, n_chars,
+         CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0 END AS avg_token_len,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END AS punct_ratio,
+         CASE WHEN len(t) > 0 THEN
+           CAST(len(list_filter(t, x -> lower(x) IN ({stop_en}))) AS DOUBLE) / len(t)
+         ELSE 0 END AS stopword_ratio
+  FROM w
+)
+SELECT doc_id, n_tokens, n_chars,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+             + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality_score
+FROM m
+""",
+        "text_langid": f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, {lang_scores} FROM w
+), b AS (
+  SELECT doc_id, *, {lang_best} AS best FROM s
+)
+SELECT doc_id, {lang_case} AS lang_guess FROM b
+""",
+        "sim_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+  ) AS rn FROM s
+)
+SELECT query_id, vec_id, cosine FROM r WHERE rn <= 10
+""",
+    }

@@ -1,0 +1,55 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count-collapsed via a noop write to
+force full materialization of every row, not just the first partition).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from xenoeye_spark.session import get_spark
+
+    spark = get_spark("xenoeye-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm up the JVM + parquet footers once so per-query timings measure
+    # the query, not session bring-up
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    for name, fn in qmap.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full materialization of every output row JVM-side
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

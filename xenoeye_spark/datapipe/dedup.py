@@ -1,0 +1,218 @@
+"""Deduplication operators for document corpora.
+
+Four tiers, all shuffle-frugal:
+
+1. exact_dedup            — hash-groupBy on md5(text): one shuffle on a
+                            16-byte key, the canonical 100-TB first pass.
+2. ngram_jaccard_pairs    — exact token-shingle Jaccard for candidate pairs
+                            (self-join; use only after blocking/LSH at scale).
+3. minhash_signatures +   — MinHash (polynomial permutations over shingle
+   lsh_candidate_pairs      hashes) then banded LSH: near-dup candidates via
+                            groupBy on (band, band-hash) — turns O(n^2) into
+                            a shuffle on bucket keys.
+4. simhash (datapipe.text)— 64-bit fingerprints; hamming-radius dup classes.
+
+All hashes are deterministic (fixed seeds, pure integer arithmetic) so runs
+are reproducible across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Mersenne prime modulus for the permutation family (classic MinHash form
+# a*x+b mod p; p > 2^32 keeps collisions negligible on 32-bit shingle hashes)
+_MERSENNE_P = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (text_hash, keep_id=min id, n_dups).
+
+    One shuffle on md5; at 100 TB partition the output by hash prefix and
+    keep only keep_id for the pruned corpus.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _shingle_col(text_col: str, n: int):
+    """token n-gram shingles as array<string>: contiguous n-token windows
+    over whitespace-split tokens, distinct. Empty when < n tokens."""
+    toks = f"split({text_col}, '\\\\s+')"
+    if n == 1:
+        return F.array_distinct(F.expr(toks))
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(0, size({toks}) - {n}), "
+            f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) "
+            f"ELSE cast(array() as array<string>) END"
+        )
+    )
+
+
+def _shingle_hash_col(text_col: str, n: int):
+    """distinct xxhash64 of each n-token shingle as array<long> — the set
+    algebra then runs on 8-byte longs instead of strings (same Jaccard,
+    collision probability ~|shingles|^2/2^64 per doc pair)."""
+    toks = f"split({text_col}, '\\\\s+')"
+    inner = toks if n == 1 else (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return F.array_distinct(F.expr(f"transform({inner}, s -> xxhash64(s))"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard over doc pairs.
+
+    Without ``candidates`` this is the all-pairs self-join (correctness
+    baseline / oracle twin — only for small inputs). With ``candidates``
+    ((id_a, id_b) pairs, e.g. from LSH) it verifies just those — the scale
+    path. Output: id_a < id_b, jaccard double.
+    """
+    ncpu = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        _shingle_hash_col(text_col, n).alias("_sh"),
+    ).withColumn("_sz", F.size("_sh"))
+    sh_a = sh.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"),
+        F.col("_sz").alias("_sz_a"),
+    )
+    sh_b = sh.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"),
+        F.col("_sz").alias("_sz_b"),
+    )
+    if candidates is None:
+        # all-pairs baseline: broadcast the right side so the nested-loop
+        # join parallelizes over the (repartitioned) left side; the size
+        # prefilter (J >= t implies min|.|/max|.| >= t) kills most pairs
+        # before any set intersection runs
+        pairs = (
+            sh_a.repartition(int(ncpu))
+            .join(F.broadcast(sh_b), F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.least("_sz_a", "_sz_b").cast("double")
+                >= F.lit(threshold) * F.greatest("_sz_a", "_sz_b")
+            )
+        )
+    else:
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+        )
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = (F.col("_sz_a") + F.col("_sz_b") - inter).cast("int")
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    out = pairs.select(
+        F.col("id_a"), F.col("id_b"), jac.alias("jaccard")
+    )
+    return out.filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE_P, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: array<long> of length num_hashes.
+
+    Shingle base hash = crc32-like xxhash64 (Spark built-in, JVM-side);
+    permutations applied in a vectorized pandas UDF over the shingle-hash
+    arrays (Arrow batches, numpy modular arithmetic — no per-row Python).
+    """
+    a_params, b_params = _minhash_params(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashes:
+            if arr is None or len(arr) == 0:
+                out.append(np.full(num_hashes, _MAX_HASH, dtype=np.int64))
+                continue
+            x = np.asarray(arr, dtype=np.int64) & _MAX_HASH  # 32-bit base
+            # (a*x + b) mod p, vectorized over (num_hashes, n_shingles)
+            vals = (np.outer(a_params, x) + b_params[:, None]) % _MERSENNE_P
+            out.append(vals.min(axis=1))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col),
+        minhash(_shingle_hash_col(text_col, n)).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH over MinHash signatures: docs sharing any band bucket
+    become candidate pairs (id_a < id_b, distinct).
+
+    The shuffle key is (band_idx, hash-of-band-slice) — bucket sizes follow
+    data duplication structure; pair explosion within a bucket is quadratic,
+    so at scale cap bucket size (skew guard) before pairing.
+    """
+    sig_len_row = signatures.select(F.size("signature").alias("s")).first()
+    rows_per_band = (sig_len_row["s"] + bands - 1) // bands
+
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(array_join(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), ',')))"
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,121 @@
+"""Text analysis operators — pure Column expressions (JVM-side) except
+where bit-twiddling genuinely needs numpy (simhash).
+
+- text_stats   : token/char counts, punctuation & stopword ratios, a
+                 composite quality score
+- language_id  : n-gram/stopword-heuristic language guess
+- simhash64    : 64-bit SimHash fingerprint over token xxhashes
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Minimal deterministic stopword sets per language (public common words).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es", "que", "por"],
+}
+
+
+def _tokens(text_col: Column) -> Column:
+    """whitespace tokens with empties dropped — the canonical tokenizer for
+    every operator here (keep in sync with oracle SQL)."""
+    return F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc: n_tokens, n_chars, avg_token_len, punct_ratio,
+    stopword_ratio (en), quality_score in [0,1]."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()\[\]]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    sw = STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(sw)))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    # simple composite: long enough, not punctuation soup, some stopwords
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * F.lit(0.3)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language guess: the language whose stopword set hits
+    the most tokens wins; ties broken by language code order; no hits ->
+    'und' (undetermined)."""
+    toks = _tokens(F.lower(F.col(text_col)))
+
+    # NB: the lambda must be unary — PySpark treats a 2-arg lambda in
+    # F.filter as (element, index), so closing over `sw` via a default
+    # arg would bind it to the index column.
+    def _hits(sw: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(sw)))
+
+    scores = [_hits(sw).alias(f"_s_{lang}") for lang, sw in STOPWORDS.items()]
+    langs = list(STOPWORDS)
+    with_scores = docs.select(F.col(id_col), F.col(text_col), *scores)
+    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    guess = F.lit("und")
+    # reverse order so earlier languages win ties via later .when override
+    for lang in reversed(langs):
+        guess = F.when(
+            (F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return with_scores.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: sign-sum of token xxhash64
+    bits. Token hashing stays JVM-side; the bit-vote runs vectorized in an
+    Arrow pandas UDF."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.uint64)
+            # bits (n_tokens, 64) -> votes per bit position
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(h)  # +1/-1 per token
+            fp = np.uint64(0)
+            for b in np.flatnonzero(votes > 0):
+                fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp)
+        return pd.Series(out)
+
+    tok_hashes = F.expr(
+        f"transform(filter(split(trim({text_col}), '\\\\s+'), t -> t != ''), t -> xxhash64(t))"
+    )
+    return docs.select(
+        F.col(id_col), simhash(tok_hashes).alias("simhash")
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints, pure expression."""
+    return F.bit_count(a.bitwiseXOR(b))
