@@ -1,0 +1,149 @@
+"""Datapipe tests: dedup tiers (exact / n-gram Jaccard / MinHash-LSH /
+SimHash), similarity search, text analysis. LSH recall is cross-checked
+against the exact all-pairs baseline — the check the driver can't do in SQL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xenoeye_spark.datapipe.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from xenoeye_spark.datapipe.similarity import brute_force_topk, lsh_bucket_topk
+from xenoeye_spark.datapipe.text import hamming64, language_id, simhash64, text_stats
+
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _corpus(spark, n=40, seed=3):
+    """Docs with built-in near-dup pairs: doc 2i+1 = doc 2i with one word
+    changed (high Jaccard); plus exact dups of doc 0."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        toks = [WORDS[j] for j in rng.randint(0, len(WORDS), 30)]
+        rows.append((2 * i, " ".join(toks)))
+        mutated = list(toks)
+        mutated[5] = "MUTANT"
+        rows.append((2 * i + 1, " ".join(mutated)))
+    rows.append((9998, rows[0][1]))  # exact dup of doc 0
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    docs = _corpus(spark, n=5)
+    out = exact_dedup(docs).collect()
+    dup_groups = [r for r in out if r["n_docs"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_id"] == 0 and dup_groups[0]["n_docs"] == 2
+
+
+def test_ngram_jaccard_finds_mutant_pairs(spark):
+    docs = _corpus(spark, n=10)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every (2i, 2i+1) mutant pair shares all but ~3 of 28 shingles
+    for i in range(10):
+        assert (2 * i, 2 * i + 1) in got
+    # exact dup pair has jaccard 1.0
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(0, 9998)] == pytest.approx(1.0)
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates must recover (nearly) all true pairs at J>=0.5 with
+    64 hashes / 16 bands (s-curve threshold ~ (1/16)^(1/4) ~ 0.5)."""
+    docs = _corpus(spark, n=15)
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    sigs = minhash_signatures(docs, n=3, num_hashes=64)
+    cands = lsh_candidate_pairs(sigs, bands=16)
+    verified = {(r["id_a"], r["id_b"])
+                for r in ngram_jaccard_pairs(
+                    docs, n=3, threshold=0.5, candidates=cands).collect()}
+    recall = len(verified & exact) / max(len(exact), 1)
+    assert recall >= 0.9
+    assert verified <= exact  # verification step guarantees no false accepts
+
+
+def test_simhash_properties(spark):
+    docs = _corpus(spark, n=5)
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert out[0] == out[9998]  # identical text -> identical fingerprint
+    ham = spark.createDataFrame(
+        [(out[0], out[1]), (out[0], out[4])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    # near-dup pair: small distance; unrelated docs: larger
+    assert ham[0]["h"] <= 16
+    assert ham[0]["h"] <= ham[1]["h"]
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 8).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=5).collect()
+    got = [r["vec_id"] for r in sorted(out, key=lambda r: -r["cosine"])]
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs[0]) / (norms * norms[0])
+    cos[0] = -np.inf  # exclude self
+    exp = list(np.argsort(np.round(-cos, 6), kind="stable")[:5])
+    assert got == exp
+
+
+def test_lsh_bucket_topk_subset_of_exact(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(60, 8).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    approx = lsh_bucket_topk(df, q, dim=8, k=5, n_planes=4)
+    rows = approx.collect()
+    assert len(rows) > 0
+    # approximate scores must be true cosines (exact within bucket)
+    norms = np.linalg.norm(vecs, axis=1)
+    for r in rows:
+        true_cos = float(vecs[r["query_id"]] @ vecs[r["vec_id"]]
+                         / (norms[r["query_id"]] * norms[r["vec_id"]]))
+        assert r["cosine"] == pytest.approx(true_cos, abs=1e-5)
+
+
+def test_text_stats_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat."), (2, ""), (3, "xyzzy")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 5
+    assert out[1]["n_chars"] == 20
+    assert out[1]["stopword_ratio"] == pytest.approx(3 / 5, abs=1e-6)  # the, and, the
+    assert out[1]["punct_ratio"] == pytest.approx(1 / 20, abs=1e-6)
+    assert out[2]["n_tokens"] == 0 and out[2]["avg_token_len"] == 0.0
+    assert out[3]["stopword_ratio"] == 0.0
+
+
+def test_language_id_votes(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat is in the house and it is warm"),
+         (2, "der Hund ist von der Stadt und das ist gut"),
+         (3, "le chat est pour la maison et les autres"),
+         (4, "zzz qqq xxx")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"

@@ -1,0 +1,197 @@
+"""Operator semantics tests: top-N+others, classification, mavg EWMA
+(scalar-oracle exact), overlimit thresholds, scalar functions.
+
+Modeled on the reference's behaviors (file:line cited per test)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xenoeye_spark.functions.scalar import (
+    div_l, div_r, ip4_to_str, min2, portstr, ppstr, str_to_ip4, tfstr, xdiv,
+)
+from xenoeye_spark.operators.classify import stamp_classes, top_percent_classes
+from xenoeye_spark.operators.mavg import ewma_replay_py, mavg_overlimit, mavg_rates
+from xenoeye_spark.operators.topn import top_n_with_others
+
+
+# ---------------------------------------------------------------- top-N+others
+
+def test_topn_others_basic(spark):
+    """monit-objects-fwm.c:403-481: first `limit` sorted rows, remainder
+    summed into one NULL-key row."""
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 90), ("c", 80), ("d", 5), ("e", 3)],
+        "k string, v long",
+    )
+    out = top_n_with_others(
+        df, key_cols=["k"], val_cols=["v"],
+        order_by=[F.col("v").desc()], n=3,
+    ).collect()
+    by_k = {r["k"]: r["v"] for r in out}
+    assert by_k == {"a": 100, "b": 90, "c": 80, None: 8}
+
+
+def test_topn_others_partitioned(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 9), (1, "c", 1),
+         (2, "a", 7), (2, "b", 2), (2, "c", 1)],
+        "t long, k string, v long",
+    )
+    out = top_n_with_others(
+        df, key_cols=["k"], val_cols=["v"],
+        order_by=[F.col("v").desc()], n=2, partition_by=["t"],
+    ).collect()
+    got = {(r["t"], r["k"]): r["v"] for r in out}
+    assert got == {(1, "a"): 10, (1, "b"): 9, (1, None): 1,
+                   (2, "a"): 7, (2, "b"): 2, (2, None): 1}
+
+
+def test_topn_no_remainder_no_others_row(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    out = top_n_with_others(
+        df, key_cols=["k"], val_cols=["v"], order_by=[F.col("v").desc()], n=5,
+    ).collect()
+    assert sorted(r["k"] for r in out if r["k"]) == ["a", "b"]
+    assert all(r["k"] is not None for r in out)
+
+
+# ------------------------------------------------------------- classification
+
+def test_top_percent_inclusive_crossing_row(spark):
+    """classification.c:540-608: emit sorted classes until cumulative >=
+    top-percents%, inclusive of the crossing row."""
+    df = spark.createDataFrame(
+        [("x", 50), ("y", 30), ("z", 15), ("w", 5)], "k string, val long"
+    )
+    kept = {r["k"] for r in top_percent_classes(df, ["k"], "val", 60).collect()}
+    # 50 covers 50% < 60 -> keep x; y's preceding cum 50 < 60 -> keep y (crossing)
+    assert kept == {"x", "y"}
+
+    kept90 = {r["k"] for r in top_percent_classes(df, ["k"], "val", 90).collect()}
+    assert kept90 == {"x", "y", "z"}  # 50+30=80 < 90 -> z crosses
+
+
+def test_stamp_classes_unmatched_empty_string(spark):
+    """classification.c:954-956: no class -> '' (not NULL)."""
+    flows = spark.createDataFrame([("tcp",), ("udp",), ("icmp",)], "proto string")
+    model = spark.createDataFrame([("tcp", "bulk")], "proto string, class_name string")
+    out = stamp_classes(flows, model, ["proto"]).collect()
+    got = {r["proto"]: r["class0"] for r in out}
+    assert got == {"tcp": "bulk", "udp": "", "icmp": ""}
+
+
+# ----------------------------------------------------------------- mavg / EWMA
+
+def test_ewma_replay_reference_recurrence():
+    """monit-objects-mavg.c:571-593: N -= (dt/T)*N; N += V; dt>=T -> N=V."""
+    T = int(10e9)  # 10s window
+    ts = np.array([0, int(1e9), int(2e9)], dtype=np.int64)
+    vals = np.array([100.0, 100.0, 100.0])
+    n, tprev = ewma_replay_py(ts, vals, T)
+    # manual: n=100; n=100-0.1*100+100=190; n=190-0.1*190+100=271
+    assert n == pytest.approx(271.0)
+    assert tprev == int(2e9)
+
+
+def test_ewma_window_elapse_resets():
+    T = int(10e9)
+    ts = np.array([0, int(20e9)], dtype=np.int64)
+    vals = np.array([500.0, 7.0])
+    n, _ = ewma_replay_py(ts, vals, T)
+    assert n == 7.0  # dt >= T -> N = V
+
+
+def test_mavg_rates_matches_scalar_oracle(spark):
+    """Distributed replay == scalar oracle per key, any partitioning."""
+    rng = np.random.RandomState(7)
+    rows = []
+    base = 1_700_000_000
+    for k in range(5):
+        t = base
+        for _ in range(50):
+            t += int(rng.randint(1, 30))
+            rows.append((k, float(t), float(rng.randint(1, 1000))))
+    df = spark.createDataFrame(rows, "k long, ts double, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).repartition(4)
+    out = {r["k"]: r["mavg_val"] for r in
+           mavg_rates(df, ["k"], "v", window_sec=60).collect()}
+    for k in range(5):
+        kr = sorted([r for r in rows if r[0] == k], key=lambda r: r[1])
+        ts_ns = np.array([int(r[1] * 1e9) for r in kr], dtype=np.int64)
+        vals = np.array([r[2] for r in kr])
+        n_exp, _ = ewma_replay_py(ts_ns, vals, int(60e9))
+        assert out[k] == pytest.approx(n_exp, rel=1e-9)
+
+
+def test_mavg_overlimit_default_and_perkey(spark):
+    """monit-objects-mavg-limfile.c: per-key thresholds with default
+    fallback; under= inverts (monit-objects-mavg-under.c)."""
+    rates = spark.createDataFrame(
+        [("a", 100.0), ("b", 10.0), ("c", 55.0)], "k string, rate double"
+    )
+    limits = spark.createDataFrame([("a", 200.0)], "k string, threshold double")
+    over = mavg_overlimit(rates, limits, default_threshold=50.0, key_cols=["k"])
+    got = {r["k"] for r in over.collect()}
+    assert got == {"c"}  # a: 100 < 200 per-key; b: 10 < 50 default; c: 55 >= 50
+
+    under = mavg_overlimit(
+        rates, limits, default_threshold=50.0, key_cols=["k"], under=True
+    )
+    assert {r["k"] for r in under.collect()} == {"a", "b"}
+
+
+# ------------------------------------------------------------ scalar functions
+
+def test_scalar_div_family(spark):
+    df = spark.createDataFrame(
+        [(100, 3), (100, 0), (0, 5), (5000, 2), (7, 7)], "a long, b long"
+    )
+    out = df.select(
+        xdiv(F.col("a"), F.col("b")).alias("d"),
+        div_r(F.col("a"), F.col("b"), 100).alias("dr"),
+        div_l(F.col("a"), F.col("b"), 10).alias("dl"),
+    ).collect()
+    assert [(r["d"], r["dr"], r["dl"]) for r in out] == [
+        (33, 0, 10),      # 100/3=33 -> dr 0, dl 10
+        (0, 0, 0),        # div by zero -> 0 (filter.h:399-401)
+        (0, 0, 0),
+        (2500, 2500, 1000),
+        (1, 0, 1),
+    ]
+
+
+def test_div_l_exact_powers(spark):
+    """log-free ladder: no libm rounding surprises at exact powers."""
+    df = spark.createDataFrame([(10**i, 1) for i in range(1, 13)], "a long, b long")
+    out = df.select(div_l(F.col("a"), F.col("b"), 10).alias("dl")).collect()
+    assert [r["dl"] for r in out] == [10**i for i in range(1, 13)]
+
+
+def test_min2_tfstr_portstr(spark):
+    df = spark.createDataFrame([(443, 51000, 0x12), (53, 53, 0)],
+                               "p1 long, p2 long, fl long")
+    out = df.select(
+        min2(F.col("p1"), F.col("p2")).alias("mn"),
+        tfstr(F.col("fl")).alias("tf"),
+        portstr(F.col("p1")).alias("ps"),
+        ppstr(F.col("p1"), F.col("p2")).alias("pp"),
+    ).collect()
+    assert out[0]["mn"] == 443
+    assert out[0]["tf"] == "ACK+SYN"  # high-bit-first join (utils.c:22-26)
+    assert out[0]["ps"] == "https (443)"
+    assert out[0]["pp"] == "https(443) ->"  # known -> unknown, p1 < p2
+    assert out[1]["tf"] == ""
+    assert out[1]["pp"] == "domain(53) -> domain(53)"
+
+
+def test_ip4_roundtrip(spark):
+    assert str_to_ip4("10.0.2.128") == 167772800
+    df = spark.createDataFrame([(167772800,), (0,), (4294967295,)], "ip long")
+    out = df.select(ip4_to_str(F.col("ip")).alias("s")).collect()
+    assert [r["s"] for r in out] == ["10.0.2.128", "0.0.0.0", "255.255.255.255"]

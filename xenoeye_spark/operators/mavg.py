@@ -124,12 +124,13 @@ def mavg_overlimit(
     """
     out = rates
     if limits is not None:
-        out = out.join(F.broadcast(limits), on=key_cols, how="left")
-        thr = F.coalesce(F.col("threshold"), F.lit(default_threshold))
-        out = out.drop("threshold")
+        lim = limits.withColumnRenamed("threshold", "_thr_key")
+        out = out.join(F.broadcast(lim), on=key_cols, how="left")
+        out = out.withColumn(
+            "threshold", F.coalesce(F.col("_thr_key"), F.lit(default_threshold))
+        ).drop("_thr_key")
     else:
-        thr = F.lit(default_threshold)
-    out = out.withColumn("threshold", thr)
+        out = out.withColumn("threshold", F.lit(default_threshold))
     cond = (F.col("rate") < F.col("threshold")) if under else (
         F.col("rate") >= F.col("threshold")
     )

@@ -44,8 +44,13 @@ def top_n_with_others(
 
     rest = ranked.filter(F.col("_rn") > n).drop("_rn")
     others_row = rest.groupBy(*[F.col(p) for p in part]).agg(
-        *[F.sum(F.col(v)).alias(v) for v in val_cols]
+        *[F.sum(F.col(v)).alias(v) for v in val_cols],
+        F.count(F.lit(1)).alias("_cnt"),
     )
+    # a global (no-partition) aggregate over an empty remainder yields one
+    # all-NULL row — the reference emits others only when remainder exists
+    # (monit-objects-fwm.c:459-481)
+    others_row = others_row.filter(F.col("_cnt") > 0).drop("_cnt")
     # NULL key columns for the rollup row (monit-objects-fwm.c:449-457)
     for k in key_cols:
         others_row = others_row.withColumn(k, F.lit(None))
