@@ -1,0 +1,205 @@
+"""Structured Streaming tests: stateful mavg (EWMA continuity across
+micro-batches vs the scalar oracle, alert state machine), streaming fwm
+with SQL-file export, config-driven pipelines."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xenoeye_spark.config.mo import MoConfig, parse_jsonc
+from xenoeye_spark.operators.mavg import ewma_replay_py
+from xenoeye_spark.streaming.fwm_stream import fwm_sql_export, fwm_streaming_query
+from xenoeye_spark.streaming.mavg_stream import mavg_alert_stream
+
+FLOW_SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("v", T.DoubleType()),
+])
+
+
+def _write_batches(spark, dir_path, batches):
+    """Write each batch as one parquet file so maxFilesPerTrigger=1 maps
+    one batch -> one micro-batch."""
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k string, ts double, v double") \
+            .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+        df.write.parquet(os.path.join(dir_path, f"b{i}"))
+    return [os.path.join(dir_path, f"b{i}") for i in range(len(batches))]
+
+
+def _run_stream_over_dirs(spark, dirs, build_query, out_rows, timeout=120):
+    """Feed parquet dirs one-at-a-time into a file-source stream by
+    pointing the source at a staging dir and moving files in; simpler:
+    run one availableNow pass per batch dir with a shared checkpoint so
+    state persists across runs (each run = >=1 micro-batch)."""
+    import shutil, tempfile
+    stage = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    for d in dirs:
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            shutil.copy(f, os.path.join(stage, os.path.basename(d) + "_" + os.path.basename(f)))
+        stream = (
+            spark.readStream.schema(FLOW_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        q = build_query(stream, ckpt, out_rows)
+        q.awaitTermination(timeout)
+    return out_rows
+
+
+BASE = 1_700_000_000
+
+
+def test_mavg_state_continuity_across_batches(spark, tmp_path):
+    """EWMA accumulator must survive micro-batch boundaries: replaying
+    batches [A, B] through the stateful op == scalar replay of A+B."""
+    rng = np.random.RandomState(3)
+    all_rows = []
+    t = BASE
+    for _ in range(40):
+        t += int(rng.randint(1, 5))
+        all_rows.append(("k1", float(t), float(rng.randint(50, 150))))
+    batches = [all_rows[:20], all_rows[20:]]
+    dirs = _write_batches(spark, str(tmp_path / "src"), batches)
+
+    collected = []
+
+    def build(stream, ckpt, out):
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=30,
+            threshold=0.0,  # always over limit -> emits UPDATE each batch
+            back2norm_sec=5,
+        )
+
+        def sink(df, epoch):
+            out.extend(df.collect())
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, collected)
+    assert collected, "no alert rows emitted"
+    # the last emitted rate must equal the scalar oracle over ALL rows
+    final = max(collected, key=lambda r: r["ts_ns"])
+    ts_ns = np.array([int(r[1] * 1e9) for r in all_rows], dtype=np.int64)
+    vals = np.array([r[2] for r in all_rows])
+    n_exp, _ = ewma_replay_py(ts_ns, vals, int(30e9))
+    assert final["rate"] == pytest.approx(n_exp / 30, rel=1e-6)
+
+
+def test_mavg_alert_state_machine(spark, tmp_path):
+    """NEW on threshold breach; GONE only after back2norm_sec below limit
+    (monit-objects-mavg-act.c:342-444)."""
+    # batch 1: burst -> NEW; batch 2: silence + tiny values -> decay + GONE
+    burst = [("k1", float(BASE + i), 1000.0) for i in range(10)]
+    quiet = [("k1", float(BASE + 100 + i * 10), 0.001) for i in range(10)]
+    dirs = _write_batches(spark, str(tmp_path / "src"), [burst, quiet])
+
+    collected = []
+
+    def build(stream, ckpt, out):
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=10, threshold=50.0,
+            back2norm_sec=20,
+        )
+
+        def sink(df, epoch):
+            out.extend(df.collect())
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, collected)
+    events = [r["event"] for r in sorted(collected, key=lambda r: r["ts_ns"])]
+    assert events[0] == "NEW"
+    assert "GONE" in events
+    assert events.index("NEW") < events.index("GONE")
+
+
+def test_fwm_streaming_sql_export(spark, tmp_path):
+    """foreachBatch fwm: window agg -> top-N+others -> SQL file with the
+    reference's DDL+INSERT shape (monit-objects-fwm.c:269-414)."""
+    mo = MoConfig.from_dict(
+        {
+            "filter": "",
+            "fwm": [{"name": "fw1", "fields": ["octets desc", "src host"],
+                     "time": 30, "limit": 2}],
+        },
+        name="momo",
+    )
+    rows = []
+    for i, (ip, octs) in enumerate(
+        [(0x0A000001, 500), (0x0A000002, 400), (0x0A000003, 50),
+         (0x0A000004, 30), (0x0A000001, 100)]
+    ):
+        rows.append((ip, octs, float(BASE + i)))
+    src = str(tmp_path / "flows")
+    spark.createDataFrame(rows, "ip4_src_addr long, in_bytes long, ts double") \
+        .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1) \
+        .write.parquet(src)
+
+    schema = T.StructType([
+        T.StructField("ip4_src_addr", T.LongType()),
+        T.StructField("in_bytes", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(src)
+    exp_dir = str(tmp_path / "exp")
+    writer = fwm_streaming_query(
+        stream, mo, mo.fwm[0], exp_dir=exp_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q = writer.start()
+    q.awaitTermination(120)
+
+    files = glob.glob(os.path.join(exp_dir, "momo_fw1_*.sql"))
+    assert len(files) == 1
+    sql = open(files[0]).read()
+    assert "CREATE TABLE IF NOT EXISTS momo_fw1" in sql
+    assert "INSERT INTO momo_fw1" in sql
+    # top-2 rows by octets (600, 400) + one NULL-key others row (80)
+    assert sql.count("(") >= 3
+    assert "NULL" in sql  # others row has NULL src host
+
+
+def test_parse_jsonc_and_mo_model():
+    txt = """
+    {
+        // line comment
+        "filter": "proto 6", /* block */
+        "fwm": [
+            {"name": "fw1", "fields": ["src host", "octets desc"],
+             "time": 15, "limit": 5},
+        ],
+        "mavg": [
+            {"name": "m1", "time": "10", "dump": "10",
+             "fields": ["dst host", "packets"],
+             "overlimit": [{"name": "level1", "default": [100000],
+                            "back2norm-time": 5}]}
+        ]
+    }
+    """
+    mo = MoConfig.from_dict(parse_jsonc(txt), name="t")
+    assert mo.filter == "proto 6"
+    assert mo.fwm[0].spec.time == 15 and mo.fwm[0].spec.limit == 5
+    assert mo.mavg[0].time == 10
+    assert mo.mavg[0].overlimit[0].default == [100000.0]
+    assert mo.mavg[0].overlimit[0].back2norm_time == 5
+    # fields split into key/value sets (monit-objects-fwm.c:102-135)
+    assert [f.sql_name for f in mo.mavg[0].key_fields] == ["dst_host"]
+    assert [f.sql_name for f in mo.mavg[0].val_fields] == ["packets"]

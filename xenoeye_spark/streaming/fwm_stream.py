@@ -1,0 +1,126 @@
+"""Streaming fwm — the reference's report path under Structured Streaming.
+
+Reference flow (monit-objects-fwm.c:649-790): every ``time`` seconds the
+window's per-thread tries are merged, sorted, cut to top-N+others, and
+written as a SQL file (CREATE TABLE IF NOT EXISTS + INSERTs) that a runner
+ships to PostgreSQL/ClickHouse, keeping failed files for retry
+(INTERNALS.md:46).
+
+Spark shape: ``readStream → filter → foreachBatch``. Inside foreachBatch we
+run the *batch* fwm pipeline (windowed agg → top-N+others) on the
+micro-batch and append to the sink. Micro-batch boundaries are the bank
+swap (SURVEY.md §2.8 double-banking == micro-batch state flush); the
+checkpoint gives the exactly-once durability the reference builds by hand
+with export files + ``expfailed/``.
+
+The SQL-file sink is kept for operational parity: identical DDL/INSERT
+shape so the reference's db-export scripts work unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import time as _time
+
+from pyspark.sql import DataFrame
+
+from xenoeye_spark.config.mo import FwmConfig, MoConfig
+from xenoeye_spark.dsl.compiler import FilterContext
+
+
+import datetime as _dt
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return f"'{v}'"
+    if isinstance(v, (bytes, bytearray)):
+        return "'\\x" + v.hex() + "'"
+    return str(v)
+
+
+def fwm_sql_export(
+    result: DataFrame,
+    table: str,
+    exp_dir: str,
+    epoch_id: int | None = None,
+) -> str | None:
+    """Write one window's result as a SQL file, mirroring
+    monit-objects-fwm.c:269-414: CREATE TABLE IF NOT EXISTS + one batched
+    INSERT. Returns the file path (None if the batch was empty).
+
+    The result set here is post-top-N (small); collect is bounded by
+    limit+1 rows per window, not by stream volume.
+    """
+    rows = result.collect()
+    if not rows:
+        return None
+    cols = result.columns
+    ddl_types = []
+    for f in result.schema.fields:
+        t = f.dataType.simpleString()
+        pg = {
+            "bigint": "BIGINT", "int": "BIGINT", "double": "DOUBLE PRECISION",
+            "string": "TEXT", "timestamp": "TIMESTAMPTZ", "boolean": "BOOLEAN",
+        }.get(t, "TEXT")
+        ddl_types.append(f"{f.name} {pg}")
+    os.makedirs(exp_dir, exist_ok=True)
+    stamp = epoch_id if epoch_id is not None else int(_time.time())
+    path = os.path.join(exp_dir, f"{table}_{stamp}.sql")
+    with open(path, "w") as fh:
+        fh.write(f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(ddl_types)});\n")
+        fh.write(f"INSERT INTO {table} ({', '.join(cols)}) VALUES\n")
+        vals = ",\n".join(
+            "(" + ", ".join(_sql_literal(r[c]) for c in cols) + ")" for r in rows
+        )
+        fh.write(vals + ";\n")
+    return path
+
+
+def fwm_streaming_query(
+    flows_stream: DataFrame,
+    mo: MoConfig,
+    fwm: FwmConfig,
+    ctx: FilterContext | None = None,
+    ts_col: str = "ts",
+    exp_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    sink_fn=None,
+    trigger_sec: int | None = None,
+    available_now: bool = False,
+):
+    """Build (not start) the streaming query for one fwm entry.
+
+    ``sink_fn(result_df, epoch_id)``: custom sink; default writes SQL files
+    to ``exp_dir``. Trigger defaults to the fwm's window size — the
+    reference exports on window boundaries (monit-objects-fwm.c:704).
+    """
+    if ctx is None:
+        ctx = FilterContext()
+    table = f"{mo.name}_{fwm.name}"
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        result = mo.fwm_result(batch_df, fwm, ctx, ts_col=ts_col)
+        if sink_fn is not None:
+            sink_fn(result, epoch_id)
+        elif exp_dir is not None:
+            fwm_sql_export(result, table, exp_dir, epoch_id)
+
+    writer = flows_stream.writeStream.foreachBatch(handle_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{trigger_sec or fwm.spec.time} seconds"
+        )
+    return writer
