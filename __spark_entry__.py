@@ -22,8 +22,17 @@ from xenoeye_spark.datapipe.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
 )
-from xenoeye_spark.datapipe.similarity import brute_force_topk
-from xenoeye_spark.datapipe.text import language_id, simhash64, text_stats, STOPWORDS
+from xenoeye_spark.datapipe.similarity import brute_force_topk, cosine_neardup_pairs
+from xenoeye_spark.datapipe.text import (
+    BPE_SPLIT_RE,
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    simhash64,
+    text_stats,
+    token_count,
+)
+from xenoeye_spark.enrich.devices import apply_sampling_rate
 from xenoeye_spark.enrich.geoip import GeoDB
 from xenoeye_spark.enrich.iplist import IpList
 from xenoeye_spark.functions.scalar import (
@@ -35,8 +44,10 @@ from xenoeye_spark.functions.scalar import (
     tfstr,
     xdiv,
 )
+from xenoeye_spark.functions.scalar import ppstr
 from xenoeye_spark.operators.classify import stamp_classes, top_percent_classes
 from xenoeye_spark.operators.mavg import mavg_rates
+from xenoeye_spark.operators.report import mfreq_batch, xe_rep
 from xenoeye_spark.operators.topn import top_n_with_others
 
 
@@ -283,6 +294,73 @@ def q_mavg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("k", F.round("rate", 6).alias("rate"))
 
 
+def q_report_xe_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xe_rep report pattern (EXTRA.md:296-342): overall top-3 keys per
+    period, per-hour series + 'Other' rollup."""
+    ev = _t(spark, sf_dir, "events")
+    exported = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("time"),
+        F.col("user_id"),
+    ).agg(F.sum("value").alias("val"))
+    rep = xe_rep(exported, "user_id", "val", n=3)
+    return rep.select("time", "series", F.round("val", 6).alias("val"))
+
+
+def q_mfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mfreq(f1,f2) batch semantics (filter.c:711-751): the value of the
+    pair occurring more often dataset-wide; tie -> smaller."""
+    ev = _t(spark, sf_dir, "events")
+    ports = ev.select(
+        F.col("event_id"),
+        (F.col("user_id") % 50).cast("long").alias("p1"),
+        (F.col("event_id") % 300).cast("long").alias("p2"),
+    )
+    out = mfreq_batch(ports, "p1", "p2")
+    return out.select("event_id", "p1", "p2", "mfreq")
+
+
+def q_ppstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ppstr port-pair labels (utils.c:39-77)."""
+    ev = _t(spark, sf_dir, "events")
+    p1 = (F.col("user_id") % 1024).cast("long")
+    p2 = (F.col("event_id") % 65536).cast("long")
+    return ev.select(F.col("event_id"), ppstr(p1, p2).alias("pp_label"))
+
+
+def q_fwm_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fwm with per-device sampling-rate multiplier via broadcast dim join
+    (devices.c:199-235, monit-objects.c:995)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dev_ip", (F.col("user_id") % 8).cast("long")
+    )
+    devices = spark.range(8).select(
+        F.col("id").alias("dev_ip"),
+        (F.col("id") * 10 + 1).alias("sampling_rate"),
+    )
+    enriched = apply_sampling_rate(ev, devices)
+    return enriched.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value") * F.col("sampling_rate")), 6).alias("sum_scaled")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts (datapipe)."""
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint digests (rows-only: rolling-hash family not
+    SQL-expressible; property-tested in tests/test_datapipe.py)."""
+    out = doc_fingerprint(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "fp_digest", "fp_size")
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (datapipe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -307,6 +385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "simhash": q_simhash,
         "mavg_ewma": q_mavg_ewma,
+        "report_xe_rep": q_report_xe_rep,
+        "mfreq": q_mfreq,
+        "ppstr": q_ppstr,
+        "fwm_sampling": q_fwm_sampling,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "emb_neardup": q_emb_neardup,
     }
 
 
@@ -331,6 +416,13 @@ def _tfstr_concat(col: str) -> str:
         ]
     )
     return f"concat_ws('+', {parts})"
+
+
+def _svc_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {p} THEN '{name}'" for p, name in SERVICE_NAMES.items()
+    )
+    return f"CASE {whens} ELSE NULL END"
 
 
 def _iplist_cond(col: str, cidrs: list[str]) -> str:
@@ -531,6 +623,84 @@ WITH w AS (
   SELECT doc_id, *, {lang_best} AS best FROM s
 )
 SELECT doc_id, {lang_case} AS lang_guess FROM b
+""",
+        "report_xe_rep": """
+WITH exported AS (
+  SELECT date_trunc('hour', ts) AS time, user_id, SUM(value) AS val
+  FROM events GROUP BY 1, 2
+), top AS (
+  SELECT user_id FROM (
+    SELECT user_id, SUM(val) AS tot FROM exported GROUP BY 1
+    ORDER BY tot DESC, user_id ASC LIMIT 3
+  )
+)
+SELECT time,
+       CASE WHEN t.user_id IS NOT NULL THEN CAST(e.user_id AS VARCHAR)
+            ELSE 'Other' END AS series,
+       round(SUM(val), 6) AS val
+FROM exported e LEFT JOIN top t ON e.user_id = t.user_id
+GROUP BY 1, 2
+""",
+        "mfreq": """
+WITH ports AS (
+  SELECT event_id, user_id % 50 AS p1, event_id % 300 AS p2 FROM events
+), freq AS (
+  SELECT v, COUNT(*) AS n FROM (
+    SELECT p1 AS v FROM ports UNION ALL SELECT p2 AS v FROM ports
+  ) GROUP BY 1
+)
+SELECT event_id, p1, p2,
+       CASE WHEN f1.n > f2.n THEN p1
+            WHEN f2.n > f1.n THEN p2
+            ELSE least(p1, p2) END AS mfreq
+FROM ports JOIN freq f1 ON ports.p1 = f1.v JOIN freq f2 ON ports.p2 = f2.v
+""",
+        "ppstr": f"""
+WITH w AS (
+  SELECT event_id, user_id % 1024 AS p1, event_id % 65536 AS p2 FROM events
+), s AS (
+  SELECT event_id, p1, p2, {_svc_case('p1')} AS s1, {_svc_case('p2')} AS s2
+  FROM w
+)
+SELECT event_id,
+  CASE
+    WHEN s1 IS NOT NULL AND s2 IS NOT NULL
+      THEN s1 || '(' || p1 || ') -> ' || s2 || '(' || p2 || ')'
+    WHEN p1 = p2 THEN p1 || ' -> ' || p2
+    WHEN p1 < p2 AND s1 IS NULL AND s2 IS NULL THEN p1 || ' ->'
+    WHEN p1 < p2 AND s1 IS NULL THEN p1 || ' -> ' || s2 || '(' || p2 || ')'
+    WHEN p1 < p2 THEN s1 || '(' || p1 || ') ->'
+    WHEN s1 IS NULL AND s2 IS NULL THEN '-> ' || p2
+    WHEN s1 IS NULL THEN '-> ' || s2 || '(' || p2 || ')'
+    ELSE s1 || '(' || p1 || ') -> ' || p2
+  END AS pp_label
+FROM s
+""",
+        "fwm_sampling": """
+WITH d AS (
+  SELECT range AS dev_ip, range * 10 + 1 AS sampling_rate FROM range(8)
+), w AS (
+  SELECT e.*, user_id % 8 AS dev_ip FROM events e
+)
+SELECT event_type, round(SUM(value * sampling_rate), 6) AS sum_scaled
+FROM w JOIN d USING (dev_ip) GROUP BY 1
+""",
+        "token_count": r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''))
+         AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+'))
+         AS n_bpe_tokens
+FROM documents
+""",
+        "emb_neardup": """
+WITH s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.8
 """,
         "sim_topk": """
 WITH q AS (

@@ -195,3 +195,67 @@ def test_ip4_roundtrip(spark):
     df = spark.createDataFrame([(167772800,), (0,), (4294967295,)], "ip long")
     out = df.select(ip4_to_str(F.col("ip")).alias("s")).collect()
     assert [r["s"] for r in out] == ["10.0.2.128", "0.0.0.0", "255.255.255.255"]
+
+
+# ------------------------------------------------------------ report helpers
+
+def test_xe_rep_topn_other(spark):
+    """EXTRA.md:296-342: period-wide top-N keys as series, rest as 'Other'."""
+    from xenoeye_spark.operators.report import xe_rep
+    rows = [(1, "a", 100), (1, "b", 50), (1, "c", 5), (1, "d", 1),
+            (2, "a", 10), (2, "c", 7), (2, "d", 2)]
+    df = spark.createDataFrame(rows, "time long, k string, val long")
+    out = xe_rep(df, "k", "val", n=2).collect()
+    got = {(r["time"], r["series"]): r["val"] for r in out}
+    # top-2 overall: a (110), b (50); c+d lumped into Other
+    assert got == {(1, "a"): 100, (1, "b"): 50, (1, "Other"): 6,
+                   (2, "a"): 10, (2, "Other"): 9}
+
+
+def test_mfreq_batch_semantics(spark):
+    """filter.c:711-751 batch fixed point: more-frequent value wins,
+    tie -> smaller."""
+    from xenoeye_spark.operators.report import mfreq_batch
+    rows = [(1, 80, 999), (2, 80, 443), (3, 443, 80), (4, 7, 8)]
+    df = spark.createDataFrame(rows, "id long, p1 long, p2 long")
+    out = {r["id"]: r["mfreq"] for r in mfreq_batch(df, "p1", "p2").collect()}
+    # freq: 80 -> 3, 443 -> 2, 999 -> 1, 7 -> 1, 8 -> 1
+    assert out[1] == 80   # 80(3) > 999(1)
+    assert out[2] == 80   # 80(3) > 443(2)
+    assert out[3] == 80   # 443(2) < 80(3)
+    assert out[4] == 7    # tie 1-1 -> min
+
+
+def test_doc_fingerprint_robust_to_small_edits(spark):
+    """Winnowing property: fingerprints of a doc and a lightly-edited copy
+    overlap heavily; disjoint docs don't."""
+    from xenoeye_spark.datapipe.text import doc_fingerprint
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base.replace("lazy", "hazy", 1)
+    other = "completely different content with other words entirely " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, ""), (5, "short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_fingerprint(df).collect()}
+    fp1, fp2, fp3 = (set(out[i]["fingerprint"]) for i in (1, 2, 3))
+    overlap12 = len(fp1 & fp2) / len(fp1 | fp2)
+    overlap13 = len(fp1 & fp3) / len(fp1 | fp3)
+    assert overlap12 > 0.6
+    assert overlap13 < 0.05
+    assert out[1]["fp_digest"] != out[3]["fp_digest"]
+    assert out[4]["fp_size"] == 0
+    assert out[5]["fp_size"] == 1  # shorter than k -> whole-text hash
+
+
+def test_token_count_golden(spark):
+    from xenoeye_spark.datapipe.text import token_count
+    df = spark.createDataFrame(
+        [(1, "Hello world, 12345 times!"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_count(df).collect()}
+    assert out[1]["n_ws_tokens"] == 4
+    # BPE-ish: Hello|world|,|123|45|times|! -> 7
+    assert out[1]["n_bpe_tokens"] == 7
+    assert out[2]["n_ws_tokens"] == 0 and out[2]["n_bpe_tokens"] == 0

@@ -123,3 +123,38 @@ def lsh_bucket_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    Broadcast nested-loop all-pairs — the correctness baseline. At corpus
+    scale, generate candidates with ``lsh_bucket_topk``'s hyperplane
+    buckets (or IVF) first and verify only candidates, exactly like the
+    MinHash-LSH path in datapipe.dedup.
+    """
+    ncpu = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    pairs = a.repartition(int(ncpu)).join(
+        F.broadcast(b), F.col("id_a") < F.col("id_b")
+    )
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

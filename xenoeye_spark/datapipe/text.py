@@ -119,3 +119,69 @@ def simhash64(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints, pure expression."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# BPE-ish pretokenizer: word pieces, numbers, punctuation runs — the common
+# GPT-2-style regex family, simplified to RE2-compatible form (no lookahead)
+# so Spark's JVM regexp can run it.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def token_count(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish subword count per doc — the
+    length signal a training-data pipeline budgets with. Pure expressions
+    (regexp_extract_all stays in codegen)."""
+    ws = F.size(_tokens(F.col(text_col)))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03, public algorithm): hash every k-char gram, slide a window of
+    ``window`` hashes, keep each window's minimum — the selected hash set
+    identifies the document robustly under edits.
+
+    JVM-side: char grams via substring over a sequence, xxhash64 per gram,
+    window-min via transform over index ranges; output is the sorted
+    distinct fingerprint array + a 64-bit digest (xxhash64 of the joined
+    set) for cheap equality probes.
+    """
+    t = text_col
+    grams = (
+        f"CASE WHEN length({t}) >= {k} THEN "
+        f"transform(sequence(1, length({t}) - {k} + 1), i -> xxhash64(substring({t}, i, {k}))) "
+        f"ELSE CASE WHEN length({t}) > 0 THEN array(xxhash64({t})) "
+        f"ELSE cast(array() as array<bigint>) END END"
+    )
+    mins = (
+        f"CASE WHEN size(_grams) >= {window} THEN "
+        f"transform(sequence(1, size(_grams) - {window} + 1), "
+        f"i -> array_min(slice(_grams, i, {window}))) "
+        f"ELSE _grams END"
+    )
+    staged = docs.select(F.col(id_col), F.expr(grams).alias("_grams"))
+    fp = F.array_sort(F.array_distinct(F.expr(mins)))
+    return staged.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+    ).select(
+        F.col(id_col),
+        F.col("fingerprint"),
+        F.xxhash64(
+            F.concat_ws(",", F.col("fingerprint").cast("array<string>"))
+        ).alias("fp_digest"),
+        F.size("fingerprint").alias("fp_size"),
+    )
