@@ -255,7 +255,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact all-pairs baseline."""
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, n=3, num_hashes=64)
-    cands = lsh_candidate_pairs(sigs, bands=16)
+    cands = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
     verified = ngram_jaccard_pairs(docs, n=3, threshold=0.35, candidates=cands)
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

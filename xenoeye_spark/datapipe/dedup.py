@@ -119,10 +119,12 @@ def ngram_jaccard_pairs(
             )
         )
     else:
+        # candidate verification: the shingle table is per-doc (small next
+        # to the pair set) — broadcast it to keep candidates shuffle-free
         pairs = (
             candidates.select("id_a", "id_b")
-            .join(sh_a, "id_a")
-            .join(sh_b, "id_b")
+            .join(F.broadcast(sh_a), "id_a")
+            .join(F.broadcast(sh_b), "id_b")
         )
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     union = (F.col("_sz_a") + F.col("_sz_b") - inter).cast("int")
@@ -181,6 +183,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 32,
     id_col: str = "doc_id",
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: docs sharing any band bucket
     become candidate pairs (id_a < id_b, distinct).
@@ -188,9 +191,13 @@ def lsh_candidate_pairs(
     The shuffle key is (band_idx, hash-of-band-slice) — bucket sizes follow
     data duplication structure; pair explosion within a bucket is quadratic,
     so at scale cap bucket size (skew guard) before pairing.
+
+    Pass ``sig_len`` (= num_hashes) to avoid materializing the signature
+    stage twice just to learn the array length.
     """
-    sig_len_row = signatures.select(F.size("signature").alias("s")).first()
-    rows_per_band = (sig_len_row["s"] + bands - 1) // bands
+    if sig_len is None:
+        sig_len = signatures.select(F.size("signature").alias("s")).first()["s"]
+    rows_per_band = (sig_len + bands - 1) // bands
 
     banded = signatures.select(
         F.col(id_col),
@@ -203,9 +210,12 @@ def lsh_candidate_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # the banded table is bands x n_docs rows of 3 longs — broadcast the
+    # probe side so bucket matching runs map-side (no shuffle); at corpus
+    # scale swap to a shuffle join on (band, bucket) by dropping broadcast
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),

@@ -38,20 +38,33 @@ def top_n_with_others(
     w = Window.partitionBy(*[F.col(p) for p in part]).orderBy(*order)
     ranked = df.withColumn("_rn", F.row_number().over(w))
 
-    top = ranked.filter(F.col("_rn") <= n).drop("_rn")
     if not others:
-        return top
+        return ranked.filter(F.col("_rn") <= n).drop("_rn")
 
-    rest = ranked.filter(F.col("_rn") > n).drop("_rn")
-    others_row = rest.groupBy(*[F.col(p) for p in part]).agg(
-        *[F.sum(F.col(v)).alias(v) for v in val_cols],
-        F.count(F.lit(1)).alias("_cnt"),
+    # Single-pass formulation: rows beyond the cut get their keys nullified
+    # (monit-objects-fwm.c:449-457), then ONE re-aggregation merges them
+    # into the others row while top rows stay singleton groups (input is
+    # post-aggregation: unique per (partition, keys)). The filter+union
+    # alternative evaluates the whole upstream plan twice — at scale that
+    # doubles the scan+agg cost. No remainder -> no others group, matching
+    # monit-objects-fwm.c:459-481.
+    is_top = F.col("_rn") <= n
+    nullified = [
+        F.when(is_top, F.col(k)).otherwise(F.lit(None)).alias(k)
+        for k in key_cols
+    ]
+    out_cols = list(df.columns)
+    return (
+        ranked.select(
+            *[F.col(p) for p in part],
+            *nullified,
+            *[F.col(v) for v in val_cols],
+            # _is_top in the key keeps a genuine all-NULL-key top row from
+            # merging with the rollup row
+            is_top.alias("_is_top"),
+        )
+        .groupBy(*part, *key_cols, "_is_top")
+        .agg(*[F.sum(F.col(v)).alias(v) for v in val_cols])
+        .drop("_is_top")
+        .select(out_cols)
     )
-    # a global (no-partition) aggregate over an empty remainder yields one
-    # all-NULL row — the reference emits others only when remainder exists
-    # (monit-objects-fwm.c:459-481)
-    others_row = others_row.filter(F.col("_cnt") > 0).drop("_cnt")
-    # NULL key columns for the rollup row (monit-objects-fwm.c:449-457)
-    for k in key_cols:
-        others_row = others_row.withColumn(k, F.lit(None))
-    return top.unionByName(others_row.select(top.columns))
