@@ -58,3 +58,83 @@ def stamp_classes(
     return out.withColumn(class_col, F.coalesce(F.col("_cls_name"), F.lit(""))).drop(
         "_cls_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Human-readable class naming (classification.c:382-457): protocol numbers,
+# service ports, and TCP-flag text rendered into the class label.
+# ---------------------------------------------------------------------------
+
+# IANA protocol numbers (getprotobynumber equivalent, fixed so results do
+# not depend on the host's /etc/protocols)
+PROTO_NAMES: dict[int, str] = {
+    1: "icmp", 2: "igmp", 4: "ipv4", 6: "tcp", 17: "udp", 41: "ipv6",
+    47: "gre", 50: "esp", 51: "ah", 58: "ipv6-icmp", 88: "eigrp",
+    89: "ospf", 112: "vrrp", 132: "sctp", 137: "mpls-in-ip",
+}
+
+
+def class_name_expr(field_name: str, col: Column) -> Column:
+    """Render one classifier key field as the reference names classes:
+    proto -> protocol name, ports -> service names, tcp-flags -> flag text,
+    anything else -> string value."""
+    from xenoeye_spark.functions.scalar import portstr, tfstr
+
+    lname = field_name.lower().replace(" ", "")
+    if lname in ("proto", "protocol"):
+        pairs: list[Column] = []
+        for num, name in PROTO_NAMES.items():
+            pairs.append(F.lit(num))
+            pairs.append(F.lit(name))
+        m = F.create_map(*pairs)
+        return F.coalesce(m[col.cast("int")], col.cast("string"))
+    if "port" in lname:
+        return portstr(col)
+    if "flags" in lname or "tcp-flags" in lname:
+        return tfstr(col)
+    return col.cast("string")
+
+
+def default_class_names(
+    model: DataFrame, key_fields: list[str], name_col: str = "class_name"
+) -> DataFrame:
+    """Join the per-field rendered names with '+' into one label."""
+    parts = [class_name_expr(k, F.col(k)) for k in key_fields]
+    return model.withColumn(name_col, F.concat_ws("+", *parts))
+
+
+class ClassDB:
+    """Filesystem class database mirroring the reference layout
+    clsf/<mo>/<id>/<class>/{name,stats} (classification.c:245-379,459-522):
+    users rename classes by editing the ``name`` file; renames are re-read
+    every cycle and win over generated names."""
+
+    def __init__(self, root: str, mo_name: str, classifier_id: int):
+        import os
+        self.dir = os.path.join(root, mo_name, str(classifier_id))
+        os.makedirs(self.dir, exist_ok=True)
+
+    def write_cycle(self, rows: list[tuple[str, str, float]]) -> None:
+        """rows: (class_key, generated_name, stat_value). Existing ``name``
+        files are preserved (user renames); ``stats`` always rewritten."""
+        import os
+        for class_key, gen_name, val in rows:
+            d = os.path.join(self.dir, class_key.replace("/", "_"))
+            os.makedirs(d, exist_ok=True)
+            name_f = os.path.join(d, "name")
+            if not os.path.exists(name_f):
+                with open(name_f, "w") as fh:
+                    fh.write(gen_name)
+            with open(os.path.join(d, "stats"), "w") as fh:
+                fh.write(f"{val}\n")
+
+    def load_names(self) -> dict[str, str]:
+        import os
+        out = {}
+        if not os.path.isdir(self.dir):
+            return out
+        for entry in os.listdir(self.dir):
+            name_f = os.path.join(self.dir, entry, "name")
+            if os.path.isfile(name_f):
+                out[entry] = open(name_f).read().strip()
+        return out
