@@ -68,3 +68,49 @@ def test_geoip_asn_miss_zero_and_null_ip(spark):
     out = [r["a"] for r in
            df.select(db.lookup_expr("asn", F.col("ip")).alias("a")).collect()]
     assert out == [64512, 0, 0]
+
+
+def test_geoip_v6_lpm(spark):
+    import ipaddress
+    db = GeoDB([
+        ("2001:db8::/32", {"country": "wide"}),
+        ("2001:db8:1::/48", {"country": "narrow"}),
+        ("10.0.0.0/8", {"country": "v4"}),
+    ])
+    samples = {
+        "2001:db8:1::5": "narrow",
+        "2001:db8:2::5": "wide",
+        "2001:dead::1": "?",
+    }
+    rows = [(s, ipaddress.IPv6Address(s).packed) for s in samples]
+    df = spark.createDataFrame(rows, "s string, ip6 binary")
+    out = {r["s"]: r["c"] for r in df.select(
+        "s", db.lookup_expr6("country", F.col("ip6")).alias("c")).collect()}
+    assert out == samples
+
+
+def test_dsl_addr6_and_iplist6(spark):
+    import ipaddress
+    from xenoeye_spark.dsl.compiler import FilterContext, compile_filter
+    rows = [
+        ("2001:db8::1",), ("2001:db8:ffff::1",), ("fe80::1",),
+    ]
+    df = spark.createDataFrame(
+        [(ipaddress.IPv6Address(s).packed,) for s, in rows], "ip6_src_addr binary"
+    )
+    ctx = FilterContext(iplists={"l6": IpList("l6", ["fe80::/10"])})
+    got = df.filter(compile_filter("src host6 2001:db8::/32", ctx)).count()
+    assert got == 2
+    got6 = df.filter(compile_filter("src net6 l6", ctx)).count()
+    assert got6 == 1
+
+
+def test_flow_debug_line(spark):
+    from xenoeye_spark.streaming.debug import flow_debug_line
+    df = spark.createDataFrame(
+        [(0x01020304, 80, None)], "ip4_src_addr long, l4_src_port long, proto long"
+    )
+    line = df.select(flow_debug_line(df)).first()[0]
+    assert "ip4_src_addr: 1.2.3.4" in line
+    assert "l4_src_port: 80" in line
+    assert "proto" not in line  # null fields omitted

@@ -33,17 +33,25 @@ class GeoDB:
     """In-memory LPM table: rows of (cidr, attrs...)."""
 
     def __init__(self, rows: list[tuple[str, dict]]):
-        # plen -> {masked_net_int: attr_row_index}
+        # v4: plen -> {masked_net_int: attr_row_index}
         self.by_plen: dict[int, dict[int, int]] = {}
+        # v6: plen -> {masked_prefix_bytes16: attr_row_index}
+        self.by_plen6: dict[int, dict[bytes, int]] = {}
         self.attrs: list[dict] = []
         for cidr, attrs in rows:
             net = ipaddress.ip_network(cidr, strict=False)
-            if net.version != 4:
-                continue  # v6 path: same design over int128 halves; round 2
             idx = len(self.attrs)
             self.attrs.append(attrs)
-            self.by_plen.setdefault(net.prefixlen, {})[int(net.network_address)] = idx
+            if net.version == 4:
+                self.by_plen.setdefault(net.prefixlen, {})[
+                    int(net.network_address)
+                ] = idx
+            else:
+                self.by_plen6.setdefault(net.prefixlen, {})[
+                    net.network_address.packed
+                ] = idx
         self.plens_desc = sorted(self.by_plen, reverse=True)
+        self.plens6_desc = sorted(self.by_plen6, reverse=True)
 
     def lookup_np(self, ips: np.ndarray, attr: str, miss):
         """Vectorized LPM: returns object array of attr values ('?'/0 miss)."""
@@ -66,6 +74,35 @@ class GeoDB:
                 unresolved[idxs] = False
         out[[v is None for v in out]] = miss
         return out
+
+    def lookup6_py(self, addr: bytes, attr: str, miss):
+        """LPM over packed 16-byte IPv6 addresses (scalar; batched below).
+        int128 masking via Python big ints."""
+        if addr is None or len(addr) != 16:
+            return miss
+        v = int.from_bytes(addr, "big")
+        for plen in self.plens6_desc:
+            shift = 128 - plen
+            masked = ((v >> shift) << shift).to_bytes(16, "big")
+            idx = self.by_plen6[plen].get(masked)
+            if idx is not None:
+                return self.attrs[idx].get(attr, miss)
+        return miss
+
+    def lookup_expr6(self, func: str, ip6_col: Column) -> Column:
+        """IPv6 variant of lookup_expr over BinaryType(16)."""
+        miss: object = 0 if func == "asn" else "?"
+        ret_type = T.LongType() if func == "asn" else T.StringType()
+        db = self
+
+        @F.pandas_udf(ret_type)
+        def lookup6(ips: pd.Series) -> pd.Series:
+            return pd.Series([
+                db.lookup6_py(bytes(a) if a is not None else None, func, miss)
+                for a in ips
+            ])
+
+        return lookup6(ip6_col)
 
     def lookup_expr(self, func: str, ip_col: Column) -> Column:
         """Column for ``func(ip)`` — e.g. country/asn/asd — as an
