@@ -203,3 +203,80 @@ def test_parse_jsonc_and_mo_model():
     # fields split into key/value sets (monit-objects-fwm.c:102-135)
     assert [f.sql_name for f in mo.mavg[0].key_fields] == ["dst_host"]
     assert [f.sql_name for f in mo.mavg[0].val_fields] == ["packets"]
+
+
+def test_mavg_underlimit_with_grace(spark, tmp_path):
+    """monit-objects-mavg-under.c: alarm when rate drops BELOW limit, but
+    never during the key's first window (grace, under.c:298-303)."""
+    # steady high traffic for 40s (window 10s), then collapse
+    high = [("k1", float(BASE + i), 100.0) for i in range(0, 40, 2)]
+    low = [("k1", float(BASE + 60 + i * 5), 0.01) for i in range(10)]
+    dirs = _write_batches(spark, str(tmp_path / "src"), [high, low])
+
+    collected = []
+
+    def build(stream, ckpt, out):
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=10, threshold=10.0,
+            back2norm_sec=1000, under=True,
+        )
+
+        def sink(df, epoch):
+            out.extend(df.collect())
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, collected)
+    news = [r for r in collected if r["event"] == "NEW"]
+    assert news, "traffic drop not detected"
+    # the NEW must come from the low batch, after the grace window
+    assert news[0]["ts_ns"] >= int((BASE + 60) * 1e9)
+    # no alarm during the first window even though rate starts below limit
+    assert all(r["ts_ns"] >= int((BASE + 10) * 1e9) for r in news)
+
+
+def test_limits_csv_roundtrip(tmp_path):
+    from xenoeye_spark.config.limits import load_limits_csv, parse_limits_lines
+    p = tmp_path / "limits.csv"
+    p.write_text("# ICMP threshold\n1.2.3.4,1,100000\n\n1.2.3.4,6,300000\nbad,line\n")
+    limits = load_limits_csv(str(p), n_keys=2)
+    assert limits == {("1.2.3.4", "1"): 100000.0, ("1.2.3.4", "6"): 300000.0}
+    assert parse_limits_lines(["a,5"], 1) == {("a",): 5.0}
+
+
+def test_classification_feedback_loop(spark, tmp_path):
+    """classification.c one-cycle lag: batch N stamped with model from
+    batch N-1; renames from the class DB win (CONFIG.md:428-435)."""
+    from xenoeye_spark.operators.classify import ClassDB
+    from xenoeye_spark.streaming.classify_stream import ClassificationLoop
+
+    db = ClassDB(str(tmp_path / "clsf"), "mo1", 0)
+    stamped_by_epoch = {}
+
+    loop = ClassificationLoop(
+        ["proto"], "octets", top_percents=60, class_db=db,
+        output_fn=lambda df, e: stamped_by_epoch.setdefault(
+            e, {r["proto"]: r["class0"] for r in df.collect()}),
+    )
+    b1 = spark.createDataFrame([(6, 900), (17, 90), (1, 10)], "proto long, octets long")
+    b2 = spark.createDataFrame([(6, 900), (17, 90), (1, 10)], "proto long, octets long")
+    loop.process_batch(b1, 0)
+    # first batch: no model yet -> all ''
+    assert set(stamped_by_epoch[0].values()) == {""}
+    loop.process_batch(b2, 1)
+    # second batch stamped with batch-1 model: tcp covers 90% -> classed
+    assert stamped_by_epoch[1]["6"] == "tcp"
+    assert stamped_by_epoch[1]["17"] == ""
+
+    # user renames the class; next cycle the model picks it up
+    import os
+    with open(os.path.join(db.dir, "6", "name"), "w") as fh:
+        fh.write("all-tcp")
+    loop.process_batch(b2, 2)
+    b3 = spark.createDataFrame([(6, 1)], "proto long, octets long")
+    loop.process_batch(b3, 3)
+    assert stamped_by_epoch[3]["6"] == "all-tcp"

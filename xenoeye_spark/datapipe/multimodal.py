@@ -103,3 +103,76 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
         content = bytes(rng.randint(0, 256, size=128, dtype=np.uint8))
         rows.append((i, content, ("image/fake", None, None, 3)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),   # H*W*3 uint8, row-major
+])
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 16, out_h: int = 16, fake: bool = False
+) -> DataFrame:
+    """mapInPandas resize to (out_h, out_w) via nearest-neighbor sampling —
+    numpy index grid, no codec dependency. Decode kernel stubbed like
+    decode_and_featurize."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "image codecs not available; pass fake=True"
+                    )
+                img = _fake_decode(bytes(content))
+                ys = (np.arange(out_h) * img.shape[0] // out_h)
+                xs = (np.arange(out_w) * img.shape[1] // out_w)
+                small = img[np.ix_(ys, xs)]
+                rows.append((int(mid), out_w, out_h, small.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixels"]
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("mean_luma", T.DoubleType()),
+])
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 10, n_frames: int = 30, fake: bool = False
+) -> DataFrame:
+    """Video frame sampling: emit every ``every_n``-th frame's features.
+    The fake decoder derives per-frame content deterministically from
+    (content hash, frame index); a real libav kernel would slot in
+    unchanged — the one-row-in/many-rows-out batch shape is the point."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "video codecs not available; pass fake=True"
+                    )
+                for idx in range(0, n_frames, every_n):
+                    img = _fake_decode(bytes(content) + idx.to_bytes(4, "big"))
+                    luma = float(
+                        0.299 * img[..., 0].mean()
+                        + 0.587 * img[..., 1].mean()
+                        + 0.114 * img[..., 2].mean()
+                    )
+                    rows.append((int(mid), idx, luma))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "mean_luma"]
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

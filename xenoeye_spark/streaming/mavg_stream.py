@@ -43,7 +43,8 @@ STATE_SCHEMA = T.StructType([
     T.StructField("n", T.DoubleType()),          # EWMA accumulator
     T.StructField("t_prev", T.LongType()),       # last update, unix ns
     T.StructField("alarm", T.StringType()),      # NONE/NEW/UPDATE/ALMOST_GONE
-    T.StructField("below_since", T.LongType()),  # ns when rate first dipped
+    T.StructField("below_since", T.LongType()),  # ns when rate first normal
+    T.StructField("first_seen", T.LongType()),   # ns of the key's first flow
 ])
 
 
@@ -63,10 +64,14 @@ def make_mavg_state_fn(
     threshold: float,
     back2norm_sec: int = 30,
     thresholds: dict[tuple, float] | None = None,
+    under: bool = False,
 ):
-    """Build the applyInPandasWithState function for one mavg overlimit
-    level. ``thresholds``: per-key-tuple limits (the limits CSV,
+    """Build the applyInPandasWithState function for one mavg limit level.
+    ``thresholds``: per-key-tuple limits (the limits CSV,
     monit-objects-mavg-limfile.c); fallback to ``threshold``.
+    ``under=True`` inverts the comparison for traffic-drop detection
+    (monit-objects-mavg-under.c), suppressing alarms during the key's
+    first window (grace period, under.c:298-303).
 
     Emits one row per micro-batch per key whose alarm state changed or is
     active: (keys..., event, rate, threshold, ts_ns).
@@ -80,9 +85,9 @@ def make_mavg_state_fn(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            n, t_prev, alarm, below_since = state.get
+            n, t_prev, alarm, below_since, first_seen = state.get
         else:
-            n, t_prev, alarm, below_since = 0.0, None, S_NONE, None
+            n, t_prev, alarm, below_since, first_seen = 0.0, None, S_NONE, None, None
 
         limit = (thresholds or {}).get(key, threshold)
         events: list[tuple] = []
@@ -91,10 +96,15 @@ def make_mavg_state_fn(
         rows = rows.sort_values("_ts_ns", kind="mergesort")
         for t, v in zip(rows["_ts_ns"].to_numpy(), rows["_val"].to_numpy()):
             t = int(t)
+            if first_seen is None:
+                first_seen = t
             n = ewma_step(n, t_prev, t, float(v), window_ns)
             t_prev = t
             rate = n / window_sec
-            if rate >= limit:
+            breach = (rate < limit) if under else (rate >= limit)
+            if under and t - first_seen < window_ns:
+                breach = False  # grace: first window after start
+            if breach:
                 below_since = None
                 if alarm == S_NONE:
                     alarm = S_NEW
@@ -115,7 +125,7 @@ def make_mavg_state_fn(
         if alarm in (S_NEW, S_UPDATE) and not events:
             events.append((*key, S_UPDATE, n / window_sec, limit, t_prev))
 
-        state.update((float(n), t_prev, alarm, below_since))
+        state.update((float(n), t_prev, alarm, below_since, first_seen))
         if events:
             yield pd.DataFrame(
                 events, columns=[*key_cols, "event", "rate", "threshold", "ts_ns"]
@@ -133,6 +143,7 @@ def mavg_alert_stream(
     back2norm_sec: int = 30,
     ts_col: str = "ts",
     thresholds: dict[tuple, float] | None = None,
+    under: bool = False,
 ) -> DataFrame:
     """Wire the stateful fn onto a (streaming or batch-test) DataFrame.
 
@@ -156,7 +167,7 @@ def mavg_alert_stream(
         F.col(val_col).cast("double").alias("_val"),
     )
     fn = make_mavg_state_fn(
-        key_cols, window_sec, threshold, back2norm_sec, thresholds
+        key_cols, window_sec, threshold, back2norm_sec, thresholds, under
     )
     return prepped.groupBy(*key_cols).applyInPandasWithState(
         fn,
