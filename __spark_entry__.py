@@ -22,7 +22,12 @@ from xenoeye_spark.datapipe.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
 )
-from xenoeye_spark.datapipe.similarity import brute_force_topk, cosine_neardup_pairs
+from xenoeye_spark.datapipe.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
+)
+from xenoeye_spark.config.mo import MoConfig
 from xenoeye_spark.datapipe.text import (
     BPE_SPLIT_RE,
     STOPWORDS,
@@ -361,6 +366,40 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, threshold=0.8)
 
 
+def q_mo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full standing-query lifecycle (SURVEY §3.1): mo.conf dict -> compiled
+    filter + fwm pipeline (filter -> windowed groupBy-SUM -> top-N+others)
+    over events bound to flow-catalog columns."""
+    ev = _t(spark, sf_dir, "events")
+    flows = ev.select(
+        F.col("ts"),
+        (F.lit(_IP_BASE) + F.col("user_id") % 4096).alias("ip4_src_addr"),
+        (F.lit(_IP_BASE) + F.col("event_id") % 1024).alias("ip4_dst_addr"),
+        F.floor(F.col("value") * 100).cast("long").alias("in_bytes"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit(6))
+        .otherwise(F.lit(17)).cast("long").alias("protocol"),
+    )
+    mo = MoConfig.from_dict(
+        {
+            "filter": "proto 6 and src net 10.0.0.0/22",
+            "fwm": [{"name": "fw1", "fields": ["octets desc", "src host"],
+                     "time": 3600, "limit": 5}],
+        },
+        name="websrv",
+    )
+    out = mo.fwm_result(flows, mo.fwm[0])
+    return out.select("time", "src_host", "octets")
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: coarse k-means partitions, probe
+    nearest cells only (rows-only check; recall vs brute force asserted in
+    tests/test_datapipe.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -392,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "emb_neardup": q_emb_neardup,
+        "mo_pipeline": q_mo_pipeline,
+        "sim_ivf": q_sim_ivf,
     }
 
 
@@ -701,6 +742,28 @@ WITH s AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.8
+""",
+        "mo_pipeline": f"""
+WITH flows AS (
+  SELECT date_trunc('hour', ts) AS time,
+         {_IP_BASE} + user_id % 4096 AS src_host,
+         CAST(floor(value * 100) AS BIGINT) AS octets_v,
+         CASE WHEN event_type IN ('click', 'view') THEN 6 ELSE 17 END AS proto
+  FROM events
+), f AS (
+  SELECT * FROM flows
+  WHERE proto = 6 AND src_host BETWEEN {_IP_BASE} AND {_IP_BASE + 1023}
+), agg AS (
+  SELECT time, src_host, SUM(octets_v) AS octets FROM f GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY time ORDER BY octets DESC, src_host ASC
+  ) AS rn FROM agg
+)
+SELECT time, src_host, octets FROM ranked WHERE rn <= 5
+UNION ALL
+SELECT time, NULL AS src_host, SUM(octets) AS octets
+FROM ranked WHERE rn > 5 GROUP BY time
 """,
         "sim_topk": """
 WITH q AS (

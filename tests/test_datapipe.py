@@ -147,3 +147,32 @@ def test_language_id_votes(spark):
     assert out[2] == "de"
     assert out[3] == "fr"
     assert out[4] == "und"
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from xenoeye_spark.datapipe.similarity import ivf_topk
+    rng = np.random.RandomState(9)
+    # clustered corpus so IVF cells are meaningful
+    centers = rng.randn(4, 8) * 5
+    vecs = np.vstack([c + rng.randn(40, 8) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id").isin([0, 40, 80, 120]))
+    exact = brute_force_topk(df, q, k=5).collect()
+    approx = ivf_topk(df, q, k=5, n_cells=4, n_probe=2).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hit = tot = 0
+    for r in approx:
+        tot += 1
+        hit += r["vec_id"] in exact_sets[r["query_id"]]
+    assert tot > 0 and hit / tot >= 0.8  # high recall on clustered data
+    # scores are true cosines (exact within probed cells)
+    norms = np.linalg.norm(vecs, axis=1)
+    for r in approx[:10]:
+        true = float(vecs[r["query_id"]] @ vecs[r["vec_id"]]
+                     / (norms[r["query_id"]] * norms[r["vec_id"]]))
+        assert r["cosine"] == pytest.approx(true, abs=1e-5)

@@ -158,3 +158,102 @@ def cosine_neardup_pairs(
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def kmeans_lite(
+    vecs: np.ndarray, k: int, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Tiny Lloyd's k-means for IVF coarse quantization — runs driver-side
+    on a sample (centroid count is small; the heavy assignment step is
+    distributed). Deterministic via fixed seed."""
+    rng = np.random.RandomState(seed)
+    centroids = vecs[rng.choice(len(vecs), size=min(k, len(vecs)), replace=False)]
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = vecs[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _cell_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """argmin distance to centroid as a pure expression chain: compute each
+    squared distance via zip_with/aggregate, fold argmin with when-chains.
+    Centroid count is small (<=64) so the expression stays codegen-able."""
+    v = vec.cast("array<double>")
+    dists = []
+    for c in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(v, arr, lambda a, b: (a - b) * (a - b))
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    best_idx = F.lit(0)
+    best_d = dists[0]
+    for i in range(1, len(dists)):
+        cond = dists[i] < best_d
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(cond, dists[i]).otherwise(best_d)
+    return best_idx
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: coarse k-means cells; each query searches only its
+    ``n_probe`` nearest cells. The 100-TB shape: corpus partitioned by
+    cell id (shuffle once, reused across queries), queries broadcast;
+    recall tunable via n_probe.
+
+    Centroids are trained on a driver-side sample (``sample_fraction``),
+    like any IVF index build."""
+    sample = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    vecs = np.array([r[0] for r in sample.collect()], dtype=float)
+    centroids = kmeans_lite(vecs, n_cells, seed=seed)
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
+    ).withColumn("_cell", _cell_expr(F.col("_cvec"), centroids))
+
+    # query -> its n_probe nearest cells (computed driver-side: queries are
+    # the broadcast-small side by construction)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    ).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["_qvec"], dtype=float)
+        d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((r["query_id"], list(r["_qvec"]), int(cell)))
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(
+        probe_rows, "query_id long, _qvec array<double>, _cell int"
+    )
+
+    joined = c.join(F.broadcast(q), "_cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id", id_col,
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
