@@ -287,3 +287,43 @@ def test_payload_columns_spark(spark):
     assert out[0]["dns_ips_array"] == ["10.0.0.1"]
     assert out[0]["sni"] == "x.y"
     assert out[1]["dns_name"] is None and out[1]["sni"] is None
+
+
+def test_udp_bridge_end_to_end(spark, tmp_path):
+    """UDP datagrams -> bridge parquet -> decode_packets_df flow rows."""
+    import socket as sock_mod
+    import time as time_mod
+    from xenoeye_spark.sources.udp_bridge import UdpBridge
+
+    out_dir = str(tmp_path / "pkts")
+    bridge = UdpBridge(out_dir, roll_seconds=0.3).start()
+    try:
+        client = sock_mod.socket(sock_mod.AF_INET, sock_mod.SOCK_DGRAM)
+        pkt = build_v5([dict(src=0x0A000001, dst=0x0A000002, pkts=5,
+                             octets=500, sport=1234, dport=80, proto=6)])
+        client.sendto(pkt, ("127.0.0.1", bridge.port))
+        client.sendto(pkt, ("127.0.0.1", bridge.port))
+        for _ in range(40):
+            import glob as g
+            if g.glob(out_dir + "/p*.parquet"):
+                break
+            time_mod.sleep(0.1)
+    finally:
+        bridge.stop()
+
+    raw = spark.read.parquet(out_dir)
+    assert raw.count() == 2
+    r = raw.first()
+    assert r["dev_ip"] == 0x7F000001  # 127.0.0.1
+    flows = decode_packets_df(raw)
+    rows = flows.select("ip4_src_addr", "in_bytes").collect()
+    assert len(rows) == 2 and rows[0]["in_bytes"] == 500
+
+
+def test_fwm_sql_export_clickhouse_dialect(spark, tmp_path):
+    from xenoeye_spark.streaming.fwm_stream import fwm_sql_export
+    df = spark.createDataFrame([(1, "a", 2.5)], "n long, s string, d double")
+    path = fwm_sql_export(df, "t1", str(tmp_path), epoch_id=7,
+                          db_type="clickhouse")
+    sql = open(path).read()
+    assert "Nullable(Int64)" in sql and "ENGINE = MergeTree" in sql

@@ -1,0 +1,96 @@
+"""UDP capture bridge — the collector's socket front end.
+
+Spark has no UDP source, so the reference's capture loop (scapture.c:25-61,
+one thread per configured port) becomes a tiny bridge process that
+receives datagrams and appends them to rolling parquet files which a
+``readStream`` file source (or any queue in production — Kafka etc.)
+consumes. Packets are stored raw: (data binary, dev_ip long, recv_ts
+timestamp) — decoding happens distributed in decode_packets_df.
+
+At production scale this bridge is the only single-node component, doing
+no work but recv+append (the reference's capture thread does decode +
+filter + aggregate on that same thread); sharding across ports/hosts
+matches the reference's operational model (STEP-BY-STEP.md:138-156).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import threading
+import time
+
+
+class UdpBridge:
+    def __init__(
+        self,
+        out_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        roll_packets: int = 1000,
+        roll_seconds: float = 1.0,
+    ):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind((host, port))
+        self.sock.settimeout(0.2)
+        self.port = self.sock.getsockname()[1]
+        self.roll_packets = roll_packets
+        self.roll_seconds = roll_seconds
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._seq = 0
+
+    def _flush(self, batch: list[tuple[bytes, int, float]]) -> None:
+        if not batch:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table({
+            "data": pa.array([b for b, _, _ in batch], type=pa.binary()),
+            "dev_ip": pa.array([ip for _, ip, _ in batch], type=pa.int64()),
+            "recv_ts": pa.array(
+                [int(ts * 1e6) for _, _, ts in batch],
+                type=pa.timestamp("us"),
+            ),
+        })
+        # write-then-rename so the file source never reads half a file
+        tmp = os.path.join(self.out_dir, f".p{self._seq:08d}.parquet.tmp")
+        final = os.path.join(self.out_dir, f"p{self._seq:08d}.parquet")
+        pq.write_table(table, tmp)
+        os.rename(tmp, final)
+        self._seq += 1
+
+    def _loop(self) -> None:
+        batch: list[tuple[bytes, int, float]] = []
+        last = time.monotonic()
+        while not self._stop.is_set():
+            try:
+                data, addr = self.sock.recvfrom(65535)
+                ip = struct.unpack(">I", socket.inet_aton(addr[0]))[0]
+                batch.append((data, ip, time.time()))
+            except socket.timeout:
+                pass
+            now = time.monotonic()
+            if batch and (
+                len(batch) >= self.roll_packets
+                or now - last >= self.roll_seconds
+            ):
+                self._flush(batch)
+                batch = []
+                last = now
+        self._flush(batch)
+
+    def start(self) -> "UdpBridge":
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+        self.sock.close()

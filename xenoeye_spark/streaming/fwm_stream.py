@@ -45,15 +45,30 @@ def _sql_literal(v) -> str:
     return str(v)
 
 
+_PG_TYPES = {
+    "bigint": "BIGINT", "int": "BIGINT", "double": "DOUBLE PRECISION",
+    "string": "TEXT", "timestamp": "TIMESTAMPTZ", "boolean": "BOOLEAN",
+}
+# ClickHouse flavor (monit-objects-fwm.c CH branch: Nullable columns,
+# MergeTree ordered by time)
+_CH_TYPES = {
+    "bigint": "Nullable(Int64)", "int": "Nullable(Int64)",
+    "double": "Nullable(Float64)", "string": "Nullable(String)",
+    "timestamp": "DateTime", "boolean": "Nullable(UInt8)",
+}
+
+
 def fwm_sql_export(
     result: DataFrame,
     table: str,
     exp_dir: str,
     epoch_id: int | None = None,
+    db_type: str = "pg",
 ) -> str | None:
     """Write one window's result as a SQL file, mirroring
     monit-objects-fwm.c:269-414: CREATE TABLE IF NOT EXISTS + one batched
-    INSERT. Returns the file path (None if the batch was empty).
+    INSERT. ``db_type``: 'pg' or 'clickhouse' (type/engine dialects).
+    Returns the file path (None if the batch was empty).
 
     The result set here is post-top-N (small); collect is bounded by
     limit+1 rows per window, not by stream volume.
@@ -62,25 +77,44 @@ def fwm_sql_export(
     if not rows:
         return None
     cols = result.columns
+    typemap = _CH_TYPES if db_type == "clickhouse" else _PG_TYPES
     ddl_types = []
     for f in result.schema.fields:
         t = f.dataType.simpleString()
-        pg = {
-            "bigint": "BIGINT", "int": "BIGINT", "double": "DOUBLE PRECISION",
-            "string": "TEXT", "timestamp": "TIMESTAMPTZ", "boolean": "BOOLEAN",
-        }.get(t, "TEXT")
-        ddl_types.append(f"{f.name} {pg}")
+        ddl_types.append(f"{f.name} {typemap.get(t, typemap['string'])}")
     os.makedirs(exp_dir, exist_ok=True)
     stamp = epoch_id if epoch_id is not None else int(_time.time())
     path = os.path.join(exp_dir, f"{table}_{stamp}.sql")
+    engine = (
+        " ENGINE = MergeTree ORDER BY time" if db_type == "clickhouse" else ""
+    )
     with open(path, "w") as fh:
-        fh.write(f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(ddl_types)});\n")
+        fh.write(
+            f"CREATE TABLE IF NOT EXISTS {table} "
+            f"({', '.join(ddl_types)}){engine};\n"
+        )
         fh.write(f"INSERT INTO {table} ({', '.join(cols)}) VALUES\n")
         vals = ",\n".join(
             "(" + ", ".join(_sql_literal(r[c]) for c in cols) + ")" for r in rows
         )
         fh.write(vals + ";\n")
     return path
+
+
+def write_jdbc(
+    result: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict | None = None,
+) -> None:
+    """Direct JDBC append — the production sink when a DB driver jar is on
+    the classpath (the SQL-file path above is the driverless/durable
+    alternative, mirroring the reference's export-file + retry design)."""
+    writer = result.write.mode(mode)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.jdbc(url, table)
 
 
 def fwm_streaming_query(
