@@ -217,10 +217,12 @@ def ivf_topk(
 
     Centroids are trained on a driver-side sample (``sample_fraction``),
     like any IVF index build."""
-    sample = corpus.select(vec_col)
+    sample = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
-    vecs = np.array([r[0] for r in sample.collect()], dtype=float)
+    # Arrow transfer (toPandas) — a py4j row collect of N array rows is
+    # ~100x slower than one Arrow batch
+    vecs = np.array(sample.toPandas()["_v"].tolist(), dtype=float)
     centroids = kmeans_lite(vecs, n_cells, seed=seed)
 
     # vectorized cell assignment: one (batch x cells) distance matmul per
