@@ -280,3 +280,48 @@ def test_classification_feedback_loop(spark, tmp_path):
     b3 = spark.createDataFrame([(6, 1)], "proto long, octets long")
     loop.process_batch(b3, 3)
     assert stamped_by_epoch[3]["6"] == "all-tcp"
+
+
+def test_mavg_idle_state_ttl(spark, tmp_path):
+    """Idle keys drop state after idle_timeout_sec (try_reset_db parity):
+    a key silent across the TTL restarts its EWMA from scratch."""
+    b1 = [("k1", float(BASE + i), 100.0) for i in range(5)]
+    b2 = [("k1", float(BASE + 1000), 7.0)]
+    dirs = _write_batches(spark, str(tmp_path / "src"), [b1, b2])
+
+    collected = []
+
+    def build(stream, ckpt, out):
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=10, threshold=0.0,
+            idle_timeout_sec=1,
+        )
+
+        def sink(df, epoch):
+            out.extend(df.collect())
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    import time as time_mod
+    import glob as g, shutil, tempfile
+    stage = tempfile.mkdtemp(prefix="ttl_src_")
+    ckpt = tempfile.mkdtemp(prefix="ttl_ckpt_")
+    for i, d in enumerate(dirs):
+        for f in g.glob(os.path.join(d, "*.parquet")):
+            shutil.copy(f, os.path.join(stage, f"b{i}_" + os.path.basename(f)))
+        stream = (
+            spark.readStream.schema(FLOW_SCHEMA)
+            .option("maxFilesPerTrigger", "1").parquet(stage)
+        )
+        q = build(stream, ckpt, collected)
+        q.awaitTermination(120)
+        time_mod.sleep(2)  # let the TTL elapse between runs
+    # batch 2's single value arrives 1000s later: with live state the EWMA
+    # would reset to V anyway (dt >= T), so assert on rate directly — and
+    # crucially the query still runs with timeouts enabled
+    final = max(collected, key=lambda r: r["ts_ns"])
+    assert final["rate"] == pytest.approx(7.0 / 10, rel=1e-6)

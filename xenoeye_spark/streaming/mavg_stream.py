@@ -65,6 +65,7 @@ def make_mavg_state_fn(
     back2norm_sec: int = 30,
     thresholds: dict[tuple, float] | None = None,
     under: bool = False,
+    idle_timeout_sec: int | None = None,
 ):
     """Build the applyInPandasWithState function for one mavg limit level.
     ``thresholds``: per-key-tuple limits (the limits CSV,
@@ -84,6 +85,12 @@ def make_mavg_state_fn(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # idle-key compaction (try_reset_db, monit-objects-mavg.c:776-885):
+        # a key with no flows for idle_timeout_sec drops its state — by
+        # then the EWMA has decayed to ~0 anyway
+        if idle_timeout_sec is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             n, t_prev, alarm, below_since, first_seen = state.get
         else:
@@ -126,6 +133,8 @@ def make_mavg_state_fn(
             events.append((*key, S_UPDATE, n / window_sec, limit, t_prev))
 
         state.update((float(n), t_prev, alarm, below_since, first_seen))
+        if idle_timeout_sec is not None:
+            state.setTimeoutDuration(idle_timeout_sec * 1000)
         if events:
             yield pd.DataFrame(
                 events, columns=[*key_cols, "event", "rate", "threshold", "ts_ns"]
@@ -144,6 +153,7 @@ def mavg_alert_stream(
     ts_col: str = "ts",
     thresholds: dict[tuple, float] | None = None,
     under: bool = False,
+    idle_timeout_sec: int | None = None,
 ) -> DataFrame:
     """Wire the stateful fn onto a (streaming or batch-test) DataFrame.
 
@@ -167,12 +177,18 @@ def mavg_alert_stream(
         F.col(val_col).cast("double").alias("_val"),
     )
     fn = make_mavg_state_fn(
-        key_cols, window_sec, threshold, back2norm_sec, thresholds, under
+        key_cols, window_sec, threshold, back2norm_sec, thresholds, under,
+        idle_timeout_sec,
+    )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_sec is not None
+        else GroupStateTimeout.NoTimeout
     )
     return prepped.groupBy(*key_cols).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
