@@ -176,3 +176,26 @@ def test_ivf_topk_recall_vs_exact(spark):
         true = float(vecs[r["query_id"]] @ vecs[r["vec_id"]]
                      / (norms[r["query_id"]] * norms[r["vec_id"]]))
         assert r["cosine"] == pytest.approx(true, abs=1e-5)
+
+
+def test_cosine_neardup_lsh_vs_exact(spark):
+    from xenoeye_spark.datapipe.similarity import (
+        cosine_neardup_lsh,
+        cosine_neardup_pairs,
+    )
+    rng = np.random.RandomState(21)
+    base = rng.randn(30, 16)
+    # make 10 near-dup pairs: tiny perturbations
+    vecs = np.vstack([base, base[:10] + rng.randn(10, 16) * 0.05])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_neardup_pairs(df, threshold=0.95).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in cosine_neardup_lsh(df, dim=16, threshold=0.95).collect()}
+    assert approx <= exact          # verification: no false accepts
+    assert len(exact) >= 10
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8            # multi-table LSH recovers most pairs

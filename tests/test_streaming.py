@@ -325,3 +325,58 @@ def test_mavg_idle_state_ttl(spark, tmp_path):
     # crucially the query still runs with timeouts enabled
     final = max(collected, key=lambda r: r["ts_ns"])
     assert final["rate"] == pytest.approx(7.0 / 10, rel=1e-6)
+
+
+def test_fwm_event_time_watermark(spark, tmp_path):
+    """Event-time extension: windows keyed by the flow's own ts; a late
+    row within the watermark still lands in its (past) window."""
+    from xenoeye_spark.streaming.fwm_stream import fwm_event_time_stream
+
+    mo = MoConfig.from_dict(
+        {"filter": "", "fwm": [{"name": "f", "fields": ["octets", "src host"],
+                                "time": 60}]},
+        name="et",
+    )
+    rows = [
+        (0x0A000001, 100, float(BASE + 10)),
+        (0x0A000001, 100, float(BASE + 70)),   # next window
+        (0x0A000001, 100, float(BASE + 20)),   # late for window 1, in order file
+    ]
+    src = str(tmp_path / "flows")
+    spark.createDataFrame(rows, "ip4_src_addr long, in_bytes long, ts double") \
+        .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1) \
+        .write.parquet(src)
+    schema = T.StructType([
+        T.StructField("ip4_src_addr", T.LongType()),
+        T.StructField("in_bytes", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = fwm_event_time_stream(stream, mo, mo.fwm[0], watermark="5 minutes")
+    got = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, e: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    by_window = {r["time"]: r["octets"] for r in got}
+    assert len(by_window) == 2
+    assert sorted(by_window.values()) == [100, 200]  # late row joined window 1
+
+
+def test_mo_reloader_detects_changes(tmp_path):
+    from xenoeye_spark.config.mo import MoReloader
+    import json, os, time as time_mod
+    d = tmp_path / "mo" / "m1"
+    d.mkdir(parents=True)
+    conf = d / "mo.conf"
+    conf.write_text(json.dumps({"filter": "proto 6"}))
+    r = MoReloader(str(tmp_path / "mo"))
+    assert r.check() == []  # unchanged
+    time_mod.sleep(0.05)
+    conf.write_text(json.dumps({"filter": "proto 17"}))
+    os.utime(conf, (time_mod.time(), time_mod.time() + 1))
+    changed = r.check()
+    assert len(changed) == 1 and changed[0].filter == "proto 17"
+    assert r.check() == []

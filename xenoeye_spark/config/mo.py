@@ -236,3 +236,31 @@ def load_mo_dir(root: str) -> list[MoConfig]:
             if mo is not None:
                 out.append(mo)
     return out
+
+
+class MoReloader:
+    """Hot-reload parity (xenoeye.c:61-72, monit-objects.c:220-250): the
+    reference re-reads mtime-changed mo.conf on SIGHUP, applying only
+    threshold changes without restarting pipelines. Poll ``check()`` (or
+    call it from a signal handler) — returns the reloaded MoConfigs whose
+    files changed since last seen."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._mtimes: dict[str, float] = {}
+        self.check()  # prime
+
+    def _conf_files(self):
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            if "mo.conf" in filenames:
+                yield os.path.join(dirpath, "mo.conf")
+
+    def check(self) -> list[MoConfig]:
+        changed = []
+        for path in self._conf_files():
+            m = os.stat(path).st_mtime
+            if self._mtimes.get(path) not in (None, m) or path not in self._mtimes:
+                if path in self._mtimes and self._mtimes[path] != m:
+                    changed.append(MoConfig.from_file(path))
+            self._mtimes[path] = m
+        return changed

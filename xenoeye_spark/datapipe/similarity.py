@@ -273,3 +273,68 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def cosine_neardup_lsh(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for cosine near-dup pairs: ``n_tables`` independent
+    hyperplane-LSH bucketings generate candidates (same bucket in ANY
+    table), exact cosine verifies. Union of tables raises recall; the
+    shuffle key is (table, bucket) instead of an all-pairs product."""
+    plane_sets = [
+        random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
+    ]
+
+    def bucket_expr(vec: Column, planes) -> Column:
+        bits = []
+        for i, p in enumerate(planes):
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            bits.append(
+                F.when(_dot(vec.cast("array<double>"), arr) >= 0,
+                       F.lit(1 << i)).otherwise(F.lit(0))
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    banded = v.select(
+        id_col, "_v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     bucket_expr(F.col("_v"), ps).alias("bucket"))
+            for t, ps in enumerate(plane_sets)
+        ])).alias("tb"),
+    ).select(id_col, "_v", "tb.tbl", "tb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col("a._v").alias("_va"),
+            F.col(f"b.{id_col}").alias("id_b"), F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        cands.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

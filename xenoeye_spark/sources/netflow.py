@@ -317,3 +317,33 @@ def decode_packets_df(
                 yield out[names]
 
     return packets.mapInPandas(decode, schema=schema)
+
+
+def flows_from_kafka(
+    spark,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    seed_templates: list | None = None,
+):
+    """Kafka ingest wiring: each Kafka record's value is one raw export
+    packet (the UDP bridge's publish format at production scale; key =
+    device IP string). Requires the spark-sql-kafka package on the
+    classpath — pure wiring, decode stays in decode_packets_df."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    pkts = raw.select(
+        F.col("value").alias("data"),
+        F.coalesce(
+            F.col("key").cast("string").cast("long"), F.lit(0)
+        ).alias("dev_ip"),
+        F.col("timestamp").alias("recv_ts"),
+    )
+    return decode_packets_df(pkts, seed_templates=seed_templates)

@@ -158,3 +158,26 @@ def fwm_streaming_query(
             processingTime=f"{trigger_sec or fwm.spec.time} seconds"
         )
     return writer
+
+
+def fwm_event_time_stream(
+    flows_stream: DataFrame,
+    mo: MoConfig,
+    fwm: FwmConfig,
+    ctx: FilterContext | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Event-time EXTENSION mode: the reference only does processing-time
+    windows (flow timestamps ignored, INTERNALS.md:126-128); this variant
+    windows on the flow's own timestamp with a watermark for late data —
+    the Spark-native improvement for out-of-order exporters. Returns the
+    windowed aggregate stream (append mode emits a window only once its
+    watermark passes); apply top-N+others downstream in foreachBatch.
+    """
+    from xenoeye_spark.operators.fwm import fwm_aggregate
+
+    if ctx is None:
+        ctx = FilterContext()
+    df = mo.filtered(flows_stream, ctx).withWatermark(ts_col, watermark)
+    return fwm_aggregate(df, fwm.spec, ctx, ts_col=ts_col, window=True)
