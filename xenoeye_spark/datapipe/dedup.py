@@ -106,13 +106,31 @@ def ngram_jaccard_pairs(
         F.col("_sz").alias("_sz_b"),
     )
     if candidates is None:
-        # all-pairs baseline: broadcast the right side so the nested-loop
-        # join parallelizes over the (repartitioned) left side; the size
-        # prefilter (J >= t implies min|.|/max|.| >= t) kills most pairs
-        # before any set intersection runs
+        # exact all-pairs via prefix filtering (Bayardo et al. WWW'07 /
+        # ppjoin, public algorithm): under a global token order, any pair
+        # with J >= t must share a token within both docs' first
+        # |S| - ceil(t*|S|) + 1 sorted tokens. Explode prefixes, equi-join
+        # on token — candidates ~= pairs sharing a rare shingle instead of
+        # the full n^2 product; exact Jaccard verification follows.
+        prefix = F.expr(
+            f"slice(array_sort(_sh), 1, "
+            f"greatest(size(_sh) - cast(ceil({threshold} * size(_sh)) as int) + 1, 1))"
+        )
+        pa = sh.select(
+            F.col("_id").alias("id_a"), F.explode(prefix).alias("_tok")
+        )
+        pb = sh.select(
+            F.col("_id").alias("id_b"), F.explode(prefix).alias("_tok")
+        )
+        cand_ids = (
+            pa.join(pb, "_tok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
         pairs = (
-            sh_a.repartition(int(ncpu))
-            .join(F.broadcast(sh_b), F.col("id_a") < F.col("id_b"))
+            cand_ids.join(F.broadcast(sh_a), "id_a")
+            .join(F.broadcast(sh_b), "id_b")
             .filter(
                 F.least("_sz_a", "_sz_b").cast("double")
                 >= F.lit(threshold) * F.greatest("_sz_a", "_sz_b")
