@@ -22,6 +22,7 @@ from xenoeye_spark.datapipe.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
 )
+from xenoeye_spark.datapipe.multimodal import decode_and_featurize, sample_frames
 from xenoeye_spark.datapipe.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
@@ -400,6 +401,49 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3)
 
 
+def q_multimodal_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: document text bytes stand in for an opaque
+    media ``binary`` column with typed metadata; decode + featurize runs as an
+    Arrow-batched mapInPandas stage (decode kernel is the deterministic fake —
+    image codecs absent in this container). Rows-only: the sha256-seeded fake
+    decoder is not SQL-expressible; determinism and batch shape are asserted
+    in tests/test_datapipe.py."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+        ).alias("meta"),
+    )
+    feats = decode_and_featurize(media, fake=True, feat_dim=8)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_luma", 4).alias("mean_luma"),
+        F.round(F.element_at("feature", 1), 3).alias("feat0"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one media row fans out to every-Nth-frame
+    feature rows through mapInPandas (rows-only, same fake-kernel rationale
+    as q_multimodal_feat)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    frames = sample_frames(media, every_n=5, n_frames=20, fake=True)
+    return frames.select(
+        "media_id", "frame_idx", F.round("mean_luma", 4).alias("mean_luma")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -433,6 +477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "mo_pipeline": q_mo_pipeline,
         "sim_ivf": q_sim_ivf,
+        "multimodal_feat": q_multimodal_feat,
+        "frame_sample": q_frame_sample,
     }
 
 

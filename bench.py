@@ -28,11 +28,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qmap = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    if only:
+        keep = [q.strip() for q in only.split(",") if q.strip()]
+        qmap = {k: v for k, v in qmap.items() if k in keep}
     timings: dict[str, float] = {}
 
-    # warm up the JVM + parquet footers once so per-query timings measure
-    # the query, not session bring-up
+    # warm up the JVM + parquet footers + the Python/Arrow worker pool once
+    # so per-query timings measure the query, not session bring-up (the
+    # first pandas-UDF stage otherwise pays ~10s of worker spawn)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     for name, fn in qmap.items():
         t0 = time.perf_counter()

@@ -136,30 +136,51 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
 
-    Broadcast nested-loop all-pairs — the correctness baseline. At corpus
-    scale, generate candidates with ``lsh_bucket_topk``'s hyperplane
-    buckets (or IVF) first and verify only candidates, exactly like the
-    MinHash-LSH path in datapipe.dedup.
+    Exact all-pairs via blocked matmul: the corpus matrix (N x D float64)
+    is collected once (single Arrow transfer) and broadcast; each Arrow
+    batch of corpus rows then computes a (block x N) similarity matmul in
+    numpy and emits only above-threshold pairs — the FAISS-style brute
+    kernel, O(N^2) FLOPs but vectorized and shuffle-free. The executor
+    bound is the N*D*8-byte broadcast matrix; past that, generate
+    candidates with ``cosine_neardup_lsh`` and verify only those.
     """
-    ncpu = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    a = corpus.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("_va"),
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("_vb"),
-    )
-    pairs = a.repartition(int(ncpu)).join(
-        F.broadcast(b), F.col("id_a") < F.col("id_b")
-    )
-    cos = cosine(F.col("_va"), F.col("_vb"))
-    if round_digits is not None:
-        cos = F.round(cos, round_digits)
-    return (
-        pairs.select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= F.lit(threshold))
-    )
+    pdf = base.toPandas()
+    ids_all = pdf["_id"].to_numpy(dtype=np.int64)
+    mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+    norms_all = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_all, mat, norms_all))
+
+    def run(batches):
+        b_ids_all, b_mat, b_norms = bc.value
+        safe = np.where(b_norms == 0.0, 1.0, b_norms)
+        for block in batches:
+            if not len(block):
+                continue
+            ids_b = block["_id"].to_numpy(dtype=np.int64)
+            m = np.array(block["_v"].tolist(), dtype=np.float64)
+            nb = np.sqrt((m * m).sum(axis=1))
+            sim = (m @ b_mat.T) / (np.where(nb == 0.0, 1.0, nb)[:, None] * safe[None, :])
+            # zero-norm rows define cosine = 0 (see cosine())
+            sim[nb == 0.0, :] = 0.0
+            sim[:, b_norms == 0.0] = 0.0
+            if round_digits is not None:
+                sim = np.round(sim, round_digits)
+            mask = (sim >= threshold) & (ids_b[:, None] < b_ids_all[None, :])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_b[ai],
+                    "id_b": b_ids_all[bi],
+                    "cosine": sim[ai, bi],
+                }
+            )
+
+    return base.mapInPandas(run, schema="id_a long, id_b long, cosine double")
 
 
 def kmeans_lite(
