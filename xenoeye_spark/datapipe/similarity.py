@@ -282,9 +282,23 @@ def ivf_topk(
     joined = c.join(F.broadcast(q), "_cell").filter(
         F.col(id_col) != F.col("query_id")
     )
+    # row-wise cosine over Arrow batches (einsum) — the interpreted
+    # higher-order-function form evaluates ~d lambda calls per row and was
+    # the scoring bottleneck
+    @F.pandas_udf(T.DoubleType())
+    def cos_rows(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        denom = na * nb
+        out = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
+        return pd.Series(np.round(out, 6))
+
     scored = joined.select(
         "query_id", id_col,
-        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine"),
+        cos_rows(F.col("_cvec"), F.col("_qvec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

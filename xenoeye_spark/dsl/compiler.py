@@ -61,14 +61,20 @@ GEO_FUNCS = {"continent", "country_code", "country", "state", "city",
 
 def _int_pred(col: Column, values: list[str]) -> Column:
     """RANGE-kind predicate: each value an int or a-b range, OR'd
-    (filter.c:468-550). Missing int fields read as 0."""
-    c = F.coalesce(col.cast("long"), F.lit(0))
+    (filter.c:468-550). Missing int fields read as 0 (flow_info is memset),
+    folded at compile time: the NULL case becomes `isNull | pred` when 0
+    matches, `isNotNull & pred` when it doesn't. Same truth table as
+    coalesce(col, 0) but deterministic AND translatable to parquet scan
+    filters — coalesce() blocks predicate pushdown entirely."""
+    c = col.cast("long")
     exact: list[int] = []
     conds: list[Column] = []
+    zero_matches = False
     for v in values:
         r = lx.parse_range(v)
         if r is not None:
             conds.append(c.between(F.lit(r[0]), F.lit(r[1])))
+            zero_matches = zero_matches or (r[0] <= 0 <= r[1])
             continue
         i = lx.parse_int(v)
         if i is None:
@@ -76,10 +82,11 @@ def _int_pred(col: Column, values: list[str]) -> Column:
         exact.append(i)
     if exact:
         conds.append(c.isin(exact) if len(exact) > 1 else (c == F.lit(exact[0])))
+        zero_matches = zero_matches or (0 in exact)
     out = conds[0]
     for cond in conds[1:]:
         out = out | cond
-    return out
+    return (col.isNull() | out) if zero_matches else (col.isNotNull() & out)
 
 
 def _addr4_pred(ctx: FilterContext, col: Column, values: list[str],
@@ -185,11 +192,13 @@ def _mac_pred(col: Column, values: list[str]) -> Column:
 def _str_pred(col: Column, values: list[str]) -> Column:
     """String equality (filter.c:608-656). The reference compares with the
     stored length (prefix compare); we normalize to exact equality — a
-    documented divergence (SURVEY.md §7.3). Missing strings read as ''."""
-    c = F.coalesce(col, F.lit(""))
-    if len(values) == 1:
-        return c == F.lit(values[0])
-    return c.isin(values)
+    documented divergence (SURVEY.md §7.3). Missing strings read as ''
+    (zeroed flow_info), folded at compile time like _int_pred so the
+    predicate reaches the parquet scan."""
+    pred = (col == F.lit(values[0])) if len(values) == 1 else col.isin(values)
+    if "" in values:
+        return col.isNull() | pred
+    return col.isNotNull() & pred
 
 
 def _pred_one_side(ctx: FilterContext, ff: FilterField, colname: str,
