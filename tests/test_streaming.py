@@ -77,7 +77,7 @@ def test_mavg_state_continuity_across_batches(spark, tmp_path):
         alerts = mavg_alert_stream(
             stream, ["k"], "v", window_sec=30,
             threshold=0.0,  # always over limit -> emits UPDATE each batch
-            back2norm_sec=5,
+            back2norm_sec=5, silent_watch=False,
         )
 
         def sink(df, epoch):
@@ -112,7 +112,7 @@ def test_mavg_alert_state_machine(spark, tmp_path):
     def build(stream, ckpt, out):
         alerts = mavg_alert_stream(
             stream, ["k"], "v", window_sec=10, threshold=50.0,
-            back2norm_sec=20,
+            back2norm_sec=20, silent_watch=False,
         )
 
         def sink(df, epoch):
@@ -218,7 +218,7 @@ def test_mavg_underlimit_with_grace(spark, tmp_path):
     def build(stream, ckpt, out):
         alerts = mavg_alert_stream(
             stream, ["k"], "v", window_sec=10, threshold=10.0,
-            back2norm_sec=1000, under=True,
+            back2norm_sec=1000, under=True, silent_watch=False,
         )
 
         def sink(df, epoch):
@@ -294,7 +294,7 @@ def test_mavg_idle_state_ttl(spark, tmp_path):
     def build(stream, ckpt, out):
         alerts = mavg_alert_stream(
             stream, ["k"], "v", window_sec=10, threshold=0.0,
-            idle_timeout_sec=1,
+            idle_timeout_sec=1, silent_watch=False,
         )
 
         def sink(df, epoch):
@@ -318,7 +318,11 @@ def test_mavg_idle_state_ttl(spark, tmp_path):
             .option("maxFilesPerTrigger", "1").parquet(stage)
         )
         q = build(stream, ckpt, collected)
-        q.awaitTermination(120)
+        # armed TTL timers keep the availableNow run scheduling batches;
+        # wait long enough for the 1s timer to fire, then stop explicitly
+        q.awaitTermination(6)
+        q.stop()
+        q.awaitTermination(30)
         time_mod.sleep(2)  # let the TTL elapse between runs
     # batch 2's single value arrives 1000s later: with live state the EWMA
     # would reset to V anyway (dt >= T), so assert on rate directly — and

@@ -58,6 +58,91 @@ def ewma_step(n: float, t_prev: int | None, t: int, v: float, window_ns: int):
     return n - (dt / window_ns) * n + float(v)
 
 
+def replay_rows(
+    st: tuple,
+    ts_arr,
+    val_arr,
+    key: tuple,
+    limit: float,
+    window_sec: int,
+    window_ns: int,
+    back2norm_ns: int,
+    under: bool,
+) -> tuple[tuple, list[tuple]]:
+    """Shared per-key replay: EWMA decay + alarm state machine over rows
+    already sorted by time. ``st`` = (n, t_prev, alarm, below_since,
+    first_seen); returns (new_st, events). Used by both the
+    applyInPandasWithState and transformWithState operators so the
+    order-sensitive core has exactly one implementation."""
+    n, t_prev, alarm, below_since, first_seen = st
+    events: list[tuple] = []
+    for t, v in zip(ts_arr, val_arr):
+        t = int(t)
+        if first_seen is None:
+            first_seen = t
+        n = ewma_step(n, t_prev, t, float(v), window_ns)
+        t_prev = t
+        rate = n / window_sec
+        breach = (rate < limit) if under else (rate >= limit)
+        if under and t - first_seen < window_ns:
+            breach = False  # grace: first window after start (under.c:298-303)
+        if breach:
+            below_since = None
+            if alarm == S_NONE:
+                alarm = S_NEW
+                events.append((*key, S_NEW, rate, limit, t))
+            elif alarm == S_ALMOST_GONE:
+                alarm = S_UPDATE  # dipped but came back
+        else:
+            if alarm in (S_NEW, S_UPDATE):
+                alarm = S_ALMOST_GONE
+                below_since = t
+            elif alarm == S_ALMOST_GONE and below_since is not None:
+                if t - below_since >= back2norm_ns:
+                    alarm = S_NONE
+                    below_since = None
+                    events.append((*key, S_GONE, rate, limit, t))
+    # steady-state notification refresh (act:427-433)
+    if alarm in (S_NEW, S_UPDATE) and not events:
+        events.append((*key, S_UPDATE, n / window_sec, limit, t_prev))
+    return (float(n), t_prev, alarm, below_since, first_seen), events
+
+
+def silent_transition(
+    st: tuple,
+    now_ns: int,
+    key: tuple,
+    limit: float,
+    window_sec: int,
+    window_ns: int,
+    back2norm_ns: int,
+    under: bool,
+) -> tuple[tuple, list[tuple], bool]:
+    """Alarm bookkeeping for a key with NO rows since ``st``: apply the
+    synthetic decay (value keeps decaying while silent, act:391-397) and
+    walk the state machine at ``now_ns``. Returns (new_st, events,
+    keep_watching). The reference's act thread does this at ~10Hz for
+    every alarmed key (monit-objects-mavg-act.c:342-444)."""
+    n, t_prev, alarm, below_since, first_seen = st
+    if alarm == S_NONE or t_prev is None:
+        return st, [], False
+    dt = now_ns - t_prev
+    n_dec = 0.0 if dt >= window_ns else n - (dt / window_ns) * n
+    rate = n_dec / window_sec
+    breach = (rate < limit) if under else (rate >= limit)
+    if breach:
+        return st, [], True
+    if below_since is None:
+        return (n, t_prev, S_ALMOST_GONE, now_ns, first_seen), [], True
+    if now_ns - below_since >= back2norm_ns:
+        return (
+            (n, t_prev, S_NONE, None, first_seen),
+            [(*key, S_GONE, rate, limit, now_ns)],
+            False,
+        )
+    return (n, t_prev, S_ALMOST_GONE, below_since, first_seen), [], True
+
+
 def make_mavg_state_fn(
     key_cols: list[str],
     window_sec: int,
@@ -66,6 +151,7 @@ def make_mavg_state_fn(
     thresholds: dict[tuple, float] | None = None,
     under: bool = False,
     idle_timeout_sec: int | None = None,
+    silent_watch: bool = True,
 ):
     """Build the applyInPandasWithState function for one mavg limit level.
     ``thresholds``: per-key-tuple limits (the limits CSV,
@@ -80,67 +166,65 @@ def make_mavg_state_fn(
     window_ns = int(window_sec * 1e9)
     back2norm_ns = int(back2norm_sec * 1e9)
 
+    watch_ms = int(max(back2norm_sec, 1) * 1000)
+
     def fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        # idle-key compaction (try_reset_db, monit-objects-mavg.c:776-885):
-        # a key with no flows for idle_timeout_sec drops its state — by
-        # then the EWMA has decayed to ~0 anyway
-        if idle_timeout_sec is not None and state.hasTimedOut:
-            state.remove()
-            return
-        if state.exists:
-            n, t_prev, alarm, below_since, first_seen = state.get
-        else:
-            n, t_prev, alarm, below_since, first_seen = 0.0, None, S_NONE, None, None
-
         limit = (thresholds or {}).get(key, threshold)
-        events: list[tuple] = []
+        cols = [*key_cols, "event", "rate", "threshold", "ts_ns"]
+
+        if state.hasTimedOut:
+            # two timeout roles:
+            # 1. alarmed key gone silent -> synthetic decay + state machine
+            #    (the act thread's job, monit-objects-mavg-act.c:391-397)
+            # 2. idle-key compaction (try_reset_db, mavg.c:776-885)
+            st = state.get if state.exists else None
+            if silent_watch and st is not None and st[2] != S_NONE:
+                now_ns = int(_time_now_ns())
+                new_st, events, watch = silent_transition(
+                    st, now_ns, key, limit, window_sec, window_ns,
+                    back2norm_ns, under,
+                )
+                state.update(new_st)
+                if watch:
+                    state.setTimeoutDuration(watch_ms)
+                elif idle_timeout_sec is not None:
+                    state.setTimeoutDuration(idle_timeout_sec * 1000)
+                if events:
+                    yield pd.DataFrame(events, columns=cols)
+            else:
+                state.remove()
+            return
+
+        if state.exists:
+            st = state.get
+        else:
+            st = (0.0, None, S_NONE, None, None)
 
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values("_ts_ns", kind="mergesort")
-        for t, v in zip(rows["_ts_ns"].to_numpy(), rows["_val"].to_numpy()):
-            t = int(t)
-            if first_seen is None:
-                first_seen = t
-            n = ewma_step(n, t_prev, t, float(v), window_ns)
-            t_prev = t
-            rate = n / window_sec
-            breach = (rate < limit) if under else (rate >= limit)
-            if under and t - first_seen < window_ns:
-                breach = False  # grace: first window after start
-            if breach:
-                below_since = None
-                if alarm == S_NONE:
-                    alarm = S_NEW
-                    events.append((*key, S_NEW, rate, limit, t))
-                elif alarm == S_ALMOST_GONE:
-                    alarm = S_UPDATE        # dipped but came back
-            else:
-                if alarm in (S_NEW, S_UPDATE):
-                    alarm = S_ALMOST_GONE
-                    below_since = t
-                elif alarm == S_ALMOST_GONE and below_since is not None:
-                    if t - below_since >= back2norm_ns:
-                        alarm = S_NONE
-                        below_since = None
-                        events.append((*key, S_GONE, rate, limit, t))
-        # steady-state notification refresh (act:427-433): still-active
-        # alarms report once per batch
-        if alarm in (S_NEW, S_UPDATE) and not events:
-            events.append((*key, S_UPDATE, n / window_sec, limit, t_prev))
-
-        state.update((float(n), t_prev, alarm, below_since, first_seen))
-        if idle_timeout_sec is not None:
+        st, events = replay_rows(
+            st, rows["_ts_ns"].to_numpy(), rows["_val"].to_numpy(), key,
+            limit, window_sec, window_ns, back2norm_ns, under,
+        )
+        state.update(st)
+        if silent_watch and st[2] != S_NONE:
+            state.setTimeoutDuration(watch_ms)
+        elif idle_timeout_sec is not None:
             state.setTimeoutDuration(idle_timeout_sec * 1000)
         if events:
-            yield pd.DataFrame(
-                events, columns=[*key_cols, "event", "rate", "threshold", "ts_ns"]
-            )
+            yield pd.DataFrame(events, columns=cols)
 
     return fn
+
+
+def _time_now_ns() -> int:
+    import time
+
+    return time.time_ns()
 
 
 def mavg_alert_stream(
@@ -154,12 +238,19 @@ def mavg_alert_stream(
     thresholds: dict[tuple, float] | None = None,
     under: bool = False,
     idle_timeout_sec: int | None = None,
+    silent_watch: bool = True,
 ) -> DataFrame:
     """Wire the stateful fn onto a (streaming or batch-test) DataFrame.
 
     Output stream: key cols + event (NEW/UPDATE/GONE) + rate + threshold +
     ts_ns. Feed to an alert sink / foreachBatch action runner
     (monit-objects-mavg-act.c).
+
+    ``silent_watch`` (default on) arms a processing-time timeout for every
+    alarmed key so back-to-normal fires even when the key goes silent —
+    the reference's act-thread behavior. Note for availableNow test runs:
+    armed timeouts keep the query alive, so bounded drains should either
+    pass silent_watch=False or stop() after a short awaitTermination.
     """
     key_struct = [flows.schema[k] for k in key_cols]
     out_schema = T.StructType(
@@ -178,17 +269,23 @@ def mavg_alert_stream(
     )
     fn = make_mavg_state_fn(
         key_cols, window_sec, threshold, back2norm_sec, thresholds, under,
-        idle_timeout_sec,
+        idle_timeout_sec, silent_watch,
     )
-    timeout_conf = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout_sec is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    # timeouts serve the alarmed-key watch (silent keys must reach GONE,
+    # act-thread parity) and idle-state compaction. Request the timeout
+    # conf only when one of them is in play: a ProcessingTimeTimeout conf
+    # keeps availableNow/bounded runs scheduling batches even with no
+    # armed timers, which would make batch-drain usage hang to its
+    # awaitTermination bound.
+    use_timeouts = silent_watch or idle_timeout_sec is not None
     return prepped.groupBy(*key_cols).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=timeout_conf,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeouts
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -1,0 +1,192 @@
+"""Streaming mavg on ``transformWithStateInPandas`` (Spark 4 stateful API).
+
+Same reference semantics as ``mavg_stream`` (EWMA decay per flow, per-key
+limits, NEW/UPDATE/ALMOST_GONE/GONE machine — SURVEY.md §2.9), plus the
+two things the older ``applyInPandasWithState`` op cannot express:
+
+- **Timer-driven transitions for silent keys.** The reference's action
+  thread ticks ~10Hz and decays each alarmed key's value even when no
+  flows arrive, so back-to-normal fires on silence
+  (monit-objects-mavg-act.c:391-397, 304-340). Here every alarmed key
+  registers a processing-time timer; ``handleExpiredTimer`` applies the
+  synthetic decay and walks the state machine without input rows — an
+  attack that simply stops now produces GONE on schedule.
+- **Native idle-state TTL** (``ttlDurationMs``) replacing the manual
+  timeout plumbing for try_reset_db parity (monit-objects-mavg.c:776-885).
+
+Requires the RocksDB state store provider
+(``spark.sql.streaming.stateStore.providerClass`` →
+``...state.RocksDBStateStoreProvider``); ``mavg_alert_stream_tws`` sets
+it on the session if unset. The transformWithState protocol also needs
+the ``protobuf`` Python package at runtime (standard on clusters, absent
+in some minimal test containers — tests importorskip on it). The replay
+core and silent-key transition logic are shared with ``mavg_stream``
+(replay_rows / silent_transition), which is fully tested through the
+applyInPandasWithState operator; this module only adapts them to the
+newer API.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+from xenoeye_spark.streaming.mavg_stream import (
+    S_NONE,
+    STATE_SCHEMA,
+    replay_rows,
+    silent_transition,
+)
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class MavgProcessor(StatefulProcessor):
+    """Per-key EWMA + threshold machine; one instance per partition."""
+
+    def __init__(
+        self,
+        key_cols: list[str],
+        window_sec: int,
+        threshold: float,
+        back2norm_sec: int = 30,
+        thresholds: dict[tuple, float] | None = None,
+        under: bool = False,
+        idle_ttl_sec: int | None = None,
+        timer_sec: int | None = None,
+    ):
+        self.key_cols = key_cols
+        self.window_sec = window_sec
+        self.window_ns = int(window_sec * 1e9)
+        self.threshold = threshold
+        self.back2norm_ns = int(back2norm_sec * 1e9)
+        self.thresholds = thresholds or {}
+        self.under = under
+        self.idle_ttl_sec = idle_ttl_sec
+        # silent-key re-check cadence; the reference's act thread ticks
+        # ~10Hz, one back2norm period is the useful granularity here
+        self.timer_ms = int((timer_sec or max(back2norm_sec, 1)) * 1000)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        ttl = self.idle_ttl_sec * 1000 if self.idle_ttl_sec else None
+        self.state = handle.getValueState("mavg", STATE_SCHEMA, ttlDurationMs=ttl)
+        self.handle = handle
+
+    def close(self) -> None:
+        pass
+
+    def handleInputRows(
+        self, key, rows, timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        got = self.state.get()
+        if got is not None:
+            n, t_prev, alarm, below_since, first_seen = got
+        else:
+            n, t_prev, alarm, below_since, first_seen = 0.0, None, S_NONE, None, None
+        limit = self.thresholds.get(tuple(key), self.threshold)
+
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values("_ts_ns", kind="mergesort")
+        st = (n, t_prev, alarm, below_since, first_seen)
+        st, events = replay_rows(
+            st, pdf["_ts_ns"].to_numpy(), pdf["_val"].to_numpy(), tuple(key),
+            limit, self.window_sec, self.window_ns, self.back2norm_ns,
+            self.under,
+        )
+        self.state.update(st)
+        if st[2] != S_NONE:
+            # watch the key while alarmed: the GONE path must fire even if
+            # the key goes silent (act-thread parity)
+            self.handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + self.timer_ms
+            )
+        if events:
+            yield pd.DataFrame(
+                events,
+                columns=[*self.key_cols, "event", "rate", "threshold", "ts_ns"],
+            )
+
+    def handleExpiredTimer(
+        self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        st = self.state.get()
+        if st is None:
+            return
+        limit = self.thresholds.get(tuple(key), self.threshold)
+        now_ns = expiredTimerInfo.getExpiryTimeInMs() * 1_000_000
+        st, events, watch = silent_transition(
+            st, now_ns, tuple(key), limit, self.window_sec, self.window_ns,
+            self.back2norm_ns, self.under,
+        )
+        self.state.update(st)
+        if watch:
+            self.handle.registerTimer(
+                expiredTimerInfo.getExpiryTimeInMs() + self.timer_ms
+            )
+        for ev in events:
+            yield pd.DataFrame(
+                [ev],
+                columns=[*self.key_cols, "event", "rate", "threshold", "ts_ns"],
+            )
+
+
+def mavg_alert_stream_tws(
+    flows: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    window_sec: int,
+    threshold: float,
+    back2norm_sec: int = 30,
+    ts_col: str = "ts",
+    thresholds: dict[tuple, float] | None = None,
+    under: bool = False,
+    idle_ttl_sec: int | None = None,
+    timer_sec: int | None = None,
+) -> DataFrame:
+    """transformWithState twin of ``mavg_alert_stream`` — same output
+    schema (keys..., event, rate, threshold, ts_ns) plus timer-driven GONE
+    for silent keys and TTL'd idle state."""
+    spark = flows.sparkSession
+    if "RocksDB" not in (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    ):
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    key_struct = [flows.schema[k] for k in key_cols]
+    out_schema = T.StructType(
+        key_struct
+        + [
+            T.StructField("event", T.StringType()),
+            T.StructField("rate", T.DoubleType()),
+            T.StructField("threshold", T.DoubleType()),
+            T.StructField("ts_ns", T.LongType()),
+        ]
+    )
+    prepped = flows.select(
+        *key_cols,
+        (F.col(ts_col).cast("timestamp").cast("double") * F.lit(1e9))
+        .cast("long").alias("_ts_ns"),
+        F.col(val_col).cast("double").alias("_val"),
+    )
+    proc = MavgProcessor(
+        key_cols, window_sec, threshold, back2norm_sec, thresholds, under,
+        idle_ttl_sec, timer_sec,
+    )
+    return prepped.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime",
+    )
