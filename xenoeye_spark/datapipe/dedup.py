@@ -97,6 +97,13 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         _shingle_hash_col(text_col, n).alias("_sh"),
     ).withColumn("_sz", F.size("_sh"))
+    # the shingle table feeds several subplans (token DF + ordered
+    # prefixes in the all-pairs path, and both verify sides always);
+    # without materialization Spark re-runs the split+hash shingling per
+    # subplan — the dominant cost. This is the ppjoin "build the inverted
+    # index once" step; storage is ids + 8-byte hashes, a tiny fraction
+    # of the text itself.
+    sh = sh.persist()
     sh_a = sh.select(
         F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"),
         F.col("_sz").alias("_sz_a"),
@@ -109,32 +116,54 @@ def ngram_jaccard_pairs(
         # exact all-pairs via prefix filtering (Bayardo et al. WWW'07 /
         # ppjoin, public algorithm): under a global token order, any pair
         # with J >= t must share a token within both docs' first
-        # |S| - ceil(t*|S|) + 1 sorted tokens. Explode prefixes, equi-join
-        # on token — candidates ~= pairs sharing a rare shingle instead of
-        # the full n^2 product; exact Jaccard verification follows.
+        # |S| - ceil(t*|S|) + 1 tokens of that order. The order is
+        # ascending DOCUMENT FREQUENCY (ties by token value): prefixes
+        # then hold each doc's rarest shingles, so the equi-join buckets
+        # stay tiny — a frequent shingle sits at the tail of every doc's
+        # order and never generates candidates. The size-compatibility
+        # filter (J >= t implies t*max <= min) runs inside the join,
+        # before the distinct.
+        tok_df = (
+            sh.select(F.explode("_sh").alias("_tok"))
+            .groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+        )
+        ordered = (
+            sh.select("_id", "_sz", F.explode("_sh").alias("_tok"))
+            .join(tok_df, "_tok")
+            .groupBy("_id", "_sz")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_df", "_tok"))
+                ).alias("_ord")
+            )
+        )
         prefix = F.expr(
-            f"slice(array_sort(_sh), 1, "
-            f"greatest(size(_sh) - cast(ceil({threshold} * size(_sh)) as int) + 1, 1))"
+            f"slice(transform(_ord, s -> s._tok), 1, "
+            f"greatest(_sz - cast(ceil({threshold} * _sz) as int) + 1, 1))"
         )
-        pa = sh.select(
-            F.col("_id").alias("id_a"), F.explode(prefix).alias("_tok")
+        pa = ordered.select(
+            F.col("_id").alias("id_a"), F.col("_sz").alias("_psz_a"),
+            F.explode(prefix).alias("_tok"),
         )
-        pb = sh.select(
-            F.col("_id").alias("id_b"), F.explode(prefix).alias("_tok")
+        pb = ordered.select(
+            F.col("_id").alias("id_b"), F.col("_sz").alias("_psz_b"),
+            F.explode(prefix).alias("_tok"),
         )
         cand_ids = (
             pa.join(pb, "_tok")
-            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (
+                    F.least("_psz_a", "_psz_b").cast("double")
+                    >= F.lit(threshold) * F.greatest("_psz_a", "_psz_b")
+                )
+            )
             .select("id_a", "id_b")
             .distinct()
         )
         pairs = (
             cand_ids.join(F.broadcast(sh_a), "id_a")
             .join(F.broadcast(sh_b), "id_b")
-            .filter(
-                F.least("_sz_a", "_sz_b").cast("double")
-                >= F.lit(threshold) * F.greatest("_sz_a", "_sz_b")
-            )
         )
     else:
         # candidate verification: the shingle table is per-doc (small next
@@ -180,15 +209,35 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(hashes: pd.Series) -> pd.Series:
+        # shingles repeat heavily across documents, so compute the
+        # permutation table once per UNIQUE shingle hash in the Arrow
+        # batch, then take per-doc minima by gather — same arithmetic
+        # (identical int64 wrap behavior), ~|unique|/|total| of the work
+        arrs = [
+            np.asarray(a, dtype=np.int64) & _MAX_HASH
+            if a is not None and len(a)
+            else np.empty(0, dtype=np.int64)
+            for a in hashes
+        ]
+        nonempty = [a for a in arrs if len(a)]
+        empty_sig = np.full(num_hashes, _MAX_HASH, dtype=np.int64)
+        if not nonempty:
+            return pd.Series([empty_sig] * len(arrs))
+        flat = np.concatenate(nonempty)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        # (a*x + b) mod p over (num_hashes, n_unique)
+        vals_u = (
+            a_params[:, None] * uniq[None, :] + b_params[:, None]
+        ) % _MERSENNE_P
         out = []
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append(np.full(num_hashes, _MAX_HASH, dtype=np.int64))
+        pos = 0
+        for a in arrs:
+            if len(a) == 0:
+                out.append(empty_sig)
                 continue
-            x = np.asarray(arr, dtype=np.int64) & _MAX_HASH  # 32-bit base
-            # (a*x + b) mod p, vectorized over (num_hashes, n_shingles)
-            vals = (np.outer(a_params, x) + b_params[:, None]) % _MERSENNE_P
-            out.append(vals.min(axis=1))
+            idx = inv[pos : pos + len(a)]
+            pos += len(a)
+            out.append(vals_u[:, idx].min(axis=1))
         return pd.Series(out)
 
     return docs.select(
