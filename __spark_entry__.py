@@ -25,8 +25,10 @@ from xenoeye_spark.datapipe.dedup import (
 from xenoeye_spark.datapipe.multimodal import decode_and_featurize, sample_frames
 from xenoeye_spark.datapipe.similarity import (
     brute_force_topk,
+    cosine_neardup_lsh,
     cosine_neardup_pairs,
     ivf_topk,
+    lsh_bucket_topk,
 )
 from xenoeye_spark.config.mo import MoConfig
 from xenoeye_spark.datapipe.text import (
@@ -401,6 +403,23 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3)
 
 
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-k — the scale path when a
+    full scan per query is too expensive (rows-only: recall < 1 by
+    construction; subset-of-exact asserted in tests/test_datapipe.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucket_topk(emb, queries, dim=64, k=10, n_planes=8)
+
+
+def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup via multi-table hyperplane-LSH candidates + exact
+    verification — the 100-TB shape for q_emb_neardup (rows-only;
+    recall vs the exact baseline asserted in tests/test_datapipe.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_lsh(emb, dim=64, threshold=0.8)
+
+
 def q_multimodal_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: document text bytes stand in for an opaque
     media ``binary`` column with typed metadata; decode + featurize runs as an
@@ -479,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "multimodal_feat": q_multimodal_feat,
         "frame_sample": q_frame_sample,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
     }
 
 
