@@ -81,6 +81,30 @@ def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[lis
     return rng.randn(n_planes, dim).tolist()
 
 
+def _bucket_udf(plane_sets: list):
+    """Sign-pattern bucket ids for one or more hyperplane tables as ONE
+    Arrow-batched matmul: signs = V @ P.T >= 0, bits packed per table.
+    Returns an array<long> of bucket ids (one per table). The
+    expression-chain alternative evaluates n_tables*n_planes interpreted
+    dot products per row."""
+    mats = [np.asarray(p, dtype=np.float64) for p in plane_sets]
+    weights = [
+        (1 << np.arange(m.shape[0], dtype=np.int64)) for m in mats
+    ]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        per_table = [
+            ((m @ p.T) >= 0).astype(np.int64) @ w
+            for p, w in zip(mats, weights)
+        ]
+        stacked = np.stack(per_table, axis=1)
+        return pd.Series(list(stacked))
+
+    return buckets
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,26 +119,15 @@ def lsh_bucket_topk(
     within the query's bucket. Recall < 1 by construction; the scale path
     when a full scan per query is too expensive."""
     planes = random_hyperplanes(dim, n_planes, seed)
-
-    def bucket_expr(vec: Column) -> Column:
-        bits = []
-        for i, p in enumerate(planes):
-            arr = F.array(*[F.lit(float(x)) for x in p])
-            bits.append(
-                F.when(_dot(vec.cast("array<double>"), arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            )
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    bucket1 = _bucket_udf([planes])
 
     c = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_cvec"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
+        bucket1(F.col(vec_col).cast("array<double>"))[0].alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
+        bucket1(F.col(vec_col).cast("array<double>"))[0].alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col("query_id"))
     scored = joined.select(
@@ -192,7 +205,10 @@ def kmeans_lite(
     rng = np.random.RandomState(seed)
     centroids = vecs[rng.choice(len(vecs), size=min(k, len(vecs)), replace=False)]
     for _ in range(iters):
-        d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; the ||v||^2 term is
+        # constant per row so argmin needs only the matmul form — O(n*k*d)
+        # flops without materializing the (n, k, d) broadcast tensor
+        d = -2.0 * (vecs @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         for c in range(len(centroids)):
             members = vecs[assign == c]
@@ -327,31 +343,15 @@ def cosine_neardup_lsh(
     plane_sets = [
         random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
     ]
-
-    def bucket_expr(vec: Column, planes) -> Column:
-        bits = []
-        for i, p in enumerate(planes):
-            arr = F.array(*[F.lit(float(x)) for x in p])
-            bits.append(
-                F.when(_dot(vec.cast("array<double>"), arr) >= 0,
-                       F.lit(1 << i)).otherwise(F.lit(0))
-            )
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    bucket_all = _bucket_udf(plane_sets)
 
     v = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     banded = v.select(
         id_col, "_v",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     bucket_expr(F.col("_v"), ps).alias("bucket"))
-            for t, ps in enumerate(plane_sets)
-        ])).alias("tb"),
-    ).select(id_col, "_v", "tb.tbl", "tb.bucket")
+        F.posexplode(bucket_all(F.col("_v"))).alias("tbl", "bucket"),
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
