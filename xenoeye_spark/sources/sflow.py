@@ -138,6 +138,8 @@ def parse_sflow(data: bytes) -> list[dict]:
     off += 4
     agent_ip4 = None
     if addr_type == 1:
+        if off + 4 > len(data):
+            return []
         agent_ip4 = struct.unpack_from(">I", data, off)[0]
         off += 4
     elif addr_type == 2:
