@@ -1,0 +1,107 @@
+"""Engine orchestrator tests: a mo-dir tree (parent + child MO) compiles
+into fwm/mavg/classification standing queries over one flow stream —
+main()/monit_objects_init parity end to end, with hand-computable sums."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from xenoeye_spark.engine import Engine
+
+BASE = 1_700_000_000
+
+
+def _flows_rows():
+    # (ts, src, dst, bytes, proto, dport)
+    rows = [
+        (BASE + 1, 0x0A000001, 0x0B000001, 100, 6, 80),
+        (BASE + 2, 0x0A000001, 0x0B000002, 50, 6, 443),
+        (BASE + 3, 0x0A000002, 0x0B000001, 300, 6, 80),
+        (BASE + 4, 0x0A000003, 0x0B000001, 999, 17, 53),   # UDP: filtered out
+    ]
+    return rows
+
+
+def _write_mo_dir(root):
+    border = root / "border"
+    web = border / "web"
+    web.mkdir(parents=True)
+    (border / "mo.conf").write_text("""
+{
+  /* parent: all TCP */
+  "filter": "proto 6",
+  "fwm": [ {"name": "f1", "fields": ["octets desc", "src host"],
+            "time": 3600, "limit": 5} ],
+  "mavg": [ {"name": "m1", "fields": ["src host", "octets"], "time": 10,
+             "overlimit": [ {"name": "hi", "default": [0.5]} ]} ],
+  "classification": [ {"fields": ["src host"], "val": "octets desc",
+                       "top-percents": 90, "time": 30} ]
+}
+""")
+    (web / "mo.conf").write_text("""
+{
+  // child: parent filter AND dst port 80
+  "filter": "dst port 80",
+  "fwm": [ {"name": "f2", "fields": ["octets", "src host"], "time": 3600} ]
+}
+""")
+    return str(root)
+
+
+def test_engine_builds_and_runs_all_queries(spark, tmp_path):
+    mo_root = _write_mo_dir(tmp_path / "modir")
+
+    src_dir = tmp_path / "flows"
+    df = spark.createDataFrame(
+        _flows_rows(),
+        "ts long, ip4_src_addr long, ip4_dst_addr long, in_bytes long, "
+        "protocol long, l4_dst_port long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(src_dir))
+
+    eng = Engine(
+        mo_root,
+        exp_dir=str(tmp_path / "exp"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        run_scripts=False,
+        silent_watch=False,
+    )
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    builders = eng.builders(stream)
+    names = [n for n, _ in builders]
+    assert names == [
+        "border.fwm.f1",
+        "border.mavg.m1.octets.hi",
+        "border.clsf.0",
+        "border/web.fwm.f2",
+    ]
+
+    queries = [make().trigger(availableNow=True).start() for _, make in builders]
+    for q in queries:
+        q.awaitTermination(60)
+        q.stop()
+        q.awaitTermination(30)
+
+    # fwm f1: per-src TCP octet sums exported as a SQL file
+    f1_files = glob.glob(str(tmp_path / "exp" / "border.fwm.f1" / "*.sql"))
+    assert len(f1_files) == 1
+    text = open(f1_files[0]).read()
+    assert "CREATE TABLE IF NOT EXISTS border_fwm_f1" in text
+    assert "300" in text and "150" in text and "999" not in text
+
+    # child fwm f2: only dst port 80 rows (100 + 300 by src)
+    f2_files = glob.glob(str(tmp_path / "exp" / "border_web.fwm.f2" / "*.sql"))
+    assert len(f2_files) == 1
+    t2 = open(f2_files[0]).read()
+    assert "100" in t2 and "300" in t2 and "50" not in t2
+
+    # mavg m1: both TCP srcs breach the 0.5 B/s default -> notification
+    # files (the UDP src is filtered before the mavg ever sees it)
+    notif = sorted(os.listdir(tmp_path / "state" / "notifications"))
+    assert notif == [
+        f"border-m1-hi-{0x0A000001}", f"border-m1-hi-{0x0A000002}",
+    ]

@@ -1,0 +1,226 @@
+"""Engine orchestrator — the reference ``main()`` / ``monit_objects_init``
+parity layer (xenoeye.c:425-523, monit-objects.c:252-541).
+
+Walks a monitoring-objects directory (``load_mo_dir``), flattens the MO
+hierarchy into conjunctive filters (child filters evaluated under the
+parent's, netflow.c:213-244), and compiles EVERY standing computation —
+fwm windows, mavg overlimit levels (one keyed alert stream per
+aggregable field x limit level), and classifications — into
+Structured-Streaming writer builders over ONE shared decoded flow
+stream, mirroring §3.2's "N concurrent queries share the parsed DF".
+
+Usage::
+
+    eng = Engine("etc/monitoring-objects", exp_dir="exp", state_dir="st")
+    queries = eng.start(flows_stream)           # list of StreamingQuery
+    ...
+    eng.stop(queries)
+
+``builders()`` returns (name, start_fn) pairs instead, for callers that
+manage triggers/checkpoints themselves (and for tests, which drive each
+query with availableNow over file sources).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xenoeye_spark.config.limits import load_limits_csv
+from xenoeye_spark.config.mo import MavgConfig, MoConfig, load_mo_dir
+from xenoeye_spark.dsl.compiler import FilterContext
+from xenoeye_spark.streaming.act import AlertActionSink, ExtGate
+from xenoeye_spark.streaming.classify_stream import ClassificationLoop
+from xenoeye_spark.streaming.fwm_stream import fwm_streaming_query
+from xenoeye_spark.streaming.mavg_stream import mavg_alert_stream
+
+
+class Engine:
+    def __init__(
+        self,
+        mo_dir: str,
+        ctx: FilterContext | None = None,
+        exp_dir: str = "exp",
+        state_dir: str = "state",
+        checkpoint_root: str | None = None,
+        db_type: str = "pg",
+        run_scripts: bool = True,
+        silent_watch: bool = True,
+    ):
+        self.mos = load_mo_dir(mo_dir)
+        self.mo_dir = mo_dir
+        self.ctx = ctx or FilterContext()
+        self.exp_dir = exp_dir
+        self.state_dir = state_dir
+        self.checkpoint_root = checkpoint_root
+        self.db_type = db_type
+        self.run_scripts = run_scripts
+        self.silent_watch = silent_watch
+        self.ext_gate = ExtGate(os.path.join(state_dir, "ext"))
+
+    # -- MO tree -------------------------------------------------------------
+
+    def _walk(self):
+        """Yield (path_name, ancestor_filter_or_None, mo) depth-first; the
+        node's own filter is NOT in the yielded column — each computation
+        applies it, so Catalyst sees ancestor ∧ own as one conjunction."""
+
+        def rec(mo: MoConfig, prefix: str, parent: Column | None):
+            name = f"{prefix}/{mo.name}" if prefix else mo.name
+            yield name, parent, mo
+            eff = mo.filter_column(self.ctx)
+            if parent is not None:
+                eff = parent & eff
+            for ch in mo.children:
+                yield from rec(ch, name, eff)
+
+        for mo in self.mos:
+            yield from rec(mo, "", None)
+
+    def _ckpt(self, qname: str) -> str | None:
+        if self.checkpoint_root is None:
+            return None
+        return os.path.join(self.checkpoint_root, qname.replace("/", "_"))
+
+    # -- builders ------------------------------------------------------------
+
+    def _mavg_writers(self, name, base, mo, ts_col):
+        df = mo.filtered(base, self.ctx)
+        for mavg in mo.mavg:
+            yield from self._one_mavg(name, df, mavg, ts_col)
+
+    def _one_mavg(self, name, df, mavg: MavgConfig, ts_col):
+        keys = [f.column(self.ctx).alias(f.sql_name) for f in mavg.key_fields]
+        key_names = [f.sql_name for f in mavg.key_fields]
+        for vi, vf in enumerate(mavg.val_fields):
+            val = vf.column(self.ctx)
+            if "sampling_rate" in df.columns:
+                val = val * F.coalesce(F.col("sampling_rate"), F.lit(1))
+            proj = df.select(*keys, val.alias("_mval"), F.col(ts_col))
+            for ol in mavg.overlimit:
+                qname = f"{name}.mavg.{mavg.name}.{vf.sql_name}.{ol.name}"
+                default = (
+                    ol.default[vi] if vi < len(ol.default)
+                    else (ol.default[0] if ol.default else float("inf"))
+                )
+                per_key = (
+                    load_limits_csv(ol.limits_file, len(key_names))
+                    if ol.limits_file and os.path.isfile(ol.limits_file)
+                    else None
+                )
+                alerts = mavg_alert_stream(
+                    proj, key_names, "_mval",
+                    window_sec=mavg.time,
+                    threshold=default,
+                    back2norm_sec=ol.back2norm_time,
+                    ts_col=ts_col,
+                    thresholds=per_key,
+                    silent_watch=self.silent_watch,
+                )
+                sink = AlertActionSink(
+                    mo_name=name.replace("/", "_"),
+                    mavg_name=mavg.name,
+                    limit_name=ol.name,
+                    key_cols=key_names,
+                    notif_dir=os.path.join(self.state_dir, "notifications"),
+                    action_script=ol.action_script,
+                    back2norm_script=ol.back2norm_script,
+                    ext=ol.ext,
+                    ext_gate=self.ext_gate,
+                    run_scripts=self.run_scripts,
+                )
+
+                def make_writer(alerts=alerts, sink=sink, qname=qname):
+                    w = (
+                        alerts.writeStream.foreachBatch(sink.process_batch)
+                        .outputMode("append").queryName(qname)
+                    )
+                    ck = self._ckpt(qname)
+                    return w.option("checkpointLocation", ck) if ck else w
+
+                yield qname, make_writer
+
+    def _classification_writers(self, name, base, mo, ts_col):
+        df = mo.filtered(base, self.ctx)
+        for cl in mo.classification:
+            qname = f"{name}.clsf.{cl.id}"
+            keys = [f.column(self.ctx).alias(f.sql_name) for f in cl.fields]
+            key_names = [f.sql_name for f in cl.fields]
+            val = cl.val.column(self.ctx)
+            proj = df.select(*keys, val.alias("_cval"))
+            loop = ClassificationLoop(
+                key_cols=key_names,
+                val_col="_cval",
+                top_percents=cl.top_percents,
+                class_col=f"class{cl.id}",
+            )
+
+            def make_writer(proj=proj, loop=loop, qname=qname):
+                w = (
+                    proj.writeStream.foreachBatch(loop.process_batch)
+                    .outputMode("append").queryName(qname)
+                )
+                ck = self._ckpt(qname)
+                return w.option("checkpointLocation", ck) if ck else w
+
+            yield qname, make_writer
+
+    def builders(self, flows_stream: DataFrame, ts_col: str = "ts"):
+        """All standing queries as (query_name, make_writer) pairs.
+        ``make_writer()`` returns a DataStreamWriter ready for
+        ``.trigger(...).start()``."""
+        out = []
+        for name, parent_col, mo in self._walk():
+            base = (
+                flows_stream if parent_col is None
+                else flows_stream.filter(parent_col)
+            )
+            for fwm in mo.fwm:
+                qname = f"{name}.fwm.{fwm.name}"
+                # extended windows stay dormant until an overlimit with
+                # this fwm in its ext list trips (monit-objects.c:943-952)
+                gate = self.ext_gate if fwm.extended else None
+
+                def make_writer(base=base, mo=mo, fwm=fwm, qname=qname,
+                                gate=gate):
+                    exp = os.path.join(self.exp_dir, qname.replace("/", "_"))
+                    table = qname.replace("/", "_").replace(".", "_")
+
+                    def sink(result, epoch_id, _exp=exp, _g=gate, _fwm=fwm,
+                             _table=table):
+                        if _g is not None and not _g.is_active(_fwm.name):
+                            return
+                        from xenoeye_spark.streaming.fwm_stream import (
+                            fwm_sql_export,
+                        )
+
+                        fwm_sql_export(
+                            result, _table, _exp, epoch_id,
+                            db_type=self.db_type,
+                        )
+
+                    return fwm_streaming_query(
+                        base, mo, fwm, self.ctx, ts_col=ts_col,
+                        sink_fn=sink, checkpoint_dir=self._ckpt(qname),
+                        available_now=False,
+                    )
+
+                out.append((qname, make_writer))
+            out.extend(self._mavg_writers(name, base, mo, ts_col))
+            out.extend(self._classification_writers(name, base, mo, ts_col))
+        return out
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self, flows_stream: DataFrame, ts_col: str = "ts"):
+        """Start every standing query; returns the StreamingQuery list."""
+        return [make().start() for _, make in self.builders(flows_stream, ts_col)]
+
+    def stop(self, queries) -> None:
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
