@@ -37,6 +37,7 @@ from xenoeye_spark.datapipe.text import (
     doc_fingerprint,
     language_id,
     simhash64,
+    simhash_neardup_pairs,
     text_stats,
     token_count,
 )
@@ -420,6 +421,15 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_lsh(emb, dim=64, threshold=0.8)
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via banded bit blocks — exact for
+    radius <= bands-1 by pigeonhole (rows-only: xxhash64-seeded
+    fingerprints not SQL-expressible; equivalence to brute-force hamming
+    asserted in tests/test_datapipe.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, radius=3, bands=4)
+
+
 def q_multimodal_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: document text bytes stand in for an opaque
     media ``binary`` column with typed metadata; decode + featurize runs as an
@@ -500,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "sim_lsh_topk": q_sim_lsh_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
+        "simhash_neardup": q_simhash_neardup,
     }
 
 

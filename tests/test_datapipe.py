@@ -85,6 +85,27 @@ def test_simhash_properties(spark):
     assert ham[0]["h"] <= ham[1]["h"]
 
 
+def test_simhash_neardup_equals_bruteforce(spark):
+    """Banded candidates must be EXACT for radius <= bands-1: the banded
+    join + verify returns precisely the brute-force hamming<=r pairs."""
+    from xenoeye_spark.datapipe.text import simhash_neardup_pairs
+
+    docs = _corpus(spark, n=12)
+    fps = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    ids = sorted(fps)
+    expected = {
+        (a, b): bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, radius=3, bands=4).collect()
+    }
+    assert got == expected
+    assert expected, "corpus should contain at least one near-dup pair"
+
+
 def test_brute_force_topk_vs_numpy(spark):
     rng = np.random.RandomState(11)
     vecs = rng.randn(30, 8).astype(float)

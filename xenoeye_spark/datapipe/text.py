@@ -121,6 +121,62 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    radius: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a < id_b, hamming <= radius).
+
+    EXACT (no recall loss) for ``radius <= bands - 1`` by pigeonhole:
+    at most ``radius`` differing bits cannot touch all ``bands`` disjoint
+    bit blocks, so every qualifying pair is equal on at least one block.
+    Candidates therefore come from an equi-join keyed by (band, block) —
+    the same shuffle shape as MinHash banding — and a popcount verifies.
+    """
+    if radius > bands - 1:
+        raise ValueError(
+            f"radius {radius} needs > {radius} bands for exact candidates"
+        )
+    fp = simhash64(docs, text_col, id_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        id_col, "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ])
+        ).alias("band", "block"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_fa"),
+            F.col("b.simhash").alias("_fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = hamming64(F.col("_fa"), F.col("_fb"))
+    return (
+        cands.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(radius))
+    )
+
+
 # BPE-ish pretokenizer: word pieces, numbers, punctuation runs — the common
 # GPT-2-style regex family, simplified to RE2-compatible form (no lookahead)
 # so Spark's JVM regexp can run it.
@@ -154,10 +210,12 @@ def doc_fingerprint(
     ``window`` hashes, keep each window's minimum — the selected hash set
     identifies the document robustly under edits.
 
-    JVM-side: char grams via substring over a sequence, xxhash64 per gram,
-    window-min via transform over index ranges; output is the sorted
-    distinct fingerprint array + a 64-bit digest (xxhash64 of the joined
-    set) for cheap equality probes.
+    Gram hashing (substring + xxhash64) stays JVM-side so fingerprints
+    are reproducible against the JVM hash; the sliding window-min runs
+    vectorized in an Arrow pandas UDF (the expression form allocates a
+    slice per window — O(len*window) interpreted — and was this
+    operator's hot spot). Output: sorted distinct fingerprint array +
+    a 64-bit digest (xxhash64 of the joined set) for equality probes.
     """
     t = text_col
     grams = (
@@ -166,17 +224,24 @@ def doc_fingerprint(
         f"ELSE CASE WHEN length({t}) > 0 THEN array(xxhash64({t})) "
         f"ELSE cast(array() as array<bigint>) END END"
     )
-    mins = (
-        f"CASE WHEN size(_grams) >= {window} THEN "
-        f"transform(sequence(1, size(_grams) - {window} + 1), "
-        f"i -> array_min(slice(_grams, i, {window}))) "
-        f"ELSE _grams END"
-    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def window_min_fp(grams_s: pd.Series) -> pd.Series:
+        out = []
+        for arr in grams_s:
+            if arr is None or len(arr) == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            a = np.asarray(arr, dtype=np.int64)
+            if len(a) >= window:
+                a = np.lib.stride_tricks.sliding_window_view(a, window).min(axis=1)
+            out.append(np.unique(a))  # == sorted distinct
+        return pd.Series(out)
+
     staged = docs.select(F.col(id_col), F.expr(grams).alias("_grams"))
-    fp = F.array_sort(F.array_distinct(F.expr(mins)))
     return staged.select(
         F.col(id_col),
-        fp.alias("fingerprint"),
+        window_min_fp(F.col("_grams")).alias("fingerprint"),
     ).select(
         F.col(id_col),
         F.col("fingerprint"),
