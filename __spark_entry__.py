@@ -421,6 +421,28 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_lsh(emb, dim=64, threshold=0.8)
 
 
+def q_fwm_func_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fwm with a FUNCTION group-by key: div(octets,packets) is computed
+    per flow and lands in the key buffer (monit-objects.c:679-701,
+    SURVEY §2.4's "div(octets,packets) asc" example), summing octets per
+    ratio bucket over a 1h window."""
+    from xenoeye_spark.operators.fwm import FwmSpec, fwm_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    flows = ev.select(
+        F.col("ts"),
+        F.floor(F.col("value") * 100).cast("long").alias("in_bytes"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("in_pkts"),
+    )
+    spec = FwmSpec.parse(["div(octets,packets)", "octets desc"], time=3600)
+    out = fwm_aggregate(flows, spec, ts_col="ts", window=True)
+    return out.select(
+        "time",
+        F.col("div_octets_packets_").alias("ratio"),
+        F.col("octets"),
+    )
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banded bit blocks — exact for
     radius <= bands-1 by pigeonhole (rows-only: xxhash64-seeded
@@ -511,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "simhash_neardup": q_simhash_neardup,
+        "fwm_func_key": q_fwm_func_key,
     }
 
 
@@ -857,5 +880,15 @@ WITH q AS (
   ) AS rn FROM s
 )
 SELECT query_id, vec_id, cosine FROM r WHERE rn <= 10
+""",
+        "fwm_func_key": """
+WITH flows AS (
+  SELECT date_trunc('hour', ts) AS time,
+         CAST(floor(value * 100) AS BIGINT) AS o,
+         CAST(event_id % 7 + 1 AS BIGINT) AS p
+  FROM events
+)
+SELECT time, CAST(floor(o / p) AS BIGINT) AS ratio, SUM(o) AS octets
+FROM flows GROUP BY time, ratio
 """,
     }

@@ -136,3 +136,20 @@ def test_empty_filter_matches_all(spark):
 def test_unknown_field_raises():
     with pytest.raises(Exception):
         parse_filter("bogusfield 42")
+
+
+def test_parse_field_function_forms():
+    """Field specs from the reference docs must parse: comma-separated
+    function args with and without spaces, src/dst arg prefixes, sort
+    suffixes (parse_field, filter-parser.c:393-485)."""
+    from xenoeye_spark.dsl.fields import parse_field
+
+    f = parse_field("div(octets,packets) desc")          # SURVEY §2.4 example
+    assert f.desc and f.has_order and not f.is_aggr
+    assert f.sql_name == "div_octets_packets_"
+    for spec in ["div(octets, packets) asc", "ppstr(src port, dst port)",
+                 "div_r(octets,packets,100)", "min(src port,dst port)",
+                 "country(src host)", "tfstr(tcp-flags)"]:
+        parse_field(spec)  # must not raise
+    assert parse_field("octets desc").is_aggr
+    assert parse_field("src host").is_aggr is False

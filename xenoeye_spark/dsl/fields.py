@@ -65,6 +65,9 @@ def parse_field(text: str) -> FieldSpec:
         args: list[tuple[str, str]] = []
         i = 2
         while i < len(toks) and toks[i].kind != lx.RPAREN:
+            if toks[i].kind == lx.COMMA:
+                i += 1  # arg separator (filter-parser-funcs.c comma grammar)
+                continue
             w = toks[i].text.lower()
             if w in ("src", "dst") and i + 1 < len(toks) and toks[i + 1].kind == lx.WORD:
                 args.append((w, toks[i + 1].text.lower()))
