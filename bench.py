@@ -50,12 +50,41 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # flows/sec probe against BASELINE.md's ~700K fps/CPU reference
+    # number: run the flagship standing-query shape (DSL filter -> windowed
+    # groupBy-SUM -> top-N+others) over synthetic in-memory flows so the
+    # figure measures the engine, not parquet IO
+    from pyspark.sql import functions as F
+    from xenoeye_spark.config.mo import MoConfig
+
+    n_flows = int(os.environ.get("SPARK_GRAFT_FPS_ROWS", 10_000_000))
+    flows = spark.range(n_flows).select(
+        F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") % 86400)).alias("ts"),
+        (F.lit(167772160) + F.col("id") % 4096).alias("ip4_src_addr"),
+        (F.lit(167772160) + F.col("id") % 1024).alias("ip4_dst_addr"),
+        (F.col("id") % 1500 + 40).alias("in_bytes"),
+        F.when(F.col("id") % 3 == 0, 17).otherwise(6).alias("protocol"),
+    )
+    mo = MoConfig.from_dict(
+        {"filter": "proto 6 and src net 10.0.0.0/22",
+         "fwm": [{"name": "bench", "fields": ["octets desc", "src host"],
+                  "time": 3600, "limit": 10}]},
+        name="fps",
+    )
+    t0 = time.perf_counter()
+    mo.fwm_result(flows, mo.fwm[0]).write.format("noop").mode("overwrite").save()
+    fps = round(n_flows / (time.perf_counter() - t0))
+
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "flows_per_sec": fps,
+        "flows_per_sec_note": "synthetic flows through filter+fwm+topN, "
+                              f"n={n_flows}, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
     }))
 
 
