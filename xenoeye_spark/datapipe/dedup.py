@@ -143,11 +143,26 @@ def ngram_jaccard_pairs(
         )
         pa = ordered.select(
             F.col("_id").alias("id_a"), F.col("_sz").alias("_psz_a"),
-            F.explode(prefix).alias("_tok"),
+            F.posexplode(prefix).alias("_pa", "_tok"),
         )
         pb = ordered.select(
             F.col("_id").alias("id_b"), F.col("_sz").alias("_psz_b"),
-            F.explode(prefix).alias("_tok"),
+            F.posexplode(prefix).alias("_pb", "_tok"),
+        )
+        # positional filter (ppjoin): J >= t requires overlap
+        # alpha = ceil(t/(1+t) * (|a|+|b|)); for the pair's FIRST shared
+        # token (minimal positions) the overlap is bounded by the tokens
+        # remaining from that position, so pairs whose bound < alpha can
+        # never qualify. Later shared-token rows may be filtered freely —
+        # the first-shared row survives for every true pair, and the
+        # distinct() keeps the pair. FP error in alpha only loosens the
+        # bound (ceil of a hair-smaller product), never drops a true pair.
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("_psz_a") + F.col("_psz_b"))
+        )
+        ubound = F.least(
+            F.col("_psz_a") - F.col("_pa"), F.col("_psz_b") - F.col("_pb")
         )
         cand_ids = (
             pa.join(pb, "_tok")
@@ -157,6 +172,7 @@ def ngram_jaccard_pairs(
                     F.least("_psz_a", "_psz_b").cast("double")
                     >= F.lit(threshold) * F.greatest("_psz_a", "_psz_b")
                 )
+                & (ubound >= alpha)
             )
             .select("id_a", "id_b")
             .distinct()
