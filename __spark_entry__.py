@@ -21,6 +21,7 @@ from xenoeye_spark.datapipe.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_table,
 )
 from xenoeye_spark.datapipe.multimodal import decode_and_featurize, sample_frames
 from xenoeye_spark.datapipe.similarity import (
@@ -263,9 +264,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records rows-only. Cross-checked in tests/test_datapipe.py
     against the exact all-pairs baseline."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, n=3, num_hashes=64)
+    sh = shingle_table(docs, n=3)
+    sigs = minhash_signatures(docs, n=3, num_hashes=64, shingles=sh)
     cands = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
-    verified = ngram_jaccard_pairs(docs, n=3, threshold=0.35, candidates=cands)
+    verified = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.35, candidates=cands, shingles=sh
+    )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

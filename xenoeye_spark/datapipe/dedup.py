@@ -77,6 +77,27 @@ def _shingle_hash_col(text_col: str, n: int):
     return F.array_distinct(F.expr(f"transform({inner}, s -> xxhash64(s))"))
 
 
+def shingle_table(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Persisted (_id, _sh array<long>, _sz) shingle-hash table — the
+    ppjoin "build the inverted index once" step. Shared by Jaccard
+    candidate generation, verification, and MinHash signatures so the
+    split+hash shingling scan runs once per corpus, not once per stage;
+    storage is ids + 8-byte hashes, a tiny fraction of the text."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            _shingle_hash_col(text_col, n).alias("_sh"),
+        )
+        .withColumn("_sz", F.size("_sh"))
+        .persist()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -84,26 +105,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard over doc pairs.
 
     Without ``candidates`` this is the all-pairs self-join (correctness
     baseline / oracle twin — only for small inputs). With ``candidates``
     ((id_a, id_b) pairs, e.g. from LSH) it verifies just those — the scale
-    path. Output: id_a < id_b, jaccard double.
+    path. Pass ``shingles`` (a ``shingle_table`` result) to reuse an
+    already-built table. Output: id_a < id_b, jaccard double.
     """
     ncpu = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    sh = docs.select(
-        F.col(id_col).alias("_id"),
-        _shingle_hash_col(text_col, n).alias("_sh"),
-    ).withColumn("_sz", F.size("_sh"))
-    # the shingle table feeds several subplans (token DF + ordered
-    # prefixes in the all-pairs path, and both verify sides always);
-    # without materialization Spark re-runs the split+hash shingling per
-    # subplan — the dominant cost. This is the ppjoin "build the inverted
-    # index once" step; storage is ids + 8-byte hashes, a tiny fraction
-    # of the text itself.
-    sh = sh.persist()
+    sh = shingles if shingles is not None else shingle_table(
+        docs, n, text_col, id_col
+    )
     sh_a = sh.select(
         F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"),
         F.col("_sz").alias("_sz_a"),
@@ -214,6 +229,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: array<long> of length num_hashes.
 
@@ -256,6 +272,10 @@ def minhash_signatures(
             out.append(vals_u[:, idx].min(axis=1))
         return pd.Series(out)
 
+    if shingles is not None:
+        return shingles.select(
+            F.col("_id").alias(id_col), minhash(F.col("_sh")).alias("signature")
+        )
     return docs.select(
         F.col(id_col),
         minhash(_shingle_hash_col(text_col, n)).alias("signature"),
