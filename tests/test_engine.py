@@ -36,7 +36,9 @@ def _write_mo_dir(root):
   "fwm": [ {"name": "f1", "fields": ["octets desc", "src host"],
             "time": 3600, "limit": 5} ],
   "mavg": [ {"name": "m1", "fields": ["src host", "octets"], "time": 10,
-             "overlimit": [ {"name": "hi", "default": [0.5]} ]} ],
+             "overlimit": [ {"name": "hi", "default": [0.5]} ],
+             "underlimit": [ {"name": "drop", "default": [0.001],
+                              "back2norm-time": 120} ]} ],
   "classification": [ {"fields": ["src host"], "val": "octets desc",
                        "top-percents": 90, "time": 30} ]
 }
@@ -76,6 +78,7 @@ def test_engine_builds_and_runs_all_queries(spark, tmp_path):
     assert names == [
         "border.fwm.f1",
         "border.mavg.m1.octets.hi",
+        "border.under.m1.octets.drop",
         "border.clsf.0",
         "border/web.fwm.f2",
     ]

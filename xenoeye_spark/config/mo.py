@@ -78,6 +78,9 @@ class MavgConfig:
     dump: int = 0
     mem_m: int = 256
     overlimit: list[OverlimitConfig] = field(default_factory=list)
+    # traffic-drop levels, same shape as overlimit with inverted compare
+    # (monit-objects-mavg-under.c, EXTRA.md:653-676)
+    underlimit: list[OverlimitConfig] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d: dict) -> "MavgConfig":
@@ -88,6 +91,7 @@ class MavgConfig:
             dump=int(d.get("dump", 0)),
             mem_m=int(d.get("mem-m", 256)),
             overlimit=[OverlimitConfig.from_dict(o) for o in d.get("overlimit", [])],
+            underlimit=[OverlimitConfig.from_dict(o) for o in d.get("underlimit", [])],
         )
 
     @property

@@ -99,8 +99,12 @@ class Engine:
             if "sampling_rate" in df.columns:
                 val = val * F.coalesce(F.col("sampling_rate"), F.lit(1))
             proj = df.select(*keys, val.alias("_mval"), F.col(ts_col))
-            for ol in mavg.overlimit:
-                qname = f"{name}.mavg.{mavg.name}.{vf.sql_name}.{ol.name}"
+            levels = [(ol, False) for ol in mavg.overlimit] + [
+                (ol, True) for ol in mavg.underlimit
+            ]
+            for ol, under in levels:
+                kind = "under" if under else "mavg"
+                qname = f"{name}.{kind}.{mavg.name}.{vf.sql_name}.{ol.name}"
                 default = (
                     ol.default[vi] if vi < len(ol.default)
                     else (ol.default[0] if ol.default else float("inf"))
@@ -117,6 +121,7 @@ class Engine:
                     back2norm_sec=ol.back2norm_time,
                     ts_col=ts_col,
                     thresholds=per_key,
+                    under=under,
                     silent_watch=self.silent_watch,
                 )
                 sink = AlertActionSink(
