@@ -1,0 +1,91 @@
+"""Global ``xenoeye.conf`` model (CONFIG.md:20-110, xenoeye.c:276-369).
+
+Sections: ``capture`` / ``sflow-capture`` (socket or pcap entries, one
+worker per entry — here one ingest source per entry), ``templates`` (the
+persistent template DB path → TemplateStore seed file), ``debug``
+(dump-flows target), ``devices``, ``mo-dir``, ``geodb``, ``db-type``,
+``db-export`` (runner script), ``ch-codec`` (ClickHouse column codec for
+exported DDL). JSONC like every other config.
+
+``build_engine()`` bridges the global config to the Engine orchestrator;
+capture entries map to the ingest helpers (UdpBridge ports /
+pcap_flows_df globs) — wiring a live source is the caller's choice since
+tests replay files.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from xenoeye_spark.config.mo import parse_jsonc
+
+
+@dataclass
+class CaptureEntry:
+    kind: str                 # "socket" | "pcap"
+    listen_on: str = "*"
+    port: int = 2055
+    interface: str = ""
+    bpf: str = ""
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CaptureEntry":
+        if "socket" in d:
+            s = d["socket"]
+            return cls(kind="socket", listen_on=s.get("listen-on", "*"),
+                       port=int(s.get("port", 2055)))
+        if "pcap" in d:
+            p = d["pcap"]
+            return cls(kind="pcap", interface=p.get("interface", ""),
+                       bpf=p.get("filter", ""))
+        raise ValueError(f"capture entry needs 'socket' or 'pcap': {d}")
+
+
+@dataclass
+class XenoeyeConfig:
+    capture: list[CaptureEntry] = field(default_factory=list)
+    sflow_capture: list[CaptureEntry] = field(default_factory=list)
+    templates_db: str | None = None
+    dump_flows: str = "none"          # none | syslog | /path/file
+    devices: str | None = None
+    mo_dir: str = "mo"
+    geodb: str | None = None
+    db_type: str = "pg"
+    db_export: str | None = None      # runner script/command
+    ch_codec: str = ""
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "XenoeyeConfig":
+        return cls(
+            capture=[CaptureEntry.from_dict(e) for e in d.get("capture", [])],
+            sflow_capture=[
+                CaptureEntry.from_dict(e) for e in d.get("sflow-capture", [])
+            ],
+            templates_db=d.get("templates", {}).get("db"),
+            dump_flows=d.get("debug", {}).get("dump-flows", "none"),
+            devices=d.get("devices"),
+            mo_dir=d.get("mo-dir", "mo"),
+            geodb=d.get("geodb"),
+            db_type=d.get("db-type", "pg"),
+            db_export=d.get("db-export"),
+            ch_codec=d.get("ch-codec", ""),
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "XenoeyeConfig":
+        with open(path) as fh:
+            return cls.from_dict(parse_jsonc(fh.read()))
+
+    def socket_ports(self) -> list[int]:
+        return [e.port for e in self.capture + self.sflow_capture
+                if e.kind == "socket"]
+
+    def build_engine(self, **overrides):
+        """Engine for this config's mo-dir/db-type; kwargs override."""
+        from xenoeye_spark.engine import Engine
+
+        kw = dict(mo_dir=self.mo_dir, db_type=self.db_type,
+                  ch_codec=self.ch_codec)
+        kw.update(overrides)
+        return Engine(**kw)

@@ -46,6 +46,7 @@ class Engine:
         state_dir: str = "state",
         checkpoint_root: str | None = None,
         db_type: str = "pg",
+        ch_codec: str = "",
         run_scripts: bool = True,
         silent_watch: bool = True,
     ):
@@ -56,6 +57,7 @@ class Engine:
         self.state_dir = state_dir
         self.checkpoint_root = checkpoint_root
         self.db_type = db_type
+        self.ch_codec = ch_codec
         self.run_scripts = run_scripts
         self.silent_watch = silent_watch
         self.ext_gate = ExtGate(os.path.join(state_dir, "ext"))
@@ -203,7 +205,7 @@ class Engine:
 
                         fwm_sql_export(
                             result, _table, _exp, epoch_id,
-                            db_type=self.db_type,
+                            db_type=self.db_type, ch_codec=self.ch_codec,
                         )
 
                     return fwm_streaming_query(

@@ -64,10 +64,13 @@ def fwm_sql_export(
     exp_dir: str,
     epoch_id: int | None = None,
     db_type: str = "pg",
+    ch_codec: str = "",
 ) -> str | None:
     """Write one window's result as a SQL file, mirroring
     monit-objects-fwm.c:269-414: CREATE TABLE IF NOT EXISTS + one batched
-    INSERT. ``db_type``: 'pg' or 'clickhouse' (type/engine dialects).
+    INSERT. ``db_type``: 'pg' or 'clickhouse' (type/engine dialects);
+    ``ch_codec``: optional ClickHouse column codec appended to each
+    non-time column (xenoeye.conf "ch-codec", e.g. "ZSTD(1)").
     Returns the file path (None if the batch was empty).
 
     The result set here is post-top-N (small); collect is bounded by
@@ -78,10 +81,14 @@ def fwm_sql_export(
         return None
     cols = result.columns
     typemap = _CH_TYPES if db_type == "clickhouse" else _PG_TYPES
+    codec = (
+        f" CODEC({ch_codec})" if ch_codec and db_type == "clickhouse" else ""
+    )
     ddl_types = []
     for f in result.schema.fields:
         t = f.dataType.simpleString()
-        ddl_types.append(f"{f.name} {typemap.get(t, typemap['string'])}")
+        suffix = codec if f.name != "time" else ""
+        ddl_types.append(f"{f.name} {typemap.get(t, typemap['string'])}{suffix}")
     os.makedirs(exp_dir, exist_ok=True)
     stamp = epoch_id if epoch_id is not None else int(_time.time())
     path = os.path.join(exp_dir, f"{table}_{stamp}.sql")
