@@ -1,0 +1,90 @@
+"""Collector daemon entry — ``python -m xenoeye_spark -c xenoeye.conf``.
+
+The runnable equivalent of the reference's ``xenoeye`` binary
+(xenoeye.c:425-523): load the global config, start one UDP bridge per
+configured socket capture, stream the bridged packets through the
+distributed decoder, and run every monitoring object's standing queries
+via the Engine.
+
+Options:
+    -c/--config PATH   xenoeye.conf (JSONC), default ./xenoeye.conf
+    --spool DIR        bridge spool directory (default <state>/spool)
+    --state DIR        state dir (notifications, ext gates)
+    --exp DIR          SQL export dir
+    --dry-run          print the planned queries and exit (no sources)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="xenoeye_spark")
+    ap.add_argument("-c", "--config", default="xenoeye.conf")
+    ap.add_argument("--spool", default=None)
+    ap.add_argument("--state", default="state")
+    ap.add_argument("--exp", default="exp")
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args(argv)
+
+    from xenoeye_spark.config.main import XenoeyeConfig
+
+    cfg = XenoeyeConfig.from_file(args.config)
+    eng = cfg.build_engine(exp_dir=args.exp, state_dir=args.state)
+
+    if args.dry_run:
+        # plan without a live source: a memory-schema stream stand-in
+        from xenoeye_spark.catalog import flow_schema
+        from xenoeye_spark.session import get_spark
+
+        spark = get_spark("xenoeye-dry-run")
+        spool = args.spool or os.path.join(args.state, "spool")
+        os.makedirs(spool, exist_ok=True)
+        stream = spark.readStream.schema(flow_schema()).parquet(spool)
+        for qname, _ in eng.builders(stream):
+            print(qname)
+        print(f"# capture: {len(cfg.capture)} netflow + "
+              f"{len(cfg.sflow_capture)} sflow entries; "
+              f"db-type={cfg.db_type}")
+        return 0
+
+    from xenoeye_spark.session import get_spark
+    from xenoeye_spark.sources.netflow import decode_packets_df
+    from xenoeye_spark.sources.udp_bridge import UdpBridge
+
+    spark = get_spark("xenoeye-spark")
+    spool = args.spool or os.path.join(args.state, "spool")
+    os.makedirs(spool, exist_ok=True)
+
+    bridges = []
+    for port in cfg.socket_ports():
+        b = UdpBridge(spool, host="0.0.0.0", port=port)
+        b.start()
+        bridges.append(b)
+        print(f"listening on UDP :{b.port} -> {spool}", file=sys.stderr)
+
+    packets = (
+        spark.readStream.schema("data binary, dev_ip long, recv_ts timestamp")
+        .parquet(spool)
+    )
+    flows = decode_packets_df(packets.repartition("dev_ip"))
+    queries = eng.start(flows)
+    print(f"{len(queries)} standing queries running", file=sys.stderr)
+    try:
+        while any(q.isActive for q in queries):
+            time.sleep(1)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        eng.stop(queries)
+        for b in bridges:
+            b.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
