@@ -114,3 +114,46 @@ def test_flow_debug_line(spark):
     assert "ip4_src_addr: 1.2.3.4" in line
     assert "l4_src_port: 80" in line
     assert "proto" not in line  # null fields omitted
+
+
+def test_devices_conf_full_semantics(spark, tmp_path):
+    """devices.conf loader + per-device marks: each device's mark
+    expressions apply only to its own flows; skip-unmarked drops only
+    that device's unmarked flows (devices.c:237-313)."""
+    from xenoeye_spark.enrich.devices import apply_devices, load_devices_conf
+
+    conf = tmp_path / "devices.conf"
+    conf.write_text("""
+[
+    {
+        "ip": "10.0.0.1",
+        "id": 0,
+        "sampling-rate": 100,
+        "mark": [ "src ifidx 7", "dst ifidx 7" ],
+        "skip-unmarked": true
+    },
+    { "ip": "10.0.0.2", "sampling-rate": 1000 }
+    /* trailing comment */
+]
+""")
+    devices = load_devices_conf(str(conf))
+    assert [d.sampling_rate for d in devices] == [100, 1000]
+
+    d1, d2 = 0x0A000001, 0x0A000002
+    flows = spark.createDataFrame(
+        [
+            (d1, 0, 7, 1),    # device 1, marked via src ifidx
+            (d1, 0, 2, 7),    # device 1, marked via dst ifidx
+            (d1, 0, 2, 3),    # device 1, unmarked -> dropped
+            (d2, 0, 2, 3),    # device 2: no marks -> kept, mark 0
+        ],
+        "dev_ip long, dev_id long, input_snmp long, output_snmp long",
+    )
+    out = apply_devices(flows, devices).collect()
+    got = {(r["dev_ip"], r["input_snmp"], r["output_snmp"]):
+           (r["dev_mark"], r["sampling_rate"]) for r in out}
+    assert got == {
+        (d1, 7, 1): (1, 100),
+        (d1, 2, 7): (1, 100),
+        (d2, 2, 3): (0, 1000),
+    }

@@ -72,6 +72,13 @@ def main(argv: list[str] | None = None) -> int:
         .parquet(spool)
     )
     flows = decode_packets_df(packets.repartition("dev_ip"))
+    if cfg.devices and os.path.isfile(cfg.devices):
+        from xenoeye_spark.enrich.devices import (
+            apply_devices,
+            load_devices_conf,
+        )
+
+        flows = apply_devices(flows, load_devices_conf(cfg.devices))
     queries = eng.start(flows)
     print(f"{len(queries)} standing queries running", file=sys.stderr)
     try:
