@@ -75,3 +75,24 @@ def test_ch_codec_reaches_ddl(spark, tmp_path):
     assert "octets Nullable(Int64) CODEC(ZSTD(1))" in text
     assert "time Nullable(Int64)," in text  # time column: no codec
     assert "ENGINE = MergeTree" in text
+
+
+def test_iplists_dir_reaches_filter_context(tmp_path):
+    """An mo.conf filter naming an IP list resolves when the global
+    config points at an iplists-dir (iplist.c:299-322)."""
+    ipd = tmp_path / "iplists"
+    ipd.mkdir()
+    (ipd / "my-net").write_text("10.0.0.0/8\n# comment\n")
+    mo = tmp_path / "mo" / "m1"
+    mo.mkdir(parents=True)
+    (mo / "mo.conf").write_text(
+        '{"filter": "dst net my-net", "fwm": []}'
+    )
+    cfg = XenoeyeConfig.from_dict(
+        {"mo-dir": str(tmp_path / "mo"), "iplists-dir": str(ipd)}
+    )
+    eng = cfg.build_engine(exp_dir=str(tmp_path / "e"),
+                           state_dir=str(tmp_path / "s"))
+    assert "my-net" in eng.ctx.iplists
+    # compiling the MO's filter with the engine's ctx must succeed
+    eng.mos[0].filter_column(eng.ctx)

@@ -54,6 +54,7 @@ class XenoeyeConfig:
     db_type: str = "pg"
     db_export: str | None = None      # runner script/command
     ch_codec: str = ""
+    iplists_dir: str | None = None    # xenoeye.c:292, default dir :44
 
     @classmethod
     def from_dict(cls, d: dict) -> "XenoeyeConfig":
@@ -70,6 +71,7 @@ class XenoeyeConfig:
             db_type=d.get("db-type", "pg"),
             db_export=d.get("db-export"),
             ch_codec=d.get("ch-codec", ""),
+            iplists_dir=d.get("iplists-dir"),
         )
 
     @classmethod
@@ -82,10 +84,18 @@ class XenoeyeConfig:
                 if e.kind == "socket"]
 
     def build_engine(self, **overrides):
-        """Engine for this config's mo-dir/db-type; kwargs override."""
+        """Engine for this config's mo-dir/db-type, with named IP lists
+        loaded into the filter context when iplists-dir is set."""
         from xenoeye_spark.engine import Engine
 
         kw = dict(mo_dir=self.mo_dir, db_type=self.db_type,
                   ch_codec=self.ch_codec)
+        if self.iplists_dir and "ctx" not in overrides:
+            from xenoeye_spark.dsl.compiler import FilterContext
+            from xenoeye_spark.enrich.iplist import load_iplists_dir
+
+            lists = load_iplists_dir(self.iplists_dir)
+            if lists:
+                kw["ctx"] = FilterContext(iplists=lists)
         kw.update(overrides)
         return Engine(**kw)

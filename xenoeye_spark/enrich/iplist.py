@@ -134,3 +134,20 @@ def match_bucketed(
         how="left_semi",
     ).drop("plen", "net_masked").distinct()
     return matched
+
+
+def load_iplists_dir(dir_path: str) -> dict:
+    """Load every file in an iplists directory as a named list — list
+    name = file name, one CIDR per line, '#' comments and blank lines
+    allowed, v4+v6 mixed (iplist.c:299-322, default dir xenoeye.c:44).
+    Returns {name: IpList} ready for FilterContext(iplists=...)."""
+    import os
+
+    out = {}
+    if not os.path.isdir(dir_path):
+        return out
+    for fname in sorted(os.listdir(dir_path)):
+        path = os.path.join(dir_path, fname)
+        if os.path.isfile(path):
+            out[fname] = IpList.from_file(fname, path)
+    return out
