@@ -96,3 +96,31 @@ def test_iplists_dir_reaches_filter_context(tmp_path):
     assert "my-net" in eng.ctx.iplists
     # compiling the MO's filter with the engine's ctx must succeed
     eng.mos[0].filter_column(eng.ctx)
+
+
+def test_geodb_dir_separate_tries(tmp_path):
+    """Geo and AS CSVs form SEPARATE LPM tries (geoip.c:62-88 vs 91-181):
+    an AS /8 answer must survive a more-specific geo-only /16."""
+    import numpy as np
+
+    from xenoeye_spark.enrich.geoip import load_geodb_dir, make_geo_fn
+
+    gd = tmp_path / "geodb"
+    gd.mkdir()
+    (gd / "geo.csv").write_text("cidr,country\n10.0.0.0/8,XX\n10.1.0.0/16,YY\n")
+    (gd / "as.csv").write_text("cidr,asn,asd\n10.0.0.0/8,65001,TEST-AS\n")
+    geo_db, as_db = load_geodb_dir(str(gd))
+    ips = np.array([0x0A000001, 0x0A010001])
+    assert list(geo_db.lookup_np(ips, "country", "?")) == ["XX", "YY"]
+    assert list(as_db.lookup_np(ips, "asn", 0)) == ["65001", "65001"]
+
+    # the config wires it through to a filter context geo_fn
+    mo = tmp_path / "mo" / "m1"
+    mo.mkdir(parents=True)
+    (mo / "mo.conf").write_text('{"filter": "", "fwm": []}')
+    cfg = XenoeyeConfig.from_dict(
+        {"mo-dir": str(tmp_path / "mo"), "geodb": str(gd)}
+    )
+    eng = cfg.build_engine(exp_dir=str(tmp_path / "e"),
+                           state_dir=str(tmp_path / "s"))
+    assert eng.ctx.geo_fn is not None

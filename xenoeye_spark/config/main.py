@@ -90,12 +90,24 @@ class XenoeyeConfig:
 
         kw = dict(mo_dir=self.mo_dir, db_type=self.db_type,
                   ch_codec=self.ch_codec)
-        if self.iplists_dir and "ctx" not in overrides:
+        if "ctx" not in overrides and (self.iplists_dir or self.geodb):
             from xenoeye_spark.dsl.compiler import FilterContext
+            from xenoeye_spark.enrich.geoip import load_geodb_dir, make_geo_fn
             from xenoeye_spark.enrich.iplist import load_iplists_dir
 
-            lists = load_iplists_dir(self.iplists_dir)
-            if lists:
-                kw["ctx"] = FilterContext(iplists=lists)
+            lists = (
+                load_iplists_dir(self.iplists_dir) if self.iplists_dir else {}
+            )
+            geo_db, as_db = (
+                load_geodb_dir(self.geodb) if self.geodb else (None, None)
+            )
+            if lists or geo_db or as_db:
+                kw["ctx"] = FilterContext(
+                    iplists=lists,
+                    geo_fn=(
+                        make_geo_fn(geo_db, as_db)
+                        if (geo_db or as_db) else None
+                    ),
+                )
         kw.update(overrides)
         return Engine(**kw)

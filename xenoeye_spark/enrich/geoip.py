@@ -138,3 +138,47 @@ class GeoDB:
             for r in df.collect()
         ]
         return cls(rows)
+
+
+def load_geodb_dir(dir_path: str):
+    """Load a geodb directory of CSVs (header ``cidr,<attr>,...``) into
+    (geo_db, as_db). The reference ships binary tries (geo4.db/as4.db)
+    built offline by xemkgeodb from public CSV data (EXTRA.md:41-54);
+    this engine consumes the CSV form directly — same attrs, same LPM
+    semantics, no bespoke binary format. Geo and AS stay SEPARATE tries
+    exactly like the reference (geoip.c:62-88 vs 91-181): an AS /8 must
+    not be shadowed by a more-specific geo-only /16. Files named
+    ``as*.csv`` feed the AS db; every other csv feeds the geo db.
+    Returns (geo_db | None, as_db | None)."""
+    import csv
+    import os
+
+    if not os.path.isdir(dir_path):
+        return None, None
+    geo_rows: dict[str, dict] = {}
+    as_rows: dict[str, dict] = {}
+    for fname in sorted(os.listdir(dir_path)):
+        if not fname.endswith(".csv"):
+            continue
+        target = as_rows if fname.startswith("as") else geo_rows
+        with open(os.path.join(dir_path, fname), newline="") as fh:
+            for r in csv.DictReader(fh):
+                cidr = r.pop("cidr", None)
+                if cidr:
+                    target.setdefault(cidr, {}).update(r)
+    geo = GeoDB(list(geo_rows.items())) if geo_rows else None
+    asdb = GeoDB(list(as_rows.items())) if as_rows else None
+    return geo, asdb
+
+
+def make_geo_fn(geo_db: "GeoDB | None", as_db: "GeoDB | None"):
+    """FilterContext.geo_fn dispatching asn/asd to the AS trie and the
+    geography functions to the geo trie (filter.c:753-834)."""
+
+    def geo_fn(func: str, ip_col: Column) -> Column:
+        db = as_db if func in ("asn", "asd") else geo_db
+        if db is None:
+            raise ValueError(f"no geodb loaded for function {func!r}")
+        return db.lookup_expr(func, ip_col)
+
+    return geo_fn
