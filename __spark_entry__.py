@@ -62,16 +62,19 @@ from xenoeye_spark.operators.topn import top_n_with_others
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a driver table. events.parquet carries TIMESTAMP(NANOS) which
-    Spark's vectorized reader rejects; read nanos as long and rebuild a
-    (microsecond) timestamp column — DuckDB reads nanos natively, and all
-    queries only use >= second granularity, so the truncation is benign."""
+    """Load a driver table. Older testdata generations wrote events.ts as
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read nanos
+    as long and rebuild a microsecond timestamp in that case (all queries
+    use >= second granularity, so truncation is benign). Current testdata
+    writes a plain timestamp that Spark reads natively."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -859,7 +862,7 @@ WITH flows AS (
   SELECT * FROM flows
   WHERE proto = 6 AND src_host BETWEEN {_IP_BASE} AND {_IP_BASE + 1023}
 ), agg AS (
-  SELECT time, src_host, SUM(octets_v) AS octets FROM f GROUP BY 1, 2
+  SELECT time, src_host, CAST(SUM(octets_v) AS BIGINT) AS octets FROM f GROUP BY 1, 2
 ), ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY time ORDER BY octets DESC, src_host ASC
@@ -867,7 +870,7 @@ WITH flows AS (
 )
 SELECT time, src_host, octets FROM ranked WHERE rn <= 5
 UNION ALL
-SELECT time, NULL AS src_host, SUM(octets) AS octets
+SELECT time, NULL AS src_host, CAST(SUM(octets) AS BIGINT) AS octets
 FROM ranked WHERE rn > 5 GROUP BY time
 """,
         "sim_topk": """
@@ -892,7 +895,7 @@ WITH flows AS (
          CAST(event_id % 7 + 1 AS BIGINT) AS p
   FROM events
 )
-SELECT time, CAST(floor(o / p) AS BIGINT) AS ratio, SUM(o) AS octets
+SELECT time, CAST(floor(o / p) AS BIGINT) AS ratio, CAST(SUM(o) AS BIGINT) AS octets
 FROM flows GROUP BY time, ratio
 """,
     }
