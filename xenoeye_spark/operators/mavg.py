@@ -94,11 +94,15 @@ def mavg_rates(
         row["rate"] = [n / window_sec]
         return pd.DataFrame(row)
 
+    # Exact integer nanoseconds (micros * 1000): float seconds * 1e9 loses
+    # the low ~8 bits at 2024-era epochs and would desync from any oracle.
     prepped = df.select(
         *key_cols,
-        F.col(ts_col).cast("timestamp").cast("double").alias("_ts_sec"),
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).alias(
+            "_ts_ns"
+        ),
         F.col(val_col).cast("double").alias("_val"),
-    ).withColumn("_ts_ns", (F.col("_ts_sec") * F.lit(1e9)).cast("long"))
+    )
 
     return prepped.groupBy(*key_cols).applyInPandas(replay, schema=out_schema)
 
