@@ -302,8 +302,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mavg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving-average EWMA replay per key (monit-objects-mavg.c:571-593).
-    Order-sensitive recurrence -> no SQL oracle; rows-only check here,
-    exact scalar-oracle trajectory tests in tests/test_mavg.py."""
+    Oracle: DuckDB list_reduce left fold over per-key (t, v) ORDER BY t;
+    exact scalar-oracle trajectory tests also in tests/test_mavg.py."""
     ev = _t(spark, sf_dir, "events")
     keyed = ev.withColumn("k", (F.col("user_id") % 32).cast("long"))
     out = mavg_rates(keyed, ["k"], "value", window_sec=3600)
@@ -772,6 +772,26 @@ WITH w AS (
   SELECT doc_id, *, {lang_best} AS best FROM s
 )
 SELECT doc_id, {lang_case} AS lang_guess FROM b
+""",
+        "mavg_ewma": """
+-- EWMA decay recurrence (monit-objects-mavg.c:571-593) as a left fold:
+-- list_reduce over per-key (t, v) sorted by t; dt/T in int64-nanos double
+-- division matches the Spark replay bit-for-bit.
+WITH keyed AS (
+  SELECT user_id % 32 AS k, epoch_ns(ts) AS t, CAST(value AS DOUBLE) AS v
+  FROM events
+), agg AS (
+  SELECT k, list(struct_pack(t := t, n := v) ORDER BY t) AS pts
+  FROM keyed GROUP BY k
+), red AS (
+  SELECT k, list_reduce(pts, (acc, x) -> struct_pack(
+      t := x.t,
+      n := CASE WHEN x.t - acc.t >= 3600000000000 THEN x.n
+           ELSE acc.n - ((x.t - acc.t) / 3600000000000) * acc.n + x.n END
+  )) AS fin
+  FROM agg
+)
+SELECT k, round(fin.n / 3600, 6) AS rate FROM red
 """,
         "report_xe_rep": """
 WITH exported AS (
