@@ -220,3 +220,25 @@ def test_cosine_neardup_lsh_vs_exact(spark):
     assert len(exact) >= 10
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8            # multi-table LSH recovers most pairs
+
+
+def test_cosine_neardup_blocked_matches_single_block(spark):
+    """The distributed block-pair path (block_rows small -> many blocks)
+    must emit exactly the single-block result: every unordered pair seen
+    once, cross-block id ordering normalized to id_a < id_b."""
+    from xenoeye_spark.datapipe.similarity import cosine_neardup_pairs
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8)
+    vecs = np.vstack([base, base[:15] + rng.randn(15, 8) * 0.03])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    one = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cosine_neardup_pairs(df, threshold=0.9).collect()}
+    many = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in cosine_neardup_pairs(
+                df, threshold=0.9, block_rows=7).collect()}
+    assert many == one
+    assert len(one) >= 15
+    assert all(a < b for (a, b) in one)

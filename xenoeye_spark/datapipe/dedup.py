@@ -115,7 +115,6 @@ def ngram_jaccard_pairs(
     path. Pass ``shingles`` (a ``shingle_table`` result) to reuse an
     already-built table. Output: id_a < id_b, jaccard double.
     """
-    ncpu = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     sh = shingles if shingles is not None else shingle_table(
         docs, n, text_col, id_col
     )
@@ -192,17 +191,16 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        pairs = (
-            cand_ids.join(F.broadcast(sh_a), "id_a")
-            .join(F.broadcast(sh_b), "id_b")
-        )
+        pairs = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
     else:
-        # candidate verification: the shingle table is per-doc (small next
-        # to the pair set) — broadcast it to keep candidates shuffle-free
+        # candidate verification: plain shuffle joins on id — the shingle
+        # table is O(corpus) (TB-sized at 100 TB input) so it must NEVER
+        # be broadcast; post-LSH candidates are the small side and AQE
+        # will pick a broadcast of THAT side when it fits
         pairs = (
             candidates.select("id_a", "id_b")
-            .join(F.broadcast(sh_a), "id_a")
-            .join(F.broadcast(sh_b), "id_b")
+            .join(sh_a, "id_a")
+            .join(sh_b, "id_b")
         )
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     union = (F.col("_sz_a") + F.col("_sz_b") - inter).cast("int")
@@ -287,13 +285,23 @@ def lsh_candidate_pairs(
     bands: int = 32,
     id_col: str = "doc_id",
     sig_len: int | None = None,
+    max_bucket_size: int | None = 1000,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: docs sharing any band bucket
     become candidate pairs (id_a < id_b, distinct).
 
-    The shuffle key is (band_idx, hash-of-band-slice) — bucket sizes follow
-    data duplication structure; pair explosion within a bucket is quadratic,
-    so at scale cap bucket size (skew guard) before pairing.
+    The self-join is an equi-join keyed (band, bucket) — one shuffle of the
+    banded table (bands x n_docs rows of 3 longs), never a broadcast of an
+    O(corpus) side. ``broadcast=True`` opts into broadcasting the probe
+    side for small corpora where the whole banded table fits in an
+    executor; it is never the default.
+
+    ``max_bucket_size`` is the skew guard: pair explosion within a bucket
+    is quadratic, and degenerate buckets (empty docs, boilerplate) can
+    hold a large fraction of the corpus. Buckets above the cap are dropped
+    before pairing — a doc pair colliding in ANY other band still
+    surfaces, which is exactly the banded-LSH contract. None disables.
 
     Pass ``sig_len`` (= num_hashes) to avoid materializing the signature
     stage twice just to learn the array length.
@@ -311,18 +319,23 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # the banded table is bands x n_docs rows of 3 longs — broadcast the
-    # probe side so bucket matching runs map-side (no shuffle); at corpus
-    # scale swap to a shuffle join on (band, bucket) by dropping broadcast
-    return (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_bucket_size is not None:
+        # one extra aggregate on the SAME (band, bucket) key the join
+        # shuffles on; the sizes table is tiny (distinct buckets) so the
+        # gate join back is broadcast-able by AQE
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
         )
+        banded = banded.join(
+            sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
+            ["band", "bucket"],
+            "leftsemi",
+        )
+    a = banded.alias("a")
+    b = F.broadcast(banded.alias("b")) if broadcast else banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -146,54 +146,85 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    block_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
 
-    Exact all-pairs via blocked matmul: the corpus matrix (N x D float64)
-    is collected once (single Arrow transfer) and broadcast; each Arrow
-    batch of corpus rows then computes a (block x N) similarity matmul in
-    numpy and emits only above-threshold pairs — the FAISS-style brute
-    kernel, O(N^2) FLOPs but vectorized and shuffle-free. The executor
-    bound is the N*D*8-byte broadcast matrix; past that, generate
-    candidates with ``cosine_neardup_lsh`` and verify only those.
+    Exact all-pairs via DISTRIBUTED block-pair matmul: rows hash into B
+    blocks (B = ceil(N / block_rows)); each row is replicated into the B
+    unordered block-pair groups it belongs to, and each (i, j) group
+    computes one numpy (|i| x |j|) similarity matmul, emitting only
+    above-threshold pairs — the FAISS-style brute kernel, O(N^2) FLOPs
+    total, sharded as O(N^2/B^2) per task. Nothing touches the driver and
+    nothing is broadcast: shuffle volume is N*B rows and per-task memory
+    two blocks (~2 * block_rows * D * 8 bytes), both tunable via
+    ``block_rows``. O(N^2) FLOPs still rule at corpus scale — generate
+    candidates with ``cosine_neardup_lsh`` there and verify only those.
     """
-    spark = corpus.sparkSession
     base = corpus.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    pdf = base.toPandas()
-    ids_all = pdf["_id"].to_numpy(dtype=np.int64)
-    mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
-    norms_all = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_all, mat, norms_all))
+    n = base.count()
+    n_blocks = max(1, -(-n // block_rows))
 
-    def run(batches):
-        b_ids_all, b_mat, b_norms = bc.value
-        safe = np.where(b_norms == 0.0, 1.0, b_norms)
-        for block in batches:
-            if not len(block):
-                continue
-            ids_b = block["_id"].to_numpy(dtype=np.int64)
-            m = np.array(block["_v"].tolist(), dtype=np.float64)
-            nb = np.sqrt((m * m).sum(axis=1))
-            sim = (m @ b_mat.T) / (np.where(nb == 0.0, 1.0, nb)[:, None] * safe[None, :])
-            # zero-norm rows define cosine = 0 (see cosine())
-            sim[nb == 0.0, :] = 0.0
-            sim[:, b_norms == 0.0] = 0.0
-            if round_digits is not None:
-                sim = np.round(sim, round_digits)
-            mask = (sim >= threshold) & (ids_b[:, None] < b_ids_all[None, :])
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": ids_b[ai],
-                    "id_b": b_ids_all[bi],
-                    "cosine": sim[ai, bi],
-                }
+    rep = (
+        base.withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks))
+        )
+        .withColumn(
+            "_j", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .select(
+            F.least("_blk", F.col("_j").cast("long")).alias("_gi"),
+            F.greatest("_blk", F.col("_j").cast("long")).alias("_gj"),
+            "_blk", "_id", "_v",
+        )
+    )
+
+    def pair_block(key, pdf):
+        gi, gj = key
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        safe = np.where(norms == 0.0, 1.0, norms)
+        if gi == gj:
+            ia = np.arange(len(ids))
+            ib = ia
+        else:
+            blk = pdf["_blk"].to_numpy(dtype=np.int64)
+            ia = np.nonzero(blk == gi)[0]
+            ib = np.nonzero(blk == gj)[0]
+        if not len(ia) or not len(ib):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
+        sim = (m[ia] @ m[ib].T) / (safe[ia][:, None] * safe[ib][None, :])
+        # zero-norm rows define cosine = 0 (see cosine())
+        sim[norms[ia] == 0.0, :] = 0.0
+        sim[:, norms[ib] == 0.0] = 0.0
+        if round_digits is not None:
+            sim = np.round(sim, round_digits)
+        # id order, not block order, decides (id_a, id_b). Same-block
+        # groups scan the full square, so id_a < id_b dedups each pair;
+        # cross-block groups see each unordered pair exactly once (blocks
+        # are disjoint) — keep all hits and emit (min, max).
+        mask = sim >= threshold
+        if gi == gj:
+            mask &= ids[ia][:, None] < ids[ib][None, :]
+        ai, bi = np.nonzero(mask)
+        id_l, id_r = ids[ia][ai], ids[ib][bi]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(id_l, id_r),
+                "id_b": np.maximum(id_l, id_r),
+                "cosine": sim[ai, bi],
+            }
+        )
 
-    return base.mapInPandas(run, schema="id_a long, id_b long, cosine double")
+    return rep.groupBy("_gi", "_gj").applyInPandas(
+        pair_block, schema="id_a long, id_b long, cosine double"
+    )
 
 
 def kmeans_lite(
