@@ -151,7 +151,7 @@ def test_v9_unknown_template_skipped():
     assert len(rows) == 1  # same packet carries its template
     data = build_v9(tpl, [(2,)], tid=300)
     assert parse_netflow_v9(data, TemplateStore(), dev_ip=99) == [
-        {"ip4_src_addr": 2}
+        {"ip4_src_addr": 2, "dev_id": 7}
     ]  # template travels in-packet here too
 
 
@@ -161,14 +161,14 @@ def test_ipfix_varlen_and_enterprise():
     pkt = build_ipfix(tpl, [(0x0A000001, "eth0", 999)])
     rows = parse_ipfix(pkt, TemplateStore(), dev_ip=5)
     assert rows == [{"ip4_src_addr": 0x0A000001, "if_name": "eth0",
-                     "in_bytes": 999}]
+                     "in_bytes": 999, "dev_id": 7}]
 
 
 def test_ipfix_unknown_field_skipped():
     tpl = [(8, 4), (9999, 2), (1, 4)]   # 9999 not in FIELD_IDS
     pkt = build_ipfix(tpl, [(7, 0, 1234)])
     rows = parse_ipfix(pkt, TemplateStore())
-    assert rows == [{"ip4_src_addr": 7, "in_bytes": 1234}]
+    assert rows == [{"ip4_src_addr": 7, "in_bytes": 1234, "dev_id": 7}]
 
 
 def test_version_dispatch():
@@ -327,3 +327,61 @@ def test_fwm_sql_export_clickhouse_dialect(spark, tmp_path):
                           db_type="clickhouse")
     sql = open(path).read()
     assert "Nullable(Int64)" in sql and "ENGINE = MergeTree" in sql
+
+
+def test_daemon_sampling_e2e(spark):
+    """The round-2 verdict's #1 bug: v9/IPFIX flows must carry
+    dev_id=source_id so devices.conf sampling actually applies in the
+    daemon decode path (virtual_fields_init, netflow.c:110-121 +
+    device_get_sampling_rate, devices.c:199-232)."""
+    from xenoeye_spark.enrich.devices import DeviceConfig, apply_devices
+
+    tpl = [(8, 4), (1, 4)]
+    pkts = [
+        # router 10.0.0.1, source_id 7 -> both-keys entry, rate 512
+        (build_v9(tpl, [(0x0A000001, 100)], source_id=7), 0x0A000001, 1.7e9),
+        # router 10.0.0.1, source_id 9 -> ip-only entry, rate 100
+        (build_v9(tpl, [(0x0A000002, 100)], source_id=9), 0x0A000001, 1.7e9),
+        # router 10.0.0.2, any source_id -> id-only entry matches id 9
+        (build_ipfix(tpl, [(0x0A000003, 100)], source_id=9), 0x0A000002, 1.7e9),
+        # unknown router, unknown id -> default rate 1
+        (build_v9(tpl, [(0x0A000004, 100)], source_id=77), 0x0A000009, 1.7e9),
+    ]
+    df = spark.createDataFrame(
+        pkts, "data binary, dev_ip long, recv_ts double"
+    ).withColumn("recv_ts", F.col("recv_ts").cast("timestamp"))
+    flows = decode_packets_df(df)
+
+    devices = [
+        DeviceConfig(ip=0x0A000001, id=7, sampling_rate=512,
+                     use_ip=True, use_id=True),
+        DeviceConfig(ip=0x0A000001, sampling_rate=100, use_ip=True),
+        DeviceConfig(id=9, sampling_rate=2000, use_ip=False, use_id=True),
+    ]
+    out = apply_devices(flows, devices)
+    got = {r["ip4_src_addr"]: (r["dev_id"], r["sampling_rate"])
+           for r in out.collect()}
+    assert got == {
+        0x0A000001: (7, 512),    # both-keys, first match
+        0x0A000002: (9, 100),    # ip-only beats the later id-only entry
+        0x0A000003: (9, 2000),   # id-only entry
+        0x0A000004: (77, 1),     # no match -> default
+    }
+    # sampled counters: aggregables multiply by rate (STEP-BY-STEP.md:181)
+    tot = (
+        out.groupBy()
+        .agg(F.sum(F.col("in_bytes") * F.col("sampling_rate")).alias("b"))
+        .first()["b"]
+    )
+    assert tot == 100 * (512 + 100 + 2000 + 1)
+
+
+def test_v5_dev_id_is_engine_id():
+    """v5: fpi->source_id = header engine_id (netflow.c:742)."""
+    hdr = struct.pack(">HHIIIIBBH", 5, 1, 0, 1700000000, 0, 1, 0, 3, 0)
+    rec = struct.pack(
+        ">IIIHHIIIIHHBBBBHHBBH",
+        1, 2, 0, 0, 0, 1, 100, 0, 0, 10, 20, 0, 0, 6, 0, 0, 0, 0, 0, 0,
+    )
+    rows = parse_netflow_v5(hdr + rec)
+    assert rows[0]["dev_id"] == 3

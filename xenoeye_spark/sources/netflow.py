@@ -86,7 +86,7 @@ _V5_FIELDS = (
 def parse_netflow_v5(data: bytes) -> list[dict]:
     if len(data) < _V5_HDR.size:
         return []
-    (ver, count, _sysup, _secs, _nsecs, _seq, _etype, _eid,
+    (ver, count, _sysup, _secs, _nsecs, _seq, _etype, eid,
      sampling) = _V5_HDR.unpack_from(data, 0)
     if ver != 5:
         return []
@@ -101,6 +101,10 @@ def parse_netflow_v5(data: bytes) -> list[dict]:
         row = {
             k: v for k, v in zip(_V5_FIELDS, vals) if not k.startswith("_")
         }
+        # virtual dev_id = v5 engine_id (netflow.c:742 sets
+        # fpi->source_id = pkt->header.engine_id, stamped on every flow
+        # by virtual_fields_init, netflow.c:110-121)
+        row["dev_id"] = eid
         if rate:
             row["sampling_rate"] = rate
         rows.append(row)
@@ -228,6 +232,11 @@ def parse_netflow_v9(data: bytes, store: TemplateStore, dev_ip: int = 0) -> list
             if tpl is not None:
                 rows.extend(_decode_data_records(body, tpl, varlen_ok=False))
         off += flen
+    # virtual dev_id = v9 header source_id on every flow
+    # (netflow.c:329 + virtual_fields_init netflow.c:110-121); without it
+    # devices.conf id-matching never fires and sampling is silently 1.
+    for row in rows:
+        row["dev_id"] = source_id
     return rows
 
 
@@ -254,6 +263,9 @@ def parse_ipfix(data: bytes, store: TemplateStore, dev_ip: int = 0) -> list[dict
             if tpl is not None:
                 rows.extend(_decode_data_records(body, tpl, varlen_ok=True))
         off += slen
+    # virtual dev_id = IPFIX observation_domain (netflow.c:638)
+    for row in rows:
+        row["dev_id"] = source_id
     return rows
 
 
