@@ -781,7 +781,7 @@ WITH keyed AS (
   SELECT user_id % 32 AS k, epoch_ns(ts) AS t, CAST(value AS DOUBLE) AS v
   FROM events
 ), agg AS (
-  SELECT k, list(struct_pack(t := t, n := v) ORDER BY t) AS pts
+  SELECT k, list(struct_pack(t := t, n := v) ORDER BY t, v) AS pts
   FROM keyed GROUP BY k
 ), red AS (
   SELECT k, list_reduce(pts, (acc, x) -> struct_pack(

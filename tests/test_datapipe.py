@@ -242,3 +242,52 @@ def test_cosine_neardup_blocked_matches_single_block(spark):
     assert many == one
     assert len(one) >= 15
     assert all(a < b for (a, b) in one)
+
+
+def test_cosine_neardup_strip_tiling_matches(spark):
+    """sim_tile_bytes small enough to force multi-strip matmuls must not
+    change the emitted pairs (the strip loop is a pure memory bound)."""
+    from xenoeye_spark.datapipe.similarity import cosine_neardup_pairs
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, 8)
+    vecs = np.vstack([base, base[:10] + rng.randn(10, 8) * 0.02])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    whole = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in cosine_neardup_pairs(df, threshold=0.9).collect()}
+    # 16 bytes / (|ib| * 8) -> strips of 1 row; n_rows exercises the
+    # precomputed-count path
+    striped = {(r["id_a"], r["id_b"]): r["cosine"]
+               for r in cosine_neardup_pairs(
+                   df, threshold=0.9, block_rows=9, n_rows=len(vecs),
+                   sim_tile_bytes=16).collect()}
+    assert striped == whole
+    assert len(whole) >= 10
+
+
+def test_lsh_dropped_bucket_stats(spark):
+    """stats out-param surfaces the skew-guard recall trade
+    (ADVICE round 2): oversized buckets are counted, not silently lost."""
+    from xenoeye_spark.datapipe.dedup import lsh_candidate_pairs, minhash_signatures
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text body") for i in range(20)]
+        + [(100 + i, f"unique document number {i} with words {i*7}")
+           for i in range(5)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=16)
+    stats: dict = {}
+    pairs = lsh_candidate_pairs(
+        sigs, bands=4, max_bucket_size=10, stats=stats
+    ).collect()
+    # the 20 identical docs collide in every band's bucket (size 20 > 10)
+    assert stats["dropped_buckets"] >= 1
+    assert stats["dropped_rows"] >= 20
+    dropped_ids = set(range(20))
+    assert all(r["id_a"] not in dropped_ids for r in pairs)
+
+    stats2: dict = {}
+    lsh_candidate_pairs(sigs, bands=4, max_bucket_size=None, stats=stats2)
+    assert stats2 == {}  # guard disabled -> nothing computed

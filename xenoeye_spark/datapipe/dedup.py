@@ -287,6 +287,7 @@ def lsh_candidate_pairs(
     sig_len: int | None = None,
     max_bucket_size: int | None = 1000,
     broadcast: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: docs sharing any band bucket
     become candidate pairs (id_a < id_b, distinct).
@@ -302,6 +303,10 @@ def lsh_candidate_pairs(
     hold a large fraction of the corpus. Buckets above the cap are dropped
     before pairing — a doc pair colliding in ANY other band still
     surfaces, which is exactly the banded-LSH contract. None disables.
+    Dropping is a recall trade: pass ``stats={}`` to have it filled
+    eagerly (one extra small job over the bucket-size table) with
+    ``dropped_buckets`` / ``dropped_rows`` so silent recall loss is
+    observable; a warning is logged when anything was dropped.
 
     Pass ``sig_len`` (= num_hashes) to avoid materializing the signature
     stage twice just to learn the array length.
@@ -326,6 +331,25 @@ def lsh_candidate_pairs(
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_bsz")
         )
+        if stats is not None:
+            over = (
+                sizes.filter(F.col("_bsz") > max_bucket_size)
+                .agg(
+                    F.count(F.lit(1)).alias("b"),
+                    F.coalesce(F.sum("_bsz"), F.lit(0)).alias("r"),
+                )
+                .first()
+            )
+            stats["dropped_buckets"] = int(over["b"])
+            stats["dropped_rows"] = int(over["r"])
+            if over["b"]:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "lsh_candidate_pairs: dropped %d oversized buckets "
+                    "(%d banded rows) at max_bucket_size=%d",
+                    over["b"], over["r"], max_bucket_size,
+                )
         banded = banded.join(
             sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
             ["band", "bucket"],

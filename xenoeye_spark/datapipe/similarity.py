@@ -147,25 +147,38 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     round_digits: int | None = 6,
     block_rows: int = 100_000,
+    n_rows: int | None = None,
+    sim_tile_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
 
     Exact all-pairs via DISTRIBUTED block-pair matmul: rows hash into B
     blocks (B = ceil(N / block_rows)); each row is replicated into the B
     unordered block-pair groups it belongs to, and each (i, j) group
-    computes one numpy (|i| x |j|) similarity matmul, emitting only
-    above-threshold pairs — the FAISS-style brute kernel, O(N^2) FLOPs
-    total, sharded as O(N^2/B^2) per task. Nothing touches the driver and
-    nothing is broadcast: shuffle volume is N*B rows and per-task memory
-    two blocks (~2 * block_rows * D * 8 bytes), both tunable via
-    ``block_rows``. O(N^2) FLOPs still rule at corpus scale — generate
-    candidates with ``cosine_neardup_lsh`` there and verify only those.
+    computes the (|i| x |j|) similarity matmul in row strips, emitting
+    only above-threshold pairs — the FAISS-style brute kernel, O(N^2)
+    FLOPs total, sharded as O(N^2/B^2) per task. Nothing touches the
+    driver and nothing is broadcast.
+
+    Costs (D = embedding dim, 8-byte doubles):
+      - shuffle volume: N*B rows, each carrying the full embedding —
+        ~N * B * D * 8 bytes;
+      - per-task memory: two blocks of embeddings
+        (~2 * block_rows * D * 8 bytes) PLUS one strip of the similarity
+        matrix, capped at ``sim_tile_bytes`` — the matmul iterates the
+        left block in strips of ~sim_tile_bytes / (|j| * 8) rows, so the
+        full block_rows^2 matrix is never materialized.
+
+    ``n_rows``: pass the corpus row count if known to skip the sizing
+    ``count()`` (which otherwise re-evaluates the upstream lineage).
+    O(N^2) FLOPs still rule at corpus scale — generate candidates with
+    ``cosine_neardup_lsh`` there and verify only those.
     """
     base = corpus.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    n = base.count()
+    n = base.count() if n_rows is None else int(n_rows)
     n_blocks = max(1, -(-n // block_rows))
 
     rep = (
@@ -195,32 +208,45 @@ def cosine_neardup_pairs(
             blk = pdf["_blk"].to_numpy(dtype=np.int64)
             ia = np.nonzero(blk == gi)[0]
             ib = np.nonzero(blk == gj)[0]
-        if not len(ia) or not len(ib):
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
-        sim = (m[ia] @ m[ib].T) / (safe[ia][:, None] * safe[ib][None, :])
-        # zero-norm rows define cosine = 0 (see cosine())
-        sim[norms[ia] == 0.0, :] = 0.0
-        sim[:, norms[ib] == 0.0] = 0.0
-        if round_digits is not None:
-            sim = np.round(sim, round_digits)
-        # id order, not block order, decides (id_a, id_b). Same-block
-        # groups scan the full square, so id_a < id_b dedups each pair;
-        # cross-block groups see each unordered pair exactly once (blocks
-        # are disjoint) — keep all hits and emit (min, max).
-        mask = sim >= threshold
-        if gi == gj:
-            mask &= ids[ia][:, None] < ids[ib][None, :]
-        ai, bi = np.nonzero(mask)
-        id_l, id_r = ids[ia][ai], ids[ib][bi]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(id_l, id_r),
-                "id_b": np.maximum(id_l, id_r),
-                "cosine": sim[ai, bi],
-            }
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
         )
+        if not len(ia) or not len(ib):
+            return empty
+        # strip the left block so the sim matrix never exceeds
+        # sim_tile_bytes (the naive |ia| x |ib| float64 matrix would be
+        # block_rows^2 * 8 B ~ 80 GB at the default block size)
+        step = max(1, sim_tile_bytes // (len(ib) * 8))
+        zero_b = norms[ib] == 0.0
+        parts = []
+        for s in range(0, len(ia), step):
+            sl = ia[s:s + step]
+            sim = (m[sl] @ m[ib].T) / (safe[sl][:, None] * safe[ib][None, :])
+            # zero-norm rows define cosine = 0 (see cosine())
+            sim[norms[sl] == 0.0, :] = 0.0
+            sim[:, zero_b] = 0.0
+            if round_digits is not None:
+                sim = np.round(sim, round_digits)
+            # id order, not block order, decides (id_a, id_b). Same-block
+            # groups scan the full square, so id_a < id_b dedups each
+            # pair; cross-block groups see each unordered pair exactly
+            # once (blocks are disjoint) — keep all hits, emit (min, max).
+            mask = sim >= threshold
+            if gi == gj:
+                mask &= ids[sl][:, None] < ids[ib][None, :]
+            ai, bi = np.nonzero(mask)
+            if len(ai):
+                id_l, id_r = ids[sl][ai], ids[ib][bi]
+                parts.append(pd.DataFrame(
+                    {
+                        "id_a": np.minimum(id_l, id_r),
+                        "id_b": np.maximum(id_l, id_r),
+                        "cosine": sim[ai, bi],
+                    }
+                ))
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
 
     return rep.groupBy("_gi", "_gj").applyInPandas(
         pair_block, schema="id_a long, id_b long, cosine double"

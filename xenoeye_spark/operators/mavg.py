@@ -79,7 +79,11 @@ def mavg_rates(
     out_schema = T.StructType(out_fields)
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_ts_ns", kind="mergesort")
+        # secondary sort on value pins fold order for duplicate
+        # timestamps: dt=0 rows just add v (tie-order-invariant in exact
+        # arithmetic) but FP association differs, so an oracle comparing
+        # bit-for-bit needs both sides to agree on tie order
+        pdf = pdf.sort_values(["_ts_ns", "_val"], kind="mergesort")
         n, tprev = ewma_replay_py(
             pdf["_ts_ns"].to_numpy(), pdf["_val"].to_numpy(), window_ns
         )
