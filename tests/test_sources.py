@@ -385,3 +385,46 @@ def test_v5_dev_id_is_engine_id():
     )
     rows = parse_netflow_v5(hdr + rec)
     assert rows[0]["dev_id"] == 3
+
+
+def test_sflow_daemon_dispatch_e2e(spark):
+    """Round-2 verdict #2: an sFlow v5 datagram (4-byte version word
+    0x00000005, first half-word 0) must route through parse_packet to the
+    sFlow decoder instead of being read as ver=0 and dropped — the
+    reference runs sFlow as a first-class capture (sflow.c:293-405).
+    Covers the full daemon decode path: raw datagram -> decode_packets_df
+    -> fwm-style aggregation, with sampling and agent identity intact."""
+    frame_a = build_eth_ipv4_tcp(0xC0A80001, 0xC0A80002, 40000, 443)
+    frame_b = build_eth_ipv4_tcp(0xC0A80003, 0xC0A80002, 40001, 443)
+    sflow_pkt = build_sflow([frame_a, frame_b], agent=0x0A0B0C0D, rate=256)
+    v5_pkt = build_v5([dict(src=0x0A000001, dst=0x0A000002, pkts=1,
+                            octets=100, sport=1, dport=80, proto=6)])
+
+    # direct dispatch: sFlow no longer reads as version 0
+    assert len(parse_packet(sflow_pkt, TemplateStore())) == 2
+
+    df = spark.createDataFrame(
+        [(sflow_pkt, 0x7F000001, 1.7e9), (v5_pkt, 0x0A000001, 1.7e9)],
+        "data binary, dev_ip long, recv_ts double",
+    ).withColumn("recv_ts", F.col("recv_ts").cast("timestamp"))
+    flows = decode_packets_df(df)
+    rows = flows.select(
+        "dev_ip", "dev_id", "ip4_src_addr", "in_bytes", "in_pkts",
+        "l4_dst_port", "sampling_rate",
+    ).orderBy("ip4_src_addr").collect()
+    assert len(rows) == 3
+    v5_row, sa, sb = rows
+    # sFlow rows keep the datagram's agent address, not the UDP source
+    assert sa["dev_ip"] == 0x0A0B0C0D and sb["dev_ip"] == 0x0A0B0C0D
+    assert sa["dev_id"] == 0  # sub-agent id (sflow-impl.h:350)
+    assert sa["sampling_rate"] == 256
+    assert sa["l4_dst_port"] == 443
+    assert v5_row["dev_ip"] == 0x0A000001 and v5_row["sampling_rate"] == 1
+    # fwm over the mixed stream: sampled packet counters
+    agg = (
+        flows.groupBy("l4_dst_port")
+        .agg(F.sum(F.col("in_pkts") * F.col("sampling_rate")).alias("pkts"))
+        .orderBy("l4_dst_port")
+        .collect()
+    )
+    assert {r["l4_dst_port"]: r["pkts"] for r in agg} == {80: 1, 443: 512}

@@ -55,7 +55,14 @@ class Engine:
         self.ctx = ctx or FilterContext()
         self.exp_dir = exp_dir
         self.state_dir = state_dir
-        self.checkpoint_root = checkpoint_root
+        # Default checkpoints under state_dir: the reference persists
+        # templates and mavg state across restarts (tkvdb); without a
+        # checkpoint every daemon restart would reprocess the spool and
+        # re-emit NEW alerts / SQL exports. Pass "" to disable (tests
+        # that drive one-shot batches without replay semantics).
+        if checkpoint_root is None:
+            checkpoint_root = os.path.join(state_dir, "checkpoints")
+        self.checkpoint_root = checkpoint_root or None
         self.db_type = db_type
         self.ch_codec = ch_codec
         self.run_scripts = run_scripts
@@ -107,9 +114,14 @@ class Engine:
             for ol, under in levels:
                 kind = "under" if under else "mavg"
                 qname = f"{name}.{kind}.{mavg.name}.{vf.sql_name}.{ol.name}"
+                # fallback when no default vector: overlimit -> +inf
+                # (never trips, safe); underlimit -> 0.0 (rate < 0 never
+                # holds) — an inf underlimit threshold would put every
+                # key permanently in breach after the grace window
+                fallback = 0.0 if under else float("inf")
                 default = (
                     ol.default[vi] if vi < len(ol.default)
-                    else (ol.default[0] if ol.default else float("inf"))
+                    else (ol.default[0] if ol.default else fallback)
                 )
                 per_key = (
                     load_limits_csv(ol.limits_file, len(key_names))

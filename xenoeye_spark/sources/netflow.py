@@ -270,7 +270,13 @@ def parse_ipfix(data: bytes, store: TemplateStore, dev_ip: int = 0) -> list[dict
 
 
 def parse_packet(data: bytes, store: TemplateStore, dev_ip: int = 0) -> list[dict]:
-    """Version-dispatched decode of one export packet (netflow.c:788-822)."""
+    """Version-dispatched decode of one export packet (netflow.c:788-822).
+
+    NetFlow/IPFIX carry a 2-byte version (5/9/10); sFlow v5 starts with
+    a 4-byte version word 0x00000005 whose first 2 bytes read as 0 — so
+    a leading 0 half-word dispatches on the full 32-bit word to the
+    sFlow decoder (the reference runs sFlow as a separate first-class
+    capture, sflow.c:293-405; one bridged spool serves both here)."""
     if len(data) < 2:
         return []
     ver = struct.unpack_from(">H", data, 0)[0]
@@ -280,6 +286,11 @@ def parse_packet(data: bytes, store: TemplateStore, dev_ip: int = 0) -> list[dic
         return parse_netflow_v9(data, store, dev_ip)
     if ver == 10:
         return parse_ipfix(data, store, dev_ip)
+    if ver == 0 and len(data) >= 4 \
+            and struct.unpack_from(">I", data, 0)[0] == 5:
+        from xenoeye_spark.sources.sflow import parse_sflow
+
+        return parse_sflow(data)
     return []
 
 
@@ -315,7 +326,11 @@ def decode_packets_df(
                 pdf[data_col], pdf[dev_ip_col], pdf[ts_col]
             ):
                 for row in parse_packet(bytes(data), store, int(dev_ip)):
-                    row["dev_ip"] = int(dev_ip)
+                    # sFlow rows carry the datagram's agent address as
+                    # dev_ip (the reference's device identity,
+                    # sflow-impl.h:334); NetFlow rows take the UDP
+                    # source address seen by the bridge
+                    row.setdefault("dev_ip", int(dev_ip))
                     row["ts"] = ts
                     row.setdefault("sampling_rate", 1)
                     out_rows.append(row)

@@ -148,7 +148,7 @@ def parse_sflow(data: bytes) -> list[dict]:
         return []
     if off + 12 > len(data):
         return []
-    _sub_agent, _seq, _uptime = struct.unpack_from(">III", data, off)
+    sub_agent, _seq, _uptime = struct.unpack_from(">III", data, off)
     off += 12
     if off + 4 > len(data):
         return []
@@ -171,6 +171,9 @@ def parse_sflow(data: bytes) -> list[dict]:
         elif fmt == _FLOW_SAMPLE_EXPANDED:
             rows.extend(_parse_flow_sample(body, expanded=True, agent=agent_ip4))
         # counter samples skipped (sflow.c parity)
+    # virtual dev_id = sub-agent id (sflow-impl.h:350 + sflow_reset:275-280)
+    for row in rows:
+        row["dev_id"] = sub_agent
     return rows
 
 
