@@ -3,14 +3,20 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed to completion (count-collapsed via a noop write to
-force full materialization of every row, not just the first partition).
+Robust timing (round-2 verdict: the box shows ±35% run-to-run noise):
+every query and the flows/sec probe run SPARK_GRAFT_REPS times (default
+3); the reported figure is the MEDIAN, with per-query min and spread
+(max-min) emitted alongside so a noisy run is visible instead of silently
+polluting the headline number. Each query is executed to completion via a
+noop write to force full materialization of every row, not just the
+first partition.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", 3)))
 
     import __spark_entry__ as entrymod
     from xenoeye_spark.session import get_spark
@@ -32,7 +39,6 @@ def main() -> None:
     if only:
         keep = [q.strip() for q in only.split(",") if q.strip()]
         qmap = {k: v for k, v in qmap.items() if k in keep}
-    timings: dict[str, float] = {}
 
     # warm up the JVM + parquet footers + the Python/Arrow worker pool once
     # so per-query timings measure the query, not session bring-up (the
@@ -42,49 +48,86 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    for name, fn in qmap.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # force full materialization of every output row JVM-side
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    total = round(sum(timings.values()), 3)
-
     # flows/sec probe against BASELINE.md's ~700K fps/CPU reference
     # number: run the flagship standing-query shape (DSL filter -> windowed
     # groupBy-SUM -> top-N+others) over synthetic in-memory flows so the
-    # figure measures the engine, not parquet IO
+    # figure measures the engine, not parquet IO. One untimed warm-up run
+    # lets the JIT compile the generated stages first — the reference's
+    # tcpreplay runs are minutes of steady state, so warmed throughput is
+    # the comparable figure. The probe runs BEFORE the query suite: 96
+    # preceding jobs leave the JVM with GC/memory pressure that halves
+    # the probe, which would measure session history, not the engine.
     from pyspark.sql import functions as F
     from xenoeye_spark.config.mo import MoConfig
 
-    n_flows = int(os.environ.get("SPARK_GRAFT_FPS_ROWS", 10_000_000))
-    flows = spark.range(n_flows).select(
-        F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") % 86400)).alias("ts"),
-        (F.lit(167772160) + F.col("id") % 4096).alias("ip4_src_addr"),
-        (F.lit(167772160) + F.col("id") % 1024).alias("ip4_dst_addr"),
-        (F.col("id") % 1500 + 40).alias("in_bytes"),
-        F.when(F.col("id") % 3 == 0, 17).otherwise(6).alias("protocol"),
-    )
+    n_flows = int(os.environ.get("SPARK_GRAFT_FPS_ROWS", 100_000_000))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def probe_flows(n):
+        return spark.range(n).select(
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") % 86400)
+            ).alias("ts"),
+            (F.lit(167772160) + F.col("id") % 4096).alias("ip4_src_addr"),
+            (F.lit(167772160) + F.col("id") % 1024).alias("ip4_dst_addr"),
+            (F.col("id") % 1500 + 40).alias("in_bytes"),
+            F.when(F.col("id") % 3 == 0, 17).otherwise(6).alias("protocol"),
+        )
+
     mo = MoConfig.from_dict(
         {"filter": "proto 6 and src net 10.0.0.0/22",
          "fwm": [{"name": "bench", "fields": ["octets desc", "src host"],
                   "time": 3600, "limit": 10}]},
         name="fps",
     )
-    t0 = time.perf_counter()
-    mo.fwm_result(flows, mo.fwm[0]).write.format("noop").mode("overwrite").save()
-    fps = round(n_flows / (time.perf_counter() - t0))
+
+    def run_probe(n):
+        t0 = time.perf_counter()
+        mo.fwm_result(probe_flows(n), mo.fwm[0]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    run_probe(min(n_flows, 1_000_000))  # untimed JIT warm-up
+    fps_runs = [n_flows / run_probe(n_flows) for _ in range(reps)]
+    fps = round(statistics.median(fps_runs))
+    fps_min, fps_max = round(min(fps_runs)), round(max(fps_runs))
+
+    timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    timings_spread: dict[str, float] = {}
+    for name, fn in qmap.items():
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # force full materialization of every output row JVM-side
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        timings_min[name] = round(min(runs), 3)
+        timings_spread[name] = round(max(runs) - min(runs), 3)
+
+    total = round(sum(timings.values()), 3)
+    total_min = round(sum(timings_min.values()), 3)
 
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "queries_spread": timings_spread,
+        "total_min": total_min,
+        "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flows_per_sec": fps,
+        "flows_per_sec_min": fps_min,
+        "flows_per_sec_max": fps_max,
+        "flows_per_sec_per_core": round(fps / cpus),
         "flows_per_sec_note": "synthetic flows through filter+fwm+topN, "
-                              f"n={n_flows}, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+                              f"median of {reps} warmed runs, n={n_flows}, "
+                              f"local[{cpus}]",
     }))
 
 
