@@ -384,3 +384,87 @@ def test_mo_reloader_detects_changes(tmp_path):
     changed = r.check()
     assert len(changed) == 1 and changed[0].filter == "proto 17"
     assert r.check() == []
+
+
+# ----------------------------------------------------------- exact mfreq
+
+def _mfreq_scalar_replay(flows, pred_values):
+    """Per-flow replay of the reference's frequency map
+    (filter.c:711-751): decide from the table so far, then count both
+    args (we don't reproduce the filter.c:737-741 double-count slip)."""
+    freq = [0] * 65536
+    decisions = []
+    for a, b in flows:
+        fa, fb = freq[a & 0xFFFF], freq[b & 0xFFFF]
+        res = (a if fa > fb else b) if fa != fb else min(a, b)
+        decisions.append(res in pred_values)
+        freq[a & 0xFFFF] += 1
+        freq[b & 0xFFFF] += 1
+    return decisions
+
+
+def test_mfreq_exact_streaming_matches_scalar_replay(spark):
+    """One-row triggers == per-flow evaluation: the MfreqLoop must make
+    exactly the reference's order-dependent decisions."""
+    from xenoeye_spark.streaming.mfreq_stream import MfreqLoop
+
+    # crafted so min2 would diverge: 443 becomes globally frequent, so
+    # later (443, 80) flows resolve to 443 even though min is 80
+    flows = [(443, 8080), (443, 9090), (443, 7070), (80, 443),
+             (443, 80), (80, 443), (53, 443), (80, 53)]
+    expected = _mfreq_scalar_replay(flows, {443})
+
+    got = []
+    loop = MfreqLoop(
+        "mfreq(src port, dst port) 443", "l4_src_port", "l4_dst_port",
+        output_fn=lambda df, epoch: got.append(df.count() > 0),
+    )
+    for i, (a, b) in enumerate(flows):
+        batch = spark.createDataFrame(
+            [(a, b)], "l4_src_port long, l4_dst_port long"
+        )
+        loop.process_batch(batch, i)
+    assert got == expected
+    # sanity: the order-dependent answer differs from the min2 approx
+    from xenoeye_spark.dsl.compiler import FilterContext, compile_filter
+    df = spark.createDataFrame(flows, "l4_src_port long, l4_dst_port long")
+    approx = [r[0] for r in df.select(
+        compile_filter("mfreq(src port, dst port) 443", FilterContext())
+    ).collect()]
+    assert approx != expected
+
+
+def test_mfreq_batch_granularity(spark):
+    """Multi-row triggers: decisions inside one batch share the
+    batch-start table; the table still accumulates across batches."""
+    from xenoeye_spark.streaming.mfreq_stream import MfreqLoop, MfreqState, mfreq_decide
+    import numpy as np
+
+    batches = [
+        [(443, 8080), (443, 9090)],
+        [(80, 443), (443, 80)],
+        [(53, 443)],
+    ]
+    # batch-granular scalar replay
+    freq = np.zeros(65536, dtype=np.int64)
+    expected = []
+    for rows in batches:
+        a = np.array([r[0] for r in rows]); b = np.array([r[1] for r in rows])
+        expected.extend(int(x) for x in mfreq_decide(freq, a, b))
+        for x, y in rows:
+            freq[x & 0xFFFF] += 1
+            freq[y & 0xFFFF] += 1
+
+    state = MfreqState()
+    got = []
+    for i, rows in enumerate(batches):
+        batch = spark.createDataFrame(
+            rows, "l4_src_port long, l4_dst_port long"
+        )
+        vals = batch.select(
+            state.expr(batch["l4_src_port"], batch["l4_dst_port"]).alias("m")
+        ).collect()
+        got.extend(r["m"] for r in vals)
+        state.observe(batch, "l4_src_port", "l4_dst_port")
+    assert got == expected
+    assert state.freq[443] == 5

@@ -50,6 +50,10 @@ class FilterContext:
     fields: dict[str, FilterField] = dc_field(default_factory=lambda: dict(FILTER_FIELDS))
     iplists: dict[str, object] = dc_field(default_factory=dict)
     geo_fn: Callable[[str, Column], Column] | None = None
+    # exact streaming mfreq hook: (col1, col2) -> Column over the shared
+    # frequency table (streaming/mfreq_stream.py). None -> documented
+    # order-free min2 approximation.
+    mfreq_fn: Callable[[Column, Column], Column] | None = None
 
     def col(self, name: str) -> Column:
         return F.col(name)
@@ -268,8 +272,12 @@ def resolve_func_column(ctx: FilterContext, fp: FuncPred) -> tuple[Column, str]:
         return fs.min2(field_arg(0), field_arg(1)), RANGE
     if name == "mfreq":
         # Reference: shared historical frequency map, order-dependent
-        # (filter.c:711-751). Documented approximation: min of the pair
-        # (ties in the reference also resolve to min). See SURVEY.md §7.3.
+        # (filter.c:711-751). With ctx.mfreq_fn set (MfreqLoop's
+        # per-trigger snapshot), semantics are exact; otherwise the
+        # documented order-free approximation: min of the pair (ties in
+        # the reference also resolve to min). See SURVEY.md §7.3.
+        if ctx.mfreq_fn is not None:
+            return ctx.mfreq_fn(field_arg(0), field_arg(1)), RANGE
         return fs.min2(field_arg(0), field_arg(1)), RANGE
     if name == "tfstr":
         return fs.tfstr(field_arg(0)), STRF
