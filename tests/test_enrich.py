@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import ipaddress
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -157,3 +158,95 @@ def test_devices_conf_full_semantics(spark, tmp_path):
         (d1, 2, 7): (1, 100),
         (d2, 2, 3): (0, 1000),
     }
+
+
+def test_geoip_v6_batch_matches_scalar():
+    """lookup6_np (fixed-width byte views + per-plen merge) must agree
+    with the scalar big-int twin on hits, misses, nulls, and
+    non-byte-aligned prefix lengths."""
+    import ipaddress
+    db = GeoDB([
+        ("2001:db8::/32", {"country": "AA", "asn": 64512}),
+        ("2001:db8:8000::/33", {"country": "BB"}),   # non-byte-aligned
+        ("2001:db8:8000:1::/64", {"country": "CC"}),
+        ("::ffff:0:0/96", {"country": "MAP"}),
+        ("fe80::/10", {"country": "LL"}),
+    ])
+    addrs = [
+        ipaddress.ip_address("2001:db8::1").packed,       # /32 -> AA
+        ipaddress.ip_address("2001:db8:8000::5").packed,  # /33 wins -> BB
+        ipaddress.ip_address("2001:db8:8000:1::9").packed,  # /64 -> CC
+        ipaddress.ip_address("fe80::1234").packed,        # /10 -> LL
+        ipaddress.ip_address("2002::1").packed,           # miss
+        None,
+        b"short",                                          # malformed
+    ]
+    batch = db.lookup6_np(addrs, "country", "?")
+    scalar = [db.lookup6_py(a, "country", "?") for a in addrs]
+    assert list(batch) == scalar == ["AA", "BB", "CC", "LL", "?", "?", "?"]
+
+
+def test_geoip_hit_path_is_columnar():
+    """Round-2 verdict #4: hit-heavy traffic (all real traffic) must not
+    pay per-row Python. 200k all-hit lookups through the numpy path in
+    well under a second is only possible if the gather is columnar."""
+    import time
+    db = GeoDB([
+        ("10.0.0.0/8", {"country": "XX", "asn": 1}),
+        ("10.1.0.0/16", {"country": "YY", "asn": 2}),
+    ])
+    ips = (0x0A000000 + np.arange(200_000) % 0x20000).astype(np.int64)
+    t0 = time.perf_counter()
+    vals = db.lookup_np(ips, "country", "?")
+    dt = time.perf_counter() - t0
+    assert set(vals) == {"XX", "YY"}
+    assert (vals == "YY").sum() == ((ips >> 16) == 0x0A01).sum()
+    assert dt < 1.0  # generous: per-row Python took ~3s+ here
+
+
+def test_geodb_as_csv_name_routing(tmp_path):
+    """Round-2 verdict #7: only as.csv/as4.csv/as6.csv feed the AS trie;
+    asia.csv is geography."""
+    from xenoeye_spark.enrich.geoip import load_geodb_dir
+    (tmp_path / "as4.csv").write_text("cidr,asn,asd\n10.0.0.0/8,64512,X\n")
+    (tmp_path / "asia.csv").write_text("cidr,country\n10.0.0.0/8,JP\n")
+    geo, asdb = load_geodb_dir(str(tmp_path))
+    assert asdb is not None and geo is not None
+    assert asdb.lookup_np(np.array([0x0A000001]), "asn", 0)[0] == "64512"
+    assert geo.lookup_np(np.array([0x0A000001]), "country", "?")[0] == "JP"
+
+
+def test_match_bucketed_equals_match_expr(spark):
+    """Round-2 verdict #5: match_bucketed honors the boolean out_col
+    contract and agrees with the compiled IN-list predicate on a
+    ~100k-prefix list (the scale where the broadcast-join form is the
+    right plan)."""
+    from xenoeye_spark.enrich.iplist import match_bucketed
+
+    rng = np.random.default_rng(3)
+    # 100k prefixes over mixed lengths, incl. non-aligned /22
+    cidrs = []
+    for base in rng.integers(0, 2**32, size=100_000, dtype=np.uint64):
+        plen = int(base) % 3
+        cidrs.append(
+            f"{ipaddress.ip_address(int(base) & 0xFFFFFF00)}/"
+            f"{[16, 22, 24][plen]}"
+        )
+    lst = IpList("big", cidrs)
+    lists_df = lst.to_df(spark).select("plen", "net")
+
+    ips = [int(x) for x in rng.integers(0, 2**32, size=2000)]
+    # make sure some definitely hit: reuse list bases
+    ips += [int(b) for b in rng.choice(
+        np.array([int(c.split("/")[0].count(".") and
+                      int(ipaddress.ip_address(c.split("/")[0])))
+                  for c in cidrs[:50]], dtype=np.int64), size=50)]
+    flows = spark.createDataFrame(
+        [(i, ip) for i, ip in enumerate(ips)], "row long, ip long"
+    )
+    got = {r["row"]: r["hit"]
+           for r in match_bucketed(flows, "ip", lists_df, out_col="hit").collect()}
+    exp = {r["row"]: r["e"]
+           for r in flows.select("row", lst.match_expr(F.col("ip")).alias("e")).collect()}
+    assert got == exp
+    assert sum(got.values()) >= 50  # the planted hits actually hit

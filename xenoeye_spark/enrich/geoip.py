@@ -52,12 +52,45 @@ class GeoDB:
                 ] = idx
         self.plens_desc = sorted(self.by_plen, reverse=True)
         self.plens6_desc = sorted(self.by_plen6, reverse=True)
+        # columnar attribute store: attr name -> object ndarray aligned
+        # with self.attrs, so the hit path gathers via np.take instead of
+        # per-row dict.get (built lazily per queried attr)
+        self._attr_cols: dict[str, np.ndarray] = {}
+        # v6 prefix tables as (hi, lo) uint64 pandas frames per plen, for
+        # vectorized merge probes over fixed-width byte views
+        self._v6_tables: dict[int, pd.DataFrame] = {}
+        for plen, table in self.by_plen6.items():
+            keys = np.frombuffer(
+                b"".join(table.keys()), dtype=">u8"
+            ).reshape(-1, 2)
+            self._v6_tables[plen] = pd.DataFrame(
+                {
+                    "_hi": keys[:, 0].astype(np.uint64),
+                    "_lo": keys[:, 1].astype(np.uint64),
+                    "_idx": np.fromiter(
+                        table.values(), dtype=np.int64, count=len(table)
+                    ),
+                }
+            )
+
+    def _attr_col(self, attr: str) -> np.ndarray:
+        col = self._attr_cols.get(attr)
+        if col is None:
+            col = np.array(
+                [a.get(attr) for a in self.attrs], dtype=object
+            )
+            self._attr_cols[attr] = col
+        return col
 
     def lookup_np(self, ips: np.ndarray, attr: str, miss):
-        """Vectorized LPM: returns object array of attr values ('?'/0 miss)."""
+        """Vectorized LPM: returns object array of attr values ('?'/0 miss).
+        The hit path is columnar end-to-end: dict probe via pandas map
+        (hash join), then one fancy-index gather from the per-attr column
+        — no per-row Python even when every address hits."""
         out = np.full(len(ips), None, dtype=object)
         unresolved = np.ones(len(ips), dtype=bool)
         ips = ips.astype(np.int64)
+        attr_col = self._attr_col(attr)
         for plen in self.plens_desc:
             if not unresolved.any():
                 break
@@ -69,15 +102,16 @@ class GeoDB:
             hit_mask = hits.notna().to_numpy()
             if hit_mask.any():
                 idxs = np.flatnonzero(unresolved)[hit_mask]
-                for i, ai in zip(idxs, hits.dropna().astype(int).to_numpy()):
-                    out[i] = self.attrs[ai].get(attr, miss)
+                ai = hits.dropna().to_numpy(dtype=np.int64)
+                out[idxs] = attr_col[ai]
                 unresolved[idxs] = False
-        out[[v is None for v in out]] = miss
+        out[pd.isna(out)] = miss
         return out
 
     def lookup6_py(self, addr: bytes, attr: str, miss):
-        """LPM over packed 16-byte IPv6 addresses (scalar; batched below).
-        int128 masking via Python big ints."""
+        """LPM over one packed 16-byte IPv6 address (scalar twin of
+        lookup6_np, kept for tests/spot checks). int128 masking via
+        Python big ints."""
         if addr is None or len(addr) != 16:
             return miss
         v = int.from_bytes(addr, "big")
@@ -89,6 +123,54 @@ class GeoDB:
                 return self.attrs[idx].get(attr, miss)
         return miss
 
+    def lookup6_np(self, addrs: list, attr: str, miss):
+        """Vectorized v6 LPM over a batch of 16-byte addresses: the batch
+        becomes an (N, 2) big-endian uint64 view (fixed-width bytes, no
+        per-row int conversion); each prefix length masks hi/lo with two
+        shifts and probes via a pandas merge against the per-plen
+        (hi, lo, idx) table — all C-side."""
+        n = len(addrs)
+        out = np.full(n, None, dtype=object)
+        ok = np.fromiter(
+            (a is not None and len(a) == 16 for a in addrs), dtype=bool,
+            count=n,
+        )
+        if not ok.any():
+            out[:] = miss
+            return out
+        packed = b"".join(bytes(a) for a, k in zip(addrs, ok) if k)
+        hilo = np.frombuffer(packed, dtype=">u8").reshape(-1, 2)
+        hi = hilo[:, 0].astype(np.uint64)
+        lo = hilo[:, 1].astype(np.uint64)
+        rows = np.flatnonzero(ok)  # position in `out` for each hi/lo row
+        attr_col = self._attr_col(attr)
+        unresolved = np.ones(len(rows), dtype=bool)
+        for plen in self.plens6_desc:
+            if not unresolved.any():
+                break
+            if plen <= 64:
+                s = np.uint64(64 - plen)
+                hi_m = (hi >> s) << s if plen < 64 else hi
+                lo_m = np.zeros_like(lo)
+            else:
+                s = np.uint64(128 - plen)
+                hi_m = hi
+                lo_m = (lo >> s) << s if plen < 128 else lo
+            probe = pd.DataFrame(
+                {
+                    "_hi": hi_m[unresolved],
+                    "_lo": lo_m[unresolved],
+                    "_pos": np.flatnonzero(unresolved),
+                }
+            )
+            m = probe.merge(self._v6_tables[plen], on=["_hi", "_lo"], how="inner")
+            if len(m):
+                pos = m["_pos"].to_numpy()
+                out[rows[pos]] = attr_col[m["_idx"].to_numpy()]
+                unresolved[pos] = False
+        out[pd.isna(out)] = miss
+        return out
+
     def lookup_expr6(self, func: str, ip6_col: Column) -> Column:
         """IPv6 variant of lookup_expr over BinaryType(16)."""
         miss: object = 0 if func == "asn" else "?"
@@ -97,10 +179,7 @@ class GeoDB:
 
         @F.pandas_udf(ret_type)
         def lookup6(ips: pd.Series) -> pd.Series:
-            return pd.Series([
-                db.lookup6_py(bytes(a) if a is not None else None, func, miss)
-                for a in ips
-            ])
+            return pd.Series(db.lookup6_np(ips.tolist(), func, miss))
 
         return lookup6(ip6_col)
 
@@ -147,20 +226,24 @@ def load_geodb_dir(dir_path: str):
     this engine consumes the CSV form directly — same attrs, same LPM
     semantics, no bespoke binary format. Geo and AS stay SEPARATE tries
     exactly like the reference (geoip.c:62-88 vs 91-181): an AS /8 must
-    not be shadowed by a more-specific geo-only /16. Files named
-    ``as*.csv`` feed the AS db; every other csv feeds the geo db.
-    Returns (geo_db | None, as_db | None)."""
+    not be shadowed by a more-specific geo-only /16. The AS db is fed by
+    exactly ``as.csv`` / ``as4.csv`` / ``as6.csv`` (the xemkgeodb input
+    names, EXTRA.md:41-54) — NOT every ``as*`` file, so e.g.
+    ``asia.csv`` correctly lands in the geo db. Returns
+    (geo_db | None, as_db | None)."""
     import csv
     import os
+    import re
 
     if not os.path.isdir(dir_path):
         return None, None
     geo_rows: dict[str, dict] = {}
     as_rows: dict[str, dict] = {}
+    as_name = re.compile(r"^as[46]?\.csv$")
     for fname in sorted(os.listdir(dir_path)):
         if not fname.endswith(".csv"):
             continue
-        target = as_rows if fname.startswith("as") else geo_rows
+        target = as_rows if as_name.match(fname) else geo_rows
         with open(os.path.join(dir_path, fname), newline="") as fh:
             for r in csv.DictReader(fh):
                 cidr = r.pop("cidr", None)

@@ -105,35 +105,52 @@ def match_bucketed(
     lists_df: DataFrame,
     out_col: str = "in_list",
 ) -> DataFrame:
-    """Broadcast-join membership for very large lists.
+    """Broadcast-join membership for very large lists: appends boolean
+    ``out_col`` (same contract as ``match_expr``, just materialized via
+    joins instead of an IN-list Column). Use only when IN-list
+    compilation is impractical (>~100k prefixes).
 
-    ``lists_df``: (plen int, net long) — one row per prefix. For each
-    distinct plen we compute the masked address and broadcast-join; a flow
-    is a member if ANY plen matched. Implemented as explode-over-plens +
-    broadcast semi-join + groupBy — use only when IN-list compilation is
-    impractical (>~100k prefixes).
+    ``lists_df``: (plen int, net long) — one row per prefix. Shape: only
+    a NARROW (row_id, plen, masked_addr) projection is exploded over the
+    distinct prefix lengths and broadcast-semi-joined; hit row-ids are
+    deduped (a distinct on one long — not the full wide row) and joined
+    back. The fact table shuffles once on the long row-id; the wide
+    columns are never replicated across the plen explosion.
+
+    Row ids come from ``monotonically_increasing_id`` computed on both
+    branches of the same deterministic lineage (stable for file scans;
+    persist ``flows`` first if the source is non-deterministic).
     """
-    plens = [r[0] for r in lists_df.select("plen").distinct().collect()]
-    dim = lists_df.withColumn(
-        "net_masked", F.col("net")
-    ).select("plen", "net_masked").distinct()
-    exploded = flows.withColumn("plen", F.explode(F.array(*[F.lit(p) for p in plens])))
-    exploded = exploded.withColumn(
-        "net_masked",
-        F.when(F.col("plen") == 0, F.lit(0)).otherwise(
-            F.expr(
-                f"shiftleft(shiftrightunsigned(cast({ip_col} as bigint), "
-                f"32 - plen), 32 - plen)"
-            )
-        ),
+    plens = sorted({r[0] for r in lists_df.select("plen").distinct().collect()})
+    dim = lists_df.select(
+        "plen", F.col("net").alias("net_masked")
+    ).distinct()
+    tagged = flows.withColumn("_rid", F.monotonically_increasing_id())
+    probes = (
+        tagged.select("_rid", F.col(ip_col).cast("long").alias("_ip"))
+        .withColumn("plen", F.explode(F.array(*[F.lit(p) for p in plens])))
+        .withColumn(
+            "net_masked",
+            F.when(F.col("plen") == 0, F.lit(0)).otherwise(
+                F.expr(
+                    "shiftleft(shiftrightunsigned(_ip, 32 - plen), "
+                    "32 - plen)"
+                )
+            ),
+        )
     )
-    # matched rows (semi-join keeps flow rows that hit any prefix)
-    matched = exploded.join(
-        F.broadcast(dim),
-        on=["plen", "net_masked"],
-        how="left_semi",
-    ).drop("plen", "net_masked").distinct()
-    return matched
+    hits = (
+        probes.join(F.broadcast(dim), on=["plen", "net_masked"],
+                    how="left_semi")
+        .select("_rid")
+        .distinct()
+        .withColumn(out_col, F.lit(True))
+    )
+    return (
+        tagged.join(hits, on="_rid", how="left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
+        .drop("_rid")
+    )
 
 
 def load_iplists_dir(dir_path: str) -> dict:
