@@ -428,3 +428,57 @@ def test_sflow_daemon_dispatch_e2e(spark):
         .collect()
     )
     assert {r["l4_dst_port"]: r["pkts"] for r in agg} == {80: 1, 443: 512}
+
+
+def test_kafka_framing_fixture(spark, tmp_path):
+    """Kafka frame handling against a recorded fixture (no broker in the
+    container): rows shaped exactly like the kafka source's output
+    (key/value/topic/partition/offset/timestamp/timestampType) are
+    round-tripped through parquet, framed by kafka_records_to_packets,
+    and decoded — dotted-quad keys, decimal keys, and bad keys."""
+    from xenoeye_spark.sources.netflow import kafka_records_to_packets
+
+    tpl = [(8, 4), (1, 4)]
+    records = [
+        (b"10.0.0.1", build_v9(tpl, [(0x0A000010, 111)], source_id=3),
+         "nf", 0, 0, 1.7e9, 0),
+        (b"167772162", build_v5([dict(src=0x0A000020, dst=1, pkts=1,
+                                      octets=222, sport=1, dport=2,
+                                      proto=6)]),
+         "nf", 0, 1, 1.7e9, 0),
+        (None, build_v5([dict(src=0x0A000030, dst=1, pkts=1, octets=333,
+                              sport=1, dport=2, proto=17)]),
+         "nf", 1, 0, 1.7e9, 0),
+    ]
+    fixture = tmp_path / "kafka_records"
+    spark.createDataFrame(
+        records,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp double, timestampType int",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp")) \
+     .write.parquet(str(fixture))
+
+    recorded = spark.read.parquet(str(fixture))
+    flows = decode_packets_df(kafka_records_to_packets(recorded))
+    rows = {r["in_bytes"]: r for r in flows.collect()}
+    assert set(rows) == {111, 222, 333}
+    assert rows[111]["dev_ip"] == 0x0A000001   # dotted-quad key
+    assert rows[111]["dev_id"] == 3            # v9 source_id survived
+    assert rows[222]["dev_ip"] == 0x0A000002   # decimal uint32 key
+    assert rows[333]["dev_ip"] == 0            # null key -> fallback
+
+
+def test_tws_constraint_loudly_asserted(spark):
+    """When python-protobuf is absent the transformWithState twin must
+    fail with a clear message pointing at the tested equivalent, not an
+    obscure runtime error mid-query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf present: tws executes in test_mavg_tws")
+    except ImportError:
+        pass
+    from xenoeye_spark.streaming.mavg_tws import mavg_alert_stream_tws
+
+    df = spark.createDataFrame([("k", 1.7e9, 1.0)], "k string, ts double, v double")
+    with pytest.raises(RuntimeError, match="protobuf.*applyInPandasWithState"):
+        mavg_alert_stream_tws(df, ["k"], "v", window_sec=10, threshold=1.0)

@@ -346,6 +346,36 @@ def decode_packets_df(
     return packets.mapInPandas(decode, schema=schema)
 
 
+def kafka_records_to_packets(records: DataFrame) -> DataFrame:
+    """Kafka record framing -> the bridge packet schema.
+
+    Input: the Kafka source's record shape — at least ``key`` (binary),
+    ``value`` (binary, one raw export packet per record), ``timestamp``.
+    The key carries the exporting device's address as either a
+    dotted-quad string (``b"10.0.0.1"``) or a decimal uint32 string;
+    unparseable/absent keys fall back to 0 (the decoders stamp sFlow
+    agent addresses themselves). Pure Column expressions, separated from
+    the ``readStream.format("kafka")`` wiring so the framing is testable
+    against recorded fixtures without a broker or the kafka-sql jar."""
+    from pyspark.sql import functions as F
+
+    key_s = F.col("key").cast("string")
+    dotted = F.when(
+        key_s.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"),
+        F.aggregate(
+            F.split(key_s, r"\."),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 256 + x.cast("long"),
+        ),
+    )
+    dev_ip = F.coalesce(dotted, key_s.cast("long"), F.lit(0))
+    return records.select(
+        F.col("value").alias("data"),
+        dev_ip.alias("dev_ip"),
+        F.col("timestamp").alias("recv_ts"),
+    )
+
+
 def flows_from_kafka(
     spark,
     bootstrap_servers: str,
@@ -356,9 +386,8 @@ def flows_from_kafka(
     """Kafka ingest wiring: each Kafka record's value is one raw export
     packet (the UDP bridge's publish format at production scale; key =
     device IP string). Requires the spark-sql-kafka package on the
-    classpath — pure wiring, decode stays in decode_packets_df."""
-    from pyspark.sql import functions as F
-
+    classpath — pure wiring, framing in kafka_records_to_packets, decode
+    in decode_packets_df."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -366,11 +395,6 @@ def flows_from_kafka(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    pkts = raw.select(
-        F.col("value").alias("data"),
-        F.coalesce(
-            F.col("key").cast("string").cast("long"), F.lit(0)
-        ).alias("dev_ip"),
-        F.col("timestamp").alias("recv_ts"),
+    return decode_packets_df(
+        kafka_records_to_packets(raw), seed_templates=seed_templates
     )
-    return decode_packets_df(pkts, seed_templates=seed_templates)

@@ -159,6 +159,16 @@ def mavg_alert_stream_tws(
     """transformWithState twin of ``mavg_alert_stream`` — same output
     schema (keys..., event, rate, threshold, ts_ns) plus timer-driven GONE
     for silent keys and TTL'd idle state."""
+    try:  # the TWS Python protocol speaks protobuf to the JVM state server
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the python 'protobuf' "
+            "package, which is not installed in this environment. The "
+            "applyInPandasWithState twin (streaming.mavg_stream."
+            "mavg_alert_stream) implements identical semantics and runs "
+            "without it."
+        ) from e
     spark = flows.sparkSession
     if "RocksDB" not in (
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
