@@ -250,3 +250,40 @@ def test_match_bucketed_equals_match_expr(spark):
            for r in flows.select("row", lst.match_expr(F.col("ip")).alias("e")).collect()}
     assert got == exp
     assert sum(got.values()) >= 50  # the planted hits actually hit
+
+
+def test_iplist6_bit_granular(spark):
+    """Non-byte-aligned v6 prefixes must match bit-granularly like the
+    reference trie (iplist.c:160-216): fe80::/10 covers febf::1 (which
+    byte-rounding to /16 wrongly rejected) but not fec0::1."""
+    lst = IpList("l6", ["fe80::/10", "2001:db8:8000::/33", "::/0"])
+    cases = {
+        "fe80::1": True,       # aligned-part match
+        "febf::1": True,       # /10: high 2 bits of byte 2 are 10
+        "fec0::1": True,       # /10 miss, but ::/0 catches everything
+        "2001:db8:8000::1": True,
+        "2001:db8:7fff::1": True,  # /33 miss -> ::/0
+    }
+    narrow = IpList("n6", ["fe80::/10", "2001:db8:8000::/33"])
+    narrow_cases = {
+        "fe80::1": True, "febf::1": True, "fec0::1": False,
+        "2001:db8:8000::1": True, "2001:db8:7fff::1": False,
+        "2001:db8:ffff::1": True,   # /33: bit 33 set -> matches
+    }
+    for ipl, expect in ((lst, cases), (narrow, narrow_cases)):
+        df = spark.createDataFrame(
+            [(s, ipaddress.IPv6Address(s).packed) for s in expect],
+            "s string, ip6 binary",
+        )
+        got = {r["s"]: r["m"] for r in df.select(
+            "s", ipl.match_expr6(F.col("ip6")).alias("m")).collect()}
+        # cross-check against the stdlib
+        for s, want in expect.items():
+            nets = ([ipaddress.ip_network(c) for c in
+                     ("fe80::/10", "2001:db8:8000::/33", "::/0")]
+                    if ipl is lst else
+                    [ipaddress.ip_network(c) for c in
+                     ("fe80::/10", "2001:db8:8000::/33")])
+            assert want == any(
+                ipaddress.ip_address(s) in n for n in nets), s
+            assert got[s] == want, s

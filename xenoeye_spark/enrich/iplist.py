@@ -64,19 +64,38 @@ class IpList:
         return ip_col.isNotNull() & out
 
     def match_expr6(self, ip6_col: Column) -> Column:
-        """IPv6 membership over BinaryType(16); byte-granular prefixes only
-        (non-multiple-of-8 lengths are rounded up — stricter — and noted)."""
+        """IPv6 membership over BinaryType(16), bit-granular like the
+        reference's trie (iplist.c:160-216): whole bytes compare via
+        substring equality; a non-byte-aligned tail compares the
+        remaining high bits of the next byte (extracted with
+        conv(hex(...)) and shifted) — e.g. fe80::/10 matches febf::1.
+        Pure Column expressions, no UDF."""
+        name = _colname(ip6_col)
         conds: list[Column] = []
         for plen in sorted(self.v6, reverse=True):
-            nbytes = (plen + 7) // 8
+            full, rem = divmod(plen, 8)
             for p in self.v6[plen]:
-                if nbytes == 0:
-                    conds.append(F.lit(True))
-                else:
-                    conds.append(
-                        F.expr(f"substring({_colname(ip6_col)}, 1, {nbytes})")
-                        == F.lit(p[:nbytes])
+                sub: list[Column] = []
+                if full:
+                    sub.append(
+                        F.expr(f"substring({name}, 1, {full})")
+                        == F.lit(p[:full])
                     )
+                if rem:
+                    nxt = F.expr(
+                        f"conv(hex(substring({name}, {full + 1}, 1)), 16, 10)"
+                    ).cast("int")
+                    sub.append(
+                        F.shiftrightunsigned(nxt, 8 - rem)
+                        == F.lit(p[full] >> (8 - rem))
+                    )
+                if not sub:
+                    conds.append(F.lit(True))  # ::/0
+                    continue
+                c = sub[0]
+                for s in sub[1:]:
+                    c = c & s
+                conds.append(c)
         if not conds:
             return F.lit(False)
         out = conds[0]
