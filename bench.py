@@ -10,6 +10,12 @@ every query and the flows/sec probe run SPARK_GRAFT_REPS times (default
 polluting the headline number. Each query is executed to completion via a
 noop write to force full materialization of every row, not just the
 first partition.
+
+The flows/sec probe runs in its OWN subprocess (fresh JVM): measured
+interference is large in both directions — 96 query jobs leave enough
+GC/memory pressure to halve the probe, and the probe's 100M-row stages
+slow the first pandas-UDF queries after it by 5-10x. Two clean sessions
+measure the engine, not each other's garbage.
 """
 
 from __future__ import annotations
@@ -17,49 +23,30 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", 3)))
+def run_probe_session() -> dict:
+    """Flows/sec probe against BASELINE.md's ~700K fps/CPU reference
+    number: the flagship standing-query shape (DSL filter -> windowed
+    groupBy-SUM -> top-N+others) over synthetic in-memory flows, so the
+    figure measures the engine, not parquet IO. One untimed warm-up run
+    lets the JIT compile the generated stages first — the reference's
+    tcpreplay runs are minutes of steady state, so warmed throughput is
+    the comparable figure."""
+    from pyspark.sql import functions as F
 
-    import __spark_entry__ as entrymod
+    from xenoeye_spark.config.mo import MoConfig
     from xenoeye_spark.session import get_spark
 
-    spark = get_spark("xenoeye-bench")
+    spark = get_spark("xenoeye-bench-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    qmap = entrymod.queries()
-    only = os.environ.get("SPARK_GRAFT_QUERIES")
-    if only:
-        keep = [q.strip() for q in only.split(",") if q.strip()]
-        qmap = {k: v for k, v in qmap.items() if k in keep}
-
-    # warm up the JVM + parquet footers + the Python/Arrow worker pool once
-    # so per-query timings measure the query, not session bring-up (the
-    # first pandas-UDF stage otherwise pays ~10s of worker spawn)
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    spark.range(0, 64, 1, 32).mapInPandas(
-        lambda it: it, "id long"
-    ).write.format("noop").mode("overwrite").save()
-
-    # flows/sec probe against BASELINE.md's ~700K fps/CPU reference
-    # number: run the flagship standing-query shape (DSL filter -> windowed
-    # groupBy-SUM -> top-N+others) over synthetic in-memory flows so the
-    # figure measures the engine, not parquet IO. One untimed warm-up run
-    # lets the JIT compile the generated stages first — the reference's
-    # tcpreplay runs are minutes of steady state, so warmed throughput is
-    # the comparable figure. The probe runs BEFORE the query suite: 96
-    # preceding jobs leave the JVM with GC/memory pressure that halves
-    # the probe, which would measure session history, not the engine.
-    from pyspark.sql import functions as F
-    from xenoeye_spark.config.mo import MoConfig
-
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", 3)))
     n_flows = int(os.environ.get("SPARK_GRAFT_FPS_ROWS", 100_000_000))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -90,8 +77,45 @@ def main() -> None:
 
     run_probe(min(n_flows, 1_000_000))  # untimed JIT warm-up
     fps_runs = [n_flows / run_probe(n_flows) for _ in range(reps)]
-    fps = round(statistics.median(fps_runs))
-    fps_min, fps_max = round(min(fps_runs)), round(max(fps_runs))
+    return {
+        "flows_per_sec": round(statistics.median(fps_runs)),
+        "flows_per_sec_min": round(min(fps_runs)),
+        "flows_per_sec_max": round(max(fps_runs)),
+        "flows_per_sec_per_core": round(statistics.median(fps_runs) / cpus),
+        "flows_per_sec_note": "synthetic flows through filter+fwm+topN, "
+                              f"median of {reps} warmed runs in a clean JVM, "
+                              f"n={n_flows}, local[{cpus}]",
+    }
+
+
+def main() -> None:
+    if os.environ.get("SPARK_GRAFT_PROBE_ONLY"):
+        print(json.dumps(run_probe_session()))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", 3)))
+
+    import __spark_entry__ as entrymod
+    from xenoeye_spark.session import get_spark
+
+    spark = get_spark("xenoeye-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    if only:
+        keep = [q.strip() for q in only.split(",") if q.strip()]
+        qmap = {k: v for k, v in qmap.items() if k in keep}
+
+    # warm up the JVM + parquet footers + the Python/Arrow worker pool once
+    # so per-query timings measure the query, not session bring-up (the
+    # first pandas-UDF stage otherwise pays ~10s of worker spawn)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
@@ -111,6 +135,20 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_min = round(sum(timings_min.values()), 3)
 
+    # probe in a fresh JVM (see module docstring); fall back to in-process
+    # if the subprocess fails for any environmental reason
+    probe: dict = {}
+    try:
+        env = dict(os.environ, SPARK_GRAFT_PROBE_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        probe = json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        spark.stop()
+        probe = run_probe_session()
+
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
@@ -121,13 +159,7 @@ def main() -> None:
         "total_min": total_min,
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "flows_per_sec": fps,
-        "flows_per_sec_min": fps_min,
-        "flows_per_sec_max": fps_max,
-        "flows_per_sec_per_core": round(fps / cpus),
-        "flows_per_sec_note": "synthetic flows through filter+fwm+topN, "
-                              f"median of {reps} warmed runs, n={n_flows}, "
-                              f"local[{cpus}]",
+        **probe,
     }))
 
 
