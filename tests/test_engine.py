@@ -195,3 +195,81 @@ def test_underlimit_empty_default_never_breaches(spark, tmp_path):
         q.awaitTermination(30)
     notif_dir = tmp_path / "state2" / "notifications"
     assert not os.path.isdir(notif_dir) or os.listdir(notif_dir) == []
+
+
+def test_engine_exact_mfreq_standing_query(spark, tmp_path):
+    """Engine(exact_mfreq=True): an fwm whose filter uses mfreq() gets a
+    private per-query frequency table updated per trigger — the
+    reference's per-filter map (filter.c:711-751) at batch granularity.
+    Trigger 1 seeds 443 as the frequent value; trigger 2's (80, 443)
+    flows then resolve to 443 and pass the filter (min2 would pick 80
+    and drop them). One standing query, two micro-batches
+    (maxFilesPerTrigger=1), state carried across triggers in the same
+    run — the reference's map is process-memory too."""
+    import shutil
+    import time as time_mod
+
+    root = tmp_path / "mf"
+    (root / "m").mkdir(parents=True)
+    (root / "m" / "mo.conf").write_text("""
+{
+  "filter": "mfreq(src port, dst port) 443",
+  "fwm": [ {"name": "f", "fields": ["octets", "src host"], "time": 3600} ]
+}
+""")
+    schema = ("ts long, ip4_src_addr long, in_bytes long, "
+              "l4_src_port long, l4_dst_port long")
+    batches = [
+        # seed: three flows with src port 443 (empty table: tie -> min)
+        [(BASE + 1, 1, 10, 443, 8080), (BASE + 2, 1, 10, 443, 9090),
+         (BASE + 3, 1, 10, 443, 7070)],
+        # now 443 outweighs 80: both flows resolve to 443 -> pass
+        [(BASE + 4, 2, 777, 80, 443), (BASE + 5, 2, 777, 443, 80)],
+    ]
+
+    def write_src(dst):
+        dst.mkdir()
+        for i, rows in enumerate(batches):
+            stage = tmp_path / f"stage_{dst.name}_{i}"
+            spark.createDataFrame(rows, schema) \
+                .withColumn("ts", F.col("ts").cast("timestamp")) \
+                .coalesce(1).write.parquet(str(stage))
+            part = glob.glob(str(stage / "part-*.parquet"))[0]
+            out = dst / f"b{i}.parquet"
+            shutil.copy(part, out)
+            # strictly increasing mtimes pin micro-batch order
+            os.utime(out, (1_700_000_000 + i, 1_700_000_000 + i))
+            time_mod.sleep(0.01)
+
+    def drive(exact):
+        tag = "e" if exact else "a"
+        src = tmp_path / f"flows_{tag}"
+        write_src(src)
+        exp = tmp_path / f"exp_{tag}"
+        eng = Engine(
+            str(root), exp_dir=str(exp),
+            state_dir=str(tmp_path / f"st_{tag}"),
+            run_scripts=False, exact_mfreq=exact,
+        )
+        read_schema = ("ts timestamp, ip4_src_addr long, in_bytes long, "
+                       "l4_src_port long, l4_dst_port long")
+        stream = spark.readStream.schema(read_schema) \
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        (qname, make), = eng.builders(stream)
+        q = make().trigger(availableNow=True).start()
+        q.awaitTermination(120); q.stop(); q.awaitTermination(30)
+        out = ""
+        for f in sorted(glob.glob(str(exp / "*" / "*.sql"))):
+            out += open(f).read()
+        return out
+
+    exact_sql = drive(True)
+    # trigger 1: the three 443-src flows pass; trigger 2: both flows
+    # resolve to 443 via the table accumulated in trigger 1 -> 777+777
+    assert "30" in exact_sql
+    assert "1554" in exact_sql
+    approx_sql = drive(False)
+    # min2 approximation: both trigger-2 flows resolve to min(80,443)=80
+    # -> dropped; only the trigger-1 sum appears
+    assert "30" in approx_sql
+    assert "1554" not in approx_sql and "777" not in approx_sql

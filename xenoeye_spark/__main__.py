@@ -29,12 +29,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--state", default="state")
     ap.add_argument("--exp", default="exp")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--exact-mfreq", action="store_true",
+                    help="per-trigger frequency tables for mfreq() in "
+                         "MO filters (default: min2 approximation)")
     args = ap.parse_args(argv)
 
     from xenoeye_spark.config.main import XenoeyeConfig
 
     cfg = XenoeyeConfig.from_file(args.config)
-    eng = cfg.build_engine(exp_dir=args.exp, state_dir=args.state)
+    eng = cfg.build_engine(exp_dir=args.exp, state_dir=args.state,
+                           exact_mfreq=args.exact_mfreq)
 
     if args.dry_run:
         # plan without a live source: a memory-schema stream stand-in

@@ -330,3 +330,36 @@ def compile_filter(text: str, ctx: FilterContext | None = None) -> Column:
         ctx = FilterContext()
     ast = parse_filter(text, set(ctx.fields))
     return compile_ast(ctx, ast)
+
+
+def find_mfreq_field_pairs(
+    expr_str: str, ctx: FilterContext | None = None
+) -> list[tuple[str, str]]:
+    """Column-name pairs of every ``mfreq(f1, f2)`` call in a filter —
+    what a per-trigger frequency loop must ``observe()`` after each
+    batch (streaming/mfreq_stream.py). Resolution mirrors
+    ``resolve_func_column``'s field_arg: dst-direction args take the
+    field's dst column, everything else the src column."""
+    if ctx is None:
+        ctx = FilterContext()
+    pairs: list[tuple[str, str]] = []
+
+    def colname(arg: tuple[str, str]) -> str:
+        d, a = arg
+        ff = ctx.fields.get(a)
+        if ff is None:
+            return a
+        return ff.dst if d == DST else ff.src
+
+    def walk(node) -> None:
+        if isinstance(node, FuncPred):
+            if node.func == "mfreq" and len(node.args) >= 2:
+                pairs.append((colname(node.args[0]), colname(node.args[1])))
+        elif isinstance(node, Not):
+            walk(node.item)
+        elif isinstance(node, (And, Or)):
+            for it in node.items:
+                walk(it)
+
+    walk(parse_filter(expr_str))
+    return pairs

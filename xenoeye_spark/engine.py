@@ -49,6 +49,7 @@ class Engine:
         ch_codec: str = "",
         run_scripts: bool = True,
         silent_watch: bool = True,
+        exact_mfreq: bool = False,
     ):
         self.mos = load_mo_dir(mo_dir)
         self.mo_dir = mo_dir
@@ -67,6 +68,12 @@ class Engine:
         self.ch_codec = ch_codec
         self.run_scripts = run_scripts
         self.silent_watch = silent_watch
+        # exact_mfreq: give each fwm standing query whose OWN filter uses
+        # mfreq() a private frequency table with per-trigger snapshots
+        # (the reference's per-filter map, filter.c:711-751). Ancestor
+        # filters keep the documented min2 approximation — they are
+        # compiled once and shared across the whole query tree.
+        self.exact_mfreq = exact_mfreq
         self.ext_gate = ExtGate(os.path.join(state_dir, "ext"))
 
     # -- MO tree -------------------------------------------------------------
@@ -196,6 +203,11 @@ class Engine:
                 flows_stream if parent_col is None
                 else flows_stream.filter(parent_col)
             )
+            mf_pairs: list[tuple[str, str]] = []
+            if self.exact_mfreq and mo.filter.strip():
+                from xenoeye_spark.dsl.compiler import find_mfreq_field_pairs
+
+                mf_pairs = find_mfreq_field_pairs(mo.filter, self.ctx)
             for fwm in mo.fwm:
                 qname = f"{name}.fwm.{fwm.name}"
                 # extended windows stay dormant until an overlimit with
@@ -203,7 +215,7 @@ class Engine:
                 gate = self.ext_gate if fwm.extended else None
 
                 def make_writer(base=base, mo=mo, fwm=fwm, qname=qname,
-                                gate=gate):
+                                gate=gate, mf_pairs=mf_pairs):
                     exp = os.path.join(self.exp_dir, qname.replace("/", "_"))
                     table = qname.replace("/", "_").replace(".", "_")
 
@@ -220,10 +232,25 @@ class Engine:
                             db_type=self.db_type, ch_codec=self.ch_codec,
                         )
 
+                    mf_state = None
+                    qctx = self.ctx
+                    if mf_pairs:
+                        from dataclasses import replace as dc_replace
+
+                        from xenoeye_spark.streaming.mfreq_stream import (
+                            MfreqState,
+                        )
+
+                        # per-query map + private ctx (mfreq_fn is
+                        # rebound per trigger; the shared ctx must not
+                        # race across standing queries)
+                        mf_state = MfreqState()
+                        qctx = dc_replace(self.ctx)
                     return fwm_streaming_query(
-                        base, mo, fwm, self.ctx, ts_col=ts_col,
+                        base, mo, fwm, qctx, ts_col=ts_col,
                         sink_fn=sink, checkpoint_dir=self._ckpt(qname),
                         available_now=False,
+                        mfreq_state=mf_state, mfreq_pairs=mf_pairs,
                     )
 
                 out.append((qname, make_writer))

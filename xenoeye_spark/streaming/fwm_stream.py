@@ -135,23 +135,40 @@ def fwm_streaming_query(
     sink_fn=None,
     trigger_sec: int | None = None,
     available_now: bool = False,
+    mfreq_state=None,
+    mfreq_pairs: list[tuple[str, str]] = (),
 ):
     """Build (not start) the streaming query for one fwm entry.
 
     ``sink_fn(result_df, epoch_id)``: custom sink; default writes SQL files
     to ``exp_dir``. Trigger defaults to the fwm's window size — the
     reference exports on window boundaries (monit-objects-fwm.c:704).
+
+    ``mfreq_state``/``mfreq_pairs``: exact streaming mfreq (Engine
+    exact_mfreq=True): the filter recompiles per trigger against the
+    state's table snapshot, and after each batch the table absorbs the
+    batch's argument values — the reference's per-filter frequency map
+    at trigger granularity (filter.c:711-751,
+    streaming/mfreq_stream.py). ``ctx`` must then be private to this
+    query (its ``mfreq_fn`` is rebound per batch).
     """
     if ctx is None:
         ctx = FilterContext()
     table = f"{mo.name}_{fwm.name}"
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if mfreq_state is not None:
+            ctx.mfreq_fn = mfreq_state.expr
         result = mo.fwm_result(batch_df, fwm, ctx, ts_col=ts_col)
         if sink_fn is not None:
             sink_fn(result, epoch_id)
         elif exp_dir is not None:
             fwm_sql_export(result, table, exp_dir, epoch_id)
+        if mfreq_state is not None:
+            # the reference bumps the map for every EVALUATED flow,
+            # matching or not (filter.c:736-741) -> observe the whole batch
+            for c1, c2 in mfreq_pairs:
+                mfreq_state.observe(batch_df, c1, c2)
 
     writer = flows_stream.writeStream.foreachBatch(handle_batch).outputMode(
         "update"
