@@ -30,6 +30,7 @@ from xenoeye_spark.datapipe.similarity import (
     cosine_neardup_pairs,
     ivf_topk,
     lsh_bucket_topk,
+    random_hyperplanes,
 )
 from xenoeye_spark.config.mo import MoConfig
 from xenoeye_spark.datapipe.text import (
@@ -893,6 +894,65 @@ UNION ALL
 SELECT time, NULL AS src_host, CAST(SUM(octets) AS BIGINT) AS octets
 FROM ranked WHERE rn > 5 GROUP BY time
 """,
+        # sim_lsh_topk: the hyperplanes are deterministic (seeded RNG), so
+        # the oracle re-derives the sign-pattern buckets independently in
+        # DuckDB from the same plane literals (list_inner_product sign ->
+        # bit i), then exact cosine within the query's bucket — the whole
+        # pipeline re-implemented in SQL, not a replay of Spark's output.
+        # Bit-exactness of the sign: both engines sum float64 dot products
+        # whose magnitudes are O(1); a sign flip needs |dot| ~ 1e-13.
+        "sim_lsh_topk": (lambda planes: f"""
+WITH planes AS ({" UNION ALL ".join(
+    f"SELECT {i} AS i, [{', '.join(repr(x) for x in plane)}]::DOUBLE[] AS p"
+    for i, plane in enumerate(planes))}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT e.vec_id, any_value(e.v) AS v,
+         CAST(SUM(CASE WHEN list_inner_product(e.v, p.p) >= 0
+                  THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_cosine_similarity(b.v, q.qv), 6) AS cosine
+  FROM b JOIN q USING (bucket) WHERE b.vec_id != q.query_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+  ) AS rn FROM s
+)
+SELECT query_id, vec_id, cosine FROM r WHERE rn <= 10
+""")(random_hyperplanes(64, 8, 42)),
+        # emb_neardup_lsh: same independent re-derivation, but 4 plane
+        # tables (seeds 42..45); candidates share (table, bucket) in ANY
+        # table; exact cosine >= 0.8 verifies.
+        "emb_neardup_lsh": (lambda plane_sets: f"""
+WITH planes AS ({" UNION ALL ".join(
+    f"SELECT {t} AS tbl, {i} AS i, "
+    f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[] AS p"
+    for t, planes in enumerate(plane_sets)
+    for i, plane in enumerate(planes))}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(SUM(CASE WHEN list_inner_product(e.v, p.p) >= 0
+                  THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl
+), cands AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM b x JOIN b y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM cands c
+JOIN e ea ON ea.vec_id = c.id_a
+JOIN e eb ON eb.vec_id = c.id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.8
+""")([random_hyperplanes(64, 8, 42 + t) for t in range(4)]),
         "sim_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
