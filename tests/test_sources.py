@@ -4,6 +4,7 @@ mapInPandas path."""
 
 from __future__ import annotations
 
+import os
 import struct
 
 import pytest
@@ -482,3 +483,79 @@ def test_tws_constraint_loudly_asserted(spark):
     df = spark.createDataFrame([("k", 1.7e9, 1.0)], "k string, ts double, v double")
     with pytest.raises(RuntimeError, match="protobuf.*applyInPandasWithState"):
         mavg_alert_stream_tws(df, ["k"], "v", window_sec=10, threshold=1.0)
+
+
+def test_template_journal_restart_persistence(spark, tmp_path):
+    """Templates survive a daemon restart (netflow-templates.c parity):
+    run 1 sees a template-bearing v9 packet and journals it; run 2
+    decodes a DATA-ONLY packet using the restored seed."""
+    from xenoeye_spark.sources.netflow import (
+        TemplateJournal,
+        packet_has_templates,
+    )
+
+    tpl = [(8, 4), (1, 4)]
+    tpl_pkt = build_v9(tpl, [(0x0A000001, 11)], tid=300, source_id=5)
+    # data-only v9 packet: header + one data flowset for tid 300
+    data_body = int(0x0A000002).to_bytes(4, "big") + int(22).to_bytes(4, "big")
+    data_fs = struct.pack(">HH", 300, 4 + len(data_body)) + data_body
+    data_pkt = struct.pack(">HHIIII", 9, 1, 0, 1700000000, 2, 5) + data_fs
+
+    assert packet_has_templates(tpl_pkt)
+    assert not packet_has_templates(data_pkt)
+    assert not packet_has_templates(build_sflow([b"\x00" * 20]))
+
+    # run 1: journal the template packet (as the bridge would)
+    j1 = TemplateJournal(str(tmp_path / "templates"))
+    j1.append_packet(tpl_pkt, dev_ip=7)
+    j1.close()
+
+    # run 2 (restart): load -> seed; decode the data-only packet
+    j2 = TemplateJournal(str(tmp_path / "templates"))
+    seed = j2.load()
+    assert seed  # template restored from the journal
+    df = spark.createDataFrame(
+        [(data_pkt, 7, 1.7e9)], "data binary, dev_ip long, recv_ts double"
+    ).withColumn("recv_ts", F.col("recv_ts").cast("timestamp"))
+    rows = decode_packets_df(df, seed_templates=seed).collect()
+    assert len(rows) == 1
+    assert rows[0]["ip4_src_addr"] == 0x0A000002
+    assert rows[0]["in_bytes"] == 22
+
+    # compaction: the packet journal was truncated, the dump persists
+    assert os.path.getsize(tmp_path / "templates.pkts") == 0
+    # run 3: dump alone (no journal records) still seeds
+    seed3 = TemplateJournal(str(tmp_path / "templates")).load()
+    assert seed3 == seed
+
+
+def test_bridge_journals_templates(spark, tmp_path):
+    """The UDP bridge appends template-bearing packets to the journal."""
+    import socket as sock_mod
+    import time as time_mod
+    from xenoeye_spark.sources.netflow import TemplateJournal
+    from xenoeye_spark.sources.udp_bridge import UdpBridge
+
+    tj = TemplateJournal(str(tmp_path / "tpl"))
+    bridge = UdpBridge(str(tmp_path / "pkts"), roll_seconds=0.2,
+                       template_journal=tj).start()
+    try:
+        client = sock_mod.socket(sock_mod.AF_INET, sock_mod.SOCK_DGRAM)
+        tpl_pkt = build_v9([(8, 4)], [(1,)], tid=299, source_id=3)
+        v5_pkt = build_v5([dict(src=1, dst=2, pkts=1, octets=1, sport=1,
+                                dport=2, proto=6)])
+        client.sendto(tpl_pkt, ("127.0.0.1", bridge.port))
+        client.sendto(v5_pkt, ("127.0.0.1", bridge.port))
+        for _ in range(40):
+            if os.path.exists(tmp_path / "tpl.pkts") \
+                    and os.path.getsize(tmp_path / "tpl.pkts") > 0:
+                break
+            time_mod.sleep(0.1)
+    finally:
+        bridge.stop()
+        tj.close()
+    seed = TemplateJournal(str(tmp_path / "tpl")).load()
+    # only the template-bearing v9 packet was journaled; v5 carries none
+    assert len(seed) == 1
+    (key, fields), = seed
+    assert key[3] == 299 and fields == [(8, 4)]

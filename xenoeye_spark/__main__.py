@@ -57,16 +57,28 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from xenoeye_spark.session import get_spark
-    from xenoeye_spark.sources.netflow import decode_packets_df
+    from xenoeye_spark.sources.netflow import (
+        TemplateJournal,
+        decode_packets_df,
+    )
     from xenoeye_spark.sources.udp_bridge import UdpBridge
 
     spark = get_spark("xenoeye-spark")
     spool = args.spool or os.path.join(args.state, "spool")
     os.makedirs(spool, exist_ok=True)
 
+    # templates survive restarts (reference: persistent tkvdb template DB,
+    # "templates": {"db": ...} in xenoeye.conf)
+    tj = TemplateJournal(
+        cfg.templates_db or os.path.join(args.state, "templates")
+    )
+    seed = tj.load()
+    if seed:
+        print(f"{len(seed)} templates restored", file=sys.stderr)
+
     bridges = []
     for port in cfg.socket_ports():
-        b = UdpBridge(spool, host="0.0.0.0", port=port)
+        b = UdpBridge(spool, host="0.0.0.0", port=port, template_journal=tj)
         b.start()
         bridges.append(b)
         print(f"listening on UDP :{b.port} -> {spool}", file=sys.stderr)
@@ -75,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         spark.readStream.schema("data binary, dev_ip long, recv_ts timestamp")
         .parquet(spool)
     )
-    flows = decode_packets_df(packets.repartition("dev_ip"))
+    flows = decode_packets_df(packets.repartition("dev_ip"), seed_templates=seed)
     if cfg.devices and os.path.isfile(cfg.devices):
         from xenoeye_spark.enrich.devices import (
             apply_devices,

@@ -23,7 +23,9 @@ variable-length fields are honored (netflow.c:367-383).
 
 from __future__ import annotations
 
+import os
 import struct
+import threading
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -267,6 +269,105 @@ def parse_ipfix(data: bytes, store: TemplateStore, dev_ip: int = 0) -> list[dict
     for row in rows:
         row["dev_id"] = source_id
     return rows
+
+
+def packet_has_templates(data: bytes) -> bool:
+    """Cheap header walk: does this export packet carry template sets?
+    (v9 flowset id 0/1, IPFIX set id 2/3.) Used by the capture bridge to
+    journal template announcements for restart persistence — the
+    reference's persistent template DB (netflow-templates.c:140-251)."""
+    if len(data) < 4:
+        return False
+    ver = struct.unpack_from(">H", data, 0)[0]
+    if ver == 9 and len(data) >= 20:
+        off = 20
+        while off + 4 <= len(data):
+            fsid, flen = struct.unpack_from(">HH", data, off)
+            if flen < 4:
+                break
+            if fsid in (0, 1):
+                return True
+            off += flen
+        return False
+    if ver == 10 and len(data) >= 16:
+        total = struct.unpack_from(">H", data, 2)[0]
+        off = 16
+        end = min(total, len(data))
+        while off + 4 <= end:
+            sid, slen = struct.unpack_from(">HH", data, off)
+            if slen < 4:
+                break
+            if sid in (2, 3):
+                return True
+            off += slen
+        return False
+    return False
+
+
+class TemplateJournal:
+    """Restart-persistent template state (netflow-templates.c parity,
+    tkvdb replaced by a compact JSON dump + a raw-packet journal).
+
+    Lifecycle: the capture bridge appends every template-BEARING packet
+    (rare — routers re-announce every few minutes) to ``<path>.pkts``;
+    on daemon start ``load()`` replays the previous dump plus the
+    journal through a TemplateStore, writes the merged state back as
+    ``<path>.json``, truncates the packet journal, and returns the dump
+    for ``decode_packets_df(seed_templates=...)``."""
+
+    _REC = struct.Struct(">IQ")  # packet length, dev_ip
+
+    def __init__(self, path: str):
+        self.json_path = path + ".json"
+        self.pkts_path = path + ".pkts"
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._lock = threading.Lock()
+        self._fh = None
+
+    def append_packet(self, data: bytes, dev_ip: int) -> None:
+        with self._lock:
+            if self._fh is None:
+                self._fh = open(self.pkts_path, "ab")
+            self._fh.write(self._REC.pack(len(data), dev_ip))
+            self._fh.write(data)
+            self._fh.flush()
+
+    def close(self) -> None:
+        with self._lock:
+            if self._fh is not None:
+                self._fh.close()
+                self._fh = None
+
+    def load(self) -> list:
+        """Replay dump + journal -> merged seed; compact on the way."""
+        import json
+
+        store = TemplateStore()
+        if os.path.isfile(self.json_path):
+            with open(self.json_path) as fh:
+                store.load(json.load(fh))
+        if os.path.isfile(self.pkts_path):
+            with open(self.pkts_path, "rb") as fh:
+                raw = fh.read()
+            off = 0
+            while off + self._REC.size <= len(raw):
+                plen, dev_ip = self._REC.unpack_from(raw, off)
+                off += self._REC.size
+                if off + plen > len(raw):
+                    break  # torn tail write: ignore
+                parse_packet(bytes(raw[off:off + plen]), store, dev_ip)
+                off += plen
+        dump = store.dump()
+        tmp = self.json_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(dump, fh)
+        os.replace(tmp, self.json_path)
+        with self._lock:
+            if self._fh is not None:
+                self._fh.close()
+                self._fh = None
+            open(self.pkts_path, "wb").close()  # truncate: state is merged
+        return dump
 
 
 def parse_packet(data: bytes, store: TemplateStore, dev_ip: int = 0) -> list[dict]:

@@ -30,8 +30,13 @@ class UdpBridge:
         port: int = 0,
         roll_packets: int = 1000,
         roll_seconds: float = 1.0,
+        template_journal=None,
     ):
+        """``template_journal``: optional sources.netflow.TemplateJournal;
+        template-bearing packets (rare) are appended so templates survive
+        daemon restarts (netflow-templates.c parity)."""
         self.out_dir = out_dir
+        self.template_journal = template_journal
         os.makedirs(out_dir, exist_ok=True)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.bind((host, port))
@@ -72,6 +77,13 @@ class UdpBridge:
                 data, addr = self.sock.recvfrom(65535)
                 ip = struct.unpack(">I", socket.inet_aton(addr[0]))[0]
                 batch.append((data, ip, time.time()))
+                if self.template_journal is not None:
+                    from xenoeye_spark.sources.netflow import (
+                        packet_has_templates,
+                    )
+
+                    if packet_has_templates(data):
+                        self.template_journal.append_packet(data, ip)
             except socket.timeout:
                 pass
             now = time.monotonic()
