@@ -135,8 +135,12 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_min = round(sum(timings_min.values()), 3)
 
-    # probe in a fresh JVM (see module docstring); fall back to in-process
-    # if the subprocess fails for any environmental reason
+    # probe in a fresh JVM (see module docstring). The query-suite JVM is
+    # stopped FIRST — a resident multi-GB parent heap contending with the
+    # probe's 100M-row stages would reintroduce the very interference the
+    # isolation exists to remove. Falls back in-process if the subprocess
+    # fails for any environmental reason.
+    spark.stop()
     probe: dict = {}
     try:
         env = dict(os.environ, SPARK_GRAFT_PROBE_ONLY="1")
@@ -146,7 +150,6 @@ def main() -> None:
         )
         probe = json.loads(out.stdout.strip().splitlines()[-1])
     except Exception:
-        spark.stop()
         probe = run_probe_session()
 
     print(json.dumps({

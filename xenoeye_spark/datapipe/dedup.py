@@ -304,9 +304,12 @@ def lsh_candidate_pairs(
     before pairing — a doc pair colliding in ANY other band still
     surfaces, which is exactly the banded-LSH contract. None disables.
     Dropping is a recall trade: pass ``stats={}`` to have it filled
-    eagerly (one extra small job over the bucket-size table) with
-    ``dropped_buckets`` / ``dropped_rows`` so silent recall loss is
-    observable; a warning is logged when anything was dropped.
+    eagerly with ``dropped_buckets`` / ``dropped_rows`` so silent recall
+    loss is observable; a warning is logged when anything was dropped.
+    The stats job executes the banded-signature lineage, so that lineage
+    is persisted (MEMORY_AND_DISK) for the pairing join to reuse instead
+    of recomputing the signatures — the eager job's cost is the
+    aggregation, not a second signature pass.
 
     Pass ``sig_len`` (= num_hashes) to avoid materializing the signature
     stage twice just to learn the array length.
@@ -328,6 +331,10 @@ def lsh_candidate_pairs(
         # one extra aggregate on the SAME (band, bucket) key the join
         # shuffles on; the sizes table is tiny (distinct buckets) so the
         # gate join back is broadcast-able by AQE
+        if stats is not None:
+            from pyspark import StorageLevel
+
+            banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_bsz")
         )

@@ -361,5 +361,5 @@ def find_mfreq_field_pairs(
             for it in node.items:
                 walk(it)
 
-    walk(parse_filter(expr_str))
+    walk(parse_filter(expr_str, set(ctx.fields)))
     return pairs

@@ -130,17 +130,22 @@ def apply_devices(
         ctx = FilterContext()
     if "sampling_rate" not in flows.columns:
         flows = flows.withColumn("sampling_rate", F.lit(None).cast("long"))
-    # _dev_idx = index of the first matching devices.conf entry, -1 if none
+    # _dev_idx = index of the first matching devices.conf entry, -1 if
+    # none — the single source of truth for first-match resolution; the
+    # sampling rate derives from it so every match predicate is built
+    # (and evaluated) exactly once
     idx = None
     for i, d in enumerate(devices):
         cond = d.match_expr()
         idx = idx.when(cond, i) if idx is not None else F.when(cond, i)
     idx = idx.otherwise(F.lit(-1)) if idx is not None else F.lit(-1)
     out = flows.withColumn("_dev_idx", idx)
-    out = out.withColumn(
-        "sampling_rate",
-        sampling_rate_expr(devices).cast("long"),
-    )
+    rate = F.coalesce(F.col("sampling_rate"), F.lit(1))
+    for i, d in enumerate(devices):
+        rate = F.when(
+            F.col("_dev_idx") == F.lit(i), F.lit(int(d.sampling_rate))
+        ).otherwise(rate)
+    out = out.withColumn("sampling_rate", rate.cast("long"))
     mark = F.lit(0)
     drop = F.lit(False)
     for i, d in enumerate(devices):

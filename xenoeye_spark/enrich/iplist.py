@@ -136,15 +136,22 @@ def match_bucketed(
     back. The fact table shuffles once on the long row-id; the wide
     columns are never replicated across the plen explosion.
 
-    Row ids come from ``monotonically_increasing_id`` computed on both
-    branches of the same deterministic lineage (stable for file scans;
-    persist ``flows`` first if the source is non-deterministic).
+    Row ids come from ``monotonically_increasing_id``; the tagged frame
+    is PERSISTED (memory-and-disk) before branching, because the probe
+    branch and the join-back branch would otherwise re-evaluate the
+    lineage independently — and any upstream shuffle makes within-
+    partition row order (hence the generated ids) nondeterministic
+    between evaluations, silently misassigning membership.
     """
+    from pyspark import StorageLevel
+
     plens = sorted({r[0] for r in lists_df.select("plen").distinct().collect()})
     dim = lists_df.select(
         "plen", F.col("net").alias("net_masked")
     ).distinct()
-    tagged = flows.withColumn("_rid", F.monotonically_increasing_id())
+    tagged = flows.withColumn(
+        "_rid", F.monotonically_increasing_id()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     probes = (
         tagged.select("_rid", F.col(ip_col).cast("long").alias("_ip"))
         .withColumn("plen", F.explode(F.array(*[F.lit(p) for p in plens])))

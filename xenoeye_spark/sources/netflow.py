@@ -461,8 +461,9 @@ def kafka_records_to_packets(records: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     key_s = F.col("key").cast("string")
+    octet = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
     dotted = F.when(
-        key_s.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"),
+        key_s.rlike(rf"^({octet}\.){{3}}{octet}$"),
         F.aggregate(
             F.split(key_s, r"\."),
             F.lit(0).cast("long"),

@@ -38,9 +38,15 @@ _SLOTS = 1 << 16
 
 def mfreq_decide(freq: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized filter_function_mfreq read path (filter.c:726-733):
-    the more-frequent value wins, ties -> the smaller value."""
-    fa = freq[a & 0xFFFF]
-    fb = freq[b & 0xFFFF]
+    the more-frequent value wins, ties -> the smaller value. The whole
+    decision lives in the uint16 domain — the reference reads the args
+    through get_nf_val into uint16 (filter.c:719-724), so values above
+    0xFFFF are truncated BEFORE comparison and in the result, not only
+    for the table probe."""
+    a = a & 0xFFFF
+    b = b & 0xFFFF
+    fa = freq[a]
+    fb = freq[b]
     return np.where(fa != fb, np.where(fa > fb, a, b), np.minimum(a, b))
 
 
