@@ -103,3 +103,35 @@ def test_pcap_flows_df_end_to_end(spark, tmp_path):
     r = rows[0x0A000001]
     assert r["in_bytes"] == 300 and r["l4_dst_port"] == 80
     assert r["dev_ip"] == exporter
+
+
+def test_daemon_pcap_capture_replay(spark, tmp_path):
+    """A pcap capture entry whose interface is a file path replays its
+    datagrams into the bridge spool (the reference runs libpcap live,
+    pcapture.c; offline replay is this runtime's equivalent), honoring
+    the BPF filter's port term."""
+    from xenoeye_spark.__main__ import spool_pcap_captures
+    from xenoeye_spark.config.main import CaptureEntry
+    from xenoeye_spark.sources.netflow import decode_packets_df
+
+    v5 = build_v5([dict(src=0x0A000001, dst=0x0A000002, pkts=4, octets=400,
+                        sport=9, dport=10, proto=6)])
+    f_match = build_eth_ipv4_udp(0x0A000001, 0x7F000001, 5000, 2055, v5)
+    f_other = build_eth_ipv4_udp(0x0A000001, 0x7F000001, 5000, 9999, v5)
+    pcap_path = tmp_path / "cap.pcap"
+    pcap_path.write_bytes(build_pcap([(10.0, f_match), (11.0, f_other)]))
+    spool = tmp_path / "spool"
+    spool.mkdir()
+
+    entries = [
+        CaptureEntry(kind="pcap", interface=str(pcap_path),
+                     bpf="udp and port 2055"),
+        CaptureEntry(kind="socket", port=2055),          # skipped here
+        CaptureEntry(kind="pcap", interface=str(tmp_path / "absent.pcap")),
+    ]
+    assert spool_pcap_captures(spark, entries, str(spool)) == 1
+
+    raw = spark.read.parquet(str(spool))
+    assert raw.count() == 1  # port filter dropped the 9999 datagram
+    flows = decode_packets_df(raw).collect()
+    assert len(flows) == 1 and flows[0]["in_bytes"] == 400

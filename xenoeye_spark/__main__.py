@@ -22,6 +22,40 @@ import sys
 import time
 
 
+def spool_pcap_captures(spark, entries, spool: str) -> int:
+    """Replay pcap-capture entries into the bridge spool.
+
+    The reference's pcapture runs libpcap live on an interface
+    (pcapture.c); with no interface to sniff here, a pcap entry whose
+    ``interface`` resolves to file path(s)/glob is replayed — datagrams
+    extracted distributed (sources/pcap.py) and appended to the same
+    spool the UDP bridges feed, so the standing queries consume both
+    identically (the tcpreplay testing model, README.md:37). A BPF
+    ``filter`` contributes its ``port N`` terms as a destination-port
+    prefilter. Returns the number of entries replayed."""
+    import glob as globmod
+    import re
+
+    from xenoeye_spark.sources.pcap import pcap_packets_df
+
+    done = 0
+    for e in entries:
+        if e.kind != "pcap" or not e.interface:
+            continue
+        if not globmod.glob(e.interface):
+            print(
+                f"pcap capture {e.interface!r}: no such file(s); live "
+                "interface capture is not available in this runtime",
+                file=sys.stderr,
+            )
+            continue
+        ports = {int(p) for p in re.findall(r"port\s+(\d+)", e.bpf or "")}
+        pcap_packets_df(spark, e.interface, ports or None) \
+            .write.mode("append").parquet(spool)
+        done += 1
+    return done
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="xenoeye_spark")
     ap.add_argument("-c", "--config", default="xenoeye.conf")
@@ -82,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
         b.start()
         bridges.append(b)
         print(f"listening on UDP :{b.port} -> {spool}", file=sys.stderr)
+
+    n_pcap = spool_pcap_captures(
+        spark, cfg.capture + cfg.sflow_capture, spool
+    )
+    if n_pcap:
+        print(f"{n_pcap} pcap capture(s) replayed -> {spool}",
+              file=sys.stderr)
 
     packets = (
         spark.readStream.schema("data binary, dev_ip long, recv_ts timestamp")
