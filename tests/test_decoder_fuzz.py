@@ -84,3 +84,39 @@ def test_valid_packets_still_decode():
     assert parse_packet(VALID[1], TemplateStore())
     assert parse_packet(VALID[2], TemplateStore())
     assert parse_sflow(VALID[3])
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_packet_has_templates_never_crashes(data):
+    from xenoeye_spark.sources.netflow import packet_has_templates
+    packet_has_templates(data)  # any bytes: bool out, no exception
+
+
+@given(st.binary(max_size=120), st.integers(0, 2**32 - 1))
+@settings(max_examples=100, deadline=None)
+def test_template_journal_survives_garbage_and_torn_tail(tmp_path_factory,
+                                                         data, dev_ip):
+    """Journal replay must tolerate arbitrary journaled packets and a
+    torn (half-written) trailing record — the crash-at-write case."""
+    from xenoeye_spark.sources.netflow import TemplateJournal
+    root = tmp_path_factory.mktemp("tj")
+    j = TemplateJournal(str(root / "t"))
+    j.append_packet(data, dev_ip)
+    j.append_packet(build_v9([(8, 4)], [(1,)], tid=260), 9)
+    j.close()
+    # tear the tail: append a record header promising more than exists
+    with open(str(root / "t.pkts"), "ab") as fh:
+        fh.write(struct.pack(">IQ", 99999, 1) + b"\x01\x02")
+    seed = TemplateJournal(str(root / "t")).load()
+    # the valid template always survives; garbage/torn bytes never crash
+    assert any(k[3] == 260 for k, _ in seed)
+
+
+def test_sflow_dispatch_fuzz_consistency():
+    """parse_packet's sFlow dispatch agrees with parse_sflow directly."""
+    frame = build_eth_ipv4_udp(1, 2, 3, 4, b"x")
+    pkt = build_sflow([frame])
+    via_dispatch = parse_packet(pkt, TemplateStore())
+    direct = parse_sflow(pkt)
+    assert via_dispatch == direct and len(direct) == 1
