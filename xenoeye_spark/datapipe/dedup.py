@@ -318,6 +318,8 @@ def lsh_candidate_pairs(
         sig_len = signatures.select(F.size("signature").alias("s")).first()["s"]
     rows_per_band = (sig_len + bands - 1) // bands
 
+    from pyspark import StorageLevel
+
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -326,15 +328,16 @@ def lsh_candidate_pairs(
                 f"b -> xxhash64(array_join(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), ',')))"
             )
         ).alias("band", "bucket"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted unconditionally: the banded table feeds BOTH sides of the
+    # self-join (plus the size gate and optional stats job), and upstream
+    # is the minhash pandas UDF — without the persist Spark re-runs the
+    # signature computation once per consumer (measured 3x). The table is
+    # bands x n_docs rows of 3 longs — tiny next to its source corpus.
     if max_bucket_size is not None:
         # one extra aggregate on the SAME (band, bucket) key the join
         # shuffles on; the sizes table is tiny (distinct buckets) so the
         # gate join back is broadcast-able by AQE
-        if stats is not None:
-            from pyspark import StorageLevel
-
-            banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_bsz")
         )
