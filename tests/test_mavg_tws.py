@@ -16,11 +16,11 @@ from pyspark.sql import functions as F
 from xenoeye_spark.operators.mavg import ewma_replay_py
 from xenoeye_spark.streaming.mavg_stream import mavg_alert_stream
 
-_HAS_PROTOBUF = True
-try:  # transformWithState speaks protobuf to the JVM state server
-    from google.protobuf import descriptor  # noqa: F401
-except ImportError:
-    _HAS_PROTOBUF = False
+from xenoeye_spark.protobuf_compat import ensure_protobuf
+
+# transformWithState speaks protobuf to the JVM state server; the compat
+# helper finds the vendored pure-python runtime when site-packages lacks one
+_HAS_PROTOBUF = ensure_protobuf()
 
 needs_tws = pytest.mark.skipif(
     not _HAS_PROTOBUF, reason="transformWithState needs python protobuf"

@@ -469,17 +469,16 @@ def test_kafka_framing_fixture(spark, tmp_path):
     assert rows[333]["dev_ip"] == 0            # null key -> fallback
 
 
-def test_tws_constraint_loudly_asserted(spark):
+def test_tws_constraint_loudly_asserted(spark, monkeypatch):
     """When python-protobuf is absent the transformWithState twin must
     fail with a clear message pointing at the tested equivalent, not an
-    obscure runtime error mid-query."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        pytest.skip("protobuf present: tws executes in test_mavg_tws")
-    except ImportError:
-        pass
+    obscure runtime error mid-query. Simulated by forcing the compat
+    probe to report no runtime (this container vendors one, so the happy
+    path executes in test_mavg_tws)."""
+    from xenoeye_spark import protobuf_compat
     from xenoeye_spark.streaming.mavg_tws import mavg_alert_stream_tws
 
+    monkeypatch.setattr(protobuf_compat, "ensure_protobuf", lambda: False)
     df = spark.createDataFrame([("k", 1.7e9, 1.0)], "k string, ts double, v double")
     with pytest.raises(RuntimeError, match="protobuf.*applyInPandasWithState"):
         mavg_alert_stream_tws(df, ["k"], "v", window_sec=10, threshold=1.0)

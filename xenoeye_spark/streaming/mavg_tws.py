@@ -18,9 +18,12 @@ Requires the RocksDB state store provider
 (``spark.sql.streaming.stateStore.providerClass`` →
 ``...state.RocksDBStateStoreProvider``); ``mavg_alert_stream_tws`` sets
 it on the session if unset. The transformWithState protocol also needs
-the ``protobuf`` Python package at runtime (standard on clusters, absent
-in some minimal test containers — tests importorskip on it). The replay
-core and silent-key transition logic are shared with ``mavg_stream``
+the ``protobuf`` Python package at runtime (standard on clusters;
+``protobuf_compat.ensure_protobuf`` finds a vendored pure-python runtime
+where site-packages lacks one, so the tests execute this path). Note the
+TWS Arrow exchange strips leading-underscore column names to positional
+``_1``/``_2`` — internal columns here use ``xe_``-prefixed names. The
+replay core and silent-key transition logic are shared with ``mavg_stream``
 (replay_rows / silent_transition), which is fully tested through the
 applyInPandasWithState operator; this module only adapts them to the
 newer API.
@@ -99,10 +102,10 @@ class MavgProcessor(StatefulProcessor):
         limit = self.thresholds.get(tuple(key), self.threshold)
 
         pdf = pd.concat(list(rows), ignore_index=True)
-        pdf = pdf.sort_values("_ts_ns", kind="mergesort")
+        pdf = pdf.sort_values("xe_ts_ns", kind="mergesort")
         st = (n, t_prev, alarm, below_since, first_seen)
         st, events = replay_rows(
-            st, pdf["_ts_ns"].to_numpy(), pdf["_val"].to_numpy(), tuple(key),
+            st, pdf["xe_ts_ns"].to_numpy(), pdf["xe_val"].to_numpy(), tuple(key),
             limit, self.window_sec, self.window_ns, self.back2norm_ns,
             self.under,
         )
@@ -159,16 +162,17 @@ def mavg_alert_stream_tws(
     """transformWithState twin of ``mavg_alert_stream`` — same output
     schema (keys..., event, rate, threshold, ts_ns) plus timer-driven GONE
     for silent keys and TTL'd idle state."""
-    try:  # the TWS Python protocol speaks protobuf to the JVM state server
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
+    from xenoeye_spark.protobuf_compat import ensure_protobuf
+
+    # the TWS Python protocol speaks protobuf to the JVM state server
+    if not ensure_protobuf():
         raise RuntimeError(
             "transformWithStateInPandas requires the python 'protobuf' "
-            "package, which is not installed in this environment. The "
-            "applyInPandasWithState twin (streaming.mavg_stream."
-            "mavg_alert_stream) implements identical semantics and runs "
-            "without it."
-        ) from e
+            "package, which is not installed in this environment (and no "
+            "vendored runtime was found). The applyInPandasWithState twin "
+            "(streaming.mavg_stream.mavg_alert_stream) implements "
+            "identical semantics and runs without it."
+        )
     spark = flows.sparkSession
     if "RocksDB" not in (
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
@@ -187,8 +191,8 @@ def mavg_alert_stream_tws(
     prepped = flows.select(
         *key_cols,
         (F.col(ts_col).cast("timestamp").cast("double") * F.lit(1e9))
-        .cast("long").alias("_ts_ns"),
-        F.col(val_col).cast("double").alias("_val"),
+        .cast("long").alias("xe_ts_ns"),
+        F.col(val_col).cast("double").alias("xe_val"),
     )
     proc = MavgProcessor(
         key_cols, window_sec, threshold, back2norm_sec, thresholds, under,
