@@ -142,6 +142,7 @@ def main() -> None:
     # fails for any environmental reason.
     spark.stop()
     probe: dict = {}
+    probe_mode = "subprocess"
     try:
         env = dict(os.environ, SPARK_GRAFT_PROBE_ONLY="1")
         out = subprocess.run(
@@ -150,18 +151,41 @@ def main() -> None:
         )
         probe = json.loads(out.stdout.strip().splitlines()[-1])
     except Exception:
+        # inline fallback shares the parent process with the suite's
+        # GC/memory leftovers — the stamp below makes that visible
+        # instead of silently polluting the headline number
+        probe_mode = "inline"
         probe = run_probe_session()
+
+    # The driver captures only the TAIL of stdout and json-parses the last
+    # line — round-3's line carried three per-query dicts, outgrew the
+    # capture, and arrived truncated ("parsed": null). The final line stays
+    # compact: headline + per-query MEDIANS at 2 decimals. The full
+    # detail (min/spread per query) goes to a sidecar + stderr.
+    detail = {
+        "queries_min": timings_min,
+        "queries_spread": timings_spread,
+        "total_min": total_min,
+        "reps": reps,
+    }
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        )
+        with open(sidecar, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
 
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_min": timings_min,
-        "queries_spread": timings_spread,
-        "total_min": total_min,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "probe_mode": probe_mode,
         **probe,
     }))
 
