@@ -372,9 +372,60 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fp_digest", "fp_size")
 
 
+# The synthetic embeddings are near-orthogonal (max pairwise cosine 0.51
+# at sf0.01, 0.60 at sf0.1), so a 0.8 near-dup threshold finds nothing in
+# the fixture alone and the oracles would only ever verify the
+# no-false-positives direction. Both near-dup queries therefore union in
+# a deterministic set of planted near-duplicate pairs (seeded numpy,
+# cosine ~0.99) whose float32-exact values are embedded as literals in
+# the DuckDB oracles too — the same independent-re-derivation pattern as
+# the hyperplane literals, now exercising the HIT path of the tiled
+# matmul and the LSH verify join with nonzero oracle-matched rows.
+_PLANT_BASE = 10_000_000
+_PLANT_PAIRS = 12
+_PLANT_DIM = 64
+
+
+def _planted_neardup_rows() -> list[tuple[int, list[float]]]:
+    """(vec_id, embedding) rows: 12 pairs of near-duplicate unit vectors.
+    Values are rounded through float32 so the Spark array<float> column
+    and the DuckDB DOUBLE[] literals hold bit-identical doubles."""
+    import numpy as np
+
+    rng = np.random.RandomState(4242)
+    rows: list[tuple[int, list[float]]] = []
+    for i in range(_PLANT_PAIRS):
+        v = rng.normal(size=_PLANT_DIM)
+        v /= np.linalg.norm(v)
+        # perturbation norm ~= 0.015 * sqrt(64) = 0.12 -> cosine ~= 0.993
+        w = v + 0.015 * rng.normal(size=_PLANT_DIM)
+        w /= np.linalg.norm(w)
+        for j, vec in enumerate((v, w)):
+            f32 = np.asarray(vec, dtype=np.float32)
+            rows.append((_PLANT_BASE + 2 * i + j,
+                         [float(x) for x in f32]))
+    return rows
+
+
+def _with_planted(emb: DataFrame) -> DataFrame:
+    """Fixture embeddings + planted near-dup rows (same column types)."""
+    planted = emb.sparkSession.createDataFrame(
+        _planted_neardup_rows(), "vec_id long, embedding array<float>"
+    )
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
+def _planted_sql() -> str:
+    """The planted rows as a DuckDB VALUES literal (vec_id, v DOUBLE[])."""
+    return ", ".join(
+        f"({vid}, [{', '.join(repr(x) for x in vec)}]::DOUBLE[])"
+        for vid, vec in _planted_neardup_rows()
+    )
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (datapipe)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _with_planted(_t(spark, sf_dir, "embeddings"))
     return cosine_neardup_pairs(emb, threshold=0.8)
 
 
@@ -425,7 +476,7 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dup via multi-table hyperplane-LSH candidates + exact
     verification — the 100-TB shape for q_emb_neardup (rows-only;
     recall vs the exact baseline asserted in tests/test_datapipe.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _with_planted(_t(spark, sf_dir, "embeddings"))
     return cosine_neardup_lsh(emb, dim=64, threshold=0.8)
 
 
@@ -863,12 +914,15 @@ SELECT doc_id,
          AS n_bpe_tokens
 FROM documents
 """,
-        "emb_neardup": """
-WITH s AS (
+        "emb_neardup": f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT * FROM (VALUES {_planted_sql()}) t(vec_id, v)
+), s AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.8
 """,
@@ -936,6 +990,8 @@ WITH planes AS ({" UNION ALL ".join(
     for i, plane in enumerate(planes))}
 ), e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT * FROM (VALUES {_planted_sql()}) t(vec_id, v)
 ), b AS (
   SELECT e.vec_id, p.tbl,
          CAST(SUM(CASE WHEN list_inner_product(e.v, p.p) >= 0
