@@ -69,29 +69,43 @@ class IpList:
         substring equality; a non-byte-aligned tail compares the
         remaining high bits of the next byte (extracted with
         conv(hex(...)) and shifted) — e.g. fe80::/10 matches febf::1.
-        Pure Column expressions, no UDF."""
+        Pure Column expressions, no UDF.
+
+        Compile-bounded like the v4 path: prefixes group per
+        (plen, partial-byte value) into ONE binary IN-set over the
+        whole-byte substring, so a 50k-prefix list compiles to at most
+        a few dozen hash-set probes, not a 50k-term boolean tree
+        (round-3 verdict #3). For multi-million-prefix lists use
+        ``match_bucketed6``."""
         name = _colname(ip6_col)
         conds: list[Column] = []
         for plen in sorted(self.v6, reverse=True):
+            if plen == 0:
+                conds.append(F.lit(True))  # ::/0
+                continue
             full, rem = divmod(plen, 8)
+            # partial-byte value (None when byte-aligned) -> whole-byte
+            # prefixes sharing it; each group is one IN-set probe
+            groups: dict[int | None, set[bytes]] = defaultdict(set)
             for p in self.v6[plen]:
+                v = (p[full] >> (8 - rem)) if rem else None
+                groups[v].add(p[:full])
+            for v, fulls in groups.items():
                 sub: list[Column] = []
                 if full:
+                    col = F.expr(f"substring({name}, 1, {full})")
+                    vals = sorted(fulls)
                     sub.append(
-                        F.expr(f"substring({name}, 1, {full})")
-                        == F.lit(p[:full])
+                        col.isin(vals) if len(vals) > 1
+                        else col == F.lit(vals[0])
                     )
                 if rem:
                     nxt = F.expr(
                         f"conv(hex(substring({name}, {full + 1}, 1)), 16, 10)"
                     ).cast("int")
                     sub.append(
-                        F.shiftrightunsigned(nxt, 8 - rem)
-                        == F.lit(p[full] >> (8 - rem))
+                        F.shiftrightunsigned(nxt, 8 - rem) == F.lit(v)
                     )
-                if not sub:
-                    conds.append(F.lit(True))  # ::/0
-                    continue
                 c = sub[0]
                 for s in sub[1:]:
                     c = c & s
@@ -112,10 +126,30 @@ class IpList:
         ]
         return spark.createDataFrame(rows, "list_name string, plen int, net long")
 
+    def to_df6(self, spark) -> DataFrame:
+        """(plen, net_hi, net_lo) rows for ``match_bucketed6``: the packed
+        16-byte prefix split into two big-endian int64 halves (signed
+        two's-complement, matching conv(hex, 16, -10) on the probe side —
+        the geoip hi/lo merge representation, geoip.py lookup6_np)."""
+        rows = [
+            (self.name, plen, _signed64(int.from_bytes(p[:8], "big")),
+             _signed64(int.from_bytes(p[8:], "big")))
+            for plen, nets in self.v6.items()
+            for p in nets
+        ]
+        return spark.createDataFrame(
+            rows, "list_name string, plen int, net_hi long, net_lo long"
+        )
+
 
 def _colname(col: Column) -> str:
     s = str(col)
     return s[len("Column<'") : -len("'>")]
+
+
+def _signed64(x: int) -> int:
+    """Unsigned 64-bit value -> two's-complement signed int64."""
+    return x - (1 << 64) if x >= (1 << 63) else x
 
 
 def match_bucketed(
@@ -167,6 +201,74 @@ def match_bucketed(
     )
     hits = (
         probes.join(F.broadcast(dim), on=["plen", "net_masked"],
+                    how="left_semi")
+        .select("_rid")
+        .distinct()
+        .withColumn(out_col, F.lit(True))
+    )
+    return (
+        tagged.join(hits, on="_rid", how="left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
+        .drop("_rid")
+    )
+
+
+def match_bucketed6(
+    flows: DataFrame,
+    ip6_col: str,
+    lists_df: DataFrame,
+    out_col: str = "in_list",
+) -> DataFrame:
+    """IPv6 twin of ``match_bucketed`` for multi-million-prefix lists:
+    appends boolean ``out_col`` via a broadcast semi-join instead of an
+    IN-set Column. ``lists_df``: (plen int, net_hi long, net_lo long) —
+    ``IpList.to_df6``'s shape.
+
+    The 16-byte address splits into two big-endian int64 halves with
+    ``conv(hex(substring), 16, -10)`` (signed, matching the dim side);
+    each distinct plen masks hi/lo with two shifts, CASE-guarded at the
+    64/0/128 boundaries because Java shifts are mod-64. Same persisted
+    row-id discipline as the v4 path (see ``match_bucketed``); addresses
+    that are null or not 16 bytes match nothing, like ``match_expr6``'s
+    isNotNull guard."""
+    from pyspark import StorageLevel
+
+    plens = sorted({r[0] for r in lists_df.select("plen").distinct().collect()})
+    dim = lists_df.select("plen", "net_hi", "net_lo").distinct()
+    tagged = flows.withColumn(
+        "_rid", F.monotonically_increasing_id()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    probes = (
+        tagged.select("_rid", F.col(ip6_col).alias("_ip6"))
+        .filter(F.length("_ip6") == 16)
+        .withColumn(
+            "_hi",
+            F.expr("cast(conv(hex(substring(_ip6, 1, 8)), 16, -10) as bigint)"),
+        )
+        .withColumn(
+            "_lo",
+            F.expr("cast(conv(hex(substring(_ip6, 9, 8)), 16, -10) as bigint)"),
+        )
+        .withColumn("plen", F.explode(F.array(*[F.lit(p) for p in plens])))
+        .withColumn(
+            "net_hi",
+            F.expr(
+                "CASE WHEN plen = 0 THEN 0L "
+                "WHEN plen < 64 THEN shiftleft(shiftrightunsigned(_hi, "
+                "64 - plen), 64 - plen) ELSE _hi END"
+            ),
+        )
+        .withColumn(
+            "net_lo",
+            F.expr(
+                "CASE WHEN plen <= 64 THEN 0L "
+                "WHEN plen < 128 THEN shiftleft(shiftrightunsigned(_lo, "
+                "128 - plen), 128 - plen) ELSE _lo END"
+            ),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(dim), on=["plen", "net_hi", "net_lo"],
                     how="left_semi")
         .select("_rid")
         .distinct()
