@@ -468,3 +468,41 @@ def test_mfreq_batch_granularity(spark):
         state.observe(batch, "l4_src_port", "l4_dst_port")
     assert got == expected
     assert state.freq[443] == 5
+
+
+def test_mfreq_two_loops_share_ctx_without_racing(spark):
+    """Round-3 verdict minor #4: two MfreqLoops over ONE FilterContext
+    must keep independent frequency tables and never mutate the shared
+    ctx — the snapshot-bound fn is passed per compile, not stored."""
+    from xenoeye_spark.dsl.compiler import FilterContext
+    from xenoeye_spark.streaming.mfreq_stream import MfreqLoop
+
+    ctx = FilterContext()
+    flows_a = [(443, 8080), (443, 9090), (80, 443)]   # 443-heavy
+    flows_b = [(53, 9999), (53, 8888), (80, 53)]      # 53-heavy
+    exp_a = _mfreq_scalar_replay(flows_a, {443})
+    exp_b = _mfreq_scalar_replay(flows_b, {53})
+
+    got_a, got_b = [], []
+    loop_a = MfreqLoop(
+        "mfreq(src port, dst port) 443", "l4_src_port", "l4_dst_port",
+        ctx=ctx, output_fn=lambda df, e: got_a.append(df.count() > 0),
+    )
+    loop_b = MfreqLoop(
+        "mfreq(src port, dst port) 53", "l4_src_port", "l4_dst_port",
+        ctx=ctx, output_fn=lambda df, e: got_b.append(df.count() > 0),
+    )
+    assert loop_a.ctx is loop_b.ctx
+    # interleave the two standing queries over the shared ctx
+    for i, ((a1, b1), (a2, b2)) in enumerate(zip(flows_a, flows_b)):
+        loop_a.process_batch(spark.createDataFrame(
+            [(a1, b1)], "l4_src_port long, l4_dst_port long"), i)
+        loop_b.process_batch(spark.createDataFrame(
+            [(a2, b2)], "l4_src_port long, l4_dst_port long"), i)
+    assert got_a == exp_a
+    assert got_b == exp_b
+    # the shared ctx was never mutated
+    assert ctx.mfreq_fn is None
+    # and the tables stayed per-loop
+    assert loop_a.state.freq[443] == 3 and loop_a.state.freq[53] == 0
+    assert loop_b.state.freq[53] == 3 and loop_b.state.freq[443] == 0

@@ -324,10 +324,24 @@ def compile_ast(ctx: FilterContext, ast) -> Column:
     raise CompileError(f"unknown AST node {ast!r}")
 
 
-def compile_filter(text: str, ctx: FilterContext | None = None) -> Column:
-    """filter DSL string -> boolean Column."""
+def compile_filter(
+    text: str,
+    ctx: FilterContext | None = None,
+    mfreq_fn=None,
+) -> Column:
+    """filter DSL string -> boolean Column.
+
+    ``mfreq_fn``: per-compile binding for ``mfreq()`` (a snapshot-bound
+    expression factory, streaming/mfreq_stream.py). Passed here rather
+    than mutated onto ``ctx`` so two standing queries can share one
+    context without racing on its ``mfreq_fn`` field — the binding lives
+    only in this compile's private shallow copy."""
     if ctx is None:
         ctx = FilterContext()
+    if mfreq_fn is not None:
+        from dataclasses import replace as dc_replace
+
+        ctx = dc_replace(ctx, mfreq_fn=mfreq_fn)
     ast = parse_filter(text, set(ctx.fields))
     return compile_ast(ctx, ast)
 

@@ -233,21 +233,17 @@ class Engine:
                         )
 
                     mf_state = None
-                    qctx = self.ctx
                     if mf_pairs:
-                        from dataclasses import replace as dc_replace
-
                         from xenoeye_spark.streaming.mfreq_stream import (
                             MfreqState,
                         )
 
-                        # per-query map + private ctx (mfreq_fn is
-                        # rebound per trigger; the shared ctx must not
-                        # race across standing queries)
+                        # per-query frequency map; the shared ctx is safe
+                        # as-is — fwm_streaming_query binds the snapshot
+                        # factory into a per-batch copy, never the ctx
                         mf_state = MfreqState()
-                        qctx = dc_replace(self.ctx)
                     return fwm_streaming_query(
-                        base, mo, fwm, qctx, ts_col=ts_col,
+                        base, mo, fwm, self.ctx, ts_col=ts_col,
                         sink_fn=sink, checkpoint_dir=self._ckpt(qname),
                         available_now=False,
                         mfreq_state=mf_state, mfreq_pairs=mf_pairs,

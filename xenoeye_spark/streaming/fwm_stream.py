@@ -149,17 +149,24 @@ def fwm_streaming_query(
     state's table snapshot, and after each batch the table absorbs the
     batch's argument values — the reference's per-filter frequency map
     at trigger granularity (filter.c:711-751,
-    streaming/mfreq_stream.py). ``ctx`` must then be private to this
-    query (its ``mfreq_fn`` is rebound per batch).
+    streaming/mfreq_stream.py). The snapshot factory is bound into a
+    per-batch shallow copy of ``ctx``, so one ctx may be shared across
+    standing queries.
     """
     if ctx is None:
         ctx = FilterContext()
     table = f"{mo.name}_{fwm.name}"
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # bind the snapshot factory into a private shallow copy — the
+        # caller's ctx is never mutated, so queries can share a ctx
         if mfreq_state is not None:
-            ctx.mfreq_fn = mfreq_state.expr
-        result = mo.fwm_result(batch_df, fwm, ctx, ts_col=ts_col)
+            from dataclasses import replace as dc_replace
+
+            bctx = dc_replace(ctx, mfreq_fn=mfreq_state.expr)
+        else:
+            bctx = ctx
+        result = mo.fwm_result(batch_df, fwm, bctx, ts_col=ts_col)
         if sink_fn is not None:
             sink_fn(result, epoch_id)
         elif exp_dir is not None:

@@ -114,8 +114,11 @@ class MfreqLoop:
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         from xenoeye_spark.dsl.compiler import compile_filter
 
-        self.ctx.mfreq_fn = self.state.expr
-        cond = compile_filter(self.filter_str, self.ctx)
+        # snapshot-bound fn passed per compile — the shared ctx is never
+        # mutated, so two loops over one ctx keep independent tables
+        cond = compile_filter(
+            self.filter_str, self.ctx, mfreq_fn=self.state.expr
+        )
         out = batch_df.filter(cond)
         if self.output_fn is not None:
             self.output_fn(out, epoch_id)
