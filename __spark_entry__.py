@@ -19,7 +19,9 @@ from xenoeye_spark.dsl.compiler import FilterContext, compile_filter
 from xenoeye_spark.datapipe.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
+    minhash_params31,
     minhash_signatures,
+    minhash_signatures_expr,
     ngram_jaccard_pairs,
     shingle_table,
 )
@@ -275,6 +277,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, threshold=0.35, candidates=cands, shingles=sh
     )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable MinHash+LSH: same operator pipeline as
+    q_dedup_minhash_lsh (signatures -> banded candidates -> exact-Jaccard
+    verify) but signatures come from the pure-expression 31-bit family
+    (minhash_signatures_expr), whose char-polynomial base hash and
+    overflow-free permutations the DuckDB oracle re-derives verbatim —
+    the first fully hash-checked row for the minhash family."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_table(docs, n=3)
+    sigs = minhash_signatures_expr(docs, n=3, num_hashes=64)
+    cands = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
+    verified = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.35, candidates=cands, shingles=sh
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_expr": q_dedup_minhash_lsh_expr,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "sim_topk": q_sim_topk,
@@ -788,6 +810,57 @@ WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(a.s || b.s)) END >= 0.35
 """,
+        # dedup_minhash_lsh_expr: the whole MinHash+LSH pipeline
+        # re-derived independently — char-polynomial base hash, the 64
+        # seeded 31-bit permutation literals, 16-band bucketing (the
+        # joined band slice IS the bucket key; Spark's xxhash64 of the
+        # same string is injective modulo ~2^-64 collisions), the 1000-row
+        # bucket cap, and exact string-set Jaccard verification.
+        "dedup_minhash_lsh_expr": (lambda perms: f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, {shingles} AS s FROM toks
+), hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(s, str ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(str, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007))) AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         list_transform({perms}, p ->
+           CASE WHEN len(h) = 0 THEN CAST(2147483647 AS BIGINT)
+                ELSE list_min(list_transform(h, x -> (p.a * x + p.b) % 2147483647))
+           END) AS sg
+  FROM hs
+), banded AS (
+  SELECT doc_id, r.range AS band,
+         array_to_string(sg[r.range * 4 + 1 : r.range * 4 + 4], ',') AS bucket
+  FROM sig CROSS JOIN range(16) r
+), gated AS (
+  SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+), bg AS (
+  SELECT b.doc_id, b.band, b.bucket FROM banded b JOIN gated USING (band, bucket)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bg a JOIN bg b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+), j AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN len(list_distinct(x.s || y.s)) = 0 THEN 0
+              ELSE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                   / len(list_distinct(x.s || y.s)) END AS jac
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.35
+""")("[" + ", ".join(
+            "{'a': %d, 'b': %d}" % (int(a), int(b))
+            for a, b in zip(*minhash_params31(64, 42))
+        ) + "]"),
         "text_stats": f"""
 WITH w AS (
   SELECT doc_id, text,

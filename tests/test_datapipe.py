@@ -291,3 +291,26 @@ def test_lsh_dropped_bucket_stats(spark):
     stats2: dict = {}
     lsh_candidate_pairs(sigs, bands=4, max_bucket_size=None, stats=stats2)
     assert stats2 == {}  # guard disabled -> nothing computed
+
+
+def test_minhash_expr_twin_recall_and_purity(spark):
+    """The pure-expression 31-bit MinHash twin (the oracle-checkable
+    family) must behave like the xxhash64+pandas-UDF path: near-full LSH
+    recall at J>=0.5 with 64 hashes / 16 bands, verification admits no
+    false accepts, and the plan stays entirely JVM-side (no Python eval
+    node in the signature stage)."""
+    from xenoeye_spark.datapipe.dedup import minhash_signatures_expr
+
+    docs = _corpus(spark, n=15)
+    sigs = minhash_signatures_expr(docs, n=3, num_hashes=64)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan  # pure codegen
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    cands = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
+    verified = {(r["id_a"], r["id_b"])
+                for r in ngram_jaccard_pairs(
+                    docs, n=3, threshold=0.5, candidates=cands).collect()}
+    recall = len(verified & exact) / max(len(exact), 1)
+    assert recall >= 0.9
+    assert verified <= exact

@@ -220,6 +220,71 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+# 31-bit permutation family for the pure-expression twin: every product
+# a*x (a < 2^31, x < _POLY_P < 2^30) stays under 2^61, so the arithmetic
+# is exact int64 in ANY engine — no numpy wraparound semantics to
+# replicate, which is what makes this variant oracle-checkable in SQL.
+_POLY_P = 1_000_000_007
+_PERM_P31 = (1 << 31) - 1
+
+
+def minhash_params31(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _PERM_P31, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _PERM_P31, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures_expr(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Whole-stage-codegen MinHash twin of ``minhash_signatures``: zero
+    Python, zero Arrow transfer — the entire signature is built-in
+    higher-order functions, so Catalyst fuses shingling, hashing, and the
+    64 permutations into one generated stage.
+
+    The base shingle hash is a character polynomial mod 1e9+7 (instead of
+    xxhash64) and the permutations are (a*x + b) mod 2^31-1 with 31-bit
+    constants; both are plain int64 arithmetic with no overflow, hence
+    expressible verbatim in DuckDB SQL — this variant exists to make the
+    full MinHash+LSH pipeline independently oracle-checkable
+    (__spark_entry__.py dedup_minhash_lsh_expr). Same signature contract
+    as ``minhash_signatures`` (array<long> of num_hashes; empty docs get
+    the all-max signature), so ``lsh_candidate_pairs`` consumes either.
+    """
+    a_params, b_params = minhash_params31(num_hashes, seed)
+    toks = f"split({text_col}, '\\\\s+')"
+    inner = toks if n == 1 else (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    poly = (
+        "aggregate(transform(split(s, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {_POLY_P})"
+    )
+    hashes = f"array_distinct(transform({inner}, s -> {poly}))"
+    a_lit = "array(" + ", ".join(f"{int(x)}L" for x in a_params) + ")"
+    b_lit = "array(" + ", ".join(f"{int(x)}L" for x in b_params) + ")"
+    sig = (
+        f"transform(sequence(0, {num_hashes - 1}), p -> "
+        f"CASE WHEN size(_h) = 0 THEN {_PERM_P31}L ELSE "
+        f"array_min(transform(_h, x -> "
+        f"(element_at({a_lit}, p + 1) * x + element_at({b_lit}, p + 1)) "
+        f"% {_PERM_P31})) END)"
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(hashes).alias("_h"))
+        .select(F.col(id_col), F.expr(sig).alias("signature"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,
