@@ -41,6 +41,7 @@ from xenoeye_spark.datapipe.text import (
     doc_fingerprint,
     language_id,
     simhash64,
+    simhash_expr,
     simhash_neardup_pairs,
     text_stats,
     token_count,
@@ -523,6 +524,25 @@ def q_fwm_func_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash twin: 60-bit fingerprints from two
+    30-bit char polynomials, bit votes in pure expressions — the DuckDB
+    oracle re-derives every fingerprint verbatim (the xxhash64 flagship
+    q_simhash stays rows-only by design)."""
+    return simhash_expr(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_neardup_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded near-dup over the oracle-checkable 60-bit fingerprints:
+    4 bands x 15 bits, radius 3 exact by pigeonhole — same operator as
+    q_simhash_neardup, fully re-derived by the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash_expr(docs)
+    return simhash_neardup_pairs(
+        docs, radius=3, bands=4, fingerprints=fps, fp_bits=60
+    )
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banded bit blocks — exact for
     radius <= bands-1 by pigeonhole (rows-only: xxhash64-seeded
@@ -614,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "simhash_neardup": q_simhash_neardup,
+        "simhash_expr": q_simhash_expr,
+        "simhash_neardup_expr": q_simhash_neardup_expr,
         "fwm_func_key": q_fwm_func_key,
     }
 
@@ -809,6 +831,67 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(a.s || b.s)) END >= 0.35
+""",
+        # simhash_expr / simhash_neardup_expr: the 60-bit two-polynomial
+        # fingerprint re-derived bit for bit — token char-polys, majority
+        # bit votes, packing — then 4x15-bit banding + popcount verify.
+        "simhash_expr": f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, list_transform(t, tok ->
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824
+    + list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 131 + x) % 1073741783)) AS h
+  FROM toks
+)
+SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(range(0, 60), b ->
+         CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) % 2) = 1)) > len(h)
+              THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), 0)
+       AS BIGINT) AS simhash
+FROM th
+""",
+        "simhash_neardup_expr": f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, list_transform(t, tok ->
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824
+    + list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 131 + x) % 1073741783)) AS h
+  FROM toks
+), fp AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(range(0, 60), b ->
+           CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) % 2) = 1)) > len(h)
+                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), 0)
+         AS BIGINT) AS simhash
+  FROM th
+), banded AS (
+  SELECT doc_id, simhash, r.range AS band,
+         (simhash >> (r.range * 15)) & 32767 AS block
+  FROM fp CROSS JOIN range(4) r
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
 """,
         # dedup_minhash_lsh_expr: the whole MinHash+LSH pipeline
         # re-derived independently — char-polynomial base hash, the 64

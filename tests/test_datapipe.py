@@ -314,3 +314,61 @@ def test_minhash_expr_twin_recall_and_purity(spark):
     recall = len(verified & exact) / max(len(exact), 1)
     assert recall >= 0.9
     assert verified <= exact
+
+
+def test_simhash_expr_matches_python_replay(spark):
+    """The 60-bit expression fingerprint must equal a direct numpy
+    replay of its definition (two char polynomials, majority votes),
+    and stay entirely JVM-side."""
+    from xenoeye_spark.datapipe.text import SIMHASH_EXPR_BITS, simhash_expr
+
+    docs = _corpus(spark, n=6)
+    out = simhash_expr(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+    def poly(s, m, p):
+        acc = 0
+        for ch in s:
+            acc = (acc * m + ord(ch)) % p
+        return acc
+
+    def replay(text):
+        toks = [t for t in text.strip().split() if t]
+        hs = [poly(t, 31, 1073741789) * (1 << 30) + poly(t, 131, 1073741783)
+              for t in toks]
+        fp = 0
+        for b in range(SIMHASH_EXPR_BITS):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                fp |= 1 << b
+        return fp
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    for did, text in texts.items():
+        assert got[did] == replay(text), did
+
+
+def test_simhash_neardup_expr_equals_bruteforce(spark):
+    """Banded candidates over the 60-bit expr fingerprints are exact for
+    radius <= bands-1, matching brute-force hamming pairs."""
+    from xenoeye_spark.datapipe.text import simhash_expr, simhash_neardup_pairs
+
+    docs = _corpus(spark, n=12)
+    fps = {r["doc_id"]: r["simhash"]
+           for r in simhash_expr(docs).collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(
+            docs, radius=3, bands=4,
+            fingerprints=simhash_expr(docs), fp_bits=60,
+        ).collect()
+    }
+    assert got == brute

@@ -121,12 +121,55 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# two coprime char-polynomial families; each yields < 2^30, so the packed
+# 60-bit token hash (p1 * 2^30 + p2) and every intermediate product stay
+# exact in int64 — the property that makes the twin SQL-oracle-checkable
+_SIMHASH_P1, _SIMHASH_M1 = 1_073_741_789, 31
+_SIMHASH_P2, _SIMHASH_M2 = 1_073_741_783, 131
+SIMHASH_EXPR_BITS = 60
+
+
+def simhash_expr(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pure-expression SimHash twin of ``simhash64``: a 60-bit
+    fingerprint from two 30-bit char polynomials per token, bit votes and
+    packing all in higher-order functions — zero Python, fully inside
+    WholeStageCodegen, and (unlike xxhash64) re-derivable verbatim in
+    DuckDB SQL (__spark_entry__.py simhash_expr oracle). Same vote
+    semantics as ``simhash64``: bit b is set iff strictly more than half
+    of the tokens have bit b set; empty docs fingerprint to 0."""
+    poly1 = (
+        "aggregate(transform(split(t, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * {_SIMHASH_M1} + x) % {_SIMHASH_P1})"
+    )
+    poly2 = (
+        "aggregate(transform(split(t, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * {_SIMHASH_M2} + x) % {_SIMHASH_P2})"
+    )
+    tok_hashes = (
+        f"transform(filter(split(trim({text_col}), '\\\\s+'), t -> t != ''), "
+        f"t -> {poly1} * {1 << 30}L + {poly2})"
+    )
+    fp = (
+        f"aggregate(sequence(0, {SIMHASH_EXPR_BITS - 1}), 0L, (acc, b) -> "
+        "acc + IF(2 * size(filter(_th, h -> shiftright(h, b) % 2 = 1)) "
+        "> size(_th), shiftleft(1L, b), 0L))"
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(tok_hashes).alias("_th"))
+        .select(F.col(id_col), F.expr(fp).alias("simhash"))
+    )
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     radius: int = 3,
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fingerprints: DataFrame | None = None,
+    fp_bits: int = 64,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: (id_a < id_b, hamming <= radius).
 
@@ -135,13 +178,20 @@ def simhash_neardup_pairs(
     bit blocks, so every qualifying pair is equal on at least one block.
     Candidates therefore come from an equi-join keyed by (band, block) —
     the same shuffle shape as MinHash banding — and a popcount verifies.
+
+    ``fingerprints``: precomputed (id_col, simhash) frame — e.g. the
+    oracle-checkable ``simhash_expr`` twin — with ``fp_bits`` giving its
+    width (band blocks split fp_bits evenly). Default: ``simhash64``.
     """
     if radius > bands - 1:
         raise ValueError(
             f"radius {radius} needs > {radius} bands for exact candidates"
         )
-    fp = simhash64(docs, text_col, id_col)
-    width = 64 // bands
+    fp = (
+        fingerprints if fingerprints is not None
+        else simhash64(docs, text_col, id_col)
+    )
+    width = fp_bits // bands
     mask = (1 << width) - 1
     banded = fp.select(
         id_col, "simhash",
