@@ -39,6 +39,7 @@ from xenoeye_spark.datapipe.text import (
     BPE_SPLIT_RE,
     STOPWORDS,
     doc_fingerprint,
+    doc_fingerprint_expr,
     language_id,
     simhash64,
     simhash_expr,
@@ -445,6 +446,13 @@ def _planted_sql() -> str:
     )
 
 
+def q_doc_fingerprint_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable winnowing twin: polynomial gram hashes +
+    expression window-min, re-derived verbatim by the DuckDB oracle
+    (the xxhash64 flagship q_doc_fingerprint stays rows-only)."""
+    return doc_fingerprint_expr(_t(spark, sf_dir, "documents"))
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (datapipe)."""
     emb = _with_planted(_t(spark, sf_dir, "embeddings"))
@@ -626,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fwm_sampling": q_fwm_sampling,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_fingerprint_expr": q_doc_fingerprint_expr,
         "emb_neardup": q_emb_neardup,
         "mo_pipeline": q_mo_pipeline,
         "sim_ivf": q_sim_ivf,
@@ -831,6 +840,44 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(a.s || b.s)) END >= 0.35
+""",
+        # doc_fingerprint_expr: winnowing re-derived — polynomial k-gram
+        # hashes, window-of-4 minima, sorted distinct selection, digest =
+        # the same polynomial over the comma-joined selection.
+        "doc_fingerprint_expr": """
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 8 THEN
+      list_transform(range(1, length(text) - 8 + 2), i ->
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(substr(text, CAST(i AS INTEGER), 8), ''),
+                           ch -> CAST(ascii(ch) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 1000000007))
+    WHEN length(text) > 0 THEN
+      [list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007)]
+    ELSE CAST([] AS BIGINT[]) END AS grams
+  FROM documents
+), wm AS (
+  SELECT doc_id,
+    CASE WHEN len(grams) >= 4 THEN
+      list_transform(range(1, len(grams) - 4 + 2), i -> list_min(grams[i : i + 3]))
+    ELSE grams END AS sel
+  FROM g
+), fp AS (
+  SELECT doc_id, list_sort(list_distinct(sel)) AS fingerprint FROM wm
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(array_to_string(fingerprint, ','), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_digest,
+       CAST(len(fingerprint) AS INTEGER) AS fp_size
+FROM fp
 """,
         # simhash_expr / simhash_neardup_expr: the 60-bit two-polynomial
         # fingerprint re-derived bit for bit — token char-polys, majority

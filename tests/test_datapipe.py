@@ -372,3 +372,36 @@ def test_simhash_neardup_expr_equals_bruteforce(spark):
         ).collect()
     }
     assert got == brute
+
+
+def test_doc_fingerprint_expr_matches_python_replay(spark):
+    """The expression winnowing twin must equal a direct replay of its
+    definition: poly gram hashes, window-of-4 minima, sorted distinct,
+    poly digest of the joined selection."""
+    from xenoeye_spark.datapipe.text import doc_fingerprint_expr
+
+    docs = _corpus(spark, n=5)
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 1000000007
+        return acc
+
+    def replay(text, k=8, w=4):
+        if len(text) >= k:
+            grams = [poly(text[i:i + k]) for i in range(len(text) - k + 1)]
+        elif text:
+            grams = [poly(text)]
+        else:
+            grams = []
+        if len(grams) >= w:
+            grams = [min(grams[i:i + w]) for i in range(len(grams) - w + 1)]
+        sel = sorted(set(grams))
+        return poly(",".join(str(x) for x in sel)), len(sel)
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: (r["fp_digest"], r["fp_size"])
+           for r in doc_fingerprint_expr(docs).collect()}
+    for did, text in texts.items():
+        assert got[did] == replay(text), did

@@ -248,6 +248,57 @@ def token_count(
     )
 
 
+def doc_fingerprint_expr(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Oracle-checkable winnowing twin of ``doc_fingerprint``: gram
+    hashes come from the 30-bit char polynomial (SQL-expressible, unlike
+    xxhash64) and the sliding window-min runs as expressions — O(len *
+    window) interpreted slices, the cost the flagship avoids with its
+    Arrow kernel, accepted here because this variant exists to let DuckDB
+    re-derive every selected fingerprint verbatim. Same selection
+    semantics: k-char grams, window-of-``window`` minima, sorted distinct;
+    the digest is the same polynomial over the comma-joined selection."""
+    t = text_col
+    poly = (
+        "aggregate(transform(split(s, ''), ch -> ascii(ch)), 0L, "
+        "(acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+
+    def poly_of(expr: str) -> str:
+        return poly.replace("split(s, '')", f"split({expr}, '')")
+
+    grams = (
+        f"CASE WHEN length({t}) >= {k} THEN "
+        f"transform(sequence(1, length({t}) - {k} + 1), "
+        f"i -> {poly_of(f'substring({t}, i, {k})')}) "
+        f"ELSE CASE WHEN length({t}) > 0 THEN array({poly_of(t)}) "
+        f"ELSE cast(array() as array<bigint>) END END"
+    )
+    winmin = (
+        f"CASE WHEN size(_g) >= {window} THEN "
+        f"transform(sequence(1, size(_g) - {window} + 1), "
+        f"i -> array_min(slice(_g, i, {window}))) ELSE _g END"
+    )
+    digest = poly_of("concat_ws(',', cast(fingerprint as array<string>))")
+    return (
+        docs.select(F.col(id_col), F.expr(grams).alias("_g"))
+        .select(
+            F.col(id_col),
+            F.array_sort(F.array_distinct(F.expr(winmin))).alias("fingerprint"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(digest).alias("fp_digest"),
+            F.size("fingerprint").alias("fp_size"),
+        )
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame,
     k: int = 8,
