@@ -493,6 +493,34 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3)
 
 
+_IVF_FIXED_CELLS = 8
+
+
+def _ivf_fixed_centroids():
+    """Seeded vantage-point centroids for the oracle-checkable IVF
+    variant — fixed data like the hyperplane literals, embedded verbatim
+    in the DuckDB oracle."""
+    import numpy as np
+
+    return np.random.RandomState(777).normal(size=(_IVF_FIXED_CELLS, 64))
+
+
+def q_sim_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with fixed seeded centroids: the same assign/probe/score
+    pipeline as q_sim_ivf but index construction is deterministic data,
+    so the DuckDB oracle re-derives cell assignment (argmin of
+    -2*v.c + |c|^2, ties to the lower cell), the 3 probed cells per
+    query, and the exact in-cell cosine top-10 independently. The
+    trained-kmeans flagship stays rows-only (iterative training is not
+    SQL-expressible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, k=10, n_cells=_IVF_FIXED_CELLS, n_probe=3,
+        centroids=_ivf_fixed_centroids(),
+    )
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-k — the scale path when a
     full scan per query is too expensive (rows-only: recall < 1 by
@@ -588,6 +616,27 @@ def q_multimodal_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable slice of the multimodal decode: the fake
+    decoder's width/height derive only from sha256(content), which DuckDB
+    recomputes — so the mapInPandas plumbing and the content->shape
+    seeding get a full rows+schema+hash check even though the pixel
+    payload (numpy RNG) stays rows-only in q_multimodal_feat."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+        ).alias("meta"),
+    )
+    feats = decode_and_featurize(media, fake=True, feat_dim=8)
+    return feats.select("media_id", "width", "height")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one media row fans out to every-Nth-frame
     feature rows through mapInPandas (rows-only, same fake-kernel rationale
@@ -638,7 +687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "mo_pipeline": q_mo_pipeline,
         "sim_ivf": q_sim_ivf,
+        "sim_ivf_fixed": q_sim_ivf_fixed,
         "multimodal_feat": q_multimodal_feat,
+        "multimodal_dims": q_multimodal_dims,
         "frame_sample": q_frame_sample,
         "sim_lsh_topk": q_sim_lsh_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -840,6 +891,63 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(a.s || b.s)) END >= 0.35
+""",
+        # sim_ivf_fixed: the IVF pipeline over fixed centroid literals —
+        # cell = argmin(-2*v.c + |c|^2) (ties -> lower cell), 3 probed
+        # cells per query by the same ordering, exact cosine top-10
+        # within probed cells.
+        "sim_ivf_fixed": (lambda cents, csqs: f"""
+WITH cents AS ({" UNION ALL ".join(
+    f"SELECT {i} AS cell, [{', '.join(repr(x) for x in c)}]::DOUBLE[] AS c, "
+    f"{csq!r} AS csq"
+    for i, (c, csq) in enumerate(zip(cents, csqs)))}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (-2 * list_inner_product(e.v, c.c) + c.csq) ASC, c.cell ASC
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (-2 * list_inner_product(e.v, c.c) + c.csq) ASC, c.cell ASC
+           ) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5
+  ) WHERE rn <= 3
+), s AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+  FROM assign a JOIN qprobe q USING (cell) WHERE a.vec_id != q.query_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+  ) AS rn FROM s
+)
+SELECT query_id, vec_id, cosine FROM r WHERE rn <= 10
+""")(_ivf_fixed_centroids().tolist(),
+     [(float((c * c).sum())) for c in _ivf_fixed_centroids()]),
+        # multimodal_dims: the fake decoder's shape seeding re-derived —
+        # width = 16 + sha256(content)[0] % 48, height from byte 1.
+        "multimodal_dims": """
+WITH h AS (
+  SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+), b AS (
+  SELECT media_id,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b0,
+         (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b1
+  FROM h
+)
+SELECT media_id,
+       CAST(16 + b0 % 48 AS INTEGER) AS width,
+       CAST(16 + b1 % 48 AS INTEGER) AS height
+FROM b
 """,
         # doc_fingerprint_expr: winnowing re-derived — polynomial k-gram
         # hashes, window-of-4 minima, sorted distinct selection, digest =

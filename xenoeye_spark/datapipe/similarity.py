@@ -303,6 +303,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse k-means cells; each query searches only its
     ``n_probe`` nearest cells. The 100-TB shape: corpus partitioned by
@@ -310,14 +311,21 @@ def ivf_topk(
     recall tunable via n_probe.
 
     Centroids are trained on a driver-side sample (``sample_fraction``),
-    like any IVF index build."""
-    sample = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    if sample_fraction < 1.0:
-        sample = sample.sample(fraction=sample_fraction, seed=seed)
-    # Arrow transfer (toPandas) — a py4j row collect of N array rows is
-    # ~100x slower than one Arrow batch
-    vecs = np.array(sample.toPandas()["_v"].tolist(), dtype=float)
-    centroids = kmeans_lite(vecs, n_cells, seed=seed)
+    like any IVF index build — or supplied via ``centroids`` (e.g. fixed
+    seeded vantage points, which makes the whole index + search pipeline
+    re-derivable by a SQL oracle; recall is lower than trained cells)."""
+    if centroids is None:
+        sample = corpus.select(
+            F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        if sample_fraction < 1.0:
+            sample = sample.sample(fraction=sample_fraction, seed=seed)
+        # Arrow transfer (toPandas) — a py4j row collect of N array rows
+        # is ~100x slower than one Arrow batch
+        vecs = np.array(sample.toPandas()["_v"].tolist(), dtype=float)
+        centroids = kmeans_lite(vecs, n_cells, seed=seed)
+    else:
+        centroids = np.asarray(centroids, dtype=float)
 
     # vectorized cell assignment: one (batch x cells) distance matmul per
     # Arrow batch — beats the expression-chain form by >10x at 64 dims
