@@ -3,6 +3,15 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import SparkSession
 
+from xenoeye_spark.protobuf_compat import ensure_protobuf
+
+# Must run BEFORE the JVM launches: transformWithState spawns python
+# workers whose PYTHONPATH is frozen from the driver env at JVM start —
+# set here so the vendored protobuf reaches them no matter which test
+# subset runs (a module-level call in test_mavg_tws only covers runs
+# that collect that file).
+ensure_protobuf()
+
 
 @pytest.fixture(scope="session")
 def spark():

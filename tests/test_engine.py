@@ -163,8 +163,9 @@ def test_underlimit_empty_default_never_breaches(spark, tmp_path):
     must fall back to 0.0 (rate < 0 never holds), not +inf which would
     put every key permanently in breach."""
     root = tmp_path / "modir2"
-    root.mkdir()
-    (root / "mo.conf").write_text("""
+    mo_sub = root / "m"
+    mo_sub.mkdir(parents=True)
+    (mo_sub / "mo.conf").write_text("""
 {
   "filter": "proto 6",
   "mavg": [ {"name": "m", "fields": ["src host", "octets"], "time": 10,
@@ -187,8 +188,12 @@ def test_underlimit_empty_default_never_breaches(spark, tmp_path):
         silent_watch=False,
     )
     stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    builders = eng.builders(stream)
+    # guard against vacuous passes: the underlimit query must exist
+    # (load_mo_dir only scans SUBdirectories of mo-dir for MOs)
+    assert [n for n, _ in builders] == ["m.under.m.octets.noval"]
     queries = [make().trigger(availableNow=True).start()
-               for _, make in eng.builders(stream)]
+               for _, make in builders]
     for q in queries:
         q.awaitTermination(60)
         q.stop()
@@ -273,3 +278,67 @@ def test_engine_exact_mfreq_standing_query(spark, tmp_path):
     # -> dropped; only the trigger-1 sum appears
     assert "30" in approx_sql
     assert "1554" not in approx_sql and "777" not in approx_sql
+
+
+def test_engine_mavg_tws_backend(spark, tmp_path):
+    """Engine(mavg_backend='tws') runs the mavg levels through
+    transformWithStateInPandas (the reference's signature feature on the
+    Spark 4 stateful API): both breaching keys raise NEW notifications,
+    and then — because the flows' timestamps are far in the past relative
+    to the wall clock the timers run on — the timer-driven silent-key
+    decay clears BOTH alerts (GONE unlinks the files) with no further
+    input, the exact act-thread behavior the apply path needs its
+    silent-watch helper for."""
+    import time
+
+    root = tmp_path / "modir"
+    mo_sub = root / "border"
+    mo_sub.mkdir(parents=True)
+    (mo_sub / "mo.conf").write_text("""
+{
+  "filter": "proto 6",
+  "mavg": [ {"name": "m1", "fields": ["src host", "octets"], "time": 10,
+             "overlimit": [ {"name": "hi", "default": [0.5],
+                             "back2norm-time": 1} ]} ]
+}
+""")
+    src_dir = tmp_path / "flows"
+    df = spark.createDataFrame(
+        _flows_rows(),
+        "ts long, ip4_src_addr long, ip4_dst_addr long, in_bytes long, "
+        "protocol long, l4_dst_port long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(src_dir))
+
+    eng = Engine(
+        str(root),
+        exp_dir=str(tmp_path / "exp"),
+        state_dir=str(tmp_path / "state"),
+        run_scripts=False,
+        mavg_backend="tws",
+    )
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    builders = eng.builders(stream)
+    assert [n for n, _ in builders] == ["border.mavg.m1.octets.hi"]
+    [q] = [make().trigger(availableNow=True).start() for _, make in builders]
+
+    expected = {f"border-m1-hi-{0x0A000001}", f"border-m1-hi-{0x0A000002}"}
+    notif_dir = tmp_path / "state" / "notifications"
+
+    def _wait(cond, what, timeout=120):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            if cond():
+                return
+            time.sleep(1)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    try:
+        _wait(lambda: notif_dir.is_dir()
+              and expected <= set(os.listdir(notif_dir)),
+              "NEW notifications for both breaching keys")
+        _wait(lambda: not (set(os.listdir(notif_dir)) & expected),
+              "timer-driven GONE to clear both alerts")
+    finally:
+        q.stop()
+        q.awaitTermination(30)

@@ -66,13 +66,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--exact-mfreq", action="store_true",
                     help="per-trigger frequency tables for mfreq() in "
                          "MO filters (default: min2 approximation)")
+    ap.add_argument("--mavg-backend", choices=("apply", "tws"),
+                    default="apply",
+                    help="mavg stateful operator: applyInPandasWithState "
+                         "(default) or transformWithStateInPandas (native "
+                         "timers + state TTL; needs python-protobuf)")
     args = ap.parse_args(argv)
 
     from xenoeye_spark.config.main import XenoeyeConfig
 
     cfg = XenoeyeConfig.from_file(args.config)
     eng = cfg.build_engine(exp_dir=args.exp, state_dir=args.state,
-                           exact_mfreq=args.exact_mfreq)
+                           exact_mfreq=args.exact_mfreq,
+                           mavg_backend=args.mavg_backend)
 
     if args.dry_run:
         # plan without a live source: a memory-schema stream stand-in

@@ -50,6 +50,7 @@ class Engine:
         run_scripts: bool = True,
         silent_watch: bool = True,
         exact_mfreq: bool = False,
+        mavg_backend: str = "apply",
     ):
         self.mos = load_mo_dir(mo_dir)
         self.mo_dir = mo_dir
@@ -74,6 +75,13 @@ class Engine:
         # filters keep the documented min2 approximation — they are
         # compiled once and shared across the whole query tree.
         self.exact_mfreq = exact_mfreq
+        # mavg_backend: "apply" = applyInPandasWithState (runs anywhere);
+        # "tws" = transformWithStateInPandas (Spark 4 API: native timers
+        # for silent keys + state TTL; needs python-protobuf — the
+        # vendored runtime via protobuf_compat covers this container)
+        if mavg_backend not in ("apply", "tws"):
+            raise ValueError(f"mavg_backend must be apply|tws, got {mavg_backend!r}")
+        self.mavg_backend = mavg_backend
         self.ext_gate = ExtGate(os.path.join(state_dir, "ext"))
 
     # -- MO tree -------------------------------------------------------------
@@ -135,16 +143,32 @@ class Engine:
                     if ol.limits_file and os.path.isfile(ol.limits_file)
                     else None
                 )
-                alerts = mavg_alert_stream(
-                    proj, key_names, "_mval",
-                    window_sec=mavg.time,
-                    threshold=default,
-                    back2norm_sec=ol.back2norm_time,
-                    ts_col=ts_col,
-                    thresholds=per_key,
-                    under=under,
-                    silent_watch=self.silent_watch,
-                )
+                if self.mavg_backend == "tws":
+                    from xenoeye_spark.streaming.mavg_tws import (
+                        mavg_alert_stream_tws,
+                    )
+
+                    # timers replace the apply-path's silent watch
+                    alerts = mavg_alert_stream_tws(
+                        proj, key_names, "_mval",
+                        window_sec=mavg.time,
+                        threshold=default,
+                        back2norm_sec=ol.back2norm_time,
+                        ts_col=ts_col,
+                        thresholds=per_key,
+                        under=under,
+                    )
+                else:
+                    alerts = mavg_alert_stream(
+                        proj, key_names, "_mval",
+                        window_sec=mavg.time,
+                        threshold=default,
+                        back2norm_sec=ol.back2norm_time,
+                        ts_col=ts_col,
+                        thresholds=per_key,
+                        under=under,
+                        silent_watch=self.silent_watch,
+                    )
                 sink = AlertActionSink(
                     mo_name=name.replace("/", "_"),
                     mavg_name=mavg.name,
