@@ -449,8 +449,13 @@ def _planted_sql() -> str:
 def q_doc_fingerprint_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable winnowing twin: polynomial gram hashes +
     expression window-min, re-derived verbatim by the DuckDB oracle
-    (the xxhash64 flagship q_doc_fingerprint stays rows-only)."""
-    return doc_fingerprint_expr(_t(spark, sf_dir, "documents"))
+    (the xxhash64 flagship q_doc_fingerprint stays rows-only). Scoped to
+    the deterministic first-500 docs — the O(len*(k+window)) interpreted
+    lambda cost is the twin's known price (the flagship's Arrow kernel is
+    the scale path), and at the sf0.01 correctness gate this subset IS
+    the whole corpus."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return doc_fingerprint_expr(docs)
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,8 +576,10 @@ def q_simhash_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_neardup_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded near-dup over the oracle-checkable 60-bit fingerprints:
     4 bands x 15 bits, radius 3 exact by pigeonhole — same operator as
-    q_simhash_neardup, fully re-derived by the DuckDB oracle."""
-    docs = _t(spark, sf_dir, "documents")
+    q_simhash_neardup, fully re-derived by the DuckDB oracle. First-500
+    docs (the whole corpus at the sf0.01 gate), same rationale as
+    q_doc_fingerprint_expr."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     fps = simhash_expr(docs)
     return simhash_neardup_pairs(
         docs, radius=3, bands=4, fingerprints=fps, fp_bits=60
@@ -953,7 +960,9 @@ FROM b
         # hashes, window-of-4 minima, sorted distinct selection, digest =
         # the same polynomial over the comma-joined selection.
         "doc_fingerprint_expr": """
-WITH g AS (
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 500
+), g AS (
   SELECT doc_id,
     CASE WHEN length(text) >= 8 THEN
       list_transform(range(1, length(text) - 8 + 2), i ->
@@ -968,7 +977,7 @@ WITH g AS (
            list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
          (acc, x) -> (acc * 31 + x) % 1000000007)]
     ELSE CAST([] AS BIGINT[]) END AS grams
-  FROM documents
+  FROM d
 ), wm AS (
   SELECT doc_id,
     CASE WHEN len(grams) >= 4 THEN
@@ -1016,7 +1025,7 @@ FROM th
         "simhash_neardup_expr": f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
-  FROM documents
+  FROM documents WHERE doc_id < 500
 ), th AS (
   SELECT doc_id, list_transform(t, tok ->
     list_reduce(

@@ -558,3 +558,20 @@ def test_bridge_journals_templates(spark, tmp_path):
     assert len(seed) == 1
     (key, fields), = seed
     assert key[3] == 299 and fields == [(8, 4)]
+
+
+def test_kafka_missing_connector_clear_error(spark):
+    """Without the spark-sql-kafka jar (this container), the Kafka
+    wiring must fail with actionable guidance, not a bare
+    DATA_SOURCE_NOT_FOUND — the framing itself stays broker-independent
+    and fixture-tested (test_kafka_framing_fixture)."""
+    from xenoeye_spark.sources.netflow import flows_from_kafka
+
+    try:
+        flows_from_kafka(spark, "localhost:9092", "flows")
+    except RuntimeError as e:
+        assert "--packages org.apache.spark:spark-sql-kafka" in str(e)
+    except Exception:
+        pytest.skip("kafka connector present: wiring loads for real")
+    else:
+        pytest.skip("kafka connector present: wiring loads for real")

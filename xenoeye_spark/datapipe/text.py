@@ -193,6 +193,8 @@ def simhash_neardup_pairs(
     )
     width = fp_bits // bands
     mask = (1 << width) - 1
+    from pyspark import StorageLevel
+
     banded = fp.select(
         id_col, "simhash",
         F.posexplode(
@@ -202,7 +204,11 @@ def simhash_neardup_pairs(
                 for b in range(bands)
             ])
         ).alias("band", "block"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: the self-join consumes the banded table on BOTH sides and
+    # the fingerprint stage upstream is the expensive part (UDF bit-votes
+    # or the 60x-per-token expression twin) — without this, a broadcast of
+    # one side re-runs that lineage from scratch (measured ~4x on the twin)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

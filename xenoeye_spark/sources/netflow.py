@@ -490,13 +490,26 @@ def flows_from_kafka(
     device IP string). Requires the spark-sql-kafka package on the
     classpath — pure wiring, framing in kafka_records_to_packets, decode
     in decode_packets_df."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:
+        msg = str(e)
+        if "kafka" in msg.lower() and (
+            "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+        ):
+            raise RuntimeError(
+                "the Kafka connector is not on the classpath — submit with "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                "<spark-version> (framing itself is broker-independent: "
+                "kafka_records_to_packets)"
+            ) from e
+        raise
     return decode_packets_df(
         kafka_records_to_packets(raw), seed_templates=seed_templates
     )
