@@ -659,6 +659,22 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable slice of frame sampling: the one-row-in/
+    many-rows-out mapInPandas fan-out (every 5th of 20 frames per media
+    row) is deterministic, so rows+schema+hash verify the batch shape
+    even though the per-frame luma (numpy RNG on a binary-suffixed hash
+    DuckDB's VARCHAR-only sha256 cannot reach) stays rows-only in
+    q_frame_sample."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    frames = sample_frames(media, every_n=5, n_frames=20, fake=True)
+    return frames.select("media_id", "frame_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -698,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_feat": q_multimodal_feat,
         "multimodal_dims": q_multimodal_dims,
         "frame_sample": q_frame_sample,
+        "frame_fanout": q_frame_fanout,
         "sim_lsh_topk": q_sim_lsh_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "simhash_neardup": q_simhash_neardup,
@@ -898,6 +915,13 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(a.s || b.s)) END >= 0.35
+""",
+        # frame_fanout: the deterministic frame-sampling fan-out —
+        # every 5th of 20 frame indices per media row under 64.
+        "frame_fanout": """
+SELECT doc_id AS media_id, CAST(r.range * 5 AS INTEGER) AS frame_idx
+FROM documents CROSS JOIN range(4) r
+WHERE doc_id < 64
 """,
         # sim_ivf_fixed: the IVF pipeline over fixed centroid literals —
         # cell = argmin(-2*v.c + |c|^2) (ties -> lower cell), 3 probed
