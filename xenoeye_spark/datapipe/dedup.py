@@ -47,34 +47,30 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingle_col(text_col: str, n: int):
-    """token n-gram shingles as array<string>: contiguous n-token windows
-    over whitespace-split tokens, distinct. Empty when < n tokens."""
-    toks = f"split({text_col}, '\\\\s+')"
-    if n == 1:
-        return F.array_distinct(F.expr(toks))
-    return F.array_distinct(
-        F.expr(
-            f"CASE WHEN size({toks}) >= {n} THEN "
-            f"transform(sequence(0, size({toks}) - {n}), "
-            f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) "
-            f"ELSE cast(array() as array<string>) END"
-        )
-    )
-
-
-def _shingle_hash_col(text_col: str, n: int):
+def _shingle_hash_col(toks_col: str, n: int):
     """distinct xxhash64 of each n-token shingle as array<long> — the set
     algebra then runs on 8-byte longs instead of strings (same Jaccard,
-    collision probability ~|shingles|^2/2^64 per doc pair)."""
-    toks = f"split({text_col}, '\\\\s+')"
-    inner = toks if n == 1 else (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(0, size({toks}) - {n}), "
-        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) "
+    collision probability ~|shingles|^2/2^64 per doc pair).
+
+    ``toks_col`` must name a MATERIALIZED array<string> column (see
+    ``_with_tokens``), never an inlined ``split(...)`` expression:
+    Catalyst does not CSE across lambda boundaries, so a split inlined
+    under ``transform(sequence(...), i -> slice(split(..)))`` re-splits
+    the text once per shingle index — O(tokens^2) per doc, measured 7x
+    slower at sf0.1."""
+    inner = toks_col if n == 1 else (
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"transform(sequence(0, size({toks_col}) - {n}), "
+        f"i -> array_join(slice({toks_col}, i + 1, {n}), ' ')) "
         f"ELSE cast(array() as array<string>) END"
     )
     return F.array_distinct(F.expr(f"transform({inner}, s -> xxhash64(s))"))
+
+
+def _with_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    """Project whitespace tokens once into ``_toks`` so every shingle
+    window reads the materialized array instead of re-splitting."""
+    return docs.withColumn("_toks", F.split(F.col(text_col), r"\s+"))
 
 
 def shingle_table(
@@ -89,9 +85,10 @@ def shingle_table(
     split+hash shingling scan runs once per corpus, not once per stage;
     storage is ids + 8-byte hashes, a tiny fraction of the text."""
     return (
-        docs.select(
+        _with_tokens(docs, text_col)
+        .select(
             F.col(id_col).alias("_id"),
-            _shingle_hash_col(text_col, n).alias("_sh"),
+            _shingle_hash_col("_toks", n).alias("_sh"),
         )
         .withColumn("_sz", F.size("_sh"))
         .persist()
@@ -141,6 +138,8 @@ def ngram_jaccard_pairs(
             sh.select(F.explode("_sh").alias("_tok"))
             .groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
         )
+        from pyspark import StorageLevel
+
         ordered = (
             sh.select("_id", "_sz", F.explode("_sh").alias("_tok"))
             .join(tok_df, "_tok")
@@ -150,6 +149,11 @@ def ngram_jaccard_pairs(
                     F.collect_list(F.struct("_df", "_tok"))
                 ).alias("_ord")
             )
+            # consumed by BOTH prefix sides of the self-join below; without
+            # the persist each side re-runs the explode+DF-join+collect_list
+            # lineage (the exchange isn't reused across the differing
+            # aliases). O(docs) rows of id + ordered shingle structs.
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         prefix = F.expr(
             f"slice(transform(_ord, s -> s._tok), 1, "
@@ -258,11 +262,12 @@ def minhash_signatures_expr(
     the all-max signature), so ``lsh_candidate_pairs`` consumes either.
     """
     a_params, b_params = minhash_params31(num_hashes, seed)
-    toks = f"split({text_col}, '\\\\s+')"
-    inner = toks if n == 1 else (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(0, size({toks}) - {n}), "
-        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) "
+    # tokens projected once into _toks — an inlined split re-evaluates per
+    # shingle index inside the transform lambda (see _shingle_hash_col)
+    inner = "_toks" if n == 1 else (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> array_join(slice(_toks, i + 1, {n}), ' ')) "
         f"ELSE cast(array() as array<string>) END"
     )
     poly = (
@@ -280,7 +285,8 @@ def minhash_signatures_expr(
         f"% {_PERM_P31})) END)"
     )
     return (
-        docs.select(F.col(id_col), F.expr(hashes).alias("_h"))
+        _with_tokens(docs, text_col)
+        .select(F.col(id_col), F.expr(hashes).alias("_h"))
         .select(F.col(id_col), F.expr(sig).alias("signature"))
     )
 
@@ -339,9 +345,9 @@ def minhash_signatures(
         return shingles.select(
             F.col("_id").alias(id_col), minhash(F.col("_sh")).alias("signature")
         )
-    return docs.select(
+    return _with_tokens(docs, text_col).select(
         F.col(id_col),
-        minhash(_shingle_hash_col(text_col, n)).alias("signature"),
+        minhash(_shingle_hash_col("_toks", n)).alias("signature"),
     )
 
 
