@@ -25,7 +25,14 @@ from xenoeye_spark.datapipe.dedup import (
     ngram_jaccard_pairs,
     shingle_table,
 )
+from xenoeye_spark.datapipe.graph import dedup_groups
 from xenoeye_spark.datapipe.multimodal import decode_and_featurize, sample_frames
+from xenoeye_spark.datapipe.sampling import (
+    _A as _SAMP_A,
+    _B as _SAMP_B,
+    _P31 as _SAMP_P,
+    stratified_sample,
+)
 from xenoeye_spark.datapipe.similarity import (
     brute_force_topk,
     cosine_neardup_lsh,
@@ -279,6 +286,41 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, threshold=0.35, candidates=cands, shingles=sh
     )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLASSES from the near-dup pair graph: connected
+    components (alternating large-star/small-star, Kiveris et al.
+    SoCC'14) over the exact-Jaccard pairs, one canonical keep_id (the
+    component minimum) per member. The closure a pruning pipeline needs —
+    near-dup similarity is not transitive, components are. Oracle:
+    DuckDB recursive-CTE transitive closure over the same pair set.
+    Pairs come from the exact-Jaccard baseline (the SQL-re-derivable
+    family), scoped to the deterministic first-2500 docs — the whole
+    corpus at the sf0.01 gate; at scale CC consumes the LSH pair
+    stream instead (xenoeye_spark/datapipe/graph.py)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2500)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.35)
+    return dedup_groups(pairs).select(
+        "doc_id", "keep_id", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample: language_id buckets ->
+    exactly min(50, |bucket|) docs each, ranked by a 31-bit
+    multiplicative-hash permutation of doc_id (SQL-expressible, so the
+    oracle re-derives the exact selection). Runs the prefilter_factor
+    skew-guard path — provably selection-identical to the plain window,
+    so the oracle checks both the sample AND the guard's exactness."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = language_id(docs)
+    out = stratified_sample(
+        langs, "lang_guess", 50, prefilter_factor=4
+    )
+    return out.select(
+        "lang_guess", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
 
 
 def q_dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_expr": q_simhash_expr,
         "simhash_neardup_expr": q_simhash_neardup_expr,
         "fwm_func_key": q_fwm_func_key,
+        "dedup_groups": q_dedup_groups,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -915,6 +959,39 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(a.s || b.s)) END >= 0.35
+""",
+        # dedup_groups: connected components over the same exact-Jaccard
+        # pair graph, re-derived independently as a recursive-CTE
+        # transitive closure (the Spark side iterates large/small-star;
+        # the oracle brute-forces reachability — different algorithm,
+        # same fixpoint).
+        "dedup_groups": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents WHERE doc_id < 2500
+), sh AS (
+  SELECT doc_id, {shingles} AS s FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
+        ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) END >= 0.35
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v != r.u
+), rep AS (
+  SELECT u AS doc_id, least(u, min(v)) AS keep_id FROM reach GROUP BY u
+), sizes AS (
+  SELECT keep_id, count(*) AS group_size FROM rep GROUP BY keep_id
+)
+SELECT r.doc_id, r.keep_id, s.group_size
+FROM rep r JOIN sizes s USING (keep_id)
 """,
         # frame_fanout: the deterministic frame-sampling fan-out —
         # every 5th of 20 frame indices per media row under 64.
@@ -1168,6 +1245,31 @@ WITH w AS (
   SELECT doc_id, *, {lang_best} AS best FROM s
 )
 SELECT doc_id, {lang_case} AS lang_guess FROM b
+""",
+        # stratified_sample: language buckets -> exact 50-per-bucket
+        # deterministic sample; the rank key is the overflow-free 31-bit
+        # multiplicative permutation of doc_id, re-derived literally.
+        "stratified_sample": f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, {lang_scores} FROM w
+), b AS (
+  SELECT doc_id, *, {lang_best} AS best FROM s
+), lang AS (
+  SELECT doc_id, {lang_case} AS lang_guess FROM b
+), ranked AS (
+  SELECT lang_guess, doc_id,
+         row_number() OVER (
+           PARTITION BY lang_guess
+           ORDER BY (doc_id * {_SAMP_A} + {_SAMP_B}) % {_SAMP_P}, doc_id
+         ) AS sample_rank
+  FROM lang
+)
+SELECT lang_guess, doc_id, sample_rank FROM ranked
+WHERE sample_rank <= 50
 """,
         "mavg_ewma": """
 -- EWMA decay recurrence (monit-objects-mavg.c:571-593) as a left fold:

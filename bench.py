@@ -131,6 +131,12 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         timings_min[name] = round(min(runs), 3)
         timings_spread[name] = round(max(runs) - min(runs), 3)
+        # several operators persist intermediates (shingle tables, banded
+        # LSH lineage); dropping them between queries keeps 39 queries x
+        # reps from accumulating into GC/memory pressure that pollutes
+        # later timings, and makes each query's median self-contained
+        # (its own cache materialization included)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     total_min = round(sum(timings_min.values()), 3)

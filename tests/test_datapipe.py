@@ -405,3 +405,116 @@ def test_doc_fingerprint_expr_matches_python_replay(spark):
            for r in doc_fingerprint_expr(docs).collect()}
     for did, text in texts.items():
         assert got[did] == replay(text), did
+
+
+# ---------------------------------------------------------------- graph CC
+
+def _uf_components(edges):
+    """reference union-find for test comparison"""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from xenoeye_spark.datapipe.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["node"], r["rep"])
+        for r in connected_components(df).collect()
+    }
+    want = set(_uf_components(edges).items())
+    assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    """A 60-node path graph — the O(diameter) killer for plain label
+    propagation; the star rounds must close it in O(log n)."""
+    from xenoeye_spark.datapipe.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = connected_components(df, max_iter=10).collect()
+    assert len(rows) == 61
+    assert all(r["rep"] == 0 for r in rows)
+
+
+def test_dedup_groups_sizes(spark):
+    from xenoeye_spark.datapipe.graph import dedup_groups
+
+    # components: {1,2,3} (via 1-2, 2-3), {10,11}, self-loop ignored
+    df = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (5, 5)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: (r["keep_id"], r["group_size"]) for r in dedup_groups(df).collect()}
+    assert rows == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)
+    }
+
+
+# ---------------------------------------------------------- stratified sample
+
+def test_stratified_sample_exact_quota(spark):
+    from xenoeye_spark.datapipe.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(300)], "doc_id long, grp string"
+    )
+    out = stratified_sample(df, "grp", 7).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert set(by_grp) == {"g0", "g1", "g2"}
+    for rows in by_grp.values():
+        assert len(rows) == 7
+        assert sorted(r["sample_rank"] for r in rows) == list(range(1, 8))
+
+
+def test_stratified_sample_small_group_keeps_all(spark):
+    from xenoeye_spark.datapipe.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string"
+    )
+    out = stratified_sample(df, "grp", 5).collect()
+    assert len(out) == 3
+
+
+def test_stratified_sample_prefilter_identical(spark):
+    from xenoeye_spark.datapipe.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2)) for i in range(1000)], "doc_id long, grp string"
+    )
+    plain = {(r["grp"], r["doc_id"]) for r in stratified_sample(df, "grp", 10).collect()}
+    pre = {
+        (r["grp"], r["doc_id"])
+        for r in stratified_sample(df, "grp", 10, prefilter_factor=4).collect()
+    }
+    # factor=1 keeps an expected 10 of 500 per group — frequently short,
+    # exercising the full-membership fallback; selection must not change
+    tight = {
+        (r["grp"], r["doc_id"])
+        for r in stratified_sample(df, "grp", 10, prefilter_factor=1).collect()
+    }
+    assert plain == pre == tight

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from xenoeye_spark.datapipe.util import spread
+
 # Mersenne prime modulus for the permutation family (classic MinHash form
 # a*x+b mod p; p > 2^32 keeps collisions negligible on 32-bit shingle hashes)
 _MERSENNE_P = (1 << 61) - 1
@@ -69,8 +71,10 @@ def _shingle_hash_col(toks_col: str, n: int):
 
 def _with_tokens(docs: DataFrame, text_col: str) -> DataFrame:
     """Project whitespace tokens once into ``_toks`` so every shingle
-    window reads the materialized array instead of re-splitting."""
-    return docs.withColumn("_toks", F.split(F.col(text_col), r"\s+"))
+    window reads the materialized array instead of re-splitting; spread
+    an under-partitioned scan first (shingle windows are the CPU-heavy
+    stage and must not run on one core)."""
+    return spread(docs).withColumn("_toks", F.split(F.col(text_col), r"\s+"))
 
 
 def shingle_table(

@@ -1,0 +1,166 @@
+"""Connected components over near-duplicate pair graphs.
+
+A dedup pipeline that stops at PAIRS is unfinished: to prune a corpus you
+need one canonical representative per duplicate CLASS, and near-dup pairs
+are not transitive (A~B, B~C with A~C below threshold still belong to one
+class for pruning purposes). The standard closure is connected components
+over the pair graph.
+
+``connected_components`` implements the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14 — public algorithm), the shape that scales: each
+round is two shuffles keyed by node id, the edge set only ever shrinks
+toward star graphs centered at each component's minimum id, and the
+round count is O(log n) — unlike plain min-label propagation, which
+needs O(diameter) rounds and stalls on long chains. Every round runs as
+DataFrame joins/aggregations (Catalyst plans, AQE-coalesced); the driver
+only compares two scalar convergence signatures per round.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u, v) with u = max, v = min, self-loops dropped, distinct."""
+    return (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.least(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-or-equal neighborhood, re-point every
+    member (and the node itself) at the minimum."""
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = d.groupBy("u").agg(F.min("v").alias("_mn"))  # _mn < u by construction
+    out = (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .union(mins.select(F.col("u"), F.col("_mn").alias("v")))
+        .distinct()
+    )
+    return out
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive convergence signature: (count, XOR of 64-bit
+    edge hashes — bit_xor never overflows, unlike a sum under ANSI mode).
+    A signature collision between two DIFFERENT consecutive edge sets
+    would terminate one round early — probability ~2^-64 per round, and
+    the star rounds are monotone toward the fixpoint, so even then the
+    result is a valid partial star assignment of the same components."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, rep) for every node appearing in ``pairs``; rep = the
+    minimum node id of its connected component (including itself —
+    component minima map to themselves).
+
+    Iterates large-star/small-star until the edge set is stable (the
+    proven fixpoint: all edges form stars centered at component minima).
+    ``max_iter`` bounds the driver loop; 2^25 nodes of pathological chain
+    would converge far sooner (rounds are O(log n)).
+    """
+    # localCheckpoint (eager), not persist: an iterative plan that embeds
+    # the previous round's plan grows EXPONENTIALLY in Catalyst — by round
+    # ~6 analysis alone OOMs the driver. Checkpointing truncates lineage
+    # to the materialized blocks each round. localCheckpoint keeps blocks
+    # on executors (re-run the job on executor loss); set a checkpoint
+    # dir and swap in .checkpoint() where fault-tolerance across a long
+    # CC run matters.
+    edges = _canon_edges(pairs, src, dst).localCheckpoint(eager=True)
+    # size-adaptive round parallelism: near-dup pair graphs are usually
+    # tiny relative to the corpus (the expensive part was finding the
+    # pairs), and a 32-way shuffle per star round is pure scheduling
+    # overhead for a few thousand edges. One count on the checkpointed
+    # set picks ~50k edges/partition, capped at the session default —
+    # the AQE-style decision made once, driver-side.
+    n_edges = edges.count()
+    sc = edges.sparkSession.sparkContext
+    parts = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
+    if parts < sc.defaultParallelism:
+        edges = edges.repartition(parts).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes.count()  # materialize before the edge set starts mutating
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nxt_sig = _signature(nxt)
+        edges = nxt
+        if nxt_sig == sig:
+            break
+        sig = nxt_sig
+
+    # at the fixpoint every edge is (member, component_min); component
+    # minima themselves appear only on the v side
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("rep"))
+    out = (
+        nodes.join(labels, "node", "left")
+        .select(
+            F.col("node"),
+            F.coalesce(F.col("rep"), F.col("node")).alias("rep"),
+        )
+    )
+    return out
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Duplicate classes from a near-dup pair list: one row per member
+    node — (doc_id, keep_id, group_size). ``keep_id`` is the component's
+    minimum doc id (the canonical survivor); pruning = drop every row
+    where doc_id != keep_id."""
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("rep").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        cc.join(sizes, "rep")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("rep").alias("keep_id"),
+            F.col("group_size"),
+        )
+    )

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from xenoeye_spark.datapipe.util import spread
+
 IMAGE_META = T.StructType([
     T.StructField("mime", T.StringType()),
     T.StructField("width", T.IntegerType()),
@@ -92,7 +94,7 @@ def decode_and_featurize(
                 rows, columns=["media_id", "width", "height", "mean_luma", "feature"]
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return spread(media).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
@@ -137,7 +139,7 @@ def resize_images(
                 rows, columns=["media_id", "width", "height", "pixels"]
             )
 
-    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return spread(media).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType([
@@ -175,4 +177,4 @@ def sample_frames(
                 rows, columns=["media_id", "frame_idx", "mean_luma"]
             )
 
-    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+    return spread(media).mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1,0 +1,101 @@
+"""Deterministic stratified sampling for training-data curation.
+
+``stratified_sample`` draws an exact per-group quota (e.g. "50 documents
+per language") with a DETERMINISTIC pseudo-random order, so a run is
+reproducible across cluster sizes and re-derivable by a SQL oracle:
+rows are ranked inside each group by a multiplicative-hash permutation
+of their id ((id * A + B) mod P — SQL-expressible integer arithmetic,
+no engine-specific hash), and the first ``n_per_group`` survive.
+
+Scale shape: one shuffle, keyed by the group column (the window's
+partitionBy). A skewed group lands on one reducer; for quotas much
+smaller than group sizes, pre-prune with ``prefilter_factor`` — rows
+whose permuted hash falls outside the smallest ``factor * quota``
+values per group cannot be selected, and a cheap groupBy-count +
+broadcast threshold drops them BEFORE the window shuffle, bounding the
+per-reducer row count at ~factor * quota instead of the full group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 31-bit multiplicative permutation, same overflow-free family as the
+# MinHash expression twin: products stay < 2^61, exact in any engine
+_P31 = (1 << 31) - 1
+_A, _B = 1_103_515_245, 12_345
+
+
+def permuted_order(id_col) -> F.Column:
+    """The deterministic rank key: (id * A + B) mod 2^31-1."""
+    return (F.col(id_col).cast("long") * _A + _B) % _P31
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    prefilter_factor: int | None = None,
+) -> DataFrame:
+    """Exactly ``min(n_per_group, |group|)`` rows per group, chosen by
+    the permuted-id order (ties impossible: the permutation is a
+    bijection mod P for distinct ids < P; equal keys would both survive
+    deterministically via the id tiebreak). Output: input columns +
+    ``sample_rank`` (1-based within the group).
+
+    ``prefilter_factor``: skew guard for quota << group size. Keeps only
+    rows whose permuted hash lies in the smallest ``factor * quota / n``
+    fraction per group (one groupBy-count + a broadcast join) before the
+    window shuffle, so a billion-row group sends ~factor * quota rows to
+    its reducer instead of a billion. The selected set is unchanged
+    whenever the prefilter retains >= quota rows per group — hashes are
+    uniform, so P(short) is Chernoff-small for factor >= 4 — and any
+    group the prefilter leaves SHORT of quota falls back to its full
+    membership, preserving exactness at the cost of one extra pass over
+    that group's rows.
+    """
+    hkey = permuted_order(id_col)
+    base = df
+    if prefilter_factor is not None and prefilter_factor > 0:
+        from pyspark import StorageLevel
+
+        # the prefilter reads df three times (counts, hash-cut, short-group
+        # fallback); persist so a non-trivial upstream (e.g. a language-id
+        # projection) computes once
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+        frac = F.least(
+            F.lit(1.0),
+            F.lit(float(prefilter_factor * n_per_group)) / F.col("_gn"),
+        )
+        pruned = (
+            df.join(F.broadcast(counts), group_col)
+            .filter(hkey < (frac * _P31).cast("long"))
+        )
+        kept = pruned.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kn"))
+        # groups the hash-cut left short of quota re-enter in full; start
+        # from counts (not kept) so a group whose every row was cut —
+        # absent from `kept` entirely — is still caught
+        short = (
+            counts.join(kept, group_col, "left")
+            .filter(
+                F.coalesce(F.col("_kn"), F.lit(0))
+                < F.least(F.lit(n_per_group).cast("long"), F.col("_gn"))
+            )
+            .select(group_col)
+        )
+        short_full = df.join(F.broadcast(short), group_col, "left_semi")
+        base = (
+            pruned.drop("_gn")
+            .join(F.broadcast(short), group_col, "left_anti")
+            .unionByName(short_full)
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        hkey.asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_group)
+    )

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from xenoeye_spark.datapipe.util import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -36,6 +38,22 @@ def _norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     na, nb = _norm(a), _norm(b)
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(_dot(a, b) / (na * nb))
+
+
+@F.pandas_udf(T.DoubleType())
+def _cos_rows_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise cosine over Arrow batches (einsum), rounded to 6 digits —
+    the vectorized scorer shared by the candidate-verification paths (the
+    interpreted higher-order-function form evaluates ~dim lambda calls
+    per row). Zero-norm rows score 0.0, matching ``cosine()``."""
+    ma = np.array(a.tolist(), dtype=np.float64)
+    mb = np.array(b.tolist(), dtype=np.float64)
+    dots = np.einsum("ij,ij->i", ma, mb)
+    na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+    nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+    denom = na * nb
+    out = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
+    return pd.Series(np.round(out, 6))
 
 
 def brute_force_topk(
@@ -56,7 +74,7 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
     )
     joined = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
@@ -121,7 +139,7 @@ def lsh_bucket_topk(
     planes = random_hyperplanes(dim, n_planes, seed)
     bucket1 = _bucket_udf([planes])
 
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col), F.col(vec_col).alias("_cvec"),
         bucket1(F.col(vec_col).cast("array<double>"))[0].alias("bucket"),
     )
@@ -174,7 +192,7 @@ def cosine_neardup_pairs(
     O(N^2) FLOPs still rule at corpus scale — generate candidates with
     ``cosine_neardup_lsh`` there and verify only those.
     """
-    base = corpus.select(
+    base = spread(corpus).select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
@@ -339,7 +357,7 @@ def ivf_topk(
         d = -2.0 * (m @ cent.T) + cent_sq[None, :]
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
     ).withColumn("_cell", assign_cell(F.col("_cvec")))
 
@@ -363,23 +381,9 @@ def ivf_topk(
     joined = c.join(F.broadcast(q), "_cell").filter(
         F.col(id_col) != F.col("query_id")
     )
-    # row-wise cosine over Arrow batches (einsum) — the interpreted
-    # higher-order-function form evaluates ~d lambda calls per row and was
-    # the scoring bottleneck
-    @F.pandas_udf(T.DoubleType())
-    def cos_rows(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.array(a.tolist(), dtype=np.float64)
-        mb = np.array(b.tolist(), dtype=np.float64)
-        dots = np.einsum("ij,ij->i", ma, mb)
-        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-        denom = na * nb
-        out = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
-        return pd.Series(np.round(out, 6))
-
     scored = joined.select(
         "query_id", id_col,
-        cos_rows(F.col("_cvec"), F.col("_qvec")).alias("cosine"),
+        _cos_rows_udf(F.col("_cvec"), F.col("_qvec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -405,18 +409,26 @@ def cosine_neardup_lsh(
     hyperplane-LSH bucketings generate candidates (same bucket in ANY
     table), exact cosine verifies. Union of tables raises recall; the
     shuffle key is (table, bucket) instead of an all-pairs product."""
+    from pyspark import StorageLevel
+
     plane_sets = [
         random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
     ]
     bucket_all = _bucket_udf(plane_sets)
 
-    v = corpus.select(
+    v = spread(corpus).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ids only through banding + pair dedup: the candidate self-join and
+    # its dropDuplicates then shuffle 3 longs per row instead of dragging
+    # two D-double vectors through every exchange; vectors re-attach once,
+    # after dedup, from the persisted (id, vec) table. The banded table is
+    # persisted because both join sides consume it (the bucket matmul UDF
+    # would otherwise run twice over the corpus).
     banded = v.select(
-        id_col, "_v",
+        id_col,
         F.posexplode(bucket_all(F.col("_v"))).alias("tbl", "bucket"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -428,13 +440,22 @@ def cosine_neardup_lsh(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col("a._v").alias("_va"),
-            F.col(f"b.{id_col}").alias("id_b"), F.col("b._v").alias("_vb"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    pairs = (
+        cands
+        .join(v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+    )
+    # vectorized verification (einsum over Arrow batches) — the
+    # higher-order-function cosine walks ~dim interpreted lambda calls
+    # per pair and was this operator's scoring bottleneck
     return (
-        cands.select("id_a", "id_b", cos.alias("cosine"))
+        pairs.select(
+            "id_a", "id_b", _cos_rows_udf(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
         .filter(F.col("cosine") >= F.lit(threshold))
     )

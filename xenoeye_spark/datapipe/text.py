@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from xenoeye_spark.datapipe.util import spread
+
 # Minimal deterministic stopword sets per language (public common words).
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
@@ -111,7 +113,7 @@ def simhash64(
     tok_hashes = F.expr(
         f"transform(filter(split(trim({text_col}), '\\\\s+'), t -> t != ''), t -> xxhash64(t))"
     )
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col), simhash(tok_hashes).alias("simhash")
     )
 
@@ -157,7 +159,8 @@ def simhash_expr(
         "> size(_th), shiftleft(1L, b), 0L))"
     )
     return (
-        docs.select(F.col(id_col), F.expr(tok_hashes).alias("_th"))
+        spread(docs)
+        .select(F.col(id_col), F.expr(tok_hashes).alias("_th"))
         .select(F.col(id_col), F.expr(fp).alias("simhash"))
     )
 
@@ -292,7 +295,7 @@ def doc_fingerprint_expr(
     )
     digest = poly_of("concat_ws(',', cast(fingerprint as array<string>))")
     return (
-        docs.select(F.col(id_col), F.expr(grams).alias("_g"))
+        spread(docs).select(F.col(id_col), F.expr(grams).alias("_g"))
         .select(
             F.col(id_col),
             F.array_sort(F.array_distinct(F.expr(winmin))).alias("fingerprint"),
@@ -345,7 +348,7 @@ def doc_fingerprint(
             out.append(np.unique(a))  # == sorted distinct
         return pd.Series(out)
 
-    staged = docs.select(F.col(id_col), F.expr(grams).alias("_grams"))
+    staged = spread(docs).select(F.col(id_col), F.expr(grams).alias("_grams"))
     return staged.select(
         F.col(id_col),
         window_min_fp(F.col("_grams")).alias("fingerprint"),
