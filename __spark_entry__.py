@@ -323,6 +323,41 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs, each stage an operator this engine ships:
+
+      1. exact dedup      (md5 groupBy; keep the min doc_id per text)
+      2. quality filter   (text_stats composite score >= 0.55)
+      3. near-dup pruning (exact-Jaccard pairs -> connected components;
+                           keep only each class's minimum id)
+      4. stratified quota (10 docs per source, deterministic permutation)
+
+    Fully oracle-checked: every stage is SQL-re-derivable, so the DuckDB
+    twin recomputes the same pruned, sampled corpus end to end. Scoped to
+    the deterministic first-1500 docs (whole corpus at the sf0.01 gate)
+    to bound the quadratic exactness baseline inside stage 3; at scale
+    stage 3 consumes LSH candidate pairs instead."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    keep_exact = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    d1 = docs.join(keep_exact, "doc_id", "left_semi")
+    good = (
+        text_stats(d1)
+        .filter(F.col("quality_score") >= 0.55)
+        .select("doc_id")
+    )
+    d2 = d1.join(good, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(d2, n=3, threshold=0.35)
+    dup_members = dedup_groups(pairs).filter(
+        F.col("doc_id") != F.col("keep_id")
+    ).select("doc_id")
+    d3 = d2.join(dup_members, "doc_id", "left_anti")
+    out = stratified_sample(d3.select("doc_id", "source"), "source", 10)
+    return out.select(
+        "source", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 def q_dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable MinHash+LSH: same operator pipeline as
     q_dedup_minhash_lsh (signatures -> banded candidates -> exact-Jaccard
@@ -765,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fwm_func_key": q_fwm_func_key,
         "dedup_groups": q_dedup_groups,
         "stratified_sample": q_stratified_sample,
+        "corpus_curate": q_corpus_curate,
     }
 
 
@@ -992,6 +1028,70 @@ WITH RECURSIVE toks AS (
 )
 SELECT r.doc_id, r.keep_id, s.group_size
 FROM rep r JOIN sizes s USING (keep_id)
+""",
+        # corpus_curate: the four-stage curation pipeline re-derived end
+        # to end — exact dedup, quality cut, recursive-CTE near-dup class
+        # pruning, permutation-ranked quota sample.
+        "corpus_curate": f"""
+WITH RECURSIVE base AS (
+  SELECT * FROM documents WHERE doc_id < 1500
+), ex AS (
+  SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)
+), d1 AS (
+  SELECT b.* FROM base b JOIN ex USING (doc_id)
+), qw AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g')) AS n_punct
+  FROM d1
+), qm AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END AS punct_ratio,
+         CASE WHEN len(t) > 0 THEN
+           CAST(len(list_filter(t, x -> lower(x) IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'))) AS DOUBLE) / len(t)
+         ELSE 0 END AS stopword_ratio,
+         len(t) AS n_tokens
+  FROM qw
+), d2 AS (
+  SELECT d1.* FROM d1 JOIN qm USING (doc_id)
+  WHERE round(least(qm.n_tokens / 100.0, 1.0) * 0.4
+              + (1.0 - least(qm.punct_ratio * 5.0, 1.0)) * 0.3
+              + least(qm.stopword_ratio * 5.0, 1.0) * 0.3, 6) >= 0.55
+), toks2 AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM d2
+), sh2 AS (
+  SELECT doc_id, {shingles} AS s FROM toks2
+), pairs2 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
+        ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) END >= 0.35
+), e2 AS (
+  SELECT id_a AS u, id_b AS v FROM pairs2
+  UNION
+  SELECT id_b, id_a FROM pairs2
+), reach2(u, v) AS (
+  SELECT u, v FROM e2
+  UNION
+  SELECT r.u, g.v FROM reach2 r JOIN e2 g ON r.v = g.u WHERE g.v != r.u
+), dup_members AS (
+  SELECT u AS doc_id FROM reach2 GROUP BY u HAVING least(u, min(v)) != u
+), d3 AS (
+  SELECT doc_id, source FROM d2
+  WHERE doc_id NOT IN (SELECT doc_id FROM dup_members)
+), ranked3 AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * {_SAMP_A} + {_SAMP_B}) % {_SAMP_P}, doc_id
+         ) AS sample_rank
+  FROM d3
+)
+SELECT source, doc_id, sample_rank FROM ranked3
+WHERE sample_rank <= 10
 """,
         # frame_fanout: the deterministic frame-sampling fan-out —
         # every 5th of 20 frame indices per media row under 64.
