@@ -77,6 +77,10 @@ def run_probe_session() -> dict:
 
     run_probe(min(n_flows, 1_000_000))  # untimed JIT warm-up
     fps_runs = [n_flows / run_probe(n_flows) for _ in range(reps)]
+    # same stall defense as the query loop: a hypervisor steal burst can
+    # eat one rep; re-run a few when the spread betrays it
+    while max(fps_runs) > 3 * min(fps_runs) and len(fps_runs) < reps + 3:
+        fps_runs.append(n_flows / run_probe(n_flows))
     return {
         "flows_per_sec": round(statistics.median(fps_runs)),
         "flows_per_sec_min": round(min(fps_runs)),
@@ -120,9 +124,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     timings_spread: dict[str, float] = {}
+    # this box shows BURSTY multi-second stalls (hypervisor steal time):
+    # a rep that lands in a burst reads 5-30x slow, and with only 3 reps
+    # one burst poisons the median. When the spread betrays a stall
+    # (max > 3x min and > 1s absolute), run up to EXTRA_REPS more — in a
+    # quiet window the extra reps cost little; in a noisy one they pull
+    # the median back toward the engine's real cost.
+    extra_reps = max(0, int(os.environ.get("SPARK_GRAFT_EXTRA_REPS", 3)))
+
+    def noisy(runs: list) -> bool:
+        return max(runs) > 3 * min(runs) and max(runs) - min(runs) > 1.0
+
     for name, fn in qmap.items():
         runs = []
-        for _ in range(reps):
+        while len(runs) < reps or (noisy(runs) and len(runs) < reps + extra_reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # force full materialization of every output row JVM-side

@@ -518,3 +518,25 @@ def test_stratified_sample_prefilter_identical(spark):
         for r in stratified_sample(df, "grp", 10, prefilter_factor=1).collect()
     }
     assert plain == pre == tight
+
+
+def test_connected_components_property(spark):
+    """Randomized CC vs union-find across graph shapes (dense, sparse,
+    multi-component, duplicate edges) — seeded, not hypothesis-driven:
+    each example costs several Spark jobs, so a fixed diverse batch keeps
+    the suite bounded."""
+    import random
+
+    from xenoeye_spark.datapipe.graph import connected_components
+
+    cases = []
+    rng = random.Random(1234)
+    cases.append([(rng.randrange(30), rng.randrange(30)) for _ in range(200)])  # dense
+    cases.append([(rng.randrange(500), rng.randrange(500)) for _ in range(60)])  # sparse
+    cases.append([(i, i + 1) for i in range(0, 40, 2)])  # disjoint 2-cliques
+    for edges in cases:
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {(r["node"], r["rep"]) for r in connected_components(df).collect()}
+        want = set(_uf_components(edges).items())
+        assert got == want, f"mismatch on case with {len(edges)} edges"

@@ -20,13 +20,21 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     cores, the condition is false, and this is a no-op — the guard never
     forces a shuffle onto a well-partitioned corpus.
 
-    Call this on SCAN-LEVEL inputs only (file read + narrow projections):
-    probing ``df.rdd.getNumPartitions()`` under AQE finalizes the plan,
-    which for a DataFrame with upstream exchanges can execute those
-    stages eagerly.
+    Inputs with an upstream Exchange are returned untouched WITHOUT
+    probing: their kernel stage already runs at shuffle-partition
+    parallelism, and probing ``.rdd`` under AQE would eagerly execute
+    the upstream stages just to count partitions (they would then run
+    AGAIN in the real job). The exchange check reads the non-adaptive
+    physical plan, which plans but never executes.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if "Exchange" in plan:
+            return df
+    except Exception:
+        pass  # plan introspection is best-effort; fall through to probe
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
