@@ -364,8 +364,11 @@ def q_dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify) but signatures come from the pure-expression 31-bit family
     (minhash_signatures_expr), whose char-polynomial base hash and
     overflow-free permutations the DuckDB oracle re-derives verbatim —
-    the first fully hash-checked row for the minhash family."""
-    docs = _t(spark, sf_dir, "documents")
+    the first fully hash-checked row for the minhash family. First-2500
+    docs (the whole corpus at the sf0.01 gate): the 64 interpreted
+    permutation lambdas per shingle are the twin's known price — the
+    Arrow-vectorized xxhash64 flagship is the scale path."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2500)
     sh = shingle_table(docs, n=3)
     sigs = minhash_signatures_expr(docs, n=3, num_hashes=64)
     cands = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
@@ -1267,7 +1270,7 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 3
         "dedup_minhash_lsh_expr": (lambda perms: f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
-  FROM documents
+  FROM documents WHERE doc_id < 2500
 ), sh AS (
   SELECT doc_id, {shingles} AS s FROM toks
 ), hs AS (
