@@ -323,6 +323,49 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event gains the latest preceding
+    purchase (same user), via the union + forward-fill-window operator —
+    one shuffle on user_id, no range theta-join, no cartesian. Oracle:
+    DuckDB's NATIVE ASOF LEFT JOIN — an independent engine feature, not
+    a re-derivation of our formulation."""
+    from xenoeye_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_type", "value",
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t"
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "t")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(clicks, purchases, on="t", by="user_id", value_cols=["pval"])
+    return out.select(
+        "event_id", "user_id", "t", "asof_on",
+        F.round("asof_pval", 6).alias("asof_pval"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) of the event stream per
+    user: lag -> break flag -> running sum, one window shuffle. Output is
+    per-event (session_seq, session_event_seq), deterministic under the
+    (ts, event_id) ordering."""
+    from xenoeye_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    out = sessionize(base, "user_id", "t", gap=1_800_000_000, tiebreak_col="event_id")
+    return out.select("event_id", "user_id", "session_seq", "session_event_seq")
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the composition a training-data
     pipeline actually runs, each stage an operator this engine ships:
@@ -804,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "stratified_sample": q_stratified_sample,
         "corpus_curate": q_corpus_curate,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1031,6 +1076,44 @@ WITH RECURSIVE toks AS (
 )
 SELECT r.doc_id, r.keep_id, s.group_size
 FROM rep r JOIN sizes s USING (keep_id)
+""",
+        # asof_join: DuckDB's native ASOF LEFT JOIN — an independent
+        # engine implementation of the same semantics (latest preceding,
+        # ties at equal time match), not a re-derivation of the Spark
+        # union+window formulation.
+        "asof_join": """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t, event_type, value FROM events
+), l AS (
+  SELECT event_id, user_id, t FROM base WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, t, max(value) AS pval
+  FROM base WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.t, r.t AS asof_on,
+       round(r.pval, 6) AS asof_pval
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t
+""",
+        # sessionize: 30-minute-gap sessions via lag + running sum over
+        # (user, time, event_id) — the same window recurrence, re-run by
+        # an independent engine.
+        "sessionize": """
+WITH b AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+), l AS (
+  SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM b
+), m AS (
+  SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS brk FROM l
+), s AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_seq FROM m
+)
+SELECT event_id, user_id, session_seq,
+       row_number() OVER (
+         PARTITION BY user_id, session_seq ORDER BY t, event_id
+       ) AS session_event_seq
+FROM s
 """,
         # corpus_curate: the four-stage curation pipeline re-derived end
         # to end — exact dedup, quality cut, recursive-CTE near-dup class

@@ -310,3 +310,83 @@ def test_mavg_rates_vectorized_flag(spark):
     assert set(slow) == set(fast)
     for k in slow:
         assert fast[k] == pytest.approx(slow[k], rel=1e-11)
+
+
+# ------------------------------------------------------------- temporal ops
+
+def test_asof_join_backward_semantics(spark):
+    from xenoeye_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 7), (3, 50)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 900.0), (9, 1, 1.0)],
+        "k long, t long, px double",
+    )
+    rows = {
+        (r["k"], r["t"]): (r["asof_on"], r["asof_px"])
+        for r in asof_join(left, right, on="t", by="k", value_cols=["px"]).collect()
+    }
+    assert rows[(1, 10)] == (10, 100.0)   # equal-time tie matches
+    assert rows[(1, 20)] == (15, 150.0)   # latest preceding
+    assert rows[(1, 5)] == (None, None)   # nothing before
+    assert rows[(2, 7)] == (None, None)   # right row is later
+    assert rows[(3, 50)] == (None, None)  # key absent on right
+
+
+def test_asof_join_tolerance(spark):
+    from xenoeye_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k long, t long")
+    right = spark.createDataFrame([(1, 95, 5.0), (1, 120, 7.0)], "k long, t long, v double")
+    rows = {
+        r["t"]: (r["asof_on"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="t", by="k", value_cols=["v"], tolerance=10
+        ).collect()
+    }
+    assert rows[100] == (95, 5.0)
+    assert rows[200] == (None, None)  # 120 is 80 units stale > tolerance
+
+
+def test_asof_join_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from xenoeye_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(11)
+    lpdf = pd.DataFrame({
+        "k": rng.randint(0, 5, 80), "t": rng.randint(0, 1000, 80).astype("int64")
+    }).drop_duplicates(["k", "t"])
+    rpdf = pd.DataFrame({
+        "k": rng.randint(0, 5, 60), "t": rng.randint(0, 1000, 60).astype("int64"),
+    }).drop_duplicates(["k", "t"])
+    rpdf["v"] = rpdf["t"] * 2.0
+    got = asof_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+        on="t", by="k", value_cols=["v"],
+    ).toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    want = pd.merge_asof(
+        lpdf.sort_values("t"), rpdf.sort_values("t"),
+        on="t", by="k", direction="backward",
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    assert list(got["asof_v"].fillna(-1)) == list(want["v"].fillna(-1))
+
+
+def test_sessionize(spark):
+    from xenoeye_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 10), (1, 100), (1, 105), (2, 0)], "k long, t long"
+    )
+    rows = {
+        (r["k"], r["t"]): (r["session_seq"], r["session_event_seq"])
+        for r in sessionize(df, "k", "t", gap=30).collect()
+    }
+    assert rows == {
+        (1, 0): (1, 1), (1, 10): (1, 2),
+        (1, 100): (2, 1), (1, 105): (2, 2),
+        (2, 0): (1, 1),
+    }

@@ -1,0 +1,130 @@
+"""Temporal operators: as-of join and gap-based sessionization.
+
+Spark has no ASOF JOIN; the classic workaround of a range-condition theta
+join explodes into a broadcast-nested-loop. ``asof_join`` uses the
+union + forward-fill-window formulation instead: tag both sides, union
+them, and for every left row take the latest preceding right row via
+``last(..., ignorenulls=True)`` over (key, time) — ONE shuffle on the
+join key and one in-partition sort, the same cost as any window, no
+cartesian anywhere. DuckDB ships a native ASOF JOIN, which makes a
+genuinely independent oracle for the driver gate.
+
+``sessionize`` assigns gap-based session ids: a session breaks when the
+time since the previous event of the same key exceeds ``gap``. One
+window over (key, time): lag -> boolean break -> running sum. The id is
+(key, session_seq), deterministic under the (time, tiebreak) ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    tolerance=None,
+) -> DataFrame:
+    """Backward as-of join: every left row gains the ``value_cols`` of the
+    LATEST right row with the same ``by`` key and right.on <= left.on
+    (ties at equal time match, like DuckDB/pandas ``asof``).
+
+    ``right`` must be unique per (by, on) — pre-aggregate if not, or the
+    fill becomes order-dependent. ``tolerance`` (a Column interval or
+    numeric delta in ``on``'s units): matches older than it are nulled.
+
+    Output: all left columns + ``asof_<col>`` for each value col +
+    ``asof_on`` (the matched right timestamp, null when no match).
+    """
+    lcols = left.columns
+    if set(value_cols) & set(lcols):
+        raise ValueError(
+            f"value_cols {sorted(set(value_cols) & set(lcols))} collide "
+            "with left columns — alias them on the right side first"
+        )
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    l2 = left.select(
+        *lcols,
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in value_cols],
+        F.lit(1).alias("_side"),
+    )
+    r2 = right.select(
+        *[
+            F.col(c) if c in (by, on)
+            else F.lit(None).cast(ltypes[c]).alias(c)
+            for c in lcols
+        ],
+        *value_cols,
+        F.lit(0).alias("_side"),
+    )
+    u = l2.unionByName(r2)
+    # right rows sort BEFORE left rows at the same timestamp (_side asc),
+    # so an equal-time right row is visible to the left row — the
+    # backward-inclusive tie rule
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_on = F.last(
+        F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True
+    ).over(w)
+    fills = [
+        F.last(
+            F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True
+        ).over(w).alias(f"_fill_{c}")
+        for c in value_cols
+    ]
+    filled = u.select(*lcols, "_side", matched_on.alias("_asof_on"), *fills)
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    in_tol: Column = F.lit(True)
+    if tolerance is not None:
+        in_tol = (F.col(on) - F.col("_asof_on")) <= tolerance
+    keep = F.col("_asof_on").isNotNull() & in_tol
+    sel = [F.col(c) for c in lcols]
+    sel.append(F.when(keep, F.col("_asof_on")).alias("asof_on"))
+    sel.extend(
+        F.when(keep, F.col(f"_fill_{c}")).alias(f"asof_{c}")
+        for c in value_cols
+    )
+    return out.select(*sel)
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Append ``session_seq`` (1-based per key) and ``session_event_seq``
+    (1-based within the session). A new session starts when the time
+    since the key's previous event exceeds ``gap`` (a Column interval or
+    numeric delta in ``ts_col``'s units). Deterministic when
+    (key, ts, tiebreak) is unique."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    brk = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_brk = df.withColumn("_brk", brk)
+    w2 = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = with_brk.withColumn(
+        "session_seq", F.sum("_brk").over(w2).cast("long")
+    ).drop("_brk")
+    w3 = Window.partitionBy(key_col, "session_seq").orderBy(*order)
+    return out.withColumn(
+        "session_event_seq", F.row_number().over(w3).cast("long")
+    )
