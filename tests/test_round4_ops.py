@@ -1,0 +1,261 @@
+"""Round-4 operators: interval_join, time_rollup, gopher_quality,
+segment_dedup, bm25_score, vocab_topk, kmv_distinct."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from xenoeye_spark.datapipe.dedup import segment_dedup, token_chunks
+from xenoeye_spark.datapipe.ranking import (
+    KMV_M, KMV_MIX, KMV_P, bm25_score, kmv_distinct, vocab_topk,
+)
+from xenoeye_spark.datapipe.text import gopher_quality
+from xenoeye_spark.operators.rollup import time_rollup
+from xenoeye_spark.operators.temporal import interval_join
+
+
+# ---------------------------------------------------------------- interval
+
+def test_interval_join_matches_theta_join(spark):
+    import random
+
+    rng = random.Random(7)
+    left = [
+        Row(iv_id=i, key=rng.randrange(4), start=rng.randrange(0, 1000),
+            end=0)
+        for i in range(40)
+    ]
+    left = [r.asDict() | {"end": r.start + rng.randrange(0, 120)} for r in left]
+    right = [
+        Row(ev_id=i, key=rng.randrange(4), t=rng.randrange(0, 1100))
+        for i in range(300)
+    ]
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame([r.asDict() for r in right])
+
+    got = sorted(
+        (r.iv_id, r.ev_id)
+        for r in interval_join(
+            ldf, rdf, "start", "end", "t", bucket_width=64, by="key"
+        ).collect()
+    )
+    want = sorted(
+        (lr["iv_id"], rr.ev_id)
+        for lr in left for rr in right
+        if lr["key"] == rr.key and lr["start"] <= rr.t <= lr["end"]
+    )
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_no_key(spark):
+    ldf = spark.createDataFrame([Row(iv=1, s=10, e=20), Row(iv=2, s=15, e=15)])
+    rdf = spark.createDataFrame([Row(ev=1, t=15), Row(ev=2, t=21)])
+    got = sorted(
+        (r.iv, r.ev)
+        for r in interval_join(ldf, rdf, "s", "e", "t", bucket_width=7).collect()
+    )
+    assert got == [(1, 1), (2, 1)]
+
+
+def test_interval_join_is_hash_join_not_bnl(spark):
+    ldf = spark.range(100).select(
+        F.col("id").alias("iv"), (F.col("id") * 10).alias("s"),
+        (F.col("id") * 10 + 5).alias("e"),
+    )
+    rdf = spark.range(1000).select(F.col("id").alias("ev"), F.col("id").alias("t"))
+    plan = interval_join(
+        ldf, rdf, "s", "e", "t", bucket_width=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------------------- rollup
+
+def test_time_rollup_grains_add_up(spark):
+    rows = [
+        Row(ts=f"2026-01-0{d} {h:02d}:{m:02d}:00", k="a" if m % 2 else "b",
+            v=float(d * 100 + h * 10 + m))
+        for d in (1, 2) for h in (0, 1, 5) for m in (0, 7, 30)
+    ]
+    df = spark.createDataFrame(rows).select(
+        F.col("ts").cast("timestamp").alias("ts"), "k", "v"
+    )
+    out = time_rollup(df, "ts", ["k"], "v", grains=["hour", "day"]).collect()
+    hours = [r for r in out if r.grain == "hour"]
+    days = [r for r in out if r.grain == "day"]
+    assert sum(r.n_rows for r in hours) == len(rows)
+    assert sum(r.n_rows for r in days) == len(rows)
+    # each day bucket equals the sum of its hour buckets
+    for d in days:
+        member_hours = [
+            r for r in hours
+            if r.k == d.k and r.bucket_ts.date() == d.bucket_ts.date()
+        ]
+        assert math.isclose(d.sum_value, sum(r.sum_value for r in member_hours))
+    # the finest-grain exchange is computed once and REUSED by coarser
+    # grains (AQE resolves exchange reuse at runtime — execute, then read
+    # the final plan)
+    df2 = time_rollup(df, "ts", ["k"], "v", grains=["hour", "day"])
+    df2.collect()
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "Reused" in plan, plan
+
+
+def test_time_rollup_rejects_unknown_grain(spark):
+    df = spark.createDataFrame([Row(ts="2026-01-01", v=1.0)])
+    try:
+        time_rollup(df, "ts", [], "v", grains=["fortnight"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+# ----------------------------------------------------------------- gopher
+
+def test_gopher_quality_rules(spark):
+    docs = spark.createDataFrame([
+        # clean english-ish doc: passes
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog today"),
+        # too short
+        Row(doc_id=1, text="hi there"),
+        # symbol soup: symbol/word ratio breach
+        Row(doc_id=2, text="# # # word # lists # of # hashes # everywhere #"),
+        # one bigram dominates: repetition breach
+        Row(doc_id=3, text="spam ham " * 20),
+        # huge mean word length
+        Row(doc_id=4, text="aaaaaaaaaaaaaaaaaaaaaa " * 6),
+    ])
+    got = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert got[0].gopher_pass
+    assert not got[1].gopher_pass        # n_words < 5
+    assert not got[2].gopher_pass        # symbol ratio
+    assert got[2].symbol_word_ratio > 0.1
+    assert not got[3].gopher_pass        # top bigram frac ~ 0.5
+    assert got[3].top_bigram_frac > 0.4
+    assert not got[4].gopher_pass        # mean word len > 10
+    assert got[4].mean_word_len > 10
+
+
+def test_gopher_quality_empty_doc(spark):
+    docs = spark.createDataFrame([Row(doc_id=0, text="   ")])
+    [r] = gopher_quality(docs).collect()
+    assert r.n_words == 0 and not r.gopher_pass
+
+
+# ----------------------------------------------------------- segment dedup
+
+def test_segment_dedup_cross_doc_first_occurrence(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="alpha beta|gamma delta"),
+        Row(doc_id=1, text="gamma delta|epsilon"),   # first seg dup of doc0 seg2
+        Row(doc_id=2, text="alpha beta|alpha beta"), # self-dup + dup of doc0
+        Row(doc_id=3, text=""),
+    ])
+    segs = F.filter(F.split(F.col("text"), r"\|"), lambda s: s != "")
+    got = {r.doc_id: r for r in segment_dedup(docs, segs).collect()}
+    assert (got[0].n_segments, got[0].n_kept) == (2, 2)
+    assert (got[1].n_segments, got[1].n_kept) == (2, 1)
+    assert (got[2].n_segments, got[2].n_kept) == (2, 0)
+    assert (got[3].n_segments, got[3].n_kept) == (0, 0)
+    import hashlib
+    assert got[1].kept_digest == hashlib.md5(b"epsilon").hexdigest()
+    assert got[3].kept_digest == hashlib.md5(b"").hexdigest()
+
+
+def test_token_chunks_segmenter(spark):
+    docs = spark.createDataFrame([Row(doc_id=0, text="a b c d e f g")])
+    [r] = docs.select(token_chunks(F.col("text"), 3).alias("c")).collect()
+    assert r.c == ["a b c", "d e f", "g"]
+
+
+# ------------------------------------------------------------------- bm25
+
+def _py_bm25(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        m = 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if m:
+            out[i] = (round(s, 6), m)
+    return out
+
+
+def test_bm25_matches_reference_formula(spark):
+    corpus = {
+        0: "spark table scan fast fast",
+        1: "slow table",
+        2: "spark spark spark",
+        3: "nothing relevant here",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in corpus.items()]
+    )
+    got = {
+        r.doc_id: (r.bm25, r.n_terms_matched)
+        for r in bm25_score(docs, ["spark", "fast"]).collect()
+    }
+    want = _py_bm25(corpus, ["spark", "fast"])
+    assert set(got) == set(want)
+    for i in want:
+        assert math.isclose(got[i][0], want[i][0], abs_tol=1e-6)
+        assert got[i][1] == want[i][1]
+
+
+# ------------------------------------------------------------------ vocab
+
+def test_vocab_topk(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b a c"),
+        Row(doc_id=1, text="a b b"),
+    ])
+    got = [(r.token, r.n_occurrences, r.n_docs)
+           for r in vocab_topk(docs, k=2).collect()]
+    assert got == [("a", 3, 2), ("b", 3, 2)]  # tie broken by token asc
+
+
+# -------------------------------------------------------------------- kmv
+
+def _poly(tok: str) -> int:
+    acc = 0
+    for ch in tok:
+        acc = (acc * KMV_M + ord(ch)) % KMV_P
+    return acc * KMV_MIX % KMV_P
+
+
+def test_kmv_underfull_is_exact(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=0, src="x", text="a b c a"),
+        Row(doc_id=1, src="x", text="c d"),
+    ])
+    [r] = kmv_distinct(docs, "src", k=256).collect()
+    assert r.n_distinct_exact == 4 and r.kmv_estimate == 4.0
+
+
+def test_kmv_estimate_formula_and_accuracy(spark):
+    words = [f"w{i}x" for i in range(3000)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, src="s", text=" ".join(words[i * 30:(i + 1) * 30]))
+         for i in range(100)]
+    )
+    k = 64
+    [r] = kmv_distinct(docs, "src", k=k).collect()
+    hashes = sorted(set(_poly(w) for w in words))
+    assert r.n_distinct_exact == len(hashes)
+    want = round((k - 1) * float(KMV_P) / hashes[k - 1], 6)
+    assert r.kmv_estimate == want
+    # sketch accuracy: within ~3/sqrt(k) of truth
+    assert abs(r.kmv_estimate - len(hashes)) / len(hashes) < 3 / math.sqrt(k)

@@ -451,3 +451,90 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# segment-level dedup (CCNet-style paragraph dedup, generalized)
+# ---------------------------------------------------------------------------
+
+def segment_dedup(
+    docs: DataFrame,
+    segments_col,
+    id_col: str = "doc_id",
+    joiner: str = " ",
+) -> DataFrame:
+    """CCNet-style segment-level deduplication (Wenzek et al. 2019 dedupe
+    paragraphs across the whole corpus before document-level filtering).
+
+    ``segments_col``: a Column producing ``array<string>`` segments for a
+    doc — paragraphs (``split(text, '\\n\\n')``), sentences, or fixed
+    token chunks. A segment is KEPT iff this doc holds the corpus-wide
+    first occurrence of its md5, first = smallest (doc_id, position);
+    every later copy anywhere in the corpus is dropped.
+
+    Shape at scale: explode segments -> ONE shuffle hash-partitioned on
+    the segment digest (min_by resolves the global first occurrence with
+    map-side partial aggregation — no window, no skew on popular
+    segments) -> broadcast-free join back on (digest) filtered to this
+    doc's claim -> re-group on doc_id. Cardinalities are bounded by total
+    segment count; nothing is quadratic.
+
+    Output per doc: n_segments, n_kept, kept_digest (md5 of the joined
+    kept segments in original order; md5('') for docs left empty).
+    """
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(segments_col).alias("_pos", "_seg"),
+    ).select(
+        id_col, "_pos", "_seg", F.md5(F.col("_seg")).alias("_h")
+    )
+    # global first occurrence per digest: one agg, map-side combinable
+    first = segs.groupBy("_h").agg(
+        F.min(F.struct(id_col, "_pos")).alias("_first")
+    ).select(
+        "_h",
+        F.col(f"_first.{id_col}").alias("_fid"),
+        F.col("_first._pos").alias("_fpos"),
+    )
+    kept_flag = (
+        (F.col("_fid") == F.col(id_col)) & (F.col("_fpos") == F.col("_pos"))
+    )
+    # LEFT join: a zero-segment doc explodes to one null row whose null
+    # digest matches nothing — it must still reach the output (n=0)
+    marked = segs.join(first, "_h", "left").select(
+        id_col, "_pos", "_seg",
+        (kept_flag & F.col("_seg").isNotNull()).alias("_keep"),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.col("_seg")).alias("n_segments"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                joiner,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_pos", "_seg"))
+                        )
+                    ),
+                    lambda s: s["_seg"],
+                ),
+            )
+        ).alias("kept_digest"),
+    )
+
+
+def token_chunks(text_col, chunk: int = 20):
+    """``array<string>`` of fixed-size whitespace-token chunks — the
+    segmenter the oracle query uses (re-derivable in SQL; documents in
+    the fixture have no newlines to split paragraphs on)."""
+    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size(toks) - 1) / chunk).cast("int")
+            ),
+            lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -236,6 +236,100 @@ def simhash_neardup_pairs(
     )
 
 
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    mean_word_len_range: tuple[float, float] = (2.0, 10.0),
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_word_ratio: float = 0.1,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    heuristics), adapted to the rules that are line-independent:
+
+      - word count >= min_words
+      - mean word length within ``mean_word_len_range``
+      - fraction of words containing an alphabetic char >= threshold
+      - hash/ellipsis symbols per word <= threshold
+      - repetition: fraction of bigram slots taken by the single most
+        frequent bigram <= threshold (the top-2-gram rule)
+
+    All rules except the bigram one are pure per-row expressions (zero
+    shuffle); the top-bigram count explodes bigrams and re-aggregates on
+    ``id_col`` — two narrow-key shuffles whose cardinality is bounded by
+    token count, the standard shape at any scale. Output: the metrics +
+    per-rule booleans + the conjunction ``gopher_pass``.
+    """
+    toks = _tokens(F.col(text_col))
+    n_sym = F.length(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), r"\.\.\.", "#"), r"[^#…]", ""
+        )
+    )
+    staged = docs.select(
+        F.col(id_col), toks.alias("_t"), n_sym.alias("_nsym")
+    )
+    n_words = F.size("_t")
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate("_t", F.lit(0).cast("long"),
+                    lambda a, t: a + F.length(t)).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter("_t", lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha.cast("double") / n_words).otherwise(F.lit(0.0))
+    per_doc = staged.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        "_nsym",
+    )
+    # top-bigram fraction: explode adjacent pairs, count per (doc, bigram),
+    # take the max count per doc. Bigram slots = n_words - 1.
+    bigrams = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n_words >= 2,
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1), "
+                    "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_bg"),
+    )
+    top_bg = (
+        bigrams.groupBy(id_col, "_bg").count()
+        .groupBy(id_col).agg(F.max("count").alias("_top_bg_n"))
+    )
+    out = per_doc.join(top_bg, id_col, "left").select(
+        F.col(id_col),
+        "n_words", "mean_word_len", "alpha_word_frac",
+        F.when(
+            F.col("n_words") > 0, F.col("_nsym").cast("double") / F.col("n_words")
+        ).otherwise(F.lit(0.0)).alias("_swr"),
+        F.when(
+            F.col("n_words") >= 2,
+            F.coalesce(F.col("_top_bg_n"), F.lit(0)).cast("double")
+            / (F.col("n_words") - 1),
+        ).otherwise(F.lit(0.0)).alias("_tbf"),
+    ).select(
+        F.col(id_col), "n_words", "mean_word_len", "alpha_word_frac",
+        F.round("_swr", 6).alias("symbol_word_ratio"),
+        F.round("_tbf", 6).alias("top_bigram_frac"),
+        (
+            (F.col("n_words") >= min_words)
+            & F.col("mean_word_len").between(*mean_word_len_range)
+            & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+            & (F.round("_swr", 6) <= max_symbol_word_ratio)
+            & (F.round("_tbf", 6) <= max_top_bigram_frac)
+        ).alias("gopher_pass"),
+    )
+    return out
+
+
 # BPE-ish pretokenizer: word pieces, numbers, punctuation runs — the common
 # GPT-2-style regex family, simplified to RE2-compatible form (no lookahead)
 # so Spark's JVM regexp can run it.

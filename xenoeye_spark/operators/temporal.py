@@ -95,6 +95,61 @@ def asof_join(
     return out.select(*sel)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bucket_width: int,
+    by: str | None = None,
+) -> DataFrame:
+    """Range-containment join: every (left interval [start, end]) row is
+    paired with every right row whose ``ts_col`` falls inside it
+    (inclusive both ends), optionally also matching a ``by`` equi-key.
+
+    Spark plans the naive ``l.start <= r.ts AND r.ts <= l.end`` theta
+    join as a broadcast-nested-loop (O(|L|*|R|) compares, driver-sized
+    broadcast). This operator turns it into a HASH join: left intervals
+    explode into the ``bucket_width``-sized time buckets they overlap
+    (``sequence(floor(start/w), floor(end/w))``), right rows key by their
+    single bucket, and the equi-join on (bucket [, by]) prefilters to
+    near-misses before the exact range predicate. A right row's ts lies
+    in exactly one bucket, so no pair is produced twice — no distinct
+    needed. Cost: |L| * (interval/bucket_width + 1) exploded rows, one
+    shuffle each side; pick bucket_width ~ the typical interval length.
+
+    Columns from both sides are kept (right's ``ts_col`` must not
+    collide with left column names).
+    """
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    lb = F.explode(
+        F.sequence(
+            F.floor(F.col(start_col) / w).cast("long"),
+            F.floor(F.col(end_col) / w).cast("long"),
+        )
+    ).alias("_bkt")
+    l2 = left.select("*", lb)
+    r2 = right.select(
+        "*", F.floor(F.col(ts_col) / w).cast("long").alias("_bkt")
+    )
+    on = [l2["_bkt"] == r2["_bkt"]]
+    if by is not None:
+        on.append(l2[by] == r2[by])
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    joined = l2.join(r2, cond, "inner").filter(
+        (r2[ts_col] >= l2[start_col]) & (r2[ts_col] <= l2[end_col])
+    )
+    keep = [l2[c] for c in left.columns] + [
+        r2[c] for c in right.columns if by is None or c != by
+    ]
+    return joined.select(*keep)
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,
