@@ -798,6 +798,141 @@ def q_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx")
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical multi-grain rollup (hour + day) of the event stream:
+    the day grain re-aggregates the hour aggregate (one wide shuffle at
+    the finest grain, AQE reuses its exchange for the coarser grain) —
+    the hypertable continuous-aggregate shape, vs GROUPING SETS' Expand
+    which multiplies shuffle volume by grain count. Values are summed as
+    exact cents (floor(value*100)) so double-summation order can't
+    perturb the hash."""
+    from xenoeye_spark.operators.rollup import time_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = time_rollup(ev, "ts", ["event_type"], "cents", grains=["hour", "day"])
+    return out.select(
+        "grain", "bucket_ts", "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_value").cast("long").alias("sum_cents"),
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join as a bucketed HASH join: every purchase
+    opens a 24-hour window [t, t+86400s]; count the same user's clicks
+    inside it. The naive range theta-join is a broadcast-nested-loop —
+    interval_join explodes each window into its 600s time buckets and
+    equi-joins on (bucket, user), which pytest asserts stays a hash join.
+    Oracle: the plain theta join, run by DuckDB's IEJoin."""
+    from xenoeye_spark.operators.temporal import interval_join
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_type",
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("t").alias("w_start"),
+        (F.col("t") + 86_400_000_000).alias("w_end"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "t"
+    )
+    joined = interval_join(
+        purchases, clicks, "w_start", "w_end", "t",
+        bucket_width=86_400_000_000, by="user_id",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.min("click_id").cast("long").alias("first_click_id"),
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (word count, mean word length,
+    alphabetic-word fraction, symbol ratio, top-bigram repetition) per
+    document; the repetition rule is the only shuffle (explode bigrams ->
+    per-doc max count)."""
+    from xenoeye_spark.datapipe.text import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_quality(docs)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_frac",
+        "symbol_word_ratio", "top_bigram_frac",
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    )
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide segment dedup over 20-token chunks: a
+    chunk survives only in the doc holding its first (doc_id, pos)
+    occurrence; one shuffle keyed on the segment digest resolves the
+    global first occurrence with map-side combine. Output: per-doc
+    segment counts + md5 digest of the surviving text."""
+    from xenoeye_spark.datapipe.dedup import segment_dedup, token_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    out = segment_dedup(docs, token_chunks(F.col("text"), 20))
+    return out.select(
+        "doc_id",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "kept_digest",
+    )
+
+
+BM25_TERMS = ["table", "spark", "window"]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of a fixed three-term query over the corpus: doc
+    lengths from expressions, term frequencies from an explode filtered
+    to query terms BEFORE the shuffle, df/avgdl broadcast back."""
+    from xenoeye_spark.datapipe.ranking import bm25_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_score(docs, BM25_TERMS).select(
+        "doc_id", "bm25", "n_terms_matched"
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-30 vocabulary by corpus frequency (ties broken by
+    token): explode + one hash aggregate whose map-side partial combine
+    bounds shuffle volume by |vocab| per task, not |tokens|."""
+    from xenoeye_spark.datapipe.ranking import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=30).select(
+        "token",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-token sketch per source (k=16 — small
+    enough that the fixture's ~31-token vocabulary exercises the
+    estimation formula, not just the under-full exact path). The hash —
+    char polynomial + Knuth multiplicative finalizer — is deterministic
+    and int64-exact, so the oracle re-derives the whole sketch
+    bit-for-bit."""
+    from xenoeye_spark.datapipe.ranking import kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_distinct(docs, "source", k=16).select(
+        "source",
+        F.col("n_distinct_exact").cast("long").alias("n_distinct_exact"),
+        "kmv_k", "kmv_estimate",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -849,6 +984,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "time_rollup": q_time_rollup,
+        "interval_join": q_interval_join,
+        "gopher_quality": q_gopher_quality,
+        "segment_dedup": q_segment_dedup,
+        "bm25": q_bm25,
+        "vocab_topk": q_vocab_topk,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -1665,5 +1807,181 @@ WITH flows AS (
 )
 SELECT time, CAST(floor(o / p) AS BIGINT) AS ratio, CAST(SUM(o) AS BIGINT) AS octets
 FROM flows GROUP BY time, ratio
+""",
+        # time_rollup: the day grain re-derived FROM the hour aggregate,
+        # mirroring the hierarchical (not GROUPING SETS) formulation.
+        "time_rollup": """
+WITH base AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, bucket_ts, event_type, n_rows, sum_cents FROM base
+UNION ALL
+SELECT 'day' AS grain, date_trunc('day', bucket_ts) AS bucket_ts, event_type,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+FROM base GROUP BY 2, 3
+""",
+        # interval_join: the plain range theta join (DuckDB plans an
+        # IEJoin) — an independent formulation of the same containment
+        # semantics as the bucketed hash join.
+        "interval_join": """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t, event_type FROM events
+), p AS (
+  SELECT event_id AS purchase_id, user_id, t AS w_start, t + CAST(86400000000 AS BIGINT) AS w_end
+  FROM base WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, t FROM base WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(min(c.click_id) AS BIGINT) AS first_click_id
+FROM p JOIN c ON p.user_id = c.user_id AND c.t BETWEEN p.w_start AND p.w_end
+GROUP BY 1, 2
+""",
+        "gopher_quality": """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CASE WHEN len(t) > 0 THEN round(
+           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6)
+           ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(t) > 0 THEN round(
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           / len(t), 6) ELSE 0.0 END AS alpha_word_frac,
+         length(regexp_replace(regexp_replace(text, '\\.\\.\\.', '#', 'g'),
+                               '[^#…]', '', 'g')) AS nsym,
+         CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+           ELSE [] END AS bgs
+  FROM toks
+), tb AS (
+  SELECT doc_id, max(cnt) AS top_bg_n FROM (
+    SELECT doc_id, bg, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(bgs) AS bg FROM m) GROUP BY 1, 2
+  ) GROUP BY 1
+), j AS (
+  SELECT m.doc_id, n_words, mean_word_len, alpha_word_frac,
+         round(CASE WHEN n_words > 0
+               THEN CAST(nsym AS DOUBLE) / n_words ELSE 0.0 END, 6) AS swr,
+         round(CASE WHEN n_words >= 2
+               THEN CAST(coalesce(top_bg_n, 0) AS DOUBLE) / (n_words - 1)
+               ELSE 0.0 END, 6) AS tbf
+  FROM m LEFT JOIN tb ON m.doc_id = tb.doc_id
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+       swr AS symbol_word_ratio, tbf AS top_bigram_frac,
+       CAST((n_words >= 5 AND mean_word_len BETWEEN 2.0 AND 10.0
+             AND alpha_word_frac >= 0.8 AND swr <= 0.1 AND tbf <= 0.2)
+            AS INTEGER) AS gopher_pass
+FROM j
+""",
+        # segment_dedup: 20-token chunks; parallel unnests zip pos+seg;
+        # corpus-wide first occurrence = min(doc_id*100000 + pos) per md5.
+        "segment_dedup": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0 THEN
+           list_transform(range(0, CAST(floor((len(t) - 1) / 20) AS INTEGER) + 1),
+                          i -> array_to_string(t[i * 20 + 1 : i * 20 + 20], ' '))
+           ELSE [] END AS segs
+  FROM toks
+), segs AS (
+  SELECT doc_id,
+         unnest(range(1, len(segs) + 1)) - 1 AS pos,
+         unnest(segs) AS seg
+  FROM chunks
+), firsts AS (
+  SELECT md5(seg) AS h, min(doc_id * 100000 + pos) AS fk FROM segs GROUP BY 1
+), marked AS (
+  SELECT s.doc_id, s.pos, s.seg,
+         (s.doc_id * 100000 + s.pos = f.fk) AS keep
+  FROM segs s JOIN firsts f ON md5(s.seg) = f.h
+)
+SELECT d.doc_id,
+       CAST(count(m.seg) AS BIGINT) AS n_segments,
+       CAST(coalesce(sum(CASE WHEN m.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN m.keep THEN m.seg END, ' ' ORDER BY m.pos),
+                    '')) AS kept_digest
+FROM documents d LEFT JOIN marked m ON d.doc_id = m.doc_id
+GROUP BY 1
+""",
+        # bm25: expression order mirrors the Spark build exactly so the
+        # double arithmetic is bit-identical before round(..., 6).
+        "bm25": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+         list_filter(t, x -> x IN ({", ".join(repr(t) for t in BM25_TERMS)})) AS qt
+  FROM toks
+), g AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base
+), tfc AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(qt) AS term FROM base) GROUP BY 1, 2, 3
+), dft AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1
+), s AS (
+  SELECT doc_id,
+         ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS sc
+  FROM tfc JOIN dft USING (term) CROSS JOIN g
+)
+SELECT doc_id, round(sum(sc), 6) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_matched
+FROM s GROUP BY 1
+""",
+        "vocab_topk": """
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x != '')) AS token
+  FROM documents
+)
+GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 30
+""",
+        # kmv_distinct: the whole sketch — polynomial hash, Knuth
+        # finalizer, k-th minimum, estimate — re-derived bit-for-bit.
+        "kmv_distinct": """
+WITH h AS (
+  SELECT DISTINCT source,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1073741789) * 2654435761 % 1073741789 AS hh
+  FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x != '')) AS tok
+    FROM documents
+  )
+), r AS (
+  SELECT source, hh,
+         row_number() OVER (PARTITION BY source ORDER BY hh ASC) AS rn
+  FROM h
+)
+SELECT source,
+       CAST(max(rn) AS BIGINT) AS n_distinct_exact,
+       CAST(16 AS BIGINT) AS kmv_k,
+       CASE WHEN max(CASE WHEN rn = 16 THEN hh END) IS NOT NULL
+            THEN round(16106126835.0 / max(CASE WHEN rn = 16 THEN hh END), 6)
+            ELSE CAST(max(rn) AS DOUBLE) END AS kmv_estimate
+FROM r GROUP BY 1
 """,
     }

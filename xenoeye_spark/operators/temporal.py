@@ -131,21 +131,22 @@ def interval_join(
             F.floor(F.col(end_col) / w).cast("long"),
         )
     ).alias("_bkt")
-    l2 = left.select("*", lb)
+    # alias both sides: left and right often share lineage (two filters
+    # of one stream), and unqualified refs trip the ambiguous-self-join
+    # analyzer check
+    l2 = left.select("*", lb).alias("__ivl")
     r2 = right.select(
         "*", F.floor(F.col(ts_col) / w).cast("long").alias("_bkt")
-    )
-    on = [l2["_bkt"] == r2["_bkt"]]
+    ).alias("__ivr")
+    cond = F.col("__ivl._bkt") == F.col("__ivr._bkt")
     if by is not None:
-        on.append(l2[by] == r2[by])
-    cond = on[0]
-    for c in on[1:]:
-        cond = cond & c
+        cond = cond & (F.col(f"__ivl.{by}") == F.col(f"__ivr.{by}"))
     joined = l2.join(r2, cond, "inner").filter(
-        (r2[ts_col] >= l2[start_col]) & (r2[ts_col] <= l2[end_col])
+        (F.col(f"__ivr.{ts_col}") >= F.col(f"__ivl.{start_col}"))
+        & (F.col(f"__ivr.{ts_col}") <= F.col(f"__ivl.{end_col}"))
     )
-    keep = [l2[c] for c in left.columns] + [
-        r2[c] for c in right.columns if by is None or c != by
+    keep = [F.col(f"__ivl.{c}") for c in left.columns] + [
+        F.col(f"__ivr.{c}") for c in right.columns if by is None or c != by
     ]
     return joined.select(*keep)
 
