@@ -933,6 +933,21 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 5th doc plays the eval set; count
+    each eval doc's distinct 5-token shingles that occur anywhere in the
+    train split. The operator joins on xxhash64 of the shingle text (an
+    internal optimization); the oracle joins on the strings themselves —
+    identical counts modulo 64-bit collisions, so the match verifies the
+    hashing is sound."""
+    from xenoeye_spark.datapipe.dedup import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    return contamination_check(ev, tr, n=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -991,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "vocab_topk": q_vocab_topk,
         "kmv_distinct": q_kmv_distinct,
+        "contamination": q_contamination,
     }
 
 
@@ -1983,5 +1999,42 @@ SELECT source,
             THEN round(16106126835.0 / max(CASE WHEN rn = 16 THEN hh END), 6)
             ELSE CAST(max(rn) AS DOUBLE) END AS kmv_estimate
 FROM r GROUP BY 1
+""",
+        # contamination: joins on the shingle STRINGS (the operator joins
+        # on xxhash64 of them) — an independent formulation whose match
+        # also vouches for the hash step.
+        "contamination": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5 THEN
+           list_distinct(list_transform(range(1, len(t) - 4 + 1),
+                                        i -> array_to_string(t[i:i+4], ' ')))
+           ELSE [] END AS shs
+  FROM toks
+), ev AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 5 = 0
+), tr AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest(shs) AS s FROM sh WHERE doc_id % 5 != 0
+  )
+), base AS (
+  SELECT d.doc_id,
+         CAST(count(ev.s) AS BIGINT) AS n_shingles,
+         CAST(count(tr.s) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+  LEFT JOIN ev ON d.doc_id = ev.doc_id
+  LEFT JOIN tr ON ev.s = tr.s
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_hits,
+       round(CASE WHEN n_shingles > 0
+             THEN CAST(n_hits AS DOUBLE) / n_shingles ELSE 0.0 END, 6)
+         AS contamination_frac,
+       CAST(n_hits > 0 AS INTEGER) AS is_contaminated
+FROM base
 """,
     }

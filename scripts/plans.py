@@ -72,6 +72,26 @@ NOTES = {
     "picks the latest preceding right row.",
     "sessionize": "lag + running sum + row_number share one window "
     "shuffle on the session key.",
+    "time_rollup": "day grain re-aggregates the hour AGGREGATE (union "
+    "branches share the finest-grain exchange via AQE reuse) — never a "
+    "second pass over the raw stream, never a GROUPING SETS Expand.",
+    "interval_join": "range containment as a bucketed HASH join "
+    "(explode intervals into time buckets, equi-join on bucket+key, "
+    "exact range filter after) — no BroadcastNestedLoop.",
+    "gopher_quality": "per-row expression rules; the top-bigram "
+    "repetition rule is the only shuffle (explode -> per-doc max, "
+    "map-side combined).",
+    "segment_dedup": "one shuffle on segment md5 resolves the "
+    "corpus-wide first occurrence via a min-struct agg (map-side "
+    "combinable -> popular-segment skew collapses per task).",
+    "bm25": "explode filtered to query terms BEFORE the shuffle; "
+    "df/avgdl scalar aggregates broadcast back; corpus scanned once.",
+    "vocab_topk": "explode + hash agg; partial aggregation bounds "
+    "shuffle volume by per-task vocabulary, not token count.",
+    "kmv_distinct": "int64-exact expression hashes; distinct partial-"
+    "dedups map-side; one window ranks each group's k minima.",
+    "contamination": "shingle both splits, distinct, ONE equi-join on "
+    "xxhash64(shingle) (inverted index), re-agg on eval doc.",
 }
 
 

@@ -1,5 +1,6 @@
 """Round-4 operators: interval_join, time_rollup, gopher_quality,
-segment_dedup, bm25_score, vocab_topk, kmv_distinct."""
+segment_dedup, bm25_score, vocab_topk, kmv_distinct,
+contamination_check."""
 
 from __future__ import annotations
 
@@ -259,3 +260,49 @@ def test_kmv_estimate_formula_and_accuracy(spark):
     assert r.kmv_estimate == want
     # sketch accuracy: within ~3/sqrt(k) of truth
     assert abs(r.kmv_estimate - len(hashes)) / len(hashes) < 3 / math.sqrt(k)
+
+
+# ---------------------------------------------------------- contamination
+
+def test_contamination_check(spark):
+    from xenoeye_spark.datapipe.dedup import contamination_check
+
+    train = spark.createDataFrame([
+        Row(doc_id=10, text="one two three four five six seven"),
+        Row(doc_id=11, text="alpha beta gamma delta epsilon zeta"),
+    ])
+    ev = spark.createDataFrame([
+        # shares the 5-gram "two three four five six" with train doc 10
+        Row(doc_id=0, text="zero two three four five six extra"),
+        # clean
+        Row(doc_id=1, text="red green blue yellow purple orange"),
+        # too short for a 5-shingle
+        Row(doc_id=2, text="tiny doc"),
+    ])
+    got = {r.doc_id: r for r in contamination_check(ev, train, n=5).collect()}
+    # of doc 0's 3 shingles, exactly "two three four five six" is in train
+    assert got[0].is_contaminated == 1 and got[0].n_hits == 1
+    assert got[0].n_shingles == 3
+    assert got[1].is_contaminated == 0 and got[1].n_hits == 0
+    assert got[2].n_shingles == 0 and got[2].is_contaminated == 0
+
+
+def test_contamination_df_cap_drops_boilerplate(spark):
+    from xenoeye_spark.datapipe.dedup import contamination_check
+
+    boiler = "this is common boilerplate text here"
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=boiler) for i in range(10, 15)]
+        + [Row(doc_id=20, text="rare unique five gram signal phrase")]
+    )
+    ev = spark.createDataFrame([
+        Row(doc_id=0, text=boiler),
+        Row(doc_id=1, text="rare unique five gram signal phrase"),
+    ])
+    got = {
+        r.doc_id: r
+        for r in contamination_check(ev, train, n=5, train_df_cap=3).collect()
+    }
+    # boilerplate shingles occur in 5 train docs > cap 3 -> dropped
+    assert got[0].n_hits == 0
+    assert got[1].n_hits > 0

@@ -538,3 +538,98 @@ def token_chunks(text_col, chunk: int = 20):
             lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# train/eval contamination check (n-gram overlap decontamination)
+# ---------------------------------------------------------------------------
+
+def contamination_check(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df_cap: int | None = None,
+) -> DataFrame:
+    """Benchmark-decontamination scan (the n-gram overlap check of
+    GPT-3 appx. C / PaLM appx. - public methodology): for every eval
+    doc, count its distinct n-token shingles that also occur anywhere in
+    the training corpus.
+
+    The join key is xxhash64 of the shingle TEXT (space-joined token
+    window) — an internal optimization over joining on long strings;
+    counts are identical modulo 64-bit collisions, which is how the
+    driver oracle (joining on the strings themselves in DuckDB) can
+    verify it independently.
+
+    ``train_df_cap``: drop train shingles occurring in more than this
+    many train docs before the join — the boilerplate guard; ubiquitous
+    shingles both cause reducer skew and carry no contamination signal.
+
+    Shape at scale: two shingle explodes -> distinct -> one equi-join on
+    the hash (inverted-index build), one re-agg on eval doc_id. Linear
+    in corpus size; the df-cap bounds the hottest key.
+
+    Output per eval doc: n_shingles, n_hits, contamination_frac,
+    is_contaminated (int 0/1). Eval docs too short for one shingle get
+    n_shingles = 0 and count as clean.
+    """
+    def shingles(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+        sh = F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), sh.alias("_sh"))
+
+    ev = shingles(eval_docs).select(
+        F.col(id_col), F.explode_outer("_sh").alias("_s")
+    ).select(
+        id_col,
+        # xxhash64(NULL) folds the null into the SEED and returns a
+        # non-null hash — the explode_outer null row of a too-short doc
+        # must stay null or it counts as a shingle
+        F.when(F.col("_s").isNotNull(), F.xxhash64("_s")).alias("_h"),
+    )
+    tr = (
+        shingles(train_docs)
+        .select(F.explode("_sh").alias("_s"), F.col(id_col).alias("_tid"))
+        .select(F.xxhash64("_s").alias("_h"), "_tid")
+    )
+    if train_df_cap is not None:
+        tr_keys = (
+            tr.groupBy("_h")
+            .agg(F.countDistinct("_tid").alias("_df"))
+            .filter(F.col("_df") <= train_df_cap)
+            .select("_h")
+        )
+    else:
+        tr_keys = tr.select("_h").distinct()
+    hits = (
+        ev.join(tr_keys.withColumnRenamed("_h", "_th"),
+                F.col("_h") == F.col("_th"), "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("_h")).alias("n_shingles"),
+            F.count(F.col("_th")).alias("n_hits"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_hits").cast("double") / F.col("n_shingles"),
+    ).otherwise(F.lit(0.0))
+    return hits.select(
+        F.col(id_col),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(frac, 6).alias("contamination_frac"),
+        (F.col("n_hits") > 0).cast("int").alias("is_contaminated"),
+    )
