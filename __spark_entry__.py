@@ -948,6 +948,21 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(ev, tr, n=5)
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source document-length percentiles (p50/p90/p99):
+    Spark's sort-based `percentile` aggregate uses the same
+    linear-interpolation definition as DuckDB's quantile_cont, so the
+    oracle is bit-for-bit. Exact is the bounded-group path; the 100-TB
+    default is the Greenwald-Khanna approx_percentile twin
+    (operators/summary.py, exact=False)."""
+    from xenoeye_spark.operators.summary import group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_quantiles(docs, ["source"], "n_chars").select(
+        "source", "p5", "p9", "p99", "n_rows"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1007,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "kmv_distinct": q_kmv_distinct,
         "contamination": q_contamination,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -2036,5 +2052,15 @@ SELECT doc_id, n_shingles, n_hits,
          AS contamination_frac,
        CAST(n_hits > 0 AS INTEGER) AS is_contaminated
 FROM base
+""",
+        # length_quantiles: quantile_cont shares percentile()'s linear-
+        # interpolation definition — bit-for-bit on integer inputs.
+        "length_quantiles": """
+SELECT source,
+       round(quantile_cont(n_chars, 0.5), 6) AS p5,
+       round(quantile_cont(n_chars, 0.9), 6) AS p9,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY 1
 """,
     }

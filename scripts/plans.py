@@ -92,6 +92,9 @@ NOTES = {
     "dedups map-side; one window ranks each group's k minima.",
     "contamination": "shingle both splits, distinct, ONE equi-join on "
     "xxhash64(shingle) (inverted index), re-agg on eval doc.",
+    "length_quantiles": "exact sort-based percentile per bounded group; "
+    "the 100-TB twin is approx_percentile (GK sketch, map-side "
+    "mergeable) behind the same API.",
 }
 
 

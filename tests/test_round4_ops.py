@@ -306,3 +306,63 @@ def test_contamination_df_cap_drops_boilerplate(spark):
     # boilerplate shingles occur in 5 train docs > cap 3 -> dropped
     assert got[0].n_hits == 0
     assert got[1].n_hits > 0
+
+
+# -------------------------------------------------------------- bucketing
+
+def test_bucketed_join_is_shuffle_free(spark):
+    from xenoeye_spark.datapipe.layout import bucketed_join, write_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        write_bucketed(a, "t_bkt_a", ["k"], 4, sort_cols=["k"])
+        write_bucketed(b, "t_bkt_b", ["k"], 4, sort_cols=["k"])
+        j = bucketed_join(spark, "t_bkt_a", "t_bkt_b", ["k"])
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the whole point: the shuffle was paid at write time, the join
+        # plan itself has NO exchange on either side
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+# -------------------------------------------------------------- quantiles
+
+def test_group_quantiles_exact_matches_numpy(spark):
+    import numpy as np
+
+    from xenoeye_spark.operators.summary import group_quantiles
+
+    import random
+    rng = random.Random(3)
+    rows = [Row(g=f"g{i % 3}", v=float(rng.randrange(0, 10000)))
+            for i in range(500)]
+    df = spark.createDataFrame(rows)
+    got = {r.g: r for r in group_quantiles(df, ["g"], "v").collect()}
+    for g in ("g0", "g1", "g2"):
+        vals = np.array([r.v for r in rows if r.g == g])
+        assert got[g].n_rows == len(vals)
+        for p, col in [(50, "p5"), (90, "p9"), (99, "p99")]:
+            assert got[g][col] == round(
+                float(np.percentile(vals, p, method="linear")), 6
+            ), (g, p)
+
+
+def test_group_quantiles_approx_close(spark):
+    from xenoeye_spark.operators.summary import group_quantiles
+
+    df = spark.range(10000).select(
+        F.lit("a").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    [r] = group_quantiles(df, ["g"], "v", probs=[0.5], exact=False).collect()
+    assert abs(r.p5 - 4999.5) < 50  # GK sketch within accuracy bound
