@@ -85,7 +85,9 @@ NOTES = {
     "corpus-wide first occurrence via a min-struct agg (map-side "
     "combinable -> popular-segment skew collapses per task).",
     "bm25": "explode filtered to query terms BEFORE the shuffle; "
-    "df/avgdl scalar aggregates broadcast back; corpus scanned once.",
+    "df/avgdl scalar aggregates broadcast back; corpus scanned once. "
+    "(The Cross BroadcastNestedLoop is the ONE-ROW (n, avgdl) scalar "
+    "attach — a constant build side, not a pair blowup.)",
     "vocab_topk": "explode + hash agg; partial aggregation bounds "
     "shuffle volume by per-task vocabulary, not token count.",
     "kmv_distinct": "int64-exact expression hashes; distinct partial-"
