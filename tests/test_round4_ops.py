@@ -366,3 +366,70 @@ def test_group_quantiles_approx_close(spark):
     )
     [r] = group_quantiles(df, ["g"], "v", probs=[0.5], exact=False).collect()
     assert abs(r.p5 - 4999.5) < 50  # GK sketch within accuracy bound
+
+
+# --------------------------------------------------------- streaming dedup
+
+def test_dedup_stream_suppresses_duplicates(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from xenoeye_spark.streaming.dedup_stream import dedup_stream
+
+    src = str(tmp_path / "src")
+    # two part files (append) -> with maxFilesPerTrigger=1 the stream
+    # processes them as separate micro-batches; key "a" recurs in both
+    spark.createDataFrame(
+        [("a", "2026-01-01 00:00:00", 1), ("b", "2026-01-01 00:00:10", 2)],
+        "k string, ts string, payload long",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("a", "2026-01-01 00:00:20", 3), ("c", "2026-01-01 00:00:30", 4)],
+        "k string, ts string, payload long",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_stream(stream, ["k"], "ts", watermark_delay="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT k FROM dedup_out").collect()
+    assert sorted(r.k for r in rows) == ["a", "b", "c"]
+
+
+def test_dedup_stream_rejects_ts_in_keys(spark):
+    from xenoeye_spark.streaming.dedup_stream import dedup_stream
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    try:
+        dedup_stream(df, ["k", "ts"], "ts")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_dedup_batch_first_wins(spark):
+    from xenoeye_spark.streaming.dedup_stream import dedup_batch_first_wins
+
+    df = spark.createDataFrame(
+        [("a", 5, "late"), ("a", 1, "first"), ("b", 3, "only")],
+        "k string, seq long, tag string",
+    )
+    got = {r.k: (r.seq, r.tag)
+           for r in dedup_batch_first_wins(df, ["k"], "seq").collect()}
+    assert got == {"a": (1, "first"), "b": (3, "only")}

@@ -125,7 +125,12 @@ def connected_components(
 
     sig = _signature(edges)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the signature aggregation right below is the
+        # round's materializing job, and the checkpoint rides along with
+        # it — eager=True would run a separate job per round first
+        # (measured ~2x the driver round-trips on small pair graphs,
+        # where job latency dominates the actual star transforms)
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         nxt_sig = _signature(nxt)
         edges = nxt
         if nxt_sig == sig:
