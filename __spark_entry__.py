@@ -963,6 +963,16 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction: top-3 terms by tf * ln(N/df), ties by
+    term asc. The full-token explode collapses map-side into (doc, term)
+    partials; df broadcasts back; one row_number window per doc."""
+    from xenoeye_spark.datapipe.ranking import tfidf_topterms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topterms(docs, top_n=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1023,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "contamination": q_contamination,
         "length_quantiles": q_length_quantiles,
+        "tfidf_topterms": q_tfidf_topterms,
     }
 
 
@@ -2062,5 +2073,31 @@ SELECT source,
        round(quantile_cont(n_chars, 0.99), 6) AS p99,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM documents GROUP BY 1
+""",
+        # tfidf_topterms: same tf * ln(N/df) arithmetic, same
+        # (score desc, term asc) ranking, re-run by DuckDB windows.
+        "tfidf_topterms": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tfv
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2
+), dft AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfv FROM tf GROUP BY 1
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), s AS (
+  SELECT doc_id, term, tfv * ln(n / dfv) AS sc
+  FROM tf JOIN dft USING (term) CROSS JOIN g
+), r AS (
+  SELECT doc_id, term, round(sc, 6) AS tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY sc DESC, term ASC
+         ) AS BIGINT) AS term_rank
+  FROM s
+)
+SELECT doc_id, term, tfidf, term_rank FROM r WHERE term_rank <= 3
 """,
     }

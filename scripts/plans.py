@@ -97,6 +97,9 @@ NOTES = {
     "length_quantiles": "exact sort-based percentile per bounded group; "
     "the 100-TB twin is approx_percentile (GK sketch, map-side "
     "mergeable) behind the same API.",
+    "tfidf_topterms": "full-token explode collapses map-side into "
+    "(doc, term) partials; df + the in-plan N scalar broadcast back "
+    "(no second scan); one row_number window per doc.",
 }
 
 

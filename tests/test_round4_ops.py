@@ -433,3 +433,40 @@ def test_dedup_batch_first_wins(spark):
     got = {r.k: (r.seq, r.tag)
            for r in dedup_batch_first_wins(df, ["k"], "seq").collect()}
     assert got == {"a": (1, "first"), "b": (3, "only")}
+
+
+# ------------------------------------------------------------------ tfidf
+
+def test_tfidf_topterms(spark):
+    from xenoeye_spark.datapipe.ranking import tfidf_topterms
+
+    corpus = {
+        0: "apple apple banana common common",
+        1: "banana cherry common",
+        2: "common cherry cherry date",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in corpus.items()]
+    )
+    got = {}
+    for r in tfidf_topterms(docs, top_n=2).collect():
+        got.setdefault(r.doc_id, []).append((r.term_rank, r.term, r.tfidf))
+    # python twin
+    n = len(corpus)
+    toks = {i: t.split() for i, t in corpus.items()}
+    df = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+    for i, v in toks.items():
+        scores = sorted(
+            ((-v.count(t) * math.log(n / df[t]), t) for t in set(v))
+        )[:2]
+        want = [
+            (rk + 1, t, round(-s, 6)) for rk, (s, t) in enumerate(scores)
+        ]
+        assert sorted(got[i]) == want, (i, got[i], want)
+    # "common" appears in every doc -> idf 0 -> never a top term over
+    # a positive-scoring alternative
+    assert all(t != "common" or s == 0.0
+               for terms in got.values() for _, t, s in terms)

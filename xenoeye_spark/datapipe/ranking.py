@@ -188,3 +188,48 @@ def kmv_distinct(
             .alias("kmv_estimate"),
         )
     )
+
+
+def tfidf_topterms(
+    docs: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_n`` terms by
+    tf * ln(N/df), ties broken by term asc (deterministic).
+
+    Plan shape: explode -> (doc, term) hash agg with map-side combine
+    (the full token stream, unlike bm25's filtered explode — inherent
+    when every term is a candidate keyword); df is a term-keyed agg of
+    the tf table broadcast back; the per-doc top-n is one row_number
+    window keyed by doc. Output: (id_col, term, tfidf, term_rank).
+    """
+    from pyspark.sql import Window
+
+    toks = _toks(text_col)
+    # N rides in-plan as a broadcast one-row scalar (no separate count()
+    # action — a second full scan at 100 TB)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), "term",
+            (F.col("_tf") * F.log(F.col("_n") / F.col("_df"))).alias("_s"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_s").desc(), F.col("term").asc())
+    return (
+        scored.select(
+            id_col, "term", F.round("_s", 6).alias("tfidf"),
+            F.row_number().over(w).cast("long").alias("term_rank"),
+        )
+        .filter(F.col("term_rank") <= top_n)
+    )
