@@ -973,6 +973,30 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topterms(docs, top_n=3)
 
 
+SPLIT_WEIGHTS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by the 31-bit
+    multiplicative id permutation — zero shuffle, reproducible across
+    runs and cluster sizes, re-derived arithmetically by the oracle."""
+    from xenoeye_spark.datapipe.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, dict(SPLIT_WEIGHTS))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: capacity-quantized next-fit over the
+    FFD (length desc, id) order — one window cumsum assigns every doc a
+    bin and offset; a bin overflows by at most one doc. Capacity 50k
+    chars over the documents table."""
+    from xenoeye_spark.datapipe.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(docs, capacity=50_000, len_col="n_chars")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1034,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "length_quantiles": q_length_quantiles,
         "tfidf_topterms": q_tfidf_topterms,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2099,5 +2125,32 @@ WITH toks AS (
   FROM s
 )
 SELECT doc_id, term, tfidf, term_rank FROM r WHERE term_rank <= 3
+""",
+        # hash_split: the permutation + cumulative-weight cuts re-derived
+        # arithmetically (A=1103515245, B=12345, P=2^31-1).
+        "hash_split": f"""
+SELECT doc_id,
+       CASE WHEN (doc_id * 1103515245 + 12345) % 2147483647
+              < {int(SPLIT_WEIGHTS[0][1] * ((1 << 31) - 1))} THEN 'train'
+            WHEN (doc_id * 1103515245 + 12345) % 2147483647
+              < {int((SPLIT_WEIGHTS[0][1] + SPLIT_WEIGHTS[1][1]) * ((1 << 31) - 1))} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+        # pack_sequences: FFD order + exclusive window cumsum + floor
+        # division — the same one-window formulation.
+        "pack_sequences": """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (
+           ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(floor(cum / 50000) AS BIGINT) AS bin_id,
+       CAST(cum - floor(cum / 50000) * 50000 AS BIGINT) AS bin_offset
+FROM c
 """,
     }

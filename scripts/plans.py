@@ -100,6 +100,11 @@ NOTES = {
     "tfidf_topterms": "full-token explode collapses map-side into "
     "(doc, term) partials; df + the in-plan N scalar broadcast back "
     "(no second scan); one row_number window per doc.",
+    "hash_split": "pure projection — the split is integer arithmetic "
+    "on the id, zero shuffle, reproducible at any parallelism.",
+    "pack_sequences": "ONE window cumsum assigns bins (capacity-"
+    "quantized next-fit over FFD order) — no driver loop, no "
+    "recursion; partition with by= beyond ~10^8 docs.",
 }
 
 

@@ -470,3 +470,79 @@ def test_tfidf_topterms(spark):
     # a positive-scoring alternative
     assert all(t != "common" or s == 0.0
                for terms in got.values() for _, t, s in terms)
+
+
+# ------------------------------------------------------------- hash split
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    from xenoeye_spark.datapipe.sampling import hash_split
+
+    df = spark.range(10000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(df, w).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, w).collect()}
+    assert a == b                                   # reproducible
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / 10000 - 0.8) < 0.02     # fractions hold
+    assert abs(c["val"] / 10000 - 0.1) < 0.02
+    # salt decorrelates
+    s = {r.doc_id: r.split for r in hash_split(df, w, salt=7).collect()}
+    assert s != a
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    from xenoeye_spark.datapipe.sampling import hash_split
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    try:
+        hash_split(df, {"a": 0.5, "b": 0.2})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_sequences_capacity_quantized(spark):
+    from xenoeye_spark.datapipe.sampling import pack_sequences
+
+    import random
+    rng = random.Random(11)
+    rows = [Row(doc_id=i, n=rng.randrange(50, 900)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = pack_sequences(df, capacity=2048, len_col="n").collect()
+    assert len(out) == 200
+    # python twin: FFD order, exclusive cumsum, floor-division bins
+    order = sorted(rows, key=lambda r: (-r.n, r.doc_id))
+    cum = 0
+    want = {}
+    for r in order:
+        want[r.doc_id] = (cum // 2048, cum - (cum // 2048) * 2048)
+        cum += r.n
+    got = {r.doc_id: (r.bin_id, r.bin_offset) for r in out}
+    assert got == want
+    # overflow bound: every bin's total <= capacity + max doc len
+    totals = {}
+    lens = {r.doc_id: r.n for r in rows}
+    for d, (b, _) in got.items():
+        totals[b] = totals.get(b, 0) + lens[d]
+    mx = max(lens.values())
+    assert all(t <= 2048 + mx for t in totals.values())
+    # bins are contiguous 0..K
+    assert sorted(set(b for b, _ in got.values())) == list(
+        range(max(b for b, _ in got.values()) + 1)
+    )
+
+
+def test_pack_sequences_oversized_doc_gets_own_bins(spark):
+    from xenoeye_spark.datapipe.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, n=5000), Row(doc_id=1, n=100), Row(doc_id=2, n=100)]
+    )
+    out = {r.doc_id: r.bin_id for r in
+           pack_sequences(df, capacity=1024, len_col="n").collect()}
+    assert out[0] == 0          # giant doc opens bin 0
+    assert out[1] != 0 and out[2] == out[1]  # smalls land past its span

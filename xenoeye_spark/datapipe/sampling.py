@@ -99,3 +99,82 @@ def stratified_sample(
         base.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_group)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test split: each row lands in exactly one
+    named split, decided by its permuted id hash — stable across runs,
+    cluster sizes, and row order, and re-derivable in SQL (the property
+    random()-based splits lack). ``weights`` maps split name -> fraction
+    (must sum to ~1); ``salt`` shifts the permutation so independent
+    splits of the same corpus decorrelate.
+
+    Zero shuffle: a pure projection appending ``split``.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights sum to {total}, expected 1.0")
+    h = ((F.col(id_col).cast("long") + salt) * _A + _B) % _P31
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cut = int(acc * _P31)
+        cond = h < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    len_col: str,
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Sequence packing for training-batch construction: assign docs to
+    fixed-capacity bins (e.g. 8192-token training sequences).
+
+    Exact first-fit packing is inherently sequential; the scalable,
+    DETERMINISTIC approximation here is capacity-quantized next-fit:
+    docs order by (len desc, id) — the FFD heuristic's order — and
+    bin = floor(exclusive-running-sum / capacity). A bin can overflow by
+    at most one document (the classic quantization slack, bounded by
+    max doc length), and utilization matches next-fit-decreasing;
+    crucially the assignment is ONE window cumsum — no driver loop, no
+    recursion — and bit-reproducible by a SQL oracle. Docs longer than
+    ``capacity`` each take a bin alone (their slack spills into the
+    next boundary, as in any packing that cannot split documents).
+
+    ``by``: optional partition key (pack per language/source); default
+    packs the whole frame in one ordered window — fine to ~10^8 docs,
+    use ``by`` beyond that (the window is the shuffle).
+
+    Output: all input columns + ``bin_id`` (0-based) + ``bin_offset``
+    (exclusive token offset within the bin's running order).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    part = [by] if by is not None else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(len_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(F.col(len_col)).over(w), F.lit(0))
+    binned = docs.withColumn("_cum", cum_excl).withColumn(
+        "bin_id", F.floor(F.col("_cum") / capacity).cast("long")
+    )
+    return binned.withColumn(
+        "bin_offset", (F.col("_cum") - F.col("bin_id") * capacity).cast("long")
+    ).drop("_cum")
