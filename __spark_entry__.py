@@ -959,7 +959,7 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return group_quantiles(docs, ["source"], "n_chars").select(
-        "source", "p5", "p9", "p99", "n_rows"
+        "source", "p50", "p90", "p99", "n_rows"
     )
 
 
@@ -2094,8 +2094,8 @@ FROM base
         # interpolation definition — bit-for-bit on integer inputs.
         "length_quantiles": """
 SELECT source,
-       round(quantile_cont(n_chars, 0.5), 6) AS p5,
-       round(quantile_cont(n_chars, 0.9), 6) AS p9,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
        round(quantile_cont(n_chars, 0.99), 6) AS p99,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM documents GROUP BY 1

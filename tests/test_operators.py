@@ -335,6 +335,20 @@ def test_asof_join_backward_semantics(spark):
     assert rows[(3, 50)] == (None, None)  # key absent on right
 
 
+def test_asof_join_null_value_in_latest_row(spark):
+    """The matched row travels WHOLE: a NULL value in the latest
+    preceding right row must surface as NULL (pandas/DuckDB ASOF
+    semantics), not be skipped in favor of an older row's value."""
+    from xenoeye_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, None)], "k long, t long, v double"
+    )
+    [r] = asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()
+    assert r["asof_on"] == 2 and r["asof_v"] is None
+
+
 def test_asof_join_tolerance(spark):
     from xenoeye_spark.operators.temporal import asof_join
 

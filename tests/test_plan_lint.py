@@ -17,10 +17,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Queries whose BroadcastNestedLoopJoin is a DESIGNED tiny-build-side
 # broadcast, not an accident:
-#   sim_topk — the <=5-row query set broadcast against the corpus
-#              (exact brute-force baseline, documented in PLANS.md)
-#   bm25     — the ONE-ROW (n, avgdl) scalar attach
-BNL_ALLOWED = {"sim_topk", "bm25"}
+#   sim_topk       — the <=5-row query set broadcast against the corpus
+#                    (exact brute-force baseline, documented in PLANS.md)
+#   bm25           — the ONE-ROW (n, avgdl) scalar attach
+#   tfidf_topterms — the ONE-ROW in-plan N scalar attach
+BNL_ALLOWED = {"sim_topk", "bm25", "tfidf_topterms"}
 
 
 @pytest.fixture(scope="module")

@@ -352,7 +352,7 @@ def test_group_quantiles_exact_matches_numpy(spark):
     for g in ("g0", "g1", "g2"):
         vals = np.array([r.v for r in rows if r.g == g])
         assert got[g].n_rows == len(vals)
-        for p, col in [(50, "p5"), (90, "p9"), (99, "p99")]:
+        for p, col in [(50, "p50"), (90, "p90"), (99, "p99")]:
             assert got[g][col] == round(
                 float(np.percentile(vals, p, method="linear")), 6
             ), (g, p)
@@ -365,7 +365,7 @@ def test_group_quantiles_approx_close(spark):
         F.lit("a").alias("g"), F.col("id").cast("double").alias("v")
     )
     [r] = group_quantiles(df, ["g"], "v", probs=[0.5], exact=False).collect()
-    assert abs(r.p5 - 4999.5) < 50  # GK sketch within accuracy bound
+    assert abs(r.p50 - 4999.5) < 50  # GK sketch within accuracy bound
 
 
 # --------------------------------------------------------- streaming dedup

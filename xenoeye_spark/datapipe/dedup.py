@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from xenoeye_spark.datapipe.util import spread
+from xenoeye_spark.datapipe.util import spread, ws_tokens
 
 # Mersenne prime modulus for the permutation family (classic MinHash form
 # a*x+b mod p; p > 2^32 keeps collisions negligible on 32-bit shingle hashes)
@@ -528,7 +528,7 @@ def token_chunks(text_col, chunk: int = 20):
     """``array<string>`` of fixed-size whitespace-token chunks — the
     segmenter the oracle query uses (re-derivable in SQL; documents in
     the fixture have no newlines to split paragraphs on)."""
-    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
+    toks = ws_tokens(text_col)
     return F.when(
         F.size(toks) > 0,
         F.transform(
@@ -576,9 +576,7 @@ def contamination_check(
     n_shingles = 0 and count as clean.
     """
     def shingles(df: DataFrame) -> DataFrame:
-        toks = F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-        )
+        toks = ws_tokens(text_col)
         sh = F.when(
             F.size(toks) >= n,
             F.array_distinct(

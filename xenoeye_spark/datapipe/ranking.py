@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TOKENIZE = "filter(split(trim({c}), '\\\\s+'), t -> t != '')"
+from xenoeye_spark.datapipe.util import WS_TOKENS_SQL as _TOKENIZE
+from xenoeye_spark.datapipe.util import ws_tokens
 
 # the 31/2^30-7 char polynomial used across the oracle-checkable twins
 # (simhash_expr, doc_fingerprint_expr): every intermediate stays < 2^60,
@@ -32,7 +33,7 @@ KMV_MIX = 2_654_435_761
 
 
 def _toks(text_col: str):
-    return F.expr(_TOKENIZE.format(c=text_col))
+    return ws_tokens(text_col)
 
 
 def bm25_score(
@@ -149,7 +150,10 @@ def kmv_distinct(
     hash count (both engines identically).
 
     Plan shape: explode -> distinct(group, hash) with map-side partial
-    dedup -> per-group k-smallest via min-heap-like window. Output:
+    dedup -> one per-group ranking window over the DISTINCT hashes (the
+    window sort is the dominant cost for huge groups; pre-filtering
+    hashes under a coarse per-group threshold before ranking preserves
+    the k minima exactly and is the scale escape). Output:
     (group_col, n_distinct_exact, kmv_k, kmv_estimate).
     """
     poly = (

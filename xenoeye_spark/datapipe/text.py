@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from xenoeye_spark.datapipe.util import spread
+from xenoeye_spark.datapipe.util import spread, ws_tokens
 
 # Minimal deterministic stopword sets per language (public common words).
 STOPWORDS = {
@@ -28,9 +28,10 @@ STOPWORDS = {
 
 
 def _tokens(text_col: Column) -> Column:
-    """whitespace tokens with empties dropped — the canonical tokenizer for
-    every operator here (keep in sync with oracle SQL)."""
-    return F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
+    """The canonical whitespace tokenizer (datapipe.util.ws_tokens) —
+    one definition shared with dedup.py/ranking.py and mirrored by every
+    oracle."""
+    return ws_tokens(text_col)
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

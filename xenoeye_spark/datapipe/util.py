@@ -2,7 +2,26 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# THE canonical whitespace tokenizer, in both Column and SQL-string form.
+# Every text operator (text.py, dedup.py, ranking.py) and every DuckDB
+# oracle mirrors this exact expression — one definition, or a future
+# delimiter tweak silently desynchronizes operators from their oracles.
+WS_TOKENS_SQL = "filter(split(trim({c}), '\\\\s+'), t -> t != '')"
+
+
+def ws_tokens(text_col: Column | str) -> Column:
+    """Whitespace tokens with empties dropped (Column form)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def ws_tokens_sql(col_name: str) -> str:
+    """The same tokenizer as a Spark-SQL expression string (for use
+    inside F.expr-composed higher-order expressions)."""
+    return WS_TOKENS_SQL.format(c=col_name)
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:

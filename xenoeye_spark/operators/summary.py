@@ -35,8 +35,9 @@ def group_quantiles(
             raise ValueError(f"probability {p} outside [0, 1]")
 
     def name(p: float) -> str:
-        s = f"{p:g}".replace("0.", "").rstrip(".")
-        return f"p{s}" if p != 1.0 else "p100"
+        # percentile naming: 0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9
+        v = p * 100
+        return f"p{int(v)}" if v.is_integer() else f"p{v:g}".replace(".", "_")
 
     aggs = []
     for p in probs:

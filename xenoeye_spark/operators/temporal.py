@@ -71,25 +71,26 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched_on = F.last(
-        F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True
+    # the fill must carry the WHOLE matched right row, not one last()
+    # per column: per-column ignorenulls would skip a NULL value in the
+    # latest right row and fill an OLDER row's value — inconsistent with
+    # asof_on and with pandas/DuckDB ASOF semantics (which return the
+    # latest row's NULL as-is)
+    matched = F.last(
+        F.when(F.col("_side") == 0, F.struct(F.col(on), *value_cols)),
+        ignorenulls=True,
     ).over(w)
-    fills = [
-        F.last(
-            F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True
-        ).over(w).alias(f"_fill_{c}")
-        for c in value_cols
-    ]
-    filled = u.select(*lcols, "_side", matched_on.alias("_asof_on"), *fills)
+    filled = u.select(*lcols, "_side", matched.alias("_m"))
     out = filled.filter(F.col("_side") == 1).drop("_side")
+    matched_on = F.col(f"_m.{on}")
     in_tol: Column = F.lit(True)
     if tolerance is not None:
-        in_tol = (F.col(on) - F.col("_asof_on")) <= tolerance
-    keep = F.col("_asof_on").isNotNull() & in_tol
+        in_tol = (F.col(on) - matched_on) <= tolerance
+    keep = F.col("_m").isNotNull() & in_tol
     sel = [F.col(c) for c in lcols]
-    sel.append(F.when(keep, F.col("_asof_on")).alias("asof_on"))
+    sel.append(F.when(keep, matched_on).alias("asof_on"))
     sel.extend(
-        F.when(keep, F.col(f"_fill_{c}")).alias(f"asof_{c}")
+        F.when(keep, F.col(f"_m.{c}")).alias(f"asof_{c}")
         for c in value_cols
     )
     return out.select(*sel)
@@ -119,12 +120,18 @@ def interval_join(
     needed. Cost: |L| * (interval/bucket_width + 1) exploded rows, one
     shuffle each side; pick bucket_width ~ the typical interval length.
 
-    Columns from both sides are kept (right's ``ts_col`` must not
-    collide with left column names).
+    Columns from both sides are kept, so apart from ``by`` no column
+    name may appear on both sides (checked; rename before joining).
     """
     w = int(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
+    shared = set(left.columns) & set(right.columns) - ({by} if by else set())
+    if shared:
+        raise ValueError(
+            f"columns {sorted(shared)} exist on both sides — rename them "
+            "(only the `by` key may be shared)"
+        )
     lb = F.explode(
         F.sequence(
             F.floor(F.col(start_col) / w).cast("long"),

@@ -12,7 +12,7 @@ day later. Structured Streaming's answer is state-store dedup:
   the scale-correct form; plain ``dropDuplicates`` on a stream grows
   state forever.
 
-- ``dedup_stream_first_wins``: the ``foreachBatch`` variant for sinks
+- ``dedup_batch_first_wins``: the ``foreachBatch`` kernel for sinks
   that need the FIRST row's payload (not just key suppression) with
   batch-local ordering control: within each micro-batch, the minimum
   (order_col) row per key wins, and cross-batch suppression rides on the
