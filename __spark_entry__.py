@@ -876,9 +876,14 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     global first occurrence with map-side combine. Output: per-doc
     segment counts + md5 digest of the surviving text."""
     from xenoeye_spark.datapipe.dedup import segment_dedup, token_chunks
+    from xenoeye_spark.datapipe.util import ws_tokens
 
-    docs = _t(spark, sf_dir, "documents")
-    out = segment_dedup(docs, token_chunks(F.col("text"), 20))
+    # tokens materialized BEFORE the chunk transform (no CSE across
+    # lambda boundaries — an inlined tokenizer re-splits per chunk)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_tk", ws_tokens("text")
+    )
+    out = segment_dedup(docs, token_chunks("_tk", 20, tokenized=True))
     return out.select(
         "doc_id",
         F.col("n_segments").cast("long").alias("n_segments"),
