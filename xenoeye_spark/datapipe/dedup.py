@@ -601,15 +601,15 @@ def contamination_check(
         ).otherwise(F.array().cast("array<string>"))
         return staged.select(F.col(id_col), sh.alias("_sh"))
 
-    ev = shingles(eval_docs).select(
-        F.col(id_col), F.explode_outer("_sh").alias("_s")
-    ).select(
-        id_col,
-        # xxhash64(NULL) folds the null into the SEED and returns a
-        # non-null hash — the explode_outer null row of a too-short doc
-        # must stay null or it counts as a shingle
-        F.when(F.col("_s").isNotNull(), F.xxhash64("_s")).alias("_h"),
-    )
+    ev_docs = shingles(eval_docs)
+    # n_shingles is free — size of the per-doc distinct array; only the
+    # HIT counting needs the explode + join (an inner join: non-hit
+    # shingles never travel through the shuffle, and zero-hit docs come
+    # back via the cheap per-doc left join below)
+    ev_counts = ev_docs.select(id_col, F.size("_sh").alias("n_shingles"))
+    ev = ev_docs.select(
+        F.col(id_col), F.explode("_sh").alias("_s")
+    ).select(id_col, F.xxhash64("_s").alias("_h"))
     tr = (
         shingles(train_docs)
         .select(F.explode("_sh").alias("_s"), F.col(id_col).alias("_tid"))
@@ -624,14 +624,14 @@ def contamination_check(
         )
     else:
         tr_keys = tr.select("_h").distinct()
-    hits = (
-        ev.join(tr_keys.withColumnRenamed("_h", "_th"),
-                F.col("_h") == F.col("_th"), "left")
+    hit_counts = (
+        ev.join(tr_keys, "_h")
         .groupBy(id_col)
-        .agg(
-            F.count(F.col("_h")).alias("n_shingles"),
-            F.count(F.col("_th")).alias("n_hits"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    hits = ev_counts.join(hit_counts, id_col, "left").select(
+        id_col, "n_shingles",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
     )
     frac = F.when(
         F.col("n_shingles") > 0,
