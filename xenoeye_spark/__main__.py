@@ -134,7 +134,14 @@ def main(argv: list[str] | None = None) -> int:
         spark.readStream.schema("data binary, dev_ip long, recv_ts timestamp")
         .parquet(spool)
     )
-    flows = decode_packets_df(packets.repartition("dev_ip"), seed_templates=seed)
+    # journal_paths: each decode task re-reads the live journal so
+    # templates ANNOUNCED MID-RUN decode data in every later micro-batch
+    # (not just the batch carrying the announcement)
+    flows = decode_packets_df(
+        packets.repartition("dev_ip"),
+        seed_templates=seed,
+        journal_paths=(tj.json_path, tj.pkts_path),
+    )
     if cfg.devices and os.path.isfile(cfg.devices):
         from xenoeye_spark.enrich.devices import (
             apply_devices,

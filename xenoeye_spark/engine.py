@@ -138,11 +138,30 @@ class Engine:
                     ol.default[vi] if vi < len(ol.default)
                     else (ol.default[0] if ol.default else fallback)
                 )
-                per_key = (
-                    load_limits_csv(ol.limits_file, len(key_names))
-                    if ol.limits_file and os.path.isfile(ol.limits_file)
-                    else None
-                )
+                per_key = None
+                if ol.limits_file:
+                    if os.path.isfile(ol.limits_file):
+                        from xenoeye_spark.config.limits import (
+                            coerce_limit_keys,
+                        )
+
+                        # CSV keys are strings; the group key holds the
+                        # projected columns' TYPED values — coerce by
+                        # the actual key dtypes or no limit ever matches
+                        ktypes = [dict(proj.dtypes)[k] for k in key_names]
+                        per_key = coerce_limit_keys(
+                            load_limits_csv(ol.limits_file, len(key_names)),
+                            ktypes,
+                        )
+                    else:
+                        import sys
+
+                        print(
+                            f"xenoeye: limits file {ol.limits_file!r} for "
+                            f"{qname} not found — every key uses the "
+                            f"section default {default}",
+                            file=sys.stderr,
+                        )
                 if self.mavg_backend == "tws":
                     from xenoeye_spark.streaming.mavg_tws import (
                         mavg_alert_stream_tws,
@@ -199,18 +218,37 @@ class Engine:
             keys = [f.column(self.ctx).alias(f.sql_name) for f in cl.fields]
             key_names = [f.sql_name for f in cl.fields]
             val = cl.val.column(self.ctx)
+            # per-device sampling multiplier, like the fwm and mavg
+            # paths (monit-objects.c:995) — without it a 1:1000 device's
+            # traffic is underweighted 1000x in the class model
+            if "sampling_rate" in df.columns:
+                val = val * F.coalesce(F.col("sampling_rate"), F.lit(1))
             proj = df.select(*keys, val.alias("_cval"))
+            from xenoeye_spark.operators.classify import ClassDB
+
+            # filesystem class DB under state_dir (classification.c
+            # clsf/<mo>/<id>/<class>/{name,stats}): stats rewritten per
+            # cycle, user renames in `name` files win next cycle
             loop = ClassificationLoop(
                 key_cols=key_names,
                 val_col="_cval",
                 top_percents=cl.top_percents,
                 class_col=f"class{cl.id}",
+                class_db=ClassDB(
+                    os.path.join(self.state_dir, "clsf"),
+                    name.replace("/", "_"),
+                    cl.id,
+                ),
             )
 
-            def make_writer(proj=proj, loop=loop, qname=qname):
+            def make_writer(proj=proj, loop=loop, qname=qname, cl=cl):
                 w = (
                     proj.writeStream.foreachBatch(loop.process_batch)
                     .outputMode("append").queryName(qname)
+                    # honor the configured cycle period — the default
+                    # ASAP trigger would rebuild + collect the model
+                    # every micro-batch (classification.c cycle time)
+                    .trigger(processingTime=f"{cl.time} seconds")
                 )
                 ck = self._ckpt(qname)
                 return w.option("checkpointLocation", ck) if ck else w

@@ -182,7 +182,16 @@ def _decode_data_records(data: memoryview, template: list[tuple[int, int]],
     rows = []
     off = 0
     n = len(data)
-    while off < n:
+    # minimum bytes one record needs (varlen fields contribute their
+    # 1-byte length prefix); the loop decodes while a record can still
+    # fit and treats only a SHORTER remainder as set padding — a flat
+    # "remainder < 4 is padding" check drops the final legitimate
+    # record of any template shorter than 4 bytes
+    rec_min = sum(
+        1 if (flen == 0xFFFF and varlen_ok) else flen
+        for _, flen in template
+    )
+    while off < n and n - off >= max(rec_min, 1):
         row: dict = {}
         start = off
         for ftype, flen in template:
@@ -206,8 +215,6 @@ def _decode_data_records(data: memoryview, template: list[tuple[int, int]],
         if off == start:  # zero-length template guard
             break
         rows.append(row)
-        if n - off < 4 and n - off > 0:
-            break  # padding
     return rows
 
 
@@ -338,31 +345,45 @@ class TemplateJournal:
                 self._fh.close()
                 self._fh = None
 
-    def load(self) -> list:
-        """Replay dump + journal -> merged seed; compact on the way."""
+    @staticmethod
+    def replay(json_path: str, pkts_path: str) -> "TemplateStore":
+        """READ-ONLY dump+journal replay into a fresh store — shared by
+        the compacting ``load()`` and by per-task seeding in
+        ``decode_packets_df`` (which must never truncate)."""
         import json
 
         store = TemplateStore()
-        if os.path.isfile(self.json_path):
-            with open(self.json_path) as fh:
+        if os.path.isfile(json_path):
+            with open(json_path) as fh:
                 store.load(json.load(fh))
-        if os.path.isfile(self.pkts_path):
-            with open(self.pkts_path, "rb") as fh:
+        if os.path.isfile(pkts_path):
+            with open(pkts_path, "rb") as fh:
                 raw = fh.read()
             off = 0
-            while off + self._REC.size <= len(raw):
-                plen, dev_ip = self._REC.unpack_from(raw, off)
-                off += self._REC.size
+            while off + TemplateJournal._REC.size <= len(raw):
+                plen, dev_ip = TemplateJournal._REC.unpack_from(raw, off)
+                off += TemplateJournal._REC.size
                 if off + plen > len(raw):
                     break  # torn tail write: ignore
                 parse_packet(bytes(raw[off:off + plen]), store, dev_ip)
                 off += plen
-        dump = store.dump()
-        tmp = self.json_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(dump, fh)
-        os.replace(tmp, self.json_path)
+        return store
+
+    def load(self) -> list:
+        """Replay dump + journal -> merged seed; compact on the way.
+
+        The WHOLE read-merge-truncate runs under the journal lock: a
+        bridge thread appending a template packet between the read and
+        the truncation would otherwise have its packet wiped unmerged."""
+        import json
+
         with self._lock:
+            store = self.replay(self.json_path, self.pkts_path)
+            dump = store.dump()
+            tmp = self.json_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(dump, fh)
+            os.replace(tmp, self.json_path)
             if self._fh is not None:
                 self._fh.close()
                 self._fh = None
@@ -405,22 +426,40 @@ def decode_packets_df(
     dev_ip_col: str = "dev_ip",
     ts_col: str = "recv_ts",
     seed_templates: list | None = None,
+    journal_paths: tuple[str, str] | None = None,
 ) -> DataFrame:
     """``mapInPandas`` decode: (data binary, dev_ip long, recv_ts timestamp)
     -> catalog-schema flow rows. Each Arrow batch shares one TemplateStore
     per partition lineage; partition by dev_ip upstream so a device's
     template packets precede its data packets in the same partition.
-    ``seed_templates``: TemplateStore.dump() output to pre-seed (the
-    persistent-template parity path)."""
+
+    ``seed_templates``: TemplateStore.dump() output to pre-seed (static;
+    the restart-parity path).
+
+    ``journal_paths``: (json_path, pkts_path) of the live
+    TemplateJournal. Each TASK starts a fresh TemplateStore, so a
+    template ANNOUNCED MID-RUN would otherwise only decode data inside
+    the micro-batch that carried the announcement — the next batch's
+    fresh store knows nothing until the router re-announces. With the
+    journal (which the bridge appends every template-bearing packet to)
+    re-read at task start, every batch decodes with all templates seen
+    so far. The read is KBs; on a multi-executor cluster the journal
+    must live on storage the executors can read (shared FS/object
+    store)."""
     import pandas as pd
 
     schema = flow_schema(with_ts=True)
     names = [f.name for f in schema.fields]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        store = TemplateStore()
-        if seed_templates:
-            store.load(seed_templates)
+        if journal_paths is not None:
+            store = TemplateJournal.replay(*journal_paths)
+            if seed_templates:
+                store.load(seed_templates)
+        else:
+            store = TemplateStore()
+            if seed_templates:
+                store.load(seed_templates)
         for pdf in batches:
             out_rows = []
             for data, dev_ip, ts in zip(

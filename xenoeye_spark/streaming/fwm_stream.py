@@ -31,16 +31,25 @@ from xenoeye_spark.dsl.compiler import FilterContext
 import datetime as _dt
 
 
-def _sql_literal(v) -> str:
+def _sql_literal(v, db_type: str = "pg") -> str:
     if v is None:
         return "NULL"
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        s = v.replace("'", "''")
+        if db_type == "clickhouse":
+            # CH strings are C-escaped: a raw backslash must double or
+            # it swallows the next char as an escape
+            s = v.replace("\\", "\\\\").replace("'", "''")
+        return "'" + s + "'"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (_dt.datetime, _dt.date)):
         return f"'{v}'"
     if isinstance(v, (bytes, bytearray)):
+        if db_type == "clickhouse":
+            # PG's bytea hex form '\x...' reads as a C escape in CH and
+            # corrupts the value; unhex() round-trips exactly
+            return f"unhex('{v.hex()}')"
         return "'\\x" + v.hex() + "'"
     return str(v)
 
@@ -102,7 +111,8 @@ def fwm_sql_export(
         )
         fh.write(f"INSERT INTO {table} ({', '.join(cols)}) VALUES\n")
         vals = ",\n".join(
-            "(" + ", ".join(_sql_literal(r[c]) for c in cols) + ")" for r in rows
+            "(" + ", ".join(_sql_literal(r[c], db_type) for c in cols) + ")"
+            for r in rows
         )
         fh.write(vals + ";\n")
     return path

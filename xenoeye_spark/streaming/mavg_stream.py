@@ -166,14 +166,22 @@ def make_mavg_state_fn(
     window_ns = int(window_sec * 1e9)
     back2norm_ns = int(back2norm_sec * 1e9)
 
-    watch_ms = int(max(back2norm_sec, 1) * 1000)
+    # silent-key poll period: the reference's act thread ticks at 10 Hz
+    # (monit-objects.c act loop), so its back2norm grace clock starts at
+    # the actual crossing. Polling only every back2norm_sec made GONE
+    # fire up to ~2x late (below_since starts at the first poll AFTER
+    # the crossing). A quarter-period poll capped at 5s bounds the extra
+    # latency at ~25% while timer fires stay = active alarms (small).
+    watch_ms = int(max(min(back2norm_sec / 4, 5), 1) * 1000)
 
     def fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        limit = (thresholds or {}).get(key, threshold)
+        from xenoeye_spark.config.limits import norm_group_key
+
+        limit = (thresholds or {}).get(norm_group_key(key), threshold)
         cols = [*key_cols, "event", "rate", "threshold", "ts_ns"]
 
         if state.hasTimedOut:

@@ -45,6 +45,7 @@ from pyspark.sql.streaming.stateful_processor import (
     TimerValues,
 )
 
+from xenoeye_spark.config.limits import norm_group_key
 from xenoeye_spark.streaming.mavg_stream import (
     S_NONE,
     STATE_SCHEMA,
@@ -99,7 +100,7 @@ class MavgProcessor(StatefulProcessor):
             n, t_prev, alarm, below_since, first_seen = got
         else:
             n, t_prev, alarm, below_since, first_seen = 0.0, None, S_NONE, None, None
-        limit = self.thresholds.get(tuple(key), self.threshold)
+        limit = self.thresholds.get(norm_group_key(tuple(key)), self.threshold)
 
         pdf = pd.concat(list(rows), ignore_index=True)
         pdf = pdf.sort_values("xe_ts_ns", kind="mergesort")
@@ -128,7 +129,7 @@ class MavgProcessor(StatefulProcessor):
         st = self.state.get()
         if st is None:
             return
-        limit = self.thresholds.get(tuple(key), self.threshold)
+        limit = self.thresholds.get(norm_group_key(tuple(key)), self.threshold)
         now_ns = expiredTimerInfo.getExpiryTimeInMs() * 1_000_000
         st, events, watch = silent_transition(
             st, now_ns, tuple(key), limit, self.window_sec, self.window_ns,
