@@ -212,7 +212,9 @@ def test_geodb_as_csv_name_routing(tmp_path):
     (tmp_path / "asia.csv").write_text("cidr,country\n10.0.0.0/8,JP\n")
     geo, asdb = load_geodb_dir(str(tmp_path))
     assert asdb is not None and geo is not None
-    assert asdb.lookup_np(np.array([0x0A000001]), "asn", 0)[0] == "64512"
+    # asn must come back NUMERIC: lookup_expr declares LongType, and a
+    # string here blows up the Arrow conversion on the first hit
+    assert asdb.lookup_np(np.array([0x0A000001]), "asn", 0)[0] == 64512
     assert geo.lookup_np(np.array([0x0A000001]), "country", "?")[0] == "JP"
 
 

@@ -203,3 +203,90 @@ def test_engine_classification_writes_class_db(spark, tmp_path):
     d = class_dirs[0]
     assert os.path.isfile(os.path.join(d, "name"))
     assert os.path.isfile(os.path.join(d, "stats"))
+
+
+# ------------------------------------------------------- geoip round 2
+
+def test_csv_asn_is_numeric_through_lookup_expr(spark, tmp_path):
+    """CSV-loaded AS db must survive lookup_expr's LongType UDF — string
+    asn values made the Arrow conversion throw on the first hit."""
+    import numpy as np
+
+    from xenoeye_spark.enrich.geoip import load_geodb_dir
+
+    (tmp_path / "as4.csv").write_text("cidr,asn,asd\n10.0.0.0/8,64512,X\n")
+    _, asdb = load_geodb_dir(str(tmp_path))
+    df = spark.createDataFrame([(0x0A000001,), (0x7F000001,)], "ip long")
+    got = {r.ip: r.a for r in df.select(
+        "ip", asdb.lookup_expr("asn", F.col("ip")).alias("a")
+    ).collect()}
+    assert got == {0x0A000001: 64512, 0x7F000001: 0}
+
+
+def test_geo_fn_dispatches_v6_columns(spark):
+    """country(src host6) must reach the v6 LPM: the v4 path casts the
+    BinaryType(16) column to long and fails analysis."""
+    import ipaddress
+
+    from xenoeye_spark.dsl.compiler import FilterContext, compile_filter
+    from xenoeye_spark.enrich.geoip import GeoDB, make_geo_fn
+
+    db = GeoDB([("2001:db8::/32", {"country": "XX"})])
+    ctx = FilterContext(geo_fn=make_geo_fn(db, db))
+    pred = compile_filter("country(src host6) 'XX'", ctx)
+    df = spark.createDataFrame(
+        [(ipaddress.IPv6Address("2001:db8::1").packed,),
+         (ipaddress.IPv6Address("fe80::1").packed,)],
+        "ip6_src_addr binary",
+    )
+    got = [r[0] for r in df.select(pred).collect()]
+    assert got == [True, False]
+
+
+# ----------------------------------------------------- bridge uniqueness
+
+def test_bridge_spool_names_unique_across_instances(tmp_path):
+    """Two bridges sharing one spool (several ports) and a restarted
+    bridge (seq resets) must never produce colliding parquet names."""
+    from xenoeye_spark.sources.udp_bridge import UdpBridge
+
+    names = set()
+    for _ in range(3):
+        b = UdpBridge(str(tmp_path), host="127.0.0.1", port=0)
+        b._flush([(b"x", 1, 1.0)])
+        b.sock.close()
+        new = {f for f in os.listdir(tmp_path) if f.endswith(".parquet")}
+        added = new - names
+        assert len(added) == 1, "flush must create exactly one new file"
+        names = new
+    assert len(names) == 3
+
+
+# ---------------------------------------------------- prefix validation
+
+def test_bad_prefix_lengths_rejected():
+    from xenoeye_spark.dsl.compiler import (
+        CompileError, FilterContext, compile_filter,
+    )
+
+    for flt in ("src net 10.0.0.0/33", "src net6 ::1/129",
+                "src net6 ::1/200"):
+        try:
+            compile_filter(flt, FilterContext())
+            raise AssertionError(f"{flt!r} must not compile")
+        except CompileError:
+            pass
+
+
+# ------------------------------------------------- notif path traversal
+
+def test_notification_path_cannot_escape_dir(tmp_path):
+    from xenoeye_spark.streaming.act import AlertActionSink
+
+    sink = AlertActionSink(
+        mo_name="mo", mavg_name="m", limit_name="hi", key_cols=["a", "b"],
+        notif_dir=str(tmp_path), run_scripts=False,
+    )
+    p = sink._notif_path(["../../etc/passwd", "x/y"])
+    assert os.path.realpath(p).startswith(os.path.realpath(str(tmp_path)))
+    assert "/.." not in p and not os.path.basename(p).startswith("..")

@@ -104,6 +104,8 @@ def _addr4_pred(ctx: FilterContext, col: Column, values: list[str],
             if "/" in v:
                 addr_s, len_s = v.split("/")
                 plen = int(len_s)
+                if not 0 <= plen <= 32:
+                    raise CompileError(f"bad IPv4 prefix length in {v!r}")
             else:
                 addr_s, plen = v, 32
             addr = fs.str_to_ip4(addr_s)
@@ -141,6 +143,8 @@ def _addr6_pred(ctx: FilterContext, col: Column, values: list[str],
             if "/" in v:
                 addr_s, len_s = v.split("/")
                 plen = int(len_s)
+                if not 0 <= plen <= 128:
+                    raise CompileError(f"bad IPv6 prefix length in {v!r}")
             else:
                 addr_s, plen = v, 128
             raw = ipaddress.IPv6Address(addr_s).packed
@@ -289,6 +293,15 @@ def resolve_func_column(ctx: FilterContext, fp: FuncPred) -> tuple[Column, str]:
         if ctx.geo_fn is None:
             raise CompileError(f"{name}() needs a geoip context (FilterContext.geo_fn)")
         kind = RANGE if name == "asn" else STRF
+        # v6 columns (BinaryType) must reach the v6 LPM — the v4 path
+        # casts to long, which cannot analyze over binary
+        d, a = fp.args[0]
+        ff = ctx.fields.get(a)
+        colname = (ff.dst if d == DST else ff.src) if ff is not None else a
+        from xenoeye_spark.catalog import FLOW_FIELDS, IP6
+
+        if FLOW_FIELDS.get(colname) == IP6:
+            return ctx.geo_fn(name, field_arg(0), v6=True), kind
         return ctx.geo_fn(name, field_arg(0)), kind
     raise CompileError(f"unknown function {name!r}")
 

@@ -41,6 +41,15 @@ class GeoDB:
         for cidr, attrs in rows:
             net = ipaddress.ip_network(cidr, strict=False)
             idx = len(self.attrs)
+            # asn is NUMERIC in lookup_expr's declared LongType: a CSV
+            # loader hands every attr over as a string, and a mixed
+            # str/int object Series blows up in the Arrow conversion on
+            # the first hit — normalize at build time
+            if "asn" in attrs:
+                try:
+                    attrs = {**attrs, "asn": int(attrs["asn"])}
+                except (TypeError, ValueError):
+                    pass
             self.attrs.append(attrs)
             if net.version == 4:
                 self.by_plen.setdefault(net.prefixlen, {})[
@@ -203,7 +212,9 @@ class GeoDB:
 
     def as_filter_geo_fn(self):
         """Adapter for FilterContext.geo_fn."""
-        def geo_fn(func: str, ip_col: Column) -> Column:
+        def geo_fn(func: str, ip_col: Column, v6: bool = False) -> Column:
+            if v6:
+                return self.lookup_expr6(func, ip_col)
             return self.lookup_expr(func, ip_col)
         return geo_fn
 
@@ -258,10 +269,12 @@ def make_geo_fn(geo_db: "GeoDB | None", as_db: "GeoDB | None"):
     """FilterContext.geo_fn dispatching asn/asd to the AS trie and the
     geography functions to the geo trie (filter.c:753-834)."""
 
-    def geo_fn(func: str, ip_col: Column) -> Column:
+    def geo_fn(func: str, ip_col: Column, v6: bool = False) -> Column:
         db = as_db if func in ("asn", "asd") else geo_db
         if db is None:
             raise ValueError(f"no geodb loaded for function {func!r}")
+        if v6:
+            return db.lookup_expr6(func, ip_col)
         return db.lookup_expr(func, ip_col)
 
     return geo_fn

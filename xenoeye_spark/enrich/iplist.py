@@ -143,8 +143,11 @@ class IpList:
 
 
 def _colname(col: Column) -> str:
-    s = str(col)
-    return s[len("Column<'") : -len("'>")]
+    # single definition lives in the DSL compiler (_col_sql); a pyspark
+    # upgrade changing Column.__repr__ then breaks exactly one place
+    from xenoeye_spark.dsl.compiler import _col_sql
+
+    return _col_sql(col)
 
 
 def _signed64(x: int) -> int:
@@ -206,11 +209,17 @@ def match_bucketed(
         .distinct()
         .withColumn(out_col, F.lit(True))
     )
-    return (
+    out = (
         tagged.join(hits, on="_rid", how="left")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
         .drop("_rid")
     )
+    # the persist is load-bearing (row-id determinism) but it is the
+    # CALLER's to release: a daemon invoking this per micro-batch would
+    # otherwise leak one cached frame per call until LRU thrashing.
+    # After materializing the result, call result._xe_cached.unpersist().
+    out._xe_cached = tagged
+    return out
 
 
 def match_bucketed6(
@@ -274,11 +283,14 @@ def match_bucketed6(
         .distinct()
         .withColumn(out_col, F.lit(True))
     )
-    return (
+    out = (
         tagged.join(hits, on="_rid", how="left")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
         .drop("_rid")
     )
+    # see match_bucketed: the caller releases the load-bearing persist
+    out._xe_cached = tagged
+    return out
 
 
 def load_iplists_dir(dir_path: str) -> dict:

@@ -47,6 +47,12 @@ class UdpBridge:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._seq = 0
+        # spool names must be unique across BRIDGES (several ports share
+        # one spool dir) and across RESTARTS (seq restarts at 0, but the
+        # file source has already recorded the old paths as processed —
+        # recycled names would be silently skipped; equal names from a
+        # sibling bridge would be clobbered by os.rename)
+        self._uniq = f"{self.port}_{os.getpid()}_{time.time_ns()}"
 
     def _flush(self, batch: list[tuple[bytes, int, float]]) -> None:
         if not batch:
@@ -63,8 +69,9 @@ class UdpBridge:
             ),
         })
         # write-then-rename so the file source never reads half a file
-        tmp = os.path.join(self.out_dir, f".p{self._seq:08d}.parquet.tmp")
-        final = os.path.join(self.out_dir, f"p{self._seq:08d}.parquet")
+        stem = f"p{self._uniq}_{self._seq:08d}.parquet"
+        tmp = os.path.join(self.out_dir, "." + stem + ".tmp")
+        final = os.path.join(self.out_dir, stem)
         pq.write_table(table, tmp)
         os.rename(tmp, final)
         self._seq += 1
@@ -86,15 +93,40 @@ class UdpBridge:
                         self.template_journal.append_packet(data, ip)
             except socket.timeout:
                 pass
+            except OSError as e:
+                # a malformed peer address or socket hiccup must not
+                # kill the capture thread — the daemon would look
+                # healthy while dropping every later datagram silently
+                print(f"udp_bridge :{self.port}: dropped datagram: {e}",
+                      file=__import__("sys").stderr)
             now = time.monotonic()
             if batch and (
                 len(batch) >= self.roll_packets
                 or now - last >= self.roll_seconds
             ):
-                self._flush(batch)
-                batch = []
+                try:
+                    self._flush(batch)
+                    batch = []
+                except OSError as e:
+                    # transient write failure (disk full, FS blip): keep
+                    # the batch, retry next roll; capture survives. A
+                    # PERSISTENT failure must not grow the batch without
+                    # bound — shed oldest packets past 10 rolls' worth
+                    # (the reference's kernel socket buffer would drop
+                    # the same packets, just earlier)
+                    cap = 10 * self.roll_packets
+                    if len(batch) > cap:
+                        del batch[: len(batch) - cap]
+                    print(
+                        f"udp_bridge :{self.port}: flush failed "
+                        f"({e}); retrying next roll",
+                        file=__import__("sys").stderr,
+                    )
                 last = now
-        self._flush(batch)
+        try:
+            self._flush(batch)
+        except OSError:
+            pass
 
     def start(self) -> "UdpBridge":
         self._thread = threading.Thread(target=self._loop, daemon=True)

@@ -79,7 +79,16 @@ class AlertActionSink:
         os.makedirs(notif_dir, exist_ok=True)
 
     def _notif_path(self, key_vals: list) -> str:
-        key_part = "-".join(str(v) for v in key_vals)
+        # key values can be WIRE-DERIVED strings (dns_name, sni): any
+        # path metacharacter must not escape notif_dir — an attacker
+        # sending dns_name '../../...' would otherwise choose where the
+        # daemon creates (NEW) and deletes (GONE) files
+        import re
+
+        key_part = "-".join(
+            re.sub(r"[^A-Za-z0-9._:-]", "_", str(v)).strip(".")
+            for v in key_vals
+        )
         return os.path.join(
             self.notif_dir, f"{self.mo}-{self.mavg}-{self.limit}-{key_part}"
         )
