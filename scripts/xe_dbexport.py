@@ -11,8 +11,13 @@ retried on the next run with ``--retry-failed`` — the engine keeps
 producing files while the DB is down, exactly like the reference.
 
 Usage:
-    python scripts/xe_dbexport.py EXP_DIR --cmd "psql -d flows" \
+    python scripts/xe_dbexport.py EXP_DIR \
+        --cmd "psql -v ON_ERROR_STOP=1 -d flows" \
         [--db-type pg|clickhouse] [--retry-failed]
+
+NB: psql WITHOUT ``-v ON_ERROR_STOP=1`` exits 0 even when the
+transaction aborted — the runner would then unlink files believing they
+shipped. The runner warns when it spots a bare psql command.
 """
 
 from __future__ import annotations
@@ -58,21 +63,36 @@ def run_export(
     if not files:
         return 0, 0
     if db_type == "pg":
-        payload = "BEGIN;\n"
-        for p in files:
-            with open(p) as fh:
-                payload += fh.read() + "\n"
-        payload += "COMMIT;\n"
-        proc = subprocess.run(
-            cmd, shell=True, input=payload.encode(),
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
-        if proc.returncode == 0:
+        def ship(batch: list[str]) -> bool:
+            payload = "BEGIN;\n"
+            for p in batch:
+                with open(p) as fh:
+                    payload += fh.read() + "\n"
+            payload += "COMMIT;\n"
+            proc = subprocess.run(
+                cmd, shell=True, input=payload.encode(),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return proc.returncode == 0
+
+        # fast path: the whole run in ONE transaction (a window's tables
+        # land atomically). On failure fall back to per-file txns so a
+        # single poisoned file quarantines ALONE instead of dragging
+        # every later window's files into expfailed forever
+        # (head-of-line blocking).
+        if ship(files):
             for p in files:
                 os.unlink(p)
             return len(files), 0
-        _fail(exp_dir, files)
-        return 0, len(files)
+        shipped = failed = 0
+        for p in files:
+            if ship([p]):
+                os.unlink(p)
+                shipped += 1
+            else:
+                _fail(exp_dir, [p])
+                failed += 1
+        return shipped, failed
     # clickhouse: per-file shipping
     shipped = failed = 0
     for p in files:
@@ -106,6 +126,12 @@ def main(argv: list[str]) -> int:
     if cmd is None:
         print("--cmd required", file=sys.stderr)
         return 2
+    if db_type == "pg" and "psql" in cmd and "ON_ERROR_STOP" not in cmd:
+        print(
+            "warning: psql without -v ON_ERROR_STOP=1 exits 0 on an "
+            "aborted transaction — files would be deleted unshipped",
+            file=sys.stderr,
+        )
     shipped, failed = run_export(exp_dir, cmd, db_type, retry)
     print(f"shipped={shipped} failed={failed}")
     return 1 if failed else 0

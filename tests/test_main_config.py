@@ -112,7 +112,8 @@ def test_geodb_dir_separate_tries(tmp_path):
     geo_db, as_db = load_geodb_dir(str(gd))
     ips = np.array([0x0A000001, 0x0A010001])
     assert list(geo_db.lookup_np(ips, "country", "?")) == ["XX", "YY"]
-    assert list(as_db.lookup_np(ips, "asn", 0)) == ["65001", "65001"]
+    # asn normalizes to int at GeoDB build (LongType UDF contract)
+    assert list(as_db.lookup_np(ips, "asn", 0)) == [65001, 65001]
 
     # the config wires it through to a filter context geo_fn
     mo = tmp_path / "mo" / "m1"

@@ -290,3 +290,120 @@ def test_notification_path_cannot_escape_dir(tmp_path):
     p = sink._notif_path(["../../etc/passwd", "x/y"])
     assert os.path.realpath(p).startswith(os.path.realpath(str(tmp_path)))
     assert "/.." not in p and not os.path.basename(p).startswith("..")
+
+
+# ------------------------------------------------------ DNS truncation
+
+def test_truncated_dns_records_do_not_crash_or_emit_garbage():
+    """sFlow captures cut packets mid-record routinely: a truncated AAAA
+    must not raise, a truncated A must not emit a malformed address."""
+    import struct as st
+
+    from xenoeye_spark.sources.payload import parse_dns_response
+
+    def name(n):
+        return b"".join(bytes([len(p)]) + p.encode() for p in n.split(".")) + b"\x00"
+
+    q = name("x.example") + st.pack(">HH", 28, 1)
+    # AAAA answer claiming rdlen=16 but payload cut after 3 rdata bytes
+    ans = name("x.example") + st.pack(">HHIH", 28, 1, 60, 16) + b"\x20\x01\x0d"
+    pkt = st.pack(">HHHHHH", 1, 0x8180, 1, 1, 0, 0) + q + ans
+    qname, ips = parse_dns_response(pkt)
+    assert qname == "x.example" and ips == []
+
+    # truncated A (rdlen=4, 2 bytes present) -> no '32.1'-style garbage
+    ans_a = name("x.example") + st.pack(">HHIH", 1, 1, 60, 4) + b"\x20\x01"
+    pkt_a = st.pack(">HHHHHH", 1, 0x8180, 1, 1, 0, 0) + q + ans_a
+    _, ips_a = parse_dns_response(pkt_a)
+    assert ips_a == []
+
+
+# -------------------------------------------------- dbexport isolation
+
+def test_pg_export_poison_file_quarantines_alone(tmp_path):
+    """One malformed .sql file must not drag good files into expfailed:
+    the batch falls back to per-file transactions."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    from xe_dbexport import run_export
+
+    (tmp_path / "good_1.sql").write_text("SELECT 1;\n")
+    (tmp_path / "poison_2.sql").write_text("SYNTAX ERROR;\n")
+    (tmp_path / "good_3.sql").write_text("SELECT 2;\n")
+    # shell stand-in for psql -v ON_ERROR_STOP=1: fails iff input
+    # contains the poison marker
+    cmd = "python3 -c \"import sys; d=sys.stdin.read(); sys.exit(1 if 'SYNTAX ERROR' in d else 0)\""
+    shipped, failed = run_export(str(tmp_path), cmd, db_type="pg")
+    assert (shipped, failed) == (2, 1)
+    import os as _os
+    assert sorted(_os.listdir(tmp_path / "expfailed")) == ["poison_2.sql"]
+    # good files are gone (shipped), not quarantined
+    assert not [f for f in _os.listdir(tmp_path) if f.endswith(".sql")]
+
+
+def test_sql_export_write_is_atomic(tmp_path, spark):
+    """fwm_sql_export must never expose a half-written .sql to the
+    sweeping runner — written to a dot-tmp then renamed."""
+    from xenoeye_spark.streaming.fwm_stream import fwm_sql_export
+
+    df = spark.createDataFrame([(1, "a")], "v long, k string")
+    p = fwm_sql_export(df, "t1", str(tmp_path), 7)
+    assert os.path.basename(p) == "t1_7.sql"
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+
+
+# ------------------------------------------------------ jsonc strings
+
+def test_jsonc_trailing_comma_removal_spares_strings():
+    from xenoeye_spark.config.mo import parse_jsonc
+
+    d = parse_jsonc('{"filter": "a ,] b ,} c", "x": 1,}')
+    assert d == {"filter": "a ,] b ,} c", "x": 1}
+    assert parse_jsonc('{"a": [1, 2,], /* c */ "b": "x,]",}') == {
+        "a": [1, 2], "b": "x,]",
+    }
+
+
+# --------------------------------------------------- reloader new files
+
+def test_mo_reloader_reports_new_files(tmp_path):
+    from xenoeye_spark.config.mo import MoReloader
+
+    root = tmp_path / "mo"
+    (root / "a").mkdir(parents=True)
+    (root / "a" / "mo.conf").write_text('{"filter": ""}')
+    r = MoReloader(str(root))
+    assert r.check() == []          # nothing changed since priming
+    (root / "b").mkdir()
+    (root / "b" / "mo.conf").write_text('{"filter": "proto 6"}')
+    changed = r.check()
+    assert len(changed) == 1        # hot-added object IS reported
+    assert r.check() == []          # and only once
+
+
+# ----------------------------------------------------- classdb roundtrip
+
+def test_classdb_slash_keys_roundtrip(tmp_path):
+    from xenoeye_spark.operators.classify import ClassDB
+
+    db = ClassDB(str(tmp_path), "mo", 0)
+    db.write_cycle([("a/b", "gen1", 1.0), ("a_b", "gen2", 2.0)])
+    names = db.load_names()
+    # distinct keys stay distinct (no directory collision) and lookups
+    # use the RAW key
+    assert names == {"a/b": "gen1", "a_b": "gen2"}
+
+
+# ------------------------------------------------- multimodal NaN clamp
+
+def test_narrow_image_features_have_no_nan(spark):
+    import math
+
+    from xenoeye_spark.datapipe.multimodal import decode_and_featurize
+
+    media = spark.createDataFrame(
+        [(1, b"\x01small")], "media_id long, content binary"
+    )
+    [r] = decode_and_featurize(media, fake=True, feat_dim=64).collect()
+    assert len(r.feature) == 64
+    assert not any(math.isnan(x) for x in r.feature)

@@ -41,7 +41,13 @@ def parse_jsonc(text: str) -> dict:
             return m.group(1)  # keep string literals intact
         return ""
     stripped = _COMMENT_RE.sub(repl, text)
-    stripped = re.sub(r",(\s*[}\]])", r"\1", stripped)
+    # trailing-comma removal must ALSO skip string literals — a filter
+    # or script path containing ',}' / ',]' would be silently corrupted
+    stripped = re.sub(
+        r'("(?:[^"\\]|\\.)*")|,(\s*[}\]])',
+        lambda m: m.group(1) if m.group(1) is not None else m.group(2),
+        stripped,
+    )
     return json.loads(stripped)
 
 
@@ -252,7 +258,9 @@ class MoReloader:
     def __init__(self, root: str):
         self.root = root
         self._mtimes: dict[str, float] = {}
-        self.check()  # prime
+        self._primed = False
+        self.check()  # prime: files present at init are NOT "changed"
+        self._primed = True
 
     def _conf_files(self):
         for dirpath, _dirnames, filenames in os.walk(self.root):
@@ -261,10 +269,15 @@ class MoReloader:
 
     def check(self) -> list[MoConfig]:
         changed = []
+        primed = self._primed
         for path in self._conf_files():
             m = os.stat(path).st_mtime
-            if self._mtimes.get(path) not in (None, m) or path not in self._mtimes:
-                if path in self._mtimes and self._mtimes[path] != m:
-                    changed.append(MoConfig.from_file(path))
+            seen = self._mtimes.get(path)
+            # report modified files AND files added after priming (the
+            # reference's SIGHUP reload picks up hot-added objects; the
+            # old condition stamped new files without ever reporting
+            # them)
+            if (seen is not None and seen != m) or (seen is None and primed):
+                changed.append(MoConfig.from_file(path))
             self._mtimes[path] = m
         return changed

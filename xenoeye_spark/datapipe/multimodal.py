@@ -84,9 +84,16 @@ def decode_and_featurize(
                     + 0.587 * img[..., 1].mean()
                     + 0.114 * img[..., 2].mean()
                 )
-                # fixed-dim pooled feature: mean over a feat_dim x-grid
-                cols = np.array_split(img.mean(axis=(0, 2)), feat_dim)
-                feat = np.array([c.mean() for c in cols], dtype=np.float32)
+                # fixed-dim pooled feature: mean over a feat_dim x-grid.
+                # An image narrower than feat_dim yields EMPTY chunks
+                # from array_split, and empty.mean() is NaN — pool over
+                # min(feat_dim, width) and zero-pad to the fixed dim so
+                # downstream cosine/centroid math never sees NaN
+                xprof = img.mean(axis=(0, 2))
+                eff = min(feat_dim, len(xprof))
+                cols = np.array_split(xprof, eff)
+                feat = np.zeros(feat_dim, dtype=np.float32)
+                feat[:eff] = [c.mean() for c in cols]
                 rows.append(
                     (int(mid), img.shape[1], img.shape[0], luma, feat.tolist())
                 )

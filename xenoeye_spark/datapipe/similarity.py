@@ -192,6 +192,15 @@ def cosine_neardup_pairs(
     O(N^2) FLOPs still rule at corpus scale — generate candidates with
     ``cosine_neardup_lsh`` there and verify only those.
     """
+    id_type = dict(corpus.dtypes).get(id_col, "")
+    if id_type not in ("bigint", "int", "smallint", "tinyint", "long"):
+        # the block-pair kernel carries ids as int64 ndarrays; a silent
+        # cast would null every non-numeric id and crash the executor
+        # with an opaque NaN-to-int error — fail at the API instead
+        raise ValueError(
+            f"{id_col!r} must be an integral column (got {id_type or 'missing'}); "
+            "use cosine_neardup_lsh or map ids to longs first"
+        )
     base = spread(corpus).select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -453,9 +462,15 @@ def cosine_neardup_lsh(
     # vectorized verification (einsum over Arrow batches) — the
     # higher-order-function cosine walks ~dim interpreted lambda calls
     # per pair and was this operator's scoring bottleneck
-    return (
+    out = (
         pairs.select(
             "id_a", "id_b", _cos_rows_udf(F.col("_va"), F.col("_vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+    # both persists are load-bearing (the banded table feeds both join
+    # sides; v re-attaches vectors post-dedup) but they are the CALLER's
+    # to release in long-lived sessions: after materializing, unpersist
+    # each frame in result._xe_cached.
+    out._xe_cached = [v, banded]
+    return out

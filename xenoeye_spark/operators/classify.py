@@ -114,12 +114,22 @@ class ClassDB:
         self.dir = os.path.join(root, mo_name, str(classifier_id))
         os.makedirs(self.dir, exist_ok=True)
 
+    @staticmethod
+    def _dirname(class_key: str) -> str:
+        """Bijective filesystem-safe encoding: a plain '/'->'_' replace
+        collided distinct keys ('a/b' vs 'a_b' shared one directory) and
+        broke rename lookups (load_names returned the MANGLED key, which
+        ClassificationLoop's raw-key .get() never matched)."""
+        from urllib.parse import quote
+
+        return quote(class_key, safe="")
+
     def write_cycle(self, rows: list[tuple[str, str, float]]) -> None:
         """rows: (class_key, generated_name, stat_value). Existing ``name``
         files are preserved (user renames); ``stats`` always rewritten."""
         import os
         for class_key, gen_name, val in rows:
-            d = os.path.join(self.dir, class_key.replace("/", "_"))
+            d = os.path.join(self.dir, self._dirname(class_key))
             os.makedirs(d, exist_ok=True)
             name_f = os.path.join(d, "name")
             if not os.path.exists(name_f):
@@ -133,8 +143,12 @@ class ClassDB:
         out = {}
         if not os.path.isdir(self.dir):
             return out
+        from urllib.parse import unquote
+
         for entry in os.listdir(self.dir):
             name_f = os.path.join(self.dir, entry, "name")
             if os.path.isfile(name_f):
-                out[entry] = open(name_f).read().strip()
+                # decode back to the RAW class key so rename lookups
+                # match what the classification loop computes
+                out[unquote(entry)] = open(name_f).read().strip()
         return out

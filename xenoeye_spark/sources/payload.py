@@ -67,9 +67,14 @@ def parse_dns_response(payload: bytes) -> tuple[str | None, list[str]]:
         off += 10
         rdata = payload[off:off + rdlen]
         off += rdlen
-        if rtype == 1 and rdlen == 4:       # A
+        # sFlow captures only the packet's first N bytes, so a record
+        # cut mid-rdata is NORMAL: the slice above silently shortens,
+        # and without the len() checks a truncated AAAA raised
+        # AddressValueError (killing the task) while a truncated A
+        # emitted a malformed address like '32.1'
+        if rtype == 1 and rdlen == 4 and len(rdata) == 4:        # A
             ips.append(".".join(str(b) for b in rdata))
-        elif rtype == 28 and rdlen == 16:   # AAAA
+        elif rtype == 28 and rdlen == 16 and len(rdata) == 16:   # AAAA
             import ipaddress
             ips.append(str(ipaddress.IPv6Address(rdata)))
     return qname, ips

@@ -147,12 +147,17 @@ def pcap_flows_df(
     seed_templates: list | None = None,
 ) -> DataFrame:
     """pcap replay end-to-end: files -> UDP payloads -> decoded flow rows
-    (catalog schema). Repartitions by dev_ip so a device's template
-    packets precede its data packets within a partition, matching the
-    per-device template-state requirement of decode_packets_df."""
+    (catalog schema). Repartitions by dev_ip AND sorts each partition by
+    capture time: hash co-location alone does not order shuffle blocks
+    from different source FILES, so a device whose template announcement
+    sits in an earlier file than its data (the normal rolled-capture
+    layout) could reach the decoder's fresh template store data-first —
+    nondeterministically dropping those flows. Capture-time order
+    restores announcement-before-data within each device."""
     from xenoeye_spark.sources.netflow import decode_packets_df
 
     pkts = pcap_packets_df(spark, path_glob, ports)
     return decode_packets_df(
-        pkts.repartition("dev_ip"), seed_templates=seed_templates
+        pkts.repartition("dev_ip").sortWithinPartitions("dev_ip", "recv_ts"),
+        seed_templates=seed_templates,
     )

@@ -101,10 +101,14 @@ def fwm_sql_export(
     os.makedirs(exp_dir, exist_ok=True)
     stamp = epoch_id if epoch_id is not None else int(_time.time())
     path = os.path.join(exp_dir, f"{table}_{stamp}.sql")
+    # write-then-rename: the export runner sweeps *.sql on its own
+    # schedule, and a direct open(path, 'w') would let it ship (and then
+    # quarantine) a half-written file
+    tmp = os.path.join(exp_dir, f".{table}_{stamp}.sql.tmp")
     engine = (
         " ENGINE = MergeTree ORDER BY time" if db_type == "clickhouse" else ""
     )
-    with open(path, "w") as fh:
+    with open(tmp, "w") as fh:
         fh.write(
             f"CREATE TABLE IF NOT EXISTS {table} "
             f"({', '.join(ddl_types)}){engine};\n"
@@ -115,6 +119,7 @@ def fwm_sql_export(
             for r in rows
         )
         fh.write(vals + ";\n")
+    os.replace(tmp, path)
     return path
 
 
