@@ -109,6 +109,8 @@ def convert(files: list[str], kind: str, out_dir: str,
                     for net in _ranges_to_cidrs(start, end):
                         emit(net, attrs)
             elif fmt == "rkn_loc":
+                if kind != "geo":
+                    raise SystemExit(f"{path}: geo CSV given with -t as")
                 # geoname_id,locale_code,continent_code,continent_name,
                 # country_iso_code,country_name,sub1_iso,sub1_name,...,city
                 for rec in rd:
@@ -123,6 +125,8 @@ def convert(files: list[str], kind: str, out_dir: str,
                         "city": rec[10],
                     }
             elif fmt == "rkn_data":
+                if kind != "geo":
+                    raise SystemExit(f"{path}: geo CSV given with -t as")
                 if not locations:
                     raise SystemExit(
                         f"{path}: Blocks file before Locations — the "

@@ -407,3 +407,98 @@ def test_narrow_image_features_have_no_nan(spark):
     [r] = decode_and_featurize(media, fake=True, feat_dim=64).collect()
     assert len(r.feature) == 64
     assert not any(math.isnan(x) for x in r.feature)
+
+
+# ----------------------------------------------------------- batch 4
+
+def test_leading_zero_ranges_and_ints():
+    from xenoeye_spark.dsl.lexer import parse_int, parse_range
+
+    assert parse_range("010-020") == (8, 16)   # strtol(_, 0): octal
+    assert parse_range("08-09") is None        # invalid octal: not a range
+    assert parse_int("010") == 8
+    assert parse_int("08") is None
+
+
+def test_classification_stamp_keeps_key_types(spark):
+    from xenoeye_spark.streaming.classify_stream import ClassificationLoop
+
+    loop = ClassificationLoop(
+        key_cols=["port"], val_col="v", top_percents=99, class_col="c0"
+    )
+    out_schemas = []
+    loop.output_fn = lambda df, e: out_schemas.append(df.schema.simpleString())
+    b = spark.createDataFrame([(80, 10.0), (443, 5.0)], "port long, v double")
+    loop.process_batch(b, 0)   # epoch 0: no model yet
+    loop.process_batch(b, 1)   # model exists now
+    assert out_schemas[0] == out_schemas[1]
+    assert "port:bigint" in out_schemas[1]   # key type survives stamping
+
+
+def test_class_key_is_bijective():
+    from xenoeye_spark.streaming.classify_stream import ClassificationLoop
+
+    loop = ClassificationLoop(["a", "b"], "v", 90)
+    assert loop._class_key(["10_0", "1"]) != loop._class_key(["10", "0_1"])
+
+
+def test_cc_rejects_string_ids(spark):
+    from xenoeye_spark.datapipe.graph import connected_components
+
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    try:
+        connected_components(pairs)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_stratified_prefilter_samples_null_group(spark):
+    from pyspark.sql import Row as R
+
+    from xenoeye_spark.datapipe.sampling import stratified_sample
+
+    rows = [R(doc_id=i, g="x") for i in range(30)] + [
+        R(doc_id=100 + i, g=None) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    plain = {(r.g, r.doc_id) for r in stratified_sample(df, "g", 5).collect()}
+    guarded = {
+        (r.g, r.doc_id)
+        for r in stratified_sample(df, "g", 5, prefilter_factor=4).collect()
+    }
+    assert plain == guarded
+    assert any(g is None for g, _ in guarded)   # NULL group sampled
+
+
+def test_func_pred_rejects_outer_direction():
+    from xenoeye_spark.dsl.parser import ParseError, parse_filter
+
+    try:
+        parse_filter("src min(port, port) 443")
+        raise AssertionError("expected ParseError")
+    except ParseError:
+        pass
+
+
+def test_func_field_name_whitespace_invariant():
+    from xenoeye_spark.dsl.fields import parse_field
+
+    a = parse_field("div(octets,packets) desc")
+    b = parse_field("div(octets, packets) desc")
+    assert a.sql_name == b.sql_name == "div_octets_packets_"
+
+
+def test_mfreq_observe_bounded_groups(spark):
+    """observe() masks executor-side: a wide-domain column must reach
+    the driver as <= 65536 rows AND land in the same slots as the
+    driver-side &0xFFFF."""
+    from xenoeye_spark.streaming.mfreq_stream import MfreqState
+
+    st = MfreqState()
+    df = spark.createDataFrame(
+        [(i * 65536 + 7,) for i in range(5)] + [(3,)], "a long"
+    ).withColumn("b", F.col("a"))
+    st.observe(df, "a", "b")
+    assert st.freq[7] == 10      # 5 rows x 2 cols, all slot 7
+    assert st.freq[3] == 2

@@ -269,8 +269,10 @@ def test_classification_feedback_loop(spark, tmp_path):
     assert set(stamped_by_epoch[0].values()) == {""}
     loop.process_batch(b2, 1)
     # second batch stamped with batch-1 model: tcp covers 90% -> classed
-    assert stamped_by_epoch[1]["6"] == "tcp"
-    assert stamped_by_epoch[1]["17"] == ""
+    # keys keep their SOURCE type in every epoch (the string cast used
+    # to leak into the output schema once a model existed)
+    assert stamped_by_epoch[1][6] == "tcp"
+    assert stamped_by_epoch[1][17] == ""
 
     # user renames the class; next cycle the model picks it up
     import os
@@ -279,7 +281,7 @@ def test_classification_feedback_loop(spark, tmp_path):
     loop.process_batch(b2, 2)
     b3 = spark.createDataFrame([(6, 1)], "proto long, octets long")
     loop.process_batch(b3, 3)
-    assert stamped_by_epoch[3]["6"] == "all-tcp"
+    assert stamped_by_epoch[3][6] == "all-tcp"
 
 
 def test_mavg_idle_state_ttl(spark, tmp_path):

@@ -85,7 +85,8 @@ def test_mkgeodb_as_formats(tmp_path):
     geo, asdb = load_geodb_dir(str(out))
     assert geo is None
     assert asdb.lookup_np(np.array([0x0A0A0A0A]), "asd", "?")[0] == "Example Org"
-    assert asdb.lookup_np(np.array([0xC0000201]), "asn", 0)[0] == "65000"
+    # asn normalizes to int at GeoDB build (LongType UDF contract)
+    assert asdb.lookup_np(np.array([0xC0000201]), "asn", 0)[0] == 65000
 
 
 def test_moclone_template_semantics(tmp_path):

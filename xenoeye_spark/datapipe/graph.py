@@ -26,10 +26,22 @@ from pyspark.sql import functions as F
 
 def _canon_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     """(u, v) with u = max, v = min, self-loops dropped, distinct."""
+    types = dict(pairs.dtypes)
+    ok = ("bigint", "int", "smallint", "tinyint", "long")
+    bad = [c for c in (src, dst) if types.get(c) not in ok]
+    if bad:
+        # string ids would cast to NULL (dropping EVERY edge — dedup
+        # silently becomes a no-op) and greatest('9','10') compares
+        # lexicographically; fail loudly instead
+        raise ValueError(
+            f"node id columns must be integral; {bad} are "
+            f"{[types.get(c) for c in bad]} — map ids to longs first"
+        )
+    u = F.col(src).cast("long")
+    v = F.col(dst).cast("long")
     return (
         pairs.select(
-            F.greatest(F.col(src), F.col(dst)).cast("long").alias("u"),
-            F.least(F.col(src), F.col(dst)).cast("long").alias("v"),
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -147,6 +159,10 @@ def connected_components(
             F.coalesce(F.col("rep"), F.col("node")).alias("rep"),
         )
     )
+    # the nodes persist is load-bearing (materialized before the edge
+    # set mutates) but the CALLER releases it in long-lived sessions:
+    # result._xe_cached.unpersist() after materializing.
+    out._xe_cached = nodes
     return out
 
 
@@ -161,7 +177,7 @@ def dedup_groups(
     where doc_id != keep_id."""
     cc = connected_components(pairs, src, dst)
     sizes = cc.groupBy("rep").agg(F.count(F.lit(1)).alias("group_size"))
-    return (
+    out = (
         cc.join(sizes, "rep")
         .select(
             F.col("node").alias("doc_id"),
@@ -169,3 +185,5 @@ def dedup_groups(
             F.col("group_size"),
         )
     )
+    out._xe_cached = getattr(cc, "_xe_cached", None)
+    return out

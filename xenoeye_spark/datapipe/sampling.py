@@ -92,13 +92,23 @@ def stratified_sample(
             .join(F.broadcast(short), group_col, "left_anti")
             .unionByName(short_full)
         )
+        # NULL-group rows fall through every equi-join above (NULL keys
+        # match nothing), but the plain-window path samples the NULL
+        # group like any other — re-admit them in full so the prefilter
+        # stays selection-identical
+        base = base.unionByName(df.filter(F.col(group_col).isNull()))
     w = Window.partitionBy(group_col).orderBy(
         hkey.asc(), F.col(id_col).asc()
     )
-    return (
+    out = (
         base.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_group)
     )
+    if base is not df:
+        # the prefilter's load-bearing persist is the CALLER's to
+        # release in long-lived sessions: result._xe_cached.unpersist()
+        out._xe_cached = df
+    return out
 
 
 def hash_split(

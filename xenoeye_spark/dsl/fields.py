@@ -93,9 +93,15 @@ def parse_field(text: str) -> FieldSpec:
             c, _ = resolve_func_column(ctx, fp)
             return c
 
+        import re as _re
+
         return FieldSpec(
             raw=spec_txt,
-            sql_name=sql_safe_name(spec_txt.replace(" ", "_")),
+            # whitespace-normalize before naming: 'div(octets, packets)'
+            # and 'div(octets,packets)' mean the same field and must
+            # yield the SAME output column (the spaced form previously
+            # produced 'div_octets__packets_')
+            sql_name=sql_safe_name(_re.sub(r"\s+", "", spec_txt)),
             is_aggr=is_aggr,
             desc=desc,
             has_order=has_order,

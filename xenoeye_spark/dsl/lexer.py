@@ -80,6 +80,16 @@ def parse_int(text: str) -> int | None:
     """strtol(_, 0)-style: decimal, 0x hex, leading-0 octal."""
     if not _INT_RE.match(text):
         return None
+    try:
+        return _strtol0(text)
+    except ValueError:
+        return None  # '08'/'09': invalid octal digits
+
+
+def _strtol0(text: str) -> int:
+    """strtol(_, 0) semantics shared by parse_int and parse_range —
+    int(x, 0) is NOT equivalent: it raises on leading-zero decimals
+    ('010'), which strtol reads as octal."""
     if text.lower().startswith("0x"):
         return int(text, 16)
     if text.startswith("0") and len(text) > 1:
@@ -92,7 +102,10 @@ def parse_range(text: str) -> tuple[int, int] | None:
     m = _RANGE_RE.match(text)
     if not m:
         return None
-    return int(m.group(1), 0), int(m.group(2), 0)
+    try:
+        return _strtol0(m.group(1)), _strtol0(m.group(2))
+    except ValueError:
+        return None  # e.g. octal bound with digits 8/9: not a range
 
 
 def is_int_like(text: str) -> bool:

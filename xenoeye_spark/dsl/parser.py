@@ -149,6 +149,15 @@ class _P:
         return p
 
     def func_rule(self, direction: str):
+        if direction != BOTH:
+            # each function ARGUMENT carries its own src/dst prefix; an
+            # outer prefix was parsed and then silently discarded —
+            # reject it so 'src min(port, port) 443' doesn't quietly
+            # evaluate both directions
+            raise ParseError(
+                f"{direction!r} prefix is not valid before a function "
+                "predicate — prefix the argument fields instead"
+            )
         fname = self.next().text.lower()
         if self.next().kind != LPAREN:
             raise ParseError(f"expected '(' after {fname}")

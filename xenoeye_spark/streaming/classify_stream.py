@@ -45,7 +45,13 @@ class ClassificationLoop:
         self._model_rows: list[tuple] = []  # (keys..., class_name)
 
     def _class_key(self, key_vals) -> str:
-        return "_".join(str(v) for v in key_vals)
+        # bijective: components are %-quoted (which escapes '/'), then
+        # joined on '/'. A plain '_' join collided distinct multi-key
+        # classes — ('10_0', '1') and ('10', '0_1') both made '10_0_1',
+        # sharing one ClassDB directory and swapping renames.
+        from urllib.parse import quote
+
+        return "/".join(quote(str(v), safe="") for v in key_vals)
 
     def _current_model(self, spark) -> DataFrame | None:
         if not self._model_rows:
@@ -55,13 +61,22 @@ class ClassificationLoop:
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        # 1) stamp with last cycle's model (empty label before first model)
+        # 1) stamp with last cycle's model (empty label before first
+        # model). The join runs on TEMP string-cast copies so the output
+        # keeps the source key types in EVERY epoch — overwriting the
+        # key columns with strings (and only once a model existed)
+        # flipped the output schema between epoch 0 and later epochs,
+        # breaking any schema-checked sink.
         model = self._current_model(spark)
         if model is not None:
+            jcols = [f"_jk_{k}" for k in self.key_cols]
             keyed = batch_df
-            for k in self.key_cols:
-                keyed = keyed.withColumn(k, F.col(k).cast("string"))
-            stamped = stamp_classes(keyed, model, self.key_cols, self.class_col)
+            for k, j in zip(self.key_cols, jcols):
+                keyed = keyed.withColumn(j, F.col(k).cast("string"))
+            m = model
+            for k, j in zip(self.key_cols, jcols):
+                m = m.withColumnRenamed(k, j)
+            stamped = stamp_classes(keyed, m, jcols, self.class_col).drop(*jcols)
         else:
             stamped = batch_df.withColumn(self.class_col, F.lit(""))
         if self.output_fn is not None:

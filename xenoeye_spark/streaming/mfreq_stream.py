@@ -74,15 +74,21 @@ class MfreqState:
         """Fold one micro-batch's argument values into the table. Counts
         are pre-aggregated executor-side (<= 2^16 groups) so only the
         tiny (value, count) table reaches the driver."""
+        # mask to the 2^16 slot EXECUTOR-side: grouping on the raw long
+        # would produce one group per distinct value (a 32-bit field ->
+        # millions of rows collected to the driver); the masked groupBy
+        # is bounded at 65536 rows no matter the domain
+        slot = F.pmod(F.coalesce(F.col("_v"), F.lit(0)), F.lit(65536))
         counts = (
-            batch_df.select(F.col(col1).cast("long").alias("v"))
-            .unionAll(batch_df.select(F.col(col2).cast("long").alias("v")))
+            batch_df.select(F.col(col1).cast("long").alias("_v"))
+            .unionAll(batch_df.select(F.col(col2).cast("long").alias("_v")))
+            .select(slot.alias("v"))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
         for r in counts:
-            self.freq[int(r["v"] or 0) & 0xFFFF] += int(r["n"])
+            self.freq[int(r["v"]) & 0xFFFF] += int(r["n"])
 
 
 class MfreqLoop:
