@@ -1,16 +1,25 @@
 """xemoclone parity — clone a monitoring-object config tree from a
 template with macro substitution.
 
-Reference: xemoclone.c. Recursively copies ``-i SRC_DIR`` to
-``-o DST_DIR``; every line of every file is processed
-(xemoclone.c:73-108):
+Reference: xemoclone.c (conf_process, line_process). Recursively copies
+``-i SRC_DIR`` to ``-o DST_DIR``. Template semantics, matched exactly:
 
-  * the literal template mark ``//!tmpl`` is stripped (first occurrence
-    per line, xemoclone.c:30 + :78);
-  * ``${KEY}`` macros are replaced from ``-r "A=B[;C=D[;...]]"``
-    (xemoclone.c:80-85);
-  * a remaining ``${...}`` after substitution is an error — a macro
-    missing from the replacement list (xemoclone.c:87-104).
+  * a line containing ``//!tmpl`` is a TEMPLATE line: it is written to
+    the output UNCHANGED (so the clone can itself be re-cloned), then
+    the mark is stripped and ``${KEY}`` macros are substituted from
+    ``-r "A=B[;C=D[;...]]"`` (xemoclone.c:78-85);
+  * if every macro resolved, the substituted line is written and the
+    NEXT source line (the previous concrete value) is consumed
+    (xemoclone.c:142-152);
+  * an unresolved ``${...}`` is a WARNING, not an error: the template
+    substitution is skipped for that line and the following line is
+    kept as-is (xemoclone.c:87-105, 153-157);
+  * ordinary lines are copied verbatim — ``${...}`` outside template
+    lines is data, never inspected (conf_process's else branch).
+
+Files are processed as BYTES (line-split on \\n, endings preserved), so
+non-UTF-8 content and CRLF files survive the clone byte-identically,
+like the reference's fgets/fputs copy.
 
 Usage: xe_moclone.py -i SRC_DIR -o DST_DIR [-r "A=B;C=D"]
 """
@@ -22,8 +31,8 @@ import os
 import re
 import sys
 
-TEMPLATE_MARK = "//!tmpl"
-_MACRO = re.compile(r"\$\{([^}]*)\}")
+TEMPLATE_MARK = b"//!tmpl"
+_MACRO = re.compile(rb"\$\{([^}]*)\}")
 
 
 def parse_replacements(spec: str | None) -> dict[str, str]:
@@ -41,16 +50,46 @@ def parse_replacements(spec: str | None) -> dict[str, str]:
     return out
 
 
-def process_line(line: str, repl: dict[str, str]) -> str:
-    line = line.replace(TEMPLATE_MARK, "", 1)
+def line_process(line: bytes, repl: dict[str, str]) -> tuple[bool, bytes]:
+    """Strip the mark, substitute macros. Returns (ok, substituted);
+    ok=False when a macro stays unresolved (warned, like the
+    reference's WARN + skip)."""
+    line = line.replace(TEMPLATE_MARK, b"", 1)
     for k, v in repl.items():
-        line = line.replace("${" + k + "}", v)
+        line = line.replace(b"${" + k.encode() + b"}", v.encode())
     m = _MACRO.search(line)
     if m:
-        raise SystemExit(
-            f"macro ${{{m.group(1)}}} is not in the replacements list"
+        print(
+            f"WARN: macro ${{{m.group(1).decode(errors='replace')}}} is "
+            "not in replacements list",
+            file=sys.stderr,
         )
-    return line
+        return False, line
+    return True, line
+
+
+def process_lines(lines: list[bytes], repl: dict[str, str],
+                  fname: str = "?") -> list[bytes]:
+    out: list[bytes] = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        i += 1
+        if TEMPLATE_MARK in line:
+            out.append(line)              # template line survives verbatim
+            ok, sub = line_process(line, repl)
+            if ok:
+                out.append(sub)
+                if i < len(lines):
+                    i += 1                # consume the stale value line
+            else:
+                print(
+                    f"WARN: file {fname!r}, line {i}, skipping template",
+                    file=sys.stderr,
+                )
+        else:
+            out.append(line)
+    return out
 
 
 def clone(src: str, dst: str, repl: dict[str, str]) -> list[str]:
@@ -62,10 +101,10 @@ def clone(src: str, dst: str, repl: dict[str, str]) -> list[str]:
         for fname in filenames:
             in_path = os.path.join(dirpath, fname)
             out_path = os.path.join(out_dir, fname)
-            with open(in_path, encoding="utf-8", errors="replace") as fi, \
-                    open(out_path, "w", encoding="utf-8") as fo:
-                for line in fi:
-                    fo.write(process_line(line, repl))
+            with open(in_path, "rb") as fi:
+                lines = fi.read().splitlines(keepends=True)
+            with open(out_path, "wb") as fo:
+                fo.write(b"".join(process_lines(lines, repl, in_path)))
             written.append(out_path)
     return written
 

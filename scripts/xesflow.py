@@ -28,12 +28,25 @@ def fmt_val(v):
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv[1:] if not a.startswith("--")]
-    opts = {a for a in argv[1:] if a.startswith("--")}
+    # accept BOTH '--format X' and '--format=X' (the usage line
+    # advertises the space form; it used to fall through silently and
+    # the value became a bogus positional file argument)
+    args: list[str] = []
+    opts: set[str] = set()
     fmt = "auto"
-    for a in list(opts):
-        if a.startswith("--format="):
+    it = iter(argv[1:])
+    for a in it:
+        if a == "--format":
+            fmt = next(it, fmt)
+        elif a.startswith("--format="):
             fmt = a.split("=", 1)[1]
+        elif a.startswith("--"):
+            opts.add(a)
+        else:
+            args.append(a)
+    if fmt not in ("auto", "sflow", "netflow"):
+        print(f"unknown --format {fmt!r}", file=sys.stderr)
+        return 2
     if not args:
         print(__doc__)
         return 2

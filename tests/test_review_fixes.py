@@ -502,3 +502,72 @@ def test_mfreq_observe_bounded_groups(spark):
     st.observe(df, "a", "b")
     assert st.freq[7] == 10      # 5 rows x 2 cols, all slot 7
     assert st.freq[3] == 2
+
+
+# ----------------------------------------------------------- batch 5
+
+def test_db_type_ch_normalized(tmp_path):
+    from xenoeye_spark.config.main import XenoeyeConfig
+
+    cfg = XenoeyeConfig.from_dict({"db-type": "ch"})
+    assert cfg.db_type == "clickhouse"
+    assert XenoeyeConfig.from_dict({"db-type": "pg"}).db_type == "pg"
+    try:
+        XenoeyeConfig.from_dict({"db-type": "oracle"})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_pcap_replay_idempotent_across_restarts(spark, tmp_path):
+    """Restarting the daemon must not re-append the same pcap flows —
+    the marker file keyed by the source files' identity skips them."""
+    from test_pcap import build_pcap  # same-dir import
+    from xenoeye_spark.__main__ import spool_pcap_captures
+    from xenoeye_spark.config.main import CaptureEntry
+
+    pcap = tmp_path / "cap.pcap"
+    pcap.write_bytes(build_pcap([(1.0, b"\x00" * 60)]))
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    e = CaptureEntry(kind="pcap", interface=str(pcap))
+    assert spool_pcap_captures(spark, [e], str(spool)) == 1
+    n1 = len(list(spool.glob("*.parquet")))
+    # "restart": same entry replayed again -> skipped
+    assert spool_pcap_captures(spark, [e], str(spool)) == 0
+    assert len(list(spool.glob("*.parquet"))) == n1
+
+
+def test_protobuf_wrong_major_not_ok(monkeypatch):
+    import types
+
+    from xenoeye_spark import protobuf_compat as pc
+
+    fake = types.SimpleNamespace(__version__="5.29.0")
+    import sys as _sys
+    monkeypatch.setitem(_sys.modules, "google.protobuf", fake)
+    monkeypatch.setitem(_sys.modules, "google", types.SimpleNamespace(protobuf=fake))
+    assert pc._runtime_ok() is False
+
+
+def test_dump_flows_stream_file_sink(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from xenoeye_spark.streaming.debug import dump_flows_stream
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(0x0A000001, 80)], "ip4_src_addr long, l4_dst_port long"
+    ).coalesce(1).write.parquet(str(src))
+    schema = T.StructType([
+        T.StructField("ip4_src_addr", T.LongType()),
+        T.StructField("l4_dst_port", T.LongType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = tmp_path / "flows.txt"
+    q = dump_flows_stream(
+        stream, str(tmp_path / "ckpt"), console=False, path=str(out)
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    text = out.read_text()
+    assert "ip4_src_addr: 10.0.0.1" in text and "l4_dst_port: 80" in text

@@ -12,7 +12,7 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 from xe_mkgeodb import convert  # noqa: E402
-from xe_moclone import clone, parse_replacements, process_line  # noqa: E402
+from xe_moclone import clone, parse_replacements  # noqa: E402
 
 
 def test_mkgeodb_ipapi_ranges(tmp_path):
@@ -90,26 +90,50 @@ def test_mkgeodb_as_formats(tmp_path):
 
 
 def test_moclone_template_semantics(tmp_path):
-    """xemoclone.c parity: //!tmpl stripped, ${K} substituted from the
-    -r list, unknown macros are a hard error."""
+    """xemoclone.c parity (conf_process/line_process): the //!tmpl line
+    is PRESERVED, the substituted line replaces the NEXT line, unknown
+    macros warn-and-skip, ordinary ${...} is data."""
     src = tmp_path / "tmpl"
     (src / "border").mkdir(parents=True)
     (src / "border" / "mo.conf").write_text(
-        '//!tmpl{\n'
+        '{\n'
         '//!tmpl  "filter": "dst net ${NET}",\n'
-        '//!tmpl  "fwm": [ {"name": "${NAME}", "fields": ["octets"]} ]\n'
-        '//!tmpl}\n'
+        '  "filter": "dst net 10.0.0.0/8",\n'
+        '  "script": "echo ${literal}"\n'
+        '}\n'
     )
     dst = tmp_path / "out"
-    clone(str(src), str(dst),
-          parse_replacements("NET=10.0.0.0/8;NAME=f1"))
+    clone(str(src), str(dst), parse_replacements("NET=192.168.0.0/16"))
     text = (dst / "border" / "mo.conf").read_text()
-    assert '"dst net 10.0.0.0/8"' in text
-    assert '"name": "f1"' in text
-    assert "//!tmpl" not in text and "${" not in text
+    # template line survives (clone is re-clonable), substitution
+    # replaces the stale value line
+    assert '//!tmpl  "filter": "dst net ${NET}",' in text
+    assert '"dst net 192.168.0.0/16"' in text
+    assert '"dst net 10.0.0.0/8"' not in text
+    # non-template ${...} copied verbatim, never an error
+    assert 'echo ${literal}' in text
 
-    with pytest.raises(SystemExit, match=r"\$\{OTHER\}"):
-        process_line("x ${OTHER} y", {})
+    # unknown macro in a template: WARN + keep the old value line
+    (src / "border" / "mo.conf").write_text(
+        '//!tmpl  "x": "${NOPE}",\n'
+        '  "x": "old",\n'
+    )
+    dst2 = tmp_path / "out2"
+    clone(str(src), str(dst2), {})
+    t2 = (dst2 / "border" / "mo.conf").read_text()
+    assert '"x": "old",' in t2 and '"${NOPE}"' in t2
 
     with pytest.raises(SystemExit, match="malformed"):
         parse_replacements("NOVALUE")
+
+
+def test_moclone_preserves_bytes(tmp_path):
+    """Non-UTF-8 content and CRLF endings survive byte-identically
+    (reference copies raw bytes)."""
+    src = tmp_path / "t"
+    src.mkdir()
+    blob = b"caf\xe9 latin-1\r\nsecond\r\n\x00\xff"
+    (src / "notes.bin").write_bytes(blob)
+    dst = tmp_path / "o"
+    clone(str(src), str(dst), {})
+    assert (dst / "notes.bin").read_bytes() == blob

@@ -50,8 +50,23 @@ def spool_pcap_captures(spark, entries, spool: str) -> int:
             )
             continue
         ports = {int(p) for p in re.findall(r"port\s+(\d+)", e.bpf or "")}
+        # idempotence across restarts: a marker keyed by the resolved
+        # files' (path, mtime, size) skips re-replay — the file source's
+        # checkpoint only remembers OLD paths, so a fresh append per
+        # start would re-count every pcap flow after each restart
+        import hashlib
+        import json as jsonmod
+
+        files = sorted(globmod.glob(e.interface))
+        sig = hashlib.md5(jsonmod.dumps(
+            [(f, os.path.getmtime(f), os.path.getsize(f)) for f in files]
+        ).encode()).hexdigest()
+        marker = os.path.join(spool, f".pcap_replayed_{sig}")
+        if os.path.exists(marker):
+            continue
         pcap_packets_df(spark, e.interface, ports or None) \
             .write.mode("append").parquet(spool)
+        open(marker, "w").close()
         done += 1
     return done
 
@@ -117,11 +132,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{len(seed)} templates restored", file=sys.stderr)
 
     bridges = []
-    for port in cfg.socket_ports():
-        b = UdpBridge(spool, host="0.0.0.0", port=port, template_journal=tj)
+    for entry in cfg.socket_entries():
+        host = "0.0.0.0" if entry.listen_on in ("*", "") else entry.listen_on
+        b = UdpBridge(spool, host=host, port=entry.port, template_journal=tj)
         b.start()
         bridges.append(b)
-        print(f"listening on UDP :{b.port} -> {spool}", file=sys.stderr)
+        print(f"listening on UDP {host}:{b.port} -> {spool}", file=sys.stderr)
 
     n_pcap = spool_pcap_captures(
         spark, cfg.capture + cfg.sflow_capture, spool
@@ -150,6 +166,39 @@ def main(argv: list[str] | None = None) -> int:
 
         flows = apply_devices(flows, load_devices_conf(cfg.devices))
     queries = eng.start(flows)
+    # dump-flows debug sink (CONFIG.md:90-97): console stands in for
+    # syslog; any other value is a file path appended per micro-batch
+    if cfg.dump_flows and cfg.dump_flows != "none":
+        from xenoeye_spark.streaming.debug import dump_flows_stream
+
+        dq = dump_flows_stream(
+            flows,
+            os.path.join(args.state, "checkpoints", "_dump_flows"),
+            console=(cfg.dump_flows == "syslog"),
+            path=None if cfg.dump_flows == "syslog" else cfg.dump_flows,
+        ).start()
+        queries.append(dq)
+    # db-export runner (monit-objects-fwm.c:781 spawns it after export
+    # ticks): without this the configured script was parsed and never
+    # run — .sql files piled up in exp/ and nothing reached the DB
+    stop_export = None
+    if cfg.db_export:
+        import shlex
+        import subprocess
+        import threading
+
+        stop_export = threading.Event()
+        cmdline = f"{cfg.db_export} {shlex.quote(args.exp)}"
+
+        def _export_loop():
+            while not stop_export.is_set():
+                try:
+                    subprocess.run(cmdline, shell=True, timeout=300)
+                except Exception as ex:  # noqa: BLE001 — keep shipping
+                    print(f"db-export runner failed: {ex}", file=sys.stderr)
+                stop_export.wait(30)
+
+        threading.Thread(target=_export_loop, daemon=True).start()
     print(f"{len(queries)} standing queries running", file=sys.stderr)
     try:
         while any(q.isActive for q in queries):
@@ -157,6 +206,8 @@ def main(argv: list[str] | None = None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        if stop_export is not None:
+            stop_export.set()
         eng.stop(queries)
         for b in bridges:
             b.stop()

@@ -20,6 +20,20 @@ from dataclasses import dataclass, field
 
 from xenoeye_spark.config.mo import parse_jsonc
 
+# the reference accepts pg|ch (xenoeye.c:317) and logs unknown types;
+# the sink code recognizes "clickhouse" — normalize here so a stock
+# reference config with "db-type": "ch" does not silently emit
+# PostgreSQL DDL at ClickHouse
+_DB_TYPES = {"pg": "pg", "postgresql": "pg",
+             "ch": "clickhouse", "clickhouse": "clickhouse"}
+
+
+def _norm_db_type(v: str) -> str:
+    t = _DB_TYPES.get(str(v).lower())
+    if t is None:
+        raise ValueError(f"unknown db-type {v!r} (expected pg or ch)")
+    return t
+
 
 @dataclass
 class CaptureEntry:
@@ -68,7 +82,7 @@ class XenoeyeConfig:
             devices=d.get("devices"),
             mo_dir=d.get("mo-dir", "mo"),
             geodb=d.get("geodb"),
-            db_type=d.get("db-type", "pg"),
+            db_type=_norm_db_type(d.get("db-type", "pg")),
             db_export=d.get("db-export"),
             ch_codec=d.get("ch-codec", ""),
             iplists_dir=d.get("iplists-dir"),
@@ -81,6 +95,10 @@ class XenoeyeConfig:
 
     def socket_ports(self) -> list[int]:
         return [e.port for e in self.capture + self.sflow_capture
+                if e.kind == "socket"]
+
+    def socket_entries(self) -> list["CaptureEntry"]:
+        return [e for e in self.capture + self.sflow_capture
                 if e.kind == "socket"]
 
     def build_engine(self, **overrides):

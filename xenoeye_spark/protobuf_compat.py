@@ -47,14 +47,19 @@ def _runtime_ok() -> bool:
         os.environ.setdefault(
             "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
         )
-    return True
+        return True
+    # WRONG major (e.g. a site-packages 5.x): not usable — returning
+    # True here made the vendored 6.x fallback unreachable and pushed
+    # the failure deep into Spark's StateMessage_pb2 import
+    return False
 
 
 def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable here and in Spark workers.
 
-    Returns True when the runtime is usable; False when no protobuf
-    runtime exists anywhere (callers keep their skip/raise behavior).
+    Returns True when the runtime is usable; False when no COMPATIBLE
+    protobuf runtime exists anywhere (callers keep their skip/raise
+    behavior).
     """
     if _runtime_ok():
         return True
@@ -68,4 +73,9 @@ def ensure_protobuf() -> bool:
         os.environ["PYTHONPATH"] = (
             VENDOR_DIR + (os.pathsep + pp if pp else "")
         )
+    # an INCOMPATIBLE site runtime may already be cached — evict the
+    # google.* modules so the re-import resolves from the (now first)
+    # vendor path instead of the cached wrong-major package
+    for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+        del sys.modules[mod]
     return _runtime_ok()

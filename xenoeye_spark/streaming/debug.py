@@ -34,10 +34,26 @@ def flow_debug_line(df: DataFrame) -> Column:
     return F.concat_ws(", ", *parts).alias("flow_debug")
 
 
-def dump_flows_stream(flows: DataFrame, checkpoint_dir: str, console: bool = True):
-    """writeStream console dump (debug aid; 'dump-flows' config key)."""
+def dump_flows_stream(flows: DataFrame, checkpoint_dir: str,
+                      console: bool = True, path: str | None = None):
+    """writeStream dump (the 'dump-flows' config key): console when
+    ``console`` (the syslog stand-in), else an append-to-``path``
+    foreachBatch sink — console=False without a path used to return a
+    writer with NO sink at all (start() failed wanting a parquet
+    path)."""
     lines = flows.select(flow_debug_line(flows))
-    w = lines.writeStream.outputMode("append")
-    if console:
-        w = w.format("console").option("truncate", "false")
+    if console or path is None:
+        w = (
+            lines.writeStream.outputMode("append")
+            .format("console").option("truncate", "false")
+        )
+    else:
+        def _append(df: DataFrame, _epoch: int, _p=path) -> None:
+            rows = df.collect()
+            if rows:
+                with open(_p, "a") as fh:
+                    for r in rows:
+                        fh.write(r[0] + "\n")
+
+        w = lines.writeStream.outputMode("append").foreachBatch(_append)
     return w.option("checkpointLocation", checkpoint_dir)
