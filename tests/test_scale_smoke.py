@@ -1,0 +1,133 @@
+"""Scale smoke tests: run the headline operators at 100-1000x the
+correctness gate's volumes (synthetic in-memory inputs, built with
+spark.range so nothing touches the driver) and assert they complete
+with sane outputs. These catch the failure class correctness tests at
+500 rows cannot: plans that explode quadratically, driver-side
+collects that scale with input, per-task memory that grows with
+partition size.
+
+No strict wall-clock asserts — this box has bursty hypervisor steal
+(see bench.py) — completion within the generous pytest timeout IS the
+assertion; egregious regressions (an accidental cartesian) blow
+minutes-to-hours past it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_interval_join_1m_events(spark):
+    """1M right rows x 50k intervals through the bucketed hash join —
+    the naive theta join would be a 5e10-compare BNL."""
+    from xenoeye_spark.operators.temporal import interval_join
+
+    left = spark.range(50_000).select(
+        F.col("id").alias("iv"),
+        (F.col("id") % 997).alias("key"),
+        (F.col("id") * 200).alias("s"),
+        (F.col("id") * 200 + 1000).alias("e"),
+    )
+    right = spark.range(1_000_000).select(
+        F.col("id").alias("ev"),
+        (F.col("id") % 997).alias("key"),
+        (F.col("id") * 10).alias("t"),
+    )
+    n = interval_join(left, right, "s", "e", "t",
+                      bucket_width=1000, by="key").count()
+    assert n > 0
+
+
+def test_segment_dedup_200k_docs(spark):
+    """200k synthetic docs, ~40% duplicate segments corpus-wide."""
+    from xenoeye_spark.datapipe.dedup import segment_dedup
+
+    docs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            F.concat(F.lit("seg"), (F.col("id") % 80_000).cast("string")),
+            F.concat(F.lit("uniq"), F.col("id").cast("string")),
+        ).alias("segs"),
+    )
+    out = segment_dedup(docs, F.col("segs"))
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_kept").alias("kept")
+    ).collect()[0]
+    assert agg["docs"] == 200_000
+    # every unique seg survives + exactly one owner per shared seg
+    assert agg["kept"] == 200_000 + 80_000
+
+
+def test_vocab_and_kmv_1m_tokens(spark):
+    """1M-row corpus with a 100k-term vocabulary: partial aggregation
+    must bound the shuffle; the KMV estimate stays within sketch
+    error."""
+    from xenoeye_spark.datapipe.ranking import kmv_distinct, vocab_topk
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("g").alias("src"),
+        F.concat(
+            F.lit("w"), (F.col("id") % 100_000).cast("string"),
+            F.lit(" common fixed tail"),
+        ).alias("text"),
+    )
+    top = vocab_topk(docs, k=5).collect()
+    assert top[0].n_occurrences == 1_000_000       # 'common' etc.
+    [r] = kmv_distinct(docs, "src", k=256).collect()
+    true = 100_000 + 3
+    assert abs(r.kmv_estimate - true) / true < 0.25
+
+
+def test_pack_sequences_1m_docs_partitioned(spark):
+    """1M docs packed per-group (the by= path — the global window is
+    documented to need it at this scale)."""
+    from xenoeye_spark.datapipe.sampling import pack_sequences
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 64).alias("grp"),
+        (F.col("id") % 900 + 50).alias("n"),
+    )
+    out = pack_sequences(docs, capacity=8192, len_col="n", by="grp")
+    assert out.count() == 1_000_000
+    # spot-check one group's bins are contiguous from 0
+    bins = [r.bin_id for r in out.filter("grp = 7")
+            .select("bin_id").distinct().collect()]
+    assert sorted(bins) == list(range(len(bins)))
+
+
+def test_connected_components_chain_and_blobs(spark):
+    """A 30k-node chain (worst case for label propagation; O(log n)
+    rounds here) plus 10k two-node blobs."""
+    from xenoeye_spark.datapipe.graph import connected_components
+
+    chain = spark.range(30_000 - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    blobs = spark.range(10_000).select(
+        (F.col("id") * 2 + 1_000_000).alias("id_a"),
+        (F.col("id") * 2 + 1_000_001).alias("id_b"),
+    )
+    cc = connected_components(chain.unionByName(blobs))
+    reps = cc.select("rep").distinct().count()
+    assert reps == 1 + 10_000
+    cc._xe_cached.unpersist()
+
+
+def test_time_rollup_10m_rows(spark):
+    """10M events through the hierarchical rollup: one wide shuffle at
+    the hour grain, day derived from the aggregate."""
+    from xenoeye_spark.operators.rollup import time_rollup
+
+    ev = spark.range(10_000_000).select(
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("id") % (86400 * 7)
+        ).alias("ts"),
+        (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    out = time_rollup(ev, "ts", ["k"], "v", grains=["hour", "day"])
+    agg = {r.grain: r.n for r in out.groupBy("grain")
+           .agg(F.sum("n_rows").alias("n")).collect()}
+    assert agg["hour"] == 10_000_000 and agg["day"] == 10_000_000
