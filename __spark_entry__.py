@@ -1002,6 +1002,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, capacity=50_000, len_col="n_chars")
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: an add-0.5-smoothed bigram LM
+    trained on the doc_id%5!=0 split scores every held-out doc (mean
+    ln-prob + ppl + OOV-bigram count). The whole model — counts, vocab,
+    smoothing — is closed-form, so the oracle retrains it in SQL."""
+    from xenoeye_spark.datapipe.ranking import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    return bigram_lm_score(ev, tr, k=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1065,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -2157,5 +2171,45 @@ SELECT doc_id, n_chars,
        CAST(floor(cum / 50000) AS BIGINT) AS bin_id,
        CAST(cum - floor(cum / 50000) * 50000 AS BIGINT) AS bin_offset
 FROM c
+""",
+        # bigram_lm: the whole smoothed model retrained in SQL — same
+        # counts, same vocab, same ln/avg arithmetic.
+        "bigram_lm": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), tr_bg AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+           unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+    FROM toks WHERE doc_id % 5 != 0 AND len(t) >= 2
+  ) GROUP BY 1, 2
+), tr_c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+    SELECT unnest(t) AS w1 FROM toks WHERE doc_id % 5 != 0
+  ) GROUP BY 1
+), v AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nv FROM tr_c1
+), ev AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM toks WHERE doc_id % 5 = 0 AND len(t) >= 2
+), s AS (
+  SELECT ev.doc_id,
+         CAST(c2.c2 IS NULL AS BIGINT) AS unseen,
+         ln((COALESCE(c2.c2, 0) + 0.5) / (COALESCE(tr_c1.c1, 0) + 0.5 * nv))
+           AS lp
+  FROM ev LEFT JOIN tr_bg c2 USING (w1, w2)
+          LEFT JOIN tr_c1 USING (w1)
+          CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(unseen) AS BIGINT) AS n_unseen,
+       round(avg(lp), 6) AS lm_score,
+       round(exp(-avg(lp)), 4) AS lm_ppl
+FROM s GROUP BY 1
 """,
     }

@@ -105,6 +105,9 @@ NOTES = {
     "pack_sequences": "ONE window cumsum assigns bins (capacity-"
     "quantized next-fit over FFD order) — no driver loop, no "
     "recursion; partition with by= beyond ~10^8 docs.",
+    "bigram_lm": "the LM is two map-side-combined count tables; "
+    "scoring joins eval bigrams against them (AQE broadcasts while "
+    "small) + one in-plan scalar for |V|; no Python, no sampling.",
 }
 
 

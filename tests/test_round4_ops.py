@@ -546,3 +546,47 @@ def test_pack_sequences_oversized_doc_gets_own_bins(spark):
            pack_sequences(df, capacity=1024, len_col="n").collect()}
     assert out[0] == 0          # giant doc opens bin 0
     assert out[1] != 0 and out[2] == out[1]  # smalls land past its span
+
+
+# -------------------------------------------------------------- bigram LM
+
+def test_bigram_lm_matches_python_twin(spark):
+    from xenoeye_spark.datapipe.ranking import bigram_lm_score
+
+    train = {
+        10: "the cat sat on the mat",
+        11: "the dog sat on the rug",
+    }
+    ev = {
+        0: "the cat sat",          # all bigrams seen
+        1: "zebra quantum flux",   # nothing seen
+        2: "word",                 # < 2 tokens: no row
+    }
+    tdf = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in train.items()])
+    edf = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in ev.items()])
+    got = {r.doc_id: r for r in bigram_lm_score(edf, tdf, k=0.5).collect()}
+
+    # python twin
+    ttoks = [t.split() for t in train.values()]
+    c2, c1 = {}, {}
+    for ts in ttoks:
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+        for a in ts:
+            c1[a] = c1.get(a, 0) + 1
+    V = len(c1)
+    for i, t in ev.items():
+        ts = t.split()
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            assert i not in got
+            continue
+        lps = [
+            math.log((c2.get(bg, 0) + 0.5) / (c1.get(bg[0], 0) + 0.5 * V))
+            for bg in bgs
+        ]
+        want = round(sum(lps) / len(lps), 6)
+        assert got[i].lm_score == want, (i, got[i].lm_score, want)
+        assert got[i].n_bigrams == len(bgs)
+        assert got[i].n_unseen == sum(1 for bg in bgs if bg not in c2)
+    assert got[0].lm_score > got[1].lm_score  # junk scores lower

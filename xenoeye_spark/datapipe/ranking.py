@@ -237,3 +237,79 @@ def tfidf_topterms(
         )
         .filter(F.col("term_rank") <= top_n)
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    train_docs: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-style quality scoring with an add-k-smoothed bigram
+    language model (the CCNet/KenLM filtering pattern, Wenzek et al.
+    2019, reduced to an exactly re-derivable closed form):
+
+        P(w2|w1) = (c2(w1,w2) + k) / (c1(w1) + k * V)
+        score(d) = mean over d's bigrams of ln P;  ppl(d) = exp(-score)
+
+    with c2/c1 bigram/unigram counts over the TRAIN corpus and V its
+    unigram vocabulary size. Low scores = improbable token sequences =
+    the junk a perplexity filter drops.
+
+    Plan shape: the model IS two count tables built with map-side
+    combined aggregations; scoring joins eval bigrams against them
+    (AQE broadcasts while the model is small; at web scale the c2 join
+    keys by bigram hash — an ordinary shuffled join) and one scalar
+    (V) rides in-plan as a broadcast row. Deterministic, no sampling,
+    no Python — the DuckDB oracle recomputes the whole model.
+
+    Output per eval doc: n_bigrams, n_unseen (bigrams with zero train
+    count — the OOV signal), lm_score (mean ln-prob, round 6),
+    lm_ppl (round 4). Docs with < 2 tokens score NULL.
+    """
+    toks = _toks(text_col)
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        staged = df.select(F.col(id_col), toks.alias("_t"))
+        bg = F.when(
+            F.size("_t") >= 2,
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> struct(element_at(_t, i) as w1, "
+                "element_at(_t, i + 1) as w2))"
+            ),
+        ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+        return staged.select(
+            F.col(id_col), F.explode(bg).alias("_b")
+        ).select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+
+    tr_bg = bigrams(train_docs)
+    c2 = tr_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = (
+        train_docs.select(F.explode(toks).alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    vocab = c1.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+
+    ev = bigrams(docs)
+    scored = (
+        ev.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.col("_c2").isNull().cast("long").alias("_unseen"),
+            F.log(
+                (F.coalesce(F.col("_c2"), F.lit(0)).cast("double") + k)
+                / (F.coalesce(F.col("_c1"), F.lit(0)).cast("double")
+                   + k * F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_unseen").cast("long").alias("n_unseen"),
+        F.round(F.avg("_lp"), 6).alias("lm_score"),
+        F.round(F.exp(-F.avg("_lp")), 4).alias("lm_ppl"),
+    )
