@@ -21,7 +21,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #                    (exact brute-force baseline, documented in PLANS.md)
 #   bm25           — the ONE-ROW (n, avgdl) scalar attach
 #   tfidf_topterms — the ONE-ROW in-plan N scalar attach
-BNL_ALLOWED = {"sim_topk", "bm25", "tfidf_topterms"}
+#   bigram_lm      — the ONE-ROW vocabulary-size scalar attach
+BNL_ALLOWED = {"sim_topk", "bm25", "tfidf_topterms", "bigram_lm"}
 
 
 @pytest.fixture(scope="module")
