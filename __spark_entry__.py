@@ -84,7 +84,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                # integer division: `/` promotes the int64 ns value to
+                # double (rounded at ~2^53) before dividing — boundary
+                # events could land one microsecond off vs the oracle
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -1173,7 +1176,7 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        round(SUM(l_quantity), 6) AS sum_qty
 FROM lineitem
 WHERE (l_returnflag IN ('A', 'R'))
-  AND (CAST(l_quantity AS BIGINT) BETWEEN 10 AND 30 AND NOT l_linestatus = 'F')
+  AND (CAST(floor(l_quantity) AS BIGINT) BETWEEN 10 AND 30 AND NOT l_linestatus = 'F')
 GROUP BY l_returnflag, l_linestatus
 """,
         "scalar_div": """
@@ -1365,7 +1368,7 @@ WITH RECURSIVE base AS (
   SELECT doc_id,
          CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END AS punct_ratio,
          CASE WHEN len(t) > 0 THEN
-           CAST(len(list_filter(t, x -> lower(x) IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'))) AS DOUBLE) / len(t)
+           CAST(len(list_filter(t, x -> lower(x) IN ({stop_en}))) AS DOUBLE) / len(t)
          ELSE 0 END AS stopword_ratio,
          len(t) AS n_tokens
   FROM qw
@@ -2149,9 +2152,9 @@ SELECT doc_id, term, tfidf, term_rank FROM r WHERE term_rank <= 3
         # arithmetically (A=1103515245, B=12345, P=2^31-1).
         "hash_split": f"""
 SELECT doc_id,
-       CASE WHEN (doc_id * 1103515245 + 12345) % 2147483647
+       CASE WHEN (doc_id * {_SAMP_A} + {_SAMP_B}) % {_SAMP_P}
               < {int(SPLIT_WEIGHTS[0][1] * ((1 << 31) - 1))} THEN 'train'
-            WHEN (doc_id * 1103515245 + 12345) % 2147483647
+            WHEN (doc_id * {_SAMP_A} + {_SAMP_B}) % {_SAMP_P}
               < {int((SPLIT_WEIGHTS[0][1] + SPLIT_WEIGHTS[1][1]) * ((1 << 31) - 1))} THEN 'val'
             ELSE 'test' END AS split
 FROM documents

@@ -77,9 +77,10 @@ def run_probe_session() -> dict:
 
     run_probe(min(n_flows, 1_000_000))  # untimed JIT warm-up
     fps_runs = [n_flows / run_probe(n_flows) for _ in range(reps)]
-    # same stall defense as the query loop: a hypervisor steal burst can
-    # eat one rep; re-run a few when the spread betrays it
-    while max(fps_runs) > 3 * min(fps_runs) and len(fps_runs) < reps + 3:
+    # same stall defense as the query loop — honoring the SAME
+    # SPARK_GRAFT_EXTRA_REPS knob, so pinning reps pins the probe too
+    extra = max(0, int(os.environ.get("SPARK_GRAFT_EXTRA_REPS", 3)))
+    while max(fps_runs) > 3 * min(fps_runs) and len(fps_runs) < reps + extra:
         fps_runs.append(n_flows / run_probe(n_flows))
     return {
         "flows_per_sec": round(statistics.median(fps_runs)),
@@ -111,6 +112,13 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_QUERIES")
     if only:
         keep = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = [q for q in keep if q not in qmap]
+        if unknown:
+            # a typo would otherwise benchmark an empty set and print a
+            # plausible-looking headline of 0.0 sec
+            print(f"unknown queries in SPARK_GRAFT_QUERIES: {unknown}",
+                  file=sys.stderr)
+            raise SystemExit(2)
         qmap = {k: v for k, v in qmap.items() if k in keep}
 
     # warm up the JVM + parquet footers + the Python/Arrow worker pool once

@@ -26,6 +26,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):          # int(inf) raises OverflowError and
+            return "Inf" if v > 0 else "-Inf"  # would abort the gate
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6f}"
@@ -57,6 +59,12 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not let the gate exit green having
+        # verified nothing
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     failed, passed, weak = [], [], []
     for name, fn in qs.items():
         if only and name not in only:
