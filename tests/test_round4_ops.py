@@ -590,3 +590,61 @@ def test_bigram_lm_matches_python_twin(spark):
         assert got[i].n_bigrams == len(bgs)
         assert got[i].n_unseen == sum(1 for bg in bgs if bg not in c2)
     assert got[0].lm_score > got[1].lm_score  # junk scores lower
+
+
+# ------------------------------------------------------ randomized twins
+
+def test_segment_dedup_random_vs_python_twin(spark):
+    """Random corpora with heavy cross-doc segment duplication: the
+    Spark result must equal a direct python first-occurrence replay."""
+    import hashlib
+    import random
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        docs = []
+        for d in range(120):
+            segs = [f"s{rng.randrange(40)}" for _ in range(rng.randrange(0, 6))]
+            docs.append((d, "|".join(segs)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        segs_col = F.filter(F.split(F.col("text"), r"\|"), lambda s: s != "")
+        got = {r.doc_id: (r.n_segments, r.n_kept, r.kept_digest)
+               for r in segment_dedup(df, segs_col).collect()}
+
+        seen = set()
+        for d, text in docs:
+            segs = [s for s in text.split("|") if s != ""]
+            kept = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            digest = hashlib.md5(" ".join(kept).encode()).hexdigest()
+            assert got[d] == (len(segs), len(kept), digest), (seed, d)
+
+
+def test_contamination_random_vs_python_twin(spark):
+    from xenoeye_spark.datapipe.dedup import contamination_check
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(25)]
+        mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+        train = [(100 + i, mk(rng.randrange(4, 30))) for i in range(40)]
+        ev = [(i, mk(rng.randrange(0, 30))) for i in range(25)]
+        n = 4
+        tdf = spark.createDataFrame(train, "doc_id long, text string")
+        edf = spark.createDataFrame(ev, "doc_id long, text string")
+        got = {r.doc_id: (r.n_shingles, r.n_hits, r.is_contaminated)
+               for r in contamination_check(edf, tdf, n=n).collect()}
+
+        def shingles(t):
+            ts = t.split()
+            return {" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)}
+
+        tr_set = set().union(*(shingles(t) for _, t in train))
+        for d, t in ev:
+            sh = shingles(t)
+            hits = len(sh & tr_set)
+            assert got[d] == (len(sh), hits, int(hits > 0)), (seed, d)
