@@ -557,9 +557,27 @@ def _planted_neardup_rows() -> list[tuple[int, list[float]]]:
 
 
 def _with_planted(emb: DataFrame) -> DataFrame:
-    """Fixture embeddings + planted near-dup rows (same column types)."""
-    planted = emb.sparkSession.createDataFrame(
-        _planted_neardup_rows(), "vec_id long, embedding array<float>"
+    """Fixture embeddings + planted near-dup rows (same column types).
+
+    The planted side is a SQL VALUES literal (a LocalRelation), NOT
+    createDataFrame over Python rows: an RDD-backed relation (a) spreads
+    24 rows over defaultParallelism near-empty partitions, defeating
+    ``spread()``'s partition-count guard on the union (the r4 bench
+    shape — see scripts/attrib_bench.py), and (b) reports unknown plan
+    statistics (Long.MaxValue), poisoning the union's size estimate that
+    spread()'s min_bytes floor reads. A LocalRelation has one partition
+    and exact stats. Literals go through repr() of float32-rounded
+    doubles, so the cast to float is exact and bit-identical to the
+    DuckDB oracle's DOUBLE[] literals."""
+    rows_sql = ", ".join(
+        "({}, CAST(array({}) AS array<float>))".format(
+            vid, ", ".join(f"{x!r}D" for x in vec)
+        )
+        for vid, vec in _planted_neardup_rows()
+    )
+    planted = emb.sparkSession.sql(
+        "SELECT CAST(col1 AS long) AS vec_id, col2 AS embedding "
+        f"FROM VALUES {rows_sql}"
     )
     return emb.select("vec_id", "embedding").unionByName(planted)
 
@@ -1024,6 +1042,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract (round-5 fix): the driver's correctness gate only
+    # captures the FIRST 50 entries, so every oracle-checked query sits
+    # first and the 7 deliberately rows-only twins (each has a green
+    # oracle-checked sibling exercising the same operator) sit last.
+    # test_plan_lint.py asserts this invariant so a new query can't
+    # silently ship outside the gate window.
     return {
         "fwm_topn_others": q_fwm_topn_others,
         "filter_dsl": q_filter_dsl,
@@ -1036,31 +1060,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "portstr_tfstr": q_portstr_tfstr,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_expr": q_dedup_minhash_lsh_expr,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "sim_topk": q_sim_topk,
-        "simhash": q_simhash,
         "mavg_ewma": q_mavg_ewma,
         "report_xe_rep": q_report_xe_rep,
         "mfreq": q_mfreq,
         "ppstr": q_ppstr,
         "fwm_sampling": q_fwm_sampling,
         "token_count": q_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
         "doc_fingerprint_expr": q_doc_fingerprint_expr,
         "emb_neardup": q_emb_neardup,
         "mo_pipeline": q_mo_pipeline,
-        "sim_ivf": q_sim_ivf,
         "sim_ivf_fixed": q_sim_ivf_fixed,
-        "multimodal_feat": q_multimodal_feat,
         "multimodal_dims": q_multimodal_dims,
-        "frame_sample": q_frame_sample,
         "frame_fanout": q_frame_fanout,
         "sim_lsh_topk": q_sim_lsh_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
-        "simhash_neardup": q_simhash_neardup,
         "simhash_expr": q_simhash_expr,
         "simhash_neardup_expr": q_simhash_neardup_expr,
         "fwm_func_key": q_fwm_func_key,
@@ -1082,6 +1099,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "bigram_lm": q_bigram_lm,
+        # --- rows-only twins (no oracle_sql entry; beyond slot 50) ---
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "sim_ivf": q_sim_ivf,
+        "multimodal_feat": q_multimodal_feat,
+        "frame_sample": q_frame_sample,
+        "simhash_neardup": q_simhash_neardup,
     }
 
 
@@ -1338,14 +1363,14 @@ WITH b AS (
 ), m AS (
   SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS brk FROM l
 ), s AS (
-  SELECT *, sum(brk) OVER (
+  SELECT *, CAST(sum(brk) OVER (
     PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING
-  ) AS session_seq FROM m
+  ) AS BIGINT) AS session_seq FROM m
 )
 SELECT event_id, user_id, session_seq,
-       row_number() OVER (
+       CAST(row_number() OVER (
          PARTITION BY user_id, session_seq ORDER BY t, event_id
-       ) AS session_event_seq
+       ) AS BIGINT) AS session_event_seq
 FROM s
 """,
         # corpus_curate: the four-stage curation pipeline re-derived end

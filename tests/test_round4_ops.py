@@ -262,6 +262,34 @@ def test_kmv_estimate_formula_and_accuracy(spark):
     assert abs(r.kmv_estimate - len(hashes)) / len(hashes) < 3 / math.sqrt(k)
 
 
+def test_kmv_prefilter_matches_plain(spark):
+    """The r5 coarse-threshold prefilter is selection-exact: output equals
+    the single-window plan on a fixture that exercises every path — a big
+    group the cut actually prunes, a short group the fallback re-admits
+    in full, an under-full group (estimate = exact), and a NULL group."""
+    rows = []
+    # big group: 100 docs x 30 distinct tokens >> k=16
+    words = [f"w{i}x" for i in range(3000)]
+    rows += [Row(doc_id=i, src="big", text=" ".join(words[i * 30:(i + 1) * 30]))
+             for i in range(100)]
+    # short group: 20 distinct tokens, just above k=16 (cut likely short)
+    rows += [Row(doc_id=1000, src="short", text=" ".join(f"s{i}" for i in range(20)))]
+    # under-full group: 4 distinct < k
+    rows += [Row(doc_id=2000, src="tiny", text="a b c d a")]
+    # NULL group
+    rows += [Row(doc_id=3000, src=None, text="n1 n2 n3 " + " ".join(f"q{i}" for i in range(40)))]
+    docs = spark.createDataFrame(rows)
+
+    plain = kmv_distinct(docs, "src", k=16, prefilter_factor=None)
+    pref = kmv_distinct(docs, "src", k=16, prefilter_factor=2)
+    key = lambda r: (r.src or "", r.n_distinct_exact, r.kmv_k, r.kmv_estimate)
+    got_plain = sorted(map(key, plain.collect()))
+    got_pref = sorted(map(key, pref.collect()))
+    pref._xe_cached.unpersist()
+    assert got_pref == got_plain
+    assert len(got_pref) == 4
+
+
 # ---------------------------------------------------------- contamination
 
 def test_contamination_check(spark):

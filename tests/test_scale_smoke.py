@@ -131,3 +131,24 @@ def test_time_rollup_10m_rows(spark):
     agg = {r.grain: r.n for r in out.groupBy("grain")
            .agg(F.sum("n_rows").alias("n")).collect()}
     assert agg["hour"] == 10_000_000 and agg["day"] == 10_000_000
+
+
+def test_kmv_prefilter_1m_tokens_per_group(spark):
+    """10^6 distinct tokens in one group: without the r5 prefilter the
+    ranking window sorts the full million on one reducer; with it, the
+    reducer sees ~factor * k rows. Asserts the estimate still lands
+    within the sketch's error envelope."""
+    from xenoeye_spark.datapipe.ranking import kmv_distinct
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("src"),
+        F.concat(F.lit("tok"), F.col("id")).alias("text"),
+    )
+    out = kmv_distinct(docs, "src", k=256)
+    rows = {r.src: r for r in out.collect()}
+    out._xe_cached.unpersist()
+    assert rows["0"].n_distinct_exact == 500_000
+    assert rows["1"].n_distinct_exact == 500_000
+    for r in rows.values():
+        assert abs(r.kmv_estimate - r.n_distinct_exact) / r.n_distinct_exact < 0.2

@@ -134,6 +134,7 @@ def kmv_distinct(
     group_col: str,
     k: int = 256,
     text_col: str = "text",
+    prefilter_factor: int | None = 8,
 ) -> DataFrame:
     """K-Minimum-Values distinct-token estimate per group (Bar-Yossef et
     al. 2002, public sketch): hash every distinct token into [0, P) with
@@ -150,11 +151,25 @@ def kmv_distinct(
     hash count (both engines identically).
 
     Plan shape: explode -> distinct(group, hash) with map-side partial
-    dedup -> one per-group ranking window over the DISTINCT hashes (the
-    window sort is the dominant cost for huge groups; pre-filtering
-    hashes under a coarse per-group threshold before ranking preserves
-    the k minima exactly and is the scale escape). Output:
-    (group_col, n_distinct_exact, kmv_k, kmv_estimate).
+    dedup -> coarse per-group prefilter -> one per-group ranking window.
+    Without the prefilter the window sorts a group's ENTIRE distinct
+    vocabulary on one reducer — the operator's bottleneck at web-corpus
+    group sizes. ``prefilter_factor`` (default 8) bounds that: hashes are
+    ~uniform on [0, P), so the k minima of a group with ``n`` distinct
+    hashes lie under ~``k/n * P``; keeping only hashes below
+    ``factor * k / n * P`` (one map-side-combined groupBy-count + a
+    broadcast threshold join) sends ~``factor * k`` rows per group to the
+    ranking reducer instead of ``n``. Selection is EXACT: any group the
+    coarse cut leaves short of ``min(k, n)`` survivors re-enters in full
+    (Chernoff-small probability for factor >= 4 — the same fallback as
+    ``stratified_sample``), and ``n_distinct_exact`` comes from the
+    count table, not the window, so it sees every hash either way.
+    ``prefilter_factor=None`` disables (the pre-round-5 single-window
+    plan). Output: (group_col, n_distinct_exact, kmv_k, kmv_estimate).
+
+    When the prefilter runs, the distinct-hash table is persisted (read
+    three times); long-lived sessions release it via
+    ``result._xe_cached.unpersist()``.
     """
     poly = (
         "aggregate(transform(split(t, ''), ch -> ascii(ch)), 0L, "
@@ -170,28 +185,97 @@ def kmv_distinct(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
-    ranked = hashed.select(
-        group_col, "_h", F.row_number().over(w).alias("_r")
+    w_all = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
+    if prefilter_factor is None or prefilter_factor <= 0:
+        # single-pass plan: the window sees every distinct hash, so the
+        # exact count falls out of max(_r) for free
+        ranked = hashed.select(
+            group_col, "_h", F.row_number().over(w_all).alias("_r")
+        )
+        return (
+            ranked.groupBy(group_col)
+            .agg(
+                F.max("_r").cast("long").alias("n_distinct_exact"),
+                F.max(F.when(F.col("_r") == k, F.col("_h"))).alias("_hk"),
+            )
+            .select(
+                F.col(group_col),
+                "n_distinct_exact",
+                F.lit(k).cast("long").alias("kmv_k"),
+                F.when(
+                    F.col("_hk").isNotNull(),
+                    F.round((k - 1) * float(KMV_P) / F.col("_hk"), 6),
+                )
+                .otherwise(F.col("n_distinct_exact").cast("double"))
+                .alias("kmv_estimate"),
+            )
+        )
+
+    from pyspark import StorageLevel
+
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = hashed.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    frac = F.least(
+        F.lit(1.0), F.lit(float(prefilter_factor * k)) / F.col("_gn")
     )
-    return (
-        ranked.groupBy(group_col)
-        .agg(
-            F.max("_r").cast("long").alias("n_distinct_exact"),
-            F.max(F.when(F.col("_r") == k, F.col("_h"))).alias("_hk"),
+    pruned = (
+        hashed.join(F.broadcast(counts), group_col)
+        .filter(F.col("_h") < (frac * KMV_P).cast("long"))
+        .drop("_gn")
+    )
+    kept = pruned.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kn"))
+    # groups the coarse cut left short of min(k, n) re-enter in full;
+    # start from counts so a group whose every hash was cut (absent
+    # from `kept`) is still caught
+    short = (
+        counts.join(kept, group_col, "left")
+        .filter(
+            F.coalesce(F.col("_kn"), F.lit(0))
+            < F.least(F.lit(k).cast("long"), F.col("_gn"))
+        )
+        .select(group_col)
+    )
+    base = (
+        pruned.join(F.broadcast(short), group_col, "left_anti")
+        .unionByName(
+            hashed.join(F.broadcast(short), group_col, "left_semi")
+        )
+    )
+    # NULL-group rows fall through every equi-join above; the plain
+    # window path sketches the NULL group like any other, so re-admit
+    # its hashes in full to stay selection-identical
+    base = base.unionByName(hashed.filter(F.col(group_col).isNull()))
+
+    ranked = base.select(
+        group_col, "_h", F.row_number().over(w_all).alias("_r")
+    )
+    # n_distinct_exact comes from the count table — the window no longer
+    # sees every hash once the prefilter prunes. null-safe join keys the
+    # NULL group correctly (an equi-join would drop it).
+    hk = ranked.groupBy(group_col).agg(
+        F.max(F.when(F.col("_r") == k, F.col("_h"))).alias("_hk")
+    )
+    c, a = counts.alias("_kmv_c"), hk.alias("_kmv_a")
+    out = (
+        c.join(
+            F.broadcast(a),
+            F.col(f"_kmv_c.{group_col}").eqNullSafe(F.col(f"_kmv_a.{group_col}")),
+            "left",
         )
         .select(
-            F.col(group_col),
-            "n_distinct_exact",
+            F.col(f"_kmv_c.{group_col}").alias(group_col),
+            F.col("_gn").cast("long").alias("n_distinct_exact"),
             F.lit(k).cast("long").alias("kmv_k"),
             F.when(
                 F.col("_hk").isNotNull(),
                 F.round((k - 1) * float(KMV_P) / F.col("_hk"), 6),
             )
-            .otherwise(F.col("n_distinct_exact").cast("double"))
+            .otherwise(F.col("_gn").cast("double"))
             .alias("kmv_estimate"),
         )
     )
+    out._xe_cached = hashed
+    return out
 
 
 def tfidf_topterms(

@@ -22,6 +22,13 @@ from pyspark.sql import types as T
 
 from xenoeye_spark.datapipe.util import spread
 
+# Repartition floor for this module's kernels (r5, measured on the r4
+# bench): every similarity kernel is a VECTORIZED Arrow-batch matmul, so
+# on a sub-8MB corpus the single-core kernel costs less than the
+# repartition's own 32-task scheduling overhead (~0.5-1s). Above the
+# floor — any real corpus — spread() still rescues an unsplittable scan.
+_SPREAD_MIN_BYTES = 8 << 20
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -74,7 +81,7 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
     )
-    c = spread(corpus).select(
+    c = spread(corpus, min_bytes=_SPREAD_MIN_BYTES).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
     )
     joined = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
@@ -139,7 +146,7 @@ def lsh_bucket_topk(
     planes = random_hyperplanes(dim, n_planes, seed)
     bucket1 = _bucket_udf([planes])
 
-    c = spread(corpus).select(
+    c = spread(corpus, min_bytes=_SPREAD_MIN_BYTES).select(
         F.col(id_col), F.col(vec_col).alias("_cvec"),
         bucket1(F.col(vec_col).cast("array<double>"))[0].alias("bucket"),
     )
@@ -201,7 +208,11 @@ def cosine_neardup_pairs(
             f"{id_col!r} must be an integral column (got {id_type or 'missing'}); "
             "use cosine_neardup_lsh or map ids to longs first"
         )
-    base = spread(corpus).select(
+    # no spread(): the groupBy(_gi, _gj) below ALWAYS shuffles, so the
+    # block-pair kernel's parallelism is set by the block count, not the
+    # scan partitioning; a pre-shuffle repartition would be a second
+    # exchange moving the same bytes for nothing
+    base = corpus.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
@@ -366,7 +377,7 @@ def ivf_topk(
         d = -2.0 * (m @ cent.T) + cent_sq[None, :]
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
-    c = spread(corpus).select(
+    c = spread(corpus, min_bytes=_SPREAD_MIN_BYTES).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
     ).withColumn("_cell", assign_cell(F.col("_cvec")))
 
@@ -425,7 +436,7 @@ def cosine_neardup_lsh(
     ]
     bucket_all = _bucket_udf(plane_sets)
 
-    v = spread(corpus).select(
+    v = spread(corpus, min_bytes=_SPREAD_MIN_BYTES).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # ids only through banding + pair dedup: the candidate self-join and

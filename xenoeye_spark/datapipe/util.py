@@ -24,7 +24,9 @@ def ws_tokens_sql(col_name: str) -> str:
     return WS_TOKENS_SQL.format(c=col_name)
 
 
-def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame, min_parts: int | None = None, min_bytes: int = 0
+) -> DataFrame:
     """Guard a CPU-bound per-row kernel against an under-partitioned scan.
 
     A parquet file with one row group is unsplittable, so a small corpus
@@ -45,6 +47,26 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     the upstream stages just to count partitions (they would then run
     AGAIN in the real job). The exchange check reads the non-adaptive
     physical plan, which plans but never executes.
+
+    ``min_bytes``: cost floor for VECTORIZED kernels (numpy matmuls over
+    Arrow batches), whose single-core cost on a small input is lower than
+    the repartition's own scheduling/shuffle overhead (~0.5-1s for 32
+    tasks, measured on the r4 embedding-family bench). When the
+    optimizer's size estimate for the input — plan statistics, no
+    execution; for a parquet scan this is the file size — is below the
+    floor, return untouched. Interpreted-lambda kernels (winnowing
+    grams, shingle windows: ~us/byte) should keep the default 0: spread
+    measured 9x on a 600 KB corpus for those.
+
+    Known blind spot: partition COUNT is a proxy for balance. A union of
+    an unsplittable scan with a many-partition-but-tiny frame (e.g.
+    ``createDataFrame`` of a handful of rows, which spreads them over
+    defaultParallelism partitions) passes the count check while all the
+    data sits in one partition — the kernel then runs single-core
+    (measured 3.3x on the r4 planted-union fixture). Detecting that
+    without executing the plan is not possible here; callers unioning a
+    big scan with a small local frame should ``coalesce(1)`` the small
+    side or repartition the union themselves.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
@@ -54,6 +76,15 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
             return df
     except Exception:
         pass  # plan introspection is best-effort; fall through to probe
+    if min_bytes > 0:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            if size < min_bytes:
+                return df
+        except Exception:
+            pass  # stats are best-effort; fall through to the probe
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
