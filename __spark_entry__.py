@@ -2233,11 +2233,20 @@ WITH toks AS (
           LEFT JOIN tr_c1 USING (w1)
           CROSS JOIN v
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(unseen) AS BIGINT) AS n_unseen,
-       round(avg(lp), 6) AS lm_score,
-       round(exp(-avg(lp)), 4) AS lm_ppl
-FROM s GROUP BY 1
+, agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(unseen) AS BIGINT) AS n_unseen,
+         round(avg(lp), 6) AS lm_score,
+         round(exp(-avg(lp)), 4) AS lm_ppl
+  FROM s GROUP BY 1
+)
+-- every eval doc appears; bigram-less docs carry 0/0/NULL/NULL
+SELECT d.doc_id,
+       COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       COALESCE(agg.n_unseen, 0) AS n_unseen,
+       agg.lm_score, agg.lm_ppl
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN agg USING (doc_id)
 """,
     }

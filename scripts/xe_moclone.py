@@ -8,18 +8,29 @@ Reference: xemoclone.c (conf_process, line_process). Recursively copies
     the output UNCHANGED (so the clone can itself be re-cloned), then
     the mark is stripped and ``${KEY}`` macros are substituted from
     ``-r "A=B[;C=D[;...]]"`` (xemoclone.c:78-85);
+  * each macro is substituted at its FIRST occurrence only —
+    str_replace (xemoclone.c:51-70) replaces one hit per key, so a line
+    repeating ``${KEY}`` keeps the second occurrence, which then trips
+    the unresolved-macro check below (warn-and-skip);
   * if every macro resolved, the substituted line is written and the
     NEXT source line (the previous concrete value) is consumed
     (xemoclone.c:142-152);
   * an unresolved ``${...}`` is a WARNING, not an error: the template
     substitution is skipped for that line and the following line is
-    kept as-is (xemoclone.c:87-105, 153-157);
+    kept as-is (xemoclone.c:87-105, 153-157); a ``${`` with no closing
+    brace is "WARN: malformed macro", also skipped (xemoclone.c:92-96);
   * ordinary lines are copied verbatim — ``${...}`` outside template
     lines is data, never inspected (conf_process's else branch).
 
 Files are processed as BYTES (line-split on \\n, endings preserved), so
 non-UTF-8 content and CRLF files survive the clone byte-identically,
 like the reference's fgets/fputs copy.
+
+ONE deliberate deviation: the reference's ``feof()`` check right after
+``fgets()`` (xemoclone.c:133-136) silently DROPS a final line that lacks
+a trailing newline; this port keeps that line. Reproducing the quirk
+would throw away user config data for fidelity to what reads as an
+fgets/feof bug, not a template semantic.
 
 Usage: xe_moclone.py -i SRC_DIR -o DST_DIR [-r "A=B;C=D"]
 """
@@ -28,11 +39,9 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
 
 TEMPLATE_MARK = b"//!tmpl"
-_MACRO = re.compile(rb"\$\{([^}]*)\}")
 
 
 def parse_replacements(spec: str | None) -> dict[str, str]:
@@ -52,16 +61,23 @@ def parse_replacements(spec: str | None) -> dict[str, str]:
 
 def line_process(line: bytes, repl: dict[str, str]) -> tuple[bool, bytes]:
     """Strip the mark, substitute macros. Returns (ok, substituted);
-    ok=False when a macro stays unresolved (warned, like the
-    reference's WARN + skip)."""
+    ok=False when a macro stays unresolved or malformed (warned, like
+    the reference's WARN + skip). Each key substitutes its FIRST
+    occurrence only — str_replace parity (xemoclone.c:51-70): a repeated
+    macro leaves the later ``${...}`` in place and the line is skipped
+    with the unresolved-macro warning."""
     line = line.replace(TEMPLATE_MARK, b"", 1)
     for k, v in repl.items():
-        line = line.replace(b"${" + k.encode() + b"}", v.encode())
-    m = _MACRO.search(line)
-    if m:
+        line = line.replace(b"${" + k.encode() + b"}", v.encode(), 1)
+    at = line.find(b"${")
+    if at != -1:
+        end = line.find(b"}", at + 2)
+        if end == -1:
+            print("WARN: malformed macro", file=sys.stderr)
+            return False, line
+        name = line[at + 2:end].decode(errors="replace")
         print(
-            f"WARN: macro ${{{m.group(1).decode(errors='replace')}}} is "
-            "not in replacements list",
+            f"WARN: macro ${{{name}}} is not in replacements list",
             file=sys.stderr,
         )
         return False, line

@@ -63,3 +63,45 @@ def test_allowlist_entries_still_have_bnl(plans):
         if n in plans and "BroadcastNestedLoopJoin" not in plans[n]
     ]
     assert not stale, f"stale BNL allow-list entries: {stale}"
+
+
+# ------------------------------------------------- driver-gate meta-lints
+
+# The 7 DELIBERATE rows-only twins: each pairs with a green oracle-checked
+# sibling exercising the same operator (xxhash64 vs polynomial hashes,
+# trained vs fixed centroids, RNG vs seeded dims). Adding here is a review
+# decision; everything else MUST ship with a DuckDB oracle.
+NO_ORACLE_ALLOWED = {
+    "dedup_minhash_lsh", "simhash", "doc_fingerprint", "sim_ivf",
+    "multimodal_feat", "frame_sample", "simhash_neardup",
+}
+
+# The driver's correctness gate captures only the first N queries()
+# entries (observed: CORRECTNESS_r04 stopped at 50).
+DRIVER_GATE_WINDOW = 50
+
+
+def test_every_query_has_oracle_or_is_allowlisted():
+    """A new queries() entry can't silently ship unverified: it either
+    has an oracle_sql() twin or sits on the reviewed rows-only list."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    unverified = q - o - NO_ORACLE_ALLOWED
+    assert not unverified, f"queries with no oracle and no review: {unverified}"
+    stale = NO_ORACLE_ALLOWED - q
+    assert not stale, f"allow-listed queries that no longer exist: {stale}"
+    ghost = o - q
+    assert not ghost, f"oracles without a queries() entry: {ghost}"
+    covered = NO_ORACLE_ALLOWED & o
+    assert not covered, f"allow-list entries that HAVE oracles (prune): {covered}"
+
+
+def test_oracle_checked_queries_fit_driver_window():
+    """Every oracle-checked query must sit inside the driver gate's
+    capture window; rows-only twins go last (round-4 finding: 7 fully
+    oracled queries shipped outside the window and were never
+    driver-verified)."""
+    names = list(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    outside = [n for n in names[DRIVER_GATE_WINDOW:] if n in o]
+    assert not outside, f"oracle-checked queries beyond slot {DRIVER_GATE_WINDOW}: {outside}"

@@ -571,3 +571,36 @@ def test_dump_flows_stream_file_sink(spark, tmp_path):
     q.awaitTermination(60)
     text = out.read_text()
     assert "ip4_src_addr: 10.0.0.1" in text and "l4_dst_port: 80" in text
+
+
+def test_bench_final_line_fits_driver_capture():
+    """The driver parses only the TAIL of bench stdout (~4KB observed):
+    the final JSON line, built with the FULL current query set at
+    realistic magnitudes plus every probe field, must parse and fit —
+    adding a query or a field can't silently re-void a round (round 3)."""
+    import json
+
+    import __spark_entry__ as entrymod
+    from bench import FINAL_LINE_MAX_BYTES, build_final_line
+
+    timings = {name: 9999.99 for name in entrymod.queries()}
+    probe = {
+        "flows_per_sec": 999_999_999,
+        "flows_per_sec_min": 999_999_999,
+        "flows_per_sec_max": 999_999_999,
+        "flows_per_sec_per_core": 99_999_999,
+        "flows_per_sec_note": "synthetic flows through filter+fwm+topN, "
+                              "median of 3 warmed runs in a clean JVM, "
+                              "n=100000000, local[32]",
+    }
+    line = build_final_line(timings, 99999.9, 6, "0.1", "subprocess", probe)
+    assert len(line.encode()) <= FINAL_LINE_MAX_BYTES
+    parsed = json.loads(line)
+    assert parsed["metric"] == "total_query_wall_sec"
+    assert set(parsed["queries"]) == set(entrymod.queries())
+
+    # the overflow path degrades to a parseable headline, never truncates
+    fat = {f"query_with_a_long_name_{i}": 9999.99 for i in range(400)}
+    line2 = build_final_line(fat, 1.0, 3, "0.1", "inline", probe)
+    assert len(line2.encode()) <= FINAL_LINE_MAX_BYTES
+    assert json.loads(line2)["value"] == 1.0

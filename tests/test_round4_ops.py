@@ -588,7 +588,7 @@ def test_bigram_lm_matches_python_twin(spark):
     ev = {
         0: "the cat sat",          # all bigrams seen
         1: "zebra quantum flux",   # nothing seen
-        2: "word",                 # < 2 tokens: no row
+        2: "word",                 # < 2 tokens: NULL score, 0 bigrams
     }
     tdf = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in train.items()])
     edf = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in ev.items()])
@@ -607,7 +607,9 @@ def test_bigram_lm_matches_python_twin(spark):
         ts = t.split()
         bgs = list(zip(ts, ts[1:]))
         if not bgs:
-            assert i not in got
+            # r5 contract: bigram-less docs still appear, score NULL
+            assert got[i].n_bigrams == 0 and got[i].n_unseen == 0
+            assert got[i].lm_score is None and got[i].lm_ppl is None
             continue
         lps = [
             math.log((c2.get(bg, 0) + 0.5) / (c1.get(bg[0], 0) + 0.5 * V))
@@ -676,3 +678,39 @@ def test_contamination_random_vs_python_twin(spark):
             sh = shingles(t)
             hits = len(sh & tr_set)
             assert got[d] == (len(sh), hits, int(hits > 0)), (seed, d)
+
+
+def test_hash_split_rejects_out_of_domain_ids(spark):
+    """Ids outside [0, 2^32) or NULL raise at execution instead of
+    silently wrapping the int64 product / landing in the last split
+    via a negative % remainder (r5 guard)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from xenoeye_spark.datapipe.sampling import hash_split
+
+    w = {"train": 0.8, "test": 0.2}
+    ok = spark.createDataFrame([(0,), ((1 << 32) - 1,)], "doc_id long")
+    assert hash_split(ok, w).count() == 2
+    for bad in (-1, 1 << 33, None):
+        df = spark.createDataFrame([(bad,)], "doc_id long")
+        with pytest.raises(PySparkException):
+            hash_split(df, w).collect()
+    with pytest.raises(ValueError):
+        hash_split(ok, w, salt=-3)
+
+
+def test_hash_split_values_unchanged_for_valid_ids(spark):
+    """The pmod guard must not move any in-domain row between splits:
+    the assignment equals the direct ((id+salt)*A+B) % P arithmetic."""
+    from xenoeye_spark.datapipe.sampling import _A, _B, _P31, hash_split
+
+    w = {"train": 0.5, "val": 0.3, "test": 0.2}
+    ids = [0, 1, 7, 12345, 10**9, (1 << 32) - 6]  # salt=5: domain is [0, 2^32-5)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.split for r in hash_split(df, w, salt=5).collect()}
+    cut1, cut2 = int(0.5 * _P31), int(0.8 * _P31)
+    for i in ids:
+        h = ((i + 5) * _A + _B) % _P31
+        want = "train" if h < cut1 else ("val" if h < cut2 else "test")
+        assert got[i] == want, (i, got[i], want)

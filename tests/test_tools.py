@@ -137,3 +137,34 @@ def test_moclone_preserves_bytes(tmp_path):
     dst = tmp_path / "o"
     clone(str(src), str(dst), {})
     assert (dst / "notes.bin").read_bytes() == blob
+
+
+def test_moclone_first_occurrence_and_malformed(tmp_path, capsys):
+    """str_replace parity (xemoclone.c:51-70): each macro substitutes its
+    FIRST occurrence only, so a repeated macro leaves '${...}' behind and
+    the template warns-and-skips; an unclosed '${' is a malformed-macro
+    warn-and-skip."""
+    src = tmp_path / "t"
+    src.mkdir()
+    (src / "a.conf").write_text(
+        '//!tmpl  "pair": "${NET} and ${NET}",\n'
+        '  "pair": "old1",\n'
+        '//!tmpl  "bad": "${OOPS",\n'
+        '  "bad": "old2",\n'
+        '//!tmpl  "ok": "${NET}",\n'
+        '  "ok": "old3",\n'
+    )
+    dst = tmp_path / "o"
+    clone(str(src), str(dst), parse_replacements("NET=n1"))
+    text = (dst / "a.conf").read_text()
+    err = capsys.readouterr().err
+    # repeated macro: first occurrence WAS substituted in the attempted
+    # line, but the leftover second occurrence skips the template —
+    # the stale value line survives
+    assert '"pair": "old1",' in text and '"n1 and n1"' not in text
+    assert "macro ${NET} is not in replacements list" in err
+    # malformed macro: warn + skip
+    assert '"bad": "old2",' in text
+    assert "malformed macro" in err
+    # healthy template still substitutes and consumes the stale line
+    assert '"ok": "n1",' in text and '"ok": "old3",' not in text

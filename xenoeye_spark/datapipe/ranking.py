@@ -350,7 +350,11 @@ def bigram_lm_score(
 
     Output per eval doc: n_bigrams, n_unseen (bigrams with zero train
     count — the OOV signal), lm_score (mean ln-prob, round 6),
-    lm_ppl (round 4). Docs with < 2 tokens score NULL.
+    lm_ppl (round 4). EVERY eval doc appears: docs with < 2 tokens have
+    no bigrams, so they come back with n_bigrams = 0, n_unseen = 0 and
+    NULL lm_score/lm_ppl (a left join of eval ids against the scored
+    rows — without it a caller filtering on ``lm_score IS NULL`` would
+    silently see nothing, the round-4 contract bug).
     """
     toks = _toks(text_col)
 
@@ -391,9 +395,21 @@ def bigram_lm_score(
             ).alias("_lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("_unseen").cast("long").alias("n_unseen"),
         F.round(F.avg("_lp"), 6).alias("lm_score"),
         F.round(F.exp(-F.avg("_lp")), 4).alias("lm_ppl"),
+    )
+    # re-admit bigram-less eval docs (the aggregate never saw them)
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("n_unseen"), F.lit(0)).cast("long").alias("n_unseen"),
+            "lm_score",
+            "lm_ppl",
+        )
     )

@@ -25,11 +25,30 @@ from pyspark.sql import functions as F
 # MinHash expression twin: products stay < 2^61, exact in any engine
 _P31 = (1 << 31) - 1
 _A, _B = 1_103_515_245, 12_345
+# id domain bound: (2^32 + salt) * A stays < 2^62, int64-exact. Beyond
+# it the multiply wraps SILENTLY in Spark (and errors in DuckDB) — an
+# unguarded engine divergence — and a negative id gives a negative `%`
+# remainder, landing every such row in the last split regardless of
+# weights. Out-of-domain ids raise at execution instead (r5 fix).
+_ID_MAX = 1 << 32
+
+
+def _checked_id(id_col, salt: int = 0) -> F.Column:
+    """``id_col + salt`` as a long, raising per-row when the id is NULL
+    or outside [0, 2^32 - salt)."""
+    c = F.col(id_col).cast("long")
+    bad = c.isNull() | (c < 0) | (c >= _ID_MAX - salt)
+    msg = F.concat(
+        F.lit(f"{id_col} outside [0, 2^32-{salt}) breaks the int64-exact "
+              "permutation: "),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+    )
+    return F.when(bad, F.raise_error(msg).cast("long")).otherwise(c + salt)
 
 
 def permuted_order(id_col) -> F.Column:
     """The deterministic rank key: (id * A + B) mod 2^31-1."""
-    return (F.col(id_col).cast("long") * _A + _B) % _P31
+    return F.pmod(_checked_id(id_col) * _A + _B, F.lit(_P31))
 
 
 def stratified_sample(
@@ -124,12 +143,17 @@ def hash_split(
     (must sum to ~1); ``salt`` shifts the permutation so independent
     splits of the same corpus decorrelate.
 
-    Zero shuffle: a pure projection appending ``split``.
+    Zero shuffle: a pure projection appending ``split``. Ids must lie in
+    [0, 2^32 - salt) (NULL included as invalid) — outside it the row
+    raises at execution rather than silently landing in the last split
+    (negative ``%`` remainder) or wrapping the int64 product.
     """
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"weights sum to {total}, expected 1.0")
-    h = ((F.col(id_col).cast("long") + salt) * _A + _B) % _P31
+    if salt < 0 or salt >= _ID_MAX:
+        raise ValueError(f"salt must be in [0, 2^32), got {salt}")
+    h = F.pmod(_checked_id(id_col, salt) * _A + _B, F.lit(_P31))
     expr = None
     acc = 0.0
     items = list(weights.items())
