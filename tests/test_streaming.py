@@ -508,3 +508,109 @@ def test_mfreq_two_loops_share_ctx_without_racing(spark):
     # and the tables stayed per-loop
     assert loop_a.state.freq[443] == 3 and loop_a.state.freq[53] == 0
     assert loop_b.state.freq[53] == 3 and loop_b.state.freq[443] == 0
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming sessionize == batch sessionize when micro-batches replay
+    in event-time order: same per-event (session_seq, session_event_seq),
+    including a session that SPANS a micro-batch boundary."""
+    from xenoeye_spark.operators.temporal import sessionize
+    from xenoeye_spark.streaming.sessionize_stream import sessionize_stream
+
+    GAP = 1800  # seconds
+    # key a: batch1 has two events 10s apart; batch2 continues the SAME
+    # session (+60s) then breaks it (+GAP+1); key b: one session per batch
+    batches = [
+        [("a", BASE + 0.0, 1.0), ("a", BASE + 10.0, 2.0),
+         ("b", BASE + 5.0, 3.0)],
+        [("a", BASE + 70.0, 4.0), ("a", BASE + 70.0 + GAP + 1, 5.0),
+         ("b", BASE + 5.0 + GAP + 100, 6.0)],
+        [("a", BASE + 70.0 + GAP + 1 + GAP, 7.0)],  # exactly-gap: stays
+    ]
+    dirs = _write_batches(spark, str(tmp_path / "in"), batches)
+
+    got: list = []
+
+    def build(stream, ckpt, out_rows):
+        sess = sessionize_stream(
+            stream, "k", "ts", gap_sec=GAP, tiebreak_col="v",
+            watermark_delay="2 hours",
+        )
+        return (
+            sess.writeStream.foreachBatch(
+                lambda df, e: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, got)
+
+    all_rows = [r for b in batches for r in b]
+    bdf = spark.createDataFrame(all_rows, "k string, ts double, v double")
+    base = bdf.select(
+        "k", "v", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    want = {
+        (r.k, r.v): (r.session_seq, r.session_event_seq)
+        for r in sessionize(
+            base, "k", "t", gap=GAP * 1_000_000, tiebreak_col="v"
+        ).collect()
+    }
+    got_map = {(r.k, r.v): (r.session_seq, r.session_event_seq) for r in got}
+    assert got_map == want
+    assert len(got) == len(all_rows)
+    # the cross-batch session continuation actually happened
+    assert got_map[("a", 4.0)] == (1, 3)
+    # exactly-gap spacing stays in the session (batch > semantics)
+    assert got_map[("a", 7.0)][0] == got_map[("a", 5.0)][0]
+
+
+def test_session_window_agg_closes_sessions(spark, tmp_path):
+    """Native session_window twin: per-session (start, end, n_events)
+    rows appear once the watermark passes the session end, and agree
+    with the batch sessionize's per-session rollup."""
+    from xenoeye_spark.operators.temporal import sessionize
+    from xenoeye_spark.streaming.sessionize_stream import session_window_agg
+
+    batches = [
+        [("a", BASE + 0.0, 1.0), ("a", BASE + 60.0, 2.0),
+         ("b", BASE + 30.0, 3.0)],
+        # far-future event pushes the watermark past every batch-1 session
+        [("a", BASE + 50_000.0, 4.0)],
+        [("a", BASE + 90_000.0, 5.0)],
+    ]
+    dirs = _write_batches(spark, str(tmp_path / "in"), batches)
+    got: list = []
+
+    def build(stream, ckpt, out_rows):
+        agg = session_window_agg(
+            stream, "k", "ts", gap="30 minutes", watermark_delay="1 minute"
+        )
+        return (
+            agg.writeStream.foreachBatch(
+                lambda df, e: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, got)
+    closed = {(r.k, r.session_start.timestamp(), r.n_events) for r in got}
+    # batch rollup of the same events (sessions 1 and 2 of key a + key b's)
+    all_rows = [r for b in batches for r in b][:4]  # the closed ones
+    bdf = spark.createDataFrame(all_rows, "k string, ts double, v double")
+    base = bdf.select(
+        "k", "v", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    sess = sessionize(base, "k", "t", gap=1800 * 1_000_000, tiebreak_col="v")
+    want = {
+        (r.k, r.t0 / 1e6, r.n)
+        for r in sess.groupBy("k", "session_seq")
+        .agg(F.min("t").alias("t0"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert want <= closed, (want, closed)
+    assert closed >= {
+        ("a", BASE + 0.0, 2), ("b", BASE + 30.0, 1), ("a", BASE + 50_000.0, 1)
+    }
