@@ -96,12 +96,18 @@ def test_every_query_has_oracle_or_is_allowlisted():
     assert not covered, f"allow-list entries that HAVE oracles (prune): {covered}"
 
 
-def test_oracle_checked_queries_fit_driver_window():
-    """Every oracle-checked query must sit inside the driver gate's
-    capture window; rows-only twins go last (round-4 finding: 7 fully
-    oracled queries shipped outside the window and were never
-    driver-verified)."""
+def test_driver_window_fully_oracled():
+    """Every slot the driver gate captures must carry an oracle-checked
+    query — the window is the scarce proof surface (round-4 finding: 7
+    fully oracled queries shipped outside it while rows-only twins sat
+    inside). Queries beyond the window (rows-only twins, plus any
+    oracled query added once the window filled at r5) are driver-unseen;
+    scripts/selftest.py is their proof."""
     names = list(entrymod.queries())
     o = set(entrymod.oracle_sql())
-    outside = [n for n in names[DRIVER_GATE_WINDOW:] if n in o]
-    assert not outside, f"oracle-checked queries beyond slot {DRIVER_GATE_WINDOW}: {outside}"
+    unoracled_in_window = [
+        n for n in names[:DRIVER_GATE_WINDOW] if n not in o
+    ]
+    assert not unoracled_in_window, (
+        f"rows-only queries wasting driver-gate slots: {unoracled_in_window}"
+    )

@@ -614,3 +614,90 @@ def test_session_window_agg_closes_sessions(spark, tmp_path):
     assert closed >= {
         ("a", BASE + 0.0, 2), ("b", BASE + 30.0, 1), ("a", BASE + 50_000.0, 1)
     }
+
+
+def test_asof_enrich_stream_matches_batch(spark, tmp_path):
+    """Streaming as-of enrichment == batch asof_join under in-order
+    replay: matches across micro-batch boundaries (state carries the
+    latest reference row), equal-time inclusivity, tolerance nulling,
+    and no-match-yet lefts."""
+    from xenoeye_spark.operators.temporal import asof_join
+    from xenoeye_spark.streaming.asof_stream import asof_enrich_stream
+
+    # interleaved event (side=1) / reference (side=0) rows; v doubles as
+    # a unique row id. Batch 2's first left must match batch 1's ref.
+    batches = [
+        [("a", BASE + 1.0, 1.0, 1), ("a", BASE + 5.0, 10.0, 0),
+         ("a", BASE + 5.0, 2.0, 1),              # equal-time: matches 10.0
+         ("b", BASE + 3.0, 3.0, 1)],             # no ref yet: NULL
+        [("a", BASE + 9.0, 4.0, 1),              # cross-batch: matches 10.0
+         ("b", BASE + 10.0, 20.0, 0),
+         ("b", BASE + 12.0, 5.0, 1)],            # matches 20.0
+        [("a", BASE + 5000.0, 6.0, 1)],          # tolerance 60s: NULLed
+    ]
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "k string, ts double, v double, side int"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1) \
+            .write.parquet(str(src / f"b{i}"))
+    dirs = [str(src / f"b{i}") for i in range(len(batches))]
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("side", T.IntegerType()),
+    ])
+    got: list = []
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+    stage = _tempfile.mkdtemp(prefix="asof_src_")
+    ckpt = _tempfile.mkdtemp(prefix="asof_ckpt_")
+    for d in dirs:
+        for f in _glob.glob(os.path.join(d, "*.parquet")):
+            _shutil.copy(f, os.path.join(
+                stage, os.path.basename(d) + "_" + os.path.basename(f)))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(stage)
+        )
+        lefts = stream.filter(F.col("side") == 1).select("k", "ts", "v")
+        rights = stream.filter(F.col("side") == 0).select(
+            "k", "ts", F.col("v").alias("ref_v")
+        )
+        out = asof_enrich_stream(
+            lefts, rights, on="ts", by="k", value_cols=["ref_v"],
+            tolerance_sec=60.0,
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, e: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    bdf = spark.createDataFrame(
+        all_rows, "k string, ts double, v double, side int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bl = bdf.filter(F.col("side") == 1).select("k", "ts", "v")
+    br = bdf.filter(F.col("side") == 0).select(
+        "k", "ts", F.col("v").alias("ref_v")
+    )
+    want = {
+        (r.k, r.v): (r.asof_on, r.asof_ref_v)
+        for r in asof_join(
+            bl, br, on="ts", by="k", value_cols=["ref_v"],
+            tolerance=F.expr("INTERVAL 60 SECONDS"),
+        ).collect()
+    }
+    got_map = {(r.k, r.v): (r.asof_on, r.asof_ref_v) for r in got}
+    assert got_map == want, (got_map, want)
+    assert got_map[("a", 2.0)][1] == 10.0      # equal-time inclusive
+    assert got_map[("a", 4.0)][1] == 10.0      # cross-batch state carry
+    assert got_map[("b", 3.0)] == (None, None)  # no ref yet
+    assert got_map[("a", 6.0)] == (None, None)  # beyond tolerance

@@ -1,0 +1,205 @@
+"""Streaming as-of enrichment — the stream twin of the batch
+``operators.temporal.asof_join`` (VERDICT r4 task #6, second half).
+
+Enrich an event stream with the LATEST preceding reference row per key
+(prices, config versions, device marks): union the two streams, group by
+key, and carry one reference row per key in the state store. Within each
+micro-batch the match is vectorized ``pandas.merge_asof`` (backward,
+equal-time inclusive — the batch operator's tie rule) over the batch's
+reference rows plus the carried state row; the state then advances to
+the newest reference row seen.
+
+State: one row per key — (ref time, value columns). That bound is the
+deliberate streaming compromise: exact batch asof semantics for a LATE
+event (older than the latest reference update) would require the full
+reference history per key, which is unbounded. With per-key in-order
+delivery across micro-batches — the condition the batch-equivalence test
+replays — stream output equals the batch ``asof_join`` row-for-row;
+out-of-order events inside the watermark match the newest state the
+operator has, the standard enrichment semantics.
+
+Scale: same layout as sessionize_stream/mavg — O(1) state per key,
+hash-partitioned across the cluster's state stores; ``idle_timeout_sec``
+evicts keys whose reference went stale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_SIMPLE_STATE_TYPES = (
+    T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+    T.StringType, T.BooleanType,
+)
+
+
+def asof_enrich_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    tolerance_sec: float | None = None,
+    watermark_delay: str | None = None,
+    idle_timeout_sec: int | None = None,
+) -> DataFrame:
+    """Backward as-of enrichment of stream ``left`` from stream ``right``:
+    every left row gains ``asof_on`` (matched right timestamp, null when
+    none) and ``asof_<c>`` for each of ``value_cols``, from the latest
+    right row with the same ``by`` key and right.on <= left.on.
+
+    ``on`` must be a timestamp column on both sides; ``tolerance_sec``
+    nulls matches older than it. Output: left columns + the asof fields.
+    """
+    ltypes = dict(zip(left.schema.names, left.schema.fields))
+    rtypes = dict(zip(right.schema.names, right.schema.fields))
+    for c in (on, by):
+        if c not in ltypes or c not in rtypes:
+            raise ValueError(f"column {c!r} missing from a side")
+    if not isinstance(ltypes[on].dataType, T.TimestampType) or not isinstance(
+        rtypes[on].dataType, T.TimestampType
+    ):
+        raise ValueError(f"{on!r} must be a timestamp column on both sides")
+    if set(value_cols) & set(ltypes):
+        raise ValueError("value_cols collide with left columns")
+    for c in value_cols:
+        if not isinstance(rtypes[c].dataType, _SIMPLE_STATE_TYPES):
+            raise ValueError(
+                f"value col {c!r} has non-scalar type "
+                f"{rtypes[c].dataType.simpleString()}; project it first"
+            )
+
+    lcols = list(left.schema.names)
+    l2 = left.select(
+        *lcols,
+        *[F.lit(None).cast(rtypes[c].dataType).alias(c) for c in value_cols],
+        F.lit(1).alias("_side"),
+    )
+    r2 = right.select(
+        *[
+            F.col(c) if c in (by, on)
+            else F.lit(None).cast(ltypes[c].dataType).alias(c)
+            for c in lcols
+        ],
+        *value_cols,
+        F.lit(0).alias("_side"),
+    )
+    u = l2.unionByName(r2)
+    if watermark_delay is not None:
+        u = u.withWatermark(on, watermark_delay)
+
+    out_schema = T.StructType(
+        [ltypes[c] for c in lcols]
+        + [T.StructField("asof_on", T.TimestampType())]
+        + [
+            T.StructField(f"asof_{c}", rtypes[c].dataType)
+            for c in value_cols
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("on_us", T.LongType())]
+        + [T.StructField(c, rtypes[c].dataType) for c in value_cols]
+    )
+    tol_us = None if tolerance_sec is None else int(tolerance_sec * 1_000_000)
+    # unmatched lefts surface as NaN in the merged frame; integral value
+    # columns must go back to Arrow as NULLABLE ints, not float NaN
+    _PD_NULLABLE = {
+        T.LongType: "Int64", T.IntegerType: "Int32",
+        T.BooleanType: "boolean",
+    }
+    val_dtypes = {
+        c: _PD_NULLABLE.get(type(rtypes[c].dataType)) for c in value_cols
+    }
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf["_on_us"] = pdf[on].astype("int64") // 1_000
+        rights = pdf[pdf["_side"] == 0][["_on_us"] + value_cols]
+        if state.exists:
+            st = state.get
+            rights = pd.concat(
+                [
+                    pd.DataFrame(
+                        {"_on_us": [st[0]],
+                         **{c: [st[1 + i]] for i, c in enumerate(value_cols)}}
+                    ),
+                    rights,
+                ],
+                ignore_index=True,
+            )
+        lefts = pdf[pdf["_side"] == 1]
+        if len(lefts):
+            lefts = lefts.sort_values("_on_us", kind="mergesort")
+            if len(rights):
+                rights = rights.sort_values(
+                    "_on_us", kind="mergesort"
+                ).rename(columns={"_on_us": "_r_on_us"})
+                # one reference row per timestamp: the LAST wins, like the
+                # batch operator's unique-(by, on) requirement
+                rights = rights.groupby("_r_on_us", as_index=False).last()
+                merged = pd.merge_asof(
+                    lefts[["_on_us"]].reset_index(),
+                    rights,
+                    left_on="_on_us",
+                    right_on="_r_on_us",
+                    direction="backward",
+                    allow_exact_matches=True,
+                    tolerance=tol_us,
+                ).set_index("index")
+            else:
+                merged = lefts[["_on_us"]].copy()
+                merged["_r_on_us"] = pd.Series(dtype="float64")
+                for c in value_cols:
+                    merged[c] = pd.Series(dtype="object")
+            out = lefts[lcols].copy()
+            out["asof_on"] = pd.to_datetime(
+                merged["_r_on_us"] * 1_000, errors="coerce"
+            )
+            for c in value_cols:
+                col = merged[c]
+                if val_dtypes[c] is not None:
+                    col = col.astype(val_dtypes[c])
+                out[f"asof_{c}"] = col
+            yield out
+        if len(rights):
+            newest = rights.sort_values(
+                rights.columns[0], kind="mergesort"
+            ).iloc[-1]
+            key0 = "_r_on_us" if "_r_on_us" in rights.columns else "_on_us"
+            state.update(
+                (int(newest[key0]),)
+                + tuple(
+                    None if pd.isna(newest[c]) else newest[c]
+                    for c in value_cols
+                )
+            )
+        if idle_timeout_sec is not None and (state.exists or len(rights)):
+            state.setTimeoutDuration(idle_timeout_sec * 1000)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_sec is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return u.groupBy(by).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
