@@ -44,6 +44,7 @@ from xenoeye_spark.datapipe.similarity import (
 from xenoeye_spark.config.mo import MoConfig
 from xenoeye_spark.datapipe.text import (
     BPE_SPLIT_RE,
+    PII_PATTERNS as _PII_PATTERNS,
     STOPWORDS,
     doc_fingerprint,
     doc_fingerprint_expr,
@@ -1036,6 +1037,60 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(ev, tr, k=0.5)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with planted PII: emails (doc-id-varying), valid and
+    INVALID IPv4s (boundary check: >255 octets must not match), and two
+    phone formats are appended deterministically, then scrubbed. Counts
+    per type + the scrubbed text are re-derived verbatim by the DuckDB
+    oracle — a cross-regex-dialect (Java vs RE2) agreement check."""
+    from xenoeye_spark.datapipe.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@example.com now")),
+        )
+        .when(F.col("doc_id") % 3 == 1,
+              F.lit(" from 10.1.2.3 or 999.999.999.999 and 256.1.1.1"))
+        .otherwise(F.lit(" call +1 (555) 010-7788 or +44 20 7946 0958"))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return pii_scrub(planted)
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (control strip, whitespace collapse, trim,
+    lower) + md5 dedup key; messy whitespace/case is planted so the
+    transforms demonstrably fire."""
+    from xenoeye_spark.datapipe.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(F.lit("  \tThE  "), F.col("text"),
+                 F.lit("\x01  TRAILING   ")).alias("text"),
+    )
+    return normalize_text(messy)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-near-dup embeddings with the fixed
+    seeded centroids: cluster assignment, in-cluster cosine witnesses,
+    and keep/drop verdicts all re-derived by the SQL oracle."""
+    from xenoeye_spark.datapipe.similarity import semantic_dedup
+
+    emb = _with_planted(_t(spark, sf_dir, "embeddings"))
+    out = semantic_dedup(emb, _ivf_fixed_centroids(), threshold=0.9)
+    return out.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "keep", "n_dups"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1099,7 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "bigram_lm": q_bigram_lm,
-        # --- rows-only twins (no oracle_sql entry; beyond slot 50) ---
+        # --- beyond the driver's 50-slot window (driver-unseen;
+        # scripts/selftest.py is their proof) ---
+        # rows-only twins (no oracle_sql entry):
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1107,6 +1164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_feat": q_multimodal_feat,
         "frame_sample": q_frame_sample,
         "simhash_neardup": q_simhash_neardup,
+        # fully-oracled r5 additions (the window filled at 50):
+        "pii_scrub": q_pii_scrub,
+        "text_normalize": q_text_normalize,
+        "semdedup": q_semdedup,
     }
 
 
@@ -2249,4 +2310,82 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
 LEFT JOIN agg USING (doc_id)
 """,
+        # pii_scrub: plant the same PII suffixes, run the same patterns
+        # through RE2 (vs Spark's java.util.regex) — counts before
+        # scrubbing, replacements in list order with the 'g' flag.
+        "pii_scrub": (lambda email, ipv4, phone: f"""
+WITH p AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0
+           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         WHEN doc_id % 3 = 1
+           THEN ' from 10.1.2.3 or 999.999.999.999 and 256.1.1.1'
+         ELSE ' call +1 (555) 010-7788 or +44 20 7946 0958' END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{email}', '<EMAIL>', 'g'),
+           '{ipv4}', '<IPV4>', 'g'),
+           '{phone}', '<PHONE>', 'g') AS text_scrubbed,
+         CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phone
+  FROM p
+)
+SELECT doc_id, text_scrubbed, n_email, n_ipv4, n_phone,
+       n_email + n_ipv4 + n_phone AS n_pii
+FROM c
+""")(*(rx for _, rx in _PII_PATTERNS)),
+        # text_normalize: ctrl-strip -> whitespace-collapse -> trim ->
+        # lower -> md5, the same transform order.
+        "text_normalize": r"""
+WITH m AS (
+  SELECT doc_id,
+         '  ' || chr(9) || 'ThE  ' || text || chr(1) || '  TRAILING   '
+           AS text
+  FROM documents
+), n AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(regexp_replace(text,
+           '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_text
+  FROM m
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+       md5(norm_text) AS norm_md5
+FROM n
+""",
+        # semdedup: fixed-centroid assignment (argmin, ties to lower
+        # cell), in-cluster lower-id cosine witnesses, keep verdicts.
+        "semdedup": (lambda cents, csqs: f"""
+WITH cents AS ({" UNION ALL ".join(
+    f"SELECT {i} AS cell, [{', '.join(repr(x) for x in c)}]::DOUBLE[] AS c, "
+    f"{csq!r} AS csq"
+    for i, (c, csq) in enumerate(zip(cents, csqs)))}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT * FROM (VALUES {_planted_sql()}) t(vec_id, v)
+), assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (-2 * list_inner_product(e.v, c.c) + c.csq) ASC, c.cell ASC
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), w AS (
+  SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_dups
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+  GROUP BY 1
+)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       w.vec_id IS NULL AS keep,
+       COALESCE(w.n_dups, 0) AS n_dups
+FROM assign a LEFT JOIN w USING (vec_id)
+""")(_ivf_fixed_centroids().tolist(),
+     [(float((c * c).sum())) for c in _ivf_fixed_centroids()]),
     }

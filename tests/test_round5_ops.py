@@ -1,0 +1,107 @@
+"""Round-5 operators: pii_scrub, normalize_text, semantic_dedup."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from xenoeye_spark.datapipe.similarity import semantic_dedup
+from xenoeye_spark.datapipe.text import normalize_text, pii_scrub
+
+
+def test_pii_scrub_types_and_counts(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="mail a.b+c@x-corp.io or root@sub.example.org ok"),
+        Row(doc_id=1, text="host 192.168.0.1 bad 999.999.999.999 edge 255.255.255.255"),
+        Row(doc_id=2, text="call +1 (555) 010-7788 or +44 20 7946 0958 now"),
+        Row(doc_id=3, text="clean text with no pii at all"),
+        Row(doc_id=4, text="combo x@y.zw from 10.0.0.7 call +7 911 000 11 22"),
+    ])
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (got[0].n_email, got[0].n_ipv4, got[0].n_phone) == (2, 0, 0)
+    assert got[0].text_scrubbed == "mail <EMAIL> or <EMAIL> ok"
+    # invalid octets (>255) must NOT match; valid boundaries must
+    assert (got[1].n_ipv4, got[1].n_email) == (2, 0)
+    assert "999.999.999.999" in got[1].text_scrubbed
+    assert "<IPV4>" in got[1].text_scrubbed
+    assert got[2].n_phone == 2
+    assert got[2].text_scrubbed == "call <PHONE> or <PHONE> now"
+    assert got[3].n_pii == 0 and got[3].text_scrubbed == got[3].text_scrubbed
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (1, 1, 1)
+    assert got[4].n_pii == 3
+
+
+def test_normalize_text_matches_python(spark):
+    raw = "  \tThE   Quick\x01\x02  BROWN\nfox  "
+    docs = spark.createDataFrame([Row(doc_id=0, text=raw)])
+    [r] = normalize_text(docs).collect()
+    # python twin: ctrl -> space, collapse ws, trim, lower
+    import re
+    t = re.sub(r"[\x00-\x1F\x7F]", " ", raw)
+    t = re.sub(r"\s+", " ", t).strip().lower()
+    assert r.norm_text == t == "the quick brown fox"
+    assert r.n_chars_norm == len(t)
+    assert r.norm_md5 == hashlib.md5(t.encode()).hexdigest()
+
+
+def test_semantic_dedup_matches_python_twin(spark):
+    """Synthetic embeddings around two fixed centroids with planted
+    in-cluster near-dups and one cross-cluster near-identical pair (must
+    both survive: different cells never compare)."""
+    rng = np.random.RandomState(11)
+    cents = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]])
+    rows = []
+    vecs = {}
+
+    def add(vid, v):
+        vecs[vid] = np.asarray(v, dtype=float)
+        rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+
+    for i in range(20):
+        base = cents[i % 2] + rng.normal(scale=0.5, size=3)
+        add(i, base)
+    # in-cluster near-dup pair (cluster 0): 100 ~ 102
+    add(100, cents[0] + [0.3, 0.01, 0.0])
+    add(102, (vecs[100] * 1.0001))
+    # cross-cluster near-identical direction — but assigned to different
+    # cells, so never compared
+    add(200, [7.0, 7.1, 0.0])
+    add(201, [7.1, 7.0, 0.0])
+
+    df = spark.createDataFrame(rows)
+    sdf = semantic_dedup(df, cents, threshold=0.99)
+    out = {r.vec_id: r for r in sdf.collect()}
+
+    # python twin
+    def cell(v):
+        d = ((cents - v[None, :]) ** 2).sum(axis=1)
+        return int(d.argmin())
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(float(a @ b / (na * nb)), 6)
+
+    ids = sorted(vecs)
+    for vid in ids:
+        witnesses = [
+            o for o in ids
+            if o < vid and cell(vecs[o]) == cell(vecs[vid])
+            and cos(vecs[o], vecs[vid]) >= 0.99
+        ]
+        assert out[vid].cell == cell(vecs[vid]), vid
+        assert out[vid].keep == (not witnesses), vid
+        assert out[vid].n_dups == len(witnesses), vid
+    # the planted facts actually hold. (Vectors clustered around a far
+    # centroid all share its direction, so at t=0.99 most of a cluster
+    # witnesses most of it — the twin loop above verified every verdict;
+    # these spot-check the planted rows specifically.)
+    assert not out[102].keep and out[102].n_dups >= 1
+    assert out[0].keep  # the lowest id of its cluster has no witness
+    assert out[200].cell != out[201].cell
+    assert out[200].keep and out[201].keep
+    sdf._xe_cached.unpersist()

@@ -485,3 +485,78 @@ def cosine_neardup_lsh(
     # each frame in result._xe_cached.
     out._xe_cached = [v, banded]
     return out
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): cluster embeddings by nearest ``centroids`` row, then inside
+    each cluster mark a row a semantic duplicate when any LOWER-id row of
+    the same cluster has cosine >= ``threshold``. Lowest id per duplicate
+    set survives — deterministic, order-free.
+
+    Plan shape: one vectorized cell-assign projection (the ivf_topk
+    kernel), one self-join SHUFFLED ON THE CELL KEY (never all-pairs:
+    candidate volume is sum over cells of |cell|^2, the SemDeDup bound —
+    centroid count controls the quadratic term), vectorized cosine on
+    the Arrow batches, then an anti-join back. ``keep`` rows carry
+    ``n_dups`` = how many lower-id in-cluster near-duplicates witnessed
+    the drop (0 for kept rows).
+
+    With seeded fixed centroids the whole pipeline — assignment, pairs,
+    verdicts — is re-derivable by the SQL oracle (argmin with ties to
+    the lower cell, exactly like ivf_topk).
+
+    Output: (id_col, cell, keep, n_dups).
+    """
+    cent = np.asarray(centroids, dtype=float)
+    cent_sq = (cent ** 2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_cell(vecs_s: pd.Series) -> pd.Series:
+        m = np.array(vecs_s.tolist(), dtype=np.float64)
+        d = -2.0 * (m @ cent.T) + cent_sq[None, :]
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    from pyspark import StorageLevel
+
+    assigned = (
+        spread(corpus, min_bytes=_SPREAD_MIN_BYTES)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .withColumn("cell", assign_cell(F.col("_v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    witnessed = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            _cos_rows_udf(F.col("a._v"), F.col("b._v")).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= F.lit(threshold))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"))
+    )
+    out = (
+        assigned.join(witnessed, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.col("n_dups").isNull().alias("keep"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+        )
+    )
+    out._xe_cached = assigned
+    return out

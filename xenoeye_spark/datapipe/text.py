@@ -455,3 +455,86 @@ def doc_fingerprint(
         ).alias("fp_digest"),
         F.size("fingerprint").alias("fp_size"),
     )
+
+
+# PII scrubbing patterns. Chosen to be EXACTLY expressible in both regex
+# dialects the pipeline runs (Java util.regex in Spark, RE2 in the DuckDB
+# oracle): no backreferences, no lookaround, ASCII \b only — the subset
+# where both engines provably agree, which the driver oracle then checks
+# end-to-end on planted PII.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4",
+     r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+     r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"),
+    # international-ish phone: must start with '+', >= 8 chars of digits
+    # and separators, end in a digit — conservative on purpose (a greedy
+    # bare-digit pattern eats ids, dates, and prices)
+    ("phone", r"\+[0-9][0-9()\- ]{6,}[0-9]"),
+]
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """PII redaction for training corpora: replace each match of the
+    (name, regex) ``patterns`` with ``<NAME>`` and count matches per
+    type — the standard pre-training scrub (emails / IPv4 / phones by
+    default; the C4/CCNet pipelines apply the same class of regex
+    washes).
+
+    Counting happens BEFORE scrubbing (a later pattern cannot hide an
+    earlier type's count); scrubbing applies patterns in list order, so
+    overlaps resolve deterministically on any engine. Pure JVM-side
+    regexp projection — no shuffle, no Python; scales as a map over the
+    corpus.
+
+    Output: (id_col, text_scrubbed, n_<name> per pattern, n_pii total).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0)))
+        .cast("long").alias(f"n_{name}")
+        for name, rx in pats
+    ]
+    scrubbed = F.col(text_col)
+    for name, rx in pats:
+        scrubbed = F.regexp_replace(scrubbed, F.lit(rx), F.lit(f"<{name.upper()}>"))
+    out = docs.select(
+        F.col(id_col), scrubbed.alias("text_scrubbed"), *counts
+    )
+    total = sum(
+        (F.col(f"n_{name}") for name, _ in pats[1:]),
+        F.col(f"n_{pats[0][0]}"),
+    )
+    return out.withColumn("n_pii", total.cast("long"))
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical text normalization for dedup keys: control characters
+    stripped, whitespace runs collapsed to one space, trimmed,
+    lowercased. The md5 of the result is the exact-dedup key two
+    differently-formatted copies of a document share — normalize-then-
+    hash is the first stage of every web-corpus dedup stack.
+
+    ASCII-safe transforms only (case folding beyond ASCII is
+    locale/engine-dependent and would break cross-engine re-derivation).
+    Pure JVM projection, no shuffle. Output: (id_col, norm_text,
+    n_chars_norm, norm_md5).
+    """
+    t = F.regexp_replace(F.col(text_col), F.lit(r"[\x00-\x1F\x7F]"), F.lit(" "))
+    t = F.regexp_replace(t, F.lit(r"\s+"), F.lit(" "))
+    t = F.lower(F.trim(t))
+    return docs.select(
+        F.col(id_col),
+        t.alias("norm_text"),
+        F.length(t).cast("long").alias("n_chars_norm"),
+        F.md5(t).alias("norm_md5"),
+    )
