@@ -1091,6 +1091,63 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping training-context chunking (chunk=32, stride=24): the
+    oracle re-derives every window's slice bounds and text with DuckDB
+    1-based inclusive list slicing."""
+    from xenoeye_spark.datapipe.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk=32, stride=24)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition stats with a planted repetitious tail on
+    every 4th doc so dup-token/dup-gram/top-gram fractions demonstrably
+    move; the oracle recomputes all three from its own n-gram counts."""
+    from xenoeye_spark.datapipe.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"),
+                     F.lit(" the quick fox the quick fox the quick fox")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repetition_stats(planted, n=3)
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist filtering over planted URLs: doc_id%3==0 docs cite
+    a blocked domain (case/subdomain-varied), %3==1 docs cite one ok +
+    one blocked URL, %3==2 docs have no URLs at all. Registered-domain
+    reduction and the broadcast-join verdicts are re-derived in SQL."""
+    from xenoeye_spark.datapipe.text import url_domain_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" see https://News.Blocked-Site.COM/a"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" via http://cdn"),
+                     (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".example.org/x and"
+                           " https://sub.blocked-site.com/y?q=1")),
+        )
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    blocklist = spark.createDataFrame(
+        [("Blocked-Site.com",), ("spam.net",)], "domain string"
+    )
+    return url_domain_filter(planted, blocklist)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1168,6 +1225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "text_normalize": q_text_normalize,
         "semdedup": q_semdedup,
+        "chunk_docs": q_chunk_docs,
+        "repetition": q_repetition,
+        "url_filter": q_url_filter,
     }
 
 
@@ -2388,4 +2448,122 @@ SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
 FROM assign a LEFT JOIN w USING (vec_id)
 """)(_ivf_fixed_centroids().tolist(),
      [(float((c * c).sum())) for c in _ivf_fixed_centroids()]),
+        # chunk_docs: same windows via DuckDB's 1-based INCLUSIVE list
+        # slicing; integer-ceil window count, trailing short chunk kept.
+        "chunk_docs": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')
+           AS toks
+  FROM documents
+), nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= 32 THEN 1
+              ELSE 1 + CAST(floor((n - 32 + 24 - 1) / 24.0) AS BIGINT)
+         END AS nc
+  FROM nz
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       CAST(len(toks[i*24 + 1 : i*24 + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+FROM c, unnest(generate_series(0, nc - 1)) AS g(i)
+""",
+        # repetition: re-derive token and 3-gram duplicate fractions from
+        # scratch; LEFT JOINs keep empty/short docs with zeroed stats.
+        "repetition": r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' the quick fox the quick fox the quick fox'
+              ELSE text END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')
+           AS toks
+  FROM p
+), tc AS (
+  SELECT doc_id, tk, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY 1, 2
+), ts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS dup_t
+  FROM tc GROUP BY 1
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [] END AS grams
+  FROM t
+), gc AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) GROUP BY 1, 2
+), gs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS dup_g,
+         CAST(max(c) AS BIGINT) AS top_g
+  FROM gc GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(ts.n_tokens, 0) AS n_tokens,
+       COALESCE(gs.n_grams, 0) AS n_grams,
+       CASE WHEN COALESCE(ts.n_tokens, 0) > 0
+            THEN round(ts.dup_t / CAST(ts.n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN COALESCE(gs.n_grams, 0) > 0
+            THEN round(gs.dup_g / CAST(gs.n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_gram_frac,
+       CASE WHEN COALESCE(gs.n_grams, 0) > 0
+            THEN round(gs.top_g / CAST(gs.n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS top_gram_frac
+FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id
+LEFT JOIN gs ON d.doc_id = gs.doc_id
+""",
+        # url_filter: same host regex through RE2, registered domain =
+        # last two dot-labels, blocklist as an inline lowercased table.
+        "url_filter": r"""
+WITH p AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' see https://News.Blocked-Site.COM/a'
+         WHEN doc_id % 3 = 1 THEN ' via http://cdn' ||
+              CAST(doc_id % 5 AS VARCHAR) ||
+              '.example.org/x and https://sub.blocked-site.com/y?q=1'
+         ELSE '' END AS text
+  FROM documents
+), bl AS (
+  SELECT lower(d) AS dom
+  FROM (VALUES ('Blocked-Site.com'), ('spam.net')) v(d)
+), u AS (
+  SELECT doc_id, unnest(
+           regexp_extract_all(text, 'https?://([^\s/?#]+)', 1)
+         ) AS host
+  FROM p
+), d0 AS (
+  SELECT doc_id, host,
+         (SELECT lab[greatest(len(lab) - 1, 1):] FROM
+            (SELECT string_split(lower(host), '.') AS lab)) AS lab2
+  FROM u
+), j AS (
+  SELECT d0.doc_id, d0.host, array_to_string(d0.lab2, '.') AS dom,
+         bl.dom IS NOT NULL AS blocked
+  FROM d0 LEFT JOIN bl ON array_to_string(d0.lab2, '.') = bl.dom
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_blocked,
+         list_sort(list(DISTINCT CASE WHEN blocked THEN dom END))
+           AS bdoms
+  FROM j GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_urls, 0) AS n_urls,
+       COALESCE(agg.n_blocked, 0) AS n_blocked,
+       COALESCE(agg.n_blocked, 0) = 0 AS keep,
+       COALESCE(list_filter(agg.bdoms, x -> x IS NOT NULL), [])
+         AS blocked_domains
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""",
     }

@@ -105,3 +105,73 @@ def test_semantic_dedup_matches_python_twin(spark):
     assert out[200].cell != out[201].cell
     assert out[200].keep and out[201].keep
     sdf._xe_cached.unpersist()
+
+
+def test_chunk_documents_windows(spark):
+    from xenoeye_spark.datapipe.text import chunk_documents
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b c d e f g h i j"),
+        Row(doc_id=1, text="x y z"),
+        Row(doc_id=2, text="   "),          # empty -> no rows
+    ])
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk=4, stride=2).collect()
+    }
+    # stride 2, chunk 4 over 10 tokens: starts 0,2,4,6 (6+4 reaches end)
+    assert got == {
+        (0, 0): (4, "a b c d"), (0, 1): (4, "c d e f"),
+        (0, 2): (4, "e f g h"), (0, 3): (4, "g h i j"),
+        (1, 0): (3, "x y z"),
+    }
+    # disjoint default keeps the short tail
+    got2 = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in chunk_documents(docs, chunk=4).collect()
+    }
+    assert got2[(0, 2)] == "i j"
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk=4, stride=5)
+
+
+def test_repetition_stats_twin(spark):
+    from xenoeye_spark.datapipe.text import repetition_stats
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="one two one two one two tail"),
+        Row(doc_id=1, text="all distinct words here"),
+        Row(doc_id=2, text="xx yy"),        # shorter than n: zero grams
+        Row(doc_id=3, text=" "),            # empty: zero everything
+    ])
+    got = {r.doc_id: r for r in repetition_stats(docs, n=2).collect()}
+    # doc 0: 7 tokens, dups = (3-1)+(3-1)=4 -> 4/7; 6 bigrams:
+    # "one two"x3, "two one"x2, "two tail" -> dup=(3-1)+(2-1)=3 -> 0.5
+    assert got[0].n_tokens == 7 and got[0].n_grams == 6
+    assert got[0].dup_token_frac == round(4 / 7, 6)
+    assert got[0].dup_gram_frac == 0.5
+    assert got[0].top_gram_frac == 0.5
+    assert got[1].dup_token_frac == 0.0 and got[1].dup_gram_frac == 0.0
+    assert got[2].n_grams == 1 and got[3].n_grams == 0
+    assert got[3].n_tokens == 0 and got[3].top_gram_frac == 0.0
+
+
+def test_url_domain_filter(spark):
+    from xenoeye_spark.datapipe.text import url_domain_filter
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a https://www.Blocked.COM/x b "
+                           "http://ok.example.org/y c "
+                           "https://sub.deep.blocked.com?q=1"),
+        Row(doc_id=1, text="no urls at all"),
+        Row(doc_id=2, text="bare single-label http://localhost/z"),
+    ])
+    bl = spark.createDataFrame([Row(domain="Blocked.com"),
+                                Row(domain="other.net")])
+    got = {r.doc_id: r for r in url_domain_filter(docs, bl).collect()}
+    assert (got[0].n_urls, got[0].n_blocked, got[0].keep) == (3, 2, False)
+    assert got[0].blocked_domains == ["blocked.com"]
+    assert (got[1].n_urls, got[1].keep, got[1].blocked_domains) == (0, True, [])
+    # single-label host: registered domain is the host itself
+    assert (got[2].n_urls, got[2].n_blocked) == (1, 0)

@@ -538,3 +538,216 @@ def normalize_text(
         F.length(t).cast("long").alias("n_chars_norm"),
         F.md5(t).alias("norm_md5"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk: int = 64,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's whitespace tokens into training-context
+    chunks of ``chunk`` tokens, starting every ``stride`` tokens
+    (``stride < chunk`` = overlapping windows, the standard LM
+    context-window slicer; default ``stride=chunk`` = disjoint). The
+    final window is the one whose start still lies inside the document,
+    so trailing tokens are never dropped (the last chunk may be short).
+
+    Pure JVM expressions: tokens materialized ONCE as a column (no CSE
+    across higher-order lambdas — the repo's measured 14x trap), chunk
+    indices via sequence + posexplode, each chunk an O(chunk) slice.
+    One narrow explode, no shuffle; output size is input tokens x
+    (chunk/stride) — linear, scales as a map at any corpus size.
+
+    Output: (id_col, chunk_id, n_tokens, chunk_text); empty docs emit
+    no rows.
+    """
+    if stride is None:
+        stride = chunk
+    if not (1 <= stride <= chunk):
+        raise ValueError(f"stride must be in [1, chunk]: {stride=} {chunk=}")
+    n = F.size(F.col("_toks"))
+    # windows start at 0, stride, 2*stride, ...; stop at the first one
+    # covering the end: 1 + ceil((n - chunk)/stride) for n > chunk
+    # (integer ceil via floor((x + stride - 1)/stride); values are small
+    # ints so the double division is exact), else a single window.
+    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+        (F.floor((n - F.lit(chunk) + F.lit(stride) - 1) / stride) + 1)
+        .cast("int")
+    )
+    sliced = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk
+    )
+    return (
+        docs.select(
+            F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
+        )
+        .filter(F.size("_toks") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_id", "_z"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.size(sliced).cast("long").alias("n_tokens"),
+            F.array_join(sliced, " ").alias("chunk_text"),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repetition signals (the RefinedWeb/Gopher
+    "remove repetitious documents" family, Penedo 2023 / Rae 2021 —
+    public heuristics): fraction of duplicate word n-grams and of
+    duplicate tokens, plus the share claimed by the single most
+    frequent n-gram.
+
+    Plan: tokens materialized once, n-grams via sequence+transform
+    (O(len) slices), ONE explode -> per-(doc, gram) count with map-side
+    partial aggregation -> per-doc rollup. Token dups come from the
+    same rollup on the token explode. Linear in corpus token count; the
+    (doc_id, gram) shuffle key is unique per doc so popular grams skew
+    nothing across docs.
+
+    Output: (id_col, n_tokens, n_grams, dup_token_frac, dup_gram_frac,
+    top_gram_frac) — fractions round(6), 0.0 for docs too short to
+    form a single n-gram (dup_gram_frac/top_gram_frac) or empty docs
+    (all fractions; such docs still appear, with zero counts).
+    """
+    toks = docs.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    grams_col = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - n + 1),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    tok_stats = (
+        toks.select(id_col, F.explode_outer("_toks").alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_t").isNotNull(), F.col("_c"))
+                  .otherwise(F.lit(0))).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c") - 1).otherwise(F.lit(0))
+            ).alias("_dup_t"),
+        )
+    )
+    gram_stats = (
+        toks.select(id_col, grams_col.alias("_g"))
+        .select(id_col, F.explode_outer("_g").alias("_gram"))
+        .groupBy(id_col, "_gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_gram").isNotNull(), F.col("_c"))
+                  .otherwise(F.lit(0))).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c") - 1).otherwise(F.lit(0))
+            ).alias("_dup_g"),
+            F.max(F.when(F.col("_gram").isNotNull(), F.col("_c"))
+                  .otherwise(F.lit(0))).alias("_top_g"),
+        )
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(F.col(den) > 0, F.col(num) / F.col(den)).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        tok_stats.join(gram_stats, id_col)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            frac("_dup_t", "n_tokens").alias("dup_token_frac"),
+            frac("_dup_g", "n_grams").alias("dup_gram_frac"),
+            frac("_top_g", "n_grams").alias("top_gram_frac"),
+        )
+    )
+
+
+# URL extraction: scheme://host[/rest] — the host is everything up to
+# the first '/', '?', '#', or whitespace. Dialect-portable (no
+# lookaround/backrefs), mirrored verbatim by the DuckDB oracle.
+URL_RE = r"https?://[^\s/?#]+[^\s]*"
+URL_HOST_RE = r"https?://([^\s/?#]+)"
+
+
+def url_domain_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-based filtering (the C4/RefinedWeb "URL blocklist" stage):
+    extract every URL, reduce each host to its registered domain (last
+    two dot-labels, lowercased), and drop documents citing a blocked
+    domain.
+
+    ``blocklist``: a DataFrame with a ``domain`` column (small — it is
+    broadcast). Matching is equi-join on the registered domain — NOT a
+    suffix theta-join, which would be a broadcast-nested-loop at scale;
+    collapsing host -> registered domain first keeps it a hash join.
+
+    Output: (id_col, n_urls, n_blocked, keep, blocked_domains) where
+    blocked_domains is a sorted-distinct array of the offending
+    domains. Docs with no URLs keep n_urls=0, keep=true.
+    """
+    urls = docs.select(
+        F.col(id_col),
+        # NB: F.lit pattern, not F.expr — a SQL string literal would eat
+        # the \s escape and silently skip hosts starting with 's'
+        F.explode_outer(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(URL_HOST_RE), F.lit(1)
+            )
+        ).alias("_host"),
+    )
+    labels = F.split(F.lower(F.col("_host")), r"\.")
+    reg_domain = F.when(
+        F.col("_host").isNotNull(),
+        F.array_join(
+            F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2),
+            ".",
+        ),
+    )
+    bl = F.broadcast(
+        blocklist.select(F.lower("domain").alias("_dom"))
+        .distinct()
+        .withColumn("_blocked", F.lit(1))
+    )
+    # a NULL _dom row (doc without URLs) matches nothing in the equi-join
+    # but still aggregates, so URL-free docs appear with n_urls=0
+    return (
+        urls.withColumn("_dom", reg_domain)
+        .join(bl, "_dom", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_host").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("_blocked").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_blocked"),
+            F.array_sort(
+                F.collect_set(
+                    F.when(F.col("_blocked").isNotNull(), F.col("_dom"))
+                )
+            ).alias("blocked_domains"),
+        )
+        .withColumn("keep", F.col("n_blocked") == 0)
+        .select(id_col, "n_urls", "n_blocked", "keep", "blocked_domains")
+    )
