@@ -1148,6 +1148,52 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_domain_filter(planted, blocklist)
 
 
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embeddings table: per-dim corpus
+    min/max, half-up codes, reconstruction MSE — the full pipeline
+    re-derived by the oracle (floor(x+0.5) is engine-portable where
+    round() is not)."""
+    from xenoeye_spark.datapipe.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+_RP_SEED, _RP_K = 4242, 8
+
+
+def _rp_planes():
+    import numpy as np
+
+    return np.random.RandomState(_RP_SEED).normal(size=(_RP_K, 64))
+
+
+def q_rand_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection to 8 dims with a fixed seeded
+    matrix embedded as literals; the oracle recomputes every output with
+    list_inner_product on the same literals."""
+    from xenoeye_spark.datapipe.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), _rp_planes())
+
+
+def q_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampling (alpha=0.5) over a skewed planted domain
+    split (60/30/10): quotas flatten toward the tail; membership is the
+    deterministic permuted-id rank so the oracle matches row-for-row."""
+    from xenoeye_spark.datapipe.sampling import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    dom = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("head"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+    )
+    return temperature_resample(
+        docs.select("doc_id", dom.alias("domain")),
+        "domain", alpha=0.5, target_total=100,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1228,6 +1274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "repetition": q_repetition,
         "url_filter": q_url_filter,
+        "quantize": q_quantize,
+        "rand_proj": q_rand_proj,
+        "temperature": q_temperature,
     }
 
 
@@ -2565,5 +2614,73 @@ SELECT d.doc_id,
        COALESCE(list_filter(agg.bdoms, x -> x IS NOT NULL), [])
          AS blocked_domains
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""",
+        # quantize: per-dim min/max, half-up int8 codes, reconstruction
+        # MSE — identical floor(x+0.5) arithmetic in both engines.
+        "quantize": r"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), d AS (
+  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM e, unnest(generate_series(1, len(v))) AS g(i)
+  GROUP BY i
+), mm AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM d
+), q AS (
+  SELECT vec_id, v, mns, mxs,
+         list_transform(generate_series(1, len(v)), i ->
+           CAST(CASE WHEN mxs[i] > mns[i]
+                THEN least(255, floor((v[i] - mns[i]) / (mxs[i] - mns[i])
+                                      * 255 + 0.5))
+                ELSE 0 END AS INTEGER)) AS qc
+  FROM e, mm
+)
+SELECT vec_id,
+       md5(array_to_string(qc, ',')) AS q_digest,
+       round(list_sum(list_transform(generate_series(1, len(v)), i ->
+         (v[i] - (mns[i] + qc[i] * (mxs[i] - mns[i]) / 255)) ^ 2
+       )) / len(v), 6) AS mse,
+       list_min(qc) AS qmin, list_max(qc) AS qmax
+FROM q
+""",
+        # rand_proj: the same seeded plane literals dot-multiplied in SQL.
+        "rand_proj": (lambda planes: f"""
+SELECT vec_id,
+       {", ".join(
+           "round(list_inner_product(CAST(embedding AS DOUBLE[]), "
+           f"[{', '.join(repr(x) for x in row)}]::DOUBLE[]), 6) AS p{j}"
+           for j, row in enumerate(planes))}
+FROM embeddings
+""")(_rp_planes().tolist()),
+        # temperature: same 60/30/10 planted domains, sqrt-flattened
+        # quotas over a round(6) normalizer, permuted-id rank membership.
+        "temperature": f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'head'
+              WHEN doc_id % 10 < 9 THEN 'mid'
+              ELSE 'tail' END AS domain
+  FROM documents
+), c AS (
+  SELECT domain, count(*) AS cnt FROM d GROUP BY 1
+), ws AS (
+  SELECT round(sum(pow(cnt, 0.5)), 6) AS w FROM c
+), q AS (
+  SELECT domain,
+         least(cnt, CAST(floor(100.0 * pow(cnt, 0.5) / ws.w) AS BIGINT))
+           AS quota
+  FROM c, ws
+), r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY (doc_id * {_SAMP_A} + {_SAMP_B}) % {_SAMP_P}, doc_id
+         ) AS sample_rank
+  FROM d
+)
+SELECT r.doc_id, r.domain, CAST(r.sample_rank AS BIGINT) AS sample_rank,
+       q.quota
+FROM r JOIN q USING (domain)
+WHERE r.sample_rank <= q.quota
 """,
     }

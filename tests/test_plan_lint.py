@@ -22,7 +22,14 @@ SF_DIR = "/root/testdata/sf0.001"
 #   bm25           — the ONE-ROW (n, avgdl) scalar attach
 #   tfidf_topterms — the ONE-ROW in-plan N scalar attach
 #   bigram_lm      — the ONE-ROW vocabulary-size scalar attach
-BNL_ALLOWED = {"sim_topk", "bm25", "tfidf_topterms", "bigram_lm"}
+#   quantize       — the ONE-ROW per-dim min/max array attach (constant
+#                    join keys are folded away, so the 1-row broadcast
+#                    plans as BNL; build side is a single row by agg)
+#   temperature    — the ONE-ROW w^alpha normalizer attach (same shape)
+BNL_ALLOWED = {
+    "sim_topk", "bm25", "tfidf_topterms", "bigram_lm",
+    "quantize", "temperature",
+}
 
 
 @pytest.fixture(scope="module")

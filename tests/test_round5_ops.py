@@ -175,3 +175,77 @@ def test_url_domain_filter(spark):
     assert (got[1].n_urls, got[1].keep, got[1].blocked_domains) == (0, True, [])
     # single-label host: registered domain is the host itself
     assert (got[2].n_urls, got[2].n_blocked) == (1, 0)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from xenoeye_spark.datapipe.similarity import quantize_embeddings
+
+    rng = np.random.RandomState(7)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=5)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert len(out) == 50
+    vecs = np.array([r.embedding for r in rows])
+    mn, mx = vecs.min(axis=0), vecs.max(axis=0)
+    for i, r in enumerate(rows):
+        v = np.array(r.embedding)
+        q = np.floor((v - mn) / (mx - mn) * 255 + 0.5)
+        deq = mn + q * (mx - mn) / 255
+        mse = round(float(((v - deq) ** 2).mean()), 6)
+        assert abs(out[i].mse - mse) <= 1e-6, i
+        assert 0 <= out[i].qmin <= out[i].qmax <= 255
+    # rows achieving the corpus min/max hit the code range ends
+    assert min(r.qmin for r in out.values()) == 0
+    assert max(r.qmax for r in out.values()) == 255
+    # a constant (zero-range) dimension codes to 0, not a div-by-zero
+    flat = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 2.0]), Row(vec_id=1, embedding=[1.0, 3.0])]
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(flat).collect()}
+    assert got[0].qmin == 0  # dim 0 constant -> code 0
+
+
+def test_random_projection_matches_numpy(spark):
+    from xenoeye_spark.datapipe.similarity import random_projection
+
+    rng = np.random.RandomState(9)
+    planes = rng.normal(size=(3, 4))
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=4)])
+            for i in range(10)]
+    df = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in random_projection(df, planes).collect()}
+    for i, r in enumerate(rows):
+        exp = planes @ np.array(r.embedding)
+        got = np.array([out[i].p0, out[i].p1, out[i].p2])
+        assert np.allclose(got, np.round(exp, 6), atol=1e-6), i
+
+
+def test_temperature_resample_quotas(spark):
+    import math
+
+    import pytest
+
+    from xenoeye_spark.datapipe.sampling import temperature_resample
+
+    rows = (
+        [Row(doc_id=i, domain="big") for i in range(100)]
+        + [Row(doc_id=100 + i, domain="small") for i in range(10)]
+        + [Row(doc_id=500, domain=None)]
+    )
+    df = spark.createDataFrame(rows)
+    out = temperature_resample(df, "domain", alpha=0.5, target_total=20)
+    got = {(r.domain, r.doc_id) for r in out.collect()}
+    ws = round(math.sqrt(100) + math.sqrt(10), 6)
+    nb = math.floor(20 * math.sqrt(100) / ws)
+    ns = math.floor(20 * math.sqrt(10) / ws)
+    assert sum(1 for d, _ in got if d == "big") == nb
+    assert sum(1 for d, _ in got if d == "small") == ns
+    assert not any(d is None for d, _ in got)
+    # alpha=1 reduces to proportional; alpha out of range raises
+    prop = temperature_resample(df, "domain", alpha=1.0, target_total=22)
+    cnt = {r[0]: r[1] for r in
+           prop.groupBy("domain").count().collect()}
+    assert cnt["big"] == 20 and cnt["small"] == 2
+    with pytest.raises(ValueError):
+        temperature_resample(df, "domain", alpha=0.0)

@@ -212,3 +212,66 @@ def pack_sequences(
     return binned.withColumn(
         "bin_offset", (F.col("_cum") - F.col("bin_id") * capacity).cast("long")
     ).drop("_cum")
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    target_total: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the public multilingual /
+    domain-mixture recipe: sample domain d proportionally to
+    count_d^alpha, alpha<1 flattening head domains and boosting the
+    tail). Per-domain quota = min(count_d,
+    floor(target_total * count_d^alpha / sum_d count_d^alpha)); within a
+    domain the kept rows are the deterministic permuted-id minima —
+    exactly ``stratified_sample``'s rank, so reruns and the SQL oracle
+    agree row-for-row.
+
+    The quota floor makes the total <= target_total (never over); the
+    normalizer is rounded to 6 decimals before dividing so engines whose
+    float sums differ by an ulp still floor identically. NULL domains
+    are excluded (like every equi-keyed stage here).
+
+    Plan: one tiny per-domain count -> one-row normalizer -> broadcast
+    quota join -> one rank window per domain. Skew note: at 100 TB the
+    window shuffles a head domain's full membership; compose with
+    ``stratified_sample(prefilter_factor=...)``'s hash-cut when quota <<
+    count (same key, same rank — selection is unchanged).
+
+    Output: (id_col, domain_col, sample_rank, quota).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    dom = df.filter(F.col(domain_col).isNotNull())
+    counts = dom.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_c"))
+    wsum = (
+        counts.groupBy()
+        .agg(F.round(F.sum(F.pow("_c", F.lit(alpha))), 6).alias("_ws"))
+        .withColumn("_k", F.lit(1))
+    )
+    quotas = (
+        counts.withColumn("_k", F.lit(1))
+        .join(F.broadcast(wsum), "_k")
+        .select(
+            domain_col,
+            F.least(
+                F.col("_c"),
+                F.floor(
+                    F.lit(float(target_total))
+                    * F.pow("_c", F.lit(alpha)) / F.col("_ws")
+                ),
+            ).cast("long").alias("quota"),
+        )
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        permuted_order(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        dom.join(F.broadcast(quotas), domain_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(id_col, domain_col, "sample_rank", "quota")
+    )

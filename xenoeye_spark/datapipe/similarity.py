@@ -560,3 +560,123 @@ def semantic_dedup(
     )
     out._xe_cached = assigned
     return out
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-dimension uniform scalar quantization (the int8 embedding
+    compression every large ANN store applies before indexing): corpus
+    min/max per dimension -> q_i = floor((v_i-mn_i)/(mx_i-mn_i)*L + .5)
+    with L = 2^bits - 1, plus the reconstruction MSE of the dequantized
+    vector — the quality gauge for choosing ``bits``.
+
+    Plan shape: one posexplode -> per-dim min/max (dim-count rows, two
+    shuffles over a key space of |dims|) -> one-row stats assembled as
+    arrays and joined back on a CONSTANT key (broadcast hash join, not a
+    nested-loop cross join) -> pure JVM transform/aggregate lambdas per
+    row. Everything after the tiny agg is a map: at 100 TB the cost is
+    one pass for stats + one pass to quantize.
+
+    floor(x + 0.5) instead of round(): identical half-up behavior in
+    Spark and DuckDB, so the oracle is bit-exact. Output: (id_col,
+    q_digest = md5 of the comma-joined codes, mse round(6), qmin, qmax).
+    """
+    levels = (1 << bits) - 1
+    v = F.col(vec_col).cast("array<double>")
+    dims = emb.select(F.posexplode(v).alias("_d", "_x"))
+    mm = (
+        dims.groupBy("_d")
+        .agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_d", "_mn", "_mx"))
+            ).alias("_s")
+        )
+        .select(
+            F.lit(1).alias("_k"),
+            F.transform("_s", lambda s: s["_mn"]).alias("_mns"),
+            F.transform("_s", lambda s: s["_mx"]).alias("_mxs"),
+        )
+    )
+    q = F.transform(
+        v,
+        lambda x, i: F.when(
+            F.element_at("_mxs", i + 1) > F.element_at("_mns", i + 1),
+            F.least(
+                F.lit(levels),
+                F.floor(
+                    (x - F.element_at("_mns", i + 1))
+                    / (F.element_at("_mxs", i + 1) - F.element_at("_mns", i + 1))
+                    * levels
+                    + 0.5
+                ),
+            ),
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+    deq_err = F.aggregate(
+        F.zip_with(
+            v,
+            F.transform(
+                F.col("_q"),
+                lambda qi, i: F.element_at("_mns", i + 1)
+                + qi * (F.element_at("_mxs", i + 1) - F.element_at("_mns", i + 1))
+                / levels,
+            ),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return (
+        emb.withColumn("_k", F.lit(1))
+        .join(F.broadcast(mm), "_k")
+        .withColumn("_q", q)
+        .select(
+            F.col(id_col),
+            F.md5(F.array_join(F.col("_q").cast("array<string>"), ","))
+            .alias("q_digest"),
+            F.round(deq_err / F.size(v), 6).alias("mse"),
+            F.array_min("_q").alias("qmin"),
+            F.array_max("_q").alias("qmax"),
+        )
+    )
+
+
+def random_projection(
+    emb: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``len(planes)`` output
+    dimensions (public JL lemma; the cheap front-end of every
+    billion-scale ANN/dedup pipeline). ``planes`` is a fixed (k x d)
+    matrix embedded as in-plan literals — no join, no shuffle, a pure
+    JVM fold per row; with a seeded matrix the oracle re-derives every
+    projection with list_inner_product.
+
+    Output: (id_col, p0..p{k-1}) each round(6).
+    """
+    p = np.asarray(planes, dtype=float)
+    v = F.col(vec_col).cast("array<double>")
+    cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ),
+            6,
+        ).alias(f"p{j}")
+        for j, row in enumerate(p)
+    ]
+    return emb.select(F.col(id_col), *cols)
