@@ -701,3 +701,81 @@ def test_asof_enrich_stream_matches_batch(spark, tmp_path):
     assert got_map[("a", 4.0)][1] == 10.0      # cross-batch state carry
     assert got_map[("b", 3.0)] == (None, None)  # no ref yet
     assert got_map[("a", 6.0)] == (None, None)  # beyond tolerance
+
+
+def test_kmv_distinct_stream_matches_batch(spark, tmp_path):
+    """Streaming windowed KMV == batch kmv_distinct on the same rows,
+    in BOTH regimes: a full sketch (estimate path) and an under-full
+    one (exact path). Finals fire via event-time timeout after the
+    watermark passes the window end; state is freed."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from xenoeye_spark.datapipe.ranking import kmv_distinct
+    from xenoeye_spark.streaming.kmv_stream import kmv_distinct_stream
+
+    WB = 1_700_000_040  # aligned: WB % 60 == 0, windows [WB, WB+60) ...
+    K = 4
+    batches = [
+        [("a", WB + 1.0, "apple banana cherry"), ("b", WB + 2.0, "x y")],
+        [("a", WB + 30.0, "banana date egg fig grape"),
+         ("a", WB + 70.0, "p q r")],          # window1; watermark -> WB+70
+        [("a", WB + 200.0, "z")],             # fires window0 finals
+        [("a", WB + 400.0, "zz")],            # fires window1 finals
+    ]
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "k string, ts double, text string")
+         .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+
+    stage = _tempfile.mkdtemp(prefix="kmv_src_")
+    ckpt = _tempfile.mkdtemp(prefix="kmv_ckpt_")
+    got: list = []
+    schema = "k string, ts timestamp, text string"
+    for i in range(len(batches)):
+        d = str(src / f"b{i}")
+        for f in _glob.glob(_os.path.join(d, "*.parquet")):
+            _shutil.copy(f, _os.path.join(stage, f"b{i}_" + _os.path.basename(f)))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(stage))
+        q = (kmv_distinct_stream(stream, "k", "ts", k=K,
+                                 window="60 seconds",
+                                 watermark_delay="0 seconds")
+             .writeStream.foreachBatch(
+                 lambda df, e: got.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    finals = {(r.window_start.timestamp(), r.k): r
+              for r in got if r.is_final}
+    # window0 (both keys), window1, and the WB+200 event's window all
+    # closed exactly once ("zz"'s window never does: nothing later)
+    assert set(finals) == {(float(WB), "a"), (float(WB), "b"),
+                           (float(WB + 60), "a"), (float(WB + 180), "a")}
+    assert sum(1 for r in got if r.is_final) == 4
+    # running rows preceded the finals for the spanning group
+    assert sum(1 for r in got
+               if not r.is_final and r.k == "a"
+               and r.window_start.timestamp() == WB) == 2
+
+    # batch twins, window by window
+    def batch_twin(rows):
+        df = spark.createDataFrame(rows, "k string, text string")
+        return {r.k: r for r in kmv_distinct(df, "k", k=K).collect()}
+
+    w0 = batch_twin([("a", "apple banana cherry"),
+                     ("a", "banana date egg fig grape"), ("b", "x y")])
+    f = finals[(float(WB), "a")]
+    assert f.kmv_estimate == w0["a"].kmv_estimate
+    assert f.n_sketch == K and w0["a"].n_distinct_exact == 7
+    assert f.n_rows == 8  # token occurrences folded in
+    fb = finals[(float(WB), "b")]
+    assert fb.kmv_estimate == w0["b"].kmv_estimate == 2.0
+    assert fb.n_sketch == w0["b"].n_distinct_exact == 2
+    w1 = batch_twin([("a", "p q r")])
+    f1 = finals[(float(WB + 60), "a")]
+    assert f1.kmv_estimate == w1["a"].kmv_estimate == 3.0

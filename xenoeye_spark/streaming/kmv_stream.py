@@ -1,0 +1,171 @@
+"""Streaming distinct-count per (event-time window, key) via the KMV
+sketch — the stream twin of ``datapipe.ranking.kmv_distinct``.
+
+The collector-world shape this serves is "distinct source hosts per
+monitoring window" (a scan/DDoS signal the reference's mfreq/fwm
+family approximates by frequency tables, monit-objects-fwm.c's
+windowed group-bys); the training-data shape is "distinct tokens per
+shard per hour". Exact streaming distinct needs state proportional to
+the vocabulary; the KMV sketch (Bar-Yossef et al. 2002, public) keeps
+the k smallest DISTINCT hash values per group — O(k) longs of state —
+and estimates |distinct| = (k-1) * P / h_k once full, exact while
+under-full (an under-full sketch IS the distinct hash set).
+
+Parity: hashes use the SAME 31-multiplier polynomial + Knuth mix as
+the batch operator, so for identical input rows the sketch minima —
+and therefore the estimate — match ``kmv_distinct`` bit-for-bit; the
+batch-equivalence test asserts exactly that in both the under-full
+(exact) and full (estimating) regimes.
+
+State & emission: keyed by (window_start, key); every micro-batch that
+touches a group emits a RUNNING row (``is_final=false``); when the
+event-time watermark passes the window end the group emits its FINAL
+row and frees its state (EventTimeTimeout). Downstream consumers keep
+the last row per group, or filter ``is_final``.
+
+Scale: state is <= k longs + 2 scalars per live (window, key) group,
+hash-partitioned across state stores; watermark bounds the number of
+live windows, so state is O(live_keys * k) regardless of stream
+history — the same bounded-state argument as dedup_stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from xenoeye_spark.datapipe.ranking import KMV_M, KMV_MIX, KMV_P
+from xenoeye_spark.datapipe.util import WS_TOKENS_SQL as _TOKENIZE
+
+_STATE_SCHEMA = "minima array<long>, n_rows long"
+
+
+def token_hashes(text_col: str) -> F.Column:
+    """The batch operator's deterministic token->hash expression
+    (31-multiplier char polynomial * Knuth mix, mod P) — shared so the
+    stream sketches exactly what ``kmv_distinct`` sketches."""
+    poly = (
+        "aggregate(transform(split(t, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * {KMV_M} + x) % {KMV_P})"
+    )
+    return F.expr(
+        f"transform({_TOKENIZE.format(c=text_col)}, "
+        f"t -> ({poly}) * {KMV_MIX} % {KMV_P})"
+    )
+
+
+def kmv_distinct_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    text_col: str = "text",
+    k: int = 256,
+    window: str = "60 seconds",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Windowed streaming distinct-token estimate.
+
+    Output rows: (window_start, key_col, kmv_k, n_sketch, kmv_estimate,
+    n_rows, is_final) — ``n_sketch`` is the sketch fill (== exact
+    distinct count while < k), ``kmv_estimate`` the same figure the
+    batch operator computes, ``n_rows`` the total (non-distinct) rows
+    folded in.
+    """
+    dur_parts = window.split()
+    if len(dur_parts) != 2 or dur_parts[1] not in (
+        "second", "seconds", "minute", "minutes", "hour", "hours"
+    ):
+        raise ValueError(f"unsupported window duration: {window!r}")
+    mult = {"second": 1, "minute": 60, "hour": 3600}[
+        dur_parts[1].rstrip("s")
+    ]
+    dur_ms = int(dur_parts[0]) * mult * 1000
+
+    key_type = stream.schema[key_col].dataType
+    out_schema = T.StructType([
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField(key_col, key_type),
+        T.StructField("kmv_k", T.LongType()),
+        T.StructField("n_sketch", T.LongType()),
+        T.StructField("kmv_estimate", T.DoubleType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("is_final", T.BooleanType()),
+    ])
+
+    def emit(wstart, key, minima: np.ndarray, n_rows: int, final: bool):
+        n_sketch = int(minima.size)
+        if n_sketch >= k:
+            est = round((k - 1) * float(KMV_P) / float(minima[k - 1]), 6)
+        else:
+            est = float(n_sketch)
+        return pd.DataFrame({
+            "window_start": [wstart],
+            key_col: [key],
+            "kmv_k": [k],
+            "n_sketch": [n_sketch],
+            "kmv_estimate": [est],
+            "n_rows": [n_rows],
+            "is_final": [final],
+        })
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wstart, kval = key
+        if state.hasTimedOut:
+            minima, n_rows = state.get
+            yield emit(wstart, kval, np.asarray(minima, dtype=np.int64),
+                       int(n_rows), True)
+            state.remove()
+            return
+        batch_hashes: list[np.ndarray] = []
+        n_new = 0
+        for p in pdfs:
+            if len(p):
+                batch_hashes.append(p["_h"].to_numpy(dtype=np.int64))
+                n_new += len(p)
+        if not n_new:
+            return
+        if state.exists:
+            old_minima, n_rows = state.get
+            parts = [np.asarray(old_minima, dtype=np.int64)] + batch_hashes
+        else:
+            n_rows = 0
+            parts = batch_hashes
+        minima = np.unique(np.concatenate(parts))[:k]
+        n_rows = int(n_rows) + n_new
+        state.update((minima.tolist(), n_rows))
+        # final row fires when the watermark passes the window end; a
+        # group fed by an in-watermark straggler AFTER the watermark
+        # already crossed its end must still set a FUTURE timestamp
+        # (setting one at/behind the watermark is an engine error)
+        wend_ms = int(pd.Timestamp(wstart).value // 1_000_000) + dur_ms
+        state.setTimeoutTimestamp(
+            max(wend_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield emit(wstart, kval, minima, n_rows, False)
+
+    hashed = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .select(
+            F.window(F.col(ts_col), window).getField("start")
+            .alias("window_start"),
+            F.col(ts_col),
+            F.col(key_col),
+            F.explode(token_hashes(text_col)).alias("_h"),
+        )
+    )
+    return hashed.groupBy("window_start", key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
