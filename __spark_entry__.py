@@ -2447,7 +2447,8 @@ SELECT doc_id, text_scrubbed, n_email, n_ipv4, n_phone,
 FROM c
 """)(*(rx for _, rx in _PII_PATTERNS)),
         # text_normalize: ctrl-strip -> whitespace-collapse -> trim ->
-        # lower -> md5, the same transform order.
+        # ASCII translate-fold -> md5, the same transform order (NOT
+        # lower(): full-Unicode lowering differs between engines).
         "text_normalize": r"""
 WITH m AS (
   SELECT doc_id,
@@ -2456,8 +2457,10 @@ WITH m AS (
   FROM documents
 ), n AS (
   SELECT doc_id,
-         lower(trim(regexp_replace(regexp_replace(text,
-           '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_text
+         translate(trim(regexp_replace(regexp_replace(text,
+           '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')),
+           'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+           'abcdefghijklmnopqrstuvwxyz') AS norm_text
   FROM m
 )
 SELECT doc_id, norm_text,

@@ -779,3 +779,108 @@ def test_kmv_distinct_stream_matches_batch(spark, tmp_path):
     w1 = batch_twin([("a", "p q r")])
     f1 = finals[(float(WB + 60), "a")]
     assert f1.kmv_estimate == w1["a"].kmv_estimate == 3.0
+
+
+def test_sessionize_stream_late_event_does_not_rewind_frontier(spark, tmp_path):
+    """Review fix: a late (in-watermark) event joining the current
+    session must not rewind last_ts; the next on-time event still
+    continues the session (batch sessionize agrees)."""
+    from xenoeye_spark.operators.temporal import sessionize
+    from xenoeye_spark.streaming.sessionize_stream import sessionize_stream
+
+    GAP = 1800
+    batches = [
+        [("a", BASE + 3600.0, 1.0)],
+        [("a", BASE + 0.0, 2.0)],               # late by 1h, within gap*2+wm
+        [("a", BASE + 3600.0 + 1200.0, 3.0)],   # 20 min after frontier
+    ]
+    dirs = _write_batches(spark, str(tmp_path / "in"), batches)
+    got: list = []
+
+    def build(stream, ckpt, out_rows):
+        sess = sessionize_stream(
+            stream, "k", "ts", gap_sec=GAP, tiebreak_col="v",
+            watermark_delay="4 hours",
+        )
+        return (
+            sess.writeStream.foreachBatch(
+                lambda df, e: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, got)
+
+    got_map = {r.v: r.session_seq for r in got}
+    # the late event is 1h before the frontier (> gap): it opens its own
+    # session ordinal in arrival order — but the on-time event 20 min
+    # after the FRONTIER must continue session 1, not measure its gap
+    # from the rewound late time (3600+1200-0 > gap would split)
+    assert got_map[1.0] == 1
+    assert got_map[3.0] == got_map[1.0]
+
+
+def test_asof_stream_exact_microseconds_with_unmatched_row(spark, tmp_path):
+    """Review fix: an unmatched left row makes the merged ref-ts column
+    float64; ts rebuild must stay integer-exact at microsecond scale
+    (float ns multiplication loses up to 1 us)."""
+    from xenoeye_spark.streaming.asof_stream import asof_enrich_stream
+
+    # ref at an odd microsecond (not a multiple of 32 us) near epoch 1.7e9
+    REF = BASE + 7.000013
+    batches = [
+        [("a", REF, 10.0, 0), ("a", BASE + 9.0, 1.0, 1),
+         ("b", BASE + 1.0, 2.0, 1)],            # no b-ref: unmatched -> NaN
+    ]
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "k string, ts double, v double, side int"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1) \
+            .write.parquet(str(src / f"b{i}"))
+
+    import tempfile as _tempfile
+    ckpt = _tempfile.mkdtemp(prefix="asof_us_ckpt_")
+    got: list = []
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("side", T.IntegerType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "b0")))
+    lefts = stream.filter(F.col("side") == 1).select("k", "ts", "v")
+    rights = stream.filter(F.col("side") == 0).select(
+        "k", "ts", F.col("v").alias("ref_v"))
+    out = asof_enrich_stream(lefts, rights, on="ts", by="k",
+                             value_cols=["ref_v"])
+    q = (out.writeStream.foreachBatch(lambda df, e: got.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    by_v = {r.v: r for r in got}
+    assert by_v[2.0].asof_on is None            # the NaN row
+    # exact microsecond equality, not 1-us-off
+    assert by_v[1.0].asof_on.timestamp() == round(REF, 6)
+    assert int(by_v[1.0].asof_on.microsecond) == 13
+
+
+def test_asof_stream_rejects_output_name_collision(spark):
+    """Review fix: left columns named asof_on / asof_<c> are rejected
+    instead of producing a duplicate-name schema."""
+    import pytest
+
+    from xenoeye_spark.streaming.asof_stream import asof_enrich_stream
+
+    left = spark.createDataFrame(
+        [("a", 1.0, 2.0)], "k string, ts double, asof_on double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("a", 1.0, 3.0)], "k string, ts double, ref_v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="collide with output names"):
+        asof_enrich_stream(left, right, on="ts", by="k",
+                           value_cols=["ref_v"])

@@ -32,6 +32,22 @@ KMV_P, KMV_M = 1_073_741_789, 31
 KMV_MIX = 2_654_435_761
 
 
+def kmv_token_hashes(text_col: str) -> "F.Column":
+    """The deterministic token->hash expression (31-multiplier char
+    polynomial * Knuth mix, mod P) — the ONE definition shared by batch
+    ``kmv_distinct`` and ``streaming.kmv_stream``, so the stream
+    sketches exactly what the batch operator sketches (and the DuckDB
+    oracle mirrors verbatim)."""
+    poly = (
+        "aggregate(transform(split(t, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * {KMV_M} + x) % {KMV_P})"
+    )
+    return F.expr(
+        f"transform({_TOKENIZE.format(c=text_col)}, "
+        f"t -> ({poly}) * {KMV_MIX} % {KMV_P})"
+    )
+
+
 def _toks(text_col: str):
     return ws_tokens(text_col)
 
@@ -171,16 +187,10 @@ def kmv_distinct(
     three times); long-lived sessions release it via
     ``result._xe_cached.unpersist()``.
     """
-    poly = (
-        "aggregate(transform(split(t, ''), ch -> ascii(ch)), 0L, "
-        f"(acc, x) -> (acc * {KMV_M} + x) % {KMV_P})"
-    )
-    tok_hashes = F.expr(
-        f"transform({_TOKENIZE.format(c=text_col)}, "
-        f"t -> ({poly}) * {KMV_MIX} % {KMV_P})"
-    )
     hashed = (
-        docs.select(F.col(group_col), F.explode(tok_hashes).alias("_h"))
+        docs.select(
+            F.col(group_col), F.explode(kmv_token_hashes(text_col)).alias("_h")
+        )
         .distinct()
     )
     from pyspark.sql import Window

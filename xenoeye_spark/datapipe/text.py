@@ -503,7 +503,7 @@ def pii_scrub(
     scrubbed = F.col(text_col)
     for name, rx in pats:
         scrubbed = F.regexp_replace(scrubbed, F.lit(rx), F.lit(f"<{name.upper()}>"))
-    out = docs.select(
+    out = spread(docs).select(
         F.col(id_col), scrubbed.alias("text_scrubbed"), *counts
     )
     total = sum(
@@ -531,7 +531,14 @@ def normalize_text(
     """
     t = F.regexp_replace(F.col(text_col), F.lit(r"[\x00-\x1F\x7F]"), F.lit(" "))
     t = F.regexp_replace(t, F.lit(r"\s+"), F.lit(" "))
-    t = F.lower(F.trim(t))
+    # ASCII-ONLY case fold (translate, not lower()): full-Unicode
+    # lowering is engine-dependent (Java simple mapping vs utf8proc —
+    # e.g. U+0130), which would break the cross-engine dedup-key promise
+    t = F.translate(
+        F.trim(t),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
     return docs.select(
         F.col(id_col),
         t.alias("norm_text"),
@@ -580,7 +587,7 @@ def chunk_documents(
         F.col("_toks"), F.col("chunk_id") * stride + 1, chunk
     )
     return (
-        docs.select(
+        spread(docs).select(
             F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
         )
         .filter(F.size("_toks") > 0)
@@ -624,7 +631,7 @@ def repetition_stats(
     form a single n-gram (dup_gram_frac/top_gram_frac) or empty docs
     (all fractions; such docs still appear, with zero counts).
     """
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
     )
     grams_col = F.when(
@@ -684,7 +691,6 @@ def repetition_stats(
 # URL extraction: scheme://host[/rest] — the host is everything up to
 # the first '/', '?', '#', or whitespace. Dialect-portable (no
 # lookaround/backrefs), mirrored verbatim by the DuckDB oracle.
-URL_RE = r"https?://[^\s/?#]+[^\s]*"
 URL_HOST_RE = r"https?://([^\s/?#]+)"
 
 
@@ -708,7 +714,7 @@ def url_domain_filter(
     blocked_domains is a sorted-distinct array of the offending
     domains. Docs with no URLs keep n_urls=0, keep=true.
     """
-    urls = docs.select(
+    urls = spread(docs).select(
         F.col(id_col),
         # NB: F.lit pattern, not F.expr — a SQL string literal would eat
         # the \s escape and silently skip hosts starting with 's'

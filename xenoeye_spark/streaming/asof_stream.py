@@ -69,6 +69,12 @@ def asof_enrich_stream(
         raise ValueError(f"{on!r} must be a timestamp column on both sides")
     if set(value_cols) & set(ltypes):
         raise ValueError("value_cols collide with left columns")
+    out_names = {"asof_on"} | {f"asof_{c}" for c in value_cols}
+    if out_names & set(ltypes):
+        raise ValueError(
+            f"left columns collide with output names: "
+            f"{sorted(out_names & set(ltypes))}"
+        )
     for c in value_cols:
         if not isinstance(rtypes[c].dataType, _SIMPLE_STATE_TYPES):
             raise ValueError(
@@ -167,8 +173,12 @@ def asof_enrich_stream(
                 for c in value_cols:
                     merged[c] = pd.Series(dtype="object")
             out = lefts[lcols].copy()
+            # _r_on_us becomes float64 whenever any row is unmatched
+            # (NaN); rebuild timestamps from INTEGER microseconds —
+            # multiplying to ns in float loses up to 1 us at epoch scale
             out["asof_on"] = pd.to_datetime(
-                merged["_r_on_us"] * 1_000, errors="coerce"
+                merged["_r_on_us"].astype("Int64"), unit="us",
+                errors="coerce",
             )
             for c in value_cols:
                 col = merged[c]

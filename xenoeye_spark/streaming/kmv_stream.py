@@ -41,24 +41,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from xenoeye_spark.datapipe.ranking import KMV_M, KMV_MIX, KMV_P
-from xenoeye_spark.datapipe.util import WS_TOKENS_SQL as _TOKENIZE
+from xenoeye_spark.datapipe.ranking import KMV_P, kmv_token_hashes
 
 _STATE_SCHEMA = "minima array<long>, n_rows long"
-
-
-def token_hashes(text_col: str) -> F.Column:
-    """The batch operator's deterministic token->hash expression
-    (31-multiplier char polynomial * Knuth mix, mod P) — shared so the
-    stream sketches exactly what ``kmv_distinct`` sketches."""
-    poly = (
-        "aggregate(transform(split(t, ''), ch -> ascii(ch)), 0L, "
-        f"(acc, x) -> (acc * {KMV_M} + x) % {KMV_P})"
-    )
-    return F.expr(
-        f"transform({_TOKENIZE.format(c=text_col)}, "
-        f"t -> ({poly}) * {KMV_MIX} % {KMV_P})"
-    )
 
 
 def kmv_distinct_stream(
@@ -159,7 +144,7 @@ def kmv_distinct_stream(
             .alias("window_start"),
             F.col(ts_col),
             F.col(key_col),
-            F.explode(token_hashes(text_col)).alias("_h"),
+            F.explode(kmv_token_hashes(text_col)).alias("_h"),
         )
     )
     return hashed.groupBy("window_start", key_col).applyInPandasWithState(

@@ -105,9 +105,14 @@ def sessionize_stream(
             if last_us is None or (t - last_us) > gap_us:
                 seq += 1
                 evseq = 1
+                last_us = int(t)
             else:
                 evseq += 1
-            last_us = int(t)
+                # a LATE (in-watermark) event joins the current session
+                # but must not rewind its frontier: otherwise the next
+                # on-time event measures its gap from the stale earlier
+                # time and spuriously opens a new session
+                last_us = max(last_us, int(t))
             seqs.append(seq)
             evseqs.append(evseq)
         state.update((last_us, seq, evseq))
