@@ -884,3 +884,112 @@ def test_asof_stream_rejects_output_name_collision(spark):
     with pytest.raises(ValueError, match="collide with output names"):
         asof_enrich_stream(left, right, on="ts", by="k",
                            value_cols=["ref_v"])
+
+
+def test_heavy_hitters_stream_mg_guarantees(spark, tmp_path):
+    """Streaming Misra-Gries == python mg_merge fold over the same
+    micro-batches, and the classic guarantee holds vs exact counts:
+    est <= true <= est + deficit, every item with true > deficit
+    present in the final summary."""
+    import collections
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from xenoeye_spark.streaming.topk_stream import (
+        heavy_hitters_stream, mg_merge,
+    )
+
+    WB = 1_700_000_040
+    K = 3
+    # skewed items: x dominates, y second, long tail of singletons
+    b1 = [("x", WB + 1.0)] * 6 + [("y", WB + 2.0)] * 3 + \
+         [(f"t{i}", WB + 3.0) for i in range(4)]
+    b2 = [("x", WB + 20.0)] * 5 + [("z", WB + 21.0)] * 4 + \
+         [(f"u{i}", WB + 22.0) for i in range(3)]
+    b3 = [("late", WB + 130.0)]     # window1; watermark -> closes window0
+    b4 = [("later", WB + 400.0)]    # closes window1
+    batches = [b1, b2, b3, b4]
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "item string, ts double")
+         .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+
+    stage = _tempfile.mkdtemp(prefix="hh_src_")
+    ckpt = _tempfile.mkdtemp(prefix="hh_ckpt_")
+    got: list = []
+    schema = "item string, ts timestamp"
+    for i in range(len(batches)):
+        for f in _glob.glob(_os.path.join(str(src / f"b{i}"), "*.parquet")):
+            _shutil.copy(f, _os.path.join(stage, f"b{i}_" + _os.path.basename(f)))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(stage))
+        q = (heavy_hitters_stream(stream, "item", "ts", k=K,
+                                  window="60 seconds",
+                                  watermark_delay="0 seconds")
+             .writeStream.foreachBatch(
+                 lambda df, e: got.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    finals = [r for r in got
+              if r.is_final and r.window_start.timestamp() == WB]
+    assert finals, "window0 never closed"
+    f_summary = {r.item: r.est_count for r in finals}
+    deficit = finals[0].deficit
+    n_rows = finals[0].n_rows
+
+    # python twin: same merge fold, batch by batch
+    summary, defc = {}, 0
+    for rows in batches[:2]:            # only window0 rows
+        cnt = collections.Counter(i for i, _ in rows)
+        summary, sub = mg_merge(summary, dict(cnt), K)
+        defc += sub
+    assert f_summary == summary
+    assert deficit == defc
+
+    true = collections.Counter(i for b in batches[:2] for i, _ in b)
+    assert n_rows == sum(true.values())
+    for item, est in f_summary.items():
+        assert est <= true[item] <= est + deficit, item
+    for item, c in true.items():
+        if c > deficit:
+            assert item in f_summary, (item, c, deficit)
+    # the two real heavy hitters survived
+    assert "x" in f_summary and f_summary["x"] >= true["x"] - deficit
+
+
+def test_heavy_hitters_stream_weighted(spark, tmp_path):
+    """Octets-weighted top talkers: weights drive the counts."""
+    import tempfile as _tempfile
+
+    from xenoeye_spark.streaming.topk_stream import heavy_hitters_stream
+
+    WB = 1_700_000_040
+    rows = [("a", WB + 1.0, 1000), ("b", WB + 2.0, 10),
+            ("c", WB + 3.0, 20), ("d", WB + 4.0, 30),
+            ("a", WB + 5.0, 500)]
+    src = tmp_path / "in"
+    (spark.createDataFrame(rows, "item string, ts double, octets long")
+     .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+     .write.parquet(str(src / "b0")))
+    ckpt = _tempfile.mkdtemp(prefix="hhw_ckpt_")
+    got: list = []
+    stream = (spark.readStream
+              .schema("item string, ts timestamp, octets long")
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "b0")))
+    q = (heavy_hitters_stream(stream, "item", "ts", k=2,
+                              window="60 seconds", weight_col="octets")
+         .writeStream.foreachBatch(lambda df, e: got.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    run = {r.item: r for r in got if not r.is_final}
+    # merge: a=1500, d=30, c=20, b=10 -> k=2 keeps counts above the
+    # 3rd-largest (20): a=1480, d=10; deficit=20
+    assert set(run) == {"a", "d"}
+    assert run["a"].est_count == 1480 and run["d"].est_count == 10
+    assert run["a"].deficit == 20 and run["a"].n_rows == 1560

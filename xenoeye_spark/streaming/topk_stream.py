@@ -1,0 +1,170 @@
+"""Streaming windowed heavy-hitters with O(k) state — the bounded-state
+scale path beside the exact streaming ``mfreq`` frequency table.
+
+The reference's frequency machinery (``mfreq``, filter.c:711-751; the
+fwm top-N window group-bys, monit-objects-fwm.c) keeps EXACT per-value
+counts — a 2^16 table there, a full groupBy here. For unbounded key
+domains (src addresses at carrier scale, tokens at corpus scale) exact
+counts need state proportional to the domain; the Misra-Gries summary
+(public; Misra & Gries 1982, merge rule from Agarwal et al., "Mergeable
+Summaries", PODS'12) keeps at most ``k`` (item, count) pairs and
+guarantees, after any stream prefix of n rows:
+
+    est(x) <= true(x) <= est(x) + deficit,   deficit <= n/(k+1)
+
+so every item with true count > deficit is PRESENT in the summary —
+the top-talkers contract the fwm windows want, at O(k) state.
+
+This implementation uses the MERGE form, not the per-row fold: each
+micro-batch's exact (small) count table merges into the state by
+summing counts and, when more than ``k`` items remain, subtracting the
+(k+1)-th largest count from all and dropping the non-positive. The
+merge form is deterministic REGARDLESS of row order within a batch —
+that is what makes the stream twin testable against a pure-python fold
+and independent of shuffle nondeterminism (the per-row fold's result
+depends on arrival order; the merge form's only on batch boundaries).
+
+State per (window, key-group): <= k items + counts + 2 scalars;
+emission mirrors kmv_stream — a running row set per touched group per
+micro-batch, finals on event-time timeout when the watermark passes
+the window end.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_STATE_SCHEMA = (
+    "items array<string>, counts array<long>, n_rows long, deficit long"
+)
+
+
+def mg_merge(
+    state: dict[str, int], batch: dict[str, int], k: int
+) -> tuple[dict[str, int], int]:
+    """Mergeable-summaries Misra-Gries merge: sum the two count maps;
+    if more than k items survive, subtract the (k+1)-th largest count
+    and keep the strictly positive. Returns (merged, subtracted) —
+    ``subtracted`` accumulates into the summary's error deficit.
+    Pure function; the stream op and the test twin both call it."""
+    merged = dict(state)
+    for it, c in batch.items():
+        merged[it] = merged.get(it, 0) + c
+    if len(merged) <= k:
+        return merged, 0
+    thresh = sorted(merged.values(), reverse=True)[k]
+    out = {it: c - thresh for it, c in merged.items() if c > thresh}
+    return out, thresh
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    item_col: str,
+    ts_col: str,
+    k: int = 64,
+    window: str = "60 seconds",
+    watermark_delay: str = "0 seconds",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Windowed Misra-Gries heavy hitters over ``item_col`` (optionally
+    weighted by ``weight_col`` — octets-weighted top talkers rather
+    than row counts).
+
+    Output: one row per summary item per emission —
+    (window_start, item, est_count, deficit, n_rows, is_final); the
+    true count of ``item`` lies in [est_count, est_count + deficit],
+    and any item whose window-true count exceeds ``deficit`` is
+    guaranteed present in the final summary.
+    """
+    dur_parts = window.split()
+    if len(dur_parts) != 2 or dur_parts[1] not in (
+        "second", "seconds", "minute", "minutes", "hour", "hours"
+    ):
+        raise ValueError(f"unsupported window duration: {window!r}")
+    mult = {"second": 1, "minute": 60, "hour": 3600}[
+        dur_parts[1].rstrip("s")
+    ]
+    dur_ms = int(dur_parts[0]) * mult * 1000
+
+    out_schema = T.StructType([
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("deficit", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("is_final", T.BooleanType()),
+    ])
+
+    def emit(wstart, summary: dict[str, int], n_rows: int,
+             deficit: int, final: bool) -> pd.DataFrame:
+        items = sorted(summary)  # deterministic row order per emission
+        return pd.DataFrame({
+            "window_start": [wstart] * len(items),
+            "item": items,
+            "est_count": [summary[i] for i in items],
+            "deficit": [deficit] * len(items),
+            "n_rows": [n_rows] * len(items),
+            "is_final": [final] * len(items),
+        })
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (wstart,) = key
+        if state.hasTimedOut:
+            items, counts, n_rows, deficit = state.get
+            yield emit(wstart, dict(zip(items, counts)), int(n_rows),
+                       int(deficit), True)
+            state.remove()
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        batch = pdf.groupby("_item")["_w"].sum().astype(int).to_dict()
+        n_new = int(pdf["_w"].sum())
+        if state.exists:
+            items, counts, n_rows, deficit = state.get
+            summary = dict(zip(items, counts))
+        else:
+            summary, n_rows, deficit = {}, 0, 0
+        summary, subtracted = mg_merge(summary, batch, k)
+        n_rows = int(n_rows) + n_new
+        deficit = int(deficit) + subtracted
+        state.update((
+            list(summary), [summary[i] for i in summary], n_rows, deficit
+        ))
+        wend_ms = int(pd.Timestamp(wstart).value // 1_000_000) + dur_ms
+        state.setTimeoutTimestamp(
+            max(wend_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield emit(wstart, summary, n_rows, deficit, False)
+
+    w = F.lit(1).cast("long") if weight_col is None else (
+        F.col(weight_col).cast("long")
+    )
+    prepped = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .select(
+            F.window(F.col(ts_col), window).getField("start")
+            .alias("window_start"),
+            F.col(ts_col),
+            F.col(item_col).cast("string").alias("_item"),
+            w.alias("_w"),
+        )
+    )
+    return prepped.groupBy("window_start").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
