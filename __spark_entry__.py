@@ -1194,6 +1194,26 @@ def q_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per doc, with planted low-entropy
+    (repeated-char) and high-entropy (full-alphabet) tails so the
+    filterable band is visible; sorted-distinct fold order makes the
+    oracle's float sum bit-identical."""
+    from xenoeye_spark.datapipe.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" zzzzzzzzzzzzzzzzzzzz"))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit(" abcdefghijklmnopqrstuvwxyz0123456789"))
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return char_entropy(planted)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1277,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize": q_quantize,
         "rand_proj": q_rand_proj,
         "temperature": q_temperature,
+        "char_entropy": q_char_entropy,
     }
 
 
@@ -2685,5 +2706,34 @@ SELECT r.doc_id, r.domain, CAST(r.sample_rank AS BIGINT) AS sample_rank,
        q.quota
 FROM r JOIN q USING (domain)
 WHERE r.sample_rank <= q.quota
+""",
+        # char_entropy: same planted tails; sorted-distinct fold order
+        # makes the -sum(p log2 p) bit-identical before round(6).
+        "char_entropy": r"""
+WITH p AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 5 = 0 THEN ' zzzzzzzzzzzzzzzzzzzz'
+         WHEN doc_id % 5 = 1 THEN ' abcdefghijklmnopqrstuvwxyz0123456789'
+         ELSE '' END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ''), x -> x != '') AS chs
+  FROM p
+), d AS (
+  SELECT doc_id, chs, len(chs) AS n,
+         list_sort(list_distinct(chs)) AS dset
+  FROM c
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       CAST(len(dset) AS BIGINT) AS n_distinct_chars,
+       CASE WHEN n > 0 THEN
+         round(-list_sum(list_transform(dset, ch ->
+           (CAST(len(list_filter(chs, x -> x = ch)) AS DOUBLE) / n)
+           * log2(CAST(len(list_filter(chs, x -> x = ch)) AS DOUBLE) / n)
+         )), 6) + 0.0
+       ELSE 0.0 END AS entropy_bits
+FROM d
 """,
     }

@@ -104,7 +104,6 @@ def test_semantic_dedup_matches_python_twin(spark):
     assert out[0].keep  # the lowest id of its cluster has no witness
     assert out[200].cell != out[201].cell
     assert out[200].keep and out[201].keep
-    sdf._xe_cached.unpersist()
 
 
 def test_chunk_documents_windows(spark):
@@ -249,3 +248,25 @@ def test_temperature_resample_quotas(spark):
     assert cnt["big"] == 20 and cnt["small"] == 2
     with pytest.raises(ValueError):
         temperature_resample(df, "domain", alpha=0.0)
+
+
+def test_char_entropy_matches_python(spark):
+    import collections
+    import math
+
+    from xenoeye_spark.datapipe.text import char_entropy
+
+    texts = ["aaaa", "abab", "", "the quick brown fox", "a1b2!c3 d4"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {r.doc_id: r for r in char_entropy(docs).collect()}
+    for i, t in enumerate(texts):
+        cnt = collections.Counter(t)
+        n = len(t)
+        h = -sum(v / n * math.log2(v / n) for v in cnt.values()) if n else 0.0
+        assert got[i].n_chars == n
+        assert got[i].n_distinct_chars == len(cnt)
+        assert abs(got[i].entropy_bits - round(h, 6)) <= 2e-6, i
+    # uniform-char doc is exactly zero, not -0.0
+    assert got[0].entropy_bits == 0.0 and str(got[0].entropy_bits) == "0.0"

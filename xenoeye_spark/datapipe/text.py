@@ -757,3 +757,59 @@ def url_domain_filter(
         .withColumn("keep", F.col("n_blocked") == 0)
         .select(id_col, "n_urls", "n_blocked", "keep", "blocked_domains")
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the cheap
+    compression-proxy quality signal: binary junk and base64 blobs sit
+    near 6 bits, repeated-character spam near 0, natural language ~4.
+    Standard corpus-filter feature (the entropy band is the filter).
+
+    Pure higher-order expressions, no shuffle, no Python: chars ->
+    per-char counts via aggregate over the distinct char set (bounded
+    by the alphabet actually present per doc; O(distinct * len) per row
+    but both are document-local). The whole computation is re-derivable
+    in SQL, so the oracle recomputes every entropy bit-for-bit after a
+    round(6).
+
+    Output: (id_col, n_chars, n_distinct_chars, entropy_bits). Empty
+    docs: 0 chars, 0.0 entropy.
+    """
+    chars = F.split(F.col(text_col), "")
+    # split('') yields a trailing empty element on some engines; drop ""
+    chars = F.filter(chars, lambda c: c != "")
+    # SORTED distinct set: the float fold visits terms in the same order
+    # on any engine, so the oracle's sum is bit-identical before round(6)
+    distinct = F.array_sort(F.array_distinct(F.col("_chars")))
+    n = F.size(F.col("_chars"))
+    # p_c = count(c)/n; H = -sum p log2 p
+    ent = F.when(
+        n > 0,
+        F.round(
+            -F.aggregate(
+                F.transform(
+                    distinct,
+                    lambda c: F.size(
+                        F.filter(F.col("_chars"), lambda x: x == c)
+                    ).cast("double") / n,
+                ),
+                F.lit(0.0),
+                lambda acc, p: acc + p * F.log2(p),
+            ),
+            6,
+        ) + F.lit(0.0),  # normalize -0.0 -> 0.0
+    ).otherwise(F.lit(0.0))
+    return (
+        spread(docs)
+        .select(F.col(id_col), chars.alias("_chars"))
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_chars"),
+            F.size(distinct).cast("long").alias("n_distinct_chars"),
+            ent.alias("entropy_bits"),
+        )
+    )
