@@ -1214,6 +1214,20 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(planted)
 
 
+def q_best_of_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per duplicate class: dedup_groups'
+    connected components re-keyed to the HIGHEST-quality member
+    (text_stats composite, ties -> lowest id) via one max_by-struct agg.
+    The oracle recomputes closure + quality + argmax independently."""
+    from xenoeye_spark.datapipe.graph import best_of_class
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2500)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.35)
+    members = dedup_groups(pairs).select("doc_id", "keep_id")
+    scores = text_stats(docs).select("doc_id", "quality_score")
+    return best_of_class(members, scores)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1298,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rand_proj": q_rand_proj,
         "temperature": q_temperature,
         "char_entropy": q_char_entropy,
+        "best_of_class": q_best_of_class,
     }
 
 
@@ -2735,5 +2750,59 @@ SELECT doc_id,
          )), 6) + 0.0
        ELSE 0.0 END AS entropy_bits
 FROM d
+""",
+        # best_of_class: the dedup_groups closure + the text_stats
+        # quality formula + a rounded-score argmax (ties -> lowest id),
+        # all re-derived.
+        "best_of_class": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+           AS t,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g'))
+           AS n_punct
+  FROM documents WHERE doc_id < 2500
+), sh AS (
+  SELECT doc_id, {shingles} AS s FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
+        ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) END >= 0.35
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v != r.u
+), rep AS (
+  SELECT u AS doc_id, least(u, min(v)) AS keep_id FROM reach GROUP BY u
+), q AS (
+  SELECT doc_id,
+         round(least(len(t) / 100.0, 1.0) * 0.4
+               + (1.0 - least(CASE WHEN n_chars > 0
+                    THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END
+                    * 5.0, 1.0)) * 0.3
+               + least(CASE WHEN len(t) > 0 THEN
+                    CAST(len(list_filter(t, x -> lower(x) IN ({stop_en})))
+                         AS DOUBLE) / len(t)
+                    ELSE 0 END * 5.0, 1.0) * 0.3, 6) AS quality_score
+  FROM toks
+), ranked AS (
+  SELECT r.keep_id, r.doc_id, q.quality_score,
+         count(*) OVER (PARTITION BY r.keep_id) AS n_members,
+         row_number() OVER (
+           PARTITION BY r.keep_id
+           ORDER BY q.quality_score DESC, r.doc_id ASC
+         ) AS rn
+  FROM rep r JOIN q USING (doc_id)
+)
+SELECT keep_id, doc_id AS rep_id, quality_score AS rep_score,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
 """,
     }

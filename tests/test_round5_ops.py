@@ -270,3 +270,21 @@ def test_char_entropy_matches_python(spark):
         assert abs(got[i].entropy_bits - round(h, 6)) <= 2e-6, i
     # uniform-char doc is exactly zero, not -0.0
     assert got[0].entropy_bits == 0.0 and str(got[0].entropy_bits) == "0.0"
+
+
+def test_best_of_class_argmax(spark):
+    from xenoeye_spark.datapipe.graph import best_of_class
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, keep_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "doc_id long, quality_score double",
+    )
+    got = {r.keep_id: r for r in best_of_class(members, scores).collect()}
+    # class 1: 2 and 3 tie at 0.9 -> lowest id 2 wins
+    assert (got[1].rep_id, got[1].rep_score, got[1].n_members) == (2, 0.9, 3)
+    # class 10: tie -> 10
+    assert (got[10].rep_id, got[10].n_members) == (10, 2)

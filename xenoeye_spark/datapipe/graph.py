@@ -187,3 +187,52 @@ def dedup_groups(
     )
     out._xe_cached = getattr(cc, "_xe_cached", None)
     return out
+
+
+def best_of_class(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    class_col: str = "keep_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Representative selection per duplicate class: instead of
+    lowest-id-wins (``dedup_groups``'s keep_id), keep the member with
+    the BEST ``score_col`` (ties -> lowest id, so selection stays
+    deterministic). This is what a curation pipeline actually ships:
+    the class survivor should be the best-quality copy, not the one
+    with the smallest ingest id.
+
+    ``members``: (id_col, class_col) — e.g. ``dedup_groups`` output.
+    ``scores``: (id_col, score_col) — e.g. ``text_stats``.
+
+    Plan: one equi-join on id, then ONE max_by-struct aggregation per
+    class — map-side combinable, no window, so a mega-class collapses
+    per task instead of sorting on a single reducer (the same no-window
+    shape as segment_dedup's first-occurrence resolution).
+
+    Output: (class_col, rep_id, rep_score, n_members).
+    """
+    joined = members.join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    # max on (score, -id): best score wins, ties -> smaller id
+    pick = F.max(
+        F.struct(
+            F.col(score_col).alias("_s"),
+            (-F.col(id_col)).alias("_negid"),
+        )
+    )
+    return (
+        joined.groupBy(class_col)
+        .agg(
+            pick.alias("_w"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            F.col(class_col),
+            (-F.col("_w._negid")).alias("rep_id"),
+            F.col("_w._s").alias("rep_score"),
+            "n_members",
+        )
+    )
