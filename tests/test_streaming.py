@@ -993,3 +993,69 @@ def test_heavy_hitters_stream_weighted(spark, tmp_path):
     assert set(run) == {"a", "d"}
     assert run["a"].est_count == 1480 and run["d"].est_count == 10
     assert run["a"].deficit == 20 and run["a"].n_rows == 1560
+
+
+def test_bottomk_sample_stream_matches_stratified(spark, tmp_path):
+    """Streaming bottom-k final sample per (window, group) == batch
+    stratified_sample on the same rows (same permuted-order criterion),
+    including cross-batch candidate replacement and id dedup."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from xenoeye_spark.datapipe.sampling import stratified_sample
+    from xenoeye_spark.streaming.sample_stream import bottomk_sample_stream
+
+    WB = 1_700_000_040
+    K = 5
+    # group g0: 20 ids over two batches (incl. a duplicate delivery of
+    # id 3); group g1: 3 ids (under-full)
+    b1 = [("g0", WB + 1.0, i) for i in range(10)] + \
+         [("g1", WB + 2.0, 100 + i) for i in range(3)]
+    b2 = [("g0", WB + 30.0, 10 + i) for i in range(10)] + \
+         [("g0", WB + 31.0, 3)]
+    b3 = [("g0", WB + 70.0, 999)]     # window1: watermark passes window0
+    b4 = [("g0", WB + 400.0, 998)]    # closes window1 + b3's window
+    batches = [b1, b2, b3, b4]
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "k string, ts double, doc_id long")
+         .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+
+    stage = _tempfile.mkdtemp(prefix="bk_src_")
+    ckpt = _tempfile.mkdtemp(prefix="bk_ckpt_")
+    got: list = []
+    for i in range(len(batches)):
+        for f in _glob.glob(_os.path.join(str(src / f"b{i}"), "*.parquet")):
+            _shutil.copy(f, _os.path.join(stage, f"b{i}_" + _os.path.basename(f)))
+        stream = (spark.readStream
+                  .schema("k string, ts timestamp, doc_id long")
+                  .option("maxFilesPerTrigger", "1").parquet(stage))
+        q = (bottomk_sample_stream(stream, "k", "ts", "doc_id", k=K,
+                                   window="60 seconds",
+                                   watermark_delay="0 seconds")
+             .writeStream.foreachBatch(
+                 lambda df, e: got.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    finals = [r for r in got
+              if r.is_final and r.window_start.timestamp() == WB]
+    by_group: dict = {}
+    for r in finals:
+        by_group.setdefault(r.k, {})[r.doc_id] = r.sample_rank
+
+    # batch twin over window0 rows (dedup deliveries like the stream)
+    w0_rows = list({(g, i) for g, t, i in b1 + b2 if t < WB + 60})
+    bdf = spark.createDataFrame(w0_rows, "k string, doc_id long")
+    want: dict = {}
+    for r in stratified_sample(bdf, "k", K, id_col="doc_id").collect():
+        want.setdefault(r.k, {})[r.doc_id] = r.sample_rank
+    assert by_group == want
+    assert len(by_group["g0"]) == K and len(by_group["g1"]) == 3
+    # n_rows counts deliveries (21 for g0: 10 + 10 + dup)
+    g0_final = [r for r in finals if r.k == "g0"][0]
+    assert g0_final.n_rows == 21

@@ -1,0 +1,147 @@
+"""Streaming per-(window, group) uniform sampling with O(k) state —
+the stream twin of ``datapipe.sampling.stratified_sample``.
+
+A classic reservoir sample is RNG-driven and order-dependent; this is
+the DETERMINISTIC bottom-k variant (public technique; Cohen & Kaplan's
+bottom-k sketches): keep the k rows whose permuted-id hash is smallest.
+The selection criterion is EXACTLY ``stratified_sample``'s rank key
+((id * A + B) mod 2^31-1, ties impossible for distinct in-domain ids),
+so for the same rows the stream's final sample equals the batch
+operator's row-for-row — the batch-equivalence test asserts set
+equality per window/group.
+
+Bottom-k is order-free and mergeable (union the candidate sets, keep
+the k smallest), so micro-batch boundaries and shuffle order cannot
+change the result — same determinism argument as the KMV sketch
+(``kmv_stream``), which is the same structure over a different value.
+
+State per (window, group): <= k (hash, id) pairs + 1 scalar; finals on
+event-time timeout when the watermark passes the window end, running
+rows each touched micro-batch — the kmv_stream emission contract.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from xenoeye_spark.datapipe.sampling import permuted_order
+
+_STATE_SCHEMA = "hashes array<long>, ids array<long>, n_rows long"
+
+
+def bottomk_sample_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    k: int = 100,
+    window: str = "60 seconds",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Windowed deterministic k-sample per group.
+
+    Output rows (one per SAMPLED id per emission): (window_start,
+    key_col, id_col, sample_rank, n_rows, is_final) — ``sample_rank``
+    is 1-based in hash order, identical to ``stratified_sample``'s
+    rank for the same rows.
+    """
+    dur_parts = window.split()
+    if len(dur_parts) != 2 or dur_parts[1] not in (
+        "second", "seconds", "minute", "minutes", "hour", "hours"
+    ):
+        raise ValueError(f"unsupported window duration: {window!r}")
+    mult = {"second": 1, "minute": 60, "hour": 3600}[
+        dur_parts[1].rstrip("s")
+    ]
+    dur_ms = int(dur_parts[0]) * mult * 1000
+
+    key_type = stream.schema[key_col].dataType
+    out_schema = T.StructType([
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField(key_col, key_type),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("sample_rank", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("is_final", T.BooleanType()),
+    ])
+
+    def emit(wstart, kval, hashes, ids, n_rows, final):
+        order = np.argsort(hashes, kind="stable")
+        return pd.DataFrame({
+            "window_start": [wstart] * len(ids),
+            key_col: [kval] * len(ids),
+            id_col: np.asarray(ids)[order],
+            "sample_rank": np.arange(1, len(ids) + 1, dtype=np.int64),
+            "n_rows": [n_rows] * len(ids),
+            "is_final": [final] * len(ids),
+        })
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wstart, kval = key
+        if state.hasTimedOut:
+            hashes, ids, n_rows = state.get
+            yield emit(wstart, kval, np.asarray(hashes, dtype=np.int64),
+                       np.asarray(ids, dtype=np.int64), int(n_rows), True)
+            state.remove()
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if state.exists:
+            hashes, ids, n_rows = state.get
+            h = np.concatenate([
+                np.asarray(hashes, dtype=np.int64),
+                pdf["_h"].to_numpy(dtype=np.int64),
+            ])
+            i = np.concatenate([
+                np.asarray(ids, dtype=np.int64),
+                pdf["_id"].to_numpy(dtype=np.int64),
+            ])
+        else:
+            n_rows = 0
+            h = pdf["_h"].to_numpy(dtype=np.int64)
+            i = pdf["_id"].to_numpy(dtype=np.int64)
+        # distinct ids: the permutation is a bijection, so dedup on hash
+        h, uniq_idx = np.unique(h, return_index=True)
+        i = i[uniq_idx]
+        if h.size > k:
+            keep = np.argsort(h, kind="stable")[:k]
+            keep.sort()
+            h, i = h[keep], i[keep]
+        n_rows = int(n_rows) + len(pdf)
+        state.update((h.tolist(), i.tolist(), n_rows))
+        wend_ms = int(pd.Timestamp(wstart).value // 1_000_000) + dur_ms
+        state.setTimeoutTimestamp(
+            max(wend_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield emit(wstart, kval, h, i, n_rows, False)
+
+    prepped = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .select(
+            F.window(F.col(ts_col), window).getField("start")
+            .alias("window_start"),
+            F.col(ts_col),
+            F.col(key_col),
+            F.col(id_col).cast("long").alias("_id"),
+            permuted_order(id_col).alias("_h"),
+        )
+    )
+    return prepped.groupBy("window_start", key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
