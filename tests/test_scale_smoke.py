@@ -152,3 +152,72 @@ def test_kmv_prefilter_1m_tokens_per_group(spark):
     assert rows["1"].n_distinct_exact == 500_000
     for r in rows.values():
         assert abs(r.kmv_estimate - r.n_distinct_exact) / r.n_distinct_exact < 0.2
+
+
+def test_semdedup_20k_vectors(spark):
+    """20k synthetic 32-dim vectors over 16 cells through the per-cell
+    matmul kernel: ~25M sims in BLAS tiles; the pre-rewrite pairwise
+    join would ship 25M 2x32-double rows through a pandas UDF."""
+    import numpy as np
+
+    from xenoeye_spark.datapipe.similarity import semantic_dedup
+
+    emb = spark.range(20_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda i: F.sin(F.col("id") * (i + 1)),
+        ).alias("embedding"),
+    )
+    cents = np.random.RandomState(0).normal(size=(16, 32))
+    out = semantic_dedup(emb, cents, threshold=0.995)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    ).collect()[0]
+    assert stats.n == 20_000
+    assert 0 < stats.kept <= 20_000
+
+
+def test_chunk_documents_200k_docs(spark):
+    """200k synthetic ~60-token docs -> ~600k overlapping chunks; the
+    explode is narrow (no shuffle) so this is a pure map-throughput
+    check."""
+    from xenoeye_spark.datapipe.text import chunk_documents
+
+    docs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda i: F.concat(F.lit("w"), ((F.col("id") + i) % 1000)
+                                   .cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    n = chunk_documents(docs, chunk=32, stride=24).count()
+    # 60 tokens, starts 0/24/48 -> 3 chunks per doc
+    assert n == 600_000
+
+
+def test_repetition_stats_100k_docs(spark):
+    """100k docs through the (doc, gram) shuffle — the per-doc key means
+    corpus-popular grams cannot skew a reducer; completion is the
+    assertion."""
+    from xenoeye_spark.datapipe.text import repetition_stats
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma alpha beta gamma tail"),
+            (F.col("id") % 97).cast("string"),
+        ).alias("text"),
+    )
+    out = repetition_stats(docs, n=3)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("dup_gram_frac").alias("mn"),
+    ).collect()[0]
+    assert stats.n == 100_000
+    assert stats.mn > 0.0  # the planted repetition is everywhere
