@@ -1059,3 +1059,69 @@ def test_bottomk_sample_stream_matches_stratified(spark, tmp_path):
     # n_rows counts deliveries (21 for g0: 10 + 10 + dup)
     g0_final = [r for r in finals if r.k == "g0"][0]
     assert g0_final.n_rows == 21
+
+
+def test_bottomk_sample_stream_hash_collision_keeps_both(spark, tmp_path):
+    """Review fix: ids exactly 2^31-1 apart collide under the mod-P
+    permutation; BOTH must survive (batch keeps both via the id
+    tiebreak), ranked adjacently by id."""
+    import tempfile as _tempfile
+
+    from xenoeye_spark.datapipe.sampling import stratified_sample
+    from xenoeye_spark.streaming.sample_stream import bottomk_sample_stream
+
+    WB = 1_700_000_040
+    P = (1 << 31) - 1
+    ids = [5, 5 + P, 17, 40]
+    rows = [("g", WB + 1.0, i) for i in ids]
+    src = tmp_path / "in"
+    (spark.createDataFrame(rows, "k string, ts double, doc_id long")
+     .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+     .write.parquet(str(src / "b0")))
+    ckpt = _tempfile.mkdtemp(prefix="bkc_ckpt_")
+    got: list = []
+    stream = (spark.readStream.schema("k string, ts timestamp, doc_id long")
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "b0")))
+    q = (bottomk_sample_stream(stream, "k", "ts", "doc_id", k=4,
+                               window="60 seconds")
+         .writeStream.foreachBatch(lambda df, e: got.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    run = {r.doc_id: r.sample_rank for r in got if not r.is_final}
+    assert set(run) == set(ids)          # the colliding pair BOTH kept
+    want = {r.doc_id: r.sample_rank for r in stratified_sample(
+        spark.createDataFrame([("g", i) for i in ids], "k string, doc_id long"),
+        "k", 4, id_col="doc_id").collect()}
+    assert run == want
+    assert run[5] + 1 == run[5 + P]      # tie ranked by id, adjacent
+
+
+def test_heavy_hitters_stream_null_items_excluded(spark, tmp_path):
+    """Review fix: NULL items are excluded BEFORE the stateful op, so
+    n_rows matches the summarized universe (pandas groupby would drop
+    the None key but its weight previously inflated n_rows)."""
+    import tempfile as _tempfile
+
+    from xenoeye_spark.streaming.topk_stream import heavy_hitters_stream
+
+    WB = 1_700_000_040
+    rows = [("a", WB + 1.0), (None, WB + 2.0), ("a", WB + 3.0),
+            (None, WB + 4.0), ("b", WB + 5.0)]
+    src = tmp_path / "in"
+    (spark.createDataFrame(rows, "item string, ts double")
+     .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+     .write.parquet(str(src / "b0")))
+    ckpt = _tempfile.mkdtemp(prefix="hhn_ckpt_")
+    got: list = []
+    stream = (spark.readStream.schema("item string, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "b0")))
+    q = (heavy_hitters_stream(stream, "item", "ts", k=4,
+                              window="60 seconds")
+         .writeStream.foreachBatch(lambda df, e: got.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    run = {r.item: r for r in got if not r.is_final}
+    assert set(run) == {"a", "b"}
+    assert run["a"].est_count == 2 and run["a"].n_rows == 3  # not 5

@@ -542,12 +542,18 @@ def semantic_dedup(
         pdf = pdf.sort_values(id_col, kind="mergesort")
         m = np.array(pdf["_v"].tolist(), dtype=np.float64)
         n = len(pdf)
+        # dot / (|a||b|), NOT normalize-then-dot: the same float shape
+        # as _cos_rows_udf and the oracle's cosine, so a value near a
+        # 6-digit rounding boundary evaluates the same way everywhere
+        # (a zero-norm row's dots are all 0.0, so 0/1 scores 0.0)
         norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-        mn = m / np.where(norms == 0.0, 1.0, norms)[:, None]
+        denom = np.where(norms == 0.0, 1.0, norms)
         n_dups = np.zeros(n, dtype=np.int64)
         for j0 in range(0, n, tile_rows):
             j1 = min(j0 + tile_rows, n)
-            sims = np.round(mn[j0:j1] @ mn.T, 6)
+            sims = np.round(
+                (m[j0:j1] @ m.T) / np.outer(denom[j0:j1], denom), 6
+            )
             # lower-id witnesses only: mask i >= j
             for dj in range(j1 - j0):
                 row = sims[dj, : j0 + dj]

@@ -783,8 +783,11 @@ def char_entropy(
     # split('') yields a trailing empty element on some engines; drop ""
     chars = F.filter(chars, lambda c: c != "")
     # SORTED distinct set: the float fold visits terms in the same order
-    # on any engine, so the oracle's sum is bit-identical before round(6)
-    distinct = F.array_sort(F.array_distinct(F.col("_chars")))
+    # on any engine, so the oracle's sum is bit-identical before round(6).
+    # Materialized as a COLUMN (_dset): Catalyst does not CSE across
+    # higher-order lambda boundaries, so inlining it would sort+dedup
+    # every document's char array twice.
+    distinct = F.col("_dset")
     n = F.size(F.col("_chars"))
     # p_c = count(c)/n; H = -sum p log2 p
     ent = F.when(
@@ -806,6 +809,9 @@ def char_entropy(
     return (
         spread(docs)
         .select(F.col(id_col), chars.alias("_chars"))
+        .withColumn(
+            "_dset", F.array_sort(F.array_distinct(F.col("_chars")))
+        )
         .select(
             F.col(id_col),
             n.cast("long").alias("n_chars"),

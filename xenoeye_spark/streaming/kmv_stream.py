@@ -42,6 +42,9 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from xenoeye_spark.datapipe.ranking import KMV_P, kmv_token_hashes
+from xenoeye_spark.streaming.wutil import (
+    session_timezone, set_window_timeout, window_duration_ms,
+)
 
 _STATE_SCHEMA = "minima array<long>, n_rows long"
 
@@ -63,15 +66,8 @@ def kmv_distinct_stream(
     batch operator computes, ``n_rows`` the total (non-distinct) rows
     folded in.
     """
-    dur_parts = window.split()
-    if len(dur_parts) != 2 or dur_parts[1] not in (
-        "second", "seconds", "minute", "minutes", "hour", "hours"
-    ):
-        raise ValueError(f"unsupported window duration: {window!r}")
-    mult = {"second": 1, "minute": 60, "hour": 3600}[
-        dur_parts[1].rstrip("s")
-    ]
-    dur_ms = int(dur_parts[0]) * mult * 1000
+    dur_ms = window_duration_ms(window)
+    tz = session_timezone(stream)
 
     key_type = stream.schema[key_col].dataType
     out_schema = T.StructType([
@@ -127,14 +123,7 @@ def kmv_distinct_stream(
         minima = np.unique(np.concatenate(parts))[:k]
         n_rows = int(n_rows) + n_new
         state.update((minima.tolist(), n_rows))
-        # final row fires when the watermark passes the window end; a
-        # group fed by an in-watermark straggler AFTER the watermark
-        # already crossed its end must still set a FUTURE timestamp
-        # (setting one at/behind the watermark is an engine error)
-        wend_ms = int(pd.Timestamp(wstart).value // 1_000_000) + dur_ms
-        state.setTimeoutTimestamp(
-            max(wend_ms, state.getCurrentWatermarkMs() + 1)
-        )
+        set_window_timeout(state, wstart, dur_ms, tz)
         yield emit(wstart, kval, minima, n_rows, False)
 
     hashed = (

@@ -4,11 +4,13 @@ the stream twin of ``datapipe.sampling.stratified_sample``.
 A classic reservoir sample is RNG-driven and order-dependent; this is
 the DETERMINISTIC bottom-k variant (public technique; Cohen & Kaplan's
 bottom-k sketches): keep the k rows whose permuted-id hash is smallest.
-The selection criterion is EXACTLY ``stratified_sample``'s rank key
-((id * A + B) mod 2^31-1, ties impossible for distinct in-domain ids),
-so for the same rows the stream's final sample equals the batch
-operator's row-for-row — the batch-equivalence test asserts set
-equality per window/group.
+The selection criterion is EXACTLY ``stratified_sample``'s rank key:
+(id * A + B) mod 2^31-1 ascending, id ascending on hash ties — two
+distinct ids exactly 2^31-1 apart DO collide under the mod-P
+permutation over the [0, 2^32) id domain, and both survive here like
+the batch window's id tiebreak keeps both. For the same rows the
+stream's final sample equals the batch operator's row-for-row — the
+batch-equivalence test asserts set equality per window/group.
 
 Bottom-k is order-free and mergeable (union the candidate sets, keep
 the k smallest), so micro-batch boundaries and shuffle order cannot
@@ -33,6 +35,9 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from xenoeye_spark.datapipe.sampling import permuted_order
+from xenoeye_spark.streaming.wutil import (
+    session_timezone, set_window_timeout, window_duration_ms,
+)
 
 _STATE_SCHEMA = "hashes array<long>, ids array<long>, n_rows long"
 
@@ -53,15 +58,8 @@ def bottomk_sample_stream(
     is 1-based in hash order, identical to ``stratified_sample``'s
     rank for the same rows.
     """
-    dur_parts = window.split()
-    if len(dur_parts) != 2 or dur_parts[1] not in (
-        "second", "seconds", "minute", "minutes", "hour", "hours"
-    ):
-        raise ValueError(f"unsupported window duration: {window!r}")
-    mult = {"second": 1, "minute": 60, "hour": 3600}[
-        dur_parts[1].rstrip("s")
-    ]
-    dur_ms = int(dur_parts[0]) * mult * 1000
+    dur_ms = window_duration_ms(window)
+    tz = session_timezone(stream)
 
     key_type = stream.schema[key_col].dataType
     out_schema = T.StructType([
@@ -74,7 +72,8 @@ def bottomk_sample_stream(
     ])
 
     def emit(wstart, kval, hashes, ids, n_rows, final):
-        order = np.argsort(hashes, kind="stable")
+        # (hash, id) order — hash ties rank by id, like the batch window
+        order = np.lexsort((ids, hashes))
         return pd.DataFrame({
             "window_start": [wstart] * len(ids),
             key_col: [kval] * len(ids),
@@ -112,19 +111,23 @@ def bottomk_sample_stream(
             n_rows = 0
             h = pdf["_h"].to_numpy(dtype=np.int64)
             i = pdf["_id"].to_numpy(dtype=np.int64)
-        # distinct ids: the permutation is a bijection, so dedup on hash
-        h, uniq_idx = np.unique(h, return_index=True)
-        i = i[uniq_idx]
+        # lexicographic (hash, id) candidate order — the batch window's
+        # (hkey asc, id asc). Dedup EXACT (hash, id) pairs (duplicate
+        # deliveries of one id); two DISTINCT ids CAN share a hash (the
+        # mod-2^31-1 permutation over a 2^32 id domain collides for ids
+        # P apart) and both must survive, exactly as the batch
+        # tiebreak keeps both.
+        order = np.lexsort((i, h))
+        h, i = h[order], i[order]
+        if h.size > 1:
+            keep_mask = np.ones(h.size, dtype=bool)
+            keep_mask[1:] = (h[1:] != h[:-1]) | (i[1:] != i[:-1])
+            h, i = h[keep_mask], i[keep_mask]
         if h.size > k:
-            keep = np.argsort(h, kind="stable")[:k]
-            keep.sort()
-            h, i = h[keep], i[keep]
+            h, i = h[:k], i[:k]
         n_rows = int(n_rows) + len(pdf)
         state.update((h.tolist(), i.tolist(), n_rows))
-        wend_ms = int(pd.Timestamp(wstart).value // 1_000_000) + dur_ms
-        state.setTimeoutTimestamp(
-            max(wend_ms, state.getCurrentWatermarkMs() + 1)
-        )
+        set_window_timeout(state, wstart, dur_ms, tz)
         yield emit(wstart, kval, h, i, n_rows, False)
 
     prepped = (

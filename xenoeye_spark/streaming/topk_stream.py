@@ -42,6 +42,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from xenoeye_spark.streaming.wutil import (
+    session_timezone, set_window_timeout, window_duration_ms,
+)
+
 _STATE_SCHEMA = (
     "items array<string>, counts array<long>, n_rows long, deficit long"
 )
@@ -84,15 +88,8 @@ def heavy_hitters_stream(
     and any item whose window-true count exceeds ``deficit`` is
     guaranteed present in the final summary.
     """
-    dur_parts = window.split()
-    if len(dur_parts) != 2 or dur_parts[1] not in (
-        "second", "seconds", "minute", "minutes", "hour", "hours"
-    ):
-        raise ValueError(f"unsupported window duration: {window!r}")
-    mult = {"second": 1, "minute": 60, "hour": 3600}[
-        dur_parts[1].rstrip("s")
-    ]
-    dur_ms = int(dur_parts[0]) * mult * 1000
+    dur_ms = window_duration_ms(window)
+    tz = session_timezone(stream)
 
     out_schema = T.StructType([
         T.StructField("window_start", T.TimestampType()),
@@ -142,17 +139,19 @@ def heavy_hitters_stream(
         state.update((
             list(summary), [summary[i] for i in summary], n_rows, deficit
         ))
-        wend_ms = int(pd.Timestamp(wstart).value // 1_000_000) + dur_ms
-        state.setTimeoutTimestamp(
-            max(wend_ms, state.getCurrentWatermarkMs() + 1)
-        )
+        set_window_timeout(state, wstart, dur_ms, tz)
         yield emit(wstart, summary, n_rows, deficit, False)
 
     w = F.lit(1).cast("long") if weight_col is None else (
         F.col(weight_col).cast("long")
     )
+    # NULL items are EXCLUDED before the stateful op (a pandas groupby
+    # would silently drop the None key from the summary while its
+    # weight still inflated n_rows — n_rows must equal the rows the
+    # summary actually folded in)
     prepped = (
         stream.withWatermark(ts_col, watermark_delay)
+        .filter(F.col(item_col).isNotNull())
         .select(
             F.window(F.col(ts_col), window).getField("start")
             .alias("window_start"),
