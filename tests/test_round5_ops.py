@@ -288,3 +288,40 @@ def test_best_of_class_argmax(spark):
     assert (got[1].rep_id, got[1].rep_score, got[1].n_members) == (2, 0.9, 3)
     # class 10: tie -> 10
     assert (got[10].rep_id, got[10].n_members) == (10, 2)
+
+
+def test_write_training_shards(spark, tmp_path):
+    import collections
+
+    import pytest
+
+    from xenoeye_spark.datapipe.layout import write_training_shards
+    from xenoeye_spark.datapipe.sampling import permuted_order
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        permuted_order("id").alias("ord"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    out = str(tmp_path / "shards")
+    n = write_training_shards(df, out, "ord", 128, id_col="doc_id")
+    assert n == 8  # ceil(1000/128)
+    rows = spark.read.parquet(out).orderBy("_shard", "ord").collect()
+    assert len(rows) == 1000
+    sizes = collections.Counter(r._shard for r in rows)
+    assert all(sizes[i] == 128 for i in range(7)) and sizes[7] == 104
+    # read-back order is the exact global order
+    ords = [r.ord for r in rows]
+    assert ords == sorted(ords)
+    # deterministic shard membership across reruns
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df, out2, "ord", 128, id_col="doc_id")
+    again = spark.read.parquet(out2).orderBy("_shard", "ord").collect()
+    assert [(r._shard, r.doc_id) for r in rows] == \
+        [(r._shard, r.doc_id) for r in again]
+    # empty input -> zero shards, nothing written
+    assert write_training_shards(
+        df.filter(F.lit(False)), str(tmp_path / "e"), "ord", 10
+    ) == 0
+    with pytest.raises(ValueError):
+        write_training_shards(df, out, "ord", 0)

@@ -55,3 +55,87 @@ def bucketed_join(
     each task reads bucket i of both tables (asserted in
     tests/test_round4_ops.py::test_bucketed_join_is_shuffle_free)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    rows_per_shard: int,
+    id_col: str | None = None,
+) -> int:
+    """Materialize a curated corpus as DETERMINISTIC, evenly-sized
+    parquet shards — the hand-off format a training loader consumes
+    (fixed shard size for balanced data-parallel reads; a stable global
+    order so shard i holds the same rows on every rerun).
+
+    The global rank is computed the scale-correct way — NOT one
+    Window.orderBy (a single-reducer global sort): range-partition on
+    the order key, count per partition (a tiny collect, <=
+    shuffle.partitions rows), broadcast the cumulative offsets back,
+    and rank = offset + per-partition row_number. One range exchange +
+    one bounded-size driver round-trip, fully parallel at any volume.
+    Pass ``id_col`` whenever ``order_col`` can repeat — it totalizes
+    the order, which is what makes both the rank and the range
+    boundaries deterministic across reruns.
+    (``datapipe.sampling.permuted_order`` of an id column is the usual
+    ``order_col`` — a seeded global document shuffle.)
+
+    Shard i = ranks [i*rows_per_shard, (i+1)*rows_per_shard); written
+    ``partitionBy("_shard")`` with a per-file row cap. Returns the
+    shard count. Reading ``path`` back ordered by (_shard, order
+    columns) reproduces the exact writer order.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if rows_per_shard <= 0:
+        raise ValueError("rows_per_shard must be positive")
+    order_cols = [order_col] + ([id_col] if id_col else [])
+    ranged = (
+        df.repartitionByRange(*[F.col(c).asc() for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        # two passes (counts, then rank+write) must see ONE partition
+        # layout; persist pins it
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        counts = ranged.groupBy("_pid").count().collect()
+        offsets, acc = {}, 0
+        for r in sorted(counts, key=lambda r: r["_pid"]):
+            offsets[r["_pid"]] = acc
+            acc += r["count"]
+        if acc == 0:
+            return 0
+        spark = df.sparkSession
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                [(int(k), int(v)) for k, v in offsets.items()],
+                "_pid int, _off long",
+            )
+        )
+        w = Window.partitionBy("_pid").orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+        sharded = (
+            ranged.join(off_df, "_pid")
+            .withColumn(
+                "_shard",
+                F.floor(
+                    (F.col("_off") + F.row_number().over(w) - 1)
+                    / rows_per_shard
+                ).cast("long"),
+            )
+            .drop("_pid", "_off")
+        )
+        (
+            sharded.sortWithinPartitions("_shard", *order_cols)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_shard)
+            .partitionBy("_shard")
+            .parquet(path)
+        )
+        return -(-acc // rows_per_shard)
+    finally:
+        ranged.unpersist()
