@@ -69,32 +69,41 @@ def write_training_shards(
     (fixed shard size for balanced data-parallel reads; a stable global
     order so shard i holds the same rows on every rerun).
 
-    The global rank is computed the scale-correct way — NOT one
-    Window.orderBy (a single-reducer global sort): range-partition on
-    the order key, count per partition (a tiny collect, <=
-    shuffle.partitions rows), broadcast the cumulative offsets back,
-    and rank = offset + per-partition row_number. One range exchange +
-    one bounded-size driver round-trip, fully parallel at any volume.
-    Pass ``id_col`` whenever ``order_col`` can repeat — it totalizes
-    the order, which is what makes both the rank and the range
-    boundaries deterministic across reruns.
-    (``datapipe.sampling.permuted_order`` of an id column is the usual
-    ``order_col`` — a seeded global document shuffle.)
+    The global rank is the classic distributed zipWithIndex — NOT one
+    Window.orderBy (a single-reducer global sort) and NOT a second
+    full-data exchange: range-partition + sort WITHIN partitions on
+    the order key once, count per partition (a tiny collect, <=
+    shuffle.partitions rows), then stamp rank = partition offset +
+    local position in an Arrow ``mapInPandas`` pass over the SAME
+    pinned partitions. One range exchange total, at any volume; rank
+    arithmetic is int64 end-to-end. Pass ``id_col`` whenever
+    ``order_col`` can repeat — it totalizes the order, which is what
+    makes both the rank and the range boundaries deterministic across
+    reruns. (``datapipe.sampling.permuted_order`` of an id column is
+    the usual ``order_col`` — a seeded global document shuffle.)
 
     Shard i = ranks [i*rows_per_shard, (i+1)*rows_per_shard); written
-    ``partitionBy("_shard")`` with a per-file row cap. Returns the
-    shard count. Reading ``path`` back ordered by (_shard, order
-    columns) reproduces the exact writer order.
+    ``partitionBy("_shard")`` with a per-file row cap — rows leave the
+    map already in (_shard, order) order. An EMPTY input still
+    overwrites ``path`` (a previous run's shards must not survive as
+    stale data). Returns the shard count. Reading ``path`` back
+    ordered by (_shard, order columns) reproduces the exact writer
+    order.
     """
-    from pyspark import StorageLevel
-    from pyspark.sql import Window
+    from pyspark import StorageLevel, TaskContext
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     if rows_per_shard <= 0:
         raise ValueError("rows_per_shard must be positive")
+    reserved = {"_pid", "_shard"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"input uses reserved column names: {sorted(reserved)}")
     order_cols = [order_col] + ([id_col] if id_col else [])
+    asc = [F.col(c).asc() for c in order_cols]
     ranged = (
-        df.repartitionByRange(*[F.col(c).asc() for c in order_cols])
+        df.repartitionByRange(*asc)
+        .sortWithinPartitions(*asc)
         .withColumn("_pid", F.spark_partition_id())
         # two passes (counts, then rank+write) must see ONE partition
         # layout; persist pins it
@@ -104,34 +113,42 @@ def write_training_shards(
         counts = ranged.groupBy("_pid").count().collect()
         offsets, acc = {}, 0
         for r in sorted(counts, key=lambda r: r["_pid"]):
-            offsets[r["_pid"]] = acc
+            offsets[int(r["_pid"])] = acc
             acc += r["count"]
-        if acc == 0:
-            return 0
-        spark = df.sparkSession
-        off_df = F.broadcast(
-            spark.createDataFrame(
-                [(int(k), int(v)) for k, v in offsets.items()],
-                "_pid int, _off long",
-            )
+        out_schema = T.StructType(
+            [f for f in ranged.schema.fields if f.name != "_pid"]
+            + [T.StructField("_shard", T.LongType())]
         )
-        w = Window.partitionBy("_pid").orderBy(
-            *[F.col(c).asc() for c in order_cols]
-        )
-        sharded = (
-            ranged.join(off_df, "_pid")
-            .withColumn(
-                "_shard",
-                F.floor(
-                    (F.col("_off") + F.row_number().over(w) - 1)
-                    / rows_per_shard
-                ).cast("long"),
-            )
-            .drop("_pid", "_off")
-        )
+        data_cols = [f.name for f in out_schema.fields if f.name != "_shard"]
+
+        def stamp(batches):
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            off = offsets.get(pid, 0)
+            seen = 0
+            import numpy as np
+
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                if (pdf["_pid"] != pid).any():
+                    raise RuntimeError(
+                        "cached partition id drifted from task partition id"
+                    )
+                out = pdf[data_cols].copy()
+                # int64 throughout — a double-division floor would lose
+                # rank exactness past 2^53
+                out["_shard"] = (
+                    off + seen + np.arange(n, dtype=np.int64)
+                ) // rows_per_shard
+                seen += n
+                yield out
+
+        sharded = ranged.mapInPandas(stamp, out_schema)
+        # rows arrive already in (_shard, order) order per partition
         (
-            sharded.sortWithinPartitions("_shard", *order_cols)
-            .write.mode("overwrite")
+            sharded.write.mode("overwrite")
             .option("maxRecordsPerFile", rows_per_shard)
             .partitionBy("_shard")
             .parquet(path)
