@@ -1228,6 +1228,15 @@ def q_best_of_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_of_class(members, scores)
 
 
+def q_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style deterministic span-corruption targets at mask_frac=0.15:
+    (doc, pos)-hash threshold -> gaps-and-islands spans; hash, island
+    arithmetic, and span texts all re-derived in SQL."""
+    from xenoeye_spark.datapipe.sampling import mask_spans
+
+    return mask_spans(_t(spark, sf_dir, "documents"), mask_frac=0.15)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1313,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature": q_temperature,
         "char_entropy": q_char_entropy,
         "best_of_class": q_best_of_class,
+        "mask_spans": q_mask_spans,
     }
 
 
@@ -2805,4 +2815,40 @@ SELECT keep_id, doc_id AS rep_id, quality_score AS rep_score,
        CAST(n_members AS BIGINT) AS n_members
 FROM ranked WHERE rn = 1
 """,
+        # mask_spans: (doc,pos) hash threshold -> islands -> spans, the
+        # whole pipeline re-run in SQL (all hash terms positive, so %
+        # agrees across engines).
+        "mask_spans": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')
+           AS toks
+  FROM documents
+), e AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+), m AS (
+  SELECT doc_id, pos, tok FROM e
+  WHERE (doc_id * 1103515245 + pos * 784588723 + 12345) % 2147483647 < 322122547
+), isl AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM m
+), sp AS (
+  SELECT doc_id, island,
+         CAST(min(pos) AS BIGINT) AS start_pos,
+         CAST(max(pos) AS BIGINT) AS end_pos,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS span_text
+  FROM isl GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY start_pos
+       ) AS BIGINT) AS span_id,
+       start_pos, end_pos, n_tokens, span_text
+FROM sp
+""",
+    
     }

@@ -352,3 +352,38 @@ def test_write_training_shards_guards(spark, tmp_path):
         write_training_shards(
             df.withColumn("_shard", F.lit(1)), out, "ord", 10
         )
+
+
+def test_mask_spans_twin(spark):
+    import collections
+
+    import pytest
+
+    from xenoeye_spark.datapipe.sampling import _A, _A2, _B, _P31, mask_spans
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(30)))
+         for i in range(5)]
+        + [Row(doc_id=9, text="   ")]            # empty: no rows
+    )
+    got = collections.defaultdict(list)
+    for r in sorted(mask_spans(docs, mask_frac=0.3).collect(),
+                    key=lambda r: (r.doc_id, r.span_id)):
+        got[r.doc_id].append((r.start_pos, r.end_pos, r.n_tokens,
+                              r.span_text))
+    cut = int(0.3 * _P31)
+    for i in range(5):
+        masked = [p for p in range(30)
+                  if (i * _A + p * _A2 + _B) % _P31 < cut]
+        spans = []
+        for p in masked:
+            if spans and spans[-1][-1] == p - 1:
+                spans[-1].append(p)
+            else:
+                spans.append([p])
+        exp = [(s[0], s[-1], len(s), " ".join(f"w{p}" for p in s))
+               for s in spans]
+        assert got[i] == exp, i
+    assert 9 not in got
+    with pytest.raises(ValueError):
+        mask_spans(docs, mask_frac=0.0)

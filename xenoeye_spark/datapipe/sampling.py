@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from xenoeye_spark.datapipe.util import ws_tokens
+
 # 31-bit multiplicative permutation, same overflow-free family as the
 # MinHash expression twin: products stay < 2^61, exact in any engine
 _P31 = (1 << 31) - 1
@@ -274,4 +276,72 @@ def temperature_resample(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= F.col("quota"))
         .select(id_col, domain_col, "sample_rank", "quota")
+    )
+
+
+# second multiplier for (doc, pos) mixing in mask_spans — coprime to _A
+_A2 = 784_588_723
+
+
+def mask_spans(
+    df: DataFrame,
+    mask_frac: float = 0.15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic span-corruption targets (the T5/UL2 denoising prep,
+    public recipe): each token position is masked iff its (doc, pos)
+    hash falls under ``mask_frac`` of the hash space — the same
+    rerun-stable hash-threshold trick as ``hash_split`` — and
+    consecutive masked positions merge into SPANS (one sentinel per
+    span at training time). Emits the target side: one row per span.
+
+    Plan: tokenize -> posexplode -> hash filter (drops ~1-mask_frac of
+    rows before any shuffle) -> gaps-and-islands (pos - rank) with ONE
+    doc-keyed window -> per-span agg. Everything is expression-level
+    and re-derived verbatim by the SQL oracle.
+
+    ``id_col`` must lie in [0, 2^32) (the ``hash_split`` domain: the
+    int64 product stays exact). Output: (id_col, span_id 1-based by
+    position, start_pos, end_pos, n_tokens, span_text); docs with no
+    masked tokens emit no rows.
+    """
+    if not 0 < mask_frac < 1:
+        raise ValueError(f"mask_frac must be in (0, 1): {mask_frac}")
+    cutoff = int(mask_frac * _P31)
+    toks = df.select(
+        _checked_id(id_col).alias(id_col),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    # _pos is a 32-bit int from posexplode — widen BEFORE multiplying
+    # (int * _A2 overflows int32 under ANSI for pos >= 3)
+    h = F.pmod(
+        F.col(id_col) * _A + F.col("_pos").cast("long") * _A2 + _B,
+        F.lit(_P31),
+    )
+    masked = toks.filter(h < cutoff)
+    w = Window.partitionBy(id_col).orderBy(F.col("_pos").asc())
+    islands = masked.withColumn(
+        "_isl", F.col("_pos") - F.row_number().over(w)
+    )
+    spans = (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("_pos").cast("long").alias("start_pos"),
+            F.max("_pos").cast("long").alias("end_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.col("start_pos").asc())
+    return spans.select(
+        F.col(id_col),
+        F.row_number().over(w2).cast("long").alias("span_id"),
+        "start_pos", "end_pos", "n_tokens", "span_text",
     )
