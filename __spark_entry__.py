@@ -1121,15 +1121,17 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL blocklist filtering over planted URLs: doc_id%3==0 docs cite
-    a blocked domain (case/subdomain-varied), %3==1 docs cite one ok +
-    one blocked URL, %3==2 docs have no URLs at all. Registered-domain
-    reduction and the broadcast-join verdicts are re-derived in SQL."""
+    a blocked domain behind userinfo + a port (the r6 authority-
+    stripping regression — 'u:p@host:8443' must still reduce to the
+    blocked registered domain), %3==1 docs cite one ok + one blocked
+    URL, %3==2 docs have no URLs at all. Registered-domain reduction
+    and the broadcast-join verdicts are re-derived in SQL."""
     from xenoeye_spark.datapipe.text import url_domain_filter
 
     docs = _t(spark, sf_dir, "documents")
     suffix = (
         F.when(F.col("doc_id") % 3 == 0,
-               F.lit(" see https://News.Blocked-Site.COM/a"))
+               F.lit(" see https://u:p@News.Blocked-Site.COM:8443/a"))
         .when(
             F.col("doc_id") % 3 == 1,
             F.concat(F.lit(" via http://cdn"),
@@ -2625,7 +2627,8 @@ LEFT JOIN gs ON d.doc_id = gs.doc_id
         "url_filter": r"""
 WITH p AS (
   SELECT doc_id, text ||
-    CASE WHEN doc_id % 3 = 0 THEN ' see https://News.Blocked-Site.COM/a'
+    CASE WHEN doc_id % 3 = 0
+         THEN ' see https://u:p@News.Blocked-Site.COM:8443/a'
          WHEN doc_id % 3 = 1 THEN ' via http://cdn' ||
               CAST(doc_id % 5 AS VARCHAR) ||
               '.example.org/x and https://sub.blocked-site.com/y?q=1'
@@ -2642,7 +2645,9 @@ WITH p AS (
 ), d0 AS (
   SELECT doc_id, host,
          (SELECT lab[greatest(len(lab) - 1, 1):] FROM
-            (SELECT string_split(lower(host), '.') AS lab)) AS lab2
+            (SELECT string_split(lower(
+               regexp_replace(regexp_replace(host, '^.*@', ''),
+                              ':.*$', '')), '.') AS lab)) AS lab2
   FROM u
 ), j AS (
   SELECT d0.doc_id, d0.host, array_to_string(d0.lab2, '.') AS dom,

@@ -176,6 +176,25 @@ def test_url_domain_filter(spark):
     assert (got[2].n_urls, got[2].n_blocked) == (1, 0)
 
 
+def test_url_filter_strips_userinfo_and_port(spark):
+    """r6 ADVICE regression: the authority capture includes userinfo
+    and port; without stripping, 'blocked.com:8080' / 'u@blocked.com'
+    reduced to the wrong registered domain and bypassed the blocklist."""
+    from xenoeye_spark.datapipe.text import url_domain_filter
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="p https://Blocked.com:8080/x q"),
+        Row(doc_id=1, text="p http://user@www.blocked.com/x q"),
+        Row(doc_id=2, text="p https://u:pw@sub.Blocked.COM:443/x q"),
+        Row(doc_id=3, text="p https://ok.example.org:8080/x q"),
+    ])
+    bl = spark.createDataFrame([Row(domain="blocked.com")])
+    got = {r.doc_id: r for r in url_domain_filter(docs, bl).collect()}
+    for i in (0, 1, 2):
+        assert not got[i].keep and got[i].blocked_domains == ["blocked.com"]
+    assert got[3].keep and got[3].n_urls == 1
+
+
 def test_quantize_embeddings_roundtrip(spark):
     from xenoeye_spark.datapipe.similarity import quantize_embeddings
 

@@ -27,7 +27,8 @@ from xenoeye_spark.datapipe.util import ws_tokens
 # MinHash expression twin: products stay < 2^61, exact in any engine
 _P31 = (1 << 31) - 1
 _A, _B = 1_103_515_245, 12_345
-# id domain bound: (2^32 + salt) * A stays < 2^62, int64-exact. Beyond
+# id domain bound: (2^32 + salt) * A stays < 2^63, int64-exact (no
+# spare bit — at 2^32-1 the product is ~4.74e18, past 2^62). Beyond
 # it the multiply wraps SILENTLY in Spark (and errors in DuckDB) — an
 # unguarded engine divergence — and a negative id gives a negative `%`
 # remainder, landing every such row in the last split regardless of

@@ -688,10 +688,25 @@ def repetition_stats(
     )
 
 
-# URL extraction: scheme://host[/rest] — the host is everything up to
-# the first '/', '?', '#', or whitespace. Dialect-portable (no
+# URL extraction: scheme://authority[/rest] — the authority is
+# everything up to the first '/', '?', '#', or whitespace, so it still
+# carries userinfo ("user:pass@host") and a port (":8080"). Both are
+# stripped AFTER extraction (_strip_userinfo_port) — otherwise
+# "https://blocked.com:8080/x" reduces to registered domain "com:8080"
+# and silently bypasses the blocklist. Dialect-portable (no
 # lookaround/backrefs), mirrored verbatim by the DuckDB oracle.
 URL_HOST_RE = r"https?://([^\s/?#]+)"
+
+
+def _strip_userinfo_port(host: F.Column) -> F.Column:
+    """authority -> bare host: drop userinfo (through the LAST '@' —
+    greedy '^.*@') then the port (first ':' onward). Bracketed IPv6
+    literals are out of scope (they never reduce to a dot-label
+    registered domain). Same two regexp_replace steps in the oracle."""
+    return F.regexp_replace(
+        F.regexp_replace(host, F.lit(r"^.*@"), F.lit("")),
+        F.lit(r":.*$"), F.lit(""),
+    )
 
 
 def url_domain_filter(
@@ -724,7 +739,7 @@ def url_domain_filter(
             )
         ).alias("_host"),
     )
-    labels = F.split(F.lower(F.col("_host")), r"\.")
+    labels = F.split(F.lower(_strip_userinfo_port(F.col("_host"))), r"\.")
     reg_domain = F.when(
         F.col("_host").isNotNull(),
         F.array_join(

@@ -37,9 +37,20 @@ def window_end_epoch_ms(wstart, dur_ms: int, tz: str) -> int:
     session-local window-start key. Treating the naive value as UTC
     (pd.Timestamp(x).value) is wrong in any non-UTC session: the
     timeout would be offset by the zone, firing finals hours early or
-    late relative to the watermark."""
+    late relative to the watermark.
+
+    DST edges: a window start falling in a fall-back hour is ambiguous
+    (two epochs map to it) and one in a spring-forward gap nonexistent;
+    a bare tz_localize raises inside the state UDF and kills the
+    streaming query. Resolve both deterministically — take the DST
+    (earlier) reading of an ambiguous time and shift a nonexistent one
+    forward to the gap's end; either side only moves the timeout by the
+    DST offset, and set_window_timeout's watermark clamp keeps it
+    legal."""
     return int(
-        pd.Timestamp(wstart).tz_localize(tz).value // 1_000_000
+        pd.Timestamp(wstart)
+        .tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+        .value // 1_000_000
     ) + dur_ms
 
 
