@@ -106,6 +106,57 @@ def test_semantic_dedup_matches_python_twin(spark):
     assert out[200].keep and out[201].keep
 
 
+def test_semantic_dedup_mega_cell_guard(spark):
+    """r6: a degenerate centroid set (one centroid swallows the corpus)
+    must fail LOUDLY with a diagnostic, not OOM an executor; with
+    split_oversized=True it completes via deterministic in-kernel
+    re-clustering and keeps a SUPERSET of exact mode's keeps."""
+    import pytest
+
+    rng = np.random.RandomState(7)
+    one_cent = np.array([[0.0, 0.0, 0.0]])
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=3)])
+        for i in range(300)
+    ]
+    # a planted near-dup pair so split mode has something to drop
+    rows.append(Row(vec_id=1000, embedding=[5.0, 0.0, 0.0]))
+    rows.append(Row(vec_id=1001, embedding=[5.0001, 0.0, 0.0]))
+    df = spark.createDataFrame(rows)
+
+    with pytest.raises(Exception, match="max_cell_rows"):
+        semantic_dedup(df, one_cent, threshold=0.99,
+                       max_cell_rows=100).collect()
+
+    exact = {r.vec_id: r.keep
+             for r in semantic_dedup(df, one_cent, threshold=0.99)
+             .collect()}
+    split = {r.vec_id: r.keep
+             for r in semantic_dedup(df, one_cent, threshold=0.99,
+                                     max_cell_rows=100,
+                                     split_oversized=True).collect()}
+    assert set(split) == set(exact)
+    # split only MISSES witnesses: never drops a row exact mode kept
+    for vid, kept in exact.items():
+        if kept:
+            assert split[vid], vid
+    assert exact[1000] and not exact[1001]
+
+
+def test_semantic_dedup_split_unshrinkable_raises(spark):
+    """Identical vectors collapse onto one sub-centroid — the split
+    path must refuse (loud diagnostic) instead of recursing forever."""
+    import pytest
+
+    rows = [Row(vec_id=i, embedding=[1.0, 2.0, 3.0]) for i in range(50)]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(Exception,
+                       match="sub-centroid|failed to shrink"):
+        semantic_dedup(df, np.array([[0.0, 0.0, 0.0]]),
+                       threshold=0.99, max_cell_rows=10,
+                       split_oversized=True).collect()
+
+
 def test_chunk_documents_windows(spark):
     from xenoeye_spark.datapipe.text import chunk_documents
 

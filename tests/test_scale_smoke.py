@@ -253,3 +253,94 @@ def test_training_shards_1m_rows(spark, tmp_path):
     )
     plan = ranged._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_stream_precombine_cuts_state_input_volume(spark):
+    """r6: the windowed stateful streams must never funnel a window's
+    RAW rows through one state task. Drive each op's map-side
+    pre-combine in batch mode (mapInPandas is the same code path) with
+    hot-key volumes and assert the rows that would cross the state
+    shuffle are O(distinct*partitions) / O(k*partitions), not O(rows).
+    """
+    from xenoeye_spark.streaming import kmv_stream, sample_stream
+    from xenoeye_spark.streaming import topk_stream
+
+    NPART = 8
+    base = (
+        spark.range(500_000).repartition(NPART)
+        .select(
+            F.col("id"),
+            # +0..+29 stays inside ONE 60s window (boundary at +40)
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 30)
+            .alias("ts"),
+        )
+    )
+
+    # heavy hitters: 500k rows, 100 distinct items, one 60s window
+    hh_in = base.select(
+        "ts", (F.col("id") % 100).cast("string").alias("item")
+    )
+    hh = topk_stream.precombined_input(hh_in, "item", "ts", "60 seconds")
+    n_hh = hh.count()
+    assert n_hh <= 100 * NPART
+    # weights preserved exactly through the partial sums
+    assert hh.agg(F.sum("_w")).collect()[0][0] == 500_000
+
+    # kmv: 200k rows, ONE hot key, tiny vocabulary, k=64
+    kmv_in = base.filter(F.col("id") < 200_000).select(
+        "ts", F.lit("hot").alias("grp"),
+        F.concat(F.lit("tok"), (F.col("id") % 40).cast("string"))
+        .alias("text"),
+    )
+    kv = kmv_stream.precombined_input(
+        kmv_in, "grp", "ts", "text", 64, "60 seconds"
+    )
+    n_kv = kv.count()
+    assert n_kv <= 64 * NPART
+    # occurrence count preserved via the _cnt partials
+    assert kv.agg(F.sum("_cnt")).collect()[0][0] == 200_000
+
+    # bottom-k sample: 200k rows, ONE hot group, k=100
+    s_in = base.filter(F.col("id") < 200_000).select(
+        "ts", F.lit("g0").alias("grp"), F.col("id").alias("doc_id")
+    )
+    sm = sample_stream.precombined_input(
+        s_in, "grp", "ts", "doc_id", 100, "60 seconds"
+    )
+    n_sm = sm.count()
+    assert n_sm <= 100 * NPART
+    assert sm.agg(F.sum("_cnt")).collect()[0][0] == 200_000
+
+
+def test_stream_precombine_plan_shape(spark):
+    """The pre-combine must sit BELOW the stateful op in the plan (raw
+    rows reduced before the state shuffle), for all three ops."""
+    from xenoeye_spark.streaming.kmv_stream import kmv_distinct_stream
+    from xenoeye_spark.streaming.sample_stream import bottomk_sample_stream
+    from xenoeye_spark.streaming.topk_stream import heavy_hitters_stream
+
+    rate = spark.readStream.format("rate").load()
+    hh = heavy_hitters_stream(
+        rate.selectExpr("CAST(value AS STRING) AS item", "timestamp AS ts"),
+        "item", "ts",
+    )
+    kv = kmv_distinct_stream(
+        rate.selectExpr("CAST(value % 4 AS STRING) AS grp",
+                        "timestamp AS ts",
+                        "CAST(value AS STRING) AS text"),
+        "grp", "ts",
+    )
+    sm = bottomk_sample_stream(
+        rate.selectExpr("CAST(value % 4 AS STRING) AS grp",
+                        "timestamp AS ts", "value AS doc_id"),
+        "grp", "ts", "doc_id",
+    )
+    for df in (hh, kv, sm):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        state_at = plan.index("FlatMapGroupsInPandasWithState")
+        map_at = plan.index("MapInPandas")
+        # children print below parents: pre-combine below the state op
+        assert state_at < map_at, plan
+        # and the watermark is re-applied between them, so event-time
+        # timeouts still see a watermarked input
+        assert state_at < plan.index("EventTimeWatermark") < map_at, plan

@@ -494,6 +494,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tile_rows: int = 2048,
+    max_cell_rows: int = 50_000,
+    split_oversized: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     method): cluster embeddings by nearest ``centroids`` row, then inside
@@ -512,6 +514,19 @@ def semantic_dedup(
     (An earlier self-join + row-wise cosine UDF formulation shuffled
     two full vectors per candidate pair and ran ~8x slower at sf0.1 —
     the matmul kernel moves the same FLOPs into BLAS.)
+
+    Mega-cell guard (r6): the kernel materializes |cell| x dim doubles
+    for its base matrix, so a degenerate centroid set (one centroid
+    swallowing the corpus) would OOM an executor silently. Cells past
+    ``max_cell_rows`` (default 50k rows ~= 300 MB at 768 dims) instead
+    raise a diagnostic naming the cell, its row count, and the fix —
+    raise the centroid count, or pass ``split_oversized=True`` to
+    recursively re-cluster the oversized cell in-kernel with
+    deterministic sub-centroids (evenly-spaced rows of the id-sorted
+    cell — no RNG). Splitting is the SAME approximation as running
+    SemDeDup with more centroids: witnesses across sub-cells are
+    missed, so split mode keeps a SUPERSET of exact per-cell mode's
+    keeps (never drops a row exact mode kept).
 
     Cosine is rounded to 6 digits before the threshold compare
     (matching ``_cos_rows_udf`` and the SQL oracle); zero-norm vectors
@@ -538,10 +553,10 @@ def semantic_dedup(
         T.StructField("n_dups", T.LongType()),
     ])
 
-    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort")
-        m = np.array(pdf["_v"].tolist(), dtype=np.float64)
-        n = len(pdf)
+    def _score_cell(ids: np.ndarray, m: np.ndarray) -> np.ndarray:
+        """n_dups per row of an id-SORTED cell matrix (the exact
+        tiled-BLAS kernel)."""
+        n = len(ids)
         # dot / (|a||b|), NOT normalize-then-dot: the same float shape
         # as _cos_rows_udf and the oracle's cosine, so a value near a
         # 6-digit rounding boundary evaluates the same way everywhere
@@ -558,6 +573,56 @@ def semantic_dedup(
             for dj in range(j1 - j0):
                 row = sims[dj, : j0 + dj]
                 n_dups[j0 + dj] = int((row >= threshold).sum())
+        return n_dups
+
+    def _split_score(pdf: pd.DataFrame, depth: int) -> np.ndarray:
+        """Recursive mega-cell path: re-cluster the (id-sorted) cell on
+        deterministic sub-centroids — evenly-spaced member rows — and
+        score each sub-group; rows a sub-centroid ties on keep their
+        first (argmin) assignment. Returns n_dups aligned to pdf."""
+        n = len(pdf)
+        if n <= max_cell_rows:
+            m = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            return _score_cell(pdf[id_col].to_numpy(), m)
+        if depth <= 0:
+            raise ValueError(
+                "semantic_dedup: oversized cell failed to shrink under "
+                "recursive splitting (identical vectors?) — raise "
+                "max_cell_rows or deduplicate exact copies first"
+            )
+        m = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        n_sub = max(2, -(-n // max_cell_rows))
+        picks = np.linspace(0, n - 1, n_sub).astype(np.int64)
+        sub = m[picks]
+        d = -2.0 * (m @ sub.T) + (sub ** 2).sum(axis=1)[None, :]
+        lab = d.argmin(axis=1)
+        if np.unique(lab).size == 1:
+            # every row nearest one sub-centroid: cannot shrink
+            raise ValueError(
+                "semantic_dedup: oversized cell of "
+                f"{n} rows collapsed onto one sub-centroid — raise "
+                "max_cell_rows or deduplicate exact copies first"
+            )
+        n_dups = np.empty(n, dtype=np.int64)
+        for s in np.unique(lab):
+            idx = np.flatnonzero(lab == s)
+            n_dups[idx] = _split_score(pdf.iloc[idx], depth - 1)
+        return n_dups
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        n = len(pdf)
+        if n > max_cell_rows and not split_oversized:
+            raise ValueError(
+                f"semantic_dedup: cell {int(pdf['cell'].iloc[0])} holds "
+                f"{n} rows > max_cell_rows={max_cell_rows} — the kernel "
+                "would materialize its full matrix on one executor. "
+                "Raise the centroid count (the SemDeDup skew knob), or "
+                "pass split_oversized=True to re-cluster oversized "
+                "cells in-kernel, or raise max_cell_rows if the "
+                "executors have the memory."
+            )
+        n_dups = _split_score(pdf, depth=16)
         return pd.DataFrame({
             id_col: pdf[id_col].to_numpy(),
             "cell": pdf["cell"].to_numpy(),

@@ -27,6 +27,17 @@ Scale: state is <= k longs + 2 scalars per live (window, key) group,
 hash-partitioned across state stores; watermark bounds the number of
 live windows, so state is O(live_keys * k) regardless of stream
 history — the same bounded-state argument as dedup_stream.
+
+A hot key's raw token-hash rows do NOT all cross into its state task
+(r6): a stateless map-side pre-combine reduces each partition's rows
+to the k smallest DISTINCT hashes per (window, key) before the state
+shuffle — correct because a bottom-k-of-distinct sketch is mergeable
+(the global k minima are a subset of the union of per-partition k
+minima). The raw occurrence count each group folded in survives as a
+``_cnt`` partial (group total stamped on the first kept row, 0 on the
+rest — sums are flush-invariant), so ``n_rows`` still counts raw
+deliveries exactly. Crossing volume per (window, key):
+O(k * input_partitions), not O(rows).
 """
 
 from __future__ import annotations
@@ -43,10 +54,61 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from xenoeye_spark.datapipe.ranking import KMV_P, kmv_token_hashes
 from xenoeye_spark.streaming.wutil import (
-    session_timezone, set_window_timeout, window_duration_ms,
+    precombine_map_in_pandas, session_timezone, set_window_timeout,
+    window_duration_ms,
 )
 
 _STATE_SCHEMA = "minima array<long>, n_rows long"
+
+
+def precombined_input(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    text_col: str,
+    k: int,
+    window: str,
+) -> DataFrame:
+    """The map-side pre-combine feeding the state op (see module
+    docstring): k smallest distinct token hashes + occurrence-count
+    partial + max event time per (window, key) per partition.
+    Module-level so the scale smoke can drive it in batch mode and
+    count the rows that would cross the state shuffle."""
+    raw = stream.select(
+        F.window(F.col(ts_col), window).getField("start")
+        .alias("window_start"),
+        F.col(ts_col),
+        F.col(key_col),
+        F.explode(kmv_token_hashes(text_col)).alias("_h"),
+        F.lit(1).cast("long").alias("_cnt"),
+    )
+    pre_schema = T.StructType([
+        T.StructField("window_start", T.TimestampType()),
+        raw.schema[ts_col],
+        raw.schema[key_col],
+        T.StructField("_h", T.LongType()),
+        T.StructField("_cnt", T.LongType()),
+    ])
+    gkeys = ["window_start", key_col]
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            pdf.groupby(gkeys, sort=False, dropna=False)
+            .agg(**{"_cnt": ("_cnt", "sum"), ts_col: (ts_col, "max")})
+            .reset_index()
+        )
+        kept = (
+            pdf[gkeys + ["_h"]].drop_duplicates()
+            .sort_values(gkeys + ["_h"], kind="mergesort")
+            .groupby(gkeys, sort=False, dropna=False).head(k)
+        )
+        out = kept.merge(tot, on=gkeys, how="left", sort=False)
+        first = ~out.duplicated(subset=gkeys)
+        out["_cnt"] = np.where(first, out["_cnt"], 0)
+        out["_cnt"] = out["_cnt"].astype(np.int64)
+        return out
+
+    return precombine_map_in_pandas(raw, pre_schema, reduce_fn)
 
 
 def kmv_distinct_stream(
@@ -111,8 +173,9 @@ def kmv_distinct_stream(
         for p in pdfs:
             if len(p):
                 batch_hashes.append(p["_h"].to_numpy(dtype=np.int64))
-                n_new += len(p)
-        if not n_new:
+                # _cnt partials, not len(p): rows are pre-combined
+                n_new += int(p["_cnt"].sum())
+        if not batch_hashes:
             return
         if state.exists:
             old_minima, n_rows = state.get
@@ -127,14 +190,8 @@ def kmv_distinct_stream(
         yield emit(wstart, kval, minima, n_rows, False)
 
     hashed = (
-        stream.withWatermark(ts_col, watermark_delay)
-        .select(
-            F.window(F.col(ts_col), window).getField("start")
-            .alias("window_start"),
-            F.col(ts_col),
-            F.col(key_col),
-            F.explode(kmv_token_hashes(text_col)).alias("_h"),
-        )
+        precombined_input(stream, key_col, ts_col, text_col, k, window)
+        .withWatermark(ts_col, watermark_delay)
     )
     return hashed.groupBy("window_start", key_col).applyInPandasWithState(
         fn,

@@ -20,6 +20,15 @@ change the result — same determinism argument as the KMV sketch
 State per (window, group): <= k (hash, id) pairs + 1 scalar; finals on
 event-time timeout when the watermark passes the window end, running
 rows each touched micro-batch — the kmv_stream emission contract.
+
+A hot group's raw rows do NOT all cross into its state task (r6): a
+stateless map-side pre-combine keeps only each partition's k smallest
+deduped (hash, id) pairs per (window, group) before the state shuffle
+— bottom-k is mergeable, so the global bottom-k is a subset of the
+union of per-partition bottom-ks. Raw delivery counts survive as a
+``_cnt`` partial (group total on the first kept row, 0 on the rest),
+so ``n_rows`` still counts deliveries exactly. Crossing volume per
+(window, group): O(k * input_partitions), not O(rows).
 """
 
 from __future__ import annotations
@@ -36,10 +45,63 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from xenoeye_spark.datapipe.sampling import permuted_order
 from xenoeye_spark.streaming.wutil import (
-    session_timezone, set_window_timeout, window_duration_ms,
+    precombine_map_in_pandas, session_timezone, set_window_timeout,
+    window_duration_ms,
 )
 
 _STATE_SCHEMA = "hashes array<long>, ids array<long>, n_rows long"
+
+
+def precombined_input(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    k: int,
+    window: str,
+) -> DataFrame:
+    """The map-side pre-combine feeding the state op (see module
+    docstring): k smallest deduped (hash, id) pairs + delivery-count
+    partial + max event time per (window, group) per partition.
+    Module-level so the scale smoke can drive it in batch mode and
+    count the rows that would cross the state shuffle."""
+    raw = stream.select(
+        F.window(F.col(ts_col), window).getField("start")
+        .alias("window_start"),
+        F.col(ts_col),
+        F.col(key_col),
+        F.col(id_col).cast("long").alias("_id"),
+        permuted_order(id_col).alias("_h"),
+        F.lit(1).cast("long").alias("_cnt"),
+    )
+    pre_schema = T.StructType([
+        T.StructField("window_start", T.TimestampType()),
+        raw.schema[ts_col],
+        raw.schema[key_col],
+        T.StructField("_id", T.LongType()),
+        T.StructField("_h", T.LongType()),
+        T.StructField("_cnt", T.LongType()),
+    ])
+    gkeys = ["window_start", key_col]
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            pdf.groupby(gkeys, sort=False, dropna=False)
+            .agg(**{"_cnt": ("_cnt", "sum"), ts_col: (ts_col, "max")})
+            .reset_index()
+        )
+        kept = (
+            pdf[gkeys + ["_h", "_id"]].drop_duplicates()
+            .sort_values(gkeys + ["_h", "_id"], kind="mergesort")
+            .groupby(gkeys, sort=False, dropna=False).head(k)
+        )
+        out = kept.merge(tot, on=gkeys, how="left", sort=False)
+        first = ~out.duplicated(subset=gkeys)
+        out["_cnt"] = np.where(first, out["_cnt"], 0)
+        out["_cnt"] = out["_cnt"].astype(np.int64)
+        return out
+
+    return precombine_map_in_pandas(raw, pre_schema, reduce_fn)
 
 
 def bottomk_sample_stream(
@@ -125,21 +187,15 @@ def bottomk_sample_stream(
             h, i = h[keep_mask], i[keep_mask]
         if h.size > k:
             h, i = h[:k], i[:k]
-        n_rows = int(n_rows) + len(pdf)
+        # _cnt partials, not len(pdf): rows are pre-combined
+        n_rows = int(n_rows) + int(pdf["_cnt"].sum())
         state.update((h.tolist(), i.tolist(), n_rows))
         set_window_timeout(state, wstart, dur_ms, tz)
         yield emit(wstart, kval, h, i, n_rows, False)
 
     prepped = (
-        stream.withWatermark(ts_col, watermark_delay)
-        .select(
-            F.window(F.col(ts_col), window).getField("start")
-            .alias("window_start"),
-            F.col(ts_col),
-            F.col(key_col),
-            F.col(id_col).cast("long").alias("_id"),
-            permuted_order(id_col).alias("_h"),
-        )
+        precombined_input(stream, key_col, ts_col, id_col, k, window)
+        .withWatermark(ts_col, watermark_delay)
     )
     return prepped.groupBy("window_start", key_col).applyInPandasWithState(
         fn,

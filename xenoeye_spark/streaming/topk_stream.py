@@ -24,10 +24,24 @@ that is what makes the stream twin testable against a pure-python fold
 and independent of shuffle nondeterminism (the per-row fold's result
 depends on arrival order; the merge form's only on batch boundaries).
 
-State per (window, key-group): <= k items + counts + 2 scalars;
-emission mirrors kmv_stream — a running row set per touched group per
-micro-batch, finals on event-time timeout when the watermark passes
-the window end.
+State per window: ONE summary group of <= k items + counts + 2
+scalars (a global top-k is a global reduction — its final fold is one
+group by construction); emission mirrors kmv_stream — a running row
+per touched group per micro-batch, finals on event-time timeout when
+the watermark passes the window end.
+
+What keeps the single final group from being a throughput funnel is
+the map-side pre-combine (r6): a stateless ``mapInPandas`` pass
+reduces each input partition's raw rows to at most one
+(window, item, partial_weight) row per distinct item BEFORE the
+shuffle feeding the state op — full input parallelism does the heavy
+counting, and the state group only merges per-partition count tables
+(<= distinct-items-per-partition rows each, capped by
+``wutil.PRECOMBINE_CAP``). Batch totals per (window, item) are
+unchanged by where the partial sums split, and the MERGE form is
+insensitive to row order within a batch, so results are bit-identical
+with and without the pre-combine — the batch-equivalence test pins
+exact per-micro-batch summaries.
 """
 
 from __future__ import annotations
@@ -43,7 +57,8 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from xenoeye_spark.streaming.wutil import (
-    session_timezone, set_window_timeout, window_duration_ms,
+    precombine_map_in_pandas, session_timezone, set_window_timeout,
+    window_duration_ms,
 )
 
 _STATE_SCHEMA = (
@@ -67,6 +82,54 @@ def mg_merge(
     thresh = sorted(merged.values(), reverse=True)[k]
     out = {it: c - thresh for it, c in merged.items() if c > thresh}
     return out, thresh
+
+
+def precombined_input(
+    stream: DataFrame,
+    item_col: str,
+    ts_col: str,
+    window: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The map-side pre-combine feeding the state op (see module
+    docstring): partial weight sums per (window, item) per partition;
+    max event time survives per group, so the post-map watermark
+    advances exactly as the raw stream's would (watermark = max event
+    time - delay). Module-level so the scale smoke can drive it in
+    batch mode and count the rows that would cross the state shuffle."""
+    w = F.lit(1).cast("long") if weight_col is None else (
+        F.col(weight_col).cast("long")
+    )
+    # NULL items are EXCLUDED before the stateful op (a pandas groupby
+    # would silently drop the None key from the summary while its
+    # weight still inflated n_rows — n_rows must equal the rows the
+    # summary actually folded in)
+    raw = (
+        stream.filter(F.col(item_col).isNotNull())
+        .select(
+            F.window(F.col(ts_col), window).getField("start")
+            .alias("window_start"),
+            F.col(ts_col),
+            F.col(item_col).cast("string").alias("_item"),
+            w.alias("_w"),
+        )
+    )
+    pre_schema = T.StructType([
+        T.StructField("window_start", T.TimestampType()),
+        raw.schema[ts_col],
+        T.StructField("_item", T.StringType()),
+        T.StructField("_w", T.LongType()),
+    ])
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby(["window_start", "_item"], sort=False,
+                        dropna=False)
+            .agg(**{ts_col: (ts_col, "max"), "_w": ("_w", "sum")})
+            .reset_index()
+        )
+
+    return precombine_map_in_pandas(raw, pre_schema, reduce_fn)
 
 
 def heavy_hitters_stream(
@@ -142,23 +205,9 @@ def heavy_hitters_stream(
         set_window_timeout(state, wstart, dur_ms, tz)
         yield emit(wstart, summary, n_rows, deficit, False)
 
-    w = F.lit(1).cast("long") if weight_col is None else (
-        F.col(weight_col).cast("long")
-    )
-    # NULL items are EXCLUDED before the stateful op (a pandas groupby
-    # would silently drop the None key from the summary while its
-    # weight still inflated n_rows — n_rows must equal the rows the
-    # summary actually folded in)
     prepped = (
-        stream.withWatermark(ts_col, watermark_delay)
-        .filter(F.col(item_col).isNotNull())
-        .select(
-            F.window(F.col(ts_col), window).getField("start")
-            .alias("window_start"),
-            F.col(ts_col),
-            F.col(item_col).cast("string").alias("_item"),
-            w.alias("_w"),
-        )
+        precombined_input(stream, item_col, ts_col, window, weight_col)
+        .withWatermark(ts_col, watermark_delay)
     )
     return prepped.groupBy("window_start").applyInPandasWithState(
         fn,
