@@ -107,9 +107,9 @@ def test_driver_window_fully_oracled():
     """Every slot the driver gate captures must carry an oracle-checked
     query — the window is the scarce proof surface (round-4 finding: 7
     fully oracled queries shipped outside it while rows-only twins sat
-    inside). Queries beyond the window (rows-only twins, plus any
-    oracled query added once the window filled at r5) are driver-unseen;
-    scripts/selftest.py is their proof."""
+    inside). Queries beyond the window (rotation overflow + rows-only
+    twins) are driver-unseen this round; scripts/selftest.py is their
+    proof and the rotation brings them back."""
     names = list(entrymod.queries())
     o = set(entrymod.oracle_sql())
     unoracled_in_window = [
@@ -118,3 +118,46 @@ def test_driver_window_fully_oracled():
     assert not unoracled_in_window, (
         f"rows-only queries wasting driver-gate slots: {unoracled_in_window}"
     )
+
+
+def test_gate_rotation_schedule():
+    """r6: the gate window rotates. Assert the SCHEDULE, not one
+    prefix: queries() order follows gate_order(GATE_ROUND); the core
+    holds a slot every round; consecutive rounds cover the entire
+    oracled pool within ceil(pool/slots) rounds; the partition
+    (core | pool | rows-only) is exactly the queries()/oracle_sql()
+    inventory; and rows-only twins always sit last."""
+    names = list(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert names == entrymod.gate_order(entrymod.GATE_ROUND)
+    assert entrymod.GATE_WINDOW == DRIVER_GATE_WINDOW
+
+    core, pool = entrymod.GATE_CORE, entrymod.GATE_POOL
+    rows_only = entrymod.GATE_ROWS_ONLY
+    # partition is exact: no dup, no ghost, oracled == core+pool
+    assert len(set(core) | set(pool) | set(rows_only)) == len(names)
+    assert set(core) | set(pool) == o
+    assert set(rows_only) == NO_ORACLE_ALLOWED
+    assert names[-len(rows_only):] == rows_only
+
+    slots = DRIVER_GATE_WINDOW - len(core)
+    assert slots > 0
+    cycle = -(-len(pool) // slots)
+    for start in (6, entrymod.GATE_ROUND):
+        covered: set = set()
+        for r in range(start, start + cycle):
+            win = entrymod.gate_order(r)[:DRIVER_GATE_WINDOW]
+            assert set(core) <= set(win), "core evicted from window"
+            assert len(win) == len(set(win))
+            covered |= set(win)
+        assert covered >= set(pool), (
+            f"pool not covered within {cycle} rounds from {start}: "
+            f"{set(pool) - covered}"
+        )
+    # this round's window proves the r5 backlog (the 12 queries the
+    # r5 window had no room for)
+    win_now = set(names[:DRIVER_GATE_WINDOW])
+    r5 = {"pii_scrub", "text_normalize", "semdedup", "chunk_docs",
+          "repetition", "url_filter", "quantize", "rand_proj",
+          "temperature", "char_entropy", "best_of_class", "mask_spans"}
+    assert r5 <= win_now
