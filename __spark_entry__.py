@@ -1286,6 +1286,88 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (r6): each doc plants a PPM (even ids) or a
+    24-bit BMP (odd ids) whose pixel (y,x,c) = (id + y*w + x + 7c) %
+    256 — built by ``codecs.encode_ppm/encode_bmp`` in one mapInPandas
+    stage, decoded back by the pure-numpy header-parse decoders inside
+    ``decode_and_featurize`` (NO fake flag). Width, height, and mean
+    luma all have closed forms the oracle re-derives from
+    generate_series — integer pixel sums are float-exact on both
+    engines, so round(6) sees identical doubles."""
+    import numpy as np
+    import pandas as pd
+
+    from xenoeye_spark.datapipe.codecs import encode_bmp, encode_ppm
+    from xenoeye_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, decode_and_featurize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 4096)
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                w, h = 4 + i % 13, 3 + i % 7
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3),
+                    indexing="ij",
+                )
+                img = ((i + yy * w + xx + cc * 7) % 256).astype(np.uint8)
+                content = encode_ppm(img) if i % 2 == 0 else encode_bmp(img)
+                rows.append((i, bytearray(content),
+                             ("image/raw", w, h, 3)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "meta"]
+            )
+
+    media = docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    feats = decode_and_featurize(media)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (r6): each doc plants a PCM16 WAV with
+    n = 20 + id%50 samples of s(i) = (id*31 + i*17) % 4001 - 2000 at
+    rate 8000 + (id%3)*4000, decoded back by the pure-numpy RIFF walk
+    in ``decode_audio_features``. Sample count, rate, mean amplitude,
+    and RMS re-derived by the oracle from the same closed form (exact
+    integer sums -> identical doubles -> identical round(6))."""
+    import numpy as np
+    import pandas as pd
+
+    from xenoeye_spark.datapipe.codecs import encode_wav
+    from xenoeye_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, decode_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 4096)
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                n = 20 + i % 50
+                s = (((np.arange(n, dtype=np.int64) * 17 + i * 31)
+                      % 4001) - 2000).astype(np.int16)
+                rows.append((
+                    i, bytearray(encode_wav(s, 8000 + (i % 3) * 4000)),
+                    None,
+                ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "meta"]
+            )
+
+    media = docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    return decode_audio_features(media)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1321,7 +1403,7 @@ GATE_CORE = [
 
 GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
-    "training_prep",
+    "training_prep", "image_decode", "audio_decode",
     # r5 additions — never driver-gated before r6
     "pii_scrub", "text_normalize", "semdedup", "chunk_docs",
     "repetition", "url_filter", "quantize", "rand_proj", "temperature",
@@ -1427,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_of_class": q_best_of_class,
         "mask_spans": q_mask_spans,
         "training_prep": q_training_prep,
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
     }
     return {n: fns[n] for n in gate_order()}
 
@@ -3033,5 +3117,57 @@ SELECT s.doc_id, s.chunk_id, s.cid, s.n_tokens, s.bin_id, s.bin_offset,
        s.shard, spans.span_id, spans.start_pos, spans.end_pos,
        spans.span_tokens, spans.span_text
 FROM sharded s LEFT JOIN spans ON s.cid = spans.cid
+""",
+        # image_decode: closed-form pixel stats of the planted PPM/BMP
+        # rasters — integer channel sums are float-exact, the luma
+        # expression is written in the kernel's exact shape.
+        "image_decode": r"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < 4096
+), px AS (
+  SELECT media_id, w, h,
+         CAST(sum((media_id + y.i * w + x.i) % 256) AS DOUBLE) AS sr,
+         CAST(sum((media_id + y.i * w + x.i + 7) % 256) AS DOUBLE) AS sg,
+         CAST(sum((media_id + y.i * w + x.i + 14) % 256) AS DOUBLE) AS sb,
+         CAST(w * h AS DOUBLE) AS n
+  FROM d,
+       unnest(generate_series(0, h - 1)) y(i),
+       unnest(generate_series(0, w - 1)) x(i)
+  GROUP BY 1, 2, 3
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       round(0.299 * (sr / n) + 0.587 * (sg / n) + 0.114 * (sb / n), 6)
+         AS mean_luma
+FROM px
+""",
+        # audio_decode: closed-form PCM sample stats — exact integer
+        # sums, same division/sqrt shape as the numpy kernel.
+        "audio_decode": r"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         20 + doc_id % 50 AS n,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents WHERE doc_id < 4096
+), s AS (
+  SELECT media_id, n, rate,
+         CAST(sum((media_id * 31 + i.i * 17) % 4001 - 2000) AS DOUBLE)
+           AS s1,
+         CAST(sum(((media_id * 31 + i.i * 17) % 4001 - 2000)
+                  * ((media_id * 31 + i.i * 17) % 4001 - 2000)) AS DOUBLE)
+           AS s2
+  FROM d, unnest(generate_series(0, n - 1)) i(i)
+  GROUP BY 1, 2, 3
+)
+SELECT media_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(1 AS INTEGER) AS n_channels,
+       round(s1 / n, 6) AS mean_amp,
+       round(sqrt(s2 / n), 6) AS rms
+FROM s
 """,
     }

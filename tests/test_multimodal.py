@@ -58,3 +58,134 @@ def test_sample_frames(spark):
     # different frames of the same media differ (per-frame decode)
     lumas = {(r["media_id"], r["frame_idx"]): r["mean_luma"] for r in out}
     assert lumas[(0, 0)] != lumas[(0, 10)]
+
+
+# --------------------------------------------------------------------------
+# r6: real pure-numpy decoders for uncompressed containers
+# --------------------------------------------------------------------------
+
+def test_ppm_roundtrip_and_comments():
+    from xenoeye_spark.datapipe.codecs import decode_ppm, encode_ppm
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # hand-built header with comments and odd whitespace
+    raw = b"P6 # a comment\n  5\t7 # another\n255\n" + img.tobytes()
+    assert (decode_ppm(raw) == img).all()
+    # P5 grayscale expands to 3 identical channels
+    gray = rng.randint(0, 256, size=(4, 6), dtype=np.uint8)
+    p5 = b"P5\n6 4\n255\n" + gray.tobytes()
+    out = decode_ppm(p5)
+    assert out.shape == (4, 6, 3)
+    assert (out[..., 0] == gray).all() and (out[..., 2] == gray).all()
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\0" * 6)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n5 7\n255\n" + img.tobytes()[:-1])
+
+
+def test_bmp_roundtrip_padding_and_topdown():
+    import struct
+
+    from xenoeye_spark.datapipe.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(4)
+    # width 3 -> 9-byte rows padded to 12: exercises the stride path
+    img = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    data = encode_bmp(img)
+    assert (decode_bmp(data) == img).all()
+    # top-down variant: negate biHeight, un-flip the stored raster
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = img[:, :, ::-1].reshape(h, w * 3)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + raster.size, 0, 0, 54)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0,
+                           raster.size, 0, 0, 0, 0)
+    assert (decode_bmp(file_hdr + info_hdr + raster.tobytes()) == img).all()
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        bad = bytearray(data)
+        bad[28] = 8           # biBitCount = 8
+        decode_bmp(bytes(bad))
+
+
+def test_wav_roundtrip_8bit_and_extra_chunks():
+    import struct
+
+    from xenoeye_spark.datapipe.codecs import decode_wav, encode_wav
+
+    rng = np.random.RandomState(5)
+    stereo = rng.randint(-30000, 30000, size=(100, 2)).astype(np.int16)
+    samples, rate = decode_wav(encode_wav(stereo, 44_100))
+    assert rate == 44_100 and (samples == stereo).all()
+    # 8-bit mono with a LIST chunk before data: chunk walk must skip it
+    pcm8 = rng.randint(0, 256, size=37, dtype=np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    dat = b"data" + struct.pack("<I", len(pcm8)) + pcm8.tobytes() + b"\0"
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + lst + dat
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    samples, rate = decode_wav(raw)
+    assert rate == 8000
+    assert (samples[:, 0] == pcm8.astype(np.int32) - 128).all()
+    with pytest.raises(ValueError, match="format code"):
+        bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000, 1, 8)
+        decode_wav(b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt "
+                   + struct.pack("<I", len(bad_fmt)) + bad_fmt
+                   + b"data" + struct.pack("<I", 0))
+
+
+def test_decode_and_featurize_real_ppm_bmp(spark):
+    """The full mapInPandas path decodes REAL planted PPM and BMP bytes
+    (no fake flag) and reproduces closed-form pixel stats."""
+    from xenoeye_spark.datapipe.codecs import encode_bmp, encode_ppm
+
+    rows = []
+    expect = {}
+    for i in range(8):
+        w, h = 4 + i % 3, 3 + i % 2
+        yy, xx, cc = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        img = ((i + yy * w + xx + cc * 7) % 256).astype(np.uint8)
+        content = encode_ppm(img) if i % 2 == 0 else encode_bmp(img)
+        rows.append((i, bytearray(content), ("image/raw", w, h, 3)))
+        expect[i] = (
+            w, h,
+            0.299 * img[..., 0].mean() + 0.587 * img[..., 1].mean()
+            + 0.114 * img[..., 2].mean(),
+        )
+    from xenoeye_spark.datapipe.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    assert set(got) == set(expect)
+    for i, (w, h, luma) in expect.items():
+        assert (got[i].width, got[i].height) == (w, h)
+        assert abs(got[i].mean_luma - luma) < 1e-9
+
+    out = resize_images(media, out_w=2, out_h=2).collect()
+    assert all(len(bytes(r.pixels)) == 2 * 2 * 3 for r in out)
+
+
+def test_decode_audio_features_real_wav(spark):
+    from xenoeye_spark.datapipe.codecs import encode_wav
+    from xenoeye_spark.datapipe.multimodal import decode_audio_features
+
+    rows = []
+    expect = {}
+    for i in range(6):
+        n = 20 + 10 * i
+        s = (((np.arange(n) * 17 + i * 31) % 4001) - 2000).astype(np.int16)
+        rows.append((i, bytearray(encode_wav(s, 8000 + 1000 * i)), None))
+        expect[i] = (8000 + 1000 * i, n,
+                     round(float(s.astype(np.float64).mean()), 6),
+                     round(float(np.sqrt((s.astype(np.float64) ** 2)
+                                         .mean())), 6))
+    from xenoeye_spark.datapipe.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_audio_features(media).collect()}
+    for i, (rate, n, mean_amp, rms) in expect.items():
+        r = got[i]
+        assert (r.sample_rate, r.n_samples, r.n_channels) == (rate, n, 1)
+        assert r.mean_amp == mean_amp and r.rms == rms

@@ -6,11 +6,14 @@ extraction / resize / frame-sample run as Arrow-batched ``mapInPandas``
 stages so each partition streams batches without materializing whole files
 per row on the driver.
 
-The actual codecs (PIL/libav) are not in this container, so the decode
-kernels are STUBBED: ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (seeded by the
-content hash) produces plausible shapes — keeping the Spark-side plumbing
-(schemas, batching, partitioning, UDF signatures) real and testable.
+Decode kernels (r6): UNCOMPRESSED containers — PPM/PGM, 24-bit BMP,
+PCM WAV — decode for REAL via the pure-numpy ``datapipe.codecs``
+module (header parse + frombuffer; no codec library involved).
+Compressed codecs (JPEG/PNG/H.264) stay honestly stubbed: PIL/libav
+are not in this container, and ``decode_image`` raises
+NotImplementedError for content it cannot recognize. ``fake=True``
+keeps the deterministic content-hash fake decoder for tests that need
+arbitrary bytes to "decode".
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from xenoeye_spark.datapipe import codecs
 from xenoeye_spark.datapipe.util import spread
 
 IMAGE_META = T.StructType([
@@ -62,17 +66,16 @@ def decode_and_featurize(
 ) -> DataFrame:
     """mapInPandas stage: binary -> (dims, mean luma, tiny feature vector).
 
-    Real decoders would slot into ``_decode`` unchanged — the batch shape,
-    schema, and partitioning are production-real; only the kernel is fake.
+    ``fake=False`` (the default) decodes PPM/PGM/BMP content for real
+    via ``datapipe.codecs`` and raises NotImplementedError on
+    compressed formats (the honest boundary — no codec libs here);
+    ``fake=True`` forces the deterministic content-hash fake kernel.
     """
 
     def _decode(content: bytes) -> np.ndarray:
-        if not fake:
-            raise NotImplementedError(
-                "image codecs not available in this environment; "
-                "pass fake=True for the deterministic test decoder"
-            )
-        return _fake_decode(content)
+        if fake:
+            return _fake_decode(content)
+        return codecs.decode_image(content)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -126,18 +129,15 @@ def resize_images(
     media: DataFrame, out_w: int = 16, out_h: int = 16, fake: bool = False
 ) -> DataFrame:
     """mapInPandas resize to (out_h, out_w) via nearest-neighbor sampling —
-    numpy index grid, no codec dependency. Decode kernel stubbed like
-    decode_and_featurize."""
+    numpy index grid, no codec dependency. Decode kernel dispatches like
+    decode_and_featurize (real for PPM/PGM/BMP, fake on request)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "image codecs not available; pass fake=True"
-                    )
-                img = _fake_decode(bytes(content))
+                img = (_fake_decode(bytes(content)) if fake
+                       else codecs.decode_image(bytes(content)))
                 ys = (np.arange(out_h) * img.shape[0] // out_h)
                 xs = (np.arange(out_w) * img.shape[1] // out_w)
                 small = img[np.ix_(ys, xs)]
@@ -147,6 +147,46 @@ def resize_images(
             )
 
     return spread(media).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("mean_amp", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas stage: PCM WAV binary -> per-clip stats
+    (sample_rate, n_samples, n_channels, mean amplitude, RMS), both
+    rounded to 6 digits — the audio twin of ``decode_and_featurize``,
+    decoding for REAL via the pure-numpy ``codecs.decode_wav``
+    (RIFF chunk walk + frombuffer; 8-bit recentred, 16-bit LE).
+    Compressed audio (MP3/AAC) raises inside ``decode_wav`` — same
+    honest boundary as the image path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = codecs.decode_wav(bytes(content))
+                flat = samples.astype(np.float64).ravel()
+                rows.append((
+                    int(mid), int(rate), samples.shape[0],
+                    samples.shape[1],
+                    round(float(flat.mean()) if flat.size else 0.0, 6),
+                    round(float(np.sqrt((flat ** 2).mean()))
+                          if flat.size else 0.0, 6),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_samples",
+                               "n_channels", "mean_amp", "rms"],
+            )
+
+    return spread(media).mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType([
