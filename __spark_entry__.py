@@ -1286,6 +1286,17 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE pair counting (one tokenizer-training merge
+    round): word-frequency table first, char-pair explode over DISTINCT
+    words only — the corpus-scale pass is a single map-side-combined
+    word count. Top-100 by (count desc, a, b), a total order the oracle
+    re-derives exactly."""
+    from xenoeye_spark.datapipe.ranking import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=100)
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (r6): each doc plants a PPM (even ids) or a
     24-bit BMP (odd ids) whose pixel (y,x,c) = (id + y*w + x + 7c) %
@@ -1403,7 +1414,7 @@ GATE_CORE = [
 
 GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
-    "training_prep", "image_decode", "audio_decode",
+    "training_prep", "image_decode", "audio_decode", "bpe_pairs",
     # r5 additions — never driver-gated before r6
     "pii_scrub", "text_normalize", "semdedup", "chunk_docs",
     "repetition", "url_filter", "quantize", "rand_proj", "temperature",
@@ -1511,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
+        "bpe_pairs": q_bpe_pairs,
     }
     return {n: fns[n] for n in gate_order()}
 
@@ -3169,5 +3181,25 @@ SELECT media_id,
        round(s1 / n, 6) AS mean_amp,
        round(sqrt(s2 / n), 6) AS rms
 FROM s
+""",
+        # bpe_pairs: same two-level aggregation — word counts, then
+        # char pairs over distinct words — with the total order making
+        # LIMIT 100 deterministic on both engines.
+        "bpe_pairs": r"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                x -> x != '')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, count(*) AS cnt FROM w GROUP BY 1
+  HAVING len(word) >= 2
+), p AS (
+  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, cnt
+  FROM wc, unnest(generate_series(1, len(word) - 1)) g(i)
+)
+SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+FROM p GROUP BY 1, 2
+ORDER BY pair_count DESC, a, b
+LIMIT 100
 """,
     }

@@ -130,3 +130,38 @@ def test_training_prep_rerun_is_deterministic(spark, tmp_path):
             .collect()
         })
     assert outs[0] == outs[1]
+
+
+def test_bpe_pair_counts_twin(spark):
+    """Distributed BPE pair counts == a collections.Counter fold over
+    the same words; single-char words contribute nothing (the Spark
+    sequence(1,0)-descends trap is guarded)."""
+    import collections
+
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.ranking import bpe_pair_counts
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="low lower lowest low"),
+        Row(doc_id=1, text="a b c low  newer"),   # single-char words
+        Row(doc_id=2, text="wider newer newer"),
+    ])
+    got = {(r.a, r.b): r.pair_count
+           for r in bpe_pair_counts(docs, k=1000).collect()}
+
+    twin: collections.Counter = collections.Counter()
+    words = ("low lower lowest low a b c low newer "
+             "wider newer newer").split()
+    for w in words:
+        for i in range(len(w) - 1):
+            twin[(w[i], w[i + 1])] += 1
+    assert got == dict(twin)
+    assert ("l", "o") in got and got[("l", "o")] == 5
+
+    # top-k boundary is a total order: k=1 picks the max-count pair
+    # with the lexicographically smallest (a, b) tiebreak
+    top = bpe_pair_counts(docs, k=1).collect()[0]
+    mx = max(twin.values())
+    cands = sorted(k for k, v in twin.items() if v == mx)
+    assert (top.a, top.b) == cands[0] and top.pair_count == mx

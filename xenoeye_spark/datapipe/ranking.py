@@ -145,6 +145,56 @@ def vocab_topk(
     )
 
 
+def bpe_pair_counts(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """One round of BPE tokenizer training at corpus scale: adjacent
+    character-pair frequencies, the statistic every merge step of
+    byte-pair encoding maximizes (Sennrich et al. 2016, public
+    algorithm; Gage 1994 original).
+
+    The scale-critical trick is the classic two-level aggregation: BPE
+    counts pairs over the WORD-FREQUENCY TABLE, not the raw token
+    stream — so the corpus-size pass is one word count (map-side
+    combined, |vocab| shuffle keys), and the quadratic-ish char-pair
+    explode runs over DISTINCT words only (|vocab| rows, corpus-size-
+    independent). At 100 TB the second stage costs the same as at
+    100 GB. Pair occurrences within a word count once each (the
+    standard formulation), weighted by the word's corpus frequency.
+
+    Output: (a, b, pair_count), the top ``k`` by (count desc, a, b) —
+    deterministic total order, so the driver oracle re-derives the
+    exact row set.
+    """
+    words = docs.select(F.explode(_toks(text_col)).alias("word"))
+    # single-char words have no pairs — and Spark's sequence(1, 0)
+    # would generate a DESCENDING [1, 0], not an empty array, so the
+    # length guard is load-bearing, not cosmetic
+    wc = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wc.select(
+        F.col("_cnt"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word) - 1), "
+                "i -> struct(substr(word, i, 1) AS a, "
+                "substr(word, i + 1, 1) AS b))"
+            )
+        ).alias("_p"),
+    )
+    return (
+        pairs.groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .agg(F.sum("_cnt").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("a").asc(),
+                 F.col("b").asc())
+        .limit(k)
+    )
+
+
 def kmv_distinct(
     docs: DataFrame,
     group_col: str,
