@@ -73,6 +73,23 @@ from xenoeye_spark.operators.mavg import mavg_rates
 from xenoeye_spark.operators.report import mfreq_batch, xe_rep
 from xenoeye_spark.operators.topn import top_n_with_others
 
+# q_training_prep's shard directories, memoized per sf_dir (the write
+# is deterministic) and removed when the process exits
+_TRAINING_PREP_DIRS: dict[str, str] = {}
+
+
+def _cleanup_training_prep_dirs() -> None:
+    import shutil
+
+    while _TRAINING_PREP_DIRS:
+        _, d = _TRAINING_PREP_DIRS.popitem()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_training_prep_dirs)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table. Older testdata generations wrote events.ts as
@@ -1269,8 +1286,15 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(chunks, capacity=256, len_col="n_tokens",
                             id_col="cid")
-    out = tempfile.mkdtemp(prefix="xe_training_prep_")
-    write_training_shards(packed, out, "bin_id", 4096, id_col="cid")
+    # the shard write is part of the query's semantics (ranks come from
+    # the real files), but constructing the query twice in one process
+    # (gate + plan lint + selftest) must not re-run the write or leak a
+    # directory per call: memoize per sf_dir and clean up at exit
+    out = _TRAINING_PREP_DIRS.get(sf_dir)
+    if out is None:
+        out = tempfile.mkdtemp(prefix="xe_training_prep_")
+        write_training_shards(packed, out, "bin_id", 4096, id_col="cid")
+        _TRAINING_PREP_DIRS[sf_dir] = out
     shards = spark.read.parquet(out)
     spans = mask_spans(
         chunks.select("cid", F.col("chunk_text").alias("text")),
@@ -1524,7 +1548,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode": q_audio_decode,
         "bpe_pairs": q_bpe_pairs,
     }
-    return {n: fns[n] for n in gate_order()}
+    order = gate_order()
+    # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
+    # or GATE_ROWS_ONLY): a silent {order-only} reindex would drop a
+    # forgotten entry from the driver gate AND selftest without any
+    # lint noticing (they derive their universe from queries())
+    missing = sorted(set(fns) - set(order))
+    extra = sorted(set(order) - set(fns))
+    if missing or extra:
+        raise RuntimeError(
+            f"gate schedule out of sync: unscheduled={missing} "
+            f"unknown={extra}"
+        )
+    return {n: fns[n] for n in order}
 
 
 # ---------------------------------------------------------------------------

@@ -136,6 +136,40 @@ def test_wav_roundtrip_8bit_and_extra_chunks():
                    + b"data" + struct.pack("<I", 0))
 
 
+def test_pnm_comment_delimits_pending_token():
+    """r6 review fix: '#' right after a header token (legal netpbm —
+    a comment may appear anywhere whitespace may) must flush the
+    pending digits; the raster must start right after the comment's
+    newline, not one byte into pixel data."""
+    from xenoeye_spark.datapipe.codecs import decode_ppm
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    raw = b"P6\n2 2 255#c\n" + img.tobytes()
+    assert (decode_ppm(raw) == img).all()
+    # comment between tokens still works when cur is empty
+    raw2 = b"P6\n2#x\n 2 255\n" + img.tobytes()
+    assert (decode_ppm(raw2) == img).all()
+
+
+def test_wav_corrupt_headers_raise_diagnostics():
+    """r6 review fix: 0-channel fmt and over-declared chunk sizes get
+    the module's ValueError family, not ZeroDivisionError / silent
+    short reads."""
+    import struct
+
+    from xenoeye_spark.datapipe.codecs import decode_wav, encode_wav
+
+    good = encode_wav(np.zeros((10, 1), dtype=np.int16), 8000)
+
+    zero_ch = bytearray(good)
+    struct.pack_into("<H", zero_ch, 22, 0)     # fmt.nChannels = 0
+    with pytest.raises(ValueError, match="channel count"):
+        decode_wav(bytes(zero_ch))
+
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav(good[:-4])                  # data shorter than declared
+
+
 def test_decode_and_featurize_real_ppm_bmp(spark):
     """The full mapInPandas path decodes REAL planted PPM and BMP bytes
     (no fake flag) and reproduces closed-form pixel stats."""

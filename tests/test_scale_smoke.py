@@ -179,6 +179,41 @@ def test_semdedup_20k_vectors(spark):
     assert 0 < stats.kept <= 20_000
 
 
+def test_semdedup_split_never_groups_a_mega_cell(spark):
+    """r6 review fix: split_oversized must shrink oversized cells
+    BEFORE the per-cell group shuffle — one degenerate centroid over
+    20k vectors with max_cell_rows=1000 completes, and every
+    (cell, _sub) group the kernel receives fits the cap (the kernel
+    itself raises if one does not, so completion IS the assertion);
+    verify the refined assignment directly too."""
+    import numpy as np
+
+    from xenoeye_spark.datapipe.similarity import (
+        _split_oversized_cells, semantic_dedup,
+    )
+
+    emb = spark.range(20_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.sin(F.col("id") * (i + 1)),
+        ).alias("embedding"),
+    )
+    one_cent = np.zeros((1, 16))
+    out = semantic_dedup(emb, one_cent, threshold=0.995,
+                         max_cell_rows=1000, split_oversized=True)
+    assert out.count() == 20_000
+
+    assigned = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    ).withColumn("cell", F.lit(0))
+    refined = _split_oversized_cells(assigned, "vec_id", 1000)
+    worst = (refined.groupBy("cell", "_sub").count()
+             .agg(F.max("count")).collect()[0][0])
+    assert worst <= 1000
+
+
 def test_chunk_documents_200k_docs(spark):
     """200k synthetic ~60-token docs -> ~600k overlapping chunks; the
     explode is narrow (no shuffle) so this is a pure map-throughput

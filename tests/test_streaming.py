@@ -718,12 +718,16 @@ def test_kmv_distinct_stream_matches_batch(spark, tmp_path):
 
     WB = 1_700_000_040  # aligned: WB % 60 == 0, windows [WB, WB+60) ...
     K = 4
+    # lateness is window-deterministic (r6): partials carry the window
+    # END as event time and the delay widens by one window, so finals
+    # fire one sentinel later than a raw-ts watermark would
     batches = [
         [("a", WB + 1.0, "apple banana cherry"), ("b", WB + 2.0, "x y")],
         [("a", WB + 30.0, "banana date egg fig grape"),
-         ("a", WB + 70.0, "p q r")],          # window1; watermark -> WB+70
-        [("a", WB + 200.0, "z")],             # fires window0 finals
-        [("a", WB + 400.0, "zz")],            # fires window1 finals
+         ("a", WB + 70.0, "p q r")],          # window1
+        [("a", WB + 200.0, "z")],             # watermark -> WB+180
+        [("a", WB + 400.0, "zz")],            # watermark -> WB+360: fires
+                                              # every final through WB+240
     ]
     src = tmp_path / "in"
     for i, rows in enumerate(batches):
@@ -753,7 +757,8 @@ def test_kmv_distinct_stream_matches_batch(spark, tmp_path):
     finals = {(r.window_start.timestamp(), r.k): r
               for r in got if r.is_final}
     # window0 (both keys), window1, and the WB+200 event's window all
-    # closed exactly once ("zz"'s window never does: nothing later)
+    # closed exactly once ("zz"'s window never does: the watermark
+    # never passes its end + the one-window widening)
     assert set(finals) == {(float(WB), "a"), (float(WB), "b"),
                            (float(WB + 60), "a"), (float(WB + 180), "a")}
     assert sum(1 for r in got if r.is_final) == 4
@@ -1015,8 +1020,9 @@ def test_bottomk_sample_stream_matches_stratified(spark, tmp_path):
          [("g1", WB + 2.0, 100 + i) for i in range(3)]
     b2 = [("g0", WB + 30.0, 10 + i) for i in range(10)] + \
          [("g0", WB + 31.0, 3)]
-    b3 = [("g0", WB + 70.0, 999)]     # window1: watermark passes window0
-    b4 = [("g0", WB + 400.0, 998)]    # closes window1 + b3's window
+    b3 = [("g0", WB + 70.0, 999)]     # window1
+    b4 = [("g0", WB + 400.0, 998)]    # watermark -> WB+360: closes
+                                      # window0 + window1
     batches = [b1, b2, b3, b4]
     src = tmp_path / "in"
     for i, rows in enumerate(batches):
@@ -1095,6 +1101,95 @@ def test_bottomk_sample_stream_hash_collision_keeps_both(spark, tmp_path):
         "k", 4, id_col="doc_id").collect()}
     assert run == want
     assert run[5] + 1 == run[5 + P]      # tie ranked by id, adjacent
+
+
+def test_precombine_stamps_window_end(spark):
+    """r6 review fix: the pre-combine's event-time column must be the
+    window END — a pure function of the window — not the per-group max
+    row ts. Stamping a merged partial with a max ts would let a late
+    row survive the state op's late filter iff it happened to share a
+    partition with a fresh row (partition-placement-dependent results).
+    Driven in batch mode; all three streaming pre-combines."""
+    from xenoeye_spark.streaming import kmv_stream, sample_stream
+    from xenoeye_spark.streaming import topk_stream
+
+    WB = 1_700_000_040
+    base = spark.createDataFrame(
+        [("g", WB + 1.0, "alpha beta", 7)] * 3
+        + [("g", WB + 59.0, "gamma", 8), ("g", WB + 61.0, "delta", 9)],
+        "k string, ts double, text string, doc_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    outs = [
+        kmv_stream.precombined_input(base, "k", "ts", "text", 4,
+                                     "60 seconds"),
+        sample_stream.precombined_input(base, "k", "ts", "doc_id", 4,
+                                        "60 seconds"),
+        topk_stream.precombined_input(base, "text", "ts", "60 seconds"),
+    ]
+    for out in outs:
+        bad = out.filter(
+            F.col("ts").cast("long")
+            != F.col("window_start").cast("long") + 60
+        ).count()
+        assert bad == 0, out.columns
+
+
+def test_kmv_stream_lateness_is_window_deterministic(spark, tmp_path):
+    """r6 review fix: lateness is decided per WINDOW, not per row — a
+    raw-late row arriving BEFORE its window finalizes is absorbed
+    (regardless of partition placement), and one arriving AFTER the
+    final fired is dropped without re-creating state (no duplicate
+    finals)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from xenoeye_spark.streaming.kmv_stream import kmv_distinct_stream
+
+    WB = 1_700_000_040
+    batches = [
+        [("a", WB + 50.0, "one two")],
+        # raw ts 45s behind the max seen — absorbed: window0 not final
+        [("a", WB + 5.0, "three")],
+        [("a", WB + 400.0, "x")],     # watermark -> WB+360
+        # window0's final fires THIS trigger; the straggler is dropped
+        # by the same-window rule and must NOT re-create state
+        [("a", WB + 30.0, "four"), ("a", WB + 600.0, "y")],
+    ]
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "k string, ts double, text string")
+         .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+
+    stage = _tempfile.mkdtemp(prefix="kmvl_src_")
+    ckpt = _tempfile.mkdtemp(prefix="kmvl_ckpt_")
+    got: list = []
+    schema = "k string, ts timestamp, text string"
+    for i in range(len(batches)):
+        for f in _glob.glob(_os.path.join(str(src / f"b{i}"), "*.parquet")):
+            _shutil.copy(f, _os.path.join(stage, f"b{i}_" + _os.path.basename(f)))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(stage))
+        q = (kmv_distinct_stream(stream, "k", "ts", k=8,
+                                 window="60 seconds",
+                                 watermark_delay="0 seconds")
+             .writeStream.foreachBatch(
+                 lambda df, e: got.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    w0 = [r for r in got if r.window_start.timestamp() == WB]
+    finals = [r for r in w0 if r.is_final]
+    assert len(finals) == 1                      # no duplicate finals
+    # "one two" + the absorbed raw-late "three"; NOT the post-final "four"
+    assert finals[0].n_sketch == 3
+    assert finals[0].n_rows == 3
+    # nothing for window0 after its final (state never re-created)
+    assert all(not r.is_final for r in w0[:-1])
 
 
 def test_heavy_hitters_stream_null_items_excluded(spark, tmp_path):

@@ -36,6 +36,13 @@ def _pnm_header_tokens(data: bytes, n_tokens: int) -> tuple[list[int], int]:
     while i < len(data) and len(toks) < n_tokens:
         ch = data[i:i + 1]
         if ch == b"#":
+            # '#' delimits an in-progress token exactly like whitespace
+            # (netpbm allows a comment anywhere whitespace may appear);
+            # without the flush, '255#c\n' would leave b'255' pending
+            # and keep scanning RASTER bytes as header characters
+            if cur:
+                toks.append(int(cur))
+                cur = b""
             while i < len(data) and data[i:i + 1] not in (b"\n", b"\r"):
                 i += 1
         elif ch.isspace():
@@ -145,8 +152,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while i + 8 <= len(data):
         cid = data[i:i + 4]
         size = struct.unpack_from("<I", data, i + 4)[0]
+        if i + 8 + size > len(data):
+            # a silently-short frombuffer would decode fewer samples
+            # than declared — fail like the PNM/BMP truncation guards
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declares {size} bytes, "
+                f"{len(data) - i - 8} remain"
+            )
         body = data[i + 8:i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             payload = body
@@ -156,6 +172,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, n_ch, rate, _, _, bits = fmt
     if audio_fmt != 1:
         raise ValueError(f"unsupported WAV format code {audio_fmt}")
+    if n_ch == 0:
+        raise ValueError("unsupported WAV channel count 0")
     if bits == 16:
         samples = np.frombuffer(
             payload, dtype="<i2", count=len(payload) // 2

@@ -521,12 +521,18 @@ def semantic_dedup(
     ``max_cell_rows`` (default 50k rows ~= 300 MB at 768 dims) instead
     raise a diagnostic naming the cell, its row count, and the fix —
     raise the centroid count, or pass ``split_oversized=True`` to
-    recursively re-cluster the oversized cell in-kernel with
-    deterministic sub-centroids (evenly-spaced rows of the id-sorted
-    cell — no RNG). Splitting is the SAME approximation as running
-    SemDeDup with more centroids: witnesses across sub-cells are
-    missed, so split mode keeps a SUPERSET of exact per-cell mode's
-    keeps (never drops a row exact mode kept).
+    re-cluster oversized cells BEFORE the group shuffle: a driver loop
+    (cheap (cell,_sub) count agg per round) picks deterministic
+    sub-centroids (evenly-spaced rows of the id-sorted group — no RNG)
+    via a vector-free rank pass, re-assigns only the oversized groups'
+    rows with a broadcast mapInPandas matmul, and repeats until every
+    group fits. No task ever materializes more than ``max_cell_rows``
+    rows — the split itself cannot OOM, unlike an in-kernel split that
+    would receive the whole mega-cell as one pandas group first.
+    Splitting is the SAME approximation as running SemDeDup with more
+    centroids: witnesses across sub-cells are missed, so split mode
+    keeps a SUPERSET of exact per-cell mode's keeps (never drops a row
+    exact mode kept).
 
     Cosine is rounded to 6 digits before the threshold compare
     (matching ``_cos_rows_udf`` and the SQL oracle); zero-norm vectors
@@ -553,10 +559,10 @@ def semantic_dedup(
         T.StructField("n_dups", T.LongType()),
     ])
 
-    def _score_cell(ids: np.ndarray, m: np.ndarray) -> np.ndarray:
+    def _score_cell(m: np.ndarray) -> np.ndarray:
         """n_dups per row of an id-SORTED cell matrix (the exact
-        tiled-BLAS kernel)."""
-        n = len(ids)
+        tiled-BLAS kernel) — row order IS the witness order."""
+        n = len(m)
         # dot / (|a||b|), NOT normalize-then-dot: the same float shape
         # as _cos_rows_udf and the oracle's cosine, so a value near a
         # 6-digit rounding boundary evaluates the same way everywhere
@@ -575,54 +581,21 @@ def semantic_dedup(
                 n_dups[j0 + dj] = int((row >= threshold).sum())
         return n_dups
 
-    def _split_score(pdf: pd.DataFrame, depth: int) -> np.ndarray:
-        """Recursive mega-cell path: re-cluster the (id-sorted) cell on
-        deterministic sub-centroids — evenly-spaced member rows — and
-        score each sub-group; rows a sub-centroid ties on keep their
-        first (argmin) assignment. Returns n_dups aligned to pdf."""
-        n = len(pdf)
-        if n <= max_cell_rows:
-            m = np.array(pdf["_v"].tolist(), dtype=np.float64)
-            return _score_cell(pdf[id_col].to_numpy(), m)
-        if depth <= 0:
-            raise ValueError(
-                "semantic_dedup: oversized cell failed to shrink under "
-                "recursive splitting (identical vectors?) — raise "
-                "max_cell_rows or deduplicate exact copies first"
-            )
-        m = np.array(pdf["_v"].tolist(), dtype=np.float64)
-        n_sub = max(2, -(-n // max_cell_rows))
-        picks = np.linspace(0, n - 1, n_sub).astype(np.int64)
-        sub = m[picks]
-        d = -2.0 * (m @ sub.T) + (sub ** 2).sum(axis=1)[None, :]
-        lab = d.argmin(axis=1)
-        if np.unique(lab).size == 1:
-            # every row nearest one sub-centroid: cannot shrink
-            raise ValueError(
-                "semantic_dedup: oversized cell of "
-                f"{n} rows collapsed onto one sub-centroid — raise "
-                "max_cell_rows or deduplicate exact copies first"
-            )
-        n_dups = np.empty(n, dtype=np.int64)
-        for s in np.unique(lab):
-            idx = np.flatnonzero(lab == s)
-            n_dups[idx] = _split_score(pdf.iloc[idx], depth - 1)
-        return n_dups
-
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort")
         n = len(pdf)
-        if n > max_cell_rows and not split_oversized:
+        if n > max_cell_rows:
             raise ValueError(
                 f"semantic_dedup: cell {int(pdf['cell'].iloc[0])} holds "
                 f"{n} rows > max_cell_rows={max_cell_rows} — the kernel "
                 "would materialize its full matrix on one executor. "
                 "Raise the centroid count (the SemDeDup skew knob), or "
                 "pass split_oversized=True to re-cluster oversized "
-                "cells in-kernel, or raise max_cell_rows if the "
-                "executors have the memory."
+                "cells before the group shuffle, or raise "
+                "max_cell_rows if the executors have the memory."
             )
-        n_dups = _split_score(pdf, depth=16)
+        m = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        n_dups = _score_cell(m)
         return pd.DataFrame({
             id_col: pdf[id_col].to_numpy(),
             "cell": pdf["cell"].to_numpy(),
@@ -638,7 +611,160 @@ def semantic_dedup(
         )
         .withColumn("cell", assign_cell(F.col("_v")))
     )
-    return assigned.groupBy("cell").applyInPandas(per_cell, out_schema)
+    group_keys = ["cell"]
+    if split_oversized:
+        assigned = _split_oversized_cells(
+            assigned, id_col, max_cell_rows
+        )
+        group_keys = ["cell", "_sub"]
+    return assigned.groupBy(*group_keys).applyInPandas(
+        per_cell, out_schema
+    )
+
+
+def _split_oversized_cells(
+    assigned: DataFrame,
+    id_col: str,
+    max_cell_rows: int,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Refine semantic_dedup's cell assignment until no (cell, _sub)
+    group exceeds ``max_cell_rows`` — entirely BEFORE the per-cell
+    group shuffle, so no executor task ever holds an oversized group.
+
+    Each round, driver-side (all driver state is tiny — one row per
+    oversized group):
+      1. count rows per (cell, _sub); collect the oversized groups
+         (bounded by |corpus| / max_cell_rows rows);
+      2. rank each oversized group's rows by id WITHOUT vectors (the
+         in-partition sort carries ~16 bytes/row), pick the
+         evenly-spaced ranks as deterministic sub-centroids, and fetch
+         just those vectors (n_sub = ceil(n / max_cell_rows) per
+         group) — the same no-RNG rule as picking evenly-spaced rows
+         of the id-sorted cell;
+      3. re-assign ONLY the oversized groups' rows to their nearest
+         sub-centroid with a broadcast mapInPandas matmul (argmin ties
+         keep the first pick), relabeling ``_sub`` into a per-cell
+         block of fresh labels so rounds never collide.
+
+    A group whose rows all land on one sub-centroid (identical
+    vectors) cannot shrink — raise a diagnostic instead of looping;
+    likewise after ``max_rounds`` rounds.
+    """
+    spark = assigned.sparkSession
+    assigned = assigned.withColumn("_sub", F.lit(0).cast("long"))
+    next_free: dict[int, int] = {}
+    # (cell, child-block-range) -> parent size, for the collapse check
+    prev_blocks: dict[tuple[int, int], tuple[int, int]] = {}
+
+    for _ in range(max_rounds):
+        over = sorted(
+            (int(r["cell"]), int(r["_sub"]), int(r["n"]))
+            for r in assigned.groupBy("cell", "_sub")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_cell_rows)
+            .collect()
+        )
+        if not over:
+            return assigned
+        # collapse check: a child group equal in size to its parent
+        # means every parent row chose ONE sub-centroid (identical
+        # vectors) — it will never shrink, so fail loudly now
+        for c, s, n in over:
+            parent = prev_blocks.get((c, s))
+            if parent is not None and n == parent[1]:
+                raise ValueError(
+                    f"semantic_dedup: oversized cell of {n} rows "
+                    "collapsed onto one sub-centroid — raise "
+                    "max_cell_rows or deduplicate exact copies first"
+                )
+        over_keys = spark.createDataFrame(
+            [(c, s) for c, s, _ in over], "cell int, _sub long"
+        )
+        sub_rows = assigned.join(
+            F.broadcast(over_keys), ["cell", "_sub"]
+        )
+        ranked = sub_rows.select("cell", "_sub", id_col).withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("cell", "_sub").orderBy(id_col)
+            ) - 1,
+        )
+        pos_rows = []
+        bases: dict[tuple[int, int], int] = {}
+        for c, s, n in over:
+            n_sub = max(2, -(-n // max_cell_rows))
+            base = next_free.setdefault(c, 1)
+            next_free[c] = base + n_sub
+            bases[(c, s)] = base
+            for j in range(n_sub):
+                prev_blocks[(c, base + j)] = (s, n)
+            for j, p in enumerate(
+                np.linspace(0, n - 1, n_sub).astype(np.int64)
+            ):
+                pos_rows.append((c, s, int(p), j))
+        pos_df = spark.createDataFrame(
+            pos_rows, "cell int, _sub long, _rk int, _sidx int"
+        )
+        # the picked set is tiny (n_sub rows per oversized group) —
+        # broadcast it against assigned so fetching the vectors never
+        # shuffles the corpus
+        small = (
+            ranked.join(F.broadcast(pos_df), ["cell", "_sub", "_rk"])
+            .select(
+                F.col(id_col),
+                F.col("cell").alias("_pc"),
+                F.col("_sub").alias("_ps"),
+                "_sidx",
+            )
+        )
+        picked = (
+            assigned.select(id_col, "_v")
+            .join(F.broadcast(small), id_col)
+            .select("_pc", "_ps", "_sidx", "_v")
+            .collect()
+        )
+        by_group: dict[tuple[int, int], dict[int, list]] = {}
+        for r in picked:
+            key = (int(r["_pc"]), int(r["_ps"]))
+            by_group.setdefault(key, {})[int(r["_sidx"])] = r["_v"]
+        bc = spark.sparkContext.broadcast({
+            key: (
+                np.array(
+                    [sub[j] for j in sorted(sub)], dtype=np.float64
+                ),
+                bases[key],
+            )
+            for key, sub in by_group.items()
+        })
+
+        # bind THIS round's broadcast at def time: the checkpoint is
+        # lazy, so the closure may run during the NEXT round's count,
+        # after the loop rebinds `bc`
+        def reassign(batches, _bc=bc):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = pdf.copy()
+                for key, grp in pdf.groupby(["cell", "_sub"], sort=False):
+                    sub, base = _bc.value[(int(key[0]), int(key[1]))]
+                    m = np.array(grp["_v"].tolist(), dtype=np.float64)
+                    d = -2.0 * (m @ sub.T) + (sub ** 2).sum(axis=1)[None, :]
+                    out.loc[grp.index, "_sub"] = base + d.argmin(axis=1)
+                yield out
+
+        reassigned = sub_rows.mapInPandas(reassign, sub_rows.schema)
+        assigned = assigned.join(
+            F.broadcast(over_keys), ["cell", "_sub"], "left_anti"
+        ).unionByName(reassigned)
+        # cut lineage per round: the next count + the final group-by
+        # otherwise re-run every prior round's joins
+        assigned = assigned.localCheckpoint(eager=False)
+    raise ValueError(
+        "semantic_dedup: oversized cell failed to shrink under "
+        f"{max_rounds} splitting rounds (identical vectors?) — raise "
+        "max_cell_rows or deduplicate exact copies first"
+    )
 
 
 def quantize_embeddings(

@@ -38,6 +38,15 @@ minima). The raw occurrence count each group folded in survives as a
 rest — sums are flush-invariant), so ``n_rows`` still counts raw
 deliveries exactly. Crossing volume per (window, key):
 O(k * input_partitions), not O(rows).
+
+Lateness is decided at WINDOW granularity, not per row: the partials
+carry the window END as their event time and the watermark delay is
+widened by one window duration (``wutil.widen_delay``), so a row is
+dropped as late iff its window's final has already been emitted —
+a partition-placement-independent rule (a per-row ts filter after the
+merge would keep or drop a late row depending on which rows it
+happened to share a partition with). See widen_delay's docstring for
+the exact watermark arithmetic.
 """
 
 from __future__ import annotations
@@ -54,8 +63,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from xenoeye_spark.datapipe.ranking import KMV_P, kmv_token_hashes
 from xenoeye_spark.streaming.wutil import (
-    precombine_map_in_pandas, session_timezone, set_window_timeout,
-    window_duration_ms,
+    bottomk_reduce, precombine_map_in_pandas, session_timezone,
+    set_window_timeout, widen_delay, window_duration_ms,
 )
 
 _STATE_SCHEMA = "minima array<long>, n_rows long"
@@ -71,43 +80,30 @@ def precombined_input(
 ) -> DataFrame:
     """The map-side pre-combine feeding the state op (see module
     docstring): k smallest distinct token hashes + occurrence-count
-    partial + max event time per (window, key) per partition.
-    Module-level so the scale smoke can drive it in batch mode and
-    count the rows that would cross the state shuffle."""
+    partial per (window, key) per partition. The event-time column is
+    stamped with the window END — a pure function of the window — so
+    the downstream late filter is partition-placement-independent (see
+    module docstring / wutil.widen_delay). Module-level so the scale
+    smoke can drive it in batch mode and count the rows that would
+    cross the state shuffle."""
+    win = F.window(F.col(ts_col), window)
     raw = stream.select(
-        F.window(F.col(ts_col), window).getField("start")
-        .alias("window_start"),
-        F.col(ts_col),
+        win.getField("start").alias("window_start"),
+        win.getField("end").alias(ts_col),
         F.col(key_col),
         F.explode(kmv_token_hashes(text_col)).alias("_h"),
         F.lit(1).cast("long").alias("_cnt"),
     )
     pre_schema = T.StructType([
         T.StructField("window_start", T.TimestampType()),
-        raw.schema[ts_col],
+        T.StructField(ts_col, T.TimestampType()),
         raw.schema[key_col],
         T.StructField("_h", T.LongType()),
         T.StructField("_cnt", T.LongType()),
     ])
-    gkeys = ["window_start", key_col]
-
-    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        tot = (
-            pdf.groupby(gkeys, sort=False, dropna=False)
-            .agg(**{"_cnt": ("_cnt", "sum"), ts_col: (ts_col, "max")})
-            .reset_index()
-        )
-        kept = (
-            pdf[gkeys + ["_h"]].drop_duplicates()
-            .sort_values(gkeys + ["_h"], kind="mergesort")
-            .groupby(gkeys, sort=False, dropna=False).head(k)
-        )
-        out = kept.merge(tot, on=gkeys, how="left", sort=False)
-        first = ~out.duplicated(subset=gkeys)
-        out["_cnt"] = np.where(first, out["_cnt"], 0)
-        out["_cnt"] = out["_cnt"].astype(np.int64)
-        return out
-
+    reduce_fn = bottomk_reduce(
+        ["window_start", key_col], ts_col, ["_h"], k
+    )
     return precombine_map_in_pandas(raw, pre_schema, reduce_fn)
 
 
@@ -191,7 +187,7 @@ def kmv_distinct_stream(
 
     hashed = (
         precombined_input(stream, key_col, ts_col, text_col, k, window)
-        .withWatermark(ts_col, watermark_delay)
+        .withWatermark(ts_col, widen_delay(watermark_delay, dur_ms))
     )
     return hashed.groupBy("window_start", key_col).applyInPandasWithState(
         fn,

@@ -29,6 +29,13 @@ union of per-partition bottom-ks. Raw delivery counts survive as a
 ``_cnt`` partial (group total on the first kept row, 0 on the rest),
 so ``n_rows`` still counts deliveries exactly. Crossing volume per
 (window, group): O(k * input_partitions), not O(rows).
+
+Lateness is decided at WINDOW granularity: partials carry the window
+END as their event time and the watermark delay is widened by one
+window (``wutil.widen_delay``), so a row is dropped iff its window's
+final already fired — independent of which rows shared a partition
+(a per-row ts filter after the merge would not be). See
+widen_delay's docstring for the watermark arithmetic.
 """
 
 from __future__ import annotations
@@ -45,8 +52,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from xenoeye_spark.datapipe.sampling import permuted_order
 from xenoeye_spark.streaming.wutil import (
-    precombine_map_in_pandas, session_timezone, set_window_timeout,
-    window_duration_ms,
+    bottomk_reduce, precombine_map_in_pandas, session_timezone,
+    set_window_timeout, widen_delay, window_duration_ms,
 )
 
 _STATE_SCHEMA = "hashes array<long>, ids array<long>, n_rows long"
@@ -62,13 +69,15 @@ def precombined_input(
 ) -> DataFrame:
     """The map-side pre-combine feeding the state op (see module
     docstring): k smallest deduped (hash, id) pairs + delivery-count
-    partial + max event time per (window, group) per partition.
+    partial per (window, group) per partition. The event-time column
+    is stamped with the window END so the downstream late filter is
+    partition-placement-independent (see wutil.widen_delay).
     Module-level so the scale smoke can drive it in batch mode and
     count the rows that would cross the state shuffle."""
+    win = F.window(F.col(ts_col), window)
     raw = stream.select(
-        F.window(F.col(ts_col), window).getField("start")
-        .alias("window_start"),
-        F.col(ts_col),
+        win.getField("start").alias("window_start"),
+        win.getField("end").alias(ts_col),
         F.col(key_col),
         F.col(id_col).cast("long").alias("_id"),
         permuted_order(id_col).alias("_h"),
@@ -76,31 +85,15 @@ def precombined_input(
     )
     pre_schema = T.StructType([
         T.StructField("window_start", T.TimestampType()),
-        raw.schema[ts_col],
+        T.StructField(ts_col, T.TimestampType()),
         raw.schema[key_col],
         T.StructField("_id", T.LongType()),
         T.StructField("_h", T.LongType()),
         T.StructField("_cnt", T.LongType()),
     ])
-    gkeys = ["window_start", key_col]
-
-    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        tot = (
-            pdf.groupby(gkeys, sort=False, dropna=False)
-            .agg(**{"_cnt": ("_cnt", "sum"), ts_col: (ts_col, "max")})
-            .reset_index()
-        )
-        kept = (
-            pdf[gkeys + ["_h", "_id"]].drop_duplicates()
-            .sort_values(gkeys + ["_h", "_id"], kind="mergesort")
-            .groupby(gkeys, sort=False, dropna=False).head(k)
-        )
-        out = kept.merge(tot, on=gkeys, how="left", sort=False)
-        first = ~out.duplicated(subset=gkeys)
-        out["_cnt"] = np.where(first, out["_cnt"], 0)
-        out["_cnt"] = out["_cnt"].astype(np.int64)
-        return out
-
+    reduce_fn = bottomk_reduce(
+        ["window_start", key_col], ts_col, ["_h", "_id"], k
+    )
     return precombine_map_in_pandas(raw, pre_schema, reduce_fn)
 
 
@@ -195,7 +188,7 @@ def bottomk_sample_stream(
 
     prepped = (
         precombined_input(stream, key_col, ts_col, id_col, k, window)
-        .withWatermark(ts_col, watermark_delay)
+        .withWatermark(ts_col, widen_delay(watermark_delay, dur_ms))
     )
     return prepped.groupBy("window_start", key_col).applyInPandasWithState(
         fn,

@@ -39,9 +39,16 @@ counting, and the state group only merges per-partition count tables
 (<= distinct-items-per-partition rows each, capped by
 ``wutil.PRECOMBINE_CAP``). Batch totals per (window, item) are
 unchanged by where the partial sums split, and the MERGE form is
-insensitive to row order within a batch, so results are bit-identical
-with and without the pre-combine — the batch-equivalence test pins
-exact per-micro-batch summaries.
+insensitive to row order within a batch, so for in-watermark rows the
+results are bit-identical with and without the pre-combine — the
+batch-equivalence test pins exact per-micro-batch summaries.
+
+Lateness is decided at WINDOW granularity: partials carry the window
+END as their event time and the watermark delay is widened by one
+window (``wutil.widen_delay``), so a row is dropped iff its window's
+final already fired — independent of which rows shared a partition
+(a per-row ts filter after the merge would not be). See
+widen_delay's docstring for the watermark arithmetic.
 """
 
 from __future__ import annotations
@@ -58,7 +65,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from xenoeye_spark.streaming.wutil import (
     precombine_map_in_pandas, session_timezone, set_window_timeout,
-    window_duration_ms,
+    widen_delay, window_duration_ms,
 )
 
 _STATE_SCHEMA = (
@@ -92,11 +99,12 @@ def precombined_input(
     weight_col: str | None = None,
 ) -> DataFrame:
     """The map-side pre-combine feeding the state op (see module
-    docstring): partial weight sums per (window, item) per partition;
-    max event time survives per group, so the post-map watermark
-    advances exactly as the raw stream's would (watermark = max event
-    time - delay). Module-level so the scale smoke can drive it in
-    batch mode and count the rows that would cross the state shuffle."""
+    docstring): partial weight sums per (window, item) per partition.
+    The event-time column is stamped with the window END so the
+    downstream late filter is partition-placement-independent (see
+    wutil.widen_delay). Module-level so the scale smoke can drive it
+    in batch mode and count the rows that would cross the state
+    shuffle."""
     w = F.lit(1).cast("long") if weight_col is None else (
         F.col(weight_col).cast("long")
     )
@@ -104,19 +112,19 @@ def precombined_input(
     # would silently drop the None key from the summary while its
     # weight still inflated n_rows — n_rows must equal the rows the
     # summary actually folded in)
+    win = F.window(F.col(ts_col), window)
     raw = (
         stream.filter(F.col(item_col).isNotNull())
         .select(
-            F.window(F.col(ts_col), window).getField("start")
-            .alias("window_start"),
-            F.col(ts_col),
+            win.getField("start").alias("window_start"),
+            win.getField("end").alias(ts_col),
             F.col(item_col).cast("string").alias("_item"),
             w.alias("_w"),
         )
     )
     pre_schema = T.StructType([
         T.StructField("window_start", T.TimestampType()),
-        raw.schema[ts_col],
+        T.StructField(ts_col, T.TimestampType()),
         T.StructField("_item", T.StringType()),
         T.StructField("_w", T.LongType()),
     ])
@@ -207,7 +215,7 @@ def heavy_hitters_stream(
 
     prepped = (
         precombined_input(stream, item_col, ts_col, window, weight_col)
-        .withWatermark(ts_col, watermark_delay)
+        .withWatermark(ts_col, widen_delay(watermark_delay, dur_ms))
     )
     return prepped.groupBy("window_start").applyInPandasWithState(
         fn,

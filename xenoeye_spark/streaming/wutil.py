@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -67,6 +68,66 @@ def precombine_map_in_pandas(
             yield reduce_fn(pd.concat(frames, ignore_index=True))[cols]
 
     return df.mapInPandas(gen, schema=schema)
+
+
+def widen_delay(watermark_delay: str, dur_ms: int) -> str:
+    """The watermark delay the PRE-COMBINED stream must use so that
+    lateness stays window-deterministic.
+
+    The pre-combine merges a partition's rows per (window, key), so a
+    per-row ``ts < watermark`` late filter would make results depend on
+    which rows happened to share a partition (a late row merged with a
+    fresh one survives; alone it is dropped). Instead the partials are
+    stamped with the window END as their event time, which makes the
+    late filter a pure function of the window: a partial is dropped iff
+    ``window_end < watermark`` — exactly the condition under which the
+    window's state timeout (registered at ``window_end``) has already
+    fired. Invariant: a window absorbs EVERY row that arrives before
+    its final is emitted, and drops every row after — Spark's built-in
+    windowed-agg drop rule, independent of partitioning.
+
+    Because window_end >= any member row's ts, stamping alone would
+    advance the watermark up to one window EARLY (watermark = max event
+    time - delay). Widening the user's delay by one window duration
+    restores the guarantee that the widened watermark never leads the
+    raw-row watermark: max(window_end) - delay - dur <= max(ts) - delay.
+    Finals therefore fire at most one window LATER (in event time) than
+    the raw-row formulation at the same user delay — the price of
+    partition-independent lateness.
+    """
+    return f"{window_duration_ms(watermark_delay) // 1000 + dur_ms // 1000} seconds"
+
+
+def bottomk_reduce(
+    gkeys: list[str], ts_col: str, val_cols: list[str], k: int
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Shared pre-combine reduce for the bottom-k-sketch streams
+    (kmv_stream: val_cols=["_h"]; sample_stream: val_cols=["_h","_id"]).
+    Keeps the k lexicographically-smallest DISTINCT value tuples per
+    group (mergeable: the global bottom-k of distinct is a subset of
+    the union of per-partition bottom-ks), sums the ``_cnt`` delivery
+    partials onto the group's FIRST kept row (0 on the rest — sums are
+    flush-invariant), and carries the max event time (constant per
+    group post window-end stamping). One definition so a stamp/merge
+    fix lands in both streams at once."""
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            pdf.groupby(gkeys, sort=False, dropna=False)
+            .agg(**{"_cnt": ("_cnt", "sum"), ts_col: (ts_col, "max")})
+            .reset_index()
+        )
+        kept = (
+            pdf[gkeys + val_cols].drop_duplicates()
+            .sort_values(gkeys + val_cols, kind="mergesort")
+            .groupby(gkeys, sort=False, dropna=False).head(k)
+        )
+        out = kept.merge(tot, on=gkeys, how="left", sort=False)
+        first = ~out.duplicated(subset=gkeys)
+        out["_cnt"] = np.where(first, out["_cnt"], 0)
+        out["_cnt"] = out["_cnt"].astype(np.int64)
+        return out
+
+    return reduce_fn
 
 
 def window_duration_ms(window: str) -> int:
