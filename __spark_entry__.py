@@ -1403,6 +1403,110 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(media)
 
 
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (r6): shingle-Jaccard prefilter at
+    0.15 (the proven ppjoin pipeline, loosened to a recall gate) then
+    banded Levenshtein verify at max_dist=40. Catches small in-place
+    edits set-similarity under-ranks. Oracle: DuckDB levenshtein over
+    the all-pairs Jaccard prefilter — byte edits == char edits on this
+    ASCII corpus (divergence documented in fuzzy_dedup_pairs)."""
+    from xenoeye_spark.datapipe.dedup import fuzzy_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2500)
+    return fuzzy_dedup_pairs(
+        docs, max_dist=40, n=3, prefilter_jaccard=0.15
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (r6): keep the 15 longest docs per
+    source (n_chars desc, doc_id asc), the over-represented-domain
+    guard — the cap cuts at every sf (sources hold 25+ docs at
+    sf0.01). The mergeable salted pre-prune bounds any hot domain's
+    window input at presplit*cap rows; the salt provably never changes
+    the result, so the oracle is a plain ROW_NUMBER."""
+    from xenoeye_spark.datapipe.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_cap(
+        docs, "source", 15, order_cols=[F.col("n_chars").desc()],
+    )
+    return out.select("doc_id", "source", "n_chars", "domain_rank")
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection per language (r6): walk docs by
+    (n_chars desc, doc_id asc) and keep while the running token total
+    stays <= 2000 — the "best N tokens per language" mixture primitive.
+    Oracle: cumulative SUM OVER with the same frame."""
+    from xenoeye_spark.datapipe.sampling import token_budget_select
+    from xenoeye_spark.datapipe.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_count(docs).select("doc_id", "n_ws_tokens")
+    sized = docs.join(toks, "doc_id")
+    out = token_budget_select(
+        sized, "lang", budget=2000, len_col="n_ws_tokens",
+        order_cols=[F.col("n_chars").desc()],
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_ws_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+    )
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration (r6) from the fixed seeded
+    centroids: squared-L2 argmin assignment (sequential fold, ties to
+    the lower cell) then quantized per-(cell, dim) means — int64 sums
+    of floor(v*1e6) are partition-order-free, so the oracle reproduces
+    every mean bit-for-bit."""
+    from xenoeye_spark.datapipe.similarity import kmeans_step
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_step(emb, _ivf_fixed_centroids())
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation (r6): recall@10 of the fixed-centroid IVF
+    against the exact brute-force top-10, per query — the eval loop an
+    index build tunes n_probe with. Composes two driver-proven
+    pipelines; the oracle re-derives BOTH sides and joins them."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = ivf_topk(
+        emb, queries, k=10, n_cells=_IVF_FIXED_CELLS, n_probe=3,
+        centroids=_ivf_fixed_centroids(),
+    ).select(
+        F.col("query_id").alias("_aqid"), F.col("vec_id").alias("_avid")
+    )
+    # disjoint column names on the two sides — both lineages share emb,
+    # and qualified attribute refs still trip the ambiguous-self-join
+    # check when the join condition touches common-origin columns
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("_aqid"))
+        & (F.col("vec_id") == F.col("_avid")),
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+    return base.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("_k").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1438,6 +1542,8 @@ GATE_CORE = [
 
 GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
+    "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
+    "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
     # r5 additions — never driver-gated before r6
     "pii_scrub", "text_normalize", "semdedup", "chunk_docs",
@@ -1547,6 +1653,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
         "bpe_pairs": q_bpe_pairs,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "domain_cap": q_domain_cap,
+        "token_budget": q_token_budget,
+        "kmeans_step": q_kmeans_step,
+        "ann_recall": q_ann_recall,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -3238,4 +3349,155 @@ FROM p GROUP BY 1, 2
 ORDER BY pair_count DESC, a, b
 LIMIT 100
 """,
+        # fuzzy_dedup: the all-pairs Jaccard prefilter (same expression
+        # as dedup_ngram_jaccard, loosened to 0.15) then DuckDB's
+        # levenshtein — byte edits == Spark's char edits on this ASCII
+        # corpus (0 non-ASCII rows; divergence documented in
+        # fuzzy_dedup_pairs).
+        "fuzzy_dedup": f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents WHERE doc_id < 2500
+), sh AS (
+  SELECT doc_id, {shingles} AS s FROM toks
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
+        ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) END >= 0.15
+), v AS (
+  SELECT c.id_a, c.id_b, levenshtein(x.text, y.text) AS d,
+         greatest(length(x.text), length(y.text)) AS ml
+  FROM cand c JOIN documents x ON x.doc_id = c.id_a
+              JOIN documents y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, CAST(d AS BIGINT) AS edit_dist,
+       round(CASE WHEN ml = 0 THEN 0.0
+             ELSE CAST(d AS DOUBLE) / ml END, 6) AS edit_ratio
+FROM v WHERE d <= 40
+""",
+        # domain_cap: the salted pre-prune provably never changes the
+        # result, so the oracle is the plain per-source ROW_NUMBER cap.
+        "domain_cap": """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS domain_rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(domain_rank AS BIGINT) AS domain_rank
+FROM r WHERE domain_rank <= 15
+""",
+        # token_budget: inclusive running token sum per language over
+        # the same total order; integer sums are engine-exact.
+        "token_budget": r"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x != '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 2000
+""",
+        # kmeans_step: the assignment distance is the SAME sequential
+        # left fold of squared diffs as Spark's F.aggregate (bit-
+        # identical doubles -> identical argmin + lower-cell tie rule);
+        # means re-derived from int-exact floor(v*1e6) sums.
+        "kmeans_step": (lambda cents: f"""
+WITH cents AS ({" UNION ALL ".join(
+    f"SELECT {i} AS cell, [{', '.join(repr(x) for x in c)}]::DOUBLE[] AS c"
+    for i, c in enumerate(cents))}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), d AS (
+  SELECT e.vec_id, e.v, c.cell,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65),
+             i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
+           (acc, x) -> acc + x) AS dist
+  FROM e CROSS JOIN cents c
+), a AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cell ASC
+    ) AS rn FROM d
+  ) WHERE rn = 1
+), x AS (
+  SELECT cell, CAST(i - 1 AS INTEGER) AS dim,
+         CAST(floor(v[i] * 1000000.0) AS BIGINT) AS q
+  FROM a, unnest(generate_series(1, 64)) g(i)
+)
+SELECT CAST(cell AS INTEGER) AS cell, dim,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean
+FROM x GROUP BY cell, dim
+""")(_ivf_fixed_centroids().tolist()),
+        # ann_recall: BOTH sides re-derived — the exact brute-force
+        # top-10 (sim_topk's pipeline) and the fixed-centroid IVF
+        # top-10 (sim_ivf_fixed's pipeline) — then a per-query hit
+        # count over their join.
+        "ann_recall": (lambda cents, csqs: f"""
+WITH cents AS ({" UNION ALL ".join(
+    f"SELECT {i} AS cell, [{', '.join(repr(x) for x in c)}]::DOUBLE[] AS c, "
+    f"{csq!r} AS csq"
+    for i, (c, csq) in enumerate(zip(cents, csqs)))}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+), bs AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+  FROM e, q WHERE e.vec_id != q.query_id
+), br AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS rn FROM bs
+  ) WHERE rn <= 10
+), assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (-2 * list_inner_product(e.v, c.c) + c.csq) ASC, c.cell ASC
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (-2 * list_inner_product(e.v, c.c) + c.csq) ASC, c.cell ASC
+           ) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5
+  ) WHERE rn <= 3
+), s AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+  FROM assign a JOIN qprobe q USING (cell) WHERE a.vec_id != q.query_id
+), ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS rn FROM s
+  ) WHERE rn <= 10
+)
+SELECT b.query_id, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+       round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 6) AS recall
+FROM br b LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+GROUP BY b.query_id
+""")(_ivf_fixed_centroids().tolist(),
+     [(float((c * c).sum())) for c in _ivf_fixed_centroids()]),
     }

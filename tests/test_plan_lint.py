@@ -26,9 +26,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #                    join keys are folded away, so the 1-row broadcast
 #                    plans as BNL; build side is a single row by agg)
 #   temperature    — the ONE-ROW w^alpha normalizer attach (same shape)
+#   ann_recall     — composes sim_topk (the same <=5-row query-set
+#                    broadcast) as its exact baseline side
 BNL_ALLOWED = {
     "sim_topk", "bm25", "tfidf_topterms", "bigram_lm",
-    "quantize", "temperature",
+    "quantize", "temperature", "ann_recall",
 }
 
 

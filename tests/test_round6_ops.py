@@ -165,3 +165,208 @@ def test_bpe_pair_counts_twin(spark):
     mx = max(twin.values())
     cands = sorted(k for k, v in twin.items() if v == mx)
     assert (top.a, top.b) == cands[0] and top.pair_count == mx
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (full DP) for twin checks."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_dedup_pairs_twin(spark):
+    """fuzzy_dedup_pairs == brute-force python Levenshtein over every
+    pair that passes the Jaccard prefilter; banded -1 rows are dropped;
+    two empty docs pair at ratio 0.0 via the candidates path."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.dedup import fuzzy_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        0: base,
+        1: base.replace("quick", "quickk"),          # 1 edit
+        2: base.replace("lazy dog", "hazy bog"),     # 2 edits
+        3: "completely different words everywhere in this one doc",
+        4: base + " plus an extra tail of several appended words here",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    got = {(r.id_a, r.id_b): (r.edit_dist, r.edit_ratio)
+           for r in fuzzy_dedup_pairs(docs, max_dist=12,
+                                      prefilter_jaccard=0.1).collect()}
+
+    # twin: prefilter = 3-gram jaccard >= 0.1, verify dist <= 12
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    twin = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            si, sj = shingles(texts[i]), shingles(texts[j])
+            u = len(si | sj)
+            jac = (len(si & sj) / u) if u else 0.0
+            if jac < 0.1:
+                continue
+            d = _lev(texts[i], texts[j])
+            if d <= 12:
+                ml = max(len(texts[i]), len(texts[j]))
+                twin[(i, j)] = (d, round(d / ml, 6))
+    assert {k: v[0] for k, v in got.items()} == {
+        k: v[0] for k, v in twin.items()
+    }
+    for k in twin:
+        assert abs(got[k][1] - twin[k][1]) < 1e-9
+    assert (0, 1) in got and got[(0, 1)][0] == 1
+    assert (0, 3) not in got                     # prefilter rejects
+    assert (0, 4) not in got                     # band rejects (d > 12)
+
+    # candidates path: empty-vs-empty pair is dist 0, ratio 0.0
+    ed = spark.createDataFrame([Row(doc_id=10, text=""),
+                                Row(doc_id=11, text="")])
+    cand = spark.createDataFrame([Row(id_a=10, id_b=11)])
+    row = fuzzy_dedup_pairs(ed, max_dist=3, candidates=cand).collect()
+    assert len(row) == 1
+    assert (row[0].edit_dist, row[0].edit_ratio) == (0, 0.0)
+
+
+def test_domain_cap_presplit_invariance(spark):
+    """domain_cap keeps exactly the top-N per domain in (order, id)
+    order, and the salted pre-prune never changes the result — the
+    presplit=0 exact form and several split factors all agree,
+    including on order-value ties (id tiebreak)."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.sampling import domain_cap
+
+    rows = [Row(doc_id=i, dom=f"d{i % 3}", q=(i * 7) % 5)
+            for i in range(120)]
+    df = spark.createDataFrame(rows)
+
+    def run(presplit):
+        return sorted(
+            (r.doc_id, r.dom, r.domain_rank)
+            for r in domain_cap(df, "dom", 6,
+                                order_cols=[F.col("q").desc()],
+                                presplit=presplit).collect()
+        )
+
+    exact = run(0)
+    assert len(exact) == 18                      # 3 domains x 6
+    assert run(4) == exact and run(32) == exact
+
+    # rank agrees with a hand fold: sort by (q desc, id asc) per dom
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r.dom, []).append(r)
+    twin = []
+    for dom, members in by_dom.items():
+        members.sort(key=lambda r: (-r.q, r.doc_id))
+        twin += [(m.doc_id, dom, k + 1) for k, m in enumerate(members[:6])]
+    assert exact == sorted(twin)
+
+
+def test_token_budget_select_twin(spark):
+    """token_budget_select keeps the maximal in-order PREFIX whose
+    inclusive cumsum fits the budget: the first over-budget row is
+    dropped AND later shorter rows never back-fill; the bucket-cumsum
+    pre-prune is result-invariant; NULL lengths raise."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.sampling import token_budget_select
+
+    rows = [
+        Row(doc_id=0, g="a", n=40), Row(doc_id=1, g="a", n=50),
+        Row(doc_id=2, g="a", n=30),   # cum 120 > 100: dropped
+        Row(doc_id=3, g="a", n=5),    # would fit alone: still dropped
+        Row(doc_id=4, g="b", n=100),  # exactly the budget: kept
+        Row(doc_id=5, g="b", n=1),
+    ]
+    df = spark.createDataFrame(rows)
+    for presplit in (0, 8):
+        got = sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in token_budget_select(
+                df, "g", budget=100, len_col="n",
+                order_cols=[F.col("doc_id").asc()], presplit=presplit,
+            ).collect()
+        )
+        assert got == [(0, 40), (1, 90), (4, 100)]
+
+    bad = spark.createDataFrame(
+        [(0, "a", None)], "doc_id long, g string, n long"
+    )
+    with pytest.raises(Exception, match="NULL/negative"):
+        token_budget_select(bad, "g", 10, "n").collect()
+
+
+def test_kmeans_step_twin(spark):
+    """kmeans_step == numpy argmin + quantized means; ties assign to
+    the lower cell; empty cells emit no rows."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.similarity import kmeans_step
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(60, 8))
+    cents = np.array([
+        vecs[0], vecs[1],
+        vecs[1],                       # duplicate: ties go to cell 1
+        [99.0] * 8,                    # far away: empty cell
+    ])
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)]
+    )
+    got = {(r.cell, r.dim): (r.n_members, r.mean)
+           for r in kmeans_step(df, cents, quant=10**6).collect()}
+
+    d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)          # numpy argmin takes first == min
+    assert 2 not in set(assign) and 3 not in set(assign)
+    assert not any(c in (2, 3) for c, _ in got)
+    for cell in sorted(set(assign)):
+        m = vecs[assign == cell]
+        for dim in range(8):
+            q = np.floor(m[:, dim] * 10**6).sum()
+            want = round(q / (len(m) * 10**6), 6)
+            n, mean = got[(cell, dim)]
+            assert n == len(m)
+            assert abs(mean - want) < 1e-9
+
+
+def test_ann_recall_full_probe_is_one(spark):
+    """Probing every cell makes IVF == brute force, so recall@k == 1.0
+    for every query — the eval op's self-consistency anchor."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.similarity import (
+        brute_force_topk, ivf_topk,
+    )
+
+    rng = np.random.RandomState(9)
+    vecs = rng.normal(size=(80, 16))
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)]
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = vecs[:4].copy()
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in ivf_topk(emb, queries, k=5, n_probe=4,
+                                centroids=cents).collect()}
+    assert approx == exact

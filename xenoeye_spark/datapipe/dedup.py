@@ -644,3 +644,76 @@ def contamination_check(
         F.round(frac, 6).alias("contamination_frac"),
         (F.col("n_hits") > 0).cast("int").alias("is_contaminated"),
     )
+
+
+def fuzzy_dedup_pairs(
+    docs: DataFrame,
+    max_dist: int = 16,
+    n: int = 3,
+    prefilter_jaccard: float = 0.15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs: candidate pairs (shingle
+    prefilter or a supplied LSH set) verified by banded Levenshtein.
+
+    The tier between exact hashing and set-similarity: it catches small
+    in-place edits (typo fixes, one-word swaps, boilerplate date
+    stamps) that shift every overlapping shingle yet leave the strings
+    within ``max_dist`` single-character edits. Pure set-Jaccard ranks
+    such pairs low; byte-exact hashing misses them entirely.
+
+    Candidates default to ``ngram_jaccard_pairs`` at a deliberately low
+    ``prefilter_jaccard`` (a doc pair within d edits of each other still
+    shares most of its shingles once d << len, so a loose Jaccard floor
+    is a safe, cheap recall gate — the ppjoin prefix filter keeps it
+    from going all-pairs). Pass ``candidates`` ((id_a, id_b)) to
+    verify an LSH/simhash candidate stream instead at scale.
+
+    Verification is JVM-side ``levenshtein(a, b, max_dist)`` — Spark's
+    banded form costs O(len * max_dist) per pair instead of
+    O(len_a * len_b) and returns -1 past the band, so the filter never
+    materializes a full DP matrix for clearly-distant pairs. Output:
+    id_a < id_b, edit_dist, edit_ratio = dist / greatest(len_a, len_b)
+    (rounded to 6; 0.0 for two empty strings).
+
+    Scale shape: candidate generation is the bounded ppjoin/LSH
+    shuffle; verification is two id equi-joins (AQE broadcasts the
+    candidate side when it fits) plus a narrow projection. Nothing
+    quadratic, nothing driver-side.
+
+    Cross-engine note: Spark's levenshtein counts CHARACTER edits,
+    DuckDB's counts BYTE edits — identical on ASCII, divergent on
+    multi-byte UTF-8. The driver-gate corpus is ASCII; oracles for
+    non-ASCII corpora must normalize first.
+    """
+    cands = candidates if candidates is not None else (
+        ngram_jaccard_pairs(
+            docs, n=n, threshold=prefilter_jaccard,
+            text_col=text_col, id_col=id_col,
+        ).select("id_a", "id_b")
+    )
+    ta = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_t_a")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b")
+    )
+    joined = cands.join(ta, "id_a").join(tb, "id_b")
+    dist = F.levenshtein(F.col("_t_a"), F.col("_t_b"), max_dist)
+    maxlen = F.greatest(F.length("_t_a"), F.length("_t_b"))
+    ratio = F.when(maxlen == 0, F.lit(0.0)).otherwise(
+        F.col("edit_dist").cast("double") / maxlen.cast("double")
+    )
+    return (
+        joined.withColumn("edit_dist", dist)
+        .filter(
+            (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist)
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("edit_dist").cast("long").alias("edit_dist"),
+            F.round(ratio, 6).alias("edit_ratio"),
+        )
+    )

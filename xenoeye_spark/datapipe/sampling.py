@@ -346,3 +346,122 @@ def mask_spans(
         F.row_number().over(w2).cast("long").alias("span_id"),
         "start_pos", "end_pos", "n_tokens", "span_text",
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    n_per_domain: int,
+    order_cols: list | None = None,
+    id_col: str = "doc_id",
+    presplit: int = 32,
+) -> DataFrame:
+    """Cap a corpus at the best ``n_per_domain`` rows per domain — the
+    standard over-represented-source guard in web-corpus curation (keep
+    the top-N docs per registered domain by quality, drop the tail).
+
+    Rows rank by ``order_cols`` (e.g. ``[F.col("quality").desc()]``)
+    with ``id_col`` ascending appended as the deterministic tiebreak;
+    the emitted ``domain_rank`` (1-based) is that order.
+
+    Scale shape: a plain per-domain window sorts EVERY row of a hot
+    domain on one reducer. The cap is mergeable (the global top-N is
+    contained in the union of per-bucket top-Ns), so rows first rank
+    within (domain, bucket) — bucket = a hash-salt of the id with
+    ``presplit`` values, any partition of rows works and the salt never
+    affects the result — and only each bucket's top-N survive to the
+    exact per-domain window: <= presplit * n_per_domain rows per domain
+    cross the second shuffle, independent of domain skew. Set
+    ``presplit=0`` to skip the pre-prune (tiny inputs).
+    """
+    order = list(order_cols or []) + [F.col(id_col).asc()]
+    if presplit:
+        w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order)
+        pruned = (
+            df.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(presplit))
+            )
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= n_per_domain)
+            .drop("_salt", "_r1")
+        )
+    else:
+        pruned = df
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        pruned.withColumn(
+            "domain_rank", F.row_number().over(w2).cast("long")
+        )
+        .filter(F.col("domain_rank") <= n_per_domain)
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    len_col: str,
+    order_cols: list | None = None,
+    id_col: str = "doc_id",
+    presplit: int = 0,
+) -> DataFrame:
+    """Greedy token-budget selection: walk each group's rows in
+    preference order and keep them while the running token total stays
+    within ``budget`` — the "give me the best 1B tokens per language"
+    mixture primitive. A row is kept iff the cumulative ``len_col``
+    INCLUDING it is <= budget (the first over-budget row and everything
+    after it are dropped; a later shorter row never back-fills, keeping
+    the selection a prefix and therefore stable under re-runs).
+
+    Rows order by ``order_cols`` + ``id_col`` ascending (deterministic
+    tiebreak); the output carries ``cum_tokens`` (the running total
+    including the row). NULL or negative lengths raise — a silent 0
+    would quietly admit unbounded rows.
+
+    Scale shape: one per-group window (cumulative sum). A prefix sum is
+    NOT mergeable the way a top-N cap is, but a safe pre-prune exists
+    when ``presplit`` > 0: within any (group, hash-salt) bucket, a
+    row's bucket-prefix-sum is a LOWER bound on its true prefix sum
+    (the bucket holds a subset of its true predecessors), so rows whose
+    bucket cumsum already exceeds the budget can be dropped before the
+    exact pass. Bounded survivors per bucket ~= budget / typical_len —
+    worth it when the budget cuts deep into a skewed group; leave 0
+    when most rows survive anyway (the default: the extra shuffle
+    costs more than it saves).
+    """
+    order = list(order_cols or []) + [F.col(id_col).asc()]
+    lc = F.col(len_col).cast("long")
+    checked = F.when(
+        lc.isNull() | (lc < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"token_budget_select: {len_col} NULL/negative at "),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(lc)
+    df = df.withColumn("_len", checked)
+    if presplit:
+        w1 = (
+            Window.partitionBy(group_col, "_salt")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        df = (
+            df.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(presplit))
+            )
+            .withColumn("_bc", F.sum("_len").over(w1))
+            .filter(F.col("_bc") <= budget)
+            .drop("_salt", "_bc")
+        )
+    w2 = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum("_len").over(w2))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_len")
+    )

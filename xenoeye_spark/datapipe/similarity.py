@@ -313,22 +313,27 @@ def kmeans_lite(
 
 
 def _cell_expr(vec: Column, centroids: np.ndarray) -> Column:
-    """argmin distance to centroid as a pure expression chain: compute each
-    squared distance via zip_with/aggregate, fold argmin with when-chains.
-    Centroid count is small (<=64) so the expression stays codegen-able."""
+    """argmin distance to centroid as a pure expression: each squared
+    distance is a zip_with/aggregate fold appearing ONCE in the tree,
+    argmin = array_min over (dist, cell) structs (struct ordering is
+    lexicographic, so equal distances tie to the LOWER cell — the same
+    rule as ivf_topk and the SQL oracles).
+
+    A when-chain argmin would embed each running best twice per step —
+    Catalyst does not CSE across when branches, so the tree doubles per
+    centroid (measured: ~75s analysis+codegen for 8x64 centroids vs
+    <1s for this form)."""
     v = vec.cast("array<double>")
-    dists = []
-    for c in centroids:
+    entries = []
+    for i, c in enumerate(centroids):
         arr = F.array(*[F.lit(float(x)) for x in c])
         diff = F.zip_with(v, arr, lambda a, b: (a - b) * (a - b))
-        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
-    best_idx = F.lit(0)
-    best_d = dists[0]
-    for i in range(1, len(dists)):
-        cond = dists[i] < best_d
-        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-        best_d = F.when(cond, dists[i]).otherwise(best_d)
-    return best_idx
+        d = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("c")))
+    # F.array() coerces the struct elements to a common type whose
+    # fields are renamed col1/col2 — fetch the cell field by the
+    # coerced name (first field stays the distance, second the cell)
+    return F.array_min(F.array(*entries)).getField("col2")
 
 
 def ivf_topk(
@@ -885,3 +890,64 @@ def random_projection(
         for j, row in enumerate(p)
     ]
     return emb.select(F.col(id_col), *cols)
+
+
+def kmeans_step(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """One distributed Lloyd k-means iteration, cross-engine exact:
+    assign every vector to its nearest centroid (squared-L2 argmin,
+    ties to the lower cell — the same rule as ``ivf_topk``), then emit
+    each cell's member count and per-dimension mean.
+
+    The building block a 100-TB IVF index build repeats: assignment is
+    a narrow per-row expression over broadcast centroid literals
+    (``_cell_expr`` — pure JVM, codegen-able, no shuffle), and the
+    update is ONE map-side-combined groupBy on (cell, dim) after a
+    narrow posexplode — tuples, not matrices, cross the shuffle, and
+    the combine collapses them to k*d rows per partition. No driver
+    loop per row, no collect of member vectors.
+
+    Means are computed over inputs QUANTIZED to integers —
+    floor(v * quant) summed as int64 — so the result is bit-identical
+    regardless of partitioning or add order (float sums are not
+    associative; int sums are), and a SQL oracle reproduces it exactly.
+    The quantization error (< 1/quant per element) is far below k-means'
+    own convergence tolerance. int64 bound: |v| * quant * n_rows must
+    stay < 2^63 — at quant=1e6 and unit-normalized embeddings that is
+    ~9e12 member rows per cell, beyond any real cell.
+
+    Output: cell int, dim int, n_members long, mean double (round 6) —
+    exploded rather than array-typed so every engine hashes it the same
+    way. Empty cells emit no rows (a fixpoint iteration would keep the
+    previous centroid, a policy the caller owns).
+    """
+    assigned = emb.select(
+        F.col(id_col),
+        _cell_expr(F.col(vec_col), np.asarray(centroids, dtype=float))
+        .alias("cell"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim", "_v"),
+    )
+    q = F.floor(F.col("_v") * F.lit(float(quant))).cast("long")
+    return (
+        assigned.groupBy("cell", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(q).alias("_qsum"),
+        )
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.round(
+                F.col("_qsum").cast("double")
+                / (F.col("n_members") * F.lit(float(quant))),
+                6,
+            ).alias("mean"),
+        )
+    )
