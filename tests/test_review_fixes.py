@@ -604,3 +604,114 @@ def test_bench_final_line_fits_driver_capture():
     line2 = build_final_line(fat, 1.0, 3, "0.1", "inline", probe)
     assert len(line2.encode()) <= FINAL_LINE_MAX_BYTES
     assert json.loads(line2)["value"] == 1.0
+
+
+# --------------------------------------------------- round-6 review
+
+def test_cell_expr_plain_projection(spark):
+    """r6 review fix: _cell_expr must resolve in a PLAIN projection —
+    the struct-field form only analyzed when the caller's select also
+    contained a generator (generator extraction rewrote the field
+    names to col1/col2); the array form is position-addressed and
+    context-free."""
+    import numpy as np
+
+    from xenoeye_spark.datapipe.similarity import _cell_expr
+
+    cents = np.array([[0.0, 0.0], [10.0, 10.0]])
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [9.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.cell for r in df.select(
+        "vec_id", _cell_expr(F.col("embedding"), cents).alias("cell")
+    ).collect()}
+    assert got == {0: 0, 1: 1}
+
+    # tie goes to the LOWER cell (duplicate centroids)
+    dup = np.array([[1.0, 1.0], [1.0, 1.0]])
+    tie = df.select(_cell_expr(F.col("embedding"), dup).alias("c"))
+    assert [r.c for r in tie.collect()] == [0, 0]
+
+
+def test_widen_delay_keeps_full_interval_grammar():
+    """r6 review fix: widen_delay must accept every delay string
+    withWatermark accepted before the pre-combine existed (compound,
+    milliseconds, days) — not just the window parser's subset."""
+    import pytest as _pytest
+
+    from xenoeye_spark.streaming.wutil import interval_ms, widen_delay
+
+    assert interval_ms("500 milliseconds") == 500
+    assert interval_ms("1 minute 30 seconds") == 90_000
+    assert interval_ms("1 day") == 86_400_000
+    assert interval_ms("0 seconds") == 0
+    assert widen_delay("1 minute 30 seconds", 60_000) \
+        == "150000 milliseconds"
+    with _pytest.raises(ValueError):
+        interval_ms("1 fortnight")
+    with _pytest.raises(ValueError):
+        interval_ms("")
+
+
+def test_decode_ppm_rejects_trailing_bytes():
+    """r6 review fix: CRLF after maxval (or any trailing junk) must
+    raise, not shift every pixel by one byte silently."""
+    import numpy as np
+    import pytest as _pytest
+
+    from xenoeye_spark.datapipe.codecs import decode_ppm
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    with _pytest.raises(ValueError, match="trailing"):
+        decode_ppm(b"P6\n2 2\n255\r\n" + img.tobytes())
+    with _pytest.raises(ValueError, match="trailing"):
+        decode_ppm(b"P6\n2 2\n255\n" + img.tobytes() + b"\n")
+    assert (decode_ppm(b"P6\n2 2\n255\n" + img.tobytes()) == img).all()
+
+
+def test_decode_wav_rejects_partial_samples():
+    """r6 review fix: an odd 16-bit payload or a partial multi-channel
+    frame raises instead of silently dropping samples."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from xenoeye_spark.datapipe.codecs import decode_wav, encode_wav
+
+    def rebuild(payload, n_ch):
+        fmt = _struct.pack("<HHIIHH", 1, n_ch, 8000,
+                           8000 * n_ch * 2, n_ch * 2, 16)
+        out = b"RIFF" + _struct.pack(
+            "<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        out += b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + _struct.pack("<I", len(payload)) + payload
+        return out
+
+    with _pytest.raises(ValueError, match="odd byte count"):
+        decode_wav(rebuild(b"\x00" * 5, 1))
+    with _pytest.raises(ValueError, match="partial frame"):
+        decode_wav(rebuild(b"\x00" * 6, 2))   # 3 samples over 2 ch
+    good = encode_wav(np.zeros((4, 2), dtype=np.int16), 8000)
+    arr, rate = decode_wav(good)
+    assert arr.shape == (4, 2) and rate == 8000
+
+
+def test_cap_budget_reserved_column_guards(spark):
+    """r6 review fix: domain_cap / token_budget_select refuse inputs
+    whose columns collide with their working/output names instead of
+    silently overwriting and dropping them."""
+    import pytest as _pytest
+
+    from xenoeye_spark.datapipe.sampling import (
+        domain_cap, token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 1, 9)], "doc_id long, g string, _salt int, n long"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        domain_cap(df, "g", 5)
+    with _pytest.raises(ValueError, match="collide"):
+        token_budget_select(df, "g", 10, "n")

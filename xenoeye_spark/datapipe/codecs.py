@@ -73,6 +73,16 @@ def decode_ppm(data: bytes) -> np.ndarray:
     need = w * h * ch
     if len(data) - off < need:
         raise ValueError("truncated PNM raster")
+    if len(data) - off > need:
+        # the spec allows exactly ONE whitespace byte after maxval; a
+        # text-mode writer's CRLF (or trailing junk) would otherwise
+        # shift every pixel silently — raster bytes may legitimately
+        # start with 0x0A, so greedy whitespace-skipping cannot
+        # disambiguate and the only safe rule is exact length
+        raise ValueError(
+            f"PNM raster has {len(data) - off - need} trailing "
+            "byte(s) (CRLF after maxval?) — refusing a shifted decode"
+        )
     raster = np.frombuffer(data, dtype=np.uint8, count=need, offset=off)
     img = raster.reshape(h, w, ch)
     if ch == 1:
@@ -175,15 +185,23 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if n_ch == 0:
         raise ValueError("unsupported WAV channel count 0")
     if bits == 16:
-        samples = np.frombuffer(
-            payload, dtype="<i2", count=len(payload) // 2
-        ).astype(np.int32)
+        if len(payload) % 2:
+            # same rule as the chunk-size guard above: never decode
+            # fewer samples than the payload holds without saying so
+            raise ValueError(
+                "WAV data chunk has an odd byte count for 16-bit PCM"
+            )
+        samples = np.frombuffer(payload, dtype="<i2").astype(np.int32)
     elif bits == 8:
         samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128
     else:
         raise ValueError(f"unsupported WAV bit depth {bits}")
-    n = (samples.size // n_ch) * n_ch
-    return samples[:n].reshape(-1, n_ch), rate
+    if samples.size % n_ch:
+        raise ValueError(
+            f"WAV data chunk holds a partial frame: {samples.size} "
+            f"samples over {n_ch} channels"
+        )
+    return samples.reshape(-1, n_ch), rate
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

@@ -374,6 +374,12 @@ def domain_cap(
     cross the second shuffle, independent of domain skew. Set
     ``presplit=0`` to skip the pre-prune (tiny inputs).
     """
+    reserved = {"_salt", "_r1", "domain_rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"domain_cap: input columns {sorted(reserved)} collide "
+            "with the operator's working/output names — rename them"
+        )
     order = list(order_cols or []) + [F.col(id_col).asc()]
     if presplit:
         w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order)
@@ -429,6 +435,13 @@ def token_budget_select(
     when most rows survive anyway (the default: the extra shuffle
     costs more than it saves).
     """
+    reserved = {"_salt", "_len", "_bc", "cum_tokens"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"token_budget_select: input columns {sorted(reserved)} "
+            "collide with the operator's working/output names — "
+            "rename them"
+        )
     order = list(order_cols or []) + [F.col(id_col).asc()]
     lc = F.col(len_col).cast("long")
     checked = F.when(

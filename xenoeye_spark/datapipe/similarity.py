@@ -329,11 +329,15 @@ def _cell_expr(vec: Column, centroids: np.ndarray) -> Column:
         arr = F.array(*[F.lit(float(x)) for x in c])
         diff = F.zip_with(v, arr, lambda a, b: (a - b) * (a - b))
         d = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-        entries.append(F.struct(d.alias("d"), F.lit(i).alias("c")))
-    # F.array() coerces the struct elements to a common type whose
-    # fields are renamed col1/col2 — fetch the cell field by the
-    # coerced name (first field stays the distance, second the cell)
-    return F.array_min(F.array(*entries)).getField("col2")
+        # (dist, cell) as a 2-element DOUBLE array, not a struct: array
+        # ordering is lexicographic just like struct ordering, but the
+        # min element is then addressed by POSITION — struct field
+        # names are context-dependent (generator extraction in a
+        # caller's select rewrites them to col1/col2, a plain
+        # projection keeps the aliases), so a getField() works in one
+        # caller and analysis-fails in another
+        entries.append(F.array(d, F.lit(float(i))))
+    return F.array_min(F.array(*entries)).getItem(1).cast("int")
 
 
 def ivf_topk(

@@ -94,8 +94,39 @@ def widen_delay(watermark_delay: str, dur_ms: int) -> str:
     Finals therefore fire at most one window LATER (in event time) than
     the raw-row formulation at the same user delay — the price of
     partition-independent lateness.
+
+    Accepts every delay grammar ``withWatermark`` did before the
+    pre-combine existed (compound intervals, milliseconds, days) —
+    routing the delay through the stricter window parser would break
+    previously-valid callers at stream construction.
     """
-    return f"{window_duration_ms(watermark_delay) // 1000 + dur_ms // 1000} seconds"
+    return f"{interval_ms(watermark_delay) + dur_ms} milliseconds"
+
+
+_INTERVAL_MS = {
+    "millisecond": 1, "second": 1000, "minute": 60_000,
+    "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000,
+}
+
+
+def interval_ms(interval: str) -> int:
+    """Parse a (possibly compound) event-time interval string — the
+    grammar ``withWatermark`` accepts for delays, e.g. "1 day",
+    "500 milliseconds", "1 minute 30 seconds" — to milliseconds.
+    Stricter window arithmetic keeps using ``window_duration_ms``;
+    this parser exists so DELAYS keep their full historical grammar."""
+    parts = interval.split()
+    if not parts or len(parts) % 2:
+        raise ValueError(f"unsupported interval: {interval!r}")
+    total = 0
+    for num, unit in zip(parts[::2], parts[1::2]):
+        key = unit.lower().rstrip("s")
+        if key not in _INTERVAL_MS or not num.lstrip("-").isdigit():
+            raise ValueError(f"unsupported interval: {interval!r}")
+        total += int(num) * _INTERVAL_MS[key]
+    if total < 0:
+        raise ValueError(f"negative interval: {interval!r}")
+    return total
 
 
 def bottomk_reduce(
