@@ -1457,10 +1457,11 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed Lloyd iteration (r6) from the fixed seeded
-    centroids: squared-L2 argmin assignment (sequential fold, ties to
-    the lower cell) then quantized per-(cell, dim) means — int64 sums
-    of floor(v*1e6) are partition-order-free, so the oracle reproduces
-    every mean bit-for-bit."""
+    centroids: squared-L2 argmin assignment (Arrow-batch matmul, ties
+    to the lower cell — the ivf_topk-proven oracle pairing) then
+    quantized per-(cell, dim) means — int64 sums of floor(v*1e6) are
+    partition-order-free, so the oracle reproduces every mean
+    bit-for-bit."""
     from xenoeye_spark.datapipe.similarity import kmeans_step
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3410,28 +3411,24 @@ SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= 2000
 """,
-        # kmeans_step: the assignment distance is the SAME sequential
-        # left fold of squared diffs as Spark's F.aggregate (bit-
-        # identical doubles -> identical argmin + lower-cell tie rule);
+        # kmeans_step: assignment re-derived with the sim_ivf_fixed-
+        # proven -2*inner+csq argmin (same float shape as the Spark
+        # kernel's matmul; argmin is ulp-robust + lower-cell tie rule);
         # means re-derived from int-exact floor(v*1e6) sums.
-        "kmeans_step": (lambda cents: f"""
+        "kmeans_step": (lambda cents, csqs: f"""
 WITH cents AS ({" UNION ALL ".join(
-    f"SELECT {i} AS cell, [{', '.join(repr(x) for x in c)}]::DOUBLE[] AS c"
-    for i, c in enumerate(cents))}
+    f"SELECT {i} AS cell, [{', '.join(repr(x) for x in c)}]::DOUBLE[] AS c, "
+    f"{csq!r} AS csq"
+    for i, (c, csq) in enumerate(zip(cents, csqs)))}
 ), e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), d AS (
-  SELECT e.vec_id, e.v, c.cell,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(1, 65),
-             i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
-           (acc, x) -> acc + x) AS dist
-  FROM e CROSS JOIN cents c
 ), a AS (
   SELECT vec_id, v, cell FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY vec_id ORDER BY dist ASC, cell ASC
-    ) AS rn FROM d
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (-2 * list_inner_product(e.v, c.c) + c.csq) ASC, c.cell ASC
+           ) AS rn
+    FROM e CROSS JOIN cents c
   ) WHERE rn = 1
 ), x AS (
   SELECT cell, CAST(i - 1 AS INTEGER) AS dim,
@@ -3442,7 +3439,8 @@ SELECT CAST(cell AS INTEGER) AS cell, dim,
        CAST(count(*) AS BIGINT) AS n_members,
        round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean
 FROM x GROUP BY cell, dim
-""")(_ivf_fixed_centroids().tolist()),
+""")(_ivf_fixed_centroids().tolist(),
+     [(float((c * c).sum())) for c in _ivf_fixed_centroids()]),
         # ann_recall: BOTH sides re-derived — the exact brute-force
         # top-10 (sim_topk's pipeline) and the fixed-centroid IVF
         # top-10 (sim_ivf_fixed's pipeline) — then a per-query hit
