@@ -1508,6 +1508,36 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training (r6): 12 merge rounds over the
+    word-frequency table (corpus pass once; each round is vocab-sized).
+    Rows-only: iterative training is not SQL-expressible — bpe_pairs is
+    the oracled sibling statistic and the python-twin test pins every
+    merge (rank, pair, count)."""
+    from xenoeye_spark.datapipe.ranking import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    merges = bpe_train(docs, n_merges=12)
+    return spark.createDataFrame(
+        [(int(r), a, b, int(n)) for r, a, b, n in merges],
+        "merge_rank int, a string, b string, pair_count long",
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merge table corpus-wide (r6): per-distinct-word
+    Arrow encode + join back to per-doc word counts — the two-level
+    trick again, so the python loop never sees corpus-cardinality data.
+    Rows-only: python-twin proof (encode reproduces the trainer's own
+    final symbol table); token_count is the oracled pre-merge length
+    sibling."""
+    from xenoeye_spark.datapipe.ranking import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs.filter(F.col("doc_id") < 1000), n_merges=12)
+    return bpe_encode(docs, merges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1565,6 +1595,7 @@ GATE_POOL = [
 GATE_ROWS_ONLY = [
     "dedup_minhash_lsh", "simhash", "doc_fingerprint", "sim_ivf",
     "multimodal_feat", "frame_sample", "simhash_neardup",
+    "bpe_train", "bpe_encode",
 ]
 
 
@@ -1659,6 +1690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,

@@ -76,13 +76,16 @@ def test_allowlist_entries_still_have_bnl(plans):
 
 # ------------------------------------------------- driver-gate meta-lints
 
-# The 7 DELIBERATE rows-only twins: each pairs with a green oracle-checked
+# The 9 DELIBERATE rows-only twins: each pairs with a green oracle-checked
 # sibling exercising the same operator (xxhash64 vs polynomial hashes,
-# trained vs fixed centroids, RNG vs seeded dims). Adding here is a review
-# decision; everything else MUST ship with a DuckDB oracle.
+# trained vs fixed centroids, RNG vs seeded dims, iterative BPE
+# training/encoding vs the oracled bpe_pairs merge statistic). Adding
+# here is a review decision; everything else MUST ship with a DuckDB
+# oracle.
 NO_ORACLE_ALLOWED = {
     "dedup_minhash_lsh", "simhash", "doc_fingerprint", "sim_ivf",
     "multimodal_feat", "frame_sample", "simhash_neardup",
+    "bpe_train", "bpe_encode",
 }
 
 # The driver's correctness gate captures only the first N queries()

@@ -370,3 +370,94 @@ def test_ann_recall_full_probe_is_one(spark):
               for r in ivf_topk(emb, queries, k=5, n_probe=4,
                                 centroids=cents).collect()}
     assert approx == exact
+
+
+def _bpe_train_twin(words: list[str], n_merges: int):
+    """Reference BPE trainer: greedy corpus-wide merge per round."""
+    import collections
+
+    wc = collections.Counter(words)
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pairs: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        n = max(pairs.values())
+        a, b = min(k for k, v in pairs.items() if v == n)
+        merges.append((rank, a, b, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab, wc
+
+
+def test_bpe_train_matches_python_twin(spark):
+    """Distributed bpe_train == the reference greedy trainer, merge by
+    merge (count + tie order), including overlapping-run greediness
+    ('aaaa' -> [aa, aa]) and early stop when no pairs remain."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.ranking import bpe_train
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="low lower lowest low low"),
+        Row(doc_id=1, text="newer newest new wider"),
+        Row(doc_id=2, text="aaaa aa baaab"),
+        Row(doc_id=3, text="x y z"),            # 1-char words: no pairs
+    ])
+    words = ("low lower lowest low low newer newest new wider "
+             "aaaa aa baaab x y z").split()
+    got = bpe_train(docs, n_merges=10)
+    want, vocab, _ = _bpe_train_twin(words, 10)
+    assert got == want
+    # greedy non-overlap: after the (a,a) merge round 'aaaa' is [aa,aa]
+    assert any(m[1] == "a" and m[2] == "a" for m in got)
+
+    # a corpus with NO pairs at all stops at zero merges
+    tiny = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+    assert bpe_train(tiny, n_merges=5) == []
+
+
+def test_bpe_encode_matches_train_vocab(spark):
+    """bpe_encode with the trained table reproduces the trainer's own
+    final per-word symbol counts (weighted to per-doc totals); zero
+    merges degrade to character counts."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.ranking import bpe_encode, bpe_train
+
+    texts = {
+        0: "low lower lowest low low",
+        1: "newer newest new wider lower",
+        2: "aaaa aa baaab low",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    merges = bpe_train(docs, n_merges=8)
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe_encode(docs, merges).collect()}
+
+    all_words = [w for t in texts.values() for w in t.split()]
+    _, vocab, _ = _bpe_train_twin(all_words, 8)
+    for did, t in texts.items():
+        ws = t.split()
+        want = sum(len(vocab[w]) for w in ws)
+        assert got[did] == (len(ws), want), did
+
+    # no merges -> every word costs its character count
+    got0 = {r.doc_id: r.n_bpe_tokens
+            for r in bpe_encode(docs, []).collect()}
+    assert got0 == {k: sum(len(w) for w in v.split())
+                    for k, v in texts.items()}

@@ -12,6 +12,8 @@ Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -471,5 +473,166 @@ def bigram_lm_score(
             F.coalesce(F.col("n_unseen"), F.lit(0)).cast("long").alias("n_unseen"),
             "lm_score",
             "lm_ppl",
+        )
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> list[tuple[int, str, str, int]]:
+    """Full BPE tokenizer training (Sennrich et al. 2016 / Gage 1994,
+    public algorithm): iterate ``bpe_pair_counts``'s merge statistic —
+    each round takes the most frequent adjacent symbol pair
+    (count desc, then (a, b) lexicographic: the same total order as
+    ``bpe_pair_counts``) and fuses it everywhere, greedy
+    left-to-right non-overlapping within each word.
+
+    Returns the learned merge table ``[(merge_rank, a, b, count)]`` —
+    rank 0 first; driver-side by design (a tokenizer's merge table is
+    the small artifact of training, like kmeans centroids).
+
+    Scale shape: the corpus-size pass happens ONCE (the word-frequency
+    count, map-side combined). Every merge round then runs over the
+    DISTINCT-word symbol table — |vocab| rows, corpus-size-independent
+    — as (a) one map-side-combined pair-count agg + a 1-row collect
+    and (b) a narrow in-place fold rewriting each word's symbol array
+    (pure JVM ``aggregate``; greedy correctness: a freshly fused
+    symbol is strictly longer than ``a``, so "last emitted == a" can
+    only match an original symbol — exactly the pairs the sequential
+    scan fuses). ``localCheckpoint(eager=False)`` per round keeps the
+    plan from growing by one fold per merge; the next round's count is
+    the materializing action (no extra job).
+
+    Stops early when no pair reaches ``min_count`` (or none exists).
+    Proof: python-twin equivalence in tests (iterative training is not
+    SQL-expressible; ``bpe_pairs`` is the oracled sibling statistic).
+    """
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("_w"))
+        .groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            F.expr("split(_w, '')").alias("_syms"),
+            F.col("_cnt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            vocab.filter(F.size("_syms") >= 2)
+            .select(
+                F.col("_cnt"),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_syms) - 1), "
+                        "i -> struct(_syms[i-1] AS a, _syms[i] AS b))"
+                    )
+                ).alias("_p"),
+            )
+            .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .agg(F.sum("_cnt").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, a, b, n))
+        fused = F.lit(a + b)
+        merged = F.aggregate(
+            F.col("_syms"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(fused)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select(
+            merged.alias("_syms"), F.col("_cnt")
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table to a corpus: per doc, the token
+    count and total symbol count after fusing every learned merge in
+    RANK order (the standard encode rule: lowest-rank applicable pair
+    first, greedy left-to-right within a word).
+
+    Scale shape: encoding runs once per DISTINCT word (a vectorized
+    Arrow kernel over the |vocab|-row word table, merge table
+    broadcast via closure — it is tokenizer-sized, KBs), then joins
+    back to the per-doc word counts on the word string — the same
+    two-level trick as ``bpe_pair_counts``. The corpus-scale passes
+    are one word count and one broadcast-ready equi-join; the python
+    loop never sees corpus-cardinality data.
+
+    Output: (id_col, n_words, n_bpe_tokens) — rows-only proof (python
+    twin in tests; the train loop's merge table is the driver-gated
+    sibling surface).
+    """
+    rank_of = {(a, b): r for r, a, b, _ in merges}
+
+    def encode_word(w: str) -> int:
+        syms = list(w)
+        while len(syms) >= 2:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = rank_of.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            a, b = syms[best_i], syms[best_i + 1]
+            # fuse EVERY (a,b) occurrence greedily left-to-right, the
+            # same rule train's fold applies corpus-wide per round
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    @F.pandas_udf("long")
+    def n_syms_udf(words: pd.Series) -> pd.Series:
+        return words.map(encode_word).astype("int64")
+
+    per_doc_word = (
+        docs.select(
+            F.col(id_col),
+            F.explode(ws_tokens(F.col(text_col))).alias("_w"),
+        )
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    word_cost = (
+        per_doc_word.select("_w").distinct()
+        .withColumn("_syms_n", n_syms_udf(F.col("_w")))
+    )
+    return (
+        per_doc_word.join(word_cost, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_words"),
+            F.sum(F.col("_n") * F.col("_syms_n")).cast("long")
+            .alias("n_bpe_tokens"),
         )
     )
