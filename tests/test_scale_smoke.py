@@ -379,3 +379,52 @@ def test_stream_precombine_plan_shape(spark):
         # and the watermark is re-applied between them, so event-time
         # timeouts still see a watermarked input
         assert state_at < plan.index("EventTimeWatermark") < map_at, plan
+
+
+def test_domain_cap_hot_domain_500k(spark):
+    """500k rows in ONE domain: the salted pre-prune caps the exact
+    window's input at presplit*N rows (the plan carries the (dom,_salt)
+    partial window), and the result equals the closed-form top-10 by
+    (q desc, id asc)."""
+    from xenoeye_spark.datapipe.sampling import domain_cap
+
+    df = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("hot").alias("dom"),
+        (F.col("id") % 97).alias("q"),
+    )
+    out = domain_cap(df, "dom", 10, order_cols=[F.col("q").desc()],
+                     presplit=32)
+    got = sorted((r.doc_id, r.domain_rank) for r in out.collect())
+    # q == 96 at ids 96 + 97k; ties broken by id asc
+    want = sorted((96 + 97 * k, k + 1) for k in range(10))
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan          # the mergeable partial window ran
+
+
+def test_token_budget_hot_group_500k(spark):
+    """500k rows in ONE group with a deep budget cut: pre-pruned and
+    exact forms agree, and the pre-prune drops ~all of the stream
+    before the exact per-group window."""
+    from xenoeye_spark.datapipe.sampling import token_budget_select
+
+    df = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("g").alias("grp"),
+        (F.col("id") % 50 + 1).alias("n"),
+    )
+
+    def run(presplit):
+        return sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in token_budget_select(
+                df, "grp", budget=500, len_col="n",
+                order_cols=[F.col("n").desc()], presplit=presplit,
+            ).collect()
+        )
+
+    exact = run(0)
+    assert run(16) == exact and len(exact) == 10   # 10 x 50 == 500
+    assert all(c <= 500 for _, c in exact)
