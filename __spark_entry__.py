@@ -1538,6 +1538,45 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries (r6): build the d=4 x w=512
+    integer sketch over all document tokens (one explode, a groupBy
+    over <= d*w keys — map-side combine makes the shuffle O(d*w *
+    partitions) at any corpus size) and probe it for the exact top-20
+    tokens. The hash family is the repo's int64-exact polynomial +
+    affine maps, so the DuckDB oracle re-derives every counter and
+    every estimate bit-for-bit."""
+    from xenoeye_spark.datapipe.sketch import cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    return cms_estimate(docs, n_probes=20)
+
+
+def _pq_codebook():
+    """Seeded PQ codebook (8 subspaces x 16 codes x 8 dims) — fixed
+    data embedded verbatim in the DuckDB oracle, like the IVF/LSH
+    literals. scale=0.125 matches the testdata's unit-norm 64-dim
+    vectors (component std 1/sqrt(64)); a trained book
+    (``pq_train_codebook``) is the production path and is covered by
+    the recall pytest."""
+    from xenoeye_spark.datapipe.similarity import pq_codebook
+
+    return pq_codebook(m=8, ks=16, subdim=8, seed=778, scale=0.125)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (r6): encode every corpus vector
+    to 8 code bytes against the fixed codebook (argmin per subspace —
+    the kmeans_step-proven float pairing, so codes are cross-engine
+    exact), then rank by asymmetric distance for 3 query vectors. The
+    oracle re-derives codes, distances, and ranks entirely in SQL."""
+    from xenoeye_spark.datapipe.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return pq_topk(emb, queries, _pq_codebook(), k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1573,6 +1612,7 @@ GATE_CORE = [
 
 GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
+    "count_min", "pq_topk",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
@@ -1692,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "count_min": q_count_min,
+        "pq_topk": q_pq_topk,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -3531,4 +3573,97 @@ FROM br b LEFT JOIN ivf i
 GROUP BY b.query_id
 """)(_ivf_fixed_centroids().tolist(),
      [(float((c * c).sum())) for c in _ivf_fixed_centroids()]),
+        # count_min: the sketch counters re-derived per DISTINCT token
+        # (cell count = sum of exact counts of the tokens hashing into
+        # the cell — identical to summing per-occurrence increments),
+        # estimates = min over the d probed cells. Pure int64
+        # arithmetic; every value bit-exact.
+        "count_min": (lambda rows: f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x != '')) AS token
+  FROM documents
+), exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM tok GROUP BY token
+), probes AS (
+  SELECT token, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, token ASC LIMIT 20
+), hx AS (
+  SELECT token,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(token, ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1073741789) AS x
+  FROM (SELECT DISTINCT token FROM tok)
+), rows_(row_id, a, b) AS (
+  VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(rows))}
+), cells AS (
+  SELECT r.row_id,
+         ((h.x * r.a + r.b) % 1073741789) % 512 AS bucket,
+         CAST(sum(e.exact_cnt) AS BIGINT) AS cnt
+  FROM hx h JOIN exact e USING (token) CROSS JOIN rows_ r
+  GROUP BY 1, 2
+), pc AS (
+  SELECT p.token, p.exact_cnt, r.row_id,
+         ((h.x * r.a + r.b) % 1073741789) % 512 AS bucket
+  FROM probes p JOIN hx h USING (token) CROSS JOIN rows_ r
+)
+SELECT p.token, p.exact_cnt,
+       CAST(min(c.cnt) AS BIGINT) AS cms_est,
+       CAST(min(c.cnt) - p.exact_cnt AS BIGINT) AS cms_err
+FROM pc p JOIN cells c USING (row_id, bucket)
+GROUP BY p.token, p.exact_cnt
+ORDER BY exact_cnt DESC, token ASC
+""")(__import__("xenoeye_spark.datapipe.sketch",
+                fromlist=["CMS_ROWS"]).CMS_ROWS),
+        # pq_topk: PQ codes re-derived per (vector, subspace) with the
+        # kmeans_step-proven argmin pairing (-2*inner+csq, ties to the
+        # lower code), ADC distances from the same |q|^2-2q.c+|c|^2
+        # expansion, ranks after round-6 (so the order key is
+        # ulp-robust on both engines).
+        "pq_topk": (lambda cb, cbsq: f"""
+WITH cb AS ({" UNION ALL ".join(
+    f"SELECT {s} AS s, {c} AS cell, "
+    f"[{', '.join(repr(x) for x in cb[s][c])}]::DOUBLE[] AS c, "
+    f"{cbsq[s][c]!r} AS csq"
+    for s in range(8) for c in range(16))}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ss AS (
+  SELECT unnest(generate_series(0, 7)) AS s
+), sub AS (
+  SELECT e.vec_id, ss.s, e.v[ss.s * 8 + 1 : ss.s * 8 + 8] AS sv
+  FROM e CROSS JOIN ss
+), enc AS (
+  SELECT vec_id, s, cell AS code FROM (
+    SELECT sub.vec_id, sub.s, cb.cell,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+             (-2 * list_inner_product(sub.sv, cb.c) + cb.csq) ASC,
+             cb.cell ASC) AS rn
+    FROM sub JOIN cb ON cb.s = sub.s
+  ) WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, s, sv AS qs
+  FROM sub WHERE vec_id < 3
+), est AS (
+  SELECT qsub.query_id, enc.vec_id,
+         SUM(list_inner_product(qsub.qs, qsub.qs)
+             - 2 * list_inner_product(qsub.qs, cb.c) + cb.csq) AS d
+  FROM enc
+  JOIN cb ON cb.s = enc.s AND cb.cell = enc.code
+  JOIN qsub ON qsub.s = enc.s
+  WHERE enc.vec_id != qsub.query_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT query_id, vec_id, round(d, 6) AS pq_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY round(d, 6) ASC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM est
+)
+SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
+""")(_pq_codebook().tolist(),
+     (_pq_codebook() ** 2).sum(axis=2).tolist()),
     }

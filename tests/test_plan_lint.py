@@ -28,9 +28,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #   temperature    — the ONE-ROW w^alpha normalizer attach (same shape)
 #   ann_recall     — composes sim_topk (the same <=5-row query-set
 #                    broadcast) as its exact baseline side
+#   pq_topk        — the 3-row query-set broadcast against the PQ
+#                    codes table (ADC scoring; same shape as sim_topk)
 BNL_ALLOWED = {
     "sim_topk", "bm25", "tfidf_topterms", "bigram_lm",
-    "quantize", "temperature", "ann_recall",
+    "quantize", "temperature", "ann_recall", "pq_topk",
 }
 
 

@@ -970,3 +970,165 @@ def kmeans_step(
             ).alias("mean"),
         )
     )
+
+
+# ------------------------------------------------------------------- PQ
+
+def pq_codebook(
+    m: int = 8,
+    ks: int = 16,
+    subdim: int = 8,
+    seed: int = 778,
+    scale: float = 1.0,
+) -> np.ndarray:
+    """Seeded product-quantization codebook, shape (m, ks, subdim) —
+    fixed data like the hyperplane/IVF literals, embedded verbatim in
+    the DuckDB oracle. ``scale`` matches the codebook to the data's
+    component scale (unit-norm d-dim vectors have component std
+    ~1/sqrt(d); an unscaled N(0,1) book quantizes them to garbage).
+    A production index trains each subspace's ks centroids with
+    k-means (``pq_train_codebook``); the seeded book keeps the whole
+    encode+search pipeline SQL-re-derivable."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(m, ks, subdim)) * scale
+
+
+def pq_train_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    seed: int = 778,
+    iters: int = 10,
+) -> np.ndarray:
+    """Train the PQ codebook: independent k-means per subspace over a
+    driver-side sample (the standard index build — Jegou 2011 §III).
+    Like ``ivf_topk``'s trained path, the sample is one Arrow transfer;
+    at 100 TB a codebook trains on a ~1e5-vector sample regardless of
+    corpus size (distributed refinement = ``kmeans_step`` per
+    subspace if ever needed)."""
+    sample = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    vecs = np.array(sample.toPandas()["_v"].tolist(), dtype=float)
+    d = vecs.shape[1]
+    subdim = d // m
+    return np.stack([
+        kmeans_lite(vecs[:, s * subdim:(s + 1) * subdim], ks,
+                    seed=seed + s, iters=iters)
+        for s in range(m)
+    ])
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode (public; Jegou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split each d-dim vector into m contiguous subvectors and store only
+    the id of each subvector's nearest codebook centroid — d doubles
+    become m small ints (64*8B -> 8B here, a 64x compression).
+
+    Shape at 100 TB: one narrow Arrow-batch projection — per batch, m
+    (rows x ks) BLAS products and argmins; no shuffle, no state. The
+    squared-L2 argmin uses the kmeans_step-proven float pairing
+    (-2 v.c + |c|^2, ties to the lower code via np.argmin-first ==
+    the oracle's ORDER BY dist, cell), so the discrete codes are
+    cross-engine exact.
+
+    Output: (id_col, codes array<int> length m).
+    """
+    cb = np.asarray(codebook, dtype=float)
+    m, ks, subdim = cb.shape
+    cb_sq = (cb ** 2).sum(axis=2)          # (m, ks)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs_s: pd.Series) -> pd.Series:
+        v = np.array(vecs_s.tolist(), dtype=float)       # (n, d)
+        n = v.shape[0]
+        if n == 0:
+            return pd.Series([], dtype=object)
+        sub = v.reshape(n, m, subdim)
+        codes = np.empty((n, m), dtype="int32")
+        for s in range(m):
+            d = -2.0 * (sub[:, s, :] @ cb[s].T) + cb_sq[s][None, :]
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return emb.select(
+        F.col(id_col),
+        encode(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, every corpus vector is represented by its codes, and the
+    estimated squared L2 is the sum over subspaces of
+    ||q_s - C[s, code_s]||^2 — computed via the same
+    |q_s|^2 - 2 q_s.c + |c|^2 expansion on both engines.
+
+    Shape at 100 TB: codes (m bytes/vector, not d doubles) are the only
+    per-corpus-row data the scoring stage touches — the classic memory
+    win that lets a billion-vector index live in RAM. Queries broadcast
+    (same <=5-row query-set shape as brute_force_topk); scoring is one
+    Arrow-batch numpy gather per batch; per-query top-k is a window
+    over query_id partitions.
+
+    Output: (query_id, vec_id, pq_dist, rank), rank 1..k by
+    (est dist asc, vec_id asc) — equal codes give bit-equal dists, so
+    the tiebreak is engine-independent.
+    """
+    cb = np.asarray(codebook, dtype=float)
+    m, ks, subdim = cb.shape
+    cb_sq = (cb ** 2).sum(axis=2)
+    s_idx = np.arange(m)
+
+    codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    )
+    joined = codes.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(qvecs: pd.Series, codes_s: pd.Series) -> pd.Series:
+        qm = np.array(qvecs.tolist(), dtype=float)        # (n, d)
+        n = qm.shape[0]
+        if n == 0:
+            return pd.Series([], dtype=float)
+        cd = np.array(codes_s.tolist(), dtype=int)        # (n, m)
+        qs = qm.reshape(n, m, subdim)                     # (n, m, sd)
+        csel = cb[s_idx[None, :], cd]                     # (n, m, sd)
+        dots = (qs * csel).sum(axis=2)                    # (n, m)
+        qsq = (qs * qs).sum(axis=2)
+        csq = cb_sq[s_idx[None, :], cd]
+        return pd.Series((qsq - 2.0 * dots + csq).sum(axis=1))
+
+    scored = joined.select(
+        "query_id",
+        F.col(id_col),
+        F.round(adc(F.col("_qvec"), F.col("codes")), round_digits)
+        .alias("pq_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
