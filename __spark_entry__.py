@@ -1577,6 +1577,19 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, _pq_codebook(), k=10)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-shingle estimate per lang (r6): 512
+    integer registers per group (map-side max-combined — the HLL merge
+    itself), estimate vs the exact count-distinct harness. Register
+    values are pure int arithmetic (length(bin(q)) on both engines) and
+    the 2^-M sum is exactly representable, so the oracle matches the
+    estimate to the rounded digit."""
+    from xenoeye_spark.datapipe.sketch import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1612,7 +1625,7 @@ GATE_CORE = [
 
 GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
-    "count_min", "pq_topk",
+    "count_min", "pq_topk", "hll_distinct",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
@@ -1734,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "count_min": q_count_min,
         "pq_topk": q_pq_topk,
+        "hll_distinct": q_hll_distinct,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -3666,4 +3680,55 @@ WITH cb AS ({" UNION ALL ".join(
 SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
 """)(_pq_codebook().tolist(),
      (_pq_codebook() ** 2).sum(axis=2).tolist()),
+        # hll_distinct: every register re-derived in integer SQL
+        # (poly-mix hash, bucket = x % m, rank = 22 - bitlength(x//m)
+        # via length(bin(q)) — identical on both engines), then the
+        # identical IEEE estimate expression; alpha CAST AS DOUBLE on
+        # both sides (bare decimal literals parse as DECIMAL in Spark
+        # AND DuckDB).
+        "hll_distinct": (lambda A, M, QB, KM, KP, KX: f"""
+WITH toks AS (
+  SELECT lang,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), sh AS (
+  SELECT lang,
+         CASE WHEN len(t) >= 5 THEN
+           list_transform(range(1, len(t) - 4 + 1),
+                          i -> array_to_string(t[i:i+4], ' '))
+           ELSE [] END AS shs
+  FROM toks
+), s AS (
+  SELECT lang, unnest(shs) AS s FROM sh
+), hx AS (
+  SELECT lang, s,
+    (list_reduce(
+       list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split(s, ''),
+                        ch -> CAST(ascii(ch) AS BIGINT))),
+       (acc, x) -> (acc * {KM} + x) % {KP}) * {KX}) % {KP} AS x
+  FROM s
+), reg AS (
+  SELECT lang, x % {M} AS bucket,
+         max(CASE WHEN x // {M} = 0 THEN {QB + 1}
+             ELSE {QB + 1} - length(bin(x // {M})) END) AS mj
+  FROM hx GROUP BY 1, 2
+), agg AS (
+  SELECT lang, CAST({M} - count(*) AS INTEGER) AS n_zero_registers,
+         sum(power(2.0, -mj)) + ({M} - count(*)) AS s_inv
+  FROM reg GROUP BY 1
+), ex AS (
+  SELECT lang, CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct
+  FROM hx GROUP BY 1
+)
+SELECT e.lang, e.exact_distinct, a.n_zero_registers,
+       round(CASE WHEN (CAST({A!r} AS DOUBLE) * {M} * {M} / a.s_inv)
+                   <= 2.5 * {M} AND a.n_zero_registers > 0
+             THEN {M} * ln({M} / CAST(a.n_zero_registers AS DOUBLE))
+             ELSE CAST({A!r} AS DOUBLE) * {M} * {M} / a.s_inv END, 4)
+         AS hll_est
+FROM ex e JOIN agg a USING (lang) ORDER BY lang
+""")(__import__("xenoeye_spark.datapipe.sketch",
+                fromlist=["HLL_ALPHA"]).HLL_ALPHA,
+     512, 21, 31, 1_073_741_789, 2_654_435_761),
     }

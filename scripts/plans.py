@@ -108,6 +108,12 @@ NOTES = {
     "bigram_lm": "the LM is two map-side-combined count tables; "
     "scoring joins eval bigrams against them (AQE broadcasts while "
     "small) + one in-plan scalar for |V|; no Python, no sampling.",
+    "count_min": "partial HashAggregate before the exchange caps the "
+    "shuffle at d*w keys per partition — the sketch merge IS the "
+    "map-side combine; probes broadcast against the tiny sketch.",
+    "pq_topk": "encode = one Arrow projection (no shuffle); ADC scores "
+    "codes against the broadcast 3-row query set (reviewed BNL); "
+    "WindowGroupLimit pre-limits top-k below the single exchange.",
 }
 
 

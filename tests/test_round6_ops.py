@@ -713,3 +713,106 @@ def test_pq_topk_fixed_beats_random_on_uniform(spark):
         exact = {(qid, i) for _, i in d[:10]}
         hits += len(exact & got)
     assert hits / 30 >= 0.1, hits
+
+
+# --------------------------------------------------------------- hyperloglog
+
+def _hll_twin(keys, m=512, qbits=21):
+    """Pure-python HLL over the operator's exact hash family:
+    (registers dict, estimate)."""
+    import math
+
+    from xenoeye_spark.datapipe.ranking import KMV_MIX, KMV_P
+    from xenoeye_spark.datapipe.sketch import HLL_ALPHA
+
+    reg: dict[int, int] = {}
+    for key in keys:
+        x = (_cms_poly(key) * KMV_MIX) % KMV_P
+        bucket, q = x % m, x // m
+        rank = (qbits + 1) if q == 0 else (qbits + 1 - q.bit_length())
+        reg[bucket] = max(reg.get(bucket, 0), rank)
+    zeros = m - len(reg)
+    s_inv = sum(2.0 ** -v for v in reg.values()) + zeros
+    raw = HLL_ALPHA * m * m / s_inv
+    if raw <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / float(zeros))
+    else:
+        est = raw
+    return reg, round(est, 4)
+
+
+def _hll_docs(spark, texts):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(doc_id=i, lang="xx", text=t) for i, t in enumerate(texts)]
+    )
+
+
+def _doc_shingles(texts, n=5):
+    out = []
+    for t in texts:
+        toks = t.strip().split()
+        out.extend(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        )
+    return out
+
+
+def test_hll_registers_match_python_twin(spark):
+    """Register table == the python fold's, bucket for bucket —
+    including the q == 0 max-rank path if it occurs."""
+    from xenoeye_spark.datapipe.sketch import hll_distinct, hll_registers, shingles_sql
+
+    texts = [" ".join(f"w{(i * 7 + j) % 97}" for j in range(40))
+             for i in range(30)]
+    docs = _hll_docs(spark, texts)
+    want_reg, want_est = _hll_twin(_doc_shingles(texts))
+
+    sh = docs.select(
+        F.col("lang"), F.explode(F.expr(shingles_sql("text"))).alias("_s")
+    )
+    got_reg = {r.bucket: r.mj
+               for r in hll_registers(sh, "_s", ["lang"]).collect()}
+    assert got_reg == want_reg
+
+    [row] = hll_distinct(docs, group_col="lang").collect()
+    assert row.hll_est == want_est
+    assert row.n_zero_registers == 512 - len(want_reg)
+    assert row.exact_distinct == len(set(_doc_shingles(texts)))
+
+
+def test_hll_small_range_linear_counting(spark):
+    """A handful of distinct shingles forces the small-range branch
+    (raw <= 2.5m with zero registers): m*ln(m/V), matching the twin."""
+    from xenoeye_spark.datapipe.sketch import hll_distinct
+
+    texts = ["alpha beta gamma delta epsilon zeta"] * 10
+    docs = _hll_docs(spark, texts)
+    _, want_est = _hll_twin(_doc_shingles(texts))
+    [row] = hll_distinct(docs, group_col="lang").collect()
+    assert row.exact_distinct == 2
+    assert row.hll_est == want_est
+    assert row.hll_est < 10          # linear counting, near-exact regime
+
+
+def test_hll_merge_is_registerwise_max(spark):
+    """sketch(A union B) == register-wise MAX of sketch(A), sketch(B) —
+    the mergeable-summaries property the map-side combine relies on."""
+    from xenoeye_spark.datapipe.sketch import hll_registers, shingles_sql
+
+    ta = [" ".join(f"a{i + j}" for j in range(12)) for i in range(20)]
+    tb = [" ".join(f"b{i + j}" for j in range(12)) for i in range(25)]
+
+    def regs(texts):
+        sh = _hll_docs(spark, texts).select(
+            F.col("lang"),
+            F.explode(F.expr(shingles_sql("text"))).alias("_s"),
+        )
+        return {r.bucket: r.mj
+                for r in hll_registers(sh, "_s", ["lang"]).collect()}
+
+    ra, rb, ru = regs(ta), regs(tb), regs(ta + tb)
+    merged = {b: max(ra.get(b, 0), rb.get(b, 0))
+              for b in set(ra) | set(rb)}
+    assert merged == ru

@@ -147,3 +147,139 @@ def cms_estimate(
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("cms_err"),
     ).orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+
+
+# ------------------------------------------------------------------ HLL
+
+# HyperLogLog (public; Flajolet, Fusy, Gandouet, Meunier, AofA 2007).
+# m = 2^HLL_P registers; the hash domain is the KMV-mixed polynomial
+# (< KMV_P < 2^30), so the quotient x // m fits HLL_QBITS = 21 bits and
+# rank = HLL_QBITS + 1 - bitlength(q) is pure integer arithmetic that
+# BOTH engines express as length(bin(q)) — every register value is
+# bit-exact across Spark and DuckDB. alpha_m is computed ONCE here in
+# Python and embedded verbatim in the oracle, so the estimate arithmetic
+# is the identical IEEE expression on both sides.
+HLL_P = 9
+HLL_M = 1 << HLL_P
+HLL_QBITS = 21
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+SHINGLE_N = 5
+
+
+def shingles_sql(text_col: str, n: int = SHINGLE_N) -> str:
+    """Spark-SQL expression: the doc's n-token shingle strings
+    (space-joined sliding windows; NOT per-doc distinct — register max
+    is idempotent and the exact side counts global distinct anyway).
+    Mirrors the contamination oracle's window arithmetic."""
+    tk = ws_tokens_sql(text_col)
+    return (
+        f"CASE WHEN size({tk}) >= {n} THEN "
+        f"transform(sequence(1, size({tk}) - {n - 1}), "
+        f"i -> array_join(slice({tk}, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+def _rank_sql(q: str) -> str:
+    """Leading-one position of the HLL_QBITS-wide quotient: 1 for the
+    high bit set, HLL_QBITS + 1 when q == 0."""
+    return (
+        f"CASE WHEN {q} = 0 THEN {HLL_QBITS + 1} "
+        f"ELSE {HLL_QBITS + 1} - length(bin({q})) END"
+    )
+
+
+def hll_registers(
+    keyed: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """The HLL register table per group: (group..., bucket, mj) with at
+    most HLL_M rows per group. max() is the HLL merge — map-side combine
+    reduces every partition to <= m rows per group before the shuffle,
+    and register-wise max of two sketches IS the sketch of the union
+    (tested), the same mergeable-summaries property the CMS/KMV/MG
+    operators lean on."""
+    from xenoeye_spark.datapipe.ranking import KMV_MIX
+
+    x = (
+        f"(({_poly_sql(key_col)}) * {KMV_MIX}L) % {KMV_P}"
+    )
+    hashed = keyed.select(
+        *group_cols,
+        F.expr(x).alias("_x"),
+    ).select(
+        *group_cols,
+        (F.col("_x") % HLL_M).alias("bucket"),
+        F.expr(_rank_sql(f"(_x div {HLL_M})")).alias("_rank"),
+    )
+    return hashed.groupBy(*group_cols, "bucket").agg(
+        F.max("_rank").alias("mj")
+    )
+
+
+def hll_distinct(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-shingle estimate, with the exact
+    count alongside as the evaluation harness (same pattern as
+    cms_estimate): the sketch is what ships at 100 TB — m registers per
+    group regardless of corpus size, one map-side-combined shuffle —
+    while exact count-distinct shuffles every distinct key.
+
+    The estimate: alpha*m^2 / sum_j 2^(-M_j) with the standard
+    small-range linear-counting correction (m*ln(m/V) when the raw
+    estimate <= 2.5m and V = zero registers > 0). sum_j 2^(-M_j) is a
+    sum of <= m dyadic rationals with denominator 2^(QBITS+1) — EXACT in
+    double on both engines in any order — so the only cross-engine FP
+    surface is the final mul/div/ln, identical IEEE expressions rounded
+    to 4 digits.
+
+    Output: (group, exact_distinct, n_zero_registers, hll_est) ordered
+    by group.
+    """
+    sh = docs.select(
+        F.col(group_col),
+        F.explode(F.expr(shingles_sql(text_col, n))).alias("_s"),
+    )
+    reg = hll_registers(sh, "_s", [group_col])
+    est = reg.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("_sp"),
+    ).select(
+        group_col,
+        (F.lit(HLL_M) - F.col("_present")).cast("int").alias(
+            "n_zero_registers"
+        ),
+        (F.col("_sp") + (F.lit(HLL_M) - F.col("_present"))).alias("_sum"),
+    ).select(
+        group_col,
+        "n_zero_registers",
+        # the alpha literal is CAST AS DOUBLE on BOTH engines — a bare
+        # decimal literal parses as DECIMAL in Spark and DuckDB alike,
+        # and decimal arithmetic would diverge from the IEEE expression
+        F.expr(
+            f"CASE WHEN (CAST({HLL_ALPHA!r} AS DOUBLE)"
+            f" * {HLL_M} * {HLL_M} / _sum)"
+            f" <= 2.5 * {HLL_M} AND n_zero_registers > 0"
+            f" THEN {HLL_M} * ln({HLL_M} / CAST(n_zero_registers"
+            f" AS DOUBLE))"
+            f" ELSE CAST({HLL_ALPHA!r} AS DOUBLE)"
+            f" * {HLL_M} * {HLL_M} / _sum END"
+        ).alias("_est"),
+    )
+    exact = sh.groupBy(group_col).agg(
+        F.count_distinct("_s").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, group_col)
+        .select(
+            group_col,
+            "exact_distinct",
+            "n_zero_registers",
+            F.round("_est", 4).alias("hll_est"),
+        )
+        .orderBy(group_col)
+    )
