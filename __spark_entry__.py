@@ -1590,6 +1590,22 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(docs)
 
 
+def q_bloom_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (r6): the same eval/train split as
+    `contamination`, but the train side collapses to a <= 2^17-bit
+    filter (constant memory at any corpus size) instead of the exact
+    inverted index. All-integer hashing, so the oracle re-derives every
+    bit and every probe verdict — INCLUDING the false positives (172
+    FP shingles at sf0.01), which is what makes the match meaningful.
+    One-sided: n_maybe >= the exact n_hits for every doc (tested)."""
+    from xenoeye_spark.datapipe.sketch import bloom_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    return bloom_contamination(ev, tr)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fwm windowed top-N + others on sf0.001."""
     return q_fwm_topn_others(spark, "/root/testdata/sf0.001")
@@ -1625,7 +1641,7 @@ GATE_CORE = [
 
 GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
-    "count_min", "pq_topk", "hll_distinct",
+    "count_min", "pq_topk", "hll_distinct", "bloom_contam",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
@@ -1748,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min": q_count_min,
         "pq_topk": q_pq_topk,
         "hll_distinct": q_hll_distinct,
+        "bloom_contam": q_bloom_contam,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -3731,4 +3748,63 @@ FROM ex e JOIN agg a USING (lang) ORDER BY lang
 """)(__import__("xenoeye_spark.datapipe.sketch",
                 fromlist=["HLL_ALPHA"]).HLL_ALPHA,
      512, 21, 31, 1_073_741_789, 2_654_435_761),
+        # bloom_contam: the bit set and every probe verdict re-derived
+        # in integer SQL — the 172 false-positive shingles at sf0.01
+        # must match too, or the hashing diverged.
+        "bloom_contam": (lambda rows, k, mbits: f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5 THEN
+           list_transform(range(1, len(t) - 4 + 1),
+                          i -> array_to_string(t[i:i+4], ' '))
+           ELSE [] END AS shs
+  FROM toks
+), rows_(a, b) AS ( VALUES {", ".join(f"({a}, {b})" for a, b in rows)} )
+, trx AS (
+  SELECT DISTINCT
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1073741789) AS x
+  FROM (SELECT unnest(shs) AS s FROM sh WHERE doc_id % 5 != 0)
+), bits AS (
+  SELECT DISTINCT ((trx.x * r.a + r.b) % 1073741789) % {mbits} AS bit_pos
+  FROM trx CROSS JOIN rows_ r
+), ev AS (
+  SELECT doc_id, unnest(list_distinct(shs)) AS s FROM sh WHERE doc_id % 5 = 0
+), evx AS (
+  SELECT doc_id, s,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1073741789) AS x
+  FROM ev
+), probe AS (
+  SELECT e.doc_id, e.s,
+         ((e.x * r.a + r.b) % 1073741789) % {mbits} AS bit_pos
+  FROM evx e CROSS JOIN rows_ r
+), hit AS (
+  SELECT doc_id, s FROM probe p JOIN bits USING (bit_pos)
+  GROUP BY doc_id, s HAVING count(*) = {k}
+), maybe AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe FROM hit GROUP BY 1
+), base AS (
+  SELECT doc_id, CAST(len(list_distinct(shs)) AS INTEGER) AS n_shingles
+  FROM sh WHERE doc_id % 5 = 0
+)
+SELECT b.doc_id, b.n_shingles,
+       coalesce(m.n_maybe, 0) AS n_maybe,
+       round(CASE WHEN b.n_shingles > 0
+             THEN CAST(coalesce(m.n_maybe, 0) AS DOUBLE) / b.n_shingles
+             ELSE 0.0 END, 6) AS maybe_frac,
+       CAST(coalesce(m.n_maybe, 0) > 0 AS INTEGER) AS is_flagged
+FROM base b LEFT JOIN maybe m USING (doc_id)
+""")(__import__("xenoeye_spark.datapipe.sketch",
+                fromlist=["CMS_ROWS"]).CMS_ROWS,
+     len(__import__("xenoeye_spark.datapipe.sketch",
+                    fromlist=["CMS_ROWS"]).CMS_ROWS),
+     __import__("xenoeye_spark.datapipe.sketch",
+                fromlist=["BLOOM_MBITS"]).BLOOM_MBITS),
     }

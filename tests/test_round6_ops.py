@@ -816,3 +816,95 @@ def test_hll_merge_is_registerwise_max(spark):
     merged = {b: max(ra.get(b, 0), rb.get(b, 0))
               for b in set(ra) | set(rb)}
     assert merged == ru
+
+
+# --------------------------------------------------------------------- bloom
+
+def _bloom_twin(train_texts, eval_texts, mbits):
+    """Pure-python Bloom over the operator's hash family: per eval doc
+    (n_shingles, n_maybe)."""
+    from xenoeye_spark.datapipe.sketch import CMS_ROWS
+    from xenoeye_spark.datapipe.ranking import KMV_P
+
+    def positions(s):
+        x = _cms_poly(s)
+        return [((x * a + b) % KMV_P) % mbits for a, b in CMS_ROWS]
+
+    bits: set[int] = set()
+    for t in train_texts:
+        for s in _doc_shingles([t]):
+            bits.update(positions(s))
+    out = {}
+    for i, t in enumerate(eval_texts):
+        shs = sorted(set(_doc_shingles([t])))
+        maybe = sum(1 for s in shs if all(p in bits for p in positions(s)))
+        out[i] = (len(shs), maybe)
+    return out
+
+
+def test_bloom_python_twin_with_forced_false_positives(spark):
+    """mbits=64 on a ~400-shingle train set saturates the filter:
+    verdicts must equal the twin's EXACTLY — false positives included —
+    and at least one eval shingle absent from train must probe
+    positive (the FP path is genuinely exercised)."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.sketch import bloom_contamination
+
+    train = [" ".join(f"t{(i * 11 + j) % 211}" for j in range(24))
+             for i in range(20)]
+    evals = ([train[3]]                                   # fully contained
+             + [" ".join(f"e{i}x{j}" for j in range(10))  # disjoint
+                for i in range(6)])
+    tr = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(train)])
+    ev = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(evals)])
+    M = 64
+    want = _bloom_twin(train, evals, M)
+    got = {r.doc_id: (r.n_shingles, r.n_maybe)
+           for r in bloom_contamination(ev, tr, mbits=M).collect()}
+    assert got == want
+    # doc 0 is a verbatim train doc: every shingle must probe positive
+    assert got[0][1] == got[0][0]
+    # saturated filter: some disjoint doc must carry a false positive
+    assert any(got[i][1] > 0 for i in range(1, 7))
+
+
+def test_bloom_never_false_negative_vs_exact(spark):
+    """One-sided guarantee at sf0.01 and default mbits: for every eval
+    doc, n_maybe >= the exact inverted-index n_hits."""
+    from xenoeye_spark.datapipe.dedup import contamination_check
+    from xenoeye_spark.datapipe.sketch import bloom_contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    maybe = {r.doc_id: r.n_maybe
+             for r in bloom_contamination(ev, tr).collect()}
+    exact = {r.doc_id: r.n_hits
+             for r in contamination_check(ev, tr, n=5).collect()}
+    assert set(maybe) == set(exact)
+    assert all(maybe[d] >= exact[d] for d in exact)
+
+
+def test_bloom_build_bounded_and_mergeable(spark):
+    """bit-set size <= mbits however large the input, and
+    bits(A union B) == bits(A) | bits(B) — the Bloom merge."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.sketch import bloom_build
+
+    a = [Row(doc_id=i, text=" ".join(f"a{i}w{j}" for j in range(16)))
+         for i in range(15)]
+    b = [Row(doc_id=i, text=" ".join(f"b{i}w{j}" for j in range(16)))
+         for i in range(15)]
+    M = 128
+
+    def bits(rows):
+        return {r.bit_pos for r in
+                bloom_build(spark.createDataFrame(rows), mbits=M).collect()}
+
+    ba, bb, bu = bits(a), bits(b), bits(a + b)
+    assert bu == ba | bb
+    assert len(bu) <= M

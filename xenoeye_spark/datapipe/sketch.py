@@ -283,3 +283,122 @@ def hll_distinct(
         )
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------- bloom
+
+# Bloom filter (public; Bloom, CACM 1970): k = len(CMS_ROWS) bit
+# positions per key from the same pairwise-independent affine family as
+# the Count-Min rows, over BLOOM_MBITS bits. All-integer (< 2^61
+# products), so the DuckDB oracle re-derives the bit set AND every
+# probe verdict — including the false positives — bit-for-bit.
+BLOOM_MBITS = 1 << 17
+
+
+def _bloom_positions_sql(x: str, mbits: int) -> str:
+    """array() of the k bit positions for a hashed key."""
+    return "array(" + ", ".join(
+        _bucket_sql(x, i, mbits) for i in range(len(CMS_ROWS))
+    ) + ")"
+
+
+def bloom_build(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    mbits: int = BLOOM_MBITS,
+) -> DataFrame:
+    """The filter as its set-bit positions: (bit_pos) DISTINCT, at most
+    mbits rows no matter the corpus size (map-side partial dedup caps
+    each input partition's shuffle contribution at mbits rows — and
+    bit-set UNION is the Bloom merge, so per-partition filters combine
+    exactly). A bitmap array is the in-memory production form; the
+    relational form is equivalent, broadcastable (<= 1 MB at 2^17),
+    and oracle-checkable."""
+    sh = docs.select(
+        F.explode(F.expr(shingles_sql(text_col, n))).alias("_s")
+    ).select(F.expr(_poly_sql("_s")).alias("_x"))
+    return (
+        sh.select(
+            F.explode(F.expr(_bloom_positions_sql("_x", mbits)))
+            .alias("bit_pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_contamination(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    mbits: int = BLOOM_MBITS,
+) -> DataFrame:
+    """Benchmark-decontamination via a Bloom membership filter — the
+    fixed-memory scale path for ``contamination_check``'s exact
+    inverted-index join: the train side collapses to <= mbits bits
+    (vs every distinct train shingle crossing the exact join's
+    shuffle), and the probe is a broadcast-hash join against that
+    constant-size table. One-sided by construction: never a false
+    negative (n_maybe >= the exact n_hits for every doc, tested), false
+    positives at the documented fill-rate.
+
+    Output per eval doc: n_shingles (distinct, as in the exact
+    operator), n_maybe (Bloom-positive shingles), maybe_frac,
+    is_flagged.
+    """
+    k = len(CMS_ROWS)
+    bits = bloom_build(train_docs, text_col, n, mbits)
+
+    ev_sh = eval_docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.expr(shingles_sql(text_col, n)))
+        ).alias("_s"),
+    ).select(
+        id_col, "_s", F.expr(_poly_sql("_s")).alias("_x")
+    )
+    probed = ev_sh.select(
+        id_col, "_s",
+        F.posexplode(F.expr(_bloom_positions_sql("_x", mbits)))
+        .alias("_i", "bit_pos"),
+    )
+    # the grouping key is the shingle STRING, not its hash — two
+    # distinct shingles sharing a poly value must stay distinct probes
+    hits = (
+        probed.join(F.broadcast(bits), "bit_pos", "left_semi")
+        .groupBy(id_col, "_s")
+        .agg(F.count(F.lit(1)).alias("_set"))
+        .filter(F.col("_set") == k)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_maybe"))
+    )
+    base = eval_docs.select(
+        F.col(id_col),
+        F.size(
+            F.array_distinct(F.expr(shingles_sql(text_col, n)))
+        ).alias("n_shingles"),
+    )
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_maybe", F.lit(0)).cast("long").alias("n_maybe"),
+        )
+        .withColumn(
+            "maybe_frac",
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_maybe")
+                    / F.col("n_shingles").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "is_flagged", (F.col("n_maybe") > 0).cast("int")
+        )
+    )
