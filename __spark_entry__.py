@@ -1590,6 +1590,44 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(docs)
 
 
+def _ivfpq_centroids():
+    """Seeded coarse centroids for the oracle-checkable IVFADC query,
+    scaled to the unit-norm corpus (0.125 = 1/sqrt(64) component std)
+    so within-cell residuals vary with the vector, not just the cell —
+    an unscaled N(0,1) cell center dwarfs every |v|=1 residual and the
+    codes stop discriminating (measured: all-tied ADC dists)."""
+    import numpy as np
+
+    return np.random.RandomState(777).normal(size=(8, 64)) * 0.125
+
+
+def _ivfpq_codebook():
+    """Seeded residual-space PQ codebook; 0.18 ~ the residual component
+    std sqrt(1/64 + 0.125^2). The trained path is
+    ``ivfpq_train_codebook`` (per-subspace k-means on pooled residuals),
+    covered by the recall pytest."""
+    from xenoeye_spark.datapipe.similarity import pq_codebook
+
+    return pq_codebook(m=8, ks=16, subdim=8, seed=779, scale=0.18)
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-10 (r6): coarse cells prune each query to its 4
+    nearest of 8 cells via an EQUI-JOIN on the cell id, then asymmetric
+    PQ distance ranks only those candidates from their 8 code bytes —
+    the composition (FAISS 'IVF,PQ') that runs billion-scale ANN. The
+    oracle re-derives assignment, residuals, codes, ADC distances and
+    ranks entirely in SQL."""
+    from xenoeye_spark.datapipe.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivfpq_topk(
+        emb, queries, _ivfpq_centroids(), _ivfpq_codebook(),
+        k=10, n_probe=4,
+    )
+
+
 def q_bloom_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (r6): the same eval/train split as
     `contamination`, but the train side collapses to a <= 2^17-bit
@@ -1642,6 +1680,7 @@ GATE_CORE = [
 GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
+    "ivfpq_topk",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
@@ -1765,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "hll_distinct": q_hll_distinct,
         "bloom_contam": q_bloom_contam,
+        "ivfpq_topk": q_ivfpq_topk,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -3807,4 +3847,75 @@ FROM base b LEFT JOIN maybe m USING (doc_id)
                     fromlist=["CMS_ROWS"]).CMS_ROWS),
      __import__("xenoeye_spark.datapipe.sketch",
                 fromlist=["BLOOM_MBITS"]).BLOOM_MBITS),
+        # ivfpq_topk: coarse assignment (argmin -2v.c+|c|^2, ties to
+        # the lower cell), per-vector residuals, residual PQ codes,
+        # probe-cell restriction (JOIN on cell), ADC distances and
+        # ranks — the whole IVFADC index + search re-derived in SQL.
+        "ivfpq_topk": (lambda cents, csqs, cb, cbsq: f"""
+WITH cents AS ({" UNION ALL ".join(
+    f"SELECT {i} AS cell, [{', '.join(repr(x) for x in c)}]::DOUBLE[] AS c, "
+    f"{csq!r} AS csq"
+    for i, (c, csq) in enumerate(zip(cents, csqs)))}
+), cb AS ({" UNION ALL ".join(
+    f"SELECT {s} AS s, {cd} AS code, "
+    f"[{', '.join(repr(x) for x in cb[s][cd])}]::DOUBLE[] AS c, "
+    f"{cbsq[s][cd]!r} AS csq"
+    for s in range(8) for cd in range(16))}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assign AS (
+  SELECT vec_id, cell,
+         list_transform(range(1, 65), i -> v[i] - c[i]) AS r
+  FROM (
+    SELECT e.vec_id, e.v, ct.cell, ct.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (-2 * list_inner_product(e.v, ct.c) + ct.csq) ASC,
+             ct.cell ASC) AS rn
+    FROM e CROSS JOIN cents ct
+  ) WHERE rn = 1
+), ss AS (
+  SELECT unnest(generate_series(0, 7)) AS s
+), enc AS (
+  SELECT vec_id, cell, s, code FROM (
+    SELECT a.vec_id, a.cell, ss.s, cb.code,
+           row_number() OVER (PARTITION BY a.vec_id, ss.s ORDER BY
+             (-2 * list_inner_product(a.r[ss.s * 8 + 1 : ss.s * 8 + 8],
+                                      cb.c) + cb.csq) ASC,
+             cb.code ASC) AS rn
+    FROM assign a CROSS JOIN ss JOIN cb ON cb.s = ss.s
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT query_id, cell, qres FROM (
+    SELECT e.vec_id AS query_id, ct.cell,
+           list_transform(range(1, 65), i -> e.v[i] - ct.c[i]) AS qres,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (-2 * list_inner_product(e.v, ct.c) + ct.csq) ASC,
+             ct.cell ASC) AS rn
+    FROM e CROSS JOIN cents ct WHERE e.vec_id < 3
+  ) WHERE rn <= 4
+), qsub AS (
+  SELECT query_id, cell, ss.s,
+         qres[ss.s * 8 + 1 : ss.s * 8 + 8] AS qs
+  FROM qprobe CROSS JOIN ss
+), est AS (
+  SELECT q.query_id, enc.vec_id,
+         SUM(list_inner_product(q.qs, q.qs)
+             - 2 * list_inner_product(q.qs, cb.c) + cb.csq) AS d
+  FROM enc
+  JOIN cb ON cb.s = enc.s AND cb.code = enc.code
+  JOIN qsub q ON q.s = enc.s AND q.cell = enc.cell
+  WHERE enc.vec_id != q.query_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT query_id, vec_id, round(d, 6) AS pq_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY round(d, 6) ASC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM est
+)
+SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
+""")(_ivfpq_centroids().tolist(),
+     [float((c * c).sum()) for c in _ivfpq_centroids()],
+     _ivfpq_codebook().tolist(),
+     (_ivfpq_codebook() ** 2).sum(axis=2).tolist()),
     }

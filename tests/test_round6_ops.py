@@ -908,3 +908,148 @@ def test_bloom_build_bounded_and_mergeable(spark):
     ba, bb, bu = bits(a), bits(b), bits(a + b)
     assert bu == ba | bb
     assert len(bu) <= M
+
+
+# --------------------------------------------------------------------- ivfpq
+
+def _ivfpq_twin_codes(vecs, cent, cb):
+    """Loop-form numpy IVFADC index: {vec_id: (cell, codes)}."""
+    import numpy as np
+
+    m, ks, subdim = cb.shape
+    out = {}
+    for i, v in enumerate(vecs):
+        dc = [(-2.0 * float(v @ c) + float(c @ c)) for c in cent]
+        cell = int(np.argmin(dc))
+        r = v - cent[cell]
+        codes = []
+        for s in range(m):
+            rs = r[s * subdim:(s + 1) * subdim]
+            ds = [(-2.0 * float(rs @ cb[s][c]) + float(cb[s][c] @ cb[s][c]))
+                  for c in range(ks)]
+            codes.append(int(np.argmin(ds)))
+        out[i] = (cell, codes)
+    return out
+
+
+def test_ivfpq_encode_matches_numpy_twin(spark):
+    """Cell + residual codes == the independent loop-form numpy index
+    (ties to lower cell/code by argmin-first)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.similarity import ivfpq_encode, pq_codebook
+
+    rng = np.random.RandomState(12)
+    vecs = rng.normal(size=(60, 16))
+    cent = rng.normal(size=(4, 16))
+    cb = pq_codebook(m=4, ks=8, subdim=4, seed=55)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)])
+    got = {r.vec_id: (r._cell, list(r.codes))
+           for r in ivfpq_encode(emb, cent, cb).collect()}
+    assert got == _ivfpq_twin_codes(vecs, cent, cb)
+
+
+def test_ivfpq_topk_probe_restriction_and_adc(spark):
+    """Every result lies in the query's n_probe nearest cells, is
+    ADC-scored exactly like the python twin, and vectors outside the
+    probed cells never appear even when exact-closer."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.similarity import ivfpq_topk, pq_codebook
+
+    rng = np.random.RandomState(13)
+    vecs = rng.normal(size=(80, 16))
+    cent = rng.normal(size=(4, 16))
+    cb = pq_codebook(m=4, ks=8, subdim=4, seed=56)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)])
+    queries = emb.filter(F.col("vec_id") < 2)
+    NP, K = 2, 6
+    out = ivfpq_topk(emb, queries, cent, cb, k=K, n_probe=NP).collect()
+
+    codes = _ivfpq_twin_codes(vecs, cent, cb)
+    m, ks, subdim = cb.shape
+    for qid in (0, 1):
+        q = vecs[qid]
+        dc = np.array([(-2.0 * float(q @ c) + float(c @ c)) for c in cent])
+        probed = list(np.argsort(dc, kind="stable")[:NP])
+        scored = []
+        for i in range(80):
+            cell, cds = codes[i]
+            if i == qid or cell not in probed:
+                continue
+            qres = q - cent[cell]
+            d = 0.0
+            for s in range(m):
+                qs = qres[s * subdim:(s + 1) * subdim]
+                c = cb[s][cds[s]]
+                d += float(qs @ qs) - 2.0 * float(qs @ c) + float(c @ c)
+            scored.append((round(d, 6), i))
+        want = sorted(scored)[:K]
+        got = sorted((r.pq_dist, r.vec_id) for r in out if r.query_id == qid)
+        assert got == want, qid
+        assert all(codes[i][0] in probed for _, i in got)
+
+
+def test_ivfpq_trained_recall_on_clustered(spark):
+    """Trained coarse cells + residual-trained codebook on a clustered
+    corpus (the regime IVFADC targets): recall@5 vs exact squared-L2
+    must be high with half the cells probed."""
+    import numpy as np
+
+    from xenoeye_spark.datapipe.similarity import (
+        ivfpq_topk, ivfpq_train_codebook, kmeans_lite,
+    )
+
+    rng = np.random.RandomState(21)
+    centers = rng.randn(4, 16) * 5
+    vecs = np.vstack([c + rng.randn(40, 16) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id").isin([0, 40, 80, 120]))
+    cent = kmeans_lite(vecs, 4, seed=3)
+    cb = ivfpq_train_codebook(df, cent, m=8, ks=32)
+    got = {(r.query_id, r.vec_id)
+           for r in ivfpq_topk(df, q, cent, cb, k=5, n_probe=2).collect()}
+    hits = tot = 0
+    for qid in (0, 40, 80, 120):
+        d = sorted((float(((v - vecs[qid]) ** 2).sum()), i)
+                   for i, v in enumerate(vecs) if i != qid)
+        exact = {(qid, i) for _, i in d[:5]}
+        tot += len(exact)
+        hits += len(exact & got)
+    # measured 0.9 at this config; 0.6 leaves seed headroom while
+    # staying far above chance (5/159)
+    assert hits / tot >= 0.6, (hits, tot)
+
+
+def test_ivfpq_fixed_beats_random_on_uniform(spark):
+    """The gate's fixed scale-matched index on the uniform-sphere
+    sf0.01 embeddings: recall@10 must beat random chance (10/499 ~2%)
+    by ~3x. Deterministic — fixed seeds, fixed data."""
+    import numpy as np
+
+    from xenoeye_spark.datapipe.similarity import ivfpq_topk, pq_codebook
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cent = np.random.RandomState(777).normal(size=(8, 64)) * 0.125
+    cb = pq_codebook(m=8, ks=16, subdim=8, seed=779, scale=0.18)
+    got = {(r.query_id, r.vec_id)
+           for r in ivfpq_topk(emb, queries, cent, cb,
+                               k=10, n_probe=4).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float)
+            for r in emb.collect()}
+    hits = 0
+    for qid in range(3):
+        d = sorted((float(((v - vecs[qid]) ** 2).sum()), i)
+                   for i, v in vecs.items() if i != qid)
+        hits += len({(qid, i) for _, i in d[:10]} & got)
+    assert hits >= 2, hits

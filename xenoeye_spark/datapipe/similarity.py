@@ -1132,3 +1132,190 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _adc_udf(cb: np.ndarray):
+    """The shared ADC scoring kernel: (query-side vector, codes) ->
+    estimated squared L2 via the per-subspace |q_s|^2 - 2 q_s.c + |c|^2
+    expansion — one numpy gather + three reductions per Arrow batch."""
+    m, ks, subdim = cb.shape
+    cb_sq = (cb ** 2).sum(axis=2)
+    s_idx = np.arange(m)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(qvecs: pd.Series, codes_s: pd.Series) -> pd.Series:
+        qm = np.array(qvecs.tolist(), dtype=float)        # (n, d)
+        n = qm.shape[0]
+        if n == 0:
+            return pd.Series([], dtype=float)
+        cd = np.array(codes_s.tolist(), dtype=int)        # (n, m)
+        qs = qm.reshape(n, m, subdim)                     # (n, m, sd)
+        csel = cb[s_idx[None, :], cd]                     # (n, m, sd)
+        dots = (qs * csel).sum(axis=2)                    # (n, m)
+        qsq = (qs * qs).sum(axis=2)
+        csq = cb_sq[s_idx[None, :], cd]
+        return pd.Series((qsq - 2.0 * dots + csq).sum(axis=1))
+
+    return adc
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC index build (Jegou, Douze, Schmid, TPAMI 2011 §IV): coarse
+    cell assignment + PQ codes of the RESIDUAL (v - centroid[cell]) in
+    ONE Arrow pass — per batch, one (rows x cells) matmul for the
+    assignment, a fancy-index gather for the residual, then the m
+    per-subspace argmin matmuls. No shuffle; output is (id, cell,
+    codes) — a few bytes per corpus vector.
+
+    Coarse ties go to the lower cell and code ties to the lower code
+    (np.argmin-first == the oracle's ORDER BY ... ASC, cell ASC), so
+    the discrete index is cross-engine exact."""
+    cent = np.asarray(centroids, dtype=float)
+    cent_sq = (cent ** 2).sum(axis=1)
+    cb = np.asarray(codebook, dtype=float)
+    m, ks, subdim = cb.shape
+    cb_sq = (cb ** 2).sum(axis=2)
+
+    out_t = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+
+    @F.pandas_udf(out_t)
+    def encode(vecs_s: pd.Series) -> pd.DataFrame:
+        v = np.array(vecs_s.tolist(), dtype=float)        # (n, d)
+        n = v.shape[0]
+        if n == 0:
+            return pd.DataFrame({"cell": [], "codes": []})
+        dc = -2.0 * (v @ cent.T) + cent_sq[None, :]
+        cells = dc.argmin(axis=1)
+        res = (v - cent[cells]).reshape(n, m, subdim)
+        codes = np.empty((n, m), dtype="int32")
+        for s in range(m):
+            d = -2.0 * (res[:, s, :] @ cb[s].T) + cb_sq[s][None, :]
+            codes[:, s] = d.argmin(axis=1)
+        return pd.DataFrame({
+            "cell": cells.astype("int32"), "codes": list(codes),
+        })
+
+    enc = corpus.select(
+        F.col(id_col),
+        encode(F.col(vec_col).cast("array<double>")).alias("_e"),
+    )
+    return enc.select(
+        id_col, F.col("_e.cell").alias("_cell"), F.col("_e.codes").alias("codes")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebook: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVFADC search — the composition that actually runs billion-scale
+    ANN in production systems (public: Jegou 2011; FAISS's IVF,PQ
+    index): coarse cells prune the corpus to the query's n_probe
+    nearest cells, then asymmetric PQ distance ranks ONLY those
+    candidates from their code bytes.
+
+    Shape at 100 TB: the candidate restriction is an EQUI-JOIN on the
+    cell id (queries broadcast with one row per probed cell) — not the
+    brute-force broadcast BNL — so each query touches n_probe/n_cells
+    of the corpus, and what it touches is m code bytes per row, not d
+    doubles. The per-query residual (q - centroid[cell]) is computed
+    driver-side for the <= n_queries x n_probe probe rows.
+
+    Output: (query_id, vec_id, pq_dist, rank), rank 1..k by
+    (est dist asc, vec_id asc) within each query's probed cells.
+    """
+    cent = np.asarray(centroids, dtype=float)
+    cent_sq = (cent ** 2).sum(axis=1)
+    cb = np.asarray(codebook, dtype=float)
+
+    enc = ivfpq_encode(corpus, cent, cb, id_col=id_col, vec_col=vec_col)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    ).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["_qvec"], dtype=float)
+        # the same -2 q.c + |c|^2 expansion as the oracle, so distance
+        # TIES rank cells identically (stable argsort == cell-asc ties)
+        d = -2.0 * (cent @ qv) + cent_sq
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append(
+                (int(r["query_id"]), int(cell),
+                 [float(x) for x in qv - cent[cell]])
+            )
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, _cell int, _qres array<double>"
+    )
+
+    joined = enc.join(F.broadcast(probes), "_cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adc = _adc_udf(cb)
+    scored = joined.select(
+        "query_id",
+        F.col(id_col),
+        F.round(adc(F.col("_qres"), F.col("codes")), round_digits)
+        .alias("pq_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_train_codebook(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    seed: int = 779,
+    iters: int = 10,
+) -> np.ndarray:
+    """Train the IVFADC codebook on RESIDUALS (v - centroid[cell]),
+    pooled across cells — the standard index build (Jegou 2011 §IV.A).
+    The residual projection is one Arrow kernel; training itself is
+    per-subspace k-means on a driver-side sample, constant-size work at
+    any corpus scale (``kmeans_step`` is the distributed refinement
+    path if a sample ever isn't enough)."""
+    cent = np.asarray(centroids, dtype=float)
+    cent_sq = (cent ** 2).sum(axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def residual(vecs_s: pd.Series) -> pd.Series:
+        v = np.array(vecs_s.tolist(), dtype=float)
+        if v.shape[0] == 0:
+            return pd.Series([], dtype=object)
+        cells = (-2.0 * (v @ cent.T) + cent_sq[None, :]).argmin(axis=1)
+        return pd.Series(list(v - cent[cells]))
+
+    res_df = emb.select(
+        residual(F.col(vec_col).cast("array<double>")).alias("_res")
+    )
+    return pq_train_codebook(
+        res_df, m=m, ks=ks, vec_col="_res",
+        sample_fraction=sample_fraction, seed=seed, iters=iters,
+    )
