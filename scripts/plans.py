@@ -114,6 +114,15 @@ NOTES = {
     "pq_topk": "encode = one Arrow projection (no shuffle); ADC scores "
     "codes against the broadcast 3-row query set (reviewed BNL); "
     "WindowGroupLimit pre-limits top-k below the single exchange.",
+    "hll_distinct": "registers max-combine map-side (the HLL merge); "
+    "shuffle = O(m * partitions) per group vs count-distinct's "
+    "every-key exchange; estimate joins two tiny aggregates.",
+    "bloom_contam": "train side collapses to <= mbits DISTINCT bit "
+    "rows before its exchange; probe is a broadcast left-semi "
+    "equi-join — no raw train shingle crosses the probe stage.",
+    "ivfpq_topk": "cell pruning is a broadcast EQUI-join on _cell "
+    "(not a BNL): each query scores only its probed cells' code "
+    "bytes; encode is one shuffle-free Arrow pass.",
 }
 
 
