@@ -1220,3 +1220,110 @@ def test_heavy_hitters_stream_null_items_excluded(spark, tmp_path):
     run = {r.item: r for r in got if not r.is_final}
     assert set(run) == {"a", "b"}
     assert run["a"].est_count == 2 and run["a"].n_rows == 3  # not 5
+
+
+def test_cms_watch_stream_matches_batch(spark, tmp_path):
+    """Streaming windowed Count-Min == batch cms_build/probe on the
+    same rows, cell-collisions included (width=16 forces them), across
+    two windows; finals fire via event-time timeout and free state."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from xenoeye_spark.datapipe.sketch import cms_build
+    from xenoeye_spark.streaming.cms_stream import (
+        cms_watch_stream, probe_cells,
+    )
+
+    WB = 1_700_000_040
+    W = 16
+    PROBES = ["alpha", "beta", "gamma", "nosuch"]
+    batches = [
+        [(WB + 1.0, "alpha beta alpha"), (WB + 2.0, "gamma alpha")],
+        [(WB + 30.0, "beta beta delta"), (WB + 70.0, "alpha zeta")],
+        [(WB + 200.0, "beta")],     # watermark -> WB+180 after widening
+        [(WB + 400.0, "eta")],      # fires finals through WB+240
+    ]
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "ts double, text string")
+         .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+
+    stage = _tempfile.mkdtemp(prefix="cms_src_")
+    ckpt = _tempfile.mkdtemp(prefix="cms_ckpt_")
+    got: list = []
+    schema = "ts timestamp, text string"
+    for i in range(len(batches)):
+        d = str(src / f"b{i}")
+        for f in _glob.glob(_os.path.join(d, "*.parquet")):
+            _shutil.copy(f, _os.path.join(stage, f"b{i}_" + _os.path.basename(f)))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(stage))
+        q = (cms_watch_stream(stream, "ts", PROBES, width=W,
+                              window="60 seconds",
+                              watermark_delay="0 seconds")
+             .writeStream.foreachBatch(
+                 lambda df, e: got.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    finals = {(r.window_start.timestamp(), r.token): r
+              for r in got if r.is_final}
+    assert {w for w, _ in finals} == {float(WB), float(WB + 60),
+                                      float(WB + 180)}
+
+    # batch twin per window: fold the same texts through cms_build and
+    # probe with the same hash family
+    def batch_est(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        cells = {r.row_id * W + r.bucket: r.cnt
+                 for r in cms_build(df, width=W).collect()}
+        n = sum(len(t.split()) for t in texts)
+        return {p: min(cells.get(c, 0) for c in probe_cells(p, W))
+                for p in PROBES}, n
+
+    w0_est, w0_n = batch_est(["alpha beta alpha", "gamma alpha",
+                              "beta beta delta"])
+    for p in PROBES:
+        r = finals[(float(WB), p)]
+        assert r.cms_est == w0_est[p], p
+        assert r.n_tokens == w0_n
+    # true counts are lower bounds (never-underestimate, per window)
+    assert finals[(float(WB), "alpha")].cms_est >= 3
+    assert finals[(float(WB), "beta")].cms_est >= 3
+    assert finals[(float(WB), "gamma")].cms_est >= 1
+
+    w1_est, w1_n = batch_est(["alpha zeta"])
+    for p in PROBES:
+        assert finals[(float(WB + 60), p)].cms_est == w1_est[p], p
+    assert finals[(float(WB + 60), "alpha")].n_tokens == w1_n
+
+    # running rows preceded finals for the spanning window
+    assert any(not r.is_final and r.window_start.timestamp() == WB
+               for r in got)
+
+
+def test_cms_stream_precombine_bounds_crossing_volume(spark):
+    """Batch-mode drive of the pre-combine: a hot-token stream's rows
+    collapse to <= d*width cells per (window, partition) before the
+    state shuffle."""
+    from xenoeye_spark.datapipe.sketch import CMS_ROWS
+    from xenoeye_spark.streaming.cms_stream import precombined_input
+
+    W = 16
+    N_PARTS = 4
+    rows = [(1_700_000_000.0 + (i % 50), "hot hot hot cold w%d" % (i % 7))
+            for i in range(20_000)]
+    df = (spark.createDataFrame(rows, "ts double, text string")
+          .withColumn("ts", F.col("ts").cast("timestamp"))
+          .repartition(N_PARTS))
+    pre = precombined_input(df, "ts", "text", W, "60 seconds")
+    crossing = pre.count()
+    # one window, <= d*W distinct cells per partition
+    assert crossing <= len(CMS_ROWS) * W * N_PARTS, crossing
+    # and the partial sums still total d * n_tokens exactly
+    total = pre.agg(F.sum("_cnt")).collect()[0][0]
+    assert total == len(CMS_ROWS) * 5 * 20_000
