@@ -1590,6 +1590,22 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(docs)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch vs corpus) dedup (r6): every 10th doc
+    plays the daily ingest batch; MinHash-LSH buckets both sides, a
+    (band, bucket) equi-join probes the corpus index, exact Jaccard
+    verifies, and each new doc reports its best corpus match. The
+    oracle re-derives signatures, banding, the corpus-side bucket
+    gate, verification, and the (jaccard desc, id asc) argmax in
+    SQL."""
+    from xenoeye_spark.datapipe.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    old = docs.filter(F.col("doc_id") % 10 != 7)
+    return incremental_dedup(new, old, threshold=0.35)
+
+
 def _ivfpq_centroids():
     """Seeded coarse centroids for the oracle-checkable IVFADC query,
     scaled to the unit-norm corpus (0.125 = 1/sqrt(64) component std)
@@ -1680,7 +1696,7 @@ GATE_CORE = [
 GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
-    "ivfpq_topk",
+    "ivfpq_topk", "incremental_dedup",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
@@ -1805,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bloom_contam": q_bloom_contam,
         "ivfpq_topk": q_ivfpq_topk,
+        "incremental_dedup": q_incremental_dedup,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -3918,4 +3935,66 @@ SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
      [float((c * c).sum()) for c in _ivfpq_centroids()],
      _ivfpq_codebook().tolist(),
      (_ivfpq_codebook() ** 2).sum(axis=2).tolist()),
+        # incremental_dedup: both sides' signatures + banding
+        # re-derived (bucket identity = the band's slice string, the
+        # collision set xxhash64 buckets realize), corpus-side bucket
+        # gate, exact-Jaccard verify, argmax by (jac desc, id asc).
+        "incremental_dedup": (lambda perms: f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, {shingles} AS s FROM toks
+), hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(s, str ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(str, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007))) AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         list_transform({perms}, p ->
+           CASE WHEN len(h) = 0 THEN CAST(2147483647 AS BIGINT)
+                ELSE list_min(list_transform(h, x -> (p.a * x + p.b) % 2147483647))
+           END) AS sg
+  FROM hs
+), banded AS (
+  SELECT doc_id, r.range AS band,
+         array_to_string(sg[r.range * 4 + 1 : r.range * 4 + 4], ',') AS bucket
+  FROM sig CROSS JOIN range(16) r
+), nb AS (
+  SELECT * FROM banded WHERE doc_id % 10 = 7
+), cb AS (
+  SELECT * FROM banded WHERE doc_id % 10 != 7
+), gated AS (
+  SELECT band, bucket FROM cb GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+), cbg AS (
+  SELECT c.* FROM cb c JOIN gated USING (band, bucket)
+), cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_old
+  FROM nb n JOIN cbg c USING (band, bucket)
+), v AS (
+  SELECT c.id_new, c.id_old,
+         CASE WHEN len(list_distinct(x.s || y.s)) = 0 THEN 0
+              ELSE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                   / len(list_distinct(x.s || y.s)) END AS jac
+  FROM cand c JOIN sh x ON x.doc_id = c.id_new
+              JOIN sh y ON y.doc_id = c.id_old
+), best AS (
+  SELECT id_new, id_old, jac, row_number() OVER (
+    PARTITION BY id_new ORDER BY jac DESC, id_old ASC
+  ) AS rn FROM v WHERE jac >= 0.35
+)
+SELECT d.doc_id,
+       CAST(b.id_old IS NOT NULL AS INTEGER) AS is_dup,
+       b.id_old AS dup_of,
+       round(b.jac, 6) AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id_new = d.doc_id
+""")("[" + ", ".join(
+            "{'a': %d, 'b': %d}" % (int(a), int(b))
+            for a, b in zip(*minhash_params31(64, 42))
+        ) + "]"),
     }

@@ -1053,3 +1053,84 @@ def test_ivfpq_fixed_beats_random_on_uniform(spark):
                    for i, v in vecs.items() if i != qid)
         hits += len({(qid, i) for _, i in d[:10]} & got)
     assert hits >= 2, hits
+
+
+# --------------------------------------------------------- incremental dedup
+
+def test_incremental_dedup_flags_planted_dups(spark):
+    """Planted near-duplicates of corpus docs are flagged with the
+    right dup_of and a high jaccard; genuinely new docs are kept."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.dedup import incremental_dedup
+
+    corpus = [Row(doc_id=i,
+                  text=" ".join(f"c{i}w{j}" for j in range(30)))
+              for i in range(20)]
+    base3 = corpus[3].text.split()
+    near3 = " ".join(base3[:28] + ["xx", "yy"])      # ~near-dup of 3
+    new = [
+        Row(doc_id=100, text=corpus[5].text),        # exact dup of 5
+        Row(doc_id=101, text=near3),                 # near dup of 3
+        Row(doc_id=102, text=" ".join(f"n{j}" for j in range(30))),
+    ]
+    out = {r.doc_id: r for r in incremental_dedup(
+        spark.createDataFrame(new), spark.createDataFrame(corpus),
+        threshold=0.5).collect()}
+    assert len(out) == 3
+    assert (out[100].is_dup, out[100].dup_of, out[100].jaccard) == (1, 5, 1.0)
+    assert out[101].is_dup == 1 and out[101].dup_of == 3
+    assert 0.5 <= out[101].jaccard < 1.0
+    assert (out[102].is_dup, out[102].dup_of, out[102].jaccard) == (0, None, None)
+
+
+def test_incremental_dedup_best_match_tie_to_lowest_id(spark):
+    """A new doc equally similar to two corpus docs (identical texts)
+    reports the LOWEST corpus id — the argmax tie rule the oracle
+    mirrors."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.dedup import incremental_dedup
+
+    t = " ".join(f"w{j}" for j in range(20))
+    corpus = [Row(doc_id=7, text=t), Row(doc_id=4, text=t),
+              Row(doc_id=9, text="other words entirely here now ok")]
+    new = [Row(doc_id=100, text=t)]
+    [r] = incremental_dedup(
+        spark.createDataFrame(new), spark.createDataFrame(corpus),
+        threshold=0.5).collect()
+    assert (r.is_dup, r.dup_of, r.jaccard) == (1, 4, 1.0)
+
+
+def test_incremental_dedup_matches_bruteforce_twin_at_sf(spark):
+    """At sf0.01 with a %10 split: every flagged pair agrees with a
+    brute-force python Jaccard over the same 3-gram shingles, and no
+    above-threshold corpus match is missed for the flagged docs."""
+    from xenoeye_spark.datapipe.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    old = docs.filter(F.col("doc_id") % 10 != 7)
+    got = {r.doc_id: r for r in
+           incremental_dedup(new, old, threshold=0.35).collect()}
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def shset(t):
+        toks = t.strip().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    flagged = [d for d, r in got.items() if r.is_dup]
+    assert flagged, "sf0.01 plants near-dups; none flagged"
+    for d in flagged:
+        r = got[d]
+        a = shset(texts[d])
+        b = shset(texts[r.dup_of])
+        jac = len(a & b) / len(a | b)
+        assert abs(jac - r.jaccard) < 1e-6, d
+        # it is the best match: no other corpus doc beats it
+        best = max(
+            (len(a & shset(texts[o])) / len(a | shset(texts[o])), -o)
+            for o in texts if o % 10 != 7
+        )
+        assert abs(best[0] - r.jaccard) < 1e-6 and -best[1] == r.dup_of, d

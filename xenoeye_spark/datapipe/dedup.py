@@ -717,3 +717,154 @@ def fuzzy_dedup_pairs(
             F.round(ratio, 6).alias("edit_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (new-batch vs corpus) dedup
+# ---------------------------------------------------------------------------
+
+def lsh_candidate_pairs_cross(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    sig_len: int | None = None,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Banded-LSH candidates BETWEEN two signature tables: (new id,
+    corpus id) pairs sharing any band bucket — the probe shape of
+    ``lsh_candidate_pairs``'s self-join, for incremental ingest.
+
+    One equi-join on (band, bucket): the corpus side shuffles once at
+    O(bands x corpus) rows of 3 longs; the new side is the daily batch
+    (typically tiny — AQE broadcasts it when it fits). The skew guard
+    drops oversized CORPUS buckets only (boilerplate signatures): the
+    new batch is bounded by construction and gating it would let one
+    hot corpus bucket silently eat the batch.
+
+    Output: (id_new, id_old) distinct.
+    """
+    if sig_len is None:
+        sig_len = new_sigs.select(
+            F.size("signature").alias("s")
+        ).first()["s"]
+    rows_per_band = (sig_len + bands - 1) // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(array_join(slice(signature, "
+        f"b * {rows_per_band} + 1, {rows_per_band}), ',')))"
+    )
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            F.col(id_col),
+            F.posexplode(F.expr(band_expr)).alias("band", "bucket"),
+        )
+
+    nb = banded(new_sigs)
+    cb = banded(corpus_sigs)
+    if max_bucket_size is not None:
+        sizes = cb.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        cb = cb.join(
+            sizes.filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz"),
+            ["band", "bucket"],
+            "leftsemi",
+        )
+    return (
+        nb.alias("n").join(cb.alias("c"), ["band", "bucket"])
+        .select(
+            F.col(f"n.{id_col}").alias("id_new"),
+            F.col(f"c.{id_col}").alias("id_old"),
+        )
+        .distinct()
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Daily-ingest deduplication: flag every NEW doc that near-
+    duplicates an EXISTING corpus doc — the operation a crawl pipeline
+    runs on each batch before appending it (the self-join dedup
+    operators assume the whole corpus re-deduplicates at once; at
+    100 TB nobody re-runs that per day).
+
+    MinHash-LSH (the oracle-checkable expression variant) buckets both
+    sides; the (band, bucket) equi-join yields candidates; exact
+    n-gram Jaccard verifies them; each new doc reports its BEST corpus
+    match (highest jaccard, ties to the lowest corpus id).
+
+    Shape at 100 TB: the corpus side is touched exactly twice — one
+    signature projection (narrow) + one banded shuffle of 3-long rows;
+    nothing about the corpus is broadcast or re-deduplicated. Shingle
+    verification joins only the candidate ids' rows.
+
+    Output: one row per NEW doc — (id, is_dup int 0/1, dup_of
+    nullable, jaccard nullable, rounded 6).
+    """
+    sig_new = minhash_signatures_expr(
+        new_docs, n=n, num_hashes=num_hashes,
+        text_col=text_col, id_col=id_col, seed=seed,
+    )
+    sig_old = minhash_signatures_expr(
+        corpus, n=n, num_hashes=num_hashes,
+        text_col=text_col, id_col=id_col, seed=seed,
+    )
+    cand = lsh_candidate_pairs_cross(
+        sig_new, sig_old, bands=bands, id_col=id_col,
+        sig_len=num_hashes, max_bucket_size=max_bucket_size,
+    )
+
+    sh_new = shingle_table(new_docs, n, text_col, id_col).select(
+        F.col("_id").alias("id_new"), F.col("_sh").alias("_sh_n"),
+        F.col("_sz").alias("_sz_n"),
+    )
+    sh_old = shingle_table(corpus, n, text_col, id_col).select(
+        F.col("_id").alias("id_old"), F.col("_sh").alias("_sh_o"),
+        F.col("_sz").alias("_sz_o"),
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_n"), F.col("_sh_o")))
+    union = (F.col("_sz_n") + F.col("_sz_o") - inter).cast("int")
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    verified = (
+        cand.join(sh_new, "id_new").join(sh_old, "id_old")
+        .select("id_new", "id_old", jac.alias("_jac"))
+        .filter(F.col("_jac") >= F.lit(threshold))
+    )
+    # best corpus match per new doc: ONE max_by aggregate (no window —
+    # a viral near-dup class collapses map-side); tie order (jaccard
+    # desc, id_old asc) via the (jac, -id_old) struct max
+    best = verified.groupBy("id_new").agg(
+        F.max_by(
+            F.struct(F.col("id_old"), F.col("_jac")),
+            F.struct(F.col("_jac"), (-F.col("id_old")).alias("_neg")),
+        ).alias("_best")
+    ).select(
+        "id_new",
+        F.col("_best.id_old").alias("dup_of"),
+        F.round(F.col("_best._jac"), 6).alias("jaccard"),
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("id_new"))
+        .join(best, "id_new", "left")
+        .select(
+            F.col("id_new").alias(id_col),
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+            "dup_of",
+            "jaccard",
+        )
+    )
