@@ -1327,3 +1327,109 @@ def test_cms_stream_precombine_bounds_crossing_volume(spark):
     # and the partial sums still total d * n_tokens exactly
     total = pre.agg(F.sum("_cnt")).collect()[0][0]
     assert total == len(CMS_ROWS) * 5 * 20_000
+
+
+def test_hist_quantile_stream_matches_python_twin(spark, tmp_path):
+    """Streaming windowed log-histogram quantiles == a python fold of
+    the identical binning + interpolation, across two windows and keys;
+    finals fire via event-time timeout; accuracy bounded vs exact."""
+    import glob as _glob
+    import math as _math
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import numpy as _np
+
+    from xenoeye_spark.streaming.quantile_stream import (
+        hist_quantile_stream, hist_quantiles, value_bin,
+    )
+
+    WB = 1_700_000_040
+    rng = __import__("random").Random(7)
+    w0_a = [rng.randint(1, 5000) for _ in range(300)]
+    w0_b = [rng.randint(100, 200) for _ in range(50)]
+    w1_a = [rng.randint(1, 50) for _ in range(80)]
+    batches = [
+        [("a", WB + 1.0 + i * 0.1, v) for i, v in enumerate(w0_a[:150])]
+        + [("b", WB + 2.0 + i * 0.1, v) for i, v in enumerate(w0_b)],
+        [("a", WB + 20.0 + i * 0.1, v)
+         for i, v in enumerate(w0_a[150:])]
+        + [("a", WB + 70.0 + i * 0.01, v) for i, v in enumerate(w1_a)],
+        [("a", WB + 400.0, 1)],   # fires finals for w0 and w1
+    ]
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "k string, ts double, v long")
+         .withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+
+    stage = _tempfile.mkdtemp(prefix="hq_src_")
+    ckpt = _tempfile.mkdtemp(prefix="hq_ckpt_")
+    got: list = []
+    schema = "k string, ts timestamp, v long"
+    for i in range(len(batches)):
+        d = str(src / f"b{i}")
+        for f in _glob.glob(_os.path.join(d, "*.parquet")):
+            _shutil.copy(f, _os.path.join(stage, f"b{i}_" + _os.path.basename(f)))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(stage))
+        q = (hist_quantile_stream(stream, "k", "ts", "v",
+                                  window="60 seconds",
+                                  watermark_delay="0 seconds")
+             .writeStream.foreachBatch(
+                 lambda df, e: got.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    finals = {(r.window_start.timestamp(), r.k): r
+              for r in got if r.is_final}
+    assert (float(WB), "a") in finals and (float(WB), "b") in finals
+    assert (float(WB + 60), "a") in finals
+
+    def twin(vals):
+        hist: dict[int, int] = {}
+        for v in vals:
+            b = value_bin(v)
+            hist[b] = hist.get(b, 0) + 1
+        bins = _np.array(list(hist.keys()), dtype=_np.int64)
+        cnts = _np.array(list(hist.values()), dtype=_np.int64)
+        return hist_quantiles(bins, cnts, [0.5, 0.9, 0.99])
+
+    for (vals, key) in [(w0_a, (float(WB), "a")),
+                        (w0_b, (float(WB), "b")),
+                        (w1_a, (float(WB + 60), "a"))]:
+        r = finals[key]
+        t50, t90, t99 = twin(vals)
+        assert (r.p50, r.p90, r.p99) == (t50, t90, t99), key
+        assert r.n_rows == len(vals)
+        # accuracy: within one sub-bin (1/16 relative) of the exact
+        # nearest-rank percentile, both directions
+        for q, est in [(0.5, r.p50), (0.9, r.p90), (0.99, r.p99)]:
+            exact = sorted(vals)[max(1, _math.ceil(q * len(vals))) - 1]
+            assert abs(est - exact) <= exact / 8 + 1, (key, q, est, exact)
+
+    # cross-batch state carry emitted a running row before the final
+    assert any(not r.is_final and r.k == "a"
+               and r.window_start.timestamp() == WB for r in got)
+
+
+def test_hist_quantile_precombine_bounds_crossing_volume(spark):
+    """Batch-mode drive of the pre-combine: a hot key's raw rows
+    collapse to <= touched-bins rows per (window, key, partition)."""
+    from xenoeye_spark.streaming.quantile_stream import (
+        SUB, precombined_input,
+    )
+
+    N_PARTS = 4
+    rows = [("hot", 1_700_000_000.0 + (i % 50), (i % 1000) + 1)
+            for i in range(30_000)]
+    df = (spark.createDataFrame(rows, "k string, ts double, v long")
+          .withColumn("ts", F.col("ts").cast("timestamp"))
+          .repartition(N_PARTS))
+    pre = precombined_input(df, "k", "ts", "v", "60 seconds")
+    crossing = pre.count()
+    # values 1..1000 touch <= 10 octaves * SUB bins
+    assert crossing <= 10 * SUB * N_PARTS, crossing
+    assert pre.agg(F.sum("_cnt")).collect()[0][0] == 30_000
