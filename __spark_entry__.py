@@ -1590,6 +1590,18 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(docs)
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-histogram approximate quantiles per source (r6): the
+    mergeable approximate path that, unlike the GK sketch, is fully
+    oracle-checkable — integer binning, windowed cumsum, identical
+    IEEE interpolation on both engines. Exact twin = length_quantiles;
+    streaming twin = hist_quantile_stream."""
+    from xenoeye_spark.operators.summary import log_hist_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return log_hist_quantiles(docs, ["source"], "n_chars")
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (new-batch vs corpus) dedup (r6): every 10th doc
     plays the daily ingest batch; MinHash-LSH buckets both sides, a
@@ -1696,7 +1708,7 @@ GATE_CORE = [
 GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
-    "ivfpq_topk", "incremental_dedup",
+    "ivfpq_topk", "incremental_dedup", "hist_quantiles",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
@@ -1822,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contam": q_bloom_contam,
         "ivfpq_topk": q_ivfpq_topk,
         "incremental_dedup": q_incremental_dedup,
+        "hist_quantiles": q_hist_quantiles,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -3997,4 +4010,46 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id_new = d.doc_id
             "{'a': %d, 'b': %d}" % (int(a), int(b))
             for a, b in zip(*minhash_params31(64, 42))
         ) + "]"),
+        # hist_quantiles: bins (integer length(bin(v)) arithmetic),
+        # windowed cumsum, covering-bin pick, and the IDENTICAL
+        # IEEE interpolation (prob CAST AS DOUBLE on both engines —
+        # a bare 0.9 is DECIMAL in both and ceil(decimal) diverges
+        # from ceil(double) at exact multiples).
+        "hist_quantiles": (lambda probs: f"""
+WITH b AS (
+  SELECT source,
+    CASE WHEN CAST(n_chars AS BIGINT) <= 0 THEN -1 ELSE
+      (length(bin(CAST(n_chars AS BIGINT))) - 1) * 16 + CAST(
+      ((CAST(n_chars AS BIGINT)
+        - (CAST(1 AS BIGINT) << (length(bin(CAST(n_chars AS BIGINT))) - 1))) * 16)
+      // (CAST(1 AS BIGINT) << (length(bin(CAST(n_chars AS BIGINT))) - 1))
+      AS INTEGER) END AS bin
+  FROM documents
+), h AS (
+  SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+), c AS (
+  SELECT source, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n,
+         CASE WHEN bin < 0 THEN CAST(0.0 AS DOUBLE) ELSE
+           pow(CAST(2.0 AS DOUBLE), bin // 16)
+           * (CAST(1.0 AS DOUBLE) + CAST(bin % 16 AS DOUBLE) / 16) END AS lo,
+         CASE WHEN bin < 0 THEN CAST(0.0 AS DOUBLE) ELSE
+           pow(CAST(2.0 AS DOUBLE), bin // 16) / 16 END AS w
+  FROM h
+)
+SELECT source,
+{", ".join(
+    f'''       round(max(CASE WHEN cum - cnt <
+         greatest(CAST(1 AS BIGINT),
+                  CAST(ceil(CAST({p!r} AS DOUBLE) * n) AS BIGINT))
+         AND greatest(CAST(1 AS BIGINT),
+                  CAST(ceil(CAST({p!r} AS DOUBLE) * n) AS BIGINT)) <= cum
+       THEN lo + w * CAST(greatest(CAST(1 AS BIGINT),
+                  CAST(ceil(CAST({p!r} AS DOUBLE) * n) AS BIGINT))
+                  - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)
+       END), 6) AS p{int(p * 100)}''' for p in probs)},
+       max(n) AS n_rows
+FROM c GROUP BY source
+""")([0.5, 0.9, 0.99]),
     }

@@ -1134,3 +1134,67 @@ def test_incremental_dedup_matches_bruteforce_twin_at_sf(spark):
             for o in texts if o % 10 != 7
         )
         assert abs(best[0] - r.jaccard) < 1e-6 and -best[1] == r.dup_of, d
+
+
+# --------------------------------------------------------- log-hist quantile
+
+def test_log_hist_quantiles_matches_python_twin(spark):
+    """Batch log-histogram quantiles == the streaming module's python
+    fold (same binning, same interpolation) per group, and the error
+    vs the exact nearest-rank percentile stays inside one sub-bin."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from xenoeye_spark.operators.summary import log_hist_quantiles
+    from xenoeye_spark.streaming.quantile_stream import (
+        hist_quantiles, value_bin,
+    )
+
+    rng = __import__("random").Random(11)
+    data = {
+        "g0": [rng.randint(1, 100_000) for _ in range(500)],
+        "g1": [rng.randint(50, 80) for _ in range(40)],
+        "g2": [0, 0, 1, 7],                     # zero bin + tiny group
+    }
+    rows = [Row(k=k, v=v) for k, vals in data.items() for v in vals]
+    out = {r.k: r for r in log_hist_quantiles(
+        spark.createDataFrame(rows), ["k"], "v").collect()}
+    for k, vals in data.items():
+        hist: dict[int, int] = {}
+        for v in vals:
+            b = value_bin(v)
+            hist[b] = hist.get(b, 0) + 1
+        t50, t90, t99 = hist_quantiles(
+            np.array(list(hist.keys()), dtype=np.int64),
+            np.array(list(hist.values()), dtype=np.int64),
+            [0.5, 0.9, 0.99],
+        )
+        r = out[k]
+        assert (r.p50, r.p90, r.p99) == (t50, t90, t99), k
+        assert r.n_rows == len(vals)
+        for q, est in [(0.5, r.p50), (0.9, r.p90), (0.99, r.p99)]:
+            exact = sorted(vals)[max(1, math.ceil(q * len(vals))) - 1]
+            assert abs(est - exact) <= exact / 8 + 1, (k, q, est, exact)
+
+
+def test_log_hist_quantiles_merge_is_binwise_sum(spark):
+    """hist(A union B) == bin-wise SUM of hist(A), hist(B) — the
+    mergeable property the map-side combine and the streaming
+    pre-combine both rely on (checked through identical quantiles)."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.operators.summary import log_hist_quantiles
+
+    a = [Row(k="x", v=int(3 + 7 * i) % 997 + 1) for i in range(200)]
+    b = [Row(k="x", v=int(11 + 13 * i) % 4093 + 1) for i in range(300)]
+    u = {r.k: (r.p50, r.p90, r.p99, r.n_rows)
+         for r in log_hist_quantiles(
+             spark.createDataFrame(a + b), ["k"], "v").collect()}
+    # recompute from the union in a different row order — histogram
+    # identity makes the result order-free
+    u2 = {r.k: (r.p50, r.p90, r.p99, r.n_rows)
+          for r in log_hist_quantiles(
+              spark.createDataFrame(b + a), ["k"], "v").collect()}
+    assert u == u2 and u["x"][3] == 500

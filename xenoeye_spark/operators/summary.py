@@ -48,3 +48,101 @@ def group_quantiles(
         aggs.append(F.round(c, 6).alias(name(p)))
     aggs.append(F.count(F.lit(1)).cast("long").alias("n_rows"))
     return df.groupBy(*keys).agg(*aggs)
+
+
+# ------------------------------------------------------------ log-histogram
+
+def log_hist_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    probs: list[float] = (0.5, 0.9, 0.99),
+    sub: int = 16,
+) -> DataFrame:
+    """Per-group approximate quantiles from a mergeable LOG-HISTOGRAM —
+    the approximate path that, unlike the GK sketch, is fully
+    ORACLE-CHECKABLE: binning is pure integer SQL (sub-bins of each
+    power of two via length(bin(v))), the cumulative walk is a window
+    over <= sub*64 bins per group, and the in-bin interpolation is the
+    same IEEE expression on both engines.
+
+    Error: the estimate lands inside the true value's sub-bin —
+    relative error <= 1/sub per boundary (6.25% at sub=16). State per
+    group is the touched-bin count (<= sub * 64), map-side combinable
+    (bin-wise SUM is the merge), so the shuffle is O(bins x partitions)
+    per group while exact percentile moves every value. The streaming
+    twin (``streaming/quantile_stream.py``) keeps the identical
+    histogram per (window, key).
+
+    Quantile definition: nearest-rank target r = max(1, ceil(q*n)),
+    linear interpolation within the covering bin at fraction
+    (r - cum_before) / bin_count. Values <= 0 bin to -1 and estimate
+    as 0. Output: keys..., p50/p90/p99 (group_quantiles naming),
+    n_rows; estimates rounded to 6.
+    """
+    for p in probs:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"probability {p} outside (0, 1]")
+
+    def pname(p: float) -> str:
+        v = p * 100
+        return f"p{int(v)}" if v.is_integer() else (
+            f"p{v:g}".replace(".", "_")
+        )
+
+    v = f"CAST({value_col} AS BIGINT)"
+    bin_sql = (
+        f"CASE WHEN {v} <= 0 THEN -1 ELSE "
+        f"(length(bin({v})) - 1) * {sub} + CAST("
+        f"(({v} - shiftleft(1L, length(bin({v})) - 1)) * {sub}) div "
+        f"shiftleft(1L, length(bin({v})) - 1) AS INT) END"
+    )
+    hist = (
+        df.select(*keys, F.expr(bin_sql).alias("_bin"))
+        .groupBy(*keys, "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy(*keys).orderBy("_bin")
+    cum = hist.select(
+        *keys, "_bin", "_cnt",
+        F.sum("_cnt").over(wk).alias("_cum"),
+        F.sum("_cnt").over(
+            Window.partitionBy(*keys)
+        ).alias("_n"),
+    )
+    # bin bounds (doubles; identical expression in the oracle)
+    lo = (
+        "CASE WHEN _bin < 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"pow(CAST(2.0 AS DOUBLE), _bin div {sub}) * "
+        f"(CAST(1.0 AS DOUBLE) + CAST(_bin % {sub} AS DOUBLE) / {sub}) "
+        "END"
+    )
+    width = (
+        "CASE WHEN _bin < 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"pow(CAST(2.0 AS DOUBLE), _bin div {sub}) / {sub} END"
+    )
+    aggs = []
+    for p in probs:
+        # CAST AS DOUBLE on BOTH engines: a bare 0.9 parses as DECIMAL
+        # (exact 0.9) while the oracle must reproduce the identical
+        # IEEE product — ceil(0.9d * 30) is 28 in double (27.000...04)
+        # but 27 in decimal, so mixed representations diverge at
+        # exact-multiple boundaries
+        r = (
+            f"greatest(1L, CAST(ceil(CAST({p!r} AS DOUBLE) * _n) "
+            f"AS BIGINT))"
+        )
+        est = (
+            f"({lo}) + ({width}) * "
+            f"CAST({r} - (_cum - _cnt) AS DOUBLE) / CAST(_cnt AS DOUBLE)"
+        )
+        covering = f"_cum - _cnt < {r} AND {r} <= _cum"
+        aggs.append(
+            F.round(
+                F.max(F.expr(f"CASE WHEN {covering} THEN {est} END")), 6
+            ).alias(pname(p))
+        )
+    aggs.append(F.max("_n").alias("n_rows"))
+    return cum.groupBy(*keys).agg(*aggs)
