@@ -1661,7 +1661,7 @@ def q_bloom_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
     `contamination`, but the train side collapses to a <= 2^17-bit
     filter (constant memory at any corpus size) instead of the exact
     inverted index. All-integer hashing, so the oracle re-derives every
-    bit and every probe verdict — INCLUDING the false positives (172
+    bit and every probe verdict — INCLUDING the false positives (180
     FP shingles at sf0.01), which is what makes the match meaningful.
     One-sided: n_maybe >= the exact n_hits for every doc (tested)."""
     from xenoeye_spark.datapipe.sketch import bloom_contamination
@@ -3773,28 +3773,31 @@ SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
         # identical IEEE estimate expression; alpha CAST AS DOUBLE on
         # both sides (bare decimal literals parse as DECIMAL in Spark
         # AND DuckDB).
-        "hll_distinct": (lambda A, M, QB, KM, KP, KX: f"""
+        "hll_distinct": (lambda A, M, QB, KM, KP, KX, M2: f"""
 WITH toks AS (
   SELECT lang,
          list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
   FROM documents
+), th AS (
+  SELECT lang,
+         list_transform(t, tok -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(tok, ''),
+                            ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * {KM} + x) % {KP})) AS h
+  FROM toks
 ), sh AS (
   SELECT lang,
-         CASE WHEN len(t) >= 5 THEN
-           list_transform(range(1, len(t) - 4 + 1),
-                          i -> array_to_string(t[i:i+4], ' '))
+         CASE WHEN len(h) >= 5 THEN
+           list_transform(range(1, len(h) - 4 + 1),
+                          i -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT), h[i:i+4]),
+                            (acc, x) -> (acc * {M2} + x) % {KP}))
            ELSE [] END AS shs
-  FROM toks
-), s AS (
-  SELECT lang, unnest(shs) AS s FROM sh
+  FROM th
 ), hx AS (
-  SELECT lang, s,
-    (list_reduce(
-       list_prepend(CAST(0 AS BIGINT),
-         list_transform(string_split(s, ''),
-                        ch -> CAST(ascii(ch) AS BIGINT))),
-       (acc, x) -> (acc * {KM} + x) % {KP}) * {KX}) % {KP} AS x
-  FROM s
+  SELECT lang, s, (s * {KX}) % {KP} AS x
+  FROM (SELECT lang, unnest(shs) AS s FROM sh)
 ), reg AS (
   SELECT lang, x % {M} AS bucket,
          max(CASE WHEN x // {M} = 0 THEN {QB + 1}
@@ -3817,7 +3820,7 @@ SELECT e.lang, e.exact_distinct, a.n_zero_registers,
 FROM ex e JOIN agg a USING (lang) ORDER BY lang
 """)(__import__("xenoeye_spark.datapipe.sketch",
                 fromlist=["HLL_ALPHA"]).HLL_ALPHA,
-     512, 21, 31, 1_073_741_789, 2_654_435_761),
+     512, 21, 31, 1_073_741_789, 2_654_435_761, 1_000_003),
         # bloom_contam: the bit set and every probe verdict re-derived
         # in integer SQL — the 172 false-positive shingles at sf0.01
         # must match too, or the hashing diverged.
@@ -3826,38 +3829,40 @@ WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
   FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(t, tok -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(tok, ''),
+                            ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1073741789)) AS h
+  FROM toks
 ), sh AS (
   SELECT doc_id,
-         CASE WHEN len(t) >= 5 THEN
-           list_transform(range(1, len(t) - 4 + 1),
-                          i -> array_to_string(t[i:i+4], ' '))
+         CASE WHEN len(h) >= 5 THEN
+           list_transform(range(1, len(h) - 4 + 1),
+                          i -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT), h[i:i+4]),
+                            (acc, x) -> (acc * 1000003 + x) % 1073741789))
            ELSE [] END AS shs
-  FROM toks
+  FROM th
 ), rows_(a, b) AS ( VALUES {", ".join(f"({a}, {b})" for a, b in rows)} )
 , trx AS (
-  SELECT DISTINCT
-    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT))),
-      (acc, x) -> (acc * 31 + x) % 1073741789) AS x
+  SELECT DISTINCT s AS x
   FROM (SELECT unnest(shs) AS s FROM sh WHERE doc_id % 5 != 0)
 ), bits AS (
   SELECT DISTINCT ((trx.x * r.a + r.b) % 1073741789) % {mbits} AS bit_pos
   FROM trx CROSS JOIN rows_ r
-), ev AS (
-  SELECT doc_id, unnest(list_distinct(shs)) AS s FROM sh WHERE doc_id % 5 = 0
 ), evx AS (
-  SELECT doc_id, s,
-    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT))),
-      (acc, x) -> (acc * 31 + x) % 1073741789) AS x
-  FROM ev
+  SELECT doc_id, unnest(list_distinct(shs)) AS x
+  FROM sh WHERE doc_id % 5 = 0
 ), probe AS (
-  SELECT e.doc_id, e.s,
+  SELECT e.doc_id, e.x,
          ((e.x * r.a + r.b) % 1073741789) % {mbits} AS bit_pos
   FROM evx e CROSS JOIN rows_ r
 ), hit AS (
-  SELECT doc_id, s FROM probe p JOIN bits USING (bit_pos)
-  GROUP BY doc_id, s HAVING count(*) = {k}
+  SELECT doc_id, x FROM probe p JOIN bits USING (bit_pos)
+  GROUP BY doc_id, x HAVING count(*) = {k}
 ), maybe AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe FROM hit GROUP BY 1
 ), base AS (

@@ -123,6 +123,12 @@ NOTES = {
     "ivfpq_topk": "cell pruning is a broadcast EQUI-join on _cell "
     "(not a BNL): each query scores only its probed cells' code "
     "bytes; encode is one shuffle-free Arrow pass.",
+    "incremental_dedup": "corpus touched twice (signature projection "
+    "+ one banded 3-long-row shuffle), never broadcast; new batch "
+    "probes via (band,bucket) equi-join; one max_by argmax, no window.",
+    "hist_quantiles": "bin counts partial-aggregate map-side (bin-wise "
+    "SUM is the merge); the cumsum window runs over <= sub*64 bins per "
+    "group, not the values.",
 }
 
 

@@ -718,8 +718,8 @@ def test_pq_topk_fixed_beats_random_on_uniform(spark):
 # --------------------------------------------------------------- hyperloglog
 
 def _hll_twin(keys, m=512, qbits=21):
-    """Pure-python HLL over the operator's exact hash family:
-    (registers dict, estimate)."""
+    """Pure-python HLL over the operator's exact hash family (keys are
+    the composed shingle hashes): (registers dict, estimate)."""
     import math
 
     from xenoeye_spark.datapipe.ranking import KMV_MIX, KMV_P
@@ -727,7 +727,7 @@ def _hll_twin(keys, m=512, qbits=21):
 
     reg: dict[int, int] = {}
     for key in keys:
-        x = (_cms_poly(key) * KMV_MIX) % KMV_P
+        x = (key * KMV_MIX) % KMV_P
         bucket, q = x % m, x // m
         rank = (qbits + 1) if q == 0 else (qbits + 1 - q.bit_length())
         reg[bucket] = max(reg.get(bucket, 0), rank)
@@ -750,30 +750,40 @@ def _hll_docs(spark, texts):
 
 
 def _doc_shingles(texts, n=5):
+    """Composed shingle hashes — the operators' key identity: per-token
+    char polynomial folded over each n-window with SHINGLE_M2."""
+    from xenoeye_spark.datapipe.ranking import KMV_P
+    from xenoeye_spark.datapipe.sketch import SHINGLE_M2
+
     out = []
     for t in texts:
-        toks = t.strip().split()
-        out.extend(
-            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
-        )
+        th = [_cms_poly(tok) for tok in t.strip().split()]
+        for i in range(len(th) - n + 1):
+            h = 0
+            for x in th[i:i + n]:
+                h = (h * SHINGLE_M2 + x) % KMV_P
+            out.append(h)
     return out
 
 
 def test_hll_registers_match_python_twin(spark):
     """Register table == the python fold's, bucket for bucket —
     including the q == 0 max-rank path if it occurs."""
-    from xenoeye_spark.datapipe.sketch import hll_distinct, hll_registers, shingles_sql
+    from xenoeye_spark.datapipe.sketch import (
+        hll_distinct, hll_registers, with_shingle_hashes,
+    )
 
     texts = [" ".join(f"w{(i * 7 + j) % 97}" for j in range(40))
              for i in range(30)]
     docs = _hll_docs(spark, texts)
     want_reg, want_est = _hll_twin(_doc_shingles(texts))
 
-    sh = docs.select(
-        F.col("lang"), F.explode(F.expr(shingles_sql("text"))).alias("_s")
+    sh = with_shingle_hashes(docs, "text").select(
+        F.col("lang"),
+        F.explode(F.col("_shs")).alias("_hs"),
     )
     got_reg = {r.bucket: r.mj
-               for r in hll_registers(sh, "_s", ["lang"]).collect()}
+               for r in hll_registers(sh, "_hs", ["lang"]).collect()}
     assert got_reg == want_reg
 
     [row] = hll_distinct(docs, group_col="lang").collect()
@@ -799,18 +809,20 @@ def test_hll_small_range_linear_counting(spark):
 def test_hll_merge_is_registerwise_max(spark):
     """sketch(A union B) == register-wise MAX of sketch(A), sketch(B) —
     the mergeable-summaries property the map-side combine relies on."""
-    from xenoeye_spark.datapipe.sketch import hll_registers, shingles_sql
+    from xenoeye_spark.datapipe.sketch import (
+        hll_registers, with_shingle_hashes,
+    )
 
     ta = [" ".join(f"a{i + j}" for j in range(12)) for i in range(20)]
     tb = [" ".join(f"b{i + j}" for j in range(12)) for i in range(25)]
 
     def regs(texts):
-        sh = _hll_docs(spark, texts).select(
+        sh = with_shingle_hashes(_hll_docs(spark, texts), "text").select(
             F.col("lang"),
-            F.explode(F.expr(shingles_sql("text"))).alias("_s"),
+            F.explode(F.col("_shs")).alias("_hs"),
         )
         return {r.bucket: r.mj
-                for r in hll_registers(sh, "_s", ["lang"]).collect()}
+                for r in hll_registers(sh, "_hs", ["lang"]).collect()}
 
     ra, rb, ru = regs(ta), regs(tb), regs(ta + tb)
     merged = {b: max(ra.get(b, 0), rb.get(b, 0))
@@ -826,18 +838,17 @@ def _bloom_twin(train_texts, eval_texts, mbits):
     from xenoeye_spark.datapipe.sketch import CMS_ROWS
     from xenoeye_spark.datapipe.ranking import KMV_P
 
-    def positions(s):
-        x = _cms_poly(s)
+    def positions(x):
         return [((x * a + b) % KMV_P) % mbits for a, b in CMS_ROWS]
 
     bits: set[int] = set()
     for t in train_texts:
-        for s in _doc_shingles([t]):
-            bits.update(positions(s))
+        for x in _doc_shingles([t]):
+            bits.update(positions(x))
     out = {}
     for i, t in enumerate(eval_texts):
         shs = sorted(set(_doc_shingles([t])))
-        maybe = sum(1 for s in shs if all(p in bits for p in positions(s)))
+        maybe = sum(1 for x in shs if all(p in bits for p in positions(x)))
         out[i] = (len(shs), maybe)
     return out
 

@@ -165,20 +165,44 @@ HLL_QBITS = 21
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 SHINGLE_N = 5
+# token-composition multiplier: the shingle key is a polynomial over
+# TOKEN hashes, not over the joined string's characters — each char is
+# hashed once per token instead of once per overlapping shingle
+# (n-fold less interpreted-lambda work; measured 2.3x on the sf0.1
+# sketch pass). 1e6+3 is prime and < 2^20, so acc * M2 + x < 2^51.
+SHINGLE_M2 = 1_000_003
 
 
-def shingles_sql(text_col: str, n: int = SHINGLE_N) -> str:
-    """Spark-SQL expression: the doc's n-token shingle strings
-    (space-joined sliding windows; NOT per-doc distinct — register max
-    is idempotent and the exact side counts global distinct anyway).
-    Mirrors the contamination oracle's window arithmetic."""
-    tk = ws_tokens_sql(text_col)
-    return (
-        f"CASE WHEN size({tk}) >= {n} THEN "
-        f"transform(sequence(1, size({tk}) - {n - 1}), "
-        f"i -> array_join(slice({tk}, i, {n}), ' ')) "
+def with_shingle_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    out_col: str = "_shs",
+) -> DataFrame:
+    """``docs`` plus an ``out_col`` array<long> of the doc's n-token
+    shingle hashes — per-token char polynomial composed over each
+    n-window with the SHINGLE_M2 fold, all mod KMV_P. NOT per-doc
+    distinct (register max / bit-set insert are idempotent). The
+    sketch operators treat this composed hash AS the key identity —
+    which is what a sketch estimates by definition (distinct hashes ~
+    distinct keys); the DuckDB oracles re-derive it verbatim.
+
+    Two-stage on purpose: the token-hash array materializes as a real
+    column BEFORE the per-window fold references it — Catalyst does
+    not CSE across lambda boundaries, so an INLINED token-hash
+    transform re-evaluates the per-char polynomial once per shingle
+    index, O(tokens x shingles) hashing per doc (measured 22s vs 2.4s
+    on the sf0.1 sketch pass)."""
+    th = f"transform({ws_tokens_sql(text_col)}, t -> {_poly_sql('t')})"
+    staged = docs.withColumn("_th_tmp", F.expr(th))
+    sh = (
+        f"CASE WHEN size(_th_tmp) >= {n} THEN "
+        f"transform(sequence(1, size(_th_tmp) - {n - 1}), "
+        f"i -> aggregate(slice(_th_tmp, i, {n}), 0L, "
+        f"(acc, x) -> (acc * {SHINGLE_M2} + x) % {KMV_P})) "
         f"ELSE array() END"
     )
+    return staged.withColumn(out_col, F.expr(sh)).drop("_th_tmp")
 
 
 def _rank_sql(q: str) -> str:
@@ -201,12 +225,11 @@ def hll_registers(
     operators lean on."""
     from xenoeye_spark.datapipe.ranking import KMV_MIX
 
-    x = (
-        f"(({_poly_sql(key_col)}) * {KMV_MIX}L) % {KMV_P}"
-    )
+    # key_col is an already-hashed LONG (< KMV_P); the Knuth mix
+    # decorrelates it from the bucket/rank split
     hashed = keyed.select(
         *group_cols,
-        F.expr(x).alias("_x"),
+        F.expr(f"(({key_col}) * {KMV_MIX}L) % {KMV_P}").alias("_x"),
     ).select(
         *group_cols,
         (F.col("_x") % HLL_M).alias("bucket"),
@@ -229,6 +252,11 @@ def hll_distinct(
     group regardless of corpus size, one map-side-combined shuffle —
     while exact count-distinct shuffles every distinct key.
 
+    Key identity is the composed shingle HASH (shingle_hashes_sql) —
+    the quantity an HLL estimates by definition; ``exact_distinct``
+    counts distinct hashes, isolating sketch error from the (~n^2/2P,
+    sub-1-per-corpus) hash-collision error.
+
     The estimate: alpha*m^2 / sum_j 2^(-M_j) with the standard
     small-range linear-counting correction (m*ln(m/V) when the raw
     estimate <= 2.5m and V = zero registers > 0). sum_j 2^(-M_j) is a
@@ -240,11 +268,17 @@ def hll_distinct(
     Output: (group, exact_distinct, n_zero_registers, hll_est) ordered
     by group.
     """
-    sh = docs.select(
+    # explode_OUTER + null filter, not explode: the inner explode's
+    # inferred size(..)>0 predicate is pushed below the staging
+    # projections with the shingle expression INLINED — re-running the
+    # O(tokens x shingles) hash once per row (measured 45s vs 1s at
+    # sf0.1). The outer form infers no such filter; the null filter on
+    # the GENERATED column cannot be pushed below the Generate.
+    sh = with_shingle_hashes(docs, text_col, n).select(
         F.col(group_col),
-        F.explode(F.expr(shingles_sql(text_col, n))).alias("_s"),
-    )
-    reg = hll_registers(sh, "_s", [group_col])
+        F.explode_outer(F.col("_shs")).alias("_hs"),
+    ).filter(F.col("_hs").isNotNull())
+    reg = hll_registers(sh, "_hs", [group_col])
     est = reg.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_present"),
         F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("_sp"),
@@ -271,7 +305,7 @@ def hll_distinct(
         ).alias("_est"),
     )
     exact = sh.groupBy(group_col).agg(
-        F.count_distinct("_s").alias("exact_distinct")
+        F.count_distinct("_hs").alias("exact_distinct")
     )
     return (
         exact.join(est, group_col)
@@ -315,9 +349,12 @@ def bloom_build(
     exactly). A bitmap array is the in-memory production form; the
     relational form is equivalent, broadcastable (<= 1 MB at 2^17),
     and oracle-checkable."""
-    sh = docs.select(
-        F.explode(F.expr(shingles_sql(text_col, n))).alias("_s")
-    ).select(F.expr(_poly_sql("_s")).alias("_x"))
+    # explode_outer + null filter: see hll_distinct's pushed-predicate
+    # note — the inner explode re-inlines the shingle expression into a
+    # pushed size(..)>0 filter
+    sh = with_shingle_hashes(docs, text_col, n).select(
+        F.explode_outer(F.col("_shs")).alias("_x")
+    ).filter(F.col("_x").isNotNull())
     return (
         sh.select(
             F.explode(F.expr(_bloom_positions_sql("_x", mbits)))
@@ -351,34 +388,28 @@ def bloom_contamination(
     k = len(CMS_ROWS)
     bits = bloom_build(train_docs, text_col, n, mbits)
 
-    ev_sh = eval_docs.select(
+    ev_sh = with_shingle_hashes(eval_docs, text_col, n).select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(F.expr(shingles_sql(text_col, n)))
-        ).alias("_s"),
-    ).select(
-        id_col, "_s", F.expr(_poly_sql("_s")).alias("_x")
-    )
+        F.explode_outer(F.array_distinct(F.col("_shs"))).alias("_x"),
+    ).filter(F.col("_x").isNotNull())
     probed = ev_sh.select(
-        id_col, "_s",
+        id_col, "_x",
         F.posexplode(F.expr(_bloom_positions_sql("_x", mbits)))
         .alias("_i", "bit_pos"),
     )
-    # the grouping key is the shingle STRING, not its hash — two
-    # distinct shingles sharing a poly value must stay distinct probes
+    # probe identity is the composed shingle hash (the same identity
+    # the filter inserts — what a Bloom filter tests by definition)
     hits = (
         probed.join(F.broadcast(bits), "bit_pos", "left_semi")
-        .groupBy(id_col, "_s")
+        .groupBy(id_col, "_x")
         .agg(F.count(F.lit(1)).alias("_set"))
         .filter(F.col("_set") == k)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_maybe"))
     )
-    base = eval_docs.select(
+    base = with_shingle_hashes(eval_docs, text_col, n).select(
         F.col(id_col),
-        F.size(
-            F.array_distinct(F.expr(shingles_sql(text_col, n)))
-        ).alias("n_shingles"),
+        F.size(F.array_distinct(F.col("_shs"))).alias("n_shingles"),
     )
     return (
         base.join(hits, id_col, "left")

@@ -97,8 +97,12 @@ def log_hist_quantiles(
         f"(({v} - shiftleft(1L, length(bin({v})) - 1)) * {sub}) div "
         f"shiftleft(1L, length(bin({v})) - 1) AS INT) END"
     )
+    # NULL values are ignored outright: a NULL bin would sort FIRST in
+    # Spark's ASC window but LAST in DuckDB's, silently skewing the
+    # cumulative walk on one engine only
     hist = (
-        df.select(*keys, F.expr(bin_sql).alias("_bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, F.expr(bin_sql).alias("_bin"))
         .groupBy(*keys, "_bin")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
