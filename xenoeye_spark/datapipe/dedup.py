@@ -607,12 +607,21 @@ def contamination_check(
     # shingles never travel through the shuffle, and zero-hit docs come
     # back via the cheap per-doc left join below)
     ev_counts = ev_docs.select(id_col, F.size("_sh").alias("n_shingles"))
+    # explode_OUTER + null filter, not explode (r6): the inner
+    # explode's inferred size(_sh)>0 predicate is pushed below the
+    # token-staging projection with the WHOLE shingle expression
+    # re-inlined — tokenize + window + distinct runs twice per doc
+    # (see sketch.with_shingle_hashes for the measured twin trap)
     ev = ev_docs.select(
-        F.col(id_col), F.explode("_sh").alias("_s")
-    ).select(id_col, F.xxhash64("_s").alias("_h"))
+        F.col(id_col), F.explode_outer("_sh").alias("_s")
+    ).filter(F.col("_s").isNotNull()).select(
+        id_col, F.xxhash64("_s").alias("_h")
+    )
     tr = (
         shingles(train_docs)
-        .select(F.explode("_sh").alias("_s"), F.col(id_col).alias("_tid"))
+        .select(F.explode_outer("_sh").alias("_s"),
+                F.col(id_col).alias("_tid"))
+        .filter(F.col("_s").isNotNull())
         .select(F.xxhash64("_s").alias("_h"), "_tid")
     )
     if train_df_cap is not None:
