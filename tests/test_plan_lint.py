@@ -168,3 +168,40 @@ def test_gate_rotation_schedule():
           "repetition", "url_filter", "quantize", "rand_proj",
           "temperature", "char_entropy", "best_of_class", "mask_spans"}
     assert r5 <= win_now
+
+
+# ------------------------------------------- pushed-predicate re-inlining
+
+# Queries whose plan legitimately carries a tokenizer expression inside
+# a Filter:
+#   bm25 — the df>0 HAVING over the per-term table folds into a filter
+#          that references the staged token column's lineage; the
+#          expression is evaluated once per DISTINCT term row (the
+#          aggregate's output), not per input row — linear and small.
+#   corpus_curate — the quality CUT is a predicate ON token-derived
+#          stats (stopword ratio et al.); evaluating it in a Filter is
+#          the query's semantics, once per doc, fused with the stats
+#          projection in the same codegen stage.
+TOKENIZER_IN_FILTER_ALLOWED = {"bm25", "corpus_curate"}
+
+
+def test_no_tokenizer_reinlined_into_filters(plans):
+    """Regression guard for the r6 pushed-predicate trap: an inner
+    explode over a staged shingle/token array makes Spark infer a
+    size(..)>0 predicate and push it below the staging projection with
+    the WHOLE expression re-inlined — tokenize-and-window re-runs once
+    per row inside the Filter (measured 4.5x on contamination, 22x on
+    the sketch pass). Fix is explode_outer + a null filter on the
+    GENERATED column. This lint fails any query whose physical plan
+    evaluates the tokenizer inside a Filter operator."""
+    bad = {}
+    for name, p in plans.items():
+        if name in TOKENIZER_IN_FILTER_ALLOWED:
+            continue
+        hits = [
+            ln.strip()[:90] for ln in p.split("\n")
+            if "Filter" in ln and "split(trim(" in ln
+        ]
+        if hits:
+            bad[name] = hits[0]
+    assert not bad, f"tokenizer re-inlined into Filter: {bad}"

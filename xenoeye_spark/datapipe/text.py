@@ -587,10 +587,17 @@ def chunk_documents(
         F.col("_toks"), F.col("chunk_id") * stride + 1, chunk
     )
     return (
-        spread(docs).select(
+        # the empty-doc cut tests the RAW text (trim != '' <=> at least
+        # one ws token): a size(_toks) > 0 filter after the staging
+        # select gets the whole tokenizer re-inlined by predicate
+        # pushdown and evaluated a second time per row (the r6
+        # pushed-predicate trap — see sketch.with_shingle_hashes);
+        # this form pushes to the scan as a cheap string test
+        spread(docs)
+        .filter(F.trim(F.col(text_col)) != "")
+        .select(
             F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
         )
-        .filter(F.size("_toks") > 0)
         .select(
             id_col,
             "_toks",
