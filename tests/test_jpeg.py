@@ -1,0 +1,154 @@
+"""Baseline JPEG codec (pure numpy, ITU-T T.81): analytic anchors the
+decoder cannot fake, encode->decode round-trips at near-lossless
+quantization, sampling-factor/restart/stuffing coverage, and the loud
+NotImplementedError boundary for non-baseline processes. No Spark —
+the codec is plain bytes -> numpy (the Arrow stage calls it per row)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xenoeye_spark.datapipe.codecs import decode_image, sniff_format
+from xenoeye_spark.datapipe.codecs_jpeg import (
+    decode_jpeg, encode_jpeg_gray, encode_jpeg_rgb,
+)
+
+
+def test_dc_only_analytic_anchor():
+    """A flat 8x8 encodes to a DC-only block; the decoded level has a
+    closed form independent of the decoder: IDCT of a lone DC
+    coefficient c is the constant c/8, so pixel = 8*(v-128)/8 + 128 = v
+    whenever DC survives quantization exactly. With v=200, Q[0]=16:
+    DC = 8*72 = 576 = 36*16 — exact — decoded MUST be exactly 200."""
+    data = encode_jpeg_gray(np.full((8, 8), 200.0), quant=np.full(64, 16))
+    out = decode_jpeg(data)
+    assert out.shape == (8, 8, 3)
+    assert (out == 200).all()
+
+
+def test_dc_quantization_rounding_anchor():
+    """v=201 -> DC = 8*(201-128) = 584 -> 584/24 = 24.33 -> rounds to
+    24 -> dequant 576 -> pixel 576/8 + 128 = 200: the quantization
+    loss is predicted by hand arithmetic, not by running either codec
+    half. (Q=24, not 16: odd v with Q=16 lands DC/Q on an exact .5
+    where the verdict is 1-ulp FP noise, a useless anchor.)"""
+    data = encode_jpeg_gray(np.full((8, 8), 201.0), quant=np.full(64, 24))
+    assert (decode_jpeg(data)[:, :, 0] == 200).all()
+
+
+def test_single_ac_coefficient_anchor():
+    """Plant exactly one AC coefficient through the real entropy coder:
+    an image equal to 128 + a*basis(0,1) has FDCT = a at (0,1) only, so
+    the decoded image must reproduce that single cosine (q=1)."""
+    a = 64.0
+    from xenoeye_spark.datapipe.codecs_jpeg import _idct2
+
+    coef = np.zeros((8, 8))
+    coef[0, 1] = a
+    img = _idct2(coef) + 128.0
+    data = encode_jpeg_gray(img, quant=np.full(64, 1))
+    out = decode_jpeg(data)[:, :, 0].astype(float)
+    assert np.abs(out - np.clip(np.round(img), 0, 255)).max() <= 1.0
+
+
+def test_roundtrip_gray_near_lossless():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(24, 33)).astype(float)
+    out = decode_jpeg(encode_jpeg_gray(img, quant=np.full(64, 1)))
+    assert out.shape == (24, 33, 3)
+    assert np.abs(out[:, :, 0].astype(float) - img).max() <= 2.0
+    # grayscale replicates channels
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+
+
+def test_roundtrip_color_444_and_420():
+    base = np.linspace(0, 255, 40)[:, None] * np.ones(56)[None, :]
+    img = np.stack([base, base[::-1], np.full((40, 56), 90.0)], axis=2)
+    out = decode_jpeg(encode_jpeg_rgb(img, subsample=False,
+                                      quant=np.full(64, 1)))
+    assert out.shape == (40, 56, 3)
+    assert np.abs(out.astype(float) - img).max() <= 3.0
+    out420 = decode_jpeg(encode_jpeg_rgb(img, subsample=True,
+                                         quant=np.full(64, 1)))
+    assert out420.shape == (40, 56, 3)
+    # 2x2-mean chroma on a smooth gradient: small bounded loss
+    assert np.abs(out420.astype(float) - img).max() <= 10.0
+
+
+def test_restart_markers_reset_dc_predictors():
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, size=(16, 24)).astype(float)
+    plain = decode_jpeg(encode_jpeg_gray(img, quant=np.full(64, 1)))
+    rst = decode_jpeg(encode_jpeg_gray(img, quant=np.full(64, 1),
+                                       restart_interval=2))
+    assert (plain == rst).all()
+
+
+def test_byte_stuffing_survives():
+    """A high-contrast image whose entropy stream contains 0xFF bytes
+    (stuffed as FF 00) must round-trip; assert stuffing actually
+    occurred so the test means something."""
+    rng = np.random.RandomState(3)
+    img = (rng.randint(0, 2, size=(16, 16)) * 255).astype(float)
+    data = encode_jpeg_gray(img, quant=np.full(64, 1))
+    sos = data.index(b"\xff\xda")
+    assert b"\xff\x00" in data[sos:], "no stuffing exercised"
+    out = decode_jpeg(data)
+    assert np.abs(out[:, :, 0].astype(float) - img).max() <= 2.0
+
+
+def test_non_multiple_of_8_dims_crop():
+    img = np.arange(19 * 13, dtype=float).reshape(19, 13) % 256
+    out = decode_jpeg(encode_jpeg_gray(img, quant=np.full(64, 1)))
+    assert out.shape == (19, 13, 3)
+
+
+def test_progressive_raises_loudly():
+    """Flip SOF0 to SOF2 in a valid stream: the decoder must refuse
+    with NotImplementedError, not decode garbage."""
+    data = bytearray(encode_jpeg_gray(np.full((8, 8), 100.0)))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(NotImplementedError):
+        # 12-bit precision
+        d2 = bytearray(encode_jpeg_gray(np.full((8, 8), 100.0)))
+        j = bytes(d2).index(b"\xff\xc0")
+        d2[j + 4] = 12
+        decode_jpeg(bytes(d2))
+
+
+def test_dispatch_sniffs_jpeg():
+    d = encode_jpeg_gray(np.full((8, 8), 200.0))
+    assert sniff_format(d) == "jpeg"
+    assert (decode_image(d) == 200).all()
+
+
+def test_truncated_stream_fails_not_hangs():
+    d = encode_jpeg_gray(np.arange(64, dtype=float).reshape(8, 8) * 3)
+    with pytest.raises((ValueError, NotImplementedError, struct.error,
+                        IndexError)):
+        decode_jpeg(d[:20])
+
+
+def test_decode_and_featurize_jpeg_spark(spark):
+    """The Arrow mapInPandas stage decodes JPEG content for real: flat
+    DC-only gray images of known level -> exact mean luma and dims."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.multimodal import decode_and_featurize
+
+    rows = []
+    for i, level in enumerate([200, 104, 48]):
+        data = encode_jpeg_gray(np.full((16, 8), float(level)),
+                                quant=np.full(64, 16))
+        rows.append(Row(media_id=i, content=bytearray(data)))
+    df = spark.createDataFrame(rows)
+    got = {r.media_id: r for r in decode_and_featurize(df).collect()}
+    for i, level in enumerate([200, 104, 48]):
+        assert (got[i].width, got[i].height) == (8, 16), i
+        assert abs(got[i].mean_luma - level) < 0.6, (i, got[i].mean_luma)

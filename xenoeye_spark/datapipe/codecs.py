@@ -224,7 +224,10 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 def sniff_format(data: bytes) -> str | None:
-    """Container sniff by magic: 'ppm' | 'pgm' | 'bmp' | 'wav' | None."""
+    """Container/codec sniff by magic:
+    'ppm' | 'pgm' | 'bmp' | 'wav' | 'jpeg' | None."""
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"P5":
@@ -237,16 +240,21 @@ def sniff_format(data: bytes) -> str | None:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode any supported uncompressed image container to (H, W, 3)
-    uint8; raises NotImplementedError for unrecognized (i.e. compressed
-    — JPEG/PNG/...) content, the honest boundary in this container."""
+    """Decode any supported image to (H, W, 3) uint8 — the raw
+    containers here plus BASELINE JPEG via the pure-numpy entropy
+    decoder in ``codecs_jpeg`` (r6); raises NotImplementedError for
+    the rest (PNG/H.264/progressive JPEG), the honest boundary."""
     kind = sniff_format(data)
     if kind in ("ppm", "pgm"):
         return decode_ppm(data)
     if kind == "bmp":
         return decode_bmp(data)
+    if kind == "jpeg":
+        from xenoeye_spark.datapipe.codecs_jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "unrecognized/compressed image format (JPEG/PNG need codec libs "
-        "not present in this environment); supported raw containers: "
-        "PPM/PGM/BMP"
+        "unrecognized/compressed image format (PNG/H.264 need codec "
+        "libs not present in this environment); supported: PPM/PGM/BMP "
+        "raw containers + baseline JPEG (codecs_jpeg)"
     )

@@ -8,12 +8,15 @@ per row on the driver.
 
 Decode kernels (r6): UNCOMPRESSED containers — PPM/PGM, 24-bit BMP,
 PCM WAV — decode for REAL via the pure-numpy ``datapipe.codecs``
-module (header parse + frombuffer; no codec library involved).
-Compressed codecs (JPEG/PNG/H.264) stay honestly stubbed: PIL/libav
-are not in this container, and ``decode_image`` raises
-NotImplementedError for content it cannot recognize. ``fake=True``
-keeps the deterministic content-hash fake decoder for tests that need
-arbitrary bytes to "decode".
+module (header parse + frombuffer), and BASELINE JPEG decodes for
+real too via the pure-numpy entropy decoder in
+``datapipe.codecs_jpeg`` (Huffman + dequant + IDCT + YCbCr, ITU-T
+T.81; test_jpeg anchors it analytically). The remaining compressed
+codecs (PNG/H.264/progressive JPEG) stay honestly stubbed — no codec
+libs in this container — and ``decode_image`` raises
+NotImplementedError for them. ``fake=True`` keeps the deterministic
+content-hash fake decoder for tests that need arbitrary bytes to
+"decode".
 """
 
 from __future__ import annotations
@@ -66,9 +69,9 @@ def decode_and_featurize(
 ) -> DataFrame:
     """mapInPandas stage: binary -> (dims, mean luma, tiny feature vector).
 
-    ``fake=False`` (the default) decodes PPM/PGM/BMP content for real
-    via ``datapipe.codecs`` and raises NotImplementedError on
-    compressed formats (the honest boundary — no codec libs here);
+    ``fake=False`` (the default) decodes PPM/PGM/BMP and baseline
+    JPEG content for real via ``datapipe.codecs`` and raises
+    NotImplementedError on the rest (PNG/H.264 — the honest boundary);
     ``fake=True`` forces the deterministic content-hash fake kernel.
     """
 
