@@ -1,0 +1,190 @@
+"""Pure-python+numpy PNG codec — decoder (and a minimal test encoder)
+for non-interlaced 8-bit PNG, public spec RFC 2083 / W3C PNG. The
+DEFLATE layer is the stdlib ``zlib`` (present in every CPython), so
+unlike JPEG there is no entropy coder to hand-roll: PNG decode is
+chunk walk -> inflate -> per-scanline unfilter.
+
+Scope (decoder): bit depth 8, color types 0 (gray), 2 (RGB),
+3 (palette), 4 (gray+alpha), 6 (RGBA); filters 0-4 (None/Sub/Up/
+Average/Paeth); alpha is dropped (the multimodal contract is HxWx3).
+Adam7 interlace and bit depths != 8 raise NotImplementedError.
+
+Scope (encoder, tests only): gray/RGB/RGBA/palette writers with a
+caller-chosen per-scanline filter type, so tests exercise each
+unfilter path against a python twin rather than only filter-0
+round-trips.
+
+Unfilter cost: None/Up vectorize across the row; Sub/Average/Paeth
+carry a sequential dependency along x and run as a per-byte loop over
+that scanline only — bounded by the image's own byte count, inside the
+same Arrow batch as the other decoders.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by color type
+_SPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to (H, W, 3) uint8 RGB
+    (gray replicated, palette resolved, alpha dropped)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    plte: bytes | None = None
+    while i + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[i:i + 8])
+        chunk = data[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG")
+            if interlace:
+                raise NotImplementedError("Adam7 interlaced PNG")
+            if ctype not in _SPP:
+                raise ValueError(f"bad color type {ctype}")
+            if comp or filt:
+                raise ValueError("bad compression/filter method")
+            ihdr = (w, h, ctype)
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IDAT":
+            idat.extend(chunk)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise ValueError("no IHDR")
+    w, h, ctype = ihdr
+    spp = _SPP[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * spp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:                             # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):                     # Sub / Average / Paeth
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - spp] if x >= spp else 0
+                if ft == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ft == 3:
+                    cur[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+                else:
+                    c = prev[x - spp] if x >= spp else 0
+                    cur[x] = (line[x] + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    px = out.reshape(h, w, spp)
+    if ctype == 0:
+        g = px[:, :, 0]
+        return np.stack([g, g, g], axis=2)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[px[:, :, 0]]
+    if ctype == 4:
+        g = px[:, :, 0]
+        return np.stack([g, g, g], axis=2)
+    return px[:, :, :3].copy()                    # 6: RGBA -> RGB
+
+
+# ---------------------------------------------------------------------------
+# minimal encoder (tests only)
+# ---------------------------------------------------------------------------
+
+def _chunk(typ: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+
+def encode_png(
+    img: np.ndarray,
+    ctype: int = 2,
+    filter_type: int = 0,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Minimal PNG writer (tests only): 8-bit, non-interlaced, ONE
+    filter type applied to every scanline so each unfilter path can be
+    exercised deliberately. ``img``: (H, W) for gray/palette indices,
+    (H, W, 3) RGB, (H, W, 4) RGBA."""
+    img = np.asarray(img, dtype=np.uint8)
+    if ctype in (0, 3):
+        h, w = img.shape
+        px = img.reshape(h, w, 1)
+    else:
+        h, w, _ = img.shape
+        px = img
+    spp = _SPP[ctype]
+    assert px.shape[2] == spp, (px.shape, ctype)
+    stride = w * spp
+    flat = px.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        raw.append(filter_type)
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 2:
+            f = (cur - prev) & 0xFF
+        else:
+            f = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - spp] if x >= spp else 0
+                if filter_type == 1:
+                    f[x] = (cur[x] - a) & 0xFF
+                elif filter_type == 3:
+                    f[x] = (cur[x] - ((a + prev[x]) >> 1)) & 0xFF
+                elif filter_type == 4:
+                    c = prev[x - spp] if x >= spp else 0
+                    f[x] = (cur[x] - _paeth(a, int(prev[x]), c)) & 0xFF
+                else:
+                    raise ValueError(f"bad filter {filter_type}")
+        raw.extend(f.astype(np.uint8).tobytes())
+        prev = cur
+    out = _SIG
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette ctype needs a palette")
+        out += _chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _chunk(b"IEND", b"")
+    return out

@@ -11,9 +11,10 @@ PCM WAV — decode for REAL via the pure-numpy ``datapipe.codecs``
 module (header parse + frombuffer), and BASELINE JPEG decodes for
 real too via the pure-numpy entropy decoder in
 ``datapipe.codecs_jpeg`` (Huffman + dequant + IDCT + YCbCr, ITU-T
-T.81; test_jpeg anchors it analytically). The remaining compressed
-codecs (PNG/H.264/progressive JPEG) stay honestly stubbed — no codec
-libs in this container — and ``decode_image`` raises
+T.81; test_jpeg anchors it analytically), as does 8-bit PNG via
+stdlib-zlib inflate + unfilter (``datapipe.codecs_png``). The
+remaining codecs (H.264/progressive JPEG) stay honestly stubbed — no
+codec libs in this container — and ``decode_image`` raises
 NotImplementedError for them. ``fake=True`` keeps the deterministic
 content-hash fake decoder for tests that need arbitrary bytes to
 "decode".
