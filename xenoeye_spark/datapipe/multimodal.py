@@ -204,26 +204,51 @@ def sample_frames(
     media: DataFrame, every_n: int = 10, n_frames: int = 30, fake: bool = False
 ) -> DataFrame:
     """Video frame sampling: emit every ``every_n``-th frame's features.
-    The fake decoder derives per-frame content deterministically from
-    (content hash, frame index); a real libav kernel would slot in
-    unchanged — the one-row-in/many-rows-out batch shape is the point."""
+
+    ``fake=False`` (the default, r6) decodes MJPEG-in-AVI content for
+    REAL: the RIFF walk (``codecs_avi``) yields per-frame JPEG payloads
+    and each sampled frame goes through the pure-numpy baseline JPEG
+    decoder; ``n_frames`` caps how deep into the stream sampling runs.
+    Other video codecs (H.264 et al.) raise NotImplementedError — the
+    honest boundary. ``fake=True`` keeps the deterministic
+    content-hash kernel (content x frame_idx), for tests that need
+    arbitrary bytes to "decode"; the one-row-in/many-rows-out batch
+    shape is identical either way."""
+    from xenoeye_spark.datapipe import codecs_avi
+
+    def luma_of(img: np.ndarray) -> float:
+        return float(
+            0.299 * img[..., 0].mean()
+            + 0.587 * img[..., 1].mean()
+            + 0.114 * img[..., 2].mean()
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if not fake:
+                if fake:
+                    for idx in range(0, n_frames, every_n):
+                        img = _fake_decode(
+                            bytes(content) + idx.to_bytes(4, "big")
+                        )
+                        rows.append((int(mid), idx, luma_of(img)))
+                    continue
+                data = bytes(content)
+                if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
                     raise NotImplementedError(
-                        "video codecs not available; pass fake=True"
+                        "only MJPEG-in-AVI video decodes in this "
+                        "environment (H.264/VP9 need codec libs); "
+                        "pass fake=True for the deterministic kernel"
                     )
-                for idx in range(0, n_frames, every_n):
-                    img = _fake_decode(bytes(content) + idx.to_bytes(4, "big"))
-                    luma = float(
-                        0.299 * img[..., 0].mean()
-                        + 0.587 * img[..., 1].mean()
-                        + 0.114 * img[..., 2].mean()
+                for idx, frame in enumerate(codecs_avi.avi_frames(data)):
+                    if idx >= n_frames:
+                        break
+                    if idx % every_n:
+                        continue
+                    rows.append(
+                        (int(mid), idx, luma_of(codecs.decode_image(frame)))
                     )
-                    rows.append((int(mid), idx, luma))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "mean_luma"]
             )
