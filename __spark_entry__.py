@@ -1590,6 +1590,55 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(docs)
 
 
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (r6): each doc (id < 256) plants a 4-frame
+    MJPEG AVI whose frame f is a FLAT 16x8 gray JPEG at level
+    L = 2*((id*7 + f*13) % 89) + 30 — L is even, so the DC coefficient
+    8*(L-128) quantizes EXACTLY at Q=16 and the decoded frame is
+    exactly L everywhere. sample_frames walks the RIFF container and
+    entropy-decodes every 2nd frame for real (codecs_avi +
+    codecs_jpeg, NO fake flag); the oracle re-derives the lumas from
+    the closed form with the same 0.299/0.587/0.114 IEEE arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from xenoeye_spark.datapipe.codecs_avi import encode_avi_mjpeg
+    from xenoeye_spark.datapipe.codecs_jpeg import encode_jpeg_gray
+    from xenoeye_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    quant = np.full(64, 16)
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                frames = [
+                    encode_jpeg_gray(
+                        np.full((16, 8),
+                                float(2 * ((i * 7 + f * 13) % 89) + 30)),
+                        quant=quant,
+                    )
+                    for f in range(4)
+                ]
+                rows.append((i, bytearray(encode_avi_mjpeg(frames, 8, 16)),
+                             ("video/avi", 8, 16, 4)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "meta"]
+            )
+
+    media = docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    out = sample_frames(media, every_n=2, n_frames=4)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-histogram approximate quantiles per source (r6): the
     mergeable approximate path that, unlike the GK sketch, is fully
@@ -1709,6 +1758,7 @@ GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
     "ivfpq_topk", "incremental_dedup", "hist_quantiles",
+    "video_decode",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
@@ -1835,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "incremental_dedup": q_incremental_dedup,
         "hist_quantiles": q_hist_quantiles,
+        "video_decode": q_video_decode,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -4057,4 +4108,19 @@ SELECT source,
        max(n) AS n_rows
 FROM c GROUP BY source
 """)([0.5, 0.9, 0.99]),
+        # video_decode: planted flat frames — the decoded luma's closed
+        # form is 0.299L + 0.587L + 0.114L with L = 2*((id*7+f*13)%89)
+        # + 30, the SAME IEEE expression order as the Spark kernel.
+        "video_decode": """
+WITH m AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id < 256
+), f AS (
+  SELECT media_id, CAST(u.f AS INTEGER) AS frame_idx,
+         CAST(2 * ((media_id * 7 + u.f * 13) % 89) + 30 AS DOUBLE) AS L
+  FROM m, unnest([0, 2]) AS u(f)
+)
+SELECT media_id, frame_idx,
+       round(0.299 * L + 0.587 * L + 0.114 * L, 6) AS mean_luma
+FROM f
+""",
     }
