@@ -1590,6 +1590,41 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(docs)
 
 
+def q_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-ingest round trip (r6): every doc's text is
+    compressed on the executors (gzip / raw zlib / plain passthrough by
+    id % 3) and decompressed back by ``decompress_text`` — the WARC/
+    .jsonl.gz ingest shape. The oracle simply reads the ORIGINAL text:
+    only a correct sniff + inflate + decode reproduces it."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    import pandas as pd
+
+    from xenoeye_spark.datapipe.text import decompress_text
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                i, raw = int(did), str(text).encode("utf-8")
+                if i % 3 == 0:
+                    content = _gzip.compress(raw, mtime=0)
+                elif i % 3 == 1:
+                    content = _zlib.compress(raw)
+                else:
+                    content = raw
+                rows.append((i, bytearray(content)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build, schema="doc_id long, content binary"
+    )
+    return decompress_text(media)
+
+
 def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode (r6): each doc (id < 256) plants a 4-frame
     MJPEG AVI whose frame f is a FLAT 16x8 gray JPEG at level
@@ -1758,7 +1793,7 @@ GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
     "ivfpq_topk", "incremental_dedup", "hist_quantiles",
-    "video_decode",
+    "video_decode", "decompress",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
@@ -1886,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "hist_quantiles": q_hist_quantiles,
         "video_decode": q_video_decode,
+        "decompress": q_decompress,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -3824,7 +3860,7 @@ SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
         # identical IEEE estimate expression; alpha CAST AS DOUBLE on
         # both sides (bare decimal literals parse as DECIMAL in Spark
         # AND DuckDB).
-        "hll_distinct": (lambda A, M, QB, KM, KP, KX, M2: f"""
+        "hll_distinct": (lambda A, M, QB, KM, KP, C1, C2, M2: f"""
 WITH toks AS (
   SELECT lang,
          list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
@@ -3846,9 +3882,18 @@ WITH toks AS (
                             (acc, x) -> (acc * {M2} + x) % {KP}))
            ELSE [] END AS shs
   FROM th
+), s0 AS (
+  SELECT lang, unnest(shs) AS s FROM sh
+), m1 AS (
+  SELECT lang, s, xor(s, s >> 15) AS y1 FROM s0
+), m2 AS (
+  SELECT lang, s, ((y1 * {C1}) & 2147483647) AS y2 FROM m1
+), m3 AS (
+  SELECT lang, s, xor(y2, y2 >> 13) AS y3 FROM m2
+), m4 AS (
+  SELECT lang, s, ((y3 * {C2}) & 2147483647) AS y4 FROM m3
 ), hx AS (
-  SELECT lang, s, (s * {KX}) % {KP} AS x
-  FROM (SELECT lang, unnest(shs) AS s FROM sh)
+  SELECT lang, s, xor(y4, y4 >> 16) AS x FROM m4
 ), reg AS (
   SELECT lang, x % {M} AS bucket,
          max(CASE WHEN x // {M} = 0 THEN {QB + 1}
@@ -3871,7 +3916,7 @@ SELECT e.lang, e.exact_distinct, a.n_zero_registers,
 FROM ex e JOIN agg a USING (lang) ORDER BY lang
 """)(__import__("xenoeye_spark.datapipe.sketch",
                 fromlist=["HLL_ALPHA"]).HLL_ALPHA,
-     512, 21, 31, 1_073_741_789, 2_654_435_761, 1_000_003),
+     512, 22, 31, 1_073_741_789, 0x55ABCD45, 0x3261A687, 1_000_003),
         # bloom_contam: the bit set and every probe verdict re-derived
         # in integer SQL — the 172 false-positive shingles at sf0.01
         # must match too, or the hashing diverged.
@@ -4123,4 +4168,7 @@ SELECT media_id, frame_idx,
        round(0.299 * L + 0.587 * L + 0.114 * L, 6) AS mean_luma
 FROM f
 """,
+        # decompress: the oracle IS the original text — only a correct
+        # gzip/zlib sniff + inflate + utf-8 decode reproduces it.
+        "decompress": "SELECT doc_id, text FROM documents",
     }

@@ -717,17 +717,17 @@ def test_pq_topk_fixed_beats_random_on_uniform(spark):
 
 # --------------------------------------------------------------- hyperloglog
 
-def _hll_twin(keys, m=512, qbits=21):
+def _hll_twin(keys, m=512, qbits=None):
     """Pure-python HLL over the operator's exact hash family (keys are
     the composed shingle hashes): (registers dict, estimate)."""
     import math
 
-    from xenoeye_spark.datapipe.ranking import KMV_MIX, KMV_P
-    from xenoeye_spark.datapipe.sketch import HLL_ALPHA
+    from xenoeye_spark.datapipe.sketch import HLL_ALPHA, HLL_QBITS, fmix31
 
+    qbits = HLL_QBITS
     reg: dict[int, int] = {}
     for key in keys:
-        x = (key * KMV_MIX) % KMV_P
+        x = fmix31(key)
         bucket, q = x % m, x // m
         rank = (qbits + 1) if q == 0 else (qbits + 1 - q.bit_length())
         reg[bucket] = max(reg.get(bucket, 0), rank)
@@ -1209,3 +1209,74 @@ def test_log_hist_quantiles_merge_is_binwise_sum(spark):
           for r in log_hist_quantiles(
               spark.createDataFrame(b + a), ["k"], "v").collect()}
     assert u == u2 and u["x"][3] == 500
+
+
+# ------------------------------------------------------------- decompress
+
+def test_decompress_text_three_codecs_and_errors(spark):
+    """gzip / raw zlib / plain passthrough all reproduce the original
+    text (multibyte included); corrupt members fail loudly by default
+    and map to NULL under on_error='null'."""
+    import gzip
+    import zlib
+
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.text import decompress_text
+
+    texts = {0: "hello world", 1: "压缩 文本 round trip", 2: "plain stays"}
+    rows = [
+        Row(doc_id=0, content=bytearray(gzip.compress(
+            texts[0].encode(), mtime=0))),
+        Row(doc_id=1, content=bytearray(zlib.compress(texts[1].encode()))),
+        Row(doc_id=2, content=bytearray(texts[2].encode())),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r.text for r in decompress_text(df).collect()}
+    assert got == texts
+
+    bad = spark.createDataFrame(
+        rows + [Row(doc_id=3, content=bytearray(b"\x1f\x8b\x00corrupt"))],
+        "doc_id long, content binary",
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        decompress_text(bad).collect()
+    got2 = {r.doc_id: r.text
+            for r in decompress_text(bad, on_error="null").collect()}
+    assert got2[3] is None and got2[0] == texts[0]
+
+
+# -------------------------------------------------- sketch scale smokes
+
+def test_hll_bloom_scale_smoke_500k(spark):
+    """The r6 sketch family at 500k synthetic rows: finishes, register
+    table stays <= m per group, bloom bit set stays <= mbits — and the
+    plans carry NO re-inlined tokenizer in a Filter (the pushed-
+    predicate regression this round's fix hunted down)."""
+    from xenoeye_spark.datapipe.sketch import (
+        HLL_M, bloom_build, hll_distinct,
+    )
+
+    n = 500_000
+    docs = (
+        spark.range(n)
+        .selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS lang",
+            "concat_ws(' ', transform(sequence(0, 11), "
+            "i -> concat('w', (id * 7 + i * 13) % 50021))) AS text",
+        )
+    )
+    out = hll_distinct(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not any(
+        "Filter" in ln and "split(trim(" in ln for ln in plan.split("\n")
+    )
+    rows = out.collect()
+    assert {r.lang for r in rows} == {"a", "b"}
+    for r in rows:
+        assert r.n_zero_registers >= 0
+        assert abs(r.hll_est - r.exact_distinct) / r.exact_distinct < 0.2
+    bits = bloom_build(docs.limit(100_000), mbits=1 << 14)
+    assert bits.count() <= 1 << 14

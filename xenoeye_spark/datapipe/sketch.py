@@ -152,17 +152,46 @@ def cms_estimate(
 # ------------------------------------------------------------------ HLL
 
 # HyperLogLog (public; Flajolet, Fusy, Gandouet, Meunier, AofA 2007).
-# m = 2^HLL_P registers; the hash domain is the KMV-mixed polynomial
-# (< KMV_P < 2^30), so the quotient x // m fits HLL_QBITS = 21 bits and
-# rank = HLL_QBITS + 1 - bitlength(q) is pure integer arithmetic that
-# BOTH engines express as length(bin(q)) — every register value is
-# bit-exact across Spark and DuckDB. alpha_m is computed ONCE here in
-# Python and embedded verbatim in the oracle, so the estimate arithmetic
-# is the identical IEEE expression on both sides.
+# m = 2^HLL_P registers; the hash is the composed shingle polynomial
+# finalized by fmix31 (31 bits), so the quotient x // m fits
+# HLL_QBITS = 22 bits and rank = HLL_QBITS + 1 - bitlength(q) is pure
+# integer arithmetic that BOTH engines express as length(bin(q)) —
+# every register value is bit-exact across Spark and DuckDB. alpha_m
+# is computed ONCE here in Python and embedded verbatim in the oracle,
+# so the estimate arithmetic is the identical IEEE expression on both
+# sides.
 HLL_P = 9
 HLL_M = 1 << HLL_P
-HLL_QBITS = 21
+HLL_QBITS = 31 - HLL_P          # fmix output is 31 bits wide
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+# murmur-style finalizer over 31-bit lanes (xor-shift + odd-constant
+# multiply, twice) — HLL NEEDS avalanche, not just equidistribution: an
+# AFFINE map of structured keys (sequential ids, token progressions)
+# is low-discrepancy, the register maxima lose their geometric tail,
+# and the estimate biased 20-60% in a measured 50k-key smoke; after
+# this mix the same keys read 3% (tests pin both numbers). Every step
+# is &/^/>>/bounded-*, expressible verbatim in Spark SQL and DuckDB.
+HLL_C1 = 0x55ABCD45
+HLL_C2 = 0x3261A687
+_MASK31 = (1 << 31) - 1
+
+
+def _fmix31_sql(col: str) -> str:
+    y1 = f"({col} ^ shiftright({col}, 15))"
+    y2 = f"(({y1} * {HLL_C1}L) & {_MASK31}L)"
+    y3 = f"({y2} ^ shiftright({y2}, 13))"
+    y4 = f"(({y3} * {HLL_C2}L) & {_MASK31}L)"
+    return f"({y4} ^ shiftright({y4}, 16))"
+
+
+def fmix31(x: int) -> int:
+    """Python twin of _fmix31_sql (tests + probe-side folds)."""
+    x ^= x >> 15
+    x = (x * HLL_C1) & _MASK31
+    x ^= x >> 13
+    x = (x * HLL_C2) & _MASK31
+    return x ^ (x >> 16)
 
 SHINGLE_N = 5
 # token-composition multiplier: the shingle key is a polynomial over
@@ -223,13 +252,13 @@ def hll_registers(
     and register-wise max of two sketches IS the sketch of the union
     (tested), the same mergeable-summaries property the CMS/KMV/MG
     operators lean on."""
-    from xenoeye_spark.datapipe.ranking import KMV_MIX
-
-    # key_col is an already-hashed LONG (< KMV_P); the Knuth mix
-    # decorrelates it from the bucket/rank split
+    # key_col is an already-hashed LONG (< KMV_P); the fmix31
+    # avalanche decorrelates structured key sets before the
+    # bucket/rank split (see the constant block above — an affine mix
+    # here measurably biases the estimate on sequential keys)
     hashed = keyed.select(
         *group_cols,
-        F.expr(f"(({key_col}) * {KMV_MIX}L) % {KMV_P}").alias("_x"),
+        F.expr(_fmix31_sql(f"({key_col})")).alias("_x"),
     ).select(
         *group_cols,
         (F.col("_x") % HLL_M).alias("bucket"),

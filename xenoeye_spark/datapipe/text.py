@@ -841,3 +841,61 @@ def char_entropy(
             ent.alias("entropy_bits"),
         )
     )
+
+
+def decompress_text(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    encoding: str = "utf-8",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Decompress a gzip/zlib-compressed binary column to text — the
+    ingest shape of every compressed crawl dump (WARC members, .jsonl.gz
+    shards): corpora arrive compressed, and decompression belongs ON
+    the executors, streaming per Arrow batch, never on a driver loop.
+
+    Magic-sniffed per row: gzip (1f 8b) via stdlib ``gzip``, raw zlib
+    (78 xx) via ``zlib``, anything else is passed through as already-
+    plain text. ``on_error='fail'`` (default) propagates corrupt-member
+    errors — a truncated shard should stop the job, not silently drop
+    rows; ``'null'`` maps corrupt members to NULL text for
+    quarantine-style pipelines (count them downstream).
+
+    Output: (id_col, text string). Shape at 100 TB: one mapInPandas
+    projection, no shuffle; decompression cost is the row's own bytes.
+    """
+    import gzip as _gzip
+    import zlib as _zlib
+
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be fail|null: {on_error!r}")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for raw in pdf["_c"]:
+                data = bytes(raw)
+                try:
+                    if data[:2] == b"\x1f\x8b":
+                        out.append(_gzip.decompress(data).decode(encoding))
+                    elif data[:1] == b"\x78":
+                        out.append(_zlib.decompress(data).decode(encoding))
+                    else:
+                        out.append(data.decode(encoding))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    out.append(None)
+            yield pd.DataFrame({"_id": pdf["_id"], "text": out})
+
+    staged = docs.select(
+        F.col(id_col).alias("_id"), F.col(content_col).alias("_c")
+    )
+    out_schema = T.StructType([
+        T.StructField("_id", docs.schema[id_col].dataType),
+        T.StructField("text", T.StringType()),
+    ])
+    return staged.mapInPandas(run, schema=out_schema).select(
+        F.col("_id").alias(id_col), "text"
+    )
