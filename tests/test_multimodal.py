@@ -223,3 +223,47 @@ def test_decode_audio_features_real_wav(spark):
         r = got[i]
         assert (r.sample_rate, r.n_samples, r.n_channels) == (rate, n, 1)
         assert r.mean_amp == mean_amp and r.rms == rms
+
+
+def test_g711_expansion_matches_audioop_code_for_code():
+    """mu-law and A-law WAV expansion == the stdlib audioop reference
+    for ALL 256 codes (an implementation written independently of this
+    repo), and a companded WAV decodes through decode_wav end to end."""
+    import struct as _struct
+    import warnings
+
+    import numpy as np
+
+    from xenoeye_spark.datapipe.codecs import (
+        _alaw_expand, _ulaw_expand, decode_wav,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert (_ulaw_expand(codes)
+            == np.frombuffer(audioop.ulaw2lin(bytes(codes), 2), "<i2")).all()
+    assert (_alaw_expand(codes)
+            == np.frombuffer(audioop.alaw2lin(bytes(codes), 2), "<i2")).all()
+
+    def companded_wav(fmt_code: int, payload: bytes, rate=8000) -> bytes:
+        fmt = _struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+        body = (b"WAVE"
+                + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    payload = bytes(codes)
+    for fmt_code, expand in ((7, _ulaw_expand), (6, _alaw_expand)):
+        samples, rate = decode_wav(companded_wav(fmt_code, payload))
+        assert rate == 8000 and samples.shape == (256, 1)
+        assert (samples[:, 0] == expand(codes)).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must be 8-bit"):
+        bad = companded_wav(7, payload)
+        # flip declared bit depth to 16
+        i = bad.index(b"fmt ")
+        decode_wav(bad[:i + 8 + 14] + b"\x10\x00" + bad[i + 8 + 16:])

@@ -151,6 +151,33 @@ def encode_bmp(img: np.ndarray) -> bytes:
 # WAV: RIFF/WAVE, PCM 8-bit unsigned / 16-bit signed
 # ---------------------------------------------------------------------------
 
+def _ulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """mu-law code bytes -> 16-bit linear (ITU-T G.711 expansion)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def _alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """A-law code bytes -> 16-bit linear (ITU-T G.711 expansion)."""
+    a = codes.astype(np.int64) ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+    )
+    # A-law polarity: the (xor-ed) sign bit SET means positive —
+    # opposite of mu-law; pinned code-for-code against audioop
+    return np.where(sign, mag, -mag)
+
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> ((n_samples, n_channels) int32 array, sample_rate).
     8-bit samples are recentred to signed (x - 128); 16-bit read as
@@ -180,11 +207,24 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt
-    if audio_fmt != 1:
+    if audio_fmt not in (1, 6, 7):
         raise ValueError(f"unsupported WAV format code {audio_fmt}")
     if n_ch == 0:
         raise ValueError("unsupported WAV channel count 0")
-    if bits == 16:
+    if audio_fmt in (6, 7):
+        # G.711 companded telephony audio (public; ITU-T G.711): 8-bit
+        # codes expand to 16-bit linear. Vectorized table-free
+        # expansion, validated code-for-code against stdlib audioop in
+        # test_multimodal.
+        if bits != 8:
+            raise ValueError(
+                f"G.711 WAV must be 8-bit, got {bits}"
+            )
+        codes = np.frombuffer(payload, dtype=np.uint8)
+        samples = (
+            _alaw_expand(codes) if audio_fmt == 6 else _ulaw_expand(codes)
+        ).astype(np.int32)
+    elif bits == 16:
         if len(payload) % 2:
             # same rule as the chunk-size guard above: never decode
             # fewer samples than the payload holds without saying so
