@@ -1,0 +1,168 @@
+"""xe_curate — the turnkey corpus-curation CLI over the datapipe
+operators, the data-pipeline analog of the reference's offline tools
+(xemkgeodb/xemoclone run a whole job from argv; this runs a whole
+curation pass).
+
+    python scripts/xe_curate.py \
+        --input  /root/testdata/sf0.001 \
+        --output /tmp/curated \
+        --steps  decompress,exact_dedup,quality,neardup,decontaminate,split \
+        [--eval-input DIR] [--threshold 0.7] [--quality-min 0.3] \
+        [--splits train=0.95,val=0.05] [--report]
+
+Steps (each optional, run in the listed canonical order regardless of
+argv order; every step is the operator already proven by the driver
+gate / oracle suite):
+
+  decompress    — gzip/zlib binary ``content`` column -> text
+                  (datapipe.text.decompress_text); no-op when the
+                  input already has a text column
+  exact_dedup   — keep each exact text's lowest-id copy
+  quality       — Gopher-style rules + composite score cut
+  neardup       — MinHash-LSH candidates -> exact-Jaccard verify ->
+                  connected duplicate classes -> keep one per class
+  decontaminate — drop docs sharing 5-gram shingles with --eval-input
+  split         — deterministic hash split into named fractions
+
+Writes ``<output>/documents.parquet`` plus, with ``--report``, a
+one-line JSON of per-step row counts to stdout (machine-parseable,
+like bench.py). Exit code 0 on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+CANONICAL = [
+    "decompress", "exact_dedup", "quality", "neardup",
+    "decontaminate", "split",
+]
+
+
+def parse_splits(spec: str) -> dict[str, float]:
+    out = {}
+    for part in spec.split(","):
+        name, frac = part.split("=")
+        out[name.strip()] = float(frac)
+    if abs(sum(out.values()) - 1.0) > 1e-9:
+        raise SystemExit(f"splits must sum to 1.0: {spec!r}")
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="xe_curate", description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="directory holding documents.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--steps", default="exact_dedup,quality,neardup,split")
+    ap.add_argument("--eval-input", default=None,
+                    help="eval-set dir for decontaminate")
+    ap.add_argument("--threshold", type=float, default=0.7,
+                    help="near-dup Jaccard threshold")
+    ap.add_argument("--quality-min", type=float, default=0.3)
+    ap.add_argument("--splits", default="train=0.95,val=0.05")
+    ap.add_argument("--report", action="store_true")
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+
+    steps = [s.strip() for s in args.steps.split(",") if s.strip()]
+    unknown = set(steps) - set(CANONICAL)
+    if unknown:
+        raise SystemExit(f"unknown steps: {sorted(unknown)}")
+    if "decontaminate" in steps and not args.eval_input:
+        raise SystemExit("decontaminate requires --eval-input")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("xe_curate")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    docs = spark.read.parquet(f"{args.input}/documents.parquet")
+    counts = {"input": docs.count()}
+
+    if "decompress" in steps and "content" in docs.columns:
+        from xenoeye_spark.datapipe.text import decompress_text
+
+        text = decompress_text(docs)
+        docs = docs.drop("content", "text").join(text, "doc_id")
+        counts["decompress"] = docs.count()
+
+    if "exact_dedup" in steps:
+        from xenoeye_spark.datapipe.dedup import exact_dedup
+
+        keep = exact_dedup(docs).select(
+            F.col("keep_id").alias("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+        counts["exact_dedup"] = docs.count()
+
+    if "quality" in steps:
+        from xenoeye_spark.datapipe.text import gopher_quality, text_stats
+
+        good = (
+            gopher_quality(docs).filter("gopher_pass").select("doc_id")
+        )
+        scored = text_stats(docs).filter(
+            F.col("quality_score") >= args.quality_min
+        ).select("doc_id")
+        docs = docs.join(good, "doc_id", "left_semi").join(
+            scored, "doc_id", "left_semi"
+        )
+        counts["quality"] = docs.count()
+
+    if "neardup" in steps:
+        from xenoeye_spark.datapipe.dedup import (
+            lsh_candidate_pairs, minhash_signatures_expr,
+            ngram_jaccard_pairs,
+        )
+        from xenoeye_spark.datapipe.graph import dedup_groups
+
+        sigs = minhash_signatures_expr(docs)
+        cand = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
+        pairs = ngram_jaccard_pairs(
+            docs, n=3, threshold=args.threshold, candidates=cand
+        )
+        dupes = dedup_groups(pairs).filter(
+            "doc_id != keep_id"
+        ).select("doc_id")
+        docs = docs.join(dupes, "doc_id", "left_anti")
+        counts["neardup"] = docs.count()
+
+    if "decontaminate" in steps:
+        from xenoeye_spark.datapipe.dedup import contamination_check
+
+        ev = spark.read.parquet(f"{args.eval_input}/documents.parquet")
+        dirty = (
+            contamination_check(docs, ev, n=5)
+            .filter("is_contaminated = 1")
+            .select("doc_id")
+        )
+        docs = docs.join(dirty, "doc_id", "left_anti")
+        counts["decontaminate"] = docs.count()
+
+    if "split" in steps:
+        from xenoeye_spark.datapipe.sampling import hash_split
+
+        docs = hash_split(docs, parse_splits(args.splits))
+        counts["split"] = docs.count()
+
+    docs.write.mode("overwrite").parquet(
+        f"{args.output}/documents.parquet"
+    )
+    counts["output"] = counts[steps[-1] if steps else "input"]
+    if args.report:
+        print(json.dumps({"tool": "xe_curate", "steps": steps,
+                          "counts": counts}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

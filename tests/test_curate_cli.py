@@ -1,0 +1,58 @@
+"""xe_curate CLI: the turnkey curation runner over proven operators —
+step chaining, counts report, decontaminate wiring, and argv errors."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from scripts.xe_curate import main, parse_splits
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curate_end_to_end(spark, tmp_path, capsys):
+    out = tmp_path / "curated"
+    rc = main([
+        "--input", SF_DIR, "--output", str(out),
+        "--steps", "exact_dedup,quality,neardup,split",
+        "--threshold", "0.5", "--report",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = rep["counts"]
+    assert c["input"] >= c["exact_dedup"] >= c["quality"] >= c["neardup"]
+    assert c["neardup"] < c["input"]          # sf0.001 plants near-dups
+    df = spark.read.parquet(str(out / "documents.parquet"))
+    assert df.count() == c["split"] == c["neardup"]
+    splits = {r.split for r in df.select("split").distinct().collect()}
+    assert splits <= {"train", "val"} and "train" in splits
+
+
+def test_curate_decontaminate_self_is_total(spark, tmp_path):
+    """Decontaminating a corpus against ITSELF drops every doc with at
+    least one shingle (each doc shares all its shingles with the eval
+    copy) — a strong end-to-end wiring check."""
+    out = tmp_path / "c2"
+    rc = main([
+        "--input", SF_DIR, "--output", str(out),
+        "--steps", "decontaminate", "--eval-input", SF_DIR,
+    ])
+    assert rc == 0
+    df = spark.read.parquet(str(out / "documents.parquet"))
+    # only docs too short to carry a single 5-gram survive
+    assert df.count() == 0 or df.selectExpr(
+        "max(size(filter(split(trim(text), '\\\\s+'), t -> t != '')))"
+    ).collect()[0][0] < 5
+
+
+def test_curate_argv_errors():
+    with pytest.raises(SystemExit):
+        main(["--input", SF_DIR, "--output", "/tmp/x",
+              "--steps", "nonsense"])
+    with pytest.raises(SystemExit):
+        main(["--input", SF_DIR, "--output", "/tmp/x",
+              "--steps", "decontaminate"])      # no --eval-input
+    with pytest.raises(SystemExit):
+        parse_splits("train=0.5,val=0.1")       # doesn't sum to 1
