@@ -1433,3 +1433,69 @@ def test_hist_quantile_precombine_bounds_crossing_volume(spark):
     # values 1..1000 touch <= 10 octaves * SUB bins
     assert crossing <= 10 * SUB * N_PARTS, crossing
     assert pre.agg(F.sum("_cnt")).collect()[0][0] == 30_000
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming new-batch-vs-corpus dedup == the batch operator on the
+    same rows, across micro-batches: same flags, same best matches,
+    same tie rule; docs with no bucket collision still emit is_dup=0."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.dedup import incremental_dedup
+    from xenoeye_spark.streaming.dedup_stream import (
+        incremental_dedup_stream,
+    )
+
+    corpus_rows = [
+        Row(doc_id=i, text=" ".join(f"c{i}w{j}" for j in range(30)))
+        for i in range(20)
+    ]
+    t = " ".join(f"t{j}" for j in range(20))
+    corpus_rows += [Row(doc_id=50, text=t), Row(doc_id=51, text=t)]
+    corpus = spark.createDataFrame(corpus_rows)
+
+    base3 = corpus_rows[3].text.split()
+    batches = [
+        [Row(doc_id=100, text=corpus_rows[5].text),          # exact dup
+         Row(doc_id=101, text=" ".join(f"n{j}" for j in range(25)))],
+        [Row(doc_id=102, text=" ".join(base3[:28] + ["x", "y"])),
+         Row(doc_id=103, text=t)],                           # tie -> 50
+    ]
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+
+    stage = _tempfile.mkdtemp(prefix="incdedup_src_")
+    ckpt = _tempfile.mkdtemp(prefix="incdedup_ckpt_")
+    got: list = []
+    for i in range(len(batches)):
+        d = str(src / f"b{i}")
+        for f in _glob.glob(_os.path.join(d, "*.parquet")):
+            _shutil.copy(f, _os.path.join(stage, f"b{i}_" + _os.path.basename(f)))
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(stage))
+        q = (incremental_dedup_stream(stream, corpus, threshold=0.5)
+             .writeStream.foreachBatch(
+                 lambda df, e: got.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    got_map = {r.doc_id: (r.is_dup, r.dup_of, r.jaccard) for r in got}
+    all_new = spark.createDataFrame(
+        [r for b in batches for r in b]
+    )
+    want = {r.doc_id: (r.is_dup, r.dup_of, r.jaccard)
+            for r in incremental_dedup(all_new, corpus,
+                                       threshold=0.5).collect()}
+    assert got_map == want, (got_map, want)
+    assert got_map[100] == (1, 5, 1.0)
+    assert got_map[101] == (0, None, None)
+    assert got_map[103] == (1, 50, 1.0)     # tie to the LOWER corpus id
+    assert got_map[102][0] == 1 and got_map[102][1] == 3

@@ -88,15 +88,18 @@ def shingle_table(
     candidate generation, verification, and MinHash signatures so the
     split+hash shingling scan runs once per corpus, not once per stage;
     storage is ids + 8-byte hashes, a tiny fraction of the text."""
-    return (
+    out = (
         _with_tokens(docs, text_col)
         .select(
             F.col(id_col).alias("_id"),
             _shingle_hash_col("_toks", n).alias("_sh"),
         )
         .withColumn("_sz", F.size("_sh"))
-        .persist()
     )
+    # persist() is illegal on a streaming DataFrame (and pointless —
+    # each micro-batch is consumed once); the multi-consumer reuse the
+    # persist buys only exists on the batch side
+    return out if docs.isStreaming else out.persist()
 
 
 def ngram_jaccard_pairs(

@@ -68,6 +68,13 @@ def spread(
     big scan with a small local frame should ``coalesce(1)`` the small
     side or repartition the union themselves.
     """
+    if df.isStreaming:
+        # a stream's parallelism comes from its source/shuffle config,
+        # and .rdd / plan-stat probes are illegal on unstarted streams
+        # (r6: surfaced when incremental_dedup_stream reused the batch
+        # signature builder) — the unsplittable-scan rescue this guard
+        # exists for cannot arise here
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     try:

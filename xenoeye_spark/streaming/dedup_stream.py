@@ -67,3 +67,144 @@ def dedup_batch_first_wins(
         F.col(f"_w.{order_col}").alias(order_col),
         *[F.col(f"_w.{c}").alias(c) for c in others if c != order_col],
     )
+
+
+def incremental_dedup_stream(
+    stream,
+    corpus,
+    n: int = 3,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+):
+    """Streaming twin of ``datapipe.dedup.incremental_dedup``: flag each
+    arriving doc that near-duplicates the STATIC corpus — the live form
+    of the daily-ingest dedup (crawl firehose vs yesterday's index).
+
+    Spark shape: STREAM-STATIC joins only, which Structured Streaming
+    runs with no state store at all — the corpus-side banded index and
+    shingle table are plain DataFrames (computed once per batch plan,
+    AQE-broadcast when small), the stream side computes signatures
+    in-flight, and the per-doc argmax is a STATELESS micro-batch
+    reduction: repartition(id) co-locates one doc's candidate rows,
+    then a mapInPandas groupby picks the best match — no streaming
+    aggregation, no watermark, no timeout (a doc's verdict depends
+    only on the static index, so nothing must wait). The corpus-bucket
+    skew gate matches the batch operator.
+
+    Output: (id_col, is_dup, dup_of, jaccard) per arriving doc —
+    the batch operator's exact contract (batch-equivalence tested).
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from xenoeye_spark.datapipe.dedup import (
+        minhash_signatures_expr, shingle_table,
+    )
+
+    # ---- static side, computed once at stream construction
+    sig_old = minhash_signatures_expr(
+        corpus, n=n, num_hashes=num_hashes,
+        text_col=text_col, id_col=id_col, seed=seed,
+    )
+    rows_per_band = (num_hashes + bands - 1) // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(array_join(slice(signature, "
+        f"b * {rows_per_band} + 1, {rows_per_band}), ',')))"
+    )
+    corpus_banded = sig_old.select(
+        F.col(id_col).alias("_old_id"),
+        F.posexplode(F.expr(band_expr)).alias("band", "bucket"),
+    )
+    if max_bucket_size is not None:
+        sizes = corpus_banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        corpus_banded = corpus_banded.join(
+            sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
+            ["band", "bucket"], "leftsemi",
+        )
+    sh_old = shingle_table(corpus, n, text_col, id_col).select(
+        F.col("_id").alias("_old_id"), F.col("_sh").alias("_sh_o"),
+        F.col("_sz").alias("_sz_o"),
+    )
+
+    # ---- stream side: signatures + shingles in ONE projection (the
+    # stream cannot be self-joined later, so every per-doc column rides
+    # along through the banded explode)
+    # the stream side's shingles come from the SAME builder as the
+    # corpus side (shingle_table is a pure projection — stream-safe),
+    # so tokenization and digests compare like for like
+    staged = shingle_table(stream, n, text_col, id_col).select(
+        F.col("_id").alias(id_col), F.col("_sh").alias("_sh_n"),
+    )
+    sig_new = minhash_signatures_expr(
+        stream, n=n, num_hashes=num_hashes,
+        text_col=text_col, id_col=id_col, seed=seed,
+    )
+    new_banded = sig_new.select(
+        F.col(id_col),
+        F.posexplode(F.expr(band_expr)).alias("band", "bucket"),
+    ).join(staged, id_col)
+
+    # LEFT stream-static joins: a doc with no bucket collision (or an
+    # empty corpus) keeps a null candidate row and still reaches the
+    # output as is_dup = 0
+    cand = new_banded.join(corpus_banded, ["band", "bucket"], "left")
+    joined = cand.join(sh_old, "_old_id", "left")
+    inter = F.size(F.array_intersect(F.col("_sh_n"), F.col("_sh_o")))
+    union = (F.size("_sh_n") + F.col("_sz_o") - inter).cast("int")
+    jac = F.when(
+        F.col("_old_id").isNull(), F.lit(None).cast("double")
+    ).when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    scored = joined.select(
+        F.col(id_col).alias("_id"),
+        F.col("_old_id"),
+        jac.alias("_jac"),
+    )
+
+    id_type = stream.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("is_dup", T.IntegerType()),
+        T.StructField("dup_of", id_type),
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+
+    def reduce_best(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, grp in pdf.groupby("_id", sort=False):
+                ok = grp[grp["_jac"] >= threshold]
+                if len(ok):
+                    # best = (jaccard desc, old id asc) — the batch
+                    # operator's exact tie rule
+                    best = ok.sort_values(
+                        ["_jac", "_old_id"], ascending=[False, True],
+                        kind="mergesort",
+                    ).iloc[0]
+                    rows.append((did, 1, best["_old_id"],
+                                 round(float(best["_jac"]), 6)))
+                else:
+                    rows.append((did, 0, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "is_dup", "dup_of", "jaccard"]
+            )
+
+    # repartition(id) is a stateless per-micro-batch exchange: it
+    # co-locates one doc's candidate rows so the pandas groupby above
+    # is a complete per-doc reduction without any streaming aggregation
+    return scored.repartition(F.col("_id")).mapInPandas(
+        reduce_best, schema=out_schema
+    )
