@@ -69,10 +69,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default="local[*]")
     args = ap.parse_args(argv)
 
-    steps = [s.strip() for s in args.steps.split(",") if s.strip()]
-    unknown = set(steps) - set(CANONICAL)
+    requested = [s.strip() for s in args.steps.split(",") if s.strip()]
+    unknown = set(requested) - set(CANONICAL)
     if unknown:
         raise SystemExit(f"unknown steps: {sorted(unknown)}")
+    # steps always RUN in canonical order; argv order is not execution
+    # order (and the report reflects what ran)
+    steps = [st for st in CANONICAL if st in requested]
     if "decontaminate" in steps and not args.eval_input:
         raise SystemExit("decontaminate requires --eval-input")
 
@@ -87,13 +90,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
     counts = {"input": docs.count()}
+    last = counts["input"]
 
     if "decompress" in steps and "content" in docs.columns:
         from xenoeye_spark.datapipe.text import decompress_text
 
         text = decompress_text(docs)
         docs = docs.drop("content", "text").join(text, "doc_id")
-        counts["decompress"] = docs.count()
+        counts["decompress"] = last = docs.count()
 
     if "exact_dedup" in steps:
         from xenoeye_spark.datapipe.dedup import exact_dedup
@@ -102,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
             F.col("keep_id").alias("doc_id")
         )
         docs = docs.join(keep, "doc_id", "left_semi")
-        counts["exact_dedup"] = docs.count()
+        counts["exact_dedup"] = last = docs.count()
 
     if "quality" in steps:
         from xenoeye_spark.datapipe.text import gopher_quality, text_stats
@@ -116,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.join(good, "doc_id", "left_semi").join(
             scored, "doc_id", "left_semi"
         )
-        counts["quality"] = docs.count()
+        counts["quality"] = last = docs.count()
 
     if "neardup" in steps:
         from xenoeye_spark.datapipe.dedup import (
@@ -134,7 +138,7 @@ def main(argv: list[str] | None = None) -> int:
             "doc_id != keep_id"
         ).select("doc_id")
         docs = docs.join(dupes, "doc_id", "left_anti")
-        counts["neardup"] = docs.count()
+        counts["neardup"] = last = docs.count()
 
     if "decontaminate" in steps:
         from xenoeye_spark.datapipe.dedup import contamination_check
@@ -146,18 +150,21 @@ def main(argv: list[str] | None = None) -> int:
             .select("doc_id")
         )
         docs = docs.join(dirty, "doc_id", "left_anti")
-        counts["decontaminate"] = docs.count()
+        counts["decontaminate"] = last = docs.count()
 
     if "split" in steps:
         from xenoeye_spark.datapipe.sampling import hash_split
 
         docs = hash_split(docs, parse_splits(args.splits))
-        counts["split"] = docs.count()
+        counts["split"] = last = docs.count()
 
     docs.write.mode("overwrite").parquet(
         f"{args.output}/documents.parquet"
     )
-    counts["output"] = counts[steps[-1] if steps else "input"]
+    # `last` tracks the count of the LAST step that actually ran —
+    # a listed-but-skipped step (decompress on an already-text input)
+    # records no count, and argv order never indexes the dict
+    counts["output"] = last
     if args.report:
         print(json.dumps({"tool": "xe_curate", "steps": steps,
                           "counts": counts}))

@@ -1280,3 +1280,49 @@ def test_hll_bloom_scale_smoke_500k(spark):
         assert abs(r.hll_est - r.exact_distinct) / r.exact_distinct < 0.2
     bits = bloom_build(docs.limit(100_000), mbits=1 << 14)
     assert bits.count() <= 1 << 14
+
+
+def test_decompress_text_x_prefixed_plain_text_passes_through(spark):
+    """Texts starting with 'x' (0x78 — the zlib CMF byte) and even
+    'x ' (which passes RFC 1950's %31 checksum rule) must pass through
+    as plain text, not crash the inflater."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.text import decompress_text
+
+    texts = {0: "xenon levels nominal", 1: "x marks the spot",
+             2: "x? not a zlib header"}
+    rows = [Row(doc_id=i, content=bytearray(t.encode()))
+            for i, t in texts.items()]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r.text for r in decompress_text(df).collect()}
+    assert got == texts
+    # the DOCUMENTED residual ambiguity: a text beginning exactly
+    # "x\x5e" matches a standard zlib header and is (correctly, per
+    # the sniffing contract) routed to the inflater
+    amb = spark.createDataFrame(
+        [Row(doc_id=9, content=bytearray(b"x\x5e looks compressed"))],
+        "doc_id long, content binary",
+    )
+    [r] = decompress_text(amb, on_error="null").collect()
+    assert r.text is None
+
+
+def test_chunk_documents_whitespace_only_docs_emit_no_rows(spark):
+    """Review fix: a doc of only tabs/newlines (which Spark's trim —
+    ASCII-space-only — does NOT blank) must emit zero chunks, matching
+    the docstring and the DuckDB oracle's len(toks) > 0 cut."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.text import chunk_documents
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="\t\n \r"),
+        Row(doc_id=1, text=""),
+        Row(doc_id=2, text="one two three"),
+    ])
+    got = chunk_documents(docs, chunk=2, stride=2).collect()
+    assert {r.doc_id for r in got} == {2}
+    assert sorted((r.chunk_id, r.chunk_text) for r in got) == [
+        (0, "one two"), (1, "three"),
+    ]

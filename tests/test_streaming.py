@@ -1487,6 +1487,15 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination(120)
 
+    # no stream-stream join state: the stream side is ONE lineage, so
+    # the plan must carry no symmetric hash join (whose state would
+    # grow with every doc ever ingested)
+    stream0 = (spark.readStream.schema("doc_id long, text string")
+               .parquet(stage))
+    plan = (incremental_dedup_stream(stream0, corpus, threshold=0.5)
+            ._jdf.queryExecution().analyzed().toString())
+    assert "StreamingSymmetricHashJoin" not in plan
+
     got_map = {r.doc_id: (r.is_dup, r.dup_of, r.jaccard) for r in got}
     all_new = spark.createDataFrame(
         [r for b in batches for r in b]

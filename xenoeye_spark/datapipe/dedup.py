@@ -268,6 +268,24 @@ def minhash_signatures_expr(
     as ``minhash_signatures`` (array<long> of num_hashes; empty docs get
     the all-max signature), so ``lsh_candidate_pairs`` consumes either.
     """
+    hashes, sig = minhash_sig_exprs(n, num_hashes, seed)
+    return (
+        _with_tokens(docs, text_col)
+        .select(F.col(id_col), F.expr(hashes).alias("_h"))
+        .select(F.col(id_col), F.expr(sig).alias("signature"))
+    )
+
+
+def minhash_sig_exprs(
+    n: int = 3, num_hashes: int = 64, seed: int = 42
+) -> tuple[str, str]:
+    """The expression pair behind ``minhash_signatures_expr``, exposed
+    so callers that must compute the signature ALONGSIDE other per-doc
+    columns in ONE lineage can (the streaming incremental dedup: a
+    second pass over a stream would be a stateful self-join). Returns
+    (hashes_sql over a staged ``_toks`` column, sig_sql over a staged
+    ``_h`` column) — stage each as a real column, in that order (the
+    no-CSE trap)."""
     a_params, b_params = minhash_params31(num_hashes, seed)
     # tokens projected once into _toks — an inlined split re-evaluates per
     # shingle index inside the transform lambda (see _shingle_hash_col)
@@ -291,11 +309,7 @@ def minhash_signatures_expr(
         f"(element_at({a_lit}, p + 1) * x + element_at({b_lit}, p + 1)) "
         f"% {_PERM_P31})) END)"
     )
-    return (
-        _with_tokens(docs, text_col)
-        .select(F.col(id_col), F.expr(hashes).alias("_h"))
-        .select(F.col(id_col), F.expr(sig).alias("signature"))
-    )
+    return hashes, sig
 
 
 def minhash_signatures(
@@ -857,18 +871,21 @@ def incremental_dedup(
         .select("id_new", "id_old", jac.alias("_jac"))
         .filter(F.col("_jac") >= F.lit(threshold))
     )
-    # best corpus match per new doc: ONE max_by aggregate (no window —
-    # a viral near-dup class collapses map-side); tie order (jaccard
-    # desc, id_old asc) via the (jac, -id_old) struct max
-    best = verified.groupBy("id_new").agg(
-        F.max_by(
-            F.struct(F.col("id_old"), F.col("_jac")),
-            F.struct(F.col("_jac"), (-F.col("id_old")).alias("_neg")),
-        ).alias("_best")
-    ).select(
-        "id_new",
-        F.col("_best.id_old").alias("dup_of"),
-        F.round(F.col("_best._jac"), 6).alias("jaccard"),
+    # best corpus match per new doc: TWO mergeable aggregates (no
+    # window — a viral near-dup class collapses map-side): first the
+    # max jaccard per doc, then the MIN id among its exact-tie rows
+    # (same rational -> bit-identical doubles, so equality is exact).
+    # An arithmetic-negation tiebreak inside max_by would break for
+    # non-numeric id columns; this form orders ids by their own type.
+    top = verified.groupBy("id_new").agg(F.max("_jac").alias("_jmax"))
+    best = (
+        verified.join(top, "id_new")
+        .filter(F.col("_jac") == F.col("_jmax"))
+        .groupBy("id_new")
+        .agg(
+            F.min("id_old").alias("dup_of"),
+            F.round(F.max("_jac"), 6).alias("jaccard"),
+        )
     )
     return (
         new_docs.select(F.col(id_col).alias("id_new"))

@@ -70,10 +70,11 @@ def decode_and_featurize(
 ) -> DataFrame:
     """mapInPandas stage: binary -> (dims, mean luma, tiny feature vector).
 
-    ``fake=False`` (the default) decodes PPM/PGM/BMP and baseline
-    JPEG content for real via ``datapipe.codecs`` and raises
-    NotImplementedError on the rest (PNG/H.264 — the honest boundary);
-    ``fake=True`` forces the deterministic content-hash fake kernel.
+    ``fake=False`` (the default) decodes PPM/PGM/BMP, baseline JPEG,
+    and 8-bit PNG content for real via ``datapipe.codecs`` and raises
+    NotImplementedError on the rest (H.264/progressive JPEG — the
+    honest boundary); ``fake=True`` forces the deterministic
+    content-hash fake kernel.
     """
 
     def _decode(content: bytes) -> np.ndarray:

@@ -1013,6 +1013,11 @@ def pq_train_codebook(
         sample = sample.sample(fraction=sample_fraction, seed=seed)
     vecs = np.array(sample.toPandas()["_v"].tolist(), dtype=float)
     d = vecs.shape[1]
+    if d % m:
+        # silently truncating the tail dims would train a codebook
+        # pq_encode later crashes on (reshape d != m*subdim) — fail at
+        # the cause, not the symptom
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     subdim = d // m
     return np.stack([
         kmeans_lite(vecs[:, s * subdim:(s + 1) * subdim], ks,
@@ -1092,9 +1097,6 @@ def pq_topk(
     the tiebreak is engine-independent.
     """
     cb = np.asarray(codebook, dtype=float)
-    m, ks, subdim = cb.shape
-    cb_sq = (cb ** 2).sum(axis=2)
-    s_idx = np.arange(m)
 
     codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
     q = queries.select(
@@ -1105,19 +1107,9 @@ def pq_topk(
         F.col(id_col) != F.col("query_id")
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def adc(qvecs: pd.Series, codes_s: pd.Series) -> pd.Series:
-        qm = np.array(qvecs.tolist(), dtype=float)        # (n, d)
-        n = qm.shape[0]
-        if n == 0:
-            return pd.Series([], dtype=float)
-        cd = np.array(codes_s.tolist(), dtype=int)        # (n, m)
-        qs = qm.reshape(n, m, subdim)                     # (n, m, sd)
-        csel = cb[s_idx[None, :], cd]                     # (n, m, sd)
-        dots = (qs * csel).sum(axis=2)                    # (n, m)
-        qsq = (qs * qs).sum(axis=2)
-        csq = cb_sq[s_idx[None, :], cd]
-        return pd.Series((qsq - 2.0 * dots + csq).sum(axis=1))
+    # the SAME scoring kernel as ivfpq_topk (one definition — a fix to
+    # the float pairing reaches both oracled queries)
+    adc = _adc_udf(cb)
 
     scored = joined.select(
         "query_id",

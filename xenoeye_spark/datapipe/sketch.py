@@ -414,12 +414,20 @@ def bloom_contamination(
     operator), n_maybe (Bloom-positive shingles), maybe_frac,
     is_flagged.
     """
+    from pyspark import StorageLevel
+
     k = len(CMS_ROWS)
     bits = bloom_build(train_docs, text_col, n, mbits)
 
-    ev_sh = with_shingle_hashes(eval_docs, text_col, n).select(
+    # persisted AFTER the heavy tokenize+hash projection: both the
+    # probe path and the per-doc n_shingles count consume it, and the
+    # rows are (id, long) — a sliver of the text they derive from
+    ev_hashed = with_shingle_hashes(eval_docs, text_col, n).select(
+        F.col(id_col), F.array_distinct(F.col("_shs")).alias("_shd")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ev_sh = ev_hashed.select(
         F.col(id_col),
-        F.explode_outer(F.array_distinct(F.col("_shs"))).alias("_x"),
+        F.explode_outer(F.col("_shd")).alias("_x"),
     ).filter(F.col("_x").isNotNull())
     probed = ev_sh.select(
         id_col, "_x",
@@ -436,9 +444,8 @@ def bloom_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_maybe"))
     )
-    base = with_shingle_hashes(eval_docs, text_col, n).select(
-        F.col(id_col),
-        F.size(F.array_distinct(F.col("_shs"))).alias("n_shingles"),
+    base = ev_hashed.select(
+        F.col(id_col), F.size(F.col("_shd")).alias("n_shingles")
     )
     return (
         base.join(hits, id_col, "left")

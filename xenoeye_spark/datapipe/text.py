@@ -587,14 +587,16 @@ def chunk_documents(
         F.col("_toks"), F.col("chunk_id") * stride + 1, chunk
     )
     return (
-        # the empty-doc cut tests the RAW text (trim != '' <=> at least
-        # one ws token): a size(_toks) > 0 filter after the staging
-        # select gets the whole tokenizer re-inlined by predicate
-        # pushdown and evaluated a second time per row (the r6
-        # pushed-predicate trap — see sketch.with_shingle_hashes);
-        # this form pushes to the scan as a cheap string test
+        # the empty-doc cut tests the RAW text (contains any non-
+        # whitespace char <=> at least one ws token — trim() strips
+        # only ASCII space, so trim != '' wrongly keeps "\t\n" docs):
+        # a size(_toks) > 0 filter after the staging select gets the
+        # whole tokenizer re-inlined by predicate pushdown and
+        # evaluated a second time per row (the r6 pushed-predicate
+        # trap — see sketch.with_shingle_hashes); this form pushes to
+        # the scan as one cheap regex test
         spread(docs)
-        .filter(F.trim(F.col(text_col)) != "")
+        .filter(F.col(text_col).rlike(r"\S"))
         .select(
             F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
         )
@@ -856,8 +858,13 @@ def decompress_text(
     the executors, streaming per Arrow batch, never on a driver loop.
 
     Magic-sniffed per row: gzip (1f 8b) via stdlib ``gzip``, raw zlib
-    (78 xx) via ``zlib``, anything else is passed through as already-
-    plain text. ``on_error='fail'`` (default) propagates corrupt-member
+    via ``zlib`` on the four standard 2-byte headers 78 01 / 78 5E /
+    78 9C / 78 DA (every zlib.compress level, RFC 1950; sniffing the
+    first byte alone would misroute every plain text starting with
+    'x' = 0x78, and even the RFC checksum rule alone admits "x " —
+    0x7820 % 31 == 0), anything else passes through as plain text.
+    Residual ambiguity (a text beginning exactly "x\x5e") is
+    inherent to sniffing; schema-tag the column when that matters. ``on_error='fail'`` (default) propagates corrupt-member
     errors — a truncated shard should stop the job, not silently drop
     rows; ``'null'`` maps corrupt members to NULL text for
     quarantine-style pipelines (count them downstream).
@@ -876,10 +883,14 @@ def decompress_text(
             out = []
             for raw in pdf["_c"]:
                 data = bytes(raw)
+                is_zlib = data[:2] in (
+                    b"\x78\x01", b"\x78\x5e", b"\x78\x9c",
+                    b"\x78\xda",
+                )
                 try:
                     if data[:2] == b"\x1f\x8b":
                         out.append(_gzip.decompress(data).decode(encoding))
-                    elif data[:1] == b"\x78":
+                    elif is_zlib:
                         out.append(_zlib.decompress(data).decode(encoding))
                     else:
                         out.append(data.decode(encoding))

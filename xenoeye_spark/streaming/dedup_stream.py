@@ -88,8 +88,10 @@ def incremental_dedup_stream(
     Spark shape: STREAM-STATIC joins only, which Structured Streaming
     runs with no state store at all — the corpus-side banded index and
     shingle table are plain DataFrames (computed once per batch plan,
-    AQE-broadcast when small), the stream side computes signatures
-    in-flight, and the per-doc argmax is a STATELESS micro-batch
+    AQE-broadcast when small); the stream side computes signature AND
+    shingle digests in ONE lineage (a second stream derivation joined
+    back on id would be a stream-stream self-join with unbounded hash
+    state); and the per-doc argmax is a STATELESS micro-batch
     reduction: repartition(id) co-locates one doc's candidate rows,
     then a mapInPandas groupby picks the best match — no streaming
     aggregation, no watermark, no timeout (a doc's verdict depends
@@ -105,6 +107,7 @@ def incremental_dedup_stream(
     from pyspark.sql import types as T
 
     from xenoeye_spark.datapipe.dedup import (
+        _shingle_hash_col, _with_tokens, minhash_sig_exprs,
         minhash_signatures_expr, shingle_table,
     )
 
@@ -136,23 +139,33 @@ def incremental_dedup_stream(
         F.col("_sz").alias("_sz_o"),
     )
 
-    # ---- stream side: signatures + shingles in ONE projection (the
-    # stream cannot be self-joined later, so every per-doc column rides
-    # along through the banded explode)
-    # the stream side's shingles come from the SAME builder as the
-    # corpus side (shingle_table is a pure projection — stream-safe),
-    # so tokenization and digests compare like for like
-    staged = shingle_table(stream, n, text_col, id_col).select(
-        F.col("_id").alias(id_col), F.col("_sh").alias("_sh_n"),
+    # ---- stream side: ONE lineage carrying signature AND shingles —
+    # a second derivation of the same stream joined back on id would be
+    # a stream-stream self-join whose hash-join state grows with every
+    # doc ever ingested (no watermark bounds it). The shingle array
+    # rides through the 16-row banded explode instead: bands x array
+    # duplication per doc, a bounded width cost, zero state. Builders
+    # are the batch operator's own (_shingle_hash_col on the same
+    # _with_tokens staging + minhash_sig_exprs), so digests and
+    # signatures compare like for like.
+    hashes_sql, sig_sql = minhash_sig_exprs(n, num_hashes, seed)
+    staged = (
+        _with_tokens(stream, text_col)
+        .select(
+            F.col(id_col),
+            _shingle_hash_col("_toks", n).alias("_sh_n"),
+            F.expr(hashes_sql).alias("_h"),
+        )
+        .select(
+            F.col(id_col), F.col("_sh_n"),
+            F.expr(sig_sql).alias("signature"),
+        )
     )
-    sig_new = minhash_signatures_expr(
-        stream, n=n, num_hashes=num_hashes,
-        text_col=text_col, id_col=id_col, seed=seed,
-    )
-    new_banded = sig_new.select(
+    new_banded = staged.select(
         F.col(id_col),
+        F.col("_sh_n"),
         F.posexplode(F.expr(band_expr)).alias("band", "bucket"),
-    ).join(staged, id_col)
+    )
 
     # LEFT stream-static joins: a doc with no bucket collision (or an
     # empty corpus) keeps a null candidate row and still reaches the
