@@ -1224,12 +1224,18 @@ def test_decompress_text_three_codecs_and_errors(spark):
 
     from xenoeye_spark.datapipe.text import decompress_text
 
-    texts = {0: "hello world", 1: "压缩 文本 round trip", 2: "plain stays"}
+    import bz2
+    import lzma
+
+    texts = {0: "hello world", 1: "压缩 文本 round trip", 2: "plain stays",
+             3: "bzip2 member here", 4: "xz stream too"}
     rows = [
         Row(doc_id=0, content=bytearray(gzip.compress(
             texts[0].encode(), mtime=0))),
         Row(doc_id=1, content=bytearray(zlib.compress(texts[1].encode()))),
         Row(doc_id=2, content=bytearray(texts[2].encode())),
+        Row(doc_id=3, content=bytearray(bz2.compress(texts[3].encode()))),
+        Row(doc_id=4, content=bytearray(lzma.compress(texts[4].encode()))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, content binary")
     got = {r.doc_id: r.text for r in decompress_text(df).collect()}
@@ -1326,3 +1332,19 @@ def test_chunk_documents_whitespace_only_docs_emit_no_rows(spark):
     assert sorted((r.chunk_id, r.chunk_text) for r in got) == [
         (0, "one two"), (1, "three"),
     ]
+
+
+def test_log_hist_quantiles_ignores_nulls(spark):
+    """Review fix: NULL values are dropped outright — a NULL bin sorts
+    first in Spark's ASC window but LAST in DuckDB's, so keeping them
+    would skew one engine's cumulative walk only."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.operators.summary import log_hist_quantiles
+
+    rows = ([Row(k="g", v=100)] * 10 + [Row(k="g", v=None)] * 5)
+    [r] = log_hist_quantiles(
+        spark.createDataFrame(rows, "k string, v long"), ["k"], "v"
+    ).collect()
+    assert r.n_rows == 10
+    assert 90 <= r.p50 <= 110 and 90 <= r.p99 <= 110

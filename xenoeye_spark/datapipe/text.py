@@ -857,14 +857,15 @@ def decompress_text(
     shards): corpora arrive compressed, and decompression belongs ON
     the executors, streaming per Arrow batch, never on a driver loop.
 
-    Magic-sniffed per row: gzip (1f 8b) via stdlib ``gzip``, raw zlib
-    via ``zlib`` on the four standard 2-byte headers 78 01 / 78 5E /
+    Magic-sniffed per row: gzip (1f 8b) via stdlib ``gzip``; bzip2
+    ("BZh") via ``bz2``; xz (fd "7zXZ") via ``lzma``; raw zlib via
+    ``zlib`` on the four standard 2-byte headers 78 01 / 78 5E /
     78 9C / 78 DA (every zlib.compress level, RFC 1950; sniffing the
     first byte alone would misroute every plain text starting with
     'x' = 0x78, and even the RFC checksum rule alone admits "x " —
-    0x7820 % 31 == 0), anything else passes through as plain text.
-    Residual ambiguity (a text beginning exactly "x\x5e") is
-    inherent to sniffing; schema-tag the column when that matters. ``on_error='fail'`` (default) propagates corrupt-member
+    0x7820 % 31 == 0); anything else passes through as plain text.
+    Residual ambiguities (a text beginning exactly "x\x5e" or "BZh9")
+    are inherent to sniffing; schema-tag the column when that matters. ``on_error='fail'`` (default) propagates corrupt-member
     errors — a truncated shard should stop the job, not silently drop
     rows; ``'null'`` maps corrupt members to NULL text for
     quarantine-style pipelines (count them downstream).
@@ -872,7 +873,9 @@ def decompress_text(
     Output: (id_col, text string). Shape at 100 TB: one mapInPandas
     projection, no shuffle; decompression cost is the row's own bytes.
     """
+    import bz2 as _bz2
     import gzip as _gzip
+    import lzma as _lzma
     import zlib as _zlib
 
     if on_error not in ("fail", "null"):
@@ -890,6 +893,10 @@ def decompress_text(
                 try:
                     if data[:2] == b"\x1f\x8b":
                         out.append(_gzip.decompress(data).decode(encoding))
+                    elif data[:3] == b"BZh":
+                        out.append(_bz2.decompress(data).decode(encoding))
+                    elif data[:6] == b"\xfd7zXZ\x00":
+                        out.append(_lzma.decompress(data).decode(encoding))
                     elif is_zlib:
                         out.append(_zlib.decompress(data).decode(encoding))
                     else:
