@@ -71,3 +71,17 @@ def test_wav_roundtrip_exact(n, ch, rate, raw):
     got, got_rate = decode_wav(encode_wav(samples.astype(np.int16), rate))
     assert got_rate == rate
     assert (got == samples).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_gif_roundtrip_exact(data):
+    from xenoeye_spark.datapipe.codecs_gif import decode_gif, encode_gif
+
+    npal = data.draw(st.integers(2, 256))
+    h = data.draw(st.integers(1, 20))
+    w = data.draw(st.integers(1, 20))
+    raw = data.draw(st.binary(min_size=h * w, max_size=h * w))
+    pal = np.arange(npal * 3, dtype=np.int64).astype(np.uint8).reshape(-1, 3)
+    idx = (np.frombuffer(raw, dtype=np.uint8) % npal).reshape(h, w)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()

@@ -265,11 +265,13 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 def sniff_format(data: bytes) -> str | None:
     """Container/codec sniff by magic:
-    'ppm' | 'pgm' | 'bmp' | 'wav' | 'jpeg' | 'png' | None."""
+    'ppm' | 'pgm' | 'bmp' | 'wav' | 'jpeg' | 'png' | 'gif' | None."""
     if data[:2] == b"\xff\xd8":
         return "jpeg"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"P5":
@@ -284,9 +286,10 @@ def sniff_format(data: bytes) -> str | None:
 def decode_image(data: bytes) -> np.ndarray:
     """Decode any supported image to (H, W, 3) uint8 — the raw
     containers here, BASELINE JPEG via the pure-numpy entropy decoder
-    in ``codecs_jpeg``, and 8-bit PNG via stdlib-zlib inflate +
-    unfilter in ``codecs_png`` (both r6); raises NotImplementedError
-    for the rest (H.264/progressive JPEG), the honest boundary."""
+    in ``codecs_jpeg``, 8-bit PNG via stdlib-zlib inflate +
+    unfilter in ``codecs_png``, and GIF via the hand-rolled LZW in
+    ``codecs_gif`` (all r6); raises NotImplementedError for the rest
+    (H.264/progressive JPEG), the honest boundary."""
     kind = sniff_format(data)
     if kind in ("ppm", "pgm"):
         return decode_ppm(data)
@@ -300,8 +303,13 @@ def decode_image(data: bytes) -> np.ndarray:
         from xenoeye_spark.datapipe.codecs_png import decode_png
 
         return decode_png(data)
+    if kind == "gif":
+        from xenoeye_spark.datapipe.codecs_gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
         "unrecognized image format (video codecs need libs not present "
         "in this environment); supported: PPM/PGM/BMP raw containers + "
-        "baseline JPEG (codecs_jpeg) + 8-bit PNG (codecs_png)"
+        "baseline JPEG (codecs_jpeg) + 8-bit PNG (codecs_png) + GIF "
+        "(codecs_gif)"
     )
