@@ -39,6 +39,27 @@ def _write_batches(spark, dir_path, batches):
     return [os.path.join(dir_path, f"b{i}") for i in range(len(batches))]
 
 
+def _await_input_processed(q, time_mod, deadline_sec=120, settle_sec=8):
+    """Wait until this run has COMPLETED a micro-batch that actually
+    read rows (recentProgress carries numInputRows per batch), then a
+    bounded settle window for timer-driven emissions. Fixed waits
+    flaked on loaded hosts where the first micro-batch had not even
+    started; polling for ROWS instead would burn the deadline on
+    batches that legitimately emit nothing."""
+    deadline = time_mod.time() + deadline_sec
+    while time_mod.time() < deadline:
+        try:
+            if any(
+                (p or {}).get("numInputRows", 0) > 0
+                for p in (q.recentProgress or [])
+            ):
+                break
+        except Exception:
+            pass
+        q.awaitTermination(1)
+    q.awaitTermination(settle_sec)
+
+
 def _run_batches(spark, dirs, build_query, out_rows, sleep_between=0.0,
                  timeout=8):
     """availableNow drain per batch dir. Armed processing-time timeouts
@@ -59,9 +80,9 @@ def _run_batches(spark, dirs, build_query, out_rows, sleep_between=0.0,
             .parquet(stage)
         )
         q = build_query(stream, ckpt, out_rows)
-        q.awaitTermination(timeout)
+        _await_input_processed(q, time, settle_sec=timeout)
         q.stop()
-        q.awaitTermination(30)
+        q.awaitTermination(60)
         if sleep_between:
             time.sleep(sleep_between)
     return out_rows

@@ -320,11 +320,15 @@ def test_mavg_idle_state_ttl(spark, tmp_path):
             .option("maxFilesPerTrigger", "1").parquet(stage)
         )
         q = build(stream, ckpt, collected)
-        # armed TTL timers keep the availableNow run scheduling batches;
-        # wait long enough for the 1s timer to fire, then stop explicitly
-        q.awaitTermination(6)
+        # armed TTL timers keep the availableNow run scheduling batches
+        # forever; wait until THIS batch's input was actually processed
+        # (a fixed 6s wait flaked on loaded hosts where the first
+        # micro-batch hadn't even started), then a settle window for
+        # the 1s TTL timer, then stop explicitly
+        from tests.test_mavg_tws import _await_input_processed
+        _await_input_processed(q, time_mod, settle_sec=6)
         q.stop()
-        q.awaitTermination(30)
+        q.awaitTermination(60)
         time_mod.sleep(2)  # let the TTL elapse between runs
     # batch 2's single value arrives 1000s later: with live state the EWMA
     # would reset to V anyway (dt >= T), so assert on rate directly — and
