@@ -94,3 +94,41 @@ def test_dispatch_sniffs_gif():
     d = encode_gif_uncompressed(idx, pal)
     assert sniff_format(d) == "gif"
     assert (decode_image(d) == 9).all()
+
+
+def test_sample_frames_animated_gif_spark(spark):
+    """sample_frames treats an animated GIF as a real video source:
+    planted flat frames -> exact lumas on every 2nd frame."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.multimodal import sample_frames
+
+    levels = [10, 40, 70, 100]
+    # one multi-frame GIF: splice image blocks from per-frame encodes
+    datas = []
+    for v in levels:
+        pal = np.array([[v, v, v]], dtype=np.uint8)
+        idx = np.zeros((8, 8), dtype=np.uint8)
+        datas.append(encode_gif_uncompressed(idx, pal))
+    # header + LSD + GCT from the first; image blocks from each; trailer
+    hdr_end = 6 + 7 + 3 * 2   # bits=1 -> size-2 table
+    out = bytearray(datas[0][:hdr_end])
+    for d in datas:
+        body = d[hdr_end:-1]          # drop trailer 0x3B
+        # the per-frame encodes carry different GLOBAL tables; give
+        # each spliced image block its own LOCAL table instead: the
+        # descriptor is 10 bytes (0x2C + 4x2 pos/size + flags), set
+        # the LCT flag (0x80, size bits 0 = 2 entries) and append the
+        # frame's own 2-entry table
+        desc, rest = body[:10], body[10:]
+        tbl = d[13:13 + 6]
+        out += desc[:9] + bytes([desc[9] | 0x80]) + tbl + rest
+    out += b"\x3b"
+    df = spark.createDataFrame(
+        [Row(media_id=7, content=bytearray(bytes(out)))]
+    )
+    got = sorted(
+        (r.frame_idx, r.mean_luma)
+        for r in sample_frames(df, every_n=2, n_frames=4).collect()
+    )
+    assert got == [(0, 10.0), (2, 70.0)]

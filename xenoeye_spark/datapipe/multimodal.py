@@ -206,12 +206,13 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: emit every ``every_n``-th frame's features.
 
-    ``fake=False`` (the default, r6) decodes MJPEG-in-AVI content for
-    REAL: the RIFF walk (``codecs_avi``) yields per-frame JPEG payloads
-    and each sampled frame goes through the pure-numpy baseline JPEG
-    decoder; ``n_frames`` caps how deep into the stream sampling runs.
-    Other video codecs (H.264 et al.) raise NotImplementedError — the
-    honest boundary. ``fake=True`` keeps the deterministic
+    ``fake=False`` (the default, r6) decodes MJPEG-in-AVI and animated
+    GIF content for REAL: the RIFF walk (``codecs_avi``) yields
+    per-frame JPEG payloads for the baseline JPEG decoder, and
+    ``codecs_gif.gif_frames`` yields each GIF frame's raster directly;
+    ``n_frames`` caps how deep into the stream sampling runs. Other
+    video codecs (H.264 et al.) raise NotImplementedError — the honest
+    boundary. ``fake=True`` keeps the deterministic
     content-hash kernel (content x frame_idx), for tests that need
     arbitrary bytes to "decode"; the one-row-in/many-rows-out batch
     shape is identical either way."""
@@ -236,20 +237,30 @@ def sample_frames(
                         rows.append((int(mid), idx, luma_of(img)))
                     continue
                 data = bytes(content)
-                if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
-                    raise NotImplementedError(
-                        "only MJPEG-in-AVI video decodes in this "
-                        "environment (H.264/VP9 need codec libs); "
-                        "pass fake=True for the deterministic kernel"
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    frames = (
+                        codecs.decode_image(f)
+                        for f in codecs_avi.avi_frames(data)
                     )
-                for idx, frame in enumerate(codecs_avi.avi_frames(data)):
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    from xenoeye_spark.datapipe.codecs_gif import (
+                        gif_frames,
+                    )
+
+                    frames = gif_frames(data)
+                else:
+                    raise NotImplementedError(
+                        "only MJPEG-in-AVI and animated-GIF video "
+                        "decode in this environment (H.264/VP9 need "
+                        "codec libs); pass fake=True for the "
+                        "deterministic kernel"
+                    )
+                for idx, img in enumerate(frames):
                     if idx >= n_frames:
                         break
                     if idx % every_n:
                         continue
-                    rows.append(
-                        (int(mid), idx, luma_of(codecs.decode_image(frame)))
-                    )
+                    rows.append((int(mid), idx, luma_of(img)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "mean_luma"]
             )
