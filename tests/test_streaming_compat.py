@@ -1,0 +1,105 @@
+"""Stateless corpus operators on STREAMS: the curation projections
+(stats, language id, quality, PII scrub, normalization, chunking,
+decompression) are pure expression/Arrow stages, so the same functions
+must plan and run unchanged on a streaming DataFrame — the property
+that lets xe_curate-style pipelines run over a live ingest. Each case
+drives a file stream through the operator and asserts row-for-row
+equality with the batch run on the same input."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _drive(spark, op, rows_schema, rows, key=lambda r: r[0]):
+    src = tempfile.mkdtemp(prefix="scompat_src_")
+    ckpt = tempfile.mkdtemp(prefix="scompat_ckpt_")
+    bdf = spark.createDataFrame(rows, rows_schema)
+    bdf.coalesce(1).write.mode("overwrite").parquet(src + "/d")
+    stage = tempfile.mkdtemp(prefix="scompat_stage_")
+    for f in glob.glob(os.path.join(src, "d", "*.parquet")):
+        shutil.copy(f, os.path.join(stage, os.path.basename(f)))
+    stream = spark.readStream.schema(bdf.schema).parquet(stage)
+    got: list = []
+    q = (op(stream).writeStream
+         .foreachBatch(lambda df, e: got.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    want = op(bdf).collect()
+    gset = sorted(map(tuple, got))
+    wset = sorted(map(tuple, want))
+    assert gset == wset, (gset[:3], wset[:3])
+    assert gset, "operator emitted nothing"
+
+
+DOCS_SCHEMA = "doc_id long, text string"
+DOC_ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "der schnelle braune fuchs springt und springt und springt"),
+    (2, "email me at a@b.com or call 555-123-4567 for details"),
+    (3, ""),
+    (4, "short"),
+]
+
+
+def test_text_stats_on_stream(spark):
+    from xenoeye_spark.datapipe.text import text_stats
+
+    _drive(spark, text_stats, DOCS_SCHEMA, DOC_ROWS)
+
+
+def test_language_id_on_stream(spark):
+    from xenoeye_spark.datapipe.text import language_id
+
+    _drive(spark, language_id, DOCS_SCHEMA, DOC_ROWS)
+
+
+def test_gopher_quality_is_the_documented_boundary(spark):
+    """gopher_quality aggregates per doc (bigram-frequency groupBys),
+    so it is NOT a stateless projection: Spark rejects it on a stream
+    in append mode without a watermark. The test pins that boundary —
+    if a future rewrite makes it expression-only, this should flip to
+    a _drive() case like the others."""
+    from xenoeye_spark.datapipe.text import gopher_quality
+
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .parquet(tempfile.mkdtemp(prefix="gq_")))
+    with pytest.raises(Exception, match="watermark|STREAMING"):
+        (gopher_quality(stream).writeStream.format("noop")
+         .outputMode("append").start())
+
+
+def test_pii_scrub_on_stream(spark):
+    from xenoeye_spark.datapipe.text import pii_scrub
+
+    _drive(spark, pii_scrub, DOCS_SCHEMA, DOC_ROWS)
+
+
+def test_chunk_documents_on_stream(spark):
+    from xenoeye_spark.datapipe.text import chunk_documents
+
+    _drive(spark, lambda df: chunk_documents(df, chunk=4, stride=3),
+           DOCS_SCHEMA, DOC_ROWS)
+
+
+def test_decompress_text_on_stream(spark):
+    import gzip
+
+    from xenoeye_spark.datapipe.text import decompress_text
+
+    rows = [(i, bytearray(gzip.compress(t.encode(), mtime=0)))
+            for i, t in DOC_ROWS if t]
+    _drive(spark, decompress_text, "doc_id long, content binary", rows)
+
+
+def test_simhash_expr_on_stream(spark):
+    from xenoeye_spark.datapipe.text import simhash_expr
+
+    _drive(spark, simhash_expr, DOCS_SCHEMA, DOC_ROWS)
