@@ -1590,6 +1590,49 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(docs)
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (r6): planted PPM rasters with closed-form
+    pixels (id + 3y + 5x + 7c) % 256 go through decode + 4x4
+    nearest-neighbor resize; the oracle re-derives EVERY resized byte
+    (sample index y*h//4, x*w//4 — pure int arithmetic) and compares
+    the full raster as a hex string."""
+    import numpy as np
+    import pandas as pd
+
+    from xenoeye_spark.datapipe.codecs import encode_ppm
+    from xenoeye_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2048)
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                w, h = 20 + i % 9, 12 + i % 5
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3),
+                    indexing="ij",
+                )
+                img = ((i + 3 * yy + 5 * xx + 7 * cc) % 256).astype(
+                    np.uint8
+                )
+                rows.append((i, bytearray(encode_ppm(img)),
+                             ("image/ppm", w, h, 3)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "meta"]
+            )
+
+    media = docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    out = resize_images(media, out_w=4, out_h=4)
+    return out.select(
+        "media_id", "width", "height",
+        F.hex(F.col("pixels")).alias("pix_hex"),
+    )
+
+
 def q_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-ingest round trip (r6): every doc's text is
     compressed on the executors (gzip / raw zlib / plain passthrough by
@@ -1793,7 +1836,7 @@ GATE_POOL = [
     # r6 additions lead (new queries gate in their first round)
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
     "ivfpq_topk", "incremental_dedup", "hist_quantiles",
-    "video_decode", "decompress",
+    "video_decode", "decompress", "image_resize",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
@@ -1922,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "video_decode": q_video_decode,
         "decompress": q_decompress,
+        "image_resize": q_image_resize,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -4171,4 +4215,27 @@ FROM f
         # decompress: the oracle IS the original text — only a correct
         # gzip/zlib sniff + inflate + utf-8 decode reproduces it.
         "decompress": "SELECT doc_id, text FROM documents",
+        # image_resize: every resized byte re-derived — nearest-
+        # neighbor sample index y*h//4, x*w//4 into the closed-form
+        # raster, hex-encoded in (y, x, c) row-major order.
+        "image_resize": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         20 + doc_id % 9 AS w, 12 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 2048
+), px AS (
+  SELECT m.media_id, m.w, m.h, y.y, x.x, c.c,
+         (m.media_id + 3 * ((y.y * m.h) // 4)
+          + 5 * ((x.x * m.w) // 4) + 7 * c.c) % 256 AS v
+  FROM m
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS y) y
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS x) x
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+)
+SELECT media_id,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       upper(string_agg(printf('%02x', v), '' ORDER BY y, x, c))
+         AS pix_hex
+FROM px GROUP BY media_id
+""",
     }
