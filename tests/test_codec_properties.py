@@ -85,3 +85,13 @@ def test_gif_roundtrip_exact(data):
     pal = np.arange(npal * 3, dtype=np.int64).astype(np.uint8).reshape(-1, 3)
     idx = (np.frombuffer(raw, dtype=np.uint8) % npal).reshape(h, w)
     assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data(), st.sampled_from(["<", ">"]), st.integers(1, 8))
+def test_tiff_roundtrip_exact(data, endian, rps):
+    from xenoeye_spark.datapipe.codecs_tiff import decode_tiff, encode_tiff
+
+    img = _img(data.draw)
+    out = decode_tiff(encode_tiff(img, endian=endian, rows_per_strip=rps))
+    assert (out == img).all()

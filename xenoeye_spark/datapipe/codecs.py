@@ -265,13 +265,16 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 def sniff_format(data: bytes) -> str | None:
     """Container/codec sniff by magic:
-    'ppm' | 'pgm' | 'bmp' | 'wav' | 'jpeg' | 'png' | 'gif' | None."""
+    'ppm' | 'pgm' | 'bmp' | 'wav' | 'jpeg' | 'png' | 'gif' |
+    'tiff' | None."""
     if data[:2] == b"\xff\xd8":
         return "jpeg"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"P5":
@@ -307,9 +310,13 @@ def decode_image(data: bytes) -> np.ndarray:
         from xenoeye_spark.datapipe.codecs_gif import decode_gif
 
         return decode_gif(data)
+    if kind == "tiff":
+        from xenoeye_spark.datapipe.codecs_tiff import decode_tiff
+
+        return decode_tiff(data)
     raise NotImplementedError(
         "unrecognized image format (video codecs need libs not present "
         "in this environment); supported: PPM/PGM/BMP raw containers + "
         "baseline JPEG (codecs_jpeg) + 8-bit PNG (codecs_png) + GIF "
-        "(codecs_gif)"
+        "(codecs_gif) + uncompressed TIFF (codecs_tiff)"
     )
