@@ -6,16 +6,16 @@ extraction / resize / frame-sample run as Arrow-batched ``mapInPandas``
 stages so each partition streams batches without materializing whole files
 per row on the driver.
 
-Decode kernels (r6): UNCOMPRESSED containers — PPM/PGM, 24-bit BMP,
-PCM WAV — decode for REAL via the pure-numpy ``datapipe.codecs``
-module (header parse + frombuffer), and BASELINE JPEG decodes for
-real too via the pure-numpy entropy decoder in
-``datapipe.codecs_jpeg`` (Huffman + dequant + IDCT + YCbCr, ITU-T
-T.81; test_jpeg anchors it analytically), as does 8-bit PNG via
-stdlib-zlib inflate + unfilter (``datapipe.codecs_png``). The
-remaining codecs (H.264/progressive JPEG) stay honestly stubbed — no
-codec libs in this container — and ``decode_image`` raises
-NotImplementedError for them. ``fake=True`` keeps the deterministic
+Decode kernels (r6): every modality has REAL pure-python/numpy
+decode paths — PPM/PGM, 24-bit BMP, uncompressed TIFF (both byte
+orders), PCM + G.711 WAV (``datapipe.codecs``/``codecs_tiff``),
+BASELINE JPEG via the hand-rolled T.81 entropy decoder
+(``codecs_jpeg``; analytically anchored in test_jpeg), 8-bit PNG via
+stdlib-zlib inflate + unfilter (``codecs_png``), GIF via hand-rolled
+LZW (``codecs_gif``), and MJPEG-in-AVI / animated-GIF video frames
+(``codecs_avi``/``gif_frames``). The codecs that genuinely need
+native libs (H.264, progressive JPEG) stay honestly stubbed and
+``decode_image`` raises NotImplementedError for them. ``fake=True`` keeps the deterministic
 content-hash fake decoder for tests that need arbitrary bytes to
 "decode".
 """
