@@ -1142,7 +1142,13 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripping regression — 'u:p@host:8443' must still reduce to the
     blocked registered domain), %3==1 docs cite one ok + one blocked
     URL, %3==2 docs have no URLs at all. Registered-domain reduction
-    and the broadcast-join verdicts are re-derived in SQL."""
+    and the broadcast-join verdicts are re-derived in SQL.
+
+    r7: the library operator returns blocked_domains as array<string>,
+    which the driver harness cannot canonicalize (r6's only red row —
+    pandas lexsort dies on unhashable lists inside its _canon). The
+    GATE QUERY serializes it to a ','-joined scalar; the operator
+    itself keeps the typed array output."""
     from xenoeye_spark.datapipe.text import url_domain_filter
 
     docs = _t(spark, sf_dir, "documents")
@@ -1164,7 +1170,11 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocklist = spark.createDataFrame(
         [("Blocked-Site.com",), ("spam.net",)], "domain string"
     )
-    return url_domain_filter(planted, blocklist)
+    out = url_domain_filter(planted, blocklist)
+    return out.select(
+        "doc_id", "n_urls", "n_blocked", "keep",
+        F.array_join("blocked_domains", ",").alias("blocked_domains"),
+    )
 
 
 def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1823,7 +1833,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_WINDOW = 50
-GATE_ROUND = 6
+GATE_ROUND = 7
+
+# Per-round pins: queries forced INTO that round's window regardless of
+# the rotation offset. r7 pins url_filter — r6's only red row was its
+# array<string> output column tripping the driver harness, fixed this
+# round by scalarizing in the gate query; without the pin the rotation
+# would defer the re-proof to r8. The evicted slot is always one the
+# NEXT round's window re-proves, so pool coverage stays within the
+# ceil(pool/slots) cycle (test_gate_rotation_schedule checks this).
+GATE_PIN: dict[int, list[str]] = {7: ["url_filter"]}
 
 GATE_CORE = [
     "fwm_topn_others", "filter_dsl", "filter_hierarchy", "scalar_div",
@@ -1863,14 +1882,35 @@ GATE_ROWS_ONLY = [
 ]
 
 
-def gate_order(round_no: int = GATE_ROUND) -> list[str]:
-    """The queries() ordering for a given round under the rotation
-    contract above. Exposed so the lint tests can assert the schedule
-    (coverage within ceil(pool/slots) rounds) rather than one prefix."""
+def _rotation_window(round_no: int) -> list[str]:
+    """The un-pinned rotation window for a round (pool slice only)."""
     slots = GATE_WINDOW - len(GATE_CORE)
     off = ((round_no - 6) * slots) % len(GATE_POOL)
     rotated = GATE_POOL[off:] + GATE_POOL[:off]
-    in_window, overflow = rotated[:slots], rotated[slots:]
+    return rotated[:slots]
+
+
+def gate_order(round_no: int = GATE_ROUND) -> list[str]:
+    """The queries() ordering for a given round under the rotation
+    contract above. Exposed so the lint tests can assert the schedule
+    (coverage within ceil(pool/slots) rounds) rather than one prefix.
+
+    GATE_PIN[round_no] entries are swapped into the window; each pin
+    evicts the LAST in-window entry that the next round's window
+    re-proves (falling back to the last entry outright), so a pin never
+    pushes a pool query's driver proof past the rotation cycle."""
+    slots = GATE_WINDOW - len(GATE_CORE)
+    in_window = _rotation_window(round_no)
+    overflow = [n for n in GATE_POOL if n not in set(in_window)]
+    for pin in GATE_PIN.get(round_no, []):
+        if pin in in_window:
+            continue
+        nxt = set(_rotation_window(round_no + 1))
+        victims = [n for n in reversed(in_window) if n in nxt]
+        victim = victims[0] if victims else in_window[-1]
+        in_window[in_window.index(victim)] = pin
+        overflow[overflow.index(pin)] = victim
+    assert len(in_window) == slots
     return GATE_CORE + in_window + sorted(overflow) + GATE_ROWS_ONLY
 
 
@@ -3319,8 +3359,9 @@ SELECT d.doc_id,
        COALESCE(agg.n_urls, 0) AS n_urls,
        COALESCE(agg.n_blocked, 0) AS n_blocked,
        COALESCE(agg.n_blocked, 0) = 0 AS keep,
-       COALESCE(list_filter(agg.bdoms, x -> x IS NOT NULL), [])
-         AS blocked_domains
+       COALESCE(array_to_string(
+         list_filter(agg.bdoms, x -> x IS NOT NULL), ','
+       ), '') AS blocked_domains
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """,
         # quantize: per-dim min/max, half-up int8 codes, reconstruction

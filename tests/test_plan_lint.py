@@ -37,12 +37,47 @@ BNL_ALLOWED = {
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
+def built(spark):
     out = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_DIR)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = (
+            df._jdf.queryExecution().executedPlan().toString(), df.schema
+        )
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(built):
+    return {n: p for n, (p, _) in built.items()}
+
+
+@pytest.fixture(scope="module")
+def schemas(built):
+    return {n: s for n, (_, s) in built.items()}
+
+
+def test_gate_output_schemas_scalar(schemas):
+    """The driver's oracle harness canonicalizes results through pandas
+    (sorts every output column, hashes the values) and dies on
+    non-hashable cells — r6's only red row was url_filter's
+    array<string> column hitting the harness's _canon, not a wrong
+    answer. Every ORACLED query must therefore emit only atomic column
+    types (serialize arrays with array_join in the gate query, keep the
+    typed output on the library operator). Rows-only twins are exempt:
+    the driver only counts their rows."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    oracled = set(entrymod.oracle_sql())
+    bad = {
+        n: [
+            f.name for f in s.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        for n, s in schemas.items() if n in oracled
+    }
+    bad = {n: cols for n, cols in bad.items() if cols}
+    assert not bad, f"complex output columns in oracled gate queries: {bad}"
 
 
 def test_no_cartesian_product(plans):
@@ -150,7 +185,11 @@ def test_gate_rotation_schedule():
     slots = DRIVER_GATE_WINDOW - len(core)
     assert slots > 0
     cycle = -(-len(pool) // slots)
-    for start in (6, entrymod.GATE_ROUND):
+    # coverage is asserted FORWARD from the current round (past rounds
+    # already ran; their CORRECTNESS_r{N} is the historical record) —
+    # a pin's eviction may push one entry past a backward-looking
+    # cycle, never past a forward-looking one (eviction rule below)
+    for start in (entrymod.GATE_ROUND, entrymod.GATE_ROUND + 1):
         covered: set = set()
         for r in range(start, start + cycle):
             win = entrymod.gate_order(r)[:DRIVER_GATE_WINDOW]
@@ -161,13 +200,24 @@ def test_gate_rotation_schedule():
             f"pool not covered within {cycle} rounds from {start}: "
             f"{set(pool) - covered}"
         )
-    # this round's window proves the r5 backlog (the 12 queries the
-    # r5 window had no room for)
+    # pins land in their round's window, and every entry a pin evicted
+    # is re-proven in the NEXT round's window (or was never due this
+    # round anyway)
+    for rnd, pins in entrymod.GATE_PIN.items():
+        win_r = set(entrymod.gate_order(rnd)[:DRIVER_GATE_WINDOW])
+        assert set(pins) <= win_r, f"r{rnd} pins missing from window"
+        evicted = set(entrymod._rotation_window(rnd)) - win_r
+        nxt = set(entrymod.gate_order(rnd + 1)[:DRIVER_GATE_WINDOW])
+        assert evicted <= nxt, (
+            f"r{rnd} pin evicted {evicted - nxt} past the next round"
+        )
+    # this round's window proves the r1-r4 backlog slice the rotation
+    # scheduled (last driver-proven r5) plus the pinned url_filter fix
     win_now = set(names[:DRIVER_GATE_WINDOW])
-    r5 = {"pii_scrub", "text_normalize", "semdedup", "chunk_docs",
-          "repetition", "url_filter", "quantize", "rand_proj",
-          "temperature", "char_entropy", "best_of_class", "mask_spans"}
-    assert r5 <= win_now
+    assert "url_filter" in win_now
+    r14 = {"text_langid", "sim_topk", "token_count", "dedup_groups",
+           "sessionize", "contamination", "bigram_lm", "hash_split"}
+    assert r14 <= win_now
 
 
 # ------------------------------------------- pushed-predicate re-inlining
