@@ -715,3 +715,64 @@ def test_cap_budget_reserved_column_guards(spark):
         domain_cap(df, "g", 5)
     with _pytest.raises(ValueError, match="collide"):
         token_budget_select(df, "g", 10, "n")
+
+
+def test_multiscan_baseline_jpeg_refused_loudly():
+    """r7 review fix: a legal baseline JPEG split into multiple SOS
+    scans (ns < frame components) must raise NotImplementedError, not
+    KeyError on the scan dict miss."""
+    import pytest as _pytest
+    import numpy as np
+
+    from xenoeye_spark.datapipe.codecs_jpeg import (
+        decode_jpeg, encode_jpeg_rgb,
+    )
+
+    data = bytearray(
+        encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8))
+    )
+    i = data.find(b"\xff\xda")
+    assert i >= 0
+    # rewrite the 3-component SOS header (len=12, ns=3) into a
+    # 1-component one (len=8, ns=1): keep component 1's pair, then the
+    # Ss/Se/AhAl trailer; the 4 bytes freed become scan data we never
+    # reach
+    trailer = bytes(data[i + 11:i + 14])
+    data[i + 2:i + 14] = (
+        b"\x00\x08\x01" + bytes(data[i + 5:i + 7]) + trailer + b"\x00" * 4
+    )
+    with _pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(bytes(data))
+
+
+def test_png_palette_index_out_of_range_is_valueerror():
+    """r7 review fix: palette indices past the PLTE length raise a
+    clear ValueError, not a numpy IndexError."""
+    import pytest as _pytest
+    import numpy as np
+
+    from xenoeye_spark.datapipe.codecs_png import decode_png, encode_png
+
+    pal = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], dtype=np.uint8)
+    idx = np.full((2, 2), 4, dtype=np.uint8)          # only 3 entries
+    data = encode_png(idx, ctype=3, filter_type=0, palette=pal)
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(data)
+
+
+def test_lsh_cross_empty_new_batch_clear_error(spark):
+    """r7 review fix: lsh_candidate_pairs_cross with sig_len=None on an
+    EMPTY new-batch signature table raises a clear ValueError instead
+    of TypeError on first() returning None."""
+    import pytest as _pytest
+
+    from xenoeye_spark.datapipe.dedup import lsh_candidate_pairs_cross
+
+    schema = "doc_id long, signature array<bigint>"
+    empty = spark.createDataFrame([], schema)
+    corpus = spark.createDataFrame([(1, [1, 2, 3, 4])], schema)
+    with _pytest.raises(ValueError, match="empty"):
+        lsh_candidate_pairs_cross(empty, corpus, bands=2)
+    # explicit sig_len on an empty batch is fine: zero candidate pairs
+    out = lsh_candidate_pairs_cross(empty, corpus, bands=2, sig_len=4)
+    assert out.count() == 0

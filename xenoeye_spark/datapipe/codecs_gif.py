@@ -255,8 +255,8 @@ def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
         if nxt < 4096:
             table[cand] = nxt
             nxt += 1
-            if nxt - 1 == (1 << wtr.width) - 1 and wtr.width < 12:
-                pass
+            # grow one code late: the decoder widens after it ALLOCATES
+            # code (1<<width)-1, i.e. when reading the next one
             if nxt > (1 << wtr.width) and wtr.width < 12:
                 wtr.width += 1
         else:

@@ -227,6 +227,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 15)
+            # baseline supports ns < frame components only via multiple
+            # SOS scans; _decode_scan is single-interleaved-scan only —
+            # refuse loudly rather than KeyError on the missing id
+            missing = [c["id"] for c in frame["comps"] if c["id"] not in scan]
+            if missing:
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG: scan "
+                    f"lacks component ids {missing}"
+                )
             return _decode_scan(
                 data, i + 2 + seg_len, frame, scan, qt, huff,
                 restart_interval,

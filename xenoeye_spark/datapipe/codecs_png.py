@@ -118,7 +118,13 @@ def decode_png(data: bytes) -> np.ndarray:
         if plte is None:
             raise ValueError("palette image without PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        return pal[px[:, :, 0]]
+        idx = px[:, :, 0]
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"(PLTE has {len(pal)} entries)"
+            )
+        return pal[idx]
     if ctype == 4:
         g = px[:, :, 0]
         return np.stack([g, g, g], axis=2)

@@ -771,9 +771,13 @@ def lsh_candidate_pairs_cross(
     Output: (id_new, id_old) distinct.
     """
     if sig_len is None:
-        sig_len = new_sigs.select(
-            F.size("signature").alias("s")
-        ).first()["s"]
+        row = new_sigs.select(F.size("signature").alias("s")).first()
+        if row is None:
+            raise ValueError(
+                "new_sigs is empty; pass sig_len explicitly to probe "
+                "an empty batch (incremental_dedup does)"
+            )
+        sig_len = row["s"]
     rows_per_band = (sig_len + bands - 1) // bands
     band_expr = (
         f"transform(sequence(0, {bands - 1}), "

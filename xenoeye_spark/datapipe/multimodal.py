@@ -71,10 +71,10 @@ def decode_and_featurize(
     """mapInPandas stage: binary -> (dims, mean luma, tiny feature vector).
 
     ``fake=False`` (the default) decodes PPM/PGM/BMP, baseline JPEG,
-    and 8-bit PNG content for real via ``datapipe.codecs`` and raises
-    NotImplementedError on the rest (H.264/progressive JPEG — the
-    honest boundary); ``fake=True`` forces the deterministic
-    content-hash fake kernel.
+    8-bit PNG, GIF, and uncompressed TIFF content for real via
+    ``datapipe.codecs`` and raises NotImplementedError on the rest
+    (H.264/progressive JPEG/Adam7/planar TIFF — the honest boundary);
+    ``fake=True`` forces the deterministic content-hash fake kernel.
     """
 
     def _decode(content: bytes) -> np.ndarray:
