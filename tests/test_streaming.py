@@ -1512,3 +1512,67 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     assert got_map[101] == (0, None, None)
     assert got_map[103] == (1, 50, 1.0)     # tie to the LOWER corpus id
     assert got_map[102][0] == 1 and got_map[102][1] == 3
+
+
+def test_mavg_limits_dict_bound_guard(spark, monkeypatch):
+    """r7: a thresholds dict past LIMITS_DICT_MAX rides the pickled
+    closure into every task — both backends refuse it and point at the
+    map-side limits_df join (SURVEY §7.3)."""
+    from xenoeye_spark.streaming import mavg_stream
+
+    monkeypatch.setattr(mavg_stream, "LIMITS_DICT_MAX", 10)
+    flows = spark.createDataFrame(
+        [("k1", float(BASE), 1.0)], "k string, ts double, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    big = {(f"k{i}",): 1.0 for i in range(11)}
+    with pytest.raises(ValueError, match="limits_df"):
+        mavg_alert_stream(flows, ["k"], "v", 10, 1.0, thresholds=big)
+    from xenoeye_spark.streaming.mavg_tws import mavg_alert_stream_tws
+
+    with pytest.raises(ValueError, match="limits_df"):
+        mavg_alert_stream_tws(flows, ["k"], "v", 10, 1.0, thresholds=big)
+
+
+def test_mavg_limits_df_equivalent_to_dict(spark, tmp_path):
+    """r7: per-key limits via the map-side limits_df join replay the
+    exact event sequence of the closure-dict path, INCLUDING the
+    back2norm walk on later batches — the resolved limit is persisted
+    in state, so a key whose later rows lose the join (or a silent-key
+    timeout) still holds its own limit."""
+    burst = [("k1", float(BASE + i), 1000.0) for i in range(10)]
+    quiet = [("k1", float(BASE + 100 + i * 10), 0.001) for i in range(10)]
+    dirs = _write_batches(spark, str(tmp_path / "src"), [burst, quiet])
+
+    def run(limits_kw):
+        collected = []
+
+        def build(stream, ckpt, out):
+            alerts = mavg_alert_stream(
+                stream, ["k"], "v", window_sec=10, threshold=1e18,
+                back2norm_sec=20, silent_watch=False, **limits_kw,
+            )
+
+            def sink(df, epoch):
+                out.extend(df.collect())
+
+            return (
+                alerts.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+
+        _run_stream_over_dirs(spark, dirs, build, collected)
+        return sorted(
+            [(r["event"], r["rate"], r["threshold"], r["ts_ns"])
+             for r in collected],
+            key=lambda t: t[3],
+        )
+
+    via_dict = run({"thresholds": {("k1",): 50.0}})
+    lim_df = spark.createDataFrame([("k1", 50.0)], "k string, limit double")
+    via_join = run({"limits_df": lim_df})
+    assert via_dict == via_join
+    events = [e for e, *_ in via_join]
+    assert events[0] == "NEW" and "GONE" in events
+    # every event carries the per-key limit, not the 1e18 default
+    assert all(t == 50.0 for _, _, t, _ in via_join)

@@ -45,7 +45,15 @@ STATE_SCHEMA = T.StructType([
     T.StructField("alarm", T.StringType()),      # NONE/NEW/UPDATE/ALMOST_GONE
     T.StructField("below_since", T.LongType()),  # ns when rate first normal
     T.StructField("first_seen", T.LongType()),   # ns of the key's first flow
+    T.StructField("limit", T.DoubleType()),      # resolved per-key limit
 ])
+
+# Per-key limits as a closure dict ride the pickled task binary — fine
+# to ~1e6 keys (SURVEY §7.3), pathological past it (the dict is
+# re-shipped per task, not once per executor). Beyond the bound the
+# limits must arrive as a DataFrame joined map-side into the flow rows
+# (``limits_df``), which scales like any equi-join.
+LIMITS_DICT_MAX = 1_000_000
 
 
 def ewma_step(n: float, t_prev: int | None, t: int, v: float, window_ns: int):
@@ -181,7 +189,7 @@ def make_mavg_state_fn(
     ) -> Iterator[pd.DataFrame]:
         from xenoeye_spark.config.limits import norm_group_key
 
-        limit = (thresholds or {}).get(norm_group_key(key), threshold)
+        dict_limit = (thresholds or {}).get(norm_group_key(key), threshold)
         cols = [*key_cols, "event", "rate", "threshold", "ts_ns"]
 
         if state.hasTimedOut:
@@ -191,12 +199,15 @@ def make_mavg_state_fn(
             # 2. idle-key compaction (try_reset_db, mavg.c:776-885)
             st = state.get if state.exists else None
             if silent_watch and st is not None and st[2] != S_NONE:
+                # the resolved limit was persisted at replay time, so a
+                # map-side-joined limit survives the key going silent
+                limit = st[5] if st[5] is not None else dict_limit
                 now_ns = int(_time_now_ns())
                 new_st, events, watch = silent_transition(
-                    st, now_ns, key, limit, window_sec, window_ns,
+                    st[:5], now_ns, key, limit, window_sec, window_ns,
                     back2norm_ns, under,
                 )
-                state.update(new_st)
+                state.update((*new_st, limit))
                 if watch:
                     state.setTimeoutDuration(watch_ms)
                 elif idle_timeout_sec is not None:
@@ -210,16 +221,28 @@ def make_mavg_state_fn(
         if state.exists:
             st = state.get
         else:
-            st = (0.0, None, S_NONE, None, None)
+            st = (0.0, None, S_NONE, None, None, None)
 
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values("_ts_ns", kind="mergesort")
-        st, events = replay_rows(
-            st, rows["_ts_ns"].to_numpy(), rows["_val"].to_numpy(), key,
+        # limit resolution: map-side-joined _limit column (the at-scale
+        # path) > previously stored > closure dict > default
+        if "_limit" in rows.columns:
+            joined = rows["_limit"].dropna()
+            if len(joined):
+                limit = float(joined.iloc[0])
+            elif st[5] is not None:
+                limit = st[5]
+            else:
+                limit = dict_limit
+        else:
+            limit = dict_limit
+        new_st, events = replay_rows(
+            st[:5], rows["_ts_ns"].to_numpy(), rows["_val"].to_numpy(), key,
             limit, window_sec, window_ns, back2norm_ns, under,
         )
-        state.update(st)
-        if silent_watch and st[2] != S_NONE:
+        state.update((*new_st, float(limit)))
+        if silent_watch and new_st[2] != S_NONE:
             state.setTimeoutDuration(watch_ms)
         elif idle_timeout_sec is not None:
             state.setTimeoutDuration(idle_timeout_sec * 1000)
@@ -247,12 +270,23 @@ def mavg_alert_stream(
     under: bool = False,
     idle_timeout_sec: int | None = None,
     silent_watch: bool = True,
+    limits_df: DataFrame | None = None,
+    limit_col: str = "limit",
 ) -> DataFrame:
     """Wire the stateful fn onto a (streaming or batch-test) DataFrame.
 
     Output stream: key cols + event (NEW/UPDATE/GONE) + rate + threshold +
     ts_ns. Feed to an alert sink / foreachBatch action runner
     (monit-objects-mavg-act.c).
+
+    Per-key limits, two tiers (SURVEY §7.3):
+    - ``thresholds`` dict — rides the pickled closure; refused past
+      LIMITS_DICT_MAX (~1e6) keys because the dict re-ships per task.
+    - ``limits_df`` (key cols + ``limit_col``) — joined map-side into
+      the flow rows before the state shuffle; scales like any equi-join
+      (Catalyst broadcasts it while small, shuffles it when not). The
+      resolved limit is persisted in state so silent-key timeouts keep
+      using it.
 
     ``silent_watch`` (default on) arms a processing-time timeout for every
     alarmed key so back-to-normal fires even when the key goes silent —
@@ -269,12 +303,23 @@ def mavg_alert_stream(
             T.StructField("ts_ns", T.LongType()),
         ]
     )
+    if thresholds is not None and len(thresholds) > LIMITS_DICT_MAX:
+        raise ValueError(
+            f"thresholds dict has {len(thresholds)} keys, past the "
+            f"{LIMITS_DICT_MAX} closure-shipping bound (SURVEY §7.3); "
+            "pass the limits as limits_df for a map-side join"
+        )
     prepped = flows.select(
         *key_cols,
         (F.col(ts_col).cast("timestamp").cast("double") * F.lit(1e9))
         .cast("long").alias("_ts_ns"),
         F.col(val_col).cast("double").alias("_val"),
     )
+    if limits_df is not None:
+        lim = limits_df.select(
+            *key_cols, F.col(limit_col).cast("double").alias("_limit")
+        )
+        prepped = prepped.join(lim, key_cols, "left")
     fn = make_mavg_state_fn(
         key_cols, window_sec, threshold, back2norm_sec, thresholds, under,
         idle_timeout_sec, silent_watch,

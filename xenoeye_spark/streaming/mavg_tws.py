@@ -96,20 +96,34 @@ class MavgProcessor(StatefulProcessor):
         self, key, rows, timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         got = self.state.get()
-        if got is not None:
-            n, t_prev, alarm, below_since, first_seen = got
-        else:
-            n, t_prev, alarm, below_since, first_seen = 0.0, None, S_NONE, None, None
-        limit = self.thresholds.get(norm_group_key(tuple(key)), self.threshold)
+        st = tuple(got) if got is not None else (
+            0.0, None, S_NONE, None, None, None,
+        )
+        dict_limit = self.thresholds.get(
+            norm_group_key(tuple(key)), self.threshold
+        )
 
         pdf = pd.concat(list(rows), ignore_index=True)
         pdf = pdf.sort_values("xe_ts_ns", kind="mergesort")
-        st = (n, t_prev, alarm, below_since, first_seen)
-        st, events = replay_rows(
-            st, pdf["xe_ts_ns"].to_numpy(), pdf["xe_val"].to_numpy(), tuple(key),
+        # same resolution order as the applyInPandasWithState twin:
+        # map-side-joined column > stored > closure dict > default
+        if "xe_limit" in pdf.columns:
+            joined = pdf["xe_limit"].dropna()
+            if len(joined):
+                limit = float(joined.iloc[0])
+            elif st[5] is not None:
+                limit = st[5]
+            else:
+                limit = dict_limit
+        else:
+            limit = dict_limit
+        new_st, events = replay_rows(
+            st[:5], pdf["xe_ts_ns"].to_numpy(), pdf["xe_val"].to_numpy(),
+            tuple(key),
             limit, self.window_sec, self.window_ns, self.back2norm_ns,
             self.under,
         )
+        st = (*new_st, float(limit))
         self.state.update(st)
         if st[2] != S_NONE:
             # watch the key while alarmed: the GONE path must fire even if
@@ -129,13 +143,16 @@ class MavgProcessor(StatefulProcessor):
         st = self.state.get()
         if st is None:
             return
-        limit = self.thresholds.get(norm_group_key(tuple(key)), self.threshold)
-        now_ns = expiredTimerInfo.getExpiryTimeInMs() * 1_000_000
-        st, events, watch = silent_transition(
-            st, now_ns, tuple(key), limit, self.window_sec, self.window_ns,
-            self.back2norm_ns, self.under,
+        st = tuple(st)
+        limit = st[5] if st[5] is not None else self.thresholds.get(
+            norm_group_key(tuple(key)), self.threshold
         )
-        self.state.update(st)
+        now_ns = expiredTimerInfo.getExpiryTimeInMs() * 1_000_000
+        new_st, events, watch = silent_transition(
+            st[:5], now_ns, tuple(key), limit, self.window_sec,
+            self.window_ns, self.back2norm_ns, self.under,
+        )
+        self.state.update((*new_st, limit))
         if watch:
             self.handle.registerTimer(
                 expiredTimerInfo.getExpiryTimeInMs() + self.timer_ms
@@ -159,10 +176,13 @@ def mavg_alert_stream_tws(
     under: bool = False,
     idle_ttl_sec: int | None = None,
     timer_sec: int | None = None,
+    limits_df: DataFrame | None = None,
+    limit_col: str = "limit",
 ) -> DataFrame:
     """transformWithState twin of ``mavg_alert_stream`` — same output
     schema (keys..., event, rate, threshold, ts_ns) plus timer-driven GONE
-    for silent keys and TTL'd idle state."""
+    for silent keys and TTL'd idle state. ``limits_df`` is the at-scale
+    per-key limit path (map-side join; see mavg_alert_stream)."""
     from xenoeye_spark.protobuf_compat import ensure_protobuf
 
     # the TWS Python protocol speaks protobuf to the JVM state server
@@ -189,12 +209,25 @@ def mavg_alert_stream_tws(
             T.StructField("ts_ns", T.LongType()),
         ]
     )
+    from xenoeye_spark.streaming.mavg_stream import LIMITS_DICT_MAX
+
+    if thresholds is not None and len(thresholds) > LIMITS_DICT_MAX:
+        raise ValueError(
+            f"thresholds dict has {len(thresholds)} keys, past the "
+            f"{LIMITS_DICT_MAX} closure-shipping bound (SURVEY §7.3); "
+            "pass the limits as limits_df for a map-side join"
+        )
     prepped = flows.select(
         *key_cols,
         (F.col(ts_col).cast("timestamp").cast("double") * F.lit(1e9))
         .cast("long").alias("xe_ts_ns"),
         F.col(val_col).cast("double").alias("xe_val"),
     )
+    if limits_df is not None:
+        lim = limits_df.select(
+            *key_cols, F.col(limit_col).cast("double").alias("xe_limit")
+        )
+        prepped = prepped.join(lim, key_cols, "left")
     proc = MavgProcessor(
         key_cols, window_sec, threshold, back2norm_sec, thresholds, under,
         idle_ttl_sec, timer_sec,
