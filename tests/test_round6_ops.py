@@ -1348,3 +1348,69 @@ def test_log_hist_quantiles_ignores_nulls(spark):
     ).collect()
     assert r.n_rows == 10
     assert 90 <= r.p50 <= 110 and 90 <= r.p99 <= 110
+
+
+def test_bpe_train_batched_matches_sequential_untied(spark):
+    """r7: batch>1 fuses the compatible prefix of each round's top
+    pairs in ONE fold — identical merge table to the sequential
+    trainer when counts are untied. Word weights are powers of two, so
+    every pair count is a distinct subset-sum."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.ranking import bpe_train
+
+    words = ["abcd", "bcde", "cdef", "defg", "efgh"]
+    text = " ".join(w for i, w in enumerate(words) for _ in range(2 ** i))
+    docs = spark.createDataFrame([Row(doc_id=0, text=text)])
+
+    seq = bpe_train(docs, n_merges=10)
+    for k in (2, 4, 8):
+        assert bpe_train(docs, n_merges=10, batch=k) == seq, k
+    want, _, _ = _bpe_train_twin(text.split(), 10)
+    assert seq == want
+
+
+def test_bpe_compatible_prefix_rules():
+    """The batch admitter: prefix-only (stop at the first incompatible
+    pair, never skip), symbol-disjointness, fused-string collisions,
+    and the min_count exhaustion signal."""
+    from xenoeye_spark.datapipe.ranking import _bpe_compatible_prefix
+
+    def rows(*triples):
+        return [{"a": a, "b": b, "n": n} for a, b, n in triples]
+
+    # plain disjoint prefix: all admitted
+    adm, done = _bpe_compatible_prefix(
+        rows(("a", "b", 9), ("c", "d", 8)), 8, 1
+    )
+    assert adm == [("a", "b", 9), ("c", "d", 8)] and not done
+
+    # shared symbol cuts the prefix BEFORE the still-compatible tail
+    adm, done = _bpe_compatible_prefix(
+        rows(("a", "b", 9), ("b", "c", 8), ("x", "y", 7)), 8, 1
+    )
+    assert adm == [("a", "b", 9)] and not done
+
+    # fused-string collision: 'ab' minted by pair 1 is pair 2's element
+    adm, done = _bpe_compatible_prefix(
+        rows(("a", "b", 9), ("ab", "c", 8)), 8, 1
+    )
+    assert adm == [("a", "b", 9)] and not done
+
+    # ...and the mirror case: a later pair would mint an admitted element
+    adm, done = _bpe_compatible_prefix(
+        rows(("xy", "z", 9), ("x", "y", 8)), 8, 1
+    )
+    assert adm == [("xy", "z", 9)] and not done
+
+    # below-min_count candidate ends TRAINING, not just the batch
+    adm, done = _bpe_compatible_prefix(
+        rows(("a", "b", 9), ("c", "d", 1)), 8, 2
+    )
+    assert adm == [("a", "b", 9)] and done
+
+    # self-pair (a,a) admits alone
+    adm, done = _bpe_compatible_prefix(
+        rows(("a", "a", 9), ("a", "b", 8)), 8, 1
+    )
+    assert adm == [("a", "a", 9)] and not done

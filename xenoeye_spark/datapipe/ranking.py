@@ -477,11 +477,60 @@ def bigram_lm_score(
     )
 
 
+def _bpe_compatible_prefix(
+    cands: list, budget: int, min_count: int,
+) -> tuple[list[tuple[str, str, int]], bool]:
+    """The maximal PREFIX of the (count desc, a, b)-sorted candidate
+    pairs that one fold can fuse with sequential-equivalent results:
+
+    - pairwise symbol-disjoint — fusing p1 then neither destroys nor
+      creates any (a2, b2) adjacency, so p2's pre-batch count IS its
+      post-p1 count;
+    - no pair's fused string ``a+b`` equals any admitted element — a
+      collision would let p1's fusion mint new symbols that change a
+      later admitted pair's count (and that the one-pass fold could
+      not re-match the way a sequential second fold would).
+
+    PREFIX, not subset: skipping an incompatible pair and admitting a
+    lower-count one would reorder the merge table vs the sequential
+    trainer. Any new pair created by fusing p_i has count bounded by
+    some old pair outside the prefix, which (untied counts) is
+    strictly below every admitted count — so the sequential trainer
+    picks exactly this prefix, in this order. Ties at the prefix
+    boundary can still diverge (including a tie between a pair MINTED
+    by an earlier merge in the batch and the next candidate — the
+    minted pair does not exist in the pre-batch counts, so only the
+    sequential trainer can see it win the tiebreak); batch=1 keeps
+    bit-parity.
+
+    Returns (admitted, exhausted) — exhausted=True when the cut was a
+    below-min_count candidate (training is done, not just the batch).
+    """
+    admitted: list[tuple[str, str, int]] = []
+    elems: set[str] = set()
+    fuseds: set[str] = set()
+    for row in cands[:budget]:
+        a, b, n = row["a"], row["b"], int(row["n"])
+        if n < min_count:
+            return admitted, True
+        fused = a + b
+        if (
+            a in elems or b in elems or fused in elems
+            or a in fuseds or b in fuseds
+        ):
+            return admitted, False
+        admitted.append((a, b, n))
+        elems.update((a, b))
+        fuseds.add(fused)
+    return admitted, False
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 32,
     text_col: str = "text",
     min_count: int = 1,
+    batch: int = 1,
 ) -> list[tuple[int, str, str, int]]:
     """Full BPE tokenizer training (Sennrich et al. 2016 / Gage 1994,
     public algorithm): iterate ``bpe_pair_counts``'s merge statistic —
@@ -497,14 +546,20 @@ def bpe_train(
     Scale shape: the corpus-size pass happens ONCE (the word-frequency
     count, map-side combined). Every merge round then runs over the
     DISTINCT-word symbol table — |vocab| rows, corpus-size-independent
-    — as (a) one map-side-combined pair-count agg + a 1-row collect
-    and (b) a narrow in-place fold rewriting each word's symbol array
-    (pure JVM ``aggregate``; greedy correctness: a freshly fused
-    symbol is strictly longer than ``a``, so "last emitted == a" can
-    only match an original symbol — exactly the pairs the sequential
-    scan fuses). ``localCheckpoint(eager=False)`` per round keeps the
-    plan from growing by one fold per merge; the next round's count is
-    the materializing action (no extra job).
+    — as (a) one map-side-combined pair-count agg + a tiny collect and
+    (b) a narrow in-place fold rewriting each word's symbol array
+    (pure JVM ``aggregate``). ``localCheckpoint(eager=False)`` per
+    round keeps the plan from growing by one fold per round; the next
+    round's count is the materializing action (no extra job).
+
+    ``batch`` bounds how many merges one round may fuse. The default 1
+    is the bit-exact sequential trainer (one Spark job per merge —
+    honest at n_merges≈32, unusable at a real 32k-merge vocabulary).
+    ``batch>1`` admits the compatible PREFIX of each round's top pairs
+    (see ``_bpe_compatible_prefix``): identical merge table whenever
+    the admitted counts are untied (the standard fast-BPE batching);
+    at 32k merges it cuts the round count by roughly the average
+    prefix length (measured in SCALE.md §Round-7).
 
     Stops early when no pair reaches ``min_count`` (or none exists).
     Proof: python-twin equivalence in tests (iterative training is not
@@ -520,7 +575,8 @@ def bpe_train(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
+    while len(merges) < n_merges:
+        budget = min(max(batch, 1), n_merges - len(merges))
         top = (
             vocab.filter(F.size("_syms") >= 2)
             .select(
@@ -535,29 +591,50 @@ def bpe_train(
             .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
             .agg(F.sum("_cnt").cast("long").alias("n"))
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            .limit(budget)
             .collect()
         )
-        if not top or top[0]["n"] < min_count:
+        admitted, exhausted = _bpe_compatible_prefix(top, budget, min_count)
+        if not admitted:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        merges.append((rank, a, b, n))
-        fused = F.lit(a + b)
+        base = len(merges)  # extend is lazy: snapshot BEFORE it appends
+        merges.extend(
+            (base + i, a, b, n)
+            for i, (a, b, n) in enumerate(admitted)
+        )
+        # one fold fuses the whole batch: symbol-disjointness makes each
+        # admitted 'a' the unique map key, and the no-fused-collision
+        # rule guarantees a freshly fused symbol never re-keys the map
+        pair_map = F.create_map(
+            *[
+                lit
+                for a, b, _ in admitted
+                for lit in (
+                    F.lit(a),
+                    F.struct(F.lit(b).alias("b"), F.lit(a + b).alias("f")),
+                )
+            ]
+        )
+
+        def _step(acc, x):
+            hit = F.element_at(pair_map, F.element_at(acc, -1))
+            return F.when(
+                (F.size(acc) > 0) & (hit["b"] == x),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(hit["f"])
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
         merged = F.aggregate(
             F.col("_syms"),
             F.expr("CAST(array() AS array<string>)"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(fused)
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+            _step,
         )
         vocab = vocab.select(
             merged.alias("_syms"), F.col("_cnt")
         ).localCheckpoint(eager=False)
+        if exhausted:
+            break
     return merges
 
 
