@@ -1678,6 +1678,84 @@ def q_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decompress_text(media)
 
 
+def q_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-path twin of q_decompress/q_image_decode (r7): the happy
+    paths are driver-proven, this proves the FAILURE handling. Every
+    doc's text is gzipped, then doc_id%5==0 gets its CRC byte flipped
+    and %5==1 is truncated mid-stream — ``decompress_text``'s
+    on_error='null' must quarantine exactly those rows to NULL and
+    decode the rest. Each doc also plants an image: a valid PPM,
+    except doc_id%4==0 plants a PROGRESSIVE JPEG (a baseline stream
+    with SOF0 re-marked 0xc2) — ``decode_image`` must refuse it with
+    the exact NotImplementedError message, never garbage pixels. The
+    oracle re-derives quarantine membership, surviving text lengths,
+    and the refusal strings from the planted id arithmetic."""
+    import gzip as _gzip
+
+    import numpy as np
+    import pandas as pd
+
+    from xenoeye_spark.datapipe.codecs import encode_ppm
+    from xenoeye_spark.datapipe.codecs_jpeg import encode_jpeg_gray
+    from xenoeye_spark.datapipe.text import decompress_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2048)
+
+    base_jpeg = bytearray(encode_jpeg_gray(np.full((8, 8), 100.0)))
+    i0 = base_jpeg.index(b"\xff\xc0")
+    base_jpeg[i0 + 1] = 0xC2                      # SOF0 -> SOF2
+    prog_jpeg = bytes(base_jpeg)
+    ppm = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                i, raw = int(did), str(text).encode("utf-8")
+                gz = bytearray(_gzip.compress(raw, mtime=0))
+                if i % 5 == 0:
+                    gz[-5] ^= 0xFF                # corrupt the CRC32
+                elif i % 5 == 1:
+                    gz = gz[:11]                  # header + 1 byte
+                img = prog_jpeg if i % 4 == 0 else ppm
+                rows.append((i, bytearray(gz), bytearray(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "img"])
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build, schema="doc_id long, content binary, img binary"
+    )
+
+    def img_errs(batches):
+        from xenoeye_spark.datapipe.codecs import decode_image
+
+        for pdf in batches:
+            errs = []
+            for raw in pdf["img"]:
+                try:
+                    decode_image(bytes(raw))
+                    errs.append("")
+                except NotImplementedError as e:
+                    # ONLY the documented honest-boundary refusal is
+                    # caught; anything else stays loud
+                    errs.append(f"NotImplementedError: {e}")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "img_err": errs})
+
+    errs = media.select("doc_id", "img").mapInPandas(
+        img_errs, schema="doc_id long, img_err string"
+    )
+    texts = decompress_text(media.select("doc_id", "content"),
+                            on_error="null")
+    return (
+        texts.join(errs, "doc_id")
+        .select(
+            "doc_id",
+            F.col("text").isNotNull().alias("text_ok"),
+            F.length("text").cast("long").alias("text_len"),
+            "img_err",
+        )
+    )
+
+
 def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode (r6): each doc (id < 256) plants a 4-frame
     MJPEG AVI whose frame f is a FLAT 16x8 gray JPEG at level
@@ -1852,7 +1930,9 @@ GATE_CORE = [
 ]
 
 GATE_POOL = [
-    # r6 additions lead (new queries gate in their first round)
+    # r7 additions lead (new queries gate in their first round)
+    "decode_quarantine",
+    # r6 additions
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
     "ivfpq_topk", "incremental_dedup", "hist_quantiles",
     "video_decode", "decompress", "image_resize",
@@ -2005,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "video_decode": q_video_decode,
         "decompress": q_decompress,
+        "decode_quarantine": q_decode_quarantine,
         "image_resize": q_image_resize,
     }
     order = gate_order()
@@ -4256,6 +4337,21 @@ FROM f
         # decompress: the oracle IS the original text — only a correct
         # gzip/zlib sniff + inflate + utf-8 decode reproduces it.
         "decompress": "SELECT doc_id, text FROM documents",
+        # decode_quarantine: quarantine membership (corrupt CRC /
+        # truncated members -> NULL), surviving text lengths, and the
+        # progressive-JPEG refusal strings, all from the planted id
+        # arithmetic.
+        "decode_quarantine": """
+SELECT doc_id,
+       (doc_id % 5) NOT IN (0, 1) AS text_ok,
+       CASE WHEN (doc_id % 5) IN (0, 1) THEN NULL
+            ELSE CAST(length(text) AS BIGINT) END AS text_len,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'NotImplementedError: non-baseline JPEG '
+                 || '(SOF marker 0xc2)'
+            ELSE '' END AS img_err
+FROM documents WHERE doc_id < 2048
+""",
         # image_resize: every resized byte re-derived — nearest-
         # neighbor sample index y*h//4, x*w//4 into the closed-form
         # raster, hex-encoded in (y, x, c) row-major order.
