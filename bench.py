@@ -129,6 +129,22 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # r7 protocol note: queries whose timings were stable across the
+    # r4/r5/r6 driver benches (all three figures within a 1.5x band and
+    # <1s spread) run min(reps, 2) — the rotation only grows the query
+    # set, and a third rep of a 3-rounds-stable query buys nothing. New,
+    # changed, or noisy queries keep the full rep count, and the stall
+    # detector below still adds reps to ANY query whose runs disagree.
+    stable = {
+        "classify_stamp", "classify_toppercent", "corpus_curate",
+        "dedup_minhash_lsh_expr", "doc_fingerprint", "doc_fingerprint_expr",
+        "filter_hierarchy", "frame_fanout", "frame_sample", "fwm_func_key",
+        "geoip_lpm", "interval_join", "kmv_distinct", "length_quantiles",
+        "mo_pipeline", "multimodal_dims", "sim_lsh_topk", "sim_topk",
+        "simhash", "simhash_neardup_expr", "stratified_sample",
+        "time_rollup",
+    }
+
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     timings_spread: dict[str, float] = {}
@@ -144,8 +160,9 @@ def main() -> None:
         return max(runs) > 3 * min(runs) and max(runs) - min(runs) > 1.0
 
     for name, fn in qmap.items():
+        want = min(reps, 2) if name in stable else reps
         runs = []
-        while len(runs) < reps or (noisy(runs) and len(runs) < reps + extra_reps):
+        while len(runs) < want or (noisy(runs) and len(runs) < want + extra_reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # force full materialization of every output row JVM-side
@@ -196,6 +213,13 @@ def main() -> None:
         "queries_spread": timings_spread,
         "total_min": total_min,
         "reps": reps,
+        "protocol": (
+            "r7: 3-round-stable queries run min(reps,2); stall detector "
+            "still extends any noisy query. Final line carries the most "
+            "expensive queries that fit the driver's 2000B capture; this "
+            "sidecar is always complete."
+        ),
+        "reps_trimmed": sorted(stable),
     }
     try:
         sidecar = os.path.join(
@@ -210,33 +234,50 @@ def main() -> None:
     print(build_final_line(timings, total, reps, sf, probe_mode, probe))
 
 
-# The driver json-parses only the TAIL of stdout; an overlong final line
-# arrives truncated and voids the round's bench (round 3). Everything
-# that goes on the line flows through here so tests/test_review_fixes.py
-# can enforce the budget against the full current query set.
-FINAL_LINE_MAX_BYTES = 4096
+# The driver json-parses only the TAIL of stdout — and round 6 proved
+# the capture window is 2000 BYTES (BENCH_r06.json: tail len 2000, the
+# line's HEAD was clipped and "parsed" came back null even though the
+# line was under the old 4096 budget). Everything that goes on the line
+# flows through here so tests/test_review_fixes.py can enforce the
+# budget against the full current query set.
+FINAL_LINE_MAX_BYTES = 2000
 
 
 def build_final_line(
     timings: dict, total: float, reps: int, sf: str,
     probe_mode: str, probe: dict,
 ) -> str:
-    line = json.dumps({
-        "metric": "total_query_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "reps": reps,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "probe_mode": probe_mode,
-        **probe,
-    })
-    if len(line.encode()) > FINAL_LINE_MAX_BYTES:
-        # degrade rather than void the round: drop per-query detail (it
-        # lives in bench_detail.json) and keep the headline parseable
-        slim = json.loads(line)
-        slim["queries"] = {"_dropped": f"> {FINAL_LINE_MAX_BYTES}B, see bench_detail.json"}
-        line = json.dumps(slim)
+    """One parseable JSON line within the driver's 2000-byte capture.
+
+    The full per-query map no longer fits (92 queries x ~25B > 2KB), so
+    the line carries the MOST EXPENSIVE queries first and stops before
+    the budget, recording how many cheap ones were cut ("_omitted"; the
+    complete map always lives in bench_detail.json + stderr). Greedy by
+    cost keeps the informative entries on the line — the omitted tail
+    is sub-second queries whose sum is in the headline anyway."""
+
+    def render(qmap: dict, omitted: int) -> str:
+        shown = dict(qmap)
+        if omitted:
+            shown["_omitted"] = f"{omitted} cheap, see bench_detail.json"
+        return json.dumps({
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": shown,
+            "reps": reps,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "probe_mode": probe_mode,
+            **probe,
+        })
+
+    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    keep = {k: round(v, 2) for k, v in by_cost}
+    line = render(keep, 0)
+    while len(line.encode()) > FINAL_LINE_MAX_BYTES and keep:
+        cut = max(0, len(keep) - 8)           # geometric-ish backoff
+        keep = {k: round(v, 2) for k, v in by_cost[:cut]}
+        line = render(keep, len(timings) - len(keep))
     return line
 
 

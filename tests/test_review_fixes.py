@@ -574,16 +574,23 @@ def test_dump_flows_stream_file_sink(spark, tmp_path):
 
 
 def test_bench_final_line_fits_driver_capture():
-    """The driver parses only the TAIL of bench stdout (~4KB observed):
-    the final JSON line, built with the FULL current query set at
-    realistic magnitudes plus every probe field, must parse and fit —
-    adding a query or a field can't silently re-void a round (round 3)."""
+    """The driver parses only the TAIL of bench stdout, and round 6
+    PROVED the window is 2000 bytes (BENCH_r06.json: 2000-byte tail,
+    head clipped, parsed=null despite the line being under the old 4KB
+    budget). The final JSON line, built with the FULL current query set
+    plus every probe field, must parse and fit — the most expensive
+    queries survive on the line, the cheap tail degrades to _omitted
+    with the complete map in bench_detail.json."""
     import json
 
     import __spark_entry__ as entrymod
     from bench import FINAL_LINE_MAX_BYTES, build_final_line
 
-    timings = {name: 9999.99 for name in entrymod.queries()}
+    assert FINAL_LINE_MAX_BYTES <= 2000, "driver capture observed at 2000B"
+    names = list(entrymod.queries())
+    # realistic magnitudes with distinct costs so the greedy order is
+    # deterministic: the most expensive queries must be ON the line
+    timings = {n: 0.1 + i * 0.07 for i, n in enumerate(names)}
     probe = {
         "flows_per_sec": 999_999_999,
         "flows_per_sec_min": 999_999_999,
@@ -597,7 +604,13 @@ def test_bench_final_line_fits_driver_capture():
     assert len(line.encode()) <= FINAL_LINE_MAX_BYTES
     parsed = json.loads(line)
     assert parsed["metric"] == "total_query_wall_sec"
-    assert set(parsed["queries"]) == set(entrymod.queries())
+    shown = {k for k in parsed["queries"] if not k.startswith("_")}
+    assert shown <= set(names)
+    # the top-cost queries are all on the line
+    by_cost = sorted(names, key=lambda n: -timings[n])
+    assert set(by_cost[:20]) <= shown
+    if shown != set(names):
+        assert "_omitted" in parsed["queries"]
 
     # the overflow path degrades to a parseable headline, never truncates
     fat = {f"query_with_a_long_name_{i}": 9999.99 for i in range(400)}
