@@ -172,6 +172,58 @@ def q_fwm_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("time", "user_id", F.round("sum_value", 6).alias("sum_value"))
 
 
+def q_star_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue rollup through the reference's top-N+others
+    operator (r7): lineitem -> orders -> customer -> nation -> region,
+    revenue grouped by (r_name, n_name), global top-3 + the NULL-keyed
+    others row (monit-objects-fwm.c:403-481 semantics over a TPC-H
+    shape). Join strategy is the 100-TB plan: nation/region broadcast
+    explicitly (tiny dims), orders/customer left to Catalyst/AQE —
+    broadcast at test SF, shuffle hash at scale — and the top-N window
+    runs on the POST-aggregation rows (<= |nation| groups). Revenue is
+    exact DECIMAL arithmetic end-to-end so both engines sum the same
+    value regardless of row order; the cast to double happens once, on
+    the final exact decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)")
+        - F.col("l_discount").cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name",
+                                     "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+    out = top_n_with_others(
+        agg,
+        key_cols=["r_name", "n_name"],
+        val_cols=["revenue", "n_items"],
+        order_by=[F.col("revenue").desc()],
+        n=3,
+    )
+    return out.select(
+        "r_name", "n_name",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
 def q_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter DSL: value-list folding, ranges, NOT/AND/OR precedence
     (filter-parser.c grammar) bound to the events table."""
@@ -1904,9 +1956,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     query) by GATE_ROUND: the window advances len(slots) pool entries
 #     per round, so every pool query is driver-gated at least once per
 #     ceil(len(pool)/slots) rounds. Bump GATE_ROUND each round.
-#   * New oracled queries are PREPENDED to GATE_POOL so their first
-#     round is a gated round; rows-only twins (each with an oracled
-#     sibling) always sit last. test_plan_lint.py asserts all of this.
+#   * New oracled queries are placed INSIDE the current round's window
+#     slice so their first round is a gated round (prepend when the
+#     wrap covers the pool head, as in r6; append into the tail when
+#     the offset points there, as in r7); rows-only twins (each with an
+#     oracled sibling) always sit last. test_plan_lint.py asserts all
+#     of this.
 #   * scripts/selftest.py proves the off-window remainder every round.
 # ---------------------------------------------------------------------------
 
@@ -1914,13 +1969,12 @@ GATE_WINDOW = 50
 GATE_ROUND = 7
 
 # Per-round pins: queries forced INTO that round's window regardless of
-# the rotation offset. r7 pins url_filter — r6's only red row was its
-# array<string> output column tripping the driver harness, fixed this
-# round by scalarizing in the gate query; without the pin the rotation
-# would defer the re-proof to r8. The evicted slot is always one the
-# NEXT round's window re-proves, so pool coverage stays within the
-# ceil(pool/slots) cycle (test_gate_rotation_schedule checks this).
-GATE_PIN: dict[int, list[str]] = {7: ["url_filter"]}
+# the rotation offset. A pin evicts an in-window entry that the NEXT
+# round's window re-proves; when consecutive windows are disjoint (no
+# safe victim exists) gate_order raises — reorder GATE_POOL instead, as
+# r7 did for the url_filter re-proof (the r6 harness-array fix sits in
+# the window by pool placement, not by pin).
+GATE_PIN: dict[int, list[str]] = {}
 
 GATE_CORE = [
     "fwm_topn_others", "filter_dsl", "filter_hierarchy", "scalar_div",
@@ -1930,8 +1984,6 @@ GATE_CORE = [
 ]
 
 GATE_POOL = [
-    # r7 additions lead (new queries gate in their first round)
-    "decode_quarantine",
     # r6 additions
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
     "ivfpq_topk", "incremental_dedup", "hist_quantiles",
@@ -1939,9 +1991,11 @@ GATE_POOL = [
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
-    # r5 additions — never driver-gated before r6
+    # r5 additions — never driver-gated before r6 (url_filter moved to
+    # the r7 tail below: its r6 gate run hit the harness array bug and
+    # the fix must be driver-proven THIS round)
     "pii_scrub", "text_normalize", "semdedup", "chunk_docs",
-    "repetition", "url_filter", "quantize", "rand_proj", "temperature",
+    "repetition", "quantize", "rand_proj", "temperature",
     "char_entropy", "best_of_class", "mask_spans",
     # r1-r4 queries, in their historical gate order
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh_expr",
@@ -1953,6 +2007,12 @@ GATE_POOL = [
     "interval_join", "gopher_quality", "segment_dedup", "bm25",
     "vocab_topk", "kmv_distinct", "contamination", "length_quantiles",
     "tfidf_topterms", "hash_split", "pack_sequences", "bigram_lm",
+    # r7 entries placed INSIDE the r7 window slice (offset 33 of 66
+    # puts the window at the pool TAIL this round, so the r6 head-
+    # prepend convention would skip their first-round gating):
+    # url_filter re-proof (the r6 harness-array fix) + the two new
+    # oracled queries
+    "url_filter", "decode_quarantine", "star_topn",
 ]
 
 GATE_ROWS_ONLY = [
@@ -1986,8 +2046,17 @@ def gate_order(round_no: int = GATE_ROUND) -> list[str]:
         if pin in in_window:
             continue
         nxt = set(_rotation_window(round_no + 1))
-        victims = [n for n in reversed(in_window) if n in nxt]
-        victim = victims[0] if victims else in_window[-1]
+        victims = [
+            n for n in reversed(in_window)
+            if n in nxt and n not in GATE_PIN.get(round_no, [])
+        ]
+        if not victims:
+            raise RuntimeError(
+                f"GATE_PIN[{round_no}] has no safe eviction (next "
+                "round's window re-proves none of this window); "
+                "reorder GATE_POOL to place the query in-window instead"
+            )
+        victim = victims[0]
         in_window[in_window.index(victim)] = pin
         overflow[overflow.index(pin)] = victim
     assert len(in_window) == slots
@@ -2087,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompress": q_decompress,
         "decode_quarantine": q_decode_quarantine,
         "image_resize": q_image_resize,
+        "star_topn": q_star_topn,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -4337,6 +4407,35 @@ FROM f
         # decompress: the oracle IS the original text — only a correct
         # gzip/zlib sniff + inflate + utf-8 decode reproduces it.
         "decompress": "SELECT doc_id, text FROM documents",
+        # star_topn: the same star join + exact decimal revenue + the
+        # row_number cut and NULL-keyed others rollup, re-derived in
+        # SQL with the operator's exact tiebreak order.
+        "star_topn": """
+WITH agg AS (
+  SELECT r_name, n_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4))
+                - CAST(l_discount AS DECIMAL(18,4)))) AS rev,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem
+  JOIN orders   ON l_orderkey  = o_orderkey
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+           ORDER BY rev DESC, r_name ASC, n_name ASC) AS rn
+  FROM agg
+)
+SELECT r_name, n_name,
+       round(CAST(rev AS DOUBLE), 2) AS revenue, n_items
+FROM ranked WHERE rn <= 3
+UNION ALL
+SELECT NULL, NULL, round(CAST(SUM(rev) AS DOUBLE), 2),
+       CAST(SUM(n_items) AS BIGINT)
+FROM ranked WHERE rn > 3 HAVING count(*) > 0
+""",
         # decode_quarantine: quarantine membership (corrupt CRC /
         # truncated members -> NULL), surviving text lengths, and the
         # progressive-JPEG refusal strings, all from the planted id
