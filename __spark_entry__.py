@@ -2037,7 +2037,7 @@ def gate_order(round_no: int = GATE_ROUND) -> list[str]:
 
     GATE_PIN[round_no] entries are swapped into the window; each pin
     evicts the LAST in-window entry that the next round's window
-    re-proves (falling back to the last entry outright), so a pin never
+    re-proves (raising when no safe victim exists), so a pin never
     pushes a pool query's driver proof past the rotation cycle."""
     slots = GATE_WINDOW - len(GATE_CORE)
     in_window = _rotation_window(round_no)
