@@ -1730,6 +1730,36 @@ def q_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decompress_text(media)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact-substring excision (Lee et al. 2022) over
+    planted repeats: every 6th doc appends the SAME 70-char sentence
+    (cross-doc duplicate: only the smallest doc_id keeps it) and every
+    9th doc re-appends its own first 40 characters (within-doc
+    duplicate: the opening stays, the echo goes). The oracle re-derives
+    every stride-1 window, the global first-occurrence rule, the
+    gaps-and-islands span merge, and the byte-exact rebuilt text (md5)
+    in SQL. The gate runs key='exact' (window strings ARE the join
+    keys, collision-free); key='hash' is the 8-byte-shuffle scale path,
+    asserted equal in tests."""
+    from xenoeye_spark.datapipe.dedup import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    shared = (" SHARED-CONTAMINATION-SENTENCE-FOR-SUBSTRING-DEDUP"
+              "-TESTING-0123456789")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(shared))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.concat(F.lit(" "), F.col("text").substr(1, 40)))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return substring_dedup(planted, length=32, key="exact")
+
+
 def q_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-path twin of q_decompress/q_image_decode (r7): the happy
     paths are driver-proven, this proves the FAILURE handling. Every
@@ -1983,22 +2013,32 @@ GATE_CORE = [
     "fwm_sampling", "mo_pipeline", "fwm_func_key", "corpus_curate",
 ]
 
+# Round-7 pool layout. With 67 entries the cycle is 3 rounds and the
+# r7 window is the slice [33:66]. The layout puts the four queries
+# needing r7 proof (url_filter's harness fix + the three new oracled
+# queries) plus the r1-r4 backlog (last proven r5) INSIDE that slice;
+# everything deferred to r8/r9 (indices 0..32 and 66) was driver-proven
+# in r6, so no query's proof gap exceeds the rotation cycle.
 GATE_POOL = [
-    # r6 additions
+    # --- deferred side (all r6-proven): r6 additions ---
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
     "ivfpq_topk", "incremental_dedup", "hist_quantiles",
     "video_decode", "decompress", "image_resize",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
     "training_prep", "image_decode", "audio_decode", "bpe_pairs",
-    # r5 additions — never driver-gated before r6 (url_filter moved to
-    # the r7 tail below: its r6 gate run hit the harness array bug and
-    # the fix must be driver-proven THIS round)
+    # --- deferred side (r6-proven): r5 additions (url_filter sits in
+    # the window slice below — its r6 run hit the harness array bug and
+    # the fix must be driver-proven THIS round) ---
     "pii_scrub", "text_normalize", "semdedup", "chunk_docs",
     "repetition", "quantize", "rand_proj", "temperature",
     "char_entropy", "best_of_class", "mask_spans",
-    # r1-r4 queries, in their historical gate order
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh_expr",
+    # --- deferred side: the two r1-r4 queries the r6 window carried
+    # (r6-proven; index 32 re-proves only at r9, so it must hold one of
+    # them) plus dedup_minhash_lsh_expr at 31 (r5-proven -> r8, a
+    # 3-round gap = the cycle bound)
+    "dedup_exact", "dedup_minhash_lsh_expr", "dedup_ngram_jaccard",
+    # --- r7 window slice [33:66): r1-r4 backlog in historical order ---
     "text_stats", "text_langid", "sim_topk", "token_count",
     "doc_fingerprint_expr", "emb_neardup", "sim_ivf_fixed",
     "multimodal_dims", "frame_fanout", "sim_lsh_topk", "emb_neardup_lsh",
@@ -2006,13 +2046,11 @@ GATE_POOL = [
     "stratified_sample", "asof_join", "sessionize", "time_rollup",
     "interval_join", "gopher_quality", "segment_dedup", "bm25",
     "vocab_topk", "kmv_distinct", "contamination", "length_quantiles",
-    "tfidf_topterms", "hash_split", "pack_sequences", "bigram_lm",
-    # r7 entries placed INSIDE the r7 window slice (offset 33 of 66
-    # puts the window at the pool TAIL this round, so the r6 head-
-    # prepend convention would skip their first-round gating):
-    # url_filter re-proof (the r6 harness-array fix) + the two new
-    # oracled queries
-    "url_filter", "decode_quarantine", "star_topn",
+    "tfidf_topterms", "hash_split", "pack_sequences",
+    # --- r7 window slice: proof-critical r7 entries ---
+    "substring_dedup", "url_filter", "decode_quarantine", "star_topn",
+    # --- index 66: joins the r8 window via the rotation wrap ---
+    "bigram_lm",
 ]
 
 GATE_ROWS_ONLY = [
@@ -2157,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_quarantine": q_decode_quarantine,
         "image_resize": q_image_resize,
         "star_topn": q_star_topn,
+        "substring_dedup": q_substring_dedup,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -4407,6 +4446,71 @@ FROM f
         # decompress: the oracle IS the original text — only a correct
         # gzip/zlib sniff + inflate + utf-8 decode reproduces it.
         "decompress": "SELECT doc_id, text FROM documents",
+        # substring_dedup: every stride-1 window, the global
+        # first-occurrence rule, the gaps-and-islands span merge, and
+        # the byte-exact rebuilt text (md5), all re-derived in SQL.
+        "substring_dedup": """
+WITH p AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 6 = 0
+              THEN ' SHARED-CONTAMINATION-SENTENCE-FOR-SUBSTRING-DEDUP'
+                   || '-TESTING-0123456789' ELSE '' END ||
+         CASE WHEN doc_id % 9 = 0
+              THEN ' ' || substr(text, 1, 40) ELSE '' END AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, CAST(g.i AS INTEGER) AS pos,
+         substr(t, CAST(g.i AS INTEGER), 32) AS win
+  FROM p, unnest(generate_series(1, length(t) - 31)) AS g(i)
+  WHERE length(t) >= 32
+), r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+         count(*)    OVER (PARTITION BY win) AS cnt
+  FROM w
+), rm AS (
+  SELECT doc_id, pos FROM r WHERE cnt > 1 AND rn > 1
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(max(pos + 32) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newi
+  FROM rm
+), isl2 AS (
+  SELECT doc_id, pos,
+         SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 32 AS e
+  FROM isl2 GROUP BY 1, 2
+), pieces AS (
+  SELECT sp.doc_id, sp.s, sp.e, p.t,
+         COALESCE(lag(sp.e) OVER (PARTITION BY sp.doc_id ORDER BY sp.s),
+                  1) AS prev_e
+  FROM spans sp JOIN p USING (doc_id)
+), rb AS (
+  SELECT doc_id,
+         string_agg(substr(t, prev_e, s - prev_e), '' ORDER BY s)
+           AS head_t,
+         max(e) AS tail_from,
+         CAST(count(*) AS BIGINT) AS n_removed_spans,
+         CAST(SUM(e - s) AS BIGINT) AS n_removed_chars
+  FROM pieces GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(greatest(length(p.t) - 31, 0) AS BIGINT) AS n_windows,
+       COALESCE(rb.n_removed_spans, 0) AS n_removed_spans,
+       COALESCE(rb.n_removed_chars, 0) AS n_removed_chars,
+       CAST(length(COALESCE(rb.head_t || substr(p.t, rb.tail_from),
+                            p.t)) AS BIGINT) AS len_after,
+       md5(COALESCE(rb.head_t || substr(p.t, rb.tail_from), p.t))
+         AS out_md5
+FROM p LEFT JOIN rb ON p.doc_id = rb.doc_id
+""",
         # star_topn: the same star join + exact decimal revenue + the
         # row_number cut and NULL-keyed others rollup, re-derived in
         # SQL with the operator's exact tiebreak order.

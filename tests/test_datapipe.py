@@ -540,3 +540,95 @@ def test_connected_components_property(spark):
         got = {(r["node"], r["rep"]) for r in connected_components(df).collect()}
         want = set(_uf_components(edges).items())
         assert got == want, f"mismatch on case with {len(edges)} edges"
+
+
+# ------------------------------------------- r7: exact substring dedup
+
+def _substr_dedup_twin(texts: dict[int, str], L: int):
+    """Reference ExactSubstr: global first occurrence of any repeated
+    L-window wins; all other occurrences merge into spans and are
+    excised."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for did in sorted(texts):
+        t = texts[did]
+        for i in range(len(t) - L + 1):
+            occ.setdefault(t[i:i + L], []).append((did, i + 1))
+    removed: dict[int, list[int]] = {d: [] for d in texts}
+    for positions in occ.values():
+        if len(positions) > 1:
+            for did, pos in positions[1:]:
+                removed[did].append(pos)
+    out = {}
+    for did, t in texts.items():
+        spans = []
+        for pos in sorted(removed[did]):
+            if spans and pos <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], pos + L)
+            else:
+                spans.append([pos, pos + L])
+        kept, prev = [], 1
+        for s, e in spans:
+            kept.append(t[prev - 1:s - 1])
+            prev = e
+        kept.append(t[prev - 1:])
+        out[did] = (
+            max(len(t) - L + 1, 0),
+            len(spans),
+            sum(e - s for s, e in spans),
+            "".join(kept),
+        )
+    return out
+
+
+def test_substring_dedup_matches_python_twin(spark):
+    """Distributed substring_dedup == the reference excision, doc by
+    doc: cross-doc repeats (first doc keeps), within-doc repeats
+    (opening stays), overlapping spans merged, short docs untouched."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.dedup import substring_dedup
+
+    texts = {
+        0: "aaaa THE-COMMON-BOILERPLATE-FOOTER-LINE bbbb",
+        1: "cccc THE-COMMON-BOILERPLATE-FOOTER-LINE dddd",
+        2: "eeee THE-COMMON-BOILERPLATE-FOOTER-LINE ffff "
+           "THE-COMMON-BOILERPLATE-FOOTER-LINE gggg",
+        3: "totally unique document with no repeats whatsoever here",
+        4: "xy" * 30,                 # self-overlapping periodic repeat
+        5: "tiny",                    # shorter than the window
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    L = 16
+    want = _substr_dedup_twin(texts, L)
+    for key in ("exact", "hash"):
+        got = {
+            r.doc_id: r.asDict()
+            for r in substring_dedup(docs, length=L, key=key).collect()
+        }
+        for did, (nw, nsp, nch, out_t) in want.items():
+            g = got[did]
+            assert g["n_windows"] == nw, (key, did)
+            assert g["n_removed_spans"] == nsp, (key, did)
+            assert g["n_removed_chars"] == nch, (key, did)
+            assert g["len_after"] == len(out_t), (key, did)
+            assert g["out_md5"] == hashlib.md5(
+                out_t.encode()
+            ).hexdigest(), (key, did)
+    # first-occurrence doc keeps everything
+    assert want[0][2] == 0 and want[1][2] > 0
+
+
+def test_substring_dedup_validates_args(spark):
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.dedup import substring_dedup
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="abc")])
+    with pytest.raises(ValueError, match="hash|exact"):
+        substring_dedup(docs, key="md5")
+    with pytest.raises(ValueError, match=">= 2"):
+        substring_dedup(docs, length=1)

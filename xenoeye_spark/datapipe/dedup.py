@@ -901,3 +901,156 @@ def incremental_dedup(
             "jaccard",
         )
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    length: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: str = "hash",
+) -> DataFrame:
+    """Cross-corpus EXACT substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr stage): any ``length``-char window occurring more than
+    once ANYWHERE in the corpus keeps only its globally-first
+    occurrence (smallest (doc_id, pos)); every other occurrence is
+    excised from its document in place.
+
+    Pipeline, all JVM expressions (no Python in the hot path):
+    1. stride-1 windows per doc — O(total_chars) rows, the operator's
+       honest linear blow-up (the reference algorithm's suffix array is
+       the same asymptotic footprint);
+    2. ONE shuffle grouped on the window key: ``key='hash'`` (default)
+       shuffles 8-byte xxhash64 keys — the 100-TB path; ``key='exact'``
+       shuffles the window strings themselves — collision-free, used by
+       the oracle twin and asserted equal to the hash path in tests;
+       the first occurrence resolves with a min(struct(doc_id, pos))
+       map-side-combinable aggregate, never a window over the corpus;
+    3. non-first occurrences come back to their docs and merge into
+       excision spans with per-DOC gaps-and-islands (window functions
+       partitioned by doc — bounded by the doc's own dup count);
+    4. the deduped text is rebuilt by ONE fold over the doc's sorted
+       spans (substring concatenation between spans).
+
+    Output per doc: (id_col, n_windows, n_removed_spans,
+    n_removed_chars, len_after, out_md5) — md5 of the rebuilt text
+    makes the excision byte-exact-checkable without shipping the text.
+    Docs shorter than ``length`` pass through untouched.
+    """
+    from pyspark.sql import Window
+
+    if key not in ("hash", "exact"):
+        raise ValueError(f"key must be hash|exact: {key!r}")
+    L = int(length)
+    if L < 2:
+        raise ValueError("window length must be >= 2")
+
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    )
+    # NB: guard the short-doc case with CASE, not greatest(.., 0):
+    # Spark's sequence(1, 0) is DESCENDING [1, 0] (implicit step -1)
+    # and would mint two phantom whole-doc windows per short doc
+    win_elem = (
+        f"xxhash64(substring(_t, i, {L}))" if key == "hash"
+        else f"substring(_t, i, {L})"
+    )
+    win_type = "array<bigint>" if key == "hash" else "array<string>"
+    wins = spread(base).select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN length(_t) >= {L} THEN "
+                f"transform(sequence(1, length(_t) - {L} + 1), "
+                f"i -> {win_elem}) "
+                f"ELSE cast(array() as {win_type}) END"
+            )
+        ).alias("_off", "_w"),
+    ).select("_id", (F.col("_off") + 1).alias("_pos"), "_w")
+
+    # one map-side-combinable agg per distinct window: total count +
+    # the global first occurrence
+    firsts = wins.groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct("_id", "_pos")).alias("_first"),
+    )
+    removed = (
+        wins.join(firsts.filter(F.col("_cnt") > 1), "_w")
+        .filter(
+            (F.col("_id") != F.col("_first._id"))
+            | (F.col("_pos") != F.col("_first._pos"))
+        )
+        .select("_id", "_pos")
+    )
+
+    # gaps-and-islands span merge, per doc (ties impossible: one row
+    # per (_id, _pos) by construction)
+    w_prev = (
+        Window.partitionBy("_id").orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("_id").orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        removed
+        .withColumn(
+            "_newi",
+            (
+                F.col("_pos")
+                > F.coalesce(F.max(F.col("_pos") + L).over(w_prev),
+                             F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("_isl", F.sum("_newi").over(w_run))
+        .groupBy("_id", "_isl")
+        .agg(
+            F.min("_pos").alias("_s"),
+            (F.max("_pos") + L).alias("_e"),   # [s, e), 1-based
+        )
+    )
+    per_doc = spans.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed_spans"),
+        F.sum(F.col("_e") - F.col("_s")).cast("long")
+        .alias("n_removed_chars"),
+        F.array_sort(F.collect_list(F.struct("_s", "_e"))).alias("_sp"),
+    )
+
+    n_wins = F.greatest(F.length("_t") - L + 1, F.lit(0)).cast("long")
+    # fold: acc = (next kept char position, rebuilt prefix)
+    acc0 = F.struct(F.lit(1).alias("p"), F.lit("").alias("o"))
+    rebuilt = F.aggregate(
+        F.col("_sp"),
+        acc0,
+        lambda acc, sp: F.struct(
+            sp["_e"].alias("p"),
+            F.concat(
+                acc["o"],
+                F.col("_t").substr(acc["p"], sp["_s"] - acc["p"]),
+            ).alias("o"),
+        ),
+        lambda acc: F.concat(
+            acc["o"],
+            F.col("_t").substr(acc["p"],
+                               F.greatest(F.length("_t") - acc["p"] + 1,
+                                          F.lit(0))),
+        ),
+    )
+    return (
+        base.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            n_wins.alias("n_windows"),
+            F.coalesce("n_removed_spans", F.lit(0)).alias("n_removed_spans"),
+            F.coalesce("n_removed_chars", F.lit(0)).alias("n_removed_chars"),
+            F.when(F.col("_sp").isNull(), F.col("_t"))
+            .otherwise(rebuilt).alias("_out"),
+        )
+        .select(
+            id_col, "n_windows", "n_removed_spans", "n_removed_chars",
+            F.length("_out").cast("long").alias("len_after"),
+            F.md5(F.col("_out")).alias("out_md5"),
+        )
+    )
