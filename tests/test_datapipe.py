@@ -632,3 +632,43 @@ def test_substring_dedup_validates_args(spark):
         substring_dedup(docs, key="md5")
     with pytest.raises(ValueError, match=">= 2"):
         substring_dedup(docs, length=1)
+
+
+def test_substring_dedup_random_unicode_corpus(spark):
+    """200 seeded-random texts over a small alphabet (forcing heavy
+    cross-doc window collisions) including multibyte code points:
+    distributed output == the python excision twin on every doc, for
+    both key modes. Small alphabet + unicode exercises span merging,
+    code-point (not byte) indexing, and md5-over-utf8 agreement."""
+    import hashlib
+    import random
+
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.dedup import substring_dedup
+
+    rng = random.Random(4207)
+    alpha = "ab é世"          # 'a','b',space,e-acute,CJK
+    texts = {
+        i: "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        for i in range(200)
+    }
+    L = 6
+    want = _substr_dedup_twin(texts, L)
+    docs = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    for key in ("exact", "hash"):
+        got = {
+            r.doc_id: r.asDict()
+            for r in substring_dedup(docs, length=L, key=key).collect()
+        }
+        for did, (nw, nsp, nch, out_t) in want.items():
+            g = got[did]
+            assert (
+                g["n_windows"], g["n_removed_spans"],
+                g["n_removed_chars"], g["len_after"], g["out_md5"],
+            ) == (
+                nw, nsp, nch, len(out_t),
+                hashlib.md5(out_t.encode()).hexdigest(),
+            ), (key, did, texts[did])
