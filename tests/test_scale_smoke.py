@@ -542,3 +542,47 @@ def test_mavg_high_cardinality_state_bounded(spark, tmp_path):
     # take the smallest observed footprint of the run.
     total = min(p["stateOperators"][0]["numRowsTotal"] for p in prog)
     assert total <= 2, f"idle state not compacted: {total} rows"
+
+
+def test_substring_dedup_50k_docs_boilerplate(spark):
+    """50k docs (~5M stride-1 windows) with a shared 64-char
+    boilerplate footer on every 10th doc: the window table is linear in
+    corpus chars, the dup group resolves with ONE map-side-combined
+    agg (no corpus-wide window function), and span merge is per-doc.
+    Completion + exact removal accounting are the assertions: every
+    footer-carrying doc except the globally first loses exactly the
+    footer span."""
+    from xenoeye_spark.datapipe.dedup import substring_dedup
+
+    # 64 chars, all distinct so the footer has no repeated window
+    # WITHIN itself (an 'xxxx…' filler self-repeats and would cut even
+    # the first-occurrence doc)
+    footer = (" FOOTER-ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+              "0123456789abcdefghijklmnopqrst")
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            # unique body: no cross-doc repeats at L=32 (ids differ
+            # within the first 32 chars of every window)
+            F.format_string("doc-%010d ", F.col("id")),
+            F.sha2(F.col("id").cast("string"), 256),
+            F.when(F.col("id") % 10 == 0, F.lit(footer))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = substring_dedup(docs, length=32, key="hash")
+    agg = out.agg(
+        F.sum(F.when(F.col("n_removed_chars") > 0, 1).otherwise(0))
+        .alias("docs_cut"),
+        F.sum("n_removed_chars").alias("chars_cut"),
+        F.max("n_removed_spans").alias("max_spans"),
+    ).collect()[0]
+    # 5000 footer docs, the first (doc_id 0) keeps its footer; each cut
+    # doc loses one merged span of len(footer)+ a few boundary chars
+    assert agg["docs_cut"] == 4_999
+    assert agg["max_spans"] == 1
+    per_doc = len(footer) + 31   # windows straddling the boundary:
+    # footer windows start inside the unique sha tail, so the merged
+    # span is at most footer + (L-1) boundary chars
+    assert agg["chars_cut"] <= 4_999 * per_doc
+    assert agg["chars_cut"] >= 4_999 * len(footer)
