@@ -1696,12 +1696,15 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-ingest round trip (r6): every doc's text is
-    compressed on the executors (gzip / raw zlib / plain passthrough by
-    id % 3) and decompressed back by ``decompress_text`` — the WARC/
-    .jsonl.gz ingest shape. The oracle simply reads the ORIGINAL text:
-    only a correct sniff + inflate + decode reproduces it."""
+    """Compressed-ingest round trip (r6, widened r7): every doc's text
+    is compressed on the executors (gzip / raw zlib / bzip2 / xz /
+    plain passthrough by id % 5 — all four sniffed codecs) and
+    decompressed back by ``decompress_text`` — the WARC/.jsonl.gz
+    ingest shape. The oracle simply reads the ORIGINAL text: only a
+    correct sniff + inflate + decode reproduces it."""
+    import bz2 as _bz2
     import gzip as _gzip
+    import lzma as _lzma
     import zlib as _zlib
 
     import pandas as pd
@@ -1715,10 +1718,14 @@ def q_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 i, raw = int(did), str(text).encode("utf-8")
-                if i % 3 == 0:
+                if i % 5 == 0:
                     content = _gzip.compress(raw, mtime=0)
-                elif i % 3 == 1:
+                elif i % 5 == 1:
                     content = _zlib.compress(raw)
+                elif i % 5 == 2:
+                    content = _bz2.compress(raw)
+                elif i % 5 == 3:
+                    content = _lzma.compress(raw)
                 else:
                     content = raw
                 rows.append((i, bytearray(content)))
