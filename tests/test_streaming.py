@@ -1576,3 +1576,21 @@ def test_mavg_limits_df_equivalent_to_dict(spark, tmp_path):
     assert events[0] == "NEW" and "GONE" in events
     # every event carries the per-key limit, not the 1e18 default
     assert all(t == 50.0 for _, _, t, _ in via_join)
+
+
+def test_mavg_limits_df_rejects_duplicate_keys(spark):
+    """r7 review fix: a duplicated limits_df key would multiply its
+    flow rows through the left join and double-count the EWMA — both
+    backends refuse at stream-build time."""
+    flows = spark.createDataFrame(
+        [("k1", float(BASE), 1.0)], "k string, ts double, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dup = spark.createDataFrame(
+        [("k1", 5.0), ("k1", 7.0), ("k2", 1.0)], "k string, limit double"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        mavg_alert_stream(flows, ["k"], "v", 10, 1.0, limits_df=dup)
+    from xenoeye_spark.streaming.mavg_tws import mavg_alert_stream_tws
+
+    with pytest.raises(ValueError, match="duplicate key"):
+        mavg_alert_stream_tws(flows, ["k"], "v", 10, 1.0, limits_df=dup)

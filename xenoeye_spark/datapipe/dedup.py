@@ -922,11 +922,16 @@ def substring_dedup(
        honest linear blow-up (the reference algorithm's suffix array is
        the same asymptotic footprint);
     2. ONE shuffle grouped on the window key: ``key='hash'`` (default)
-       shuffles 8-byte xxhash64 keys — the 100-TB path; ``key='exact'``
-       shuffles the window strings themselves — collision-free, used by
-       the oracle twin and asserted equal to the hash path in tests;
-       the first occurrence resolves with a min(struct(doc_id, pos))
-       map-side-combinable aggregate, never a window over the corpus;
+       shuffles 16-byte md5 digests — the 100-TB path. A collision
+       here EXCISES unique text, so the digest must be wide: at 1e14
+       windows the md5 birthday bound is ~1e28/2^129 ≈ 1.5e-11 expected
+       colliding pairs (a 64-bit hash would already expect ~1e8 —
+       silent corruption, which is why xxhash64 is NOT used here).
+       ``key='exact'`` shuffles the window strings themselves —
+       collision-free, used by the oracle twin and asserted equal to
+       the hash path in tests. The first occurrence resolves with a
+       min(struct(doc_id, pos)) map-side-combinable aggregate, never a
+       window over the corpus;
     3. non-first occurrences come back to their docs and merge into
        excision spans with per-DOC gaps-and-islands (window functions
        partitioned by doc — bounded by the doc's own dup count);
@@ -953,10 +958,10 @@ def substring_dedup(
     # Spark's sequence(1, 0) is DESCENDING [1, 0] (implicit step -1)
     # and would mint two phantom whole-doc windows per short doc
     win_elem = (
-        f"xxhash64(substring(_t, i, {L}))" if key == "hash"
+        f"unhex(md5(substring(_t, i, {L})))" if key == "hash"
         else f"substring(_t, i, {L})"
     )
-    win_type = "array<bigint>" if key == "hash" else "array<string>"
+    win_type = "array<binary>" if key == "hash" else "array<string>"
     wins = spread(base).select(
         "_id",
         F.posexplode(

@@ -258,6 +258,29 @@ def _time_now_ns() -> int:
     return time.time_ns()
 
 
+def _validated_limits(
+    limits_df: DataFrame, key_cols: list[str], limit_col: str, out_col: str
+) -> DataFrame:
+    """Project the limits table for the map-side join, refusing
+    duplicate keys: a key appearing twice would MULTIPLY its flow rows
+    through the left join and double-count every flow in the EWMA —
+    silent false alarms, not an error. limits_df is static and
+    dimension-sized, so the distinctness check is two tiny driver-side
+    jobs at stream-build time."""
+    lim = limits_df.select(
+        *key_cols, F.col(limit_col).cast("double").alias(out_col)
+    )
+    n = lim.count()
+    nd = lim.select(*key_cols).distinct().count()
+    if n != nd:
+        raise ValueError(
+            f"limits_df has {n - nd} duplicate key row(s) over "
+            f"{key_cols}; a duplicated key would multiply its flow "
+            "rows through the limit join — deduplicate it first"
+        )
+    return lim
+
+
 def mavg_alert_stream(
     flows: DataFrame,
     key_cols: list[str],
@@ -316,9 +339,7 @@ def mavg_alert_stream(
         F.col(val_col).cast("double").alias("_val"),
     )
     if limits_df is not None:
-        lim = limits_df.select(
-            *key_cols, F.col(limit_col).cast("double").alias("_limit")
-        )
+        lim = _validated_limits(limits_df, key_cols, limit_col, "_limit")
         prepped = prepped.join(lim, key_cols, "left")
     fn = make_mavg_state_fn(
         key_cols, window_sec, threshold, back2norm_sec, thresholds, under,

@@ -224,9 +224,9 @@ def mavg_alert_stream_tws(
         F.col(val_col).cast("double").alias("xe_val"),
     )
     if limits_df is not None:
-        lim = limits_df.select(
-            *key_cols, F.col(limit_col).cast("double").alias("xe_limit")
-        )
+        from xenoeye_spark.streaming.mavg_stream import _validated_limits
+
+        lim = _validated_limits(limits_df, key_cols, limit_col, "xe_limit")
         prepped = prepped.join(lim, key_cols, "left")
     proc = MavgProcessor(
         key_cols, window_sec, threshold, back2norm_sec, thresholds, under,
