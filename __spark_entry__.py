@@ -1741,6 +1741,53 @@ def q_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decompress_text(media)
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-shard ingest (r7): every doc becomes a synthetic WARC
+    file (warcinfo + HTTP response whose body is the doc text), gzipped
+    per record for even ids; doc_id%7==3 responds 404 (filtered) and
+    doc_id%11==5 is truncated mid-record (quarantined by
+    on_error='null'). ``warc_documents`` must walk the container, split
+    the HTTP response, and surface exactly the 2xx bodies — URI, byte
+    length, payload md5, and the text itself all re-derived by the
+    oracle from the planted arithmetic."""
+    import pandas as pd
+
+    from xenoeye_spark.datapipe.warc import (
+        encode_warc, http_response_bytes, warc_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                i, body = int(did), str(text).encode("utf-8")
+                status = 404 if i % 7 == 3 else 200
+                data = encode_warc(
+                    [
+                        ({"WARC-Type": "warcinfo"},
+                         b"software: xenoeye-spark\r\n"),
+                        ({"WARC-Type": "response",
+                          "WARC-Target-URI":
+                              f"http://example.com/doc/{i}"},
+                         http_response_bytes(body, status=status)),
+                    ],
+                    per_record_gzip=(i % 2 == 0),
+                )
+                if i % 11 == 5:
+                    data = data[:40]              # truncated shard
+                rows.append((i, bytearray(data)))
+            yield pd.DataFrame(rows, columns=["source_id", "content"])
+
+    files = docs.select("doc_id", "text").mapInPandas(
+        build, schema="source_id long, content binary"
+    )
+    return warc_documents(files, on_error="null").withColumnRenamed(
+        "source_id", "doc_id"
+    )
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus exact-substring excision (Lee et al. 2022) over
     planted repeats: every 6th doc appends the SAME 70-char sentence
@@ -2060,11 +2107,12 @@ GATE_POOL = [
     "stratified_sample", "asof_join", "sessionize", "time_rollup",
     "interval_join", "gopher_quality", "segment_dedup", "bm25",
     "vocab_topk", "kmv_distinct", "contamination", "length_quantiles",
-    "tfidf_topterms", "hash_split", "pack_sequences",
+    "tfidf_topterms", "hash_split",
     # --- r7 window slice: proof-critical r7 entries ---
-    "substring_dedup", "url_filter", "decode_quarantine", "star_topn",
-    # --- index 66: joins the r8 window via the rotation wrap ---
-    "bigram_lm",
+    "substring_dedup", "warc_ingest", "url_filter", "decode_quarantine",
+    "star_topn",
+    # --- indices 66/67: join the r8 window via the rotation wrap ---
+    "pack_sequences", "bigram_lm",
 ]
 
 GATE_ROWS_ONLY = [
@@ -2210,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "star_topn": q_star_topn,
         "substring_dedup": q_substring_dedup,
+        "warc_ingest": q_warc_ingest,
     }
     order = gate_order()
     # every implemented query MUST be scheduled (GATE_CORE, GATE_POOL,
@@ -4460,6 +4509,19 @@ FROM f
         # decompress: the oracle IS the original text — only a correct
         # gzip/zlib sniff + inflate + utf-8 decode reproduces it.
         "decompress": "SELECT doc_id, text FROM documents",
+        # warc_ingest: 2xx-response membership, URI, byte length,
+        # payload md5, and the text itself from the planted arithmetic
+        # (strlen = BYTES to match the payload length; md5 over the
+        # same utf-8 bytes).
+        "warc_ingest": """
+SELECT doc_id,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       CAST(strlen(text) AS BIGINT) AS body_len,
+       md5(text) AS body_md5,
+       text
+FROM documents
+WHERE doc_id % 7 != 3 AND doc_id % 11 != 5
+""",
         # substring_dedup: every stride-1 window, the global
         # first-occurrence rule, the gaps-and-islands span merge, and
         # the byte-exact rebuilt text (md5), all re-derived in SQL.

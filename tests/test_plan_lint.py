@@ -216,18 +216,17 @@ def test_gate_rotation_schedule():
     # and every r7-new oracled query (first round must gate)
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r7_proof = {"url_filter", "decode_quarantine", "star_topn",
-                "substring_dedup"}
+                "substring_dedup", "warc_ingest"}
     assert r7_proof <= win_now
     r14 = {"text_stats", "text_langid", "sim_topk", "token_count",
            "dedup_groups", "sessionize", "contamination", "hash_split"}
     assert r14 <= win_now
     # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the head/wrap slots hold only r6-proven entries (plus
-    # dedup_minhash_lsh_expr and bigram_lm, r5-proven, re-proving at r8
-    # — exactly the cycle bound)
+    # cycle: the head/wrap slots hold only r6-proven entries plus the
+    # r5-proven trio re-proving at r8/r9 — exactly the cycle bound
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
     r6_proven = set(pool[:31]) | {"dedup_ngram_jaccard"}
-    stale_ok = {"dedup_minhash_lsh_expr", "bigram_lm"}
+    stale_ok = {"dedup_minhash_lsh_expr", "bigram_lm", "pack_sequences"}
     assert overflow_now <= r6_proven | stale_ok
 
 

@@ -1,0 +1,119 @@
+"""WARC ingest (r7): record walk strictness, HTTP response split,
+per-record gzip, quarantine path, and the documents composition.
+Spec: ISO 28500 / WARC 1.1 (public)."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from xenoeye_spark.datapipe.warc import (
+    encode_warc,
+    http_response_bytes,
+    parse_http_response,
+    split_warc_records,
+    warc_documents,
+    warc_records,
+)
+
+
+def _resp_rec(uri: str, body: bytes, status: int = 200):
+    return (
+        {"WARC-Type": "response", "WARC-Target-URI": uri},
+        http_response_bytes(body, status=status),
+    )
+
+
+def _info_rec():
+    return ({"WARC-Type": "warcinfo"}, b"software: xe-test\r\n")
+
+
+def test_split_records_roundtrip_plain_and_gzip():
+    recs = [_info_rec(), _resp_rec("http://a/1", b"hello world"),
+            _resp_rec("http://a/2", b"\x00\xffbinary ok")]
+    for gz in (False, True):
+        data = encode_warc(recs, per_record_gzip=gz)
+        got = list(split_warc_records(data))
+        assert [h["warc-type"] for h, _ in got] == [
+            "warcinfo", "response", "response"]
+        status, hdrs, payload = parse_http_response(got[1][1])
+        assert (status, payload) == (200, b"hello world")
+        assert hdrs["content-type"] == "text/plain"
+        status2, _, payload2 = parse_http_response(got[2][1])
+        assert (status2, payload2) == (200, b"\x00\xffbinary ok")
+    # whole-file gzip (one member) also inflates
+    got = list(split_warc_records(gzip.compress(
+        encode_warc(recs), mtime=0)))
+    assert len(got) == 3
+
+
+def test_split_records_strictness():
+    good = encode_warc([_resp_rec("http://a/1", b"x" * 50)])
+    with pytest.raises(ValueError, match="not a WARC record"):
+        list(split_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+    with pytest.raises(ValueError, match="truncated WARC header"):
+        list(split_warc_records(b"WARC/1.0\r\nWARC-Type: response\r\n"))
+    with pytest.raises(ValueError, match="past end of file"):
+        list(split_warc_records(good[:len(good) - 30]))
+    bad_len = good.replace(b"Content-Length: ", b"Content-Length: x")
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(split_warc_records(bad_len))
+    # truncated GZIPPED file also lands on the ValueError contract
+    # (gzip raises EOFError/BadGzipFile; the walker normalizes them)
+    gz = encode_warc([_resp_rec("http://a/1", b"y" * 50)],
+                     per_record_gzip=True)
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        list(split_warc_records(gz[:len(gz) - 20]))
+    # non-HTTP record content passes through parse_http_response
+    assert parse_http_response(b"raw resource bytes") == (
+        None, {}, b"raw resource bytes")
+
+
+def test_warc_records_df_and_quarantine(spark):
+    files = []
+    for i in range(6):
+        body = f"document number {i}".encode()
+        data = encode_warc(
+            [_info_rec(), _resp_rec(f"http://ex/{i}", body,
+                                    status=404 if i == 4 else 200)],
+            per_record_gzip=(i % 2 == 0),
+        )
+        if i == 5:
+            data = data[:40]                       # truncated file
+        files.append((i, bytearray(data)))
+    df = spark.createDataFrame(files, "source_id long, content binary")
+
+    with pytest.raises(Exception):                 # strict default
+        warc_records(df).count()
+
+    out = warc_records(df, on_error="null")
+    rows = {(r.source_id, r.rec_index): r for r in out.collect()}
+    assert rows[(5, -1)].warc_type is None         # quarantined file
+    r31 = rows[(3, 1)]
+    body3 = b"document number 3"
+    assert r31.warc_type == "response"
+    assert r31.target_uri == "http://ex/3"
+    assert r31.http_status == 200
+    assert r31.payload_len == len(body3)
+    assert r31.payload_md5 == hashlib.md5(body3).hexdigest()
+    assert r31.payload_text == body3.decode()
+    assert rows[(4, 1)].http_status == 404
+    assert rows[(0, 0)].warc_type == "warcinfo"
+
+    docs = warc_documents(df, on_error="null")
+    got = {r.source_id: r for r in docs.collect()}
+    assert set(got) == {0, 1, 2, 3}                # 404 + corrupt out
+    assert got[2].text == "document number 2"
+    # composition filters but never invents rows
+    assert docs.count() == 4
+
+
+def test_warc_records_validates_on_error(spark):
+    df = spark.createDataFrame([(1, bytearray(b""))],
+                               "source_id long, content binary")
+    with pytest.raises(ValueError, match="fail|null"):
+        warc_records(df, on_error="skip")

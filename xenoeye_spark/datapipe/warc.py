@@ -1,0 +1,239 @@
+"""WARC ingest — the wire format of real web-crawl corpora.
+
+Large-scale text pipelines start from WARC files (ISO 28500, the
+Common Crawl container): a concatenation of records, each a
+``WARC/1.x`` header block (CRLF-separated ``Name: value`` lines,
+terminated by CRLFCRLF) followed by exactly ``Content-Length`` bytes
+of record content and a CRLF CRLF record separator. ``response``
+records wrap a full HTTP response (status line + headers + payload).
+Files are commonly gzip-compressed with ONE GZIP MEMBER PER RECORD so
+readers can split on member boundaries; ``gzip.decompress`` inflates
+all members of such a file transparently.
+
+Spark shape: one ``mapInPandas`` projection over (source_id, content
+binary) rows — no shuffle; per-row cost is the file's own bytes. The
+record walk is strict: a malformed header or a truncated body raises
+(``on_error='null'`` quarantines the whole file to a NULL row instead,
+mirroring ``decompress_text``).
+
+This module parses the container format from its public specification
+(ISO 28500 / WARC 1.1); the reference engine has no WARC surface —
+this is part of the beyond-reference corpus-pipeline tier.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+from typing import Iterator
+from zlib import error as zlib_error
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def split_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, content) per WARC record. ``headers`` maps
+    lower-cased names to values plus ``'warc-version'``. Strict: raises
+    ValueError on a malformed header block, a missing/invalid
+    Content-Length, or a body that runs past the end of the file."""
+    if data[:2] == b"\x1f\x8b":
+        # warc.gz: one gzip member per record (or one for the file) —
+        # gzip.decompress inflates every member either way. Truncated/
+        # corrupt members raise EOFError/BadGzipFile; normalize to the
+        # module's ValueError contract so the quarantine path sees one
+        # exception type
+        try:
+            data = gzip.decompress(data)
+        except (EOFError, OSError, zlib_error) as e:
+            raise ValueError(f"corrupt gzip WARC file: {e}") from e
+    i, n = 0, len(data)
+    while i < n:
+        while data.startswith(b"\r\n", i):
+            i += 2
+        if i >= n:
+            return
+        if not data.startswith(b"WARC/", i):
+            raise ValueError(f"not a WARC record header at offset {i}")
+        he = data.find(_CRLF2, i)
+        if he < 0:
+            raise ValueError("truncated WARC header block")
+        lines = data[i:he].decode("utf-8", "replace").split("\r\n")
+        hdrs = {"warc-version": lines[0]}
+        for ln in lines[1:]:
+            name, sep, val = ln.partition(":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line: {ln!r}")
+            hdrs[name.strip().lower()] = val.strip()
+        try:
+            clen = int(hdrs["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("missing or non-integer Content-Length")
+        body_start = he + len(_CRLF2)
+        if body_start + clen > n:
+            raise ValueError(
+                f"record body runs past end of file "
+                f"({body_start + clen} > {n})"
+            )
+        yield hdrs, data[body_start:body_start + clen]
+        i = body_start + clen
+
+
+def parse_http_response(content: bytes) -> tuple[int | None, dict, bytes]:
+    """Split an HTTP response record's content into (status, headers,
+    payload). Returns (None, {}, content) when the content does not
+    start with an HTTP status line (e.g. a resource record)."""
+    if not content.startswith(b"HTTP/"):
+        return None, {}, content
+    he = content.find(_CRLF2)
+    if he < 0:
+        return None, {}, content
+    lines = content[:he].decode("utf-8", "replace").split("\r\n")
+    parts = lines[0].split(" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, {}, content
+    hdrs = {}
+    for ln in lines[1:]:
+        name, sep, val = ln.partition(":")
+        if sep:
+            hdrs[name.strip().lower()] = val.strip()
+    return status, hdrs, content[he + len(_CRLF2):]
+
+
+RECORDS_SCHEMA = T.StructType([
+    T.StructField("source_id", T.LongType()),
+    T.StructField("rec_index", T.LongType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("http_status", T.LongType()),
+    T.StructField("payload_len", T.LongType()),
+    T.StructField("payload_md5", T.StringType()),
+    T.StructField("payload_text", T.StringType()),
+])
+
+
+def warc_records(
+    files: DataFrame,
+    content_col: str = "content",
+    id_col: str = "source_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Explode (id, WARC-file binary) rows into one row per record:
+    (source_id, rec_index, warc_type, target_uri, http_status,
+    payload_len, payload_md5, payload_text). For ``response`` records
+    the payload is the HTTP body; for others it is the raw record
+    content. ``payload_text`` is the UTF-8 decode (replacement chars on
+    invalid bytes); ``payload_md5`` hashes the exact payload BYTES, so
+    binary payloads stay checkable.
+
+    ``on_error='fail'`` (default) propagates malformed-file errors —
+    a corrupt crawl shard should stop the job; ``'null'`` emits ONE
+    quarantine row (rec_index = -1, everything else NULL) per bad file
+    so the pipeline can count and route them.
+
+    Scale: one mapInPandas projection, no shuffle; cost per row is the
+    file's own bytes. Record-gzipped ``warc.gz`` inflates member-wise.
+    """
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be fail|null: {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, raw in zip(pdf["_id"], pdf["_c"]):
+                sid = int(sid)
+                try:
+                    for idx, (hdrs, content) in enumerate(
+                        split_warc_records(bytes(raw))
+                    ):
+                        wtype = hdrs.get("warc-type", "")
+                        if wtype == "response":
+                            status, _, payload = parse_http_response(
+                                content
+                            )
+                        else:
+                            status, payload = None, content
+                        rows.append((
+                            sid, idx, wtype,
+                            hdrs.get("warc-target-uri"),
+                            status, len(payload),
+                            hashlib.md5(payload).hexdigest(),
+                            payload.decode("utf-8", "replace"),
+                        ))
+                except ValueError:
+                    if on_error == "fail":
+                        raise
+                    rows.append((sid, -1, None, None, None, None, None,
+                                 None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RECORDS_SCHEMA.fields]
+            )
+
+    staged = files.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(content_col).alias("_c"),
+    )
+    return staged.mapInPandas(run, schema=RECORDS_SCHEMA) \
+        .withColumnRenamed("source_id", id_col)
+
+
+def encode_warc(
+    records: list[tuple[dict, bytes]],
+    per_record_gzip: bool = False,
+) -> bytes:
+    """Minimal WARC writer (tests/gate only): each record = header
+    block (WARC/1.0 + given headers + computed Content-Length), blank
+    line, content, record separator. ``per_record_gzip`` emits one
+    gzip member per record — the standard warc.gz layout."""
+    out = bytearray()
+    for hdrs, content in records:
+        block = "WARC/1.0\r\n" + "".join(
+            f"{k}: {v}\r\n" for k, v in hdrs.items()
+        ) + f"Content-Length: {len(content)}\r\n\r\n"
+        rec = block.encode("utf-8") + content + b"\r\n\r\n"
+        out += gzip.compress(rec, mtime=0) if per_record_gzip else rec
+    return bytes(out)
+
+
+def http_response_bytes(
+    body: bytes, status: int = 200, reason: str = "OK",
+    content_type: str = "text/plain",
+) -> bytes:
+    """Wrap a payload as a minimal HTTP response (tests/gate only)."""
+    return (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("utf-8") + body
+
+
+def warc_documents(
+    files: DataFrame,
+    content_col: str = "content",
+    id_col: str = "source_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """The ingest composition: WARC files -> one row per successful
+    (HTTP 2xx) response document: (id_col, target_uri, body_len,
+    body_md5, text). The standard head of a crawl-corpus pipeline —
+    feed the result to the quality/dedup stages."""
+    recs = warc_records(files, content_col, id_col, on_error)
+    return (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & F.col("http_status").between(200, 299)
+        )
+        .select(
+            id_col, "target_uri",
+            F.col("payload_len").alias("body_len"),
+            F.col("payload_md5").alias("body_md5"),
+            F.col("payload_text").alias("text"),
+        )
+    )
