@@ -6,7 +6,7 @@ curation pass).
     python scripts/xe_curate.py \
         --input  /root/testdata/sf0.001 \
         --output /tmp/curated \
-        --steps  decompress,exact_dedup,quality,neardup,decontaminate,split \
+        --steps  decompress,exact_dedup,quality,neardup,substr_dedup,decontaminate,split \
         [--eval-input DIR] [--threshold 0.7] [--quality-min 0.3] \
         [--splits train=0.95,val=0.05] [--report]
 
@@ -21,6 +21,9 @@ gate / oracle suite):
   quality       — Gopher-style rules + composite score cut
   neardup       — MinHash-LSH candidates -> exact-Jaccard verify ->
                   connected duplicate classes -> keep one per class
+  substr_dedup  — excise every repeated --substr-len-char window from
+                  all but its globally first occurrence (Lee et al.
+                  2022 ExactSubstr; rows kept, text rewritten)
   decontaminate — drop docs sharing 5-gram shingles with --eval-input
   split         — deterministic hash split into named fractions
 
@@ -38,7 +41,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 CANONICAL = [
-    "decompress", "exact_dedup", "quality", "neardup",
+    "decompress", "exact_dedup", "quality", "neardup", "substr_dedup",
     "decontaminate", "split",
 ]
 
@@ -64,6 +67,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--threshold", type=float, default=0.7,
                     help="near-dup Jaccard threshold")
     ap.add_argument("--quality-min", type=float, default=0.3)
+    ap.add_argument("--substr-len", type=int, default=32,
+                    help="window length for the substr_dedup stage")
     ap.add_argument("--splits", default="train=0.95,val=0.05")
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--master", default="local[*]")
@@ -139,6 +144,20 @@ def main(argv: list[str] | None = None) -> int:
         ).select("doc_id")
         docs = docs.join(dupes, "doc_id", "left_anti")
         counts["neardup"] = last = docs.count()
+
+    if "substr_dedup" in steps:
+        from xenoeye_spark.datapipe.dedup import substring_dedup
+
+        rewritten = substring_dedup(
+            docs, length=args.substr_len, return_text=True
+        ).select("doc_id", "text_out")
+        docs = (
+            docs.drop("text")
+            .join(rewritten, "doc_id")
+            .withColumnRenamed("text_out", "text")
+        )
+        # rows are kept (text rewritten in place) — the count proves it
+        counts["substr_dedup"] = last = docs.count()
 
     if "decontaminate" in steps:
         from xenoeye_spark.datapipe.dedup import contamination_check

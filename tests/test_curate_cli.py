@@ -56,3 +56,28 @@ def test_curate_argv_errors():
               "--steps", "decontaminate"])      # no --eval-input
     with pytest.raises(SystemExit):
         parse_splits("train=0.5,val=0.1")       # doesn't sum to 1
+
+
+def test_curate_substr_dedup_rewrites_in_place(spark, tmp_path, capsys):
+    """r7: the substr_dedup stage keeps every row and rewrites text —
+    total corpus chars shrink (sf0.001 plants near-dup texts that share
+    32-char windows), no doc disappears, and the output schema still
+    carries the text column downstream steps expect."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "c3"
+    rc = main([
+        "--input", SF_DIR, "--output", str(out),
+        "--steps", "substr_dedup", "--report",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = rep["counts"]
+    assert c["substr_dedup"] == c["input"] == c["output"]
+    got = spark.read.parquet(str(out / "documents.parquet"))
+    before = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    chars = lambda df: df.agg(  # noqa: E731
+        F.sum(F.length("text"))
+    ).collect()[0][0]
+    assert got.count() == before.count()
+    assert chars(got) < chars(before)

@@ -909,6 +909,7 @@ def substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     key: str = "hash",
+    return_text: bool = False,
 ) -> DataFrame:
     """Cross-corpus EXACT substring deduplication (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" — the
@@ -941,7 +942,10 @@ def substring_dedup(
     Output per doc: (id_col, n_windows, n_removed_spans,
     n_removed_chars, len_after, out_md5) — md5 of the rebuilt text
     makes the excision byte-exact-checkable without shipping the text.
-    Docs shorter than ``length`` pass through untouched.
+    ``return_text=True`` appends the rebuilt text itself as
+    ``text_out`` (the curation-pipeline consumer shape; xe_curate's
+    substr_dedup stage). Docs shorter than ``length`` pass through
+    untouched.
     """
     from pyspark.sql import Window
 
@@ -1057,5 +1061,6 @@ def substring_dedup(
             id_col, "n_windows", "n_removed_spans", "n_removed_chars",
             F.length("_out").cast("long").alias("len_after"),
             F.md5(F.col("_out")).alias("out_md5"),
+            *([F.col("_out").alias("text_out")] if return_text else []),
         )
     )
