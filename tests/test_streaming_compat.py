@@ -103,3 +103,34 @@ def test_simhash_expr_on_stream(spark):
     from xenoeye_spark.datapipe.text import simhash_expr
 
     _drive(spark, simhash_expr, DOCS_SCHEMA, DOC_ROWS)
+
+
+def test_warc_documents_on_stream(spark):
+    """r7: WARC ingest is a stateless mapInPandas projection, so
+    warc_documents runs unchanged over a stream of (source_id, WARC
+    binary) rows — the live-crawl ingest shape. Batch == stream
+    row-for-row, including the quarantine of a truncated shard."""
+    from xenoeye_spark.datapipe.warc import (
+        encode_warc, http_response_bytes, warc_documents,
+    )
+
+    rows = []
+    for i in range(8):
+        body = f"streamed crawl doc {i}".encode()
+        data = encode_warc(
+            [({"WARC-Type": "warcinfo"}, b"software: xe\r\n"),
+             ({"WARC-Type": "response",
+               "WARC-Target-URI": f"http://s/{i}"},
+              http_response_bytes(body, status=404 if i == 6 else 200))],
+            per_record_gzip=(i % 2 == 0),
+        )
+        if i == 7:
+            data = data[:35]
+        rows.append((i, bytearray(data)))
+
+    _drive(
+        spark,
+        lambda df: warc_documents(df, on_error="null"),
+        "source_id long, content binary",
+        rows,
+    )
