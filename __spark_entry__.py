@@ -2057,7 +2057,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_WINDOW = 50
-GATE_ROUND = 7
+GATE_ROUND = 8
 
 # Per-round pins: queries forced INTO that round's window regardless of
 # the rotation offset. A pin evicts an in-window entry that the NEXT
@@ -2094,11 +2094,13 @@ GATE_POOL = [
     "pii_scrub", "text_normalize", "semdedup", "chunk_docs",
     "repetition", "quantize", "rand_proj", "temperature",
     "char_entropy", "best_of_class", "mask_spans",
-    # --- deferred side: the two r1-r4 queries the r6 window carried
-    # (r6-proven; index 32 re-proves only at r9, so it must hold one of
-    # them) plus dedup_minhash_lsh_expr at 31 (r5-proven -> r8, a
-    # 3-round gap = the cycle bound)
-    "dedup_exact", "dedup_minhash_lsh_expr", "dedup_ngram_jaccard",
+    # --- deferred side: dedup_minhash_lsh_expr moved to index 30 in r8
+    # (r5-proven; the r7 layout placed it at 31 intending an r8 proof,
+    # but the r8 wrap window covers [66:]+[:31] — one short. The swap
+    # with dedup_exact keeps its gap at the 3-round cycle bound; the
+    # r6-proven dedup_exact/dedup_ngram_jaccard at 31/32 re-prove at
+    # r9, also the cycle bound.)
+    "dedup_minhash_lsh_expr", "dedup_exact", "dedup_ngram_jaccard",
     # --- r7 window slice [33:66): r1-r4 backlog in historical order ---
     "text_stats", "text_langid", "sim_topk", "token_count",
     "doc_fingerprint_expr", "emb_neardup", "sim_ivf_fixed",

@@ -222,12 +222,23 @@ def main() -> None:
         "reps_trimmed": sorted(stable),
     }
     try:
-        sidecar = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-        )
-        with open(sidecar, "w") as f:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_detail.json"), "w") as f:
             json.dump(detail, f, indent=1)
-    except OSError:
+        # r8 (VERDICT r7 "what's wrong" #1): ALSO persist a per-round
+        # copy — bench_detail.json is overwritten every run, which made
+        # SCALE.md's min-time no-regression claims unauditable. The
+        # round number rides the gate rotation counter, which is bumped
+        # exactly once per round; the driver's end-of-round bench run
+        # therefore leaves BENCH_detail_r{N}.json in the tree for the
+        # next round's attribution to cite.
+        from __spark_entry__ import GATE_ROUND as _round
+
+        with open(
+            os.path.join(here, f"BENCH_detail_r{_round:02d}.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except (OSError, ImportError):
         pass
     print(json.dumps(detail), file=sys.stderr)
 

@@ -211,23 +211,28 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # this round's window proves the r1-r4 backlog slice the rotation
-    # scheduled (last driver-proven r5), the url_filter harness fix,
-    # and every r7-new oracled query (first round must gate)
+    # r8 window: the rotation wrap ([66:] + [:31]) must prove the three
+    # r5-proven stragglers at their cycle bound (pack_sequences and
+    # bigram_lm joined the pool in r7 past the r7 slice;
+    # dedup_minhash_lsh_expr was swapped to index 30 for exactly this
+    # window) and the whole r6-addition block (last driver proof r6)
     win_now = set(names[:DRIVER_GATE_WINDOW])
-    r7_proof = {"url_filter", "decode_quarantine", "star_topn",
-                "substring_dedup", "warc_ingest"}
-    assert r7_proof <= win_now
-    r14 = {"text_stats", "text_langid", "sim_topk", "token_count",
-           "dedup_groups", "sessionize", "contamination", "hash_split"}
-    assert r14 <= win_now
+    r5_stale = {"pack_sequences", "bigram_lm", "dedup_minhash_lsh_expr"}
+    assert r5_stale <= win_now
+    r6_block = {"count_min", "pq_topk", "hll_distinct", "bloom_contam",
+                "ivfpq_topk", "incremental_dedup", "hist_quantiles",
+                "video_decode", "decompress", "image_resize",
+                "fuzzy_dedup", "domain_cap", "token_budget",
+                "kmeans_step", "ann_recall", "training_prep",
+                "image_decode", "audio_decode", "bpe_pairs"}
+    assert r6_block <= win_now
     # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the head/wrap slots hold only r6-proven entries plus the
-    # r5-proven trio re-proving at r8/r9 — exactly the cycle bound
+    # cycle: the deferred slice holds the r7-proven window plus the two
+    # r6-proven dedup entries re-proving at r9 — exactly the cycle bound
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
-    r6_proven = set(pool[:31]) | {"dedup_ngram_jaccard"}
-    stale_ok = {"dedup_minhash_lsh_expr", "bigram_lm", "pack_sequences"}
-    assert overflow_now <= r6_proven | stale_ok
+    r7_proven = set(pool[33:66])
+    r6_proven_ok = {"dedup_exact", "dedup_ngram_jaccard"}
+    assert overflow_now <= r7_proven | r6_proven_ok
 
 
 # ------------------------------------------- pushed-predicate re-inlining

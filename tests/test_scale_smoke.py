@@ -586,3 +586,83 @@ def test_substring_dedup_50k_docs_boilerplate(spark):
     # span is at most footer + (L-1) boundary chars
     assert agg["chars_cut"] <= 4_999 * per_doc
     assert agg["chars_cut"] >= 4_999 * len(footer)
+
+
+def test_mavg_precombine_collapses_flows_to_keys(spark):
+    """r8: the reference's signature workload is flows >> keys (DDoS
+    detection: millions of flows over thousands of dst keys,
+    monit-objects-mavg.c:571-593). Under precombine the state op's
+    input is ONE folded row per (key, micro-batch) — asserted exactly
+    here on 200k flows over 2k keys — so the Python state protocol
+    pays O(keys), not O(flows). Event output equality vs the per-event
+    path is asserted on the same stream; wall-clock for both paths is
+    printed (recorded in SCALE.md §Round-8)."""
+    import glob as g
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from xenoeye_spark.streaming.mavg_stream import (
+        mavg_alert_stream, precombine_events,
+    )
+
+    n_keys, per_key = 2_000, 100
+    base = 1_700_000_000
+    flows = spark.range(n_keys * per_key).select(
+        (F.col("id") % n_keys).alias("k"),
+        (F.lit(float(base)) + (F.col("id") / n_keys))
+        .cast("timestamp").alias("ts"),
+        F.when(F.col("k") == 13, 1000.0).otherwise(0.001).alias("v"),
+    )
+
+    # O(keys) contract, asserted in batch mode on the same transform the
+    # stream uses: one folded row per key, all flows accounted for
+    prepped = flows.select(
+        "k",
+        (F.unix_micros(F.col("ts")) * F.lit(1000)).alias("_ts_ns"),
+        F.col("v").cast("double").alias("_val"),
+    )
+    folded = precombine_events(prepped, ["k"], int(10e9))
+    agg = folded.agg(
+        F.count("*").alias("rows"), F.sum("pk").alias("flows")
+    ).collect()[0]
+    assert agg["rows"] == n_keys
+    assert agg["flows"] == n_keys * per_key
+
+    src = tempfile.mkdtemp(prefix="mavg_pc_src_")
+    d = tempfile.mkdtemp(prefix="mavg_pc_stage_")
+    flows.write.parquet(d, mode="overwrite")
+    for i, f in enumerate(g.glob(os.path.join(d, "*.parquet"))):
+        shutil.copy(f, os.path.join(src, f"b0_{i}.parquet"))
+
+    def run(precombine):
+        ckpt = tempfile.mkdtemp(prefix="mavg_pc_ckpt_")
+        events: list = []
+        stream = (
+            spark.readStream.schema("k long, ts timestamp, v double")
+            .parquet(src)
+        )
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=10, threshold=50.0,
+            silent_watch=False, precombine=precombine,
+        )
+        t0 = time.time()
+        q = (
+            alerts.writeStream
+            .foreachBatch(lambda df, e: events.extend(df.collect()))
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        return time.time() - t0, sorted(
+            (r["k"], r["event"], r["ts_ns"]) for r in events
+        )
+
+    t_pe, ev_pe = run(False)
+    t_pc, ev_pc = run(True)
+    # key 13 bursts past its limit; everyone else stays silent
+    assert ev_pc == ev_pe
+    assert [e[:2] for e in ev_pc] == [(13, "NEW")]
+    print(f"\nmavg 200k flows/2k keys: per-event {t_pe:.2f}s, "
+          f"precombine {t_pc:.2f}s")

@@ -1594,3 +1594,306 @@ def test_mavg_limits_df_rejects_duplicate_keys(spark):
 
     with pytest.raises(ValueError, match="duplicate key"):
         mavg_alert_stream_tws(flows, ["k"], "v", 10, 1.0, limits_df=dup)
+
+
+# ---------------------------------------------------------------------------
+# r8: mavg map-side pre-combine (one folded row per key per micro-batch)
+# ---------------------------------------------------------------------------
+
+
+def _seq_compose(a_seg, b_seg):
+    """Sequential affine composition twin (left-to-right, like the
+    per-event fold): returns (A, B) with n_end = A*n_1 + B."""
+    A, B = 1.0, 0.0
+    for aj, bj in zip(a_seg, b_seg):
+        A, B = aj * A, aj * B + bj
+    return A, B
+
+
+def test_affine_scan_matches_sequential():
+    """The segmented Hillis-Steele scan composes the same affine maps as
+    the sequential fold — tree-regrouped FP, so ~1e-12 relative, and the
+    composite applied to a base agrees with the per-event ewma_step
+    replay at the same tolerance. Resets (a=0) segment naturally."""
+    from xenoeye_spark.streaming.mavg_stream import (
+        _segmented_affine_scan, ewma_step,
+    )
+
+    rng = np.random.RandomState(11)
+    W = int(10e9)
+    n = 500
+    # three segments, one containing a hard reset (dt >= W -> a = 0)
+    heads = np.zeros(n, bool)
+    heads[[0, 180, 390]] = True
+    dt = rng.randint(1, int(3e9), size=n)
+    dt[250] = W + 5  # intra-segment reset
+    ts = np.cumsum(dt)
+    v = rng.uniform(1, 100, size=n)
+    a = np.where(dt >= W, 0.0, 1.0 - dt / np.float64(W))
+    b = v.copy()
+    a[heads] = 1.0
+    b[heads] = 0.0
+    A, B = _segmented_affine_scan(a, b, heads)
+    starts = np.flatnonzero(heads)
+    bounds = list(starts) + [n]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        A_seq, B_seq = _seq_compose(a[s + 1:e], b[s + 1:e])
+        assert A[e - 1] == pytest.approx(A_seq, rel=1e-12, abs=1e-300)
+        assert B[e - 1] == pytest.approx(B_seq, rel=1e-12)
+        # applying the composite == replaying every event via ewma_step
+        n1 = float(v[s])
+        n_ref, tprev = n1, int(ts[s])
+        for i in range(s + 1, e):
+            n_ref = ewma_step(n_ref, tprev, int(ts[i]), float(v[i]), W)
+            tprev = int(ts[i])
+        assert A[e - 1] * n1 + B[e - 1] == pytest.approx(n_ref, rel=1e-11)
+
+
+def test_fold_sorted_reset_candidates_are_exact():
+    """Under the reset variant (n_1 = v1) the pr/vr sample points ARE the
+    true extrema of the per-event series: the state-fn formula
+    pA*n_1 + pB at those indices reproduces the scan's own values bit
+    for bit (same multiply/add on the same doubles)."""
+    from xenoeye_spark.streaming.mavg_stream import fold_sorted
+
+    rng = np.random.RandomState(7)
+    W = int(10e9)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = BASE * 10**9
+        for _ in range(200):
+            t += int(rng.randint(1, int(4e9)))
+            rows.append((k, t, float(rng.uniform(0, 50))))
+    pdf = (
+        __import__("pandas")
+        .DataFrame(rows, columns=["k", "_ts_ns", "_val"])
+        .sort_values(["k", "_ts_ns", "_val"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out = fold_sorted(pdf, ["k"], W)
+    assert len(out) == 3 and out["pk"].sum() == len(pdf)
+    from xenoeye_spark.streaming.mavg_stream import ewma_step
+
+    for r in out.itertuples(index=False):
+        grp = pdf[pdf["k"] == r.k]
+        # per-event series under a fresh start
+        series, n, tprev = [], None, None
+        for t, v in zip(grp["_ts_ns"], grp["_val"]):
+            n = float(v) if tprev is None else ewma_step(n, tprev, int(t), float(v), W)
+            tprev = int(t)
+            series.append(n)
+        n1 = float(grp["_val"].iloc[0])
+        peak = r.pApr * n1 + r.pBpr
+        valley = r.pAvr * n1 + r.pBvr
+        assert peak == pytest.approx(max(series), rel=1e-11)
+        assert valley == pytest.approx(min(series), rel=1e-11)
+        assert r.pA * n1 + r.pB == pytest.approx(series[-1], rel=1e-11)
+
+
+def test_mavg_precombine_one_row_per_key(spark):
+    """The state op's input under precombine is O(keys): one folded row
+    per key per batch regardless of event count."""
+    from xenoeye_spark.streaming.mavg_stream import precombine_events
+
+    rows = [
+        (f"k{i % 50}", float(BASE + j), float(i % 7 + 1))
+        for i in range(50)
+        for j in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    prepped = df.select(
+        "k",
+        (F.col("ts").cast("timestamp").cast("double") * F.lit(1e9))
+        .cast("long").alias("_ts_ns"),
+        F.col("v").cast("double").alias("_val"),
+    )
+    folded = precombine_events(prepped, ["k"], int(10e9)).toPandas()
+    assert len(folded) == 50
+    assert folded["pk"].sum() == 2000
+
+
+def test_mavg_precombine_state_machine(spark, tmp_path):
+    """Pre-combined path walks NEW -> GONE like the per-event path."""
+    burst = [("k1", float(BASE + i), 1000.0) for i in range(10)]
+    quiet = [("k1", float(BASE + 100 + i * 10), 0.001) for i in range(10)]
+    dirs = _write_batches(spark, str(tmp_path / "src"), [burst, quiet])
+
+    collected = []
+
+    def build(stream, ckpt, out):
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=10, threshold=50.0,
+            back2norm_sec=20, silent_watch=False, precombine=True,
+        )
+
+        def sink(df, epoch):
+            out.extend(df.collect())
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, collected)
+    events = [r["event"] for r in sorted(collected, key=lambda r: r["ts_ns"])]
+    assert events[0] == "NEW"
+    assert "GONE" in events
+    assert events.index("NEW") < events.index("GONE")
+
+
+def test_mavg_precombine_rate_continuity(spark, tmp_path):
+    """EWMA continuity across micro-batches under precombine: the last
+    emitted rate matches the scalar per-event oracle over all rows to
+    composite-FP tolerance."""
+    rng = np.random.RandomState(3)
+    all_rows = []
+    t = BASE
+    for _ in range(40):
+        t += int(rng.randint(1, 5))
+        all_rows.append(("k1", float(t), float(rng.randint(50, 150))))
+    batches = [all_rows[:20], all_rows[20:]]
+    dirs = _write_batches(spark, str(tmp_path / "src"), batches)
+
+    collected = []
+
+    def build(stream, ckpt, out):
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=30, threshold=0.0,
+            back2norm_sec=5, silent_watch=False, precombine=True,
+        )
+
+        def sink(df, epoch):
+            out.extend(df.collect())
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, collected)
+    assert collected, "no alert rows emitted"
+    final = max(collected, key=lambda r: r["ts_ns"])
+    ts_ns = np.array([int(r[1] * 1e9) for r in all_rows], dtype=np.int64)
+    vals = np.array([r[2] for r in all_rows])
+    n_exp, _ = ewma_replay_py(ts_ns, vals, int(30e9))
+    assert final["rate"] == pytest.approx(n_exp / 30, rel=1e-9)
+
+
+def test_mavg_precombine_matches_replay_events(spark, tmp_path):
+    """Batch-equivalence vs the per-event path on a two-key scenario
+    whose transitions land on batch boundaries (where batch-granular ==
+    per-event semantics): identical (key, event, ts_ns) streams, rates
+    equal to composite-FP tolerance, NEW rates bit-equal (they resolve
+    at the batch's first event, where both paths compute v1/W)."""
+    W, TH, GRACE = 10, 50.0, 20
+    batches = [
+        # kA bursts (NEW at first event); kB idles
+        [("kA", float(BASE + i), 1000.0) for i in range(5)]
+        + [("kB", float(BASE + i), 1.0) for i in range(5)],
+        # kA: two below events spanning the grace -> GONE at the last
+        # event in BOTH paths; kB bursts -> NEW (dt >= W resets, so the
+        # rate is concrete in both paths)
+        [("kA", float(BASE + 20), 0.001), ("kA", float(BASE + 41), 0.001)]
+        + [("kB", float(BASE + 20), 1000.0), ("kB", float(BASE + 21), 1000.0)],
+        # kA re-bursts after GONE -> a second NEW; kB: below pair
+        # spanning the grace -> GONE
+        [("kA", float(BASE + 60), 1000.0)]
+        + [("kB", float(BASE + 60), 0.001), ("kB", float(BASE + 85), 0.001)],
+    ]
+    dirs = _write_batches(spark, str(tmp_path / "src"), batches)
+
+    def run(precombine):
+        collected = []
+
+        def build(stream, ckpt, out):
+            alerts = mavg_alert_stream(
+                stream, ["k"], "v", window_sec=W, threshold=TH,
+                back2norm_sec=GRACE, silent_watch=False,
+                precombine=precombine,
+            )
+
+            def sink(df, epoch):
+                out.extend(df.collect())
+
+            return (
+                alerts.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+
+        _run_stream_over_dirs(spark, dirs, build, collected)
+        return sorted(
+            [(r["k"], r["event"], r["ts_ns"], r["rate"]) for r in collected],
+            key=lambda x: (x[2], x[0], x[1]),
+        )
+
+    per_event = run(False)
+    pre = run(True)
+    assert [x[:3] for x in pre] == [x[:3] for x in per_event]
+    for (_, ev, _, r_pc), (_, _, _, r_pe) in zip(pre, per_event):
+        assert r_pc == pytest.approx(r_pe, rel=1e-9)
+        if ev == "NEW":
+            assert r_pc == r_pe  # resolves at the batch's first event
+
+
+def test_mavg_precombine_under_grace(spark, tmp_path):
+    """under=True with precombine: drop detected, never during the
+    key's first window (grace, under.c:298-303)."""
+    high = [("k1", float(BASE + i), 100.0) for i in range(0, 40, 2)]
+    low = [("k1", float(BASE + 60 + i * 5), 0.01) for i in range(10)]
+    dirs = _write_batches(spark, str(tmp_path / "src"), [high, low])
+
+    collected = []
+
+    def build(stream, ckpt, out):
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=10, threshold=10.0,
+            back2norm_sec=1000, under=True, silent_watch=False,
+            precombine=True,
+        )
+
+        def sink(df, epoch):
+            out.extend(df.collect())
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, collected)
+    news = [r for r in collected if r["event"] == "NEW"]
+    assert news, "traffic drop not detected"
+    assert news[0]["ts_ns"] >= int((BASE + 60) * 1e9)
+    assert all(r["ts_ns"] >= int((BASE + 10) * 1e9) for r in news)
+
+
+def test_mavg_precombine_limits_df(spark, tmp_path):
+    """The map-side-joined per-key limit rides the folded row."""
+    burst = [("k1", float(BASE + i), 1000.0) for i in range(10)]
+    dirs = _write_batches(spark, str(tmp_path / "src"), [burst])
+    lim_df = spark.createDataFrame([("k1", 50.0)], "k string, limit double")
+
+    collected = []
+
+    def build(stream, ckpt, out):
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=10, threshold=1e18,
+            back2norm_sec=20, silent_watch=False, precombine=True,
+            limits_df=lim_df,
+        )
+
+        def sink(df, epoch):
+            out.extend(df.collect())
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, collected)
+    assert collected and collected[0]["event"] == "NEW"
+    assert all(r["threshold"] == 50.0 for r in collected)

@@ -134,3 +134,91 @@ def test_warc_documents_on_stream(spark):
         "source_id long, content binary",
         rows,
     )
+
+
+def test_curation_pipeline_end_to_end_on_stream(spark):
+    """r8: the shape a real crawl pipeline runs — WARC shards arrive on
+    a file stream, and ONE foreachBatch closure runs the full batch
+    composition per micro-batch: warc_documents -> gopher_quality cut
+    -> exact_dedup -> pack_sequences. Stateful stages (dedup's groupBy,
+    packing's window) are legal INSIDE foreachBatch because each
+    micro-batch is a plain batch frame; with the whole corpus in one
+    availableNow trigger the result must be row-identical to running
+    the same composition in batch."""
+    from xenoeye_spark.datapipe.dedup import exact_dedup
+    from xenoeye_spark.datapipe.sampling import pack_sequences
+    from xenoeye_spark.datapipe.text import gopher_quality
+    from xenoeye_spark.datapipe.warc import (
+        encode_warc, http_response_bytes, warc_documents,
+    )
+
+    bodies = {
+        0: "the quick brown fox jumps over the lazy dog near the river",
+        1: "spark folds affine maps over sorted event arrays at scale",
+        2: "the quick brown fox jumps over the lazy dog near the river",
+        3: "xx xx xx xx xx xx xx xx xx xx xx xx",          # fails gopher
+        4: "curation pipelines stream shards through batch operators",
+        5: "tiny",                                          # fails gopher
+    }
+    rows = []
+    for sid in range(3):  # two docs per shard
+        recs = [({"WARC-Type": "warcinfo"}, b"software: xe\r\n")]
+        for j in (0, 1):
+            i = sid * 2 + j
+            recs.append((
+                {"WARC-Type": "response",
+                 "WARC-Target-URI": f"http://c/{i}"},
+                http_response_bytes(bodies[i].encode()),
+            ))
+        rows.append((sid, bytearray(encode_warc(
+            recs, per_record_gzip=(sid % 2 == 0)))))
+
+    def curate(files_df):
+        docs = warc_documents(files_df, on_error="null").select(
+            F.monotonically_increasing_id().alias("_rid"),
+            "source_id", "target_uri", "text", "body_len",
+        )
+        # deterministic doc ids independent of partitioning: order by
+        # (source_id, uri) — monotonically_increasing_id is partition-
+        # dependent and would break the stream/batch comparison
+        docs = docs.select(
+            F.md5(F.concat_ws("|", "source_id", "target_uri"))
+            .alias("doc_id"),
+            "target_uri", "text", "body_len",
+        )
+        q = gopher_quality(docs, id_col="doc_id")
+        kept = docs.join(
+            q.filter(F.col("gopher_pass")).select("doc_id"), "doc_id"
+        )
+        keep = exact_dedup(kept, id_col="doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        deduped = kept.join(keep, "doc_id", "left_semi")
+        packed = pack_sequences(
+            deduped.withColumn("n_tok", F.size(F.split("text", r"\s+"))),
+            capacity=16, len_col="n_tok", id_col="doc_id",
+        )
+        return packed.select(
+            "doc_id", "target_uri", "n_tok", "bin_id", "bin_offset"
+        )
+
+    files_schema = "source_id long, content binary"
+    bdf = spark.createDataFrame(rows, files_schema)
+    want = sorted(map(tuple, curate(bdf).collect()))
+    assert len(want) == 3          # 6 docs - 2 quality - 1 exact dup
+    assert {w[3] for w in want} == {0, 1}   # packed into two 16-cap bins
+
+    src = tempfile.mkdtemp(prefix="curate_src_")
+    ckpt = tempfile.mkdtemp(prefix="curate_ckpt_")
+    bdf.coalesce(1).write.mode("overwrite").parquet(src + "/d")
+    stage = tempfile.mkdtemp(prefix="curate_stage_")
+    for f in glob.glob(os.path.join(src, "d", "*.parquet")):
+        shutil.copy(f, os.path.join(stage, os.path.basename(f)))
+    stream = spark.readStream.schema(files_schema).parquet(stage)
+    got: list = []
+    q = (stream.writeStream
+         .foreachBatch(lambda df, e: got.extend(curate(df).collect()))
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(map(tuple, got)) == want

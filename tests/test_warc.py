@@ -117,3 +117,68 @@ def test_warc_records_validates_on_error(spark):
                                "source_id long, content binary")
     with pytest.raises(ValueError, match="fail|null"):
         warc_records(df, on_error="skip")
+
+
+def test_warc_quarantine_discards_partial_records(spark):
+    """r8 (ADVICE): a file truncated MID-WAY under on_error='null' must
+    emit ONLY the quarantine row — records parsed before the failure
+    point are discarded, otherwise re-routing the quarantined file
+    double-ingests its leading records."""
+    recs = [_resp_rec("http://ex/ok", b"leading record body"),
+            _resp_rec("http://ex/cut", b"z" * 200)]
+    data = encode_warc(recs)
+    cut = data[:len(data) - 50]      # truncates inside record 2's body
+    # sanity: the walker does yield record 1 before raising
+    it = split_warc_records(cut)
+    assert next(it)[0]["warc-type"] == "response"
+    with pytest.raises(ValueError):
+        list(it)
+    df = spark.createDataFrame(
+        [(1, bytearray(cut)), (2, bytearray(data))],
+        "source_id long, content binary",
+    )
+    rows = sorted(
+        (r.source_id, r.rec_index)
+        for r in warc_records(df, on_error="null").collect()
+    )
+    # file 1: quarantine row ONLY; file 2: both records
+    assert rows == [(1, -1), (2, 0), (2, 1)]
+
+
+def test_warc_chunked_flush_identical_output(spark, monkeypatch):
+    """r8: the CHUNK_ROWS flush (fail mode) must not change results —
+    force a tiny chunk so a single file spans many flushes."""
+    from xenoeye_spark.datapipe import warc as warc_mod
+
+    recs = [_resp_rec(f"http://ex/{i}", f"body {i}".encode())
+            for i in range(25)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_warc(recs, per_record_gzip=True)))],
+        "source_id long, content binary",
+    )
+    baseline = sorted(
+        (r.rec_index, r.target_uri, r.payload_md5)
+        for r in warc_records(df).collect()
+    )
+    monkeypatch.setattr(warc_mod, "CHUNK_ROWS", 4)
+    chunked = sorted(
+        (r.rec_index, r.target_uri, r.payload_md5)
+        for r in warc_records(df).collect()
+    )
+    assert chunked == baseline and len(baseline) == 25
+
+
+def test_warc_streaming_inflate_bounds_buffer():
+    """r8: the walker's working buffer stays O(largest record), not
+    O(shard): walk a many-record member-gzipped file and watch the
+    buffer via the yielded record sizes (indirect: the walk completes
+    and yields lazily — consuming one record at a time keeps working
+    even when the full inflated size would be large relative to the
+    record)."""
+    big = [_resp_rec(f"http://ex/{i}", bytes(2048)) for i in range(500)]
+    data = encode_warc(big, per_record_gzip=True)
+    seen = 0
+    for hdrs, content in split_warc_records(data):
+        seen += 1
+        assert len(content) <= 2048 + 200
+    assert seen == 500

@@ -7,14 +7,20 @@ terminated by CRLFCRLF) followed by exactly ``Content-Length`` bytes
 of record content and a CRLF CRLF record separator. ``response``
 records wrap a full HTTP response (status line + headers + payload).
 Files are commonly gzip-compressed with ONE GZIP MEMBER PER RECORD so
-readers can split on member boundaries; ``gzip.decompress`` inflates
-all members of such a file transparently.
+readers can split on member boundaries; the walker inflates members
+INCREMENTALLY (``gzip.GzipFile`` reads across member boundaries), so
+whole-file gzip works identically.
 
 Spark shape: one ``mapInPandas`` projection over (source_id, content
-binary) rows — no shuffle; per-row cost is the file's own bytes. The
-record walk is strict: a malformed header or a truncated body raises
-(``on_error='null'`` quarantines the whole file to a NULL row instead,
-mirroring ``decompress_text``).
+binary) rows — no shuffle; per-row cost is the file's own bytes, and
+peak task memory is bounded by the COMPRESSED file plus the largest
+single record plus one row chunk (r8; previously the whole inflated
+shard plus every parsed row was held at once — ~4-5 GB per task on a
+standard 1 GB Common Crawl shard). The record walk is strict: a
+malformed header or a truncated body raises (``on_error='null'``
+quarantines the whole file to a NULL row instead — and discards any
+records parsed before the failure, so quarantined files never
+double-ingest).
 
 This module parses the container format from its public specification
 (ISO 28500 / WARC 1.1); the reference engine has no WARC surface —
@@ -36,34 +42,71 @@ from pyspark.sql import types as T
 
 _CRLF2 = b"\r\n\r\n"
 
+# warc_records flushes parsed rows to Arrow every this many records
+# (fail mode), bounding the rows buffer independently of shard size
+CHUNK_ROWS = 10_000
+
+
+_CHUNK = 1 << 20  # streaming inflate/read granularity
+
 
 def split_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
     """Yield (headers, content) per WARC record. ``headers`` maps
     lower-cased names to values plus ``'warc-version'``. Strict: raises
     ValueError on a malformed header block, a missing/invalid
-    Content-Length, or a body that runs past the end of the file."""
+    Content-Length, or a body that runs past the end of the file.
+
+    Memory (r8): the walk is STREAMING — gzip members inflate
+    incrementally through ``gzip.GzipFile`` (it reads across member
+    boundaries, so both record-per-member warc.gz and whole-file gzip
+    work) and the working buffer holds only the current record plus one
+    read chunk, never the inflated shard. Peak extra memory per task is
+    O(largest record), not O(shard); the caller's compressed bytes are
+    the remaining per-row footprint (the ingest source hands whole
+    files as rows). Truncated/corrupt gzip raises EOFError/BadGzipFile
+    from the read; normalized to the module's ValueError contract so
+    the quarantine path sees one exception type."""
+    import io
+
     if data[:2] == b"\x1f\x8b":
-        # warc.gz: one gzip member per record (or one for the file) —
-        # gzip.decompress inflates every member either way. Truncated/
-        # corrupt members raise EOFError/BadGzipFile; normalize to the
-        # module's ValueError contract so the quarantine path sees one
-        # exception type
-        try:
-            data = gzip.decompress(data)
-        except (EOFError, OSError, zlib_error) as e:
-            raise ValueError(f"corrupt gzip WARC file: {e}") from e
-    i, n = 0, len(data)
-    while i < n:
-        while data.startswith(b"\r\n", i):
-            i += 2
-        if i >= n:
+        fobj = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        fobj = io.BytesIO(data)
+    buf = bytearray()
+    eof = False
+    off = 0  # absolute offset of buf[0] in the (inflated) stream
+
+    def fill(target: int) -> None:
+        nonlocal eof
+        while not eof and len(buf) < target:
+            try:
+                chunk = fobj.read(_CHUNK)
+            except (EOFError, OSError, zlib_error) as e:
+                raise ValueError(f"corrupt gzip WARC file: {e}") from e
+            if not chunk:
+                eof = True
+            else:
+                buf.extend(chunk)
+
+    while True:
+        fill(2)
+        while buf[:2] == b"\r\n":  # skip record separators
+            del buf[:2]
+            off += 2
+            fill(2)
+        if not buf and eof:
             return
-        if not data.startswith(b"WARC/", i):
-            raise ValueError(f"not a WARC record header at offset {i}")
-        he = data.find(_CRLF2, i)
-        if he < 0:
-            raise ValueError("truncated WARC header block")
-        lines = data[i:he].decode("utf-8", "replace").split("\r\n")
+        fill(5)
+        if bytes(buf[:5]) != b"WARC/":
+            raise ValueError(f"not a WARC record header at offset {off}")
+        while True:
+            he = buf.find(_CRLF2)
+            if he >= 0:
+                break
+            if eof:
+                raise ValueError("truncated WARC header block")
+            fill(len(buf) + _CHUNK)
+        lines = bytes(buf[:he]).decode("utf-8", "replace").split("\r\n")
         hdrs = {"warc-version": lines[0]}
         for ln in lines[1:]:
             name, sep, val = ln.partition(":")
@@ -75,13 +118,15 @@ def split_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         except (KeyError, ValueError):
             raise ValueError("missing or non-integer Content-Length")
         body_start = he + len(_CRLF2)
-        if body_start + clen > n:
+        fill(body_start + clen)
+        if len(buf) < body_start + clen:
             raise ValueError(
                 f"record body runs past end of file "
-                f"({body_start + clen} > {n})"
+                f"({off + body_start + clen} > {off + len(buf)})"
             )
-        yield hdrs, data[body_start:body_start + clen]
-        i = body_start + clen
+        yield hdrs, bytes(buf[body_start:body_start + clen])
+        del buf[:body_start + clen]
+        off += body_start + clen
 
 
 def parse_http_response(content: bytes) -> tuple[int | None, dict, bytes]:
@@ -136,19 +181,28 @@ def warc_records(
     ``on_error='fail'`` (default) propagates malformed-file errors —
     a corrupt crawl shard should stop the job; ``'null'`` emits ONE
     quarantine row (rec_index = -1, everything else NULL) per bad file
-    so the pipeline can count and route them.
+    — and ONLY that row: records parsed before the failure point are
+    discarded, so a quarantined file never double-ingests when it is
+    re-routed/re-fetched (the whole-file contract).
 
     Scale: one mapInPandas projection, no shuffle; cost per row is the
-    file's own bytes. Record-gzipped ``warc.gz`` inflates member-wise.
+    file's own bytes. Memory (r8): the record walk streams gzip members
+    (split_warc_records), and parsed rows flush every ``CHUNK_ROWS``
+    in fail mode — peak task memory is O(compressed file + largest
+    record + chunk), not O(inflated shard). In ``'null'`` mode rows
+    buffer per FILE (the whole-file quarantine contract requires
+    knowing the walk finished before any row may be emitted), so the
+    bound there is O(compressed file + one file's parsed rows).
     """
     if on_error not in ("fail", "null"):
         raise ValueError(f"on_error must be fail|null: {on_error!r}")
+    cols = [f.name for f in RECORDS_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for sid, raw in zip(pdf["_id"], pdf["_c"]):
                 sid = int(sid)
+                file_rows: list[tuple] = []
                 try:
                     for idx, (hdrs, content) in enumerate(
                         split_warc_records(bytes(raw))
@@ -160,21 +214,26 @@ def warc_records(
                             )
                         else:
                             status, payload = None, content
-                        rows.append((
+                        file_rows.append((
                             sid, idx, wtype,
                             hdrs.get("warc-target-uri"),
                             status, len(payload),
                             hashlib.md5(payload).hexdigest(),
                             payload.decode("utf-8", "replace"),
                         ))
+                        if on_error == "fail" and len(file_rows) >= CHUNK_ROWS:
+                            # flush early only where an error would kill
+                            # the job anyway; 'null' must see the walk
+                            # complete before emitting anything
+                            yield pd.DataFrame(file_rows, columns=cols)
+                            file_rows = []
                 except ValueError:
                     if on_error == "fail":
                         raise
-                    rows.append((sid, -1, None, None, None, None, None,
-                                 None))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in RECORDS_SCHEMA.fields]
-            )
+                    file_rows = [(sid, -1, None, None, None, None, None,
+                                  None)]
+                if file_rows:
+                    yield pd.DataFrame(file_rows, columns=cols)
 
     staged = files.select(
         F.col(id_col).cast("long").alias("_id"),

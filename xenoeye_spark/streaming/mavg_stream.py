@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -151,6 +152,393 @@ def silent_transition(
     return (n, t_prev, S_ALMOST_GONE, below_since, first_seen), [], True
 
 
+# ---------------------------------------------------------------------------
+# Map-side pre-combine (r8): collapse each (key, micro-batch) to ONE row
+# before the Python state protocol.
+#
+# The decay step  n <- a*n + v  with  a = max(0, 1 - dt/T)  is an AFFINE
+# map, and affine maps compose associatively:
+#     (a2, b2) o (a1, b1) = (a2*a1, a2*b1 + b2)
+# so the whole batch collapses to one composite (A, B) with
+# n_end = A*n_1 + B, where n_1 is the (state-dependent) value after the
+# key's FIRST event of the batch. Intra-batch resets (dt >= T -> a = 0)
+# need no special casing — a zero factor annihilates the left composite,
+# which is exactly the reset semantics.
+#
+# A JVM groupBy().agg() fold is NOT usable here: on a streaming frame it
+# would be an unbounded STREAMING aggregation (state forever per key),
+# not a per-batch collapse. The streaming-legal shape is the house
+# pattern (streaming/wutil.py): a stateless mapInPandas pre-combine —
+# here after repartition(key) + sortWithinPartitions(key, ts) so every
+# key is contiguous and time-ordered within one partition, because the
+# fold is order-sensitive (partials of one key from different partitions
+# could interleave in time and cannot be merged exactly). The fold
+# itself is a segmented Hillis-Steele scan over the affine monoid —
+# fully numpy-vectorized across ALL rows of an Arrow batch, no per-event
+# Python. Underflow of long composites to 0.0 is the mathematically
+# correct limit (same argument as operators/mavg.ewma_replay_vec).
+#
+# FP contract (house precedent: ewma_replay_vec): composing
+# (a2*a1, a2*b1+b2) REGROUPS the sequential  n - (dt/T)*n + v  fold, so
+# the pre-combined accumulator agrees with the sequential replay to
+# ~1e-12 relative, not bit-for-bit; the error is self-healing because
+# the EWMA forgets exponentially. The oracled batch operator
+# (operators/mavg.mavg_rates, gate query mavg_ewma) keeps the scalar
+# fold. Alarm semantics under pre-combine are BATCH-granular: the state
+# machine steps once per (key, micro-batch) from exact sample points of
+# the n_i series (see precombine_step), so transition timestamps can
+# shift by up to one batch interval vs per-event replay; event TYPES and
+# ordering are preserved. Default stays precombine=False.
+# ---------------------------------------------------------------------------
+
+_PC_FIELDS: list[tuple[str, T.DataType]] = [
+    ("pk", T.LongType()),     # events in batch
+    ("pt1", T.LongType()),    # first event ts (ns)
+    ("pv1", T.DoubleType()),  # first event value
+    ("ptk", T.LongType()),    # last event ts (ns)
+    ("pA", T.DoubleType()),   # composite: n_end = pA*n_1 + pB
+    ("pB", T.DoubleType()),
+    # exact series sample points n_i = pA?*n_1 + pB? at real events:
+    # pr = argmax of the reset-variant series (the peak when n_1 = pv1),
+    # bm = argmax of B_i (the peak's location when n_1's carry is small),
+    # vr/bn = the min-side twins for under-limit mode.
+    ("pApr", T.DoubleType()), ("pBpr", T.DoubleType()), ("ptpr", T.LongType()),
+    ("pAbm", T.DoubleType()), ("pBbm", T.DoubleType()), ("ptbm", T.LongType()),
+    ("pAvr", T.DoubleType()), ("pBvr", T.DoubleType()), ("ptvr", T.LongType()),
+    ("pAbn", T.DoubleType()), ("pBbn", T.DoubleType()), ("ptbn", T.LongType()),
+]
+
+
+def _segmented_affine_scan(
+    a: np.ndarray, b: np.ndarray, heads: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented inclusive scan of affine maps (Hillis-Steele): returns
+    per-position composites (A_i, B_i) such that applying events
+    head+1..i of the segment to base n gives A_i*n + B_i. Segment heads
+    must carry the identity (1, 0). O(n log n) numpy ops, no Python
+    per-event loop."""
+    A = np.asarray(a, dtype=np.float64).copy()
+    B = np.asarray(b, dtype=np.float64).copy()
+    f = heads.copy()
+    n = len(A)
+    d = 1
+    while d < n:
+        src = np.flatnonzero(~f[d:]) + d  # positions still absorbing left
+        if len(src):
+            left = src - d
+            # read everything BEFORE writing: Hillis-Steele uses the
+            # previous iteration's values even when src and left overlap
+            nA = A[src] * A[left]
+            nB = A[src] * B[left] + B[src]
+            nf = f[left]
+            A[src] = nA
+            B[src] = nB
+            f[src] |= nf
+        d *= 2
+    return A, B
+
+
+def _key_heads(pdf: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
+    """Boolean head marker per row of a key-sorted frame (factorize-based
+    so NULL keys group together, matching Spark groupBy null semantics)."""
+    n = len(pdf)
+    heads = np.zeros(n, dtype=bool)
+    if n == 0:
+        return heads
+    heads[0] = True
+    for kc in key_cols:
+        codes = pd.factorize(pdf[kc], use_na_sentinel=True)[0]
+        heads[1:] |= codes[1:] != codes[:-1]
+    return heads
+
+
+def fold_sorted(
+    pdf: pd.DataFrame,
+    key_cols: list[str],
+    window_ns: int,
+    has_limit: bool = False,
+) -> pd.DataFrame:
+    """Fold a (key, ts)-sorted frame to one row per key carrying the
+    batch's affine composite and exact series sample points. Vectorized
+    across keys: the segmented scan runs over the whole frame at once."""
+    n = len(pdf)
+    ts = pdf["_ts_ns"].to_numpy(np.int64)
+    v = pdf["_val"].to_numpy(np.float64)
+    heads = _key_heads(pdf, key_cols)
+    dt = np.empty(n, dtype=np.int64)
+    dt[0] = 0
+    dt[1:] = ts[1:] - ts[:-1]
+    a = np.where(dt >= window_ns, 0.0, 1.0 - dt / np.float64(window_ns))
+    b = v.copy()
+    a[heads] = 1.0  # identity at the head: n_1 is the state-dep. base
+    b[heads] = 0.0
+    A, B = _segmented_affine_scan(a, b, heads)
+    starts = np.flatnonzero(heads)
+    ends = np.append(starts[1:], n) - 1
+    seg_id = np.cumsum(heads) - 1
+    v1 = v[starts][seg_id]
+    nr = A * v1 + B  # the series under the reset variant (n_1 = v1)
+    i_pr = pd.Series(nr).groupby(seg_id).idxmax().to_numpy()
+    i_vr = pd.Series(nr).groupby(seg_id).idxmin().to_numpy()
+    i_bm = pd.Series(B).groupby(seg_id).idxmax().to_numpy()
+    i_bn = pd.Series(B).groupby(seg_id).idxmin().to_numpy()
+    out = pdf.iloc[starts][key_cols].reset_index(drop=True)
+    out["pk"] = (ends - starts + 1).astype(np.int64)
+    out["pt1"] = ts[starts]
+    out["pv1"] = v[starts]
+    out["ptk"] = ts[ends]
+    out["pA"] = A[ends]
+    out["pB"] = B[ends]
+    for nm, idx in (("pr", i_pr), ("bm", i_bm), ("vr", i_vr), ("bn", i_bn)):
+        out[f"pA{nm}"] = A[idx]
+        out[f"pB{nm}"] = B[idx]
+        out[f"pt{nm}"] = ts[idx]
+    if has_limit:
+        out["_limit"] = pdf["_limit"].to_numpy()[starts]
+    return out
+
+
+def precombine_events(
+    prepped: DataFrame, key_cols: list[str], window_ns: int
+) -> DataFrame:
+    """One folded row per (key, micro-batch): repartition by key so each
+    key lives in exactly one partition (the order-sensitive fold cannot
+    merge time-interleaved partials), sort within partitions, scan. The
+    state op re-shuffles only the O(keys) folded rows. A key straddling
+    consecutive Arrow batches is held back and prepended to the next."""
+    has_limit = "_limit" in prepped.columns
+    fields = [prepped.schema[k] for k in key_cols] + [
+        T.StructField(nm, dt) for nm, dt in _PC_FIELDS
+    ]
+    if has_limit:
+        fields.append(T.StructField("_limit", T.DoubleType()))
+    schema = T.StructType(fields)
+    out_cols = [f.name for f in schema.fields]
+    sort_cols = [*key_cols, "_ts_ns", "_val"]  # _val pins FP tie order
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Structured Streaming forbids sortWithinPartitions, so the sort
+        # happens here: buffer THIS partition's micro-batch slice, sort
+        # once, fold once. Peak task memory = the slice's raw rows —
+        # the same rows the state op would otherwise buffer per group,
+        # bounded by (batch volume / shuffle partitions).
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        yield fold_sorted(pdf, key_cols, window_ns, has_limit)[out_cols]
+
+    return prepped.repartition(*key_cols).mapInPandas(gen, schema=schema)
+
+
+def precombine_step(
+    st: tuple,
+    row,
+    key: tuple,
+    limit: float,
+    window_sec: int,
+    window_ns: int,
+    back2norm_ns: int,
+    under: bool,
+) -> tuple[tuple, list[tuple]]:
+    """One batch-granular state-machine step from a folded row.
+
+    n_1 (the value after the batch's first event) is computed exactly
+    from state with the same operation order as ewma_step; n_end and the
+    sample points are composite-affine (pA?*n_1 + pB?) — each an EXACT
+    n_i at a real event of the batch, up to the documented composite-FP
+    regrouping. Breach detection samples {first, last, reset-argmax,
+    B-argmax} (+ min-side twins for under mode): exact peak/valley when
+    the batch starts from a reset (then n_1 = pv1 and the reset-argmax
+    IS the true extremum); a lower bound on the peak under carry-over —
+    a mid-batch spike shorter than a batch interval can be missed, the
+    accepted trade for O(keys) state-protocol rows. Transitions resolve
+    at batch granularity: below_since starts at the batch's first/last
+    event and GONE fires at the batch end, so timestamps can shift by up
+    to one batch interval vs per-event replay_rows."""
+    n_prev, t_prev, alarm, below_since, first_seen = st
+    t1 = int(row.pt1)
+    tk = int(row.ptk)
+    v1 = float(row.pv1)
+    if first_seen is None:
+        first_seen = t1
+    if t_prev is None or t1 - t_prev >= window_ns:
+        n1 = v1
+    else:
+        dt = t1 - t_prev
+        n1 = n_prev - (dt / window_ns) * n_prev + v1
+    n_end = row.pA * n1 + row.pB
+    if under:
+        cands = [
+            (t1, n1),
+            (tk, n_end),
+            (int(row.ptvr), row.pAvr * n1 + row.pBvr),
+            (int(row.ptbn), row.pAbn * n1 + row.pBbn),
+        ]
+    else:
+        cands = [
+            (t1, n1),
+            (tk, n_end),
+            (int(row.ptpr), row.pApr * n1 + row.pBpr),
+            (int(row.ptbm), row.pAbm * n1 + row.pBbm),
+        ]
+
+    def breach(nv: float, t: int) -> bool:
+        if under and t - first_seen < window_ns:
+            return False  # grace: first window after start (under.c:298-303)
+        rate = nv / window_sec
+        return (rate < limit) if under else (rate >= limit)
+
+    hits = [(t, nv) for t, nv in cands if breach(nv, t)]
+    events: list[tuple] = []
+    if hits:
+        below_since = None
+        tb, nb = min(hits, key=lambda x: x[0])
+        if alarm == S_NONE:
+            alarm = S_NEW
+            events.append((*key, S_NEW, nb / window_sec, limit, tb))
+        elif alarm == S_ALMOST_GONE:
+            alarm = S_UPDATE  # dipped but came back
+        if alarm in (S_NEW, S_UPDATE) and not breach(n_end, tk):
+            alarm = S_ALMOST_GONE  # dipped by batch end
+            below_since = tk
+    else:
+        if alarm in (S_NEW, S_UPDATE):
+            alarm = S_ALMOST_GONE
+            below_since = t1  # no breach in batch: below since its start
+        if (
+            alarm == S_ALMOST_GONE
+            and below_since is not None
+            and tk - below_since >= back2norm_ns
+        ):
+            alarm = S_NONE
+            events.append((*key, S_GONE, n_end / window_sec, limit, tk))
+            below_since = None
+    return (float(n_end), tk, alarm, below_since, first_seen), events
+
+
+def make_mavg_state_fn_pc(
+    key_cols: list[str],
+    window_sec: int,
+    threshold: float,
+    back2norm_sec: int = 30,
+    thresholds: dict[tuple, float] | None = None,
+    under: bool = False,
+    idle_timeout_sec: int | None = None,
+    silent_watch: bool = True,
+):
+    """applyInPandasWithState fn consuming PRE-COMBINED rows (one per
+    key per micro-batch, from precombine_events). Same state schema,
+    output schema, limit resolution and timeout handling as the
+    per-event fn; the replay loop is replaced by precombine_step."""
+    window_ns = int(window_sec * 1e9)
+    back2norm_ns = int(back2norm_sec * 1e9)
+    watch_ms = int(max(min(back2norm_sec / 4, 5), 1) * 1000)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from xenoeye_spark.config.limits import norm_group_key
+
+        dict_limit = (thresholds or {}).get(norm_group_key(key), threshold)
+        cols = [*key_cols, "event", "rate", "threshold", "ts_ns"]
+
+        if state.hasTimedOut:
+            out = _handle_timeout(
+                state, dict_limit, key, window_sec, window_ns,
+                back2norm_ns, under, watch_ms, idle_timeout_sec,
+                silent_watch, cols,
+            )
+            if out is not None:
+                yield out
+            return
+
+        st = state.get if state.exists else (0.0, None, S_NONE, None, None, None)
+        if len(st) == 5:  # pre-r7 checkpoint: no persisted limit yet
+            st = (*st, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("pt1", kind="mergesort")
+        if "_limit" in rows.columns:
+            joined = rows["_limit"].dropna()
+            if len(joined):
+                limit = float(joined.iloc[0])
+            elif st[5] is not None:
+                limit = st[5]
+            else:
+                limit = dict_limit
+        else:
+            limit = dict_limit
+        core = st[:5]
+        events: list[tuple] = []
+        # normally exactly one folded row; sequential partials (defensive:
+        # e.g. a re-batched source) apply in time order
+        for r in rows.itertuples(index=False):
+            core, ev = precombine_step(
+                core, r, key, limit, window_sec, window_ns, back2norm_ns,
+                under,
+            )
+            events.extend(ev)
+        # steady-state notification refresh (act:427-433)
+        if core[2] in (S_NEW, S_UPDATE) and not events:
+            events.append(
+                (*key, S_UPDATE, core[0] / window_sec, limit, core[1])
+            )
+        state.update((*core, float(limit)))
+        if silent_watch and core[2] != S_NONE:
+            state.setTimeoutDuration(watch_ms)
+        elif idle_timeout_sec is not None:
+            state.setTimeoutDuration(idle_timeout_sec * 1000)
+        if events:
+            yield pd.DataFrame(events, columns=cols)
+
+    return fn
+
+
+def _handle_timeout(
+    state: GroupState,
+    dict_limit: float,
+    key: tuple,
+    window_sec: int,
+    window_ns: int,
+    back2norm_ns: int,
+    under: bool,
+    watch_ms: int,
+    idle_timeout_sec: int | None,
+    silent_watch: bool,
+    cols: list[str],
+) -> pd.DataFrame | None:
+    """Shared timed-out-group handler (per-event and pre-combined fns):
+    1. alarmed key gone silent -> synthetic decay + state machine
+       (the act thread's job, monit-objects-mavg-act.c:391-397)
+    2. idle-key compaction (try_reset_db, mavg.c:776-885)
+    """
+    st = state.get if state.exists else None
+    if st is not None and len(st) == 5:
+        st = (*st, None)
+    if silent_watch and st is not None and st[2] != S_NONE:
+        # the resolved limit was persisted at replay time, so a
+        # map-side-joined limit survives the key going silent
+        limit = st[5] if st[5] is not None else dict_limit
+        now_ns = int(_time_now_ns())
+        new_st, events, watch = silent_transition(
+            st[:5], now_ns, key, limit, window_sec, window_ns,
+            back2norm_ns, under,
+        )
+        state.update((*new_st, limit))
+        if watch:
+            state.setTimeoutDuration(watch_ms)
+        elif idle_timeout_sec is not None:
+            state.setTimeoutDuration(idle_timeout_sec * 1000)
+        if events:
+            return pd.DataFrame(events, columns=cols)
+        return None
+    state.remove()
+    return None
+
+
 def make_mavg_state_fn(
     key_cols: list[str],
     window_sec: int,
@@ -193,33 +581,19 @@ def make_mavg_state_fn(
         cols = [*key_cols, "event", "rate", "threshold", "ts_ns"]
 
         if state.hasTimedOut:
-            # two timeout roles:
-            # 1. alarmed key gone silent -> synthetic decay + state machine
-            #    (the act thread's job, monit-objects-mavg-act.c:391-397)
-            # 2. idle-key compaction (try_reset_db, mavg.c:776-885)
-            st = state.get if state.exists else None
-            if silent_watch and st is not None and st[2] != S_NONE:
-                # the resolved limit was persisted at replay time, so a
-                # map-side-joined limit survives the key going silent
-                limit = st[5] if st[5] is not None else dict_limit
-                now_ns = int(_time_now_ns())
-                new_st, events, watch = silent_transition(
-                    st[:5], now_ns, key, limit, window_sec, window_ns,
-                    back2norm_ns, under,
-                )
-                state.update((*new_st, limit))
-                if watch:
-                    state.setTimeoutDuration(watch_ms)
-                elif idle_timeout_sec is not None:
-                    state.setTimeoutDuration(idle_timeout_sec * 1000)
-                if events:
-                    yield pd.DataFrame(events, columns=cols)
-            else:
-                state.remove()
+            out = _handle_timeout(
+                state, dict_limit, key, window_sec, window_ns,
+                back2norm_ns, under, watch_ms, idle_timeout_sec,
+                silent_watch, cols,
+            )
+            if out is not None:
+                yield out
             return
 
         if state.exists:
             st = state.get
+            if len(st) == 5:  # pre-r7 checkpoint: no persisted limit yet
+                st = (*st, None)
         else:
             st = (0.0, None, S_NONE, None, None, None)
 
@@ -295,6 +669,7 @@ def mavg_alert_stream(
     silent_watch: bool = True,
     limits_df: DataFrame | None = None,
     limit_col: str = "limit",
+    precombine: bool = False,
 ) -> DataFrame:
     """Wire the stateful fn onto a (streaming or batch-test) DataFrame.
 
@@ -316,6 +691,23 @@ def mavg_alert_stream(
     the reference's act-thread behavior. Note for availableNow test runs:
     armed timeouts keep the query alive, so bounded drains should either
     pass silent_watch=False or stop() after a short awaitTermination.
+
+    ``precombine`` (r8, default off): collapse each (key, micro-batch)
+    to ONE row map-side via the segmented affine scan before the Python
+    state protocol, so applyInPandasWithState sees O(keys) rows instead
+    of O(flows) — the shape the reference's signature workload needs
+    (its C loop sustains ~700k flows/s/core; the Python state protocol
+    pays per row). Trades: accumulator agrees with the sequential replay
+    to ~1e-12 relative (composite-FP regrouping, see the pre-combine
+    section comment) and alarm transitions resolve at BATCH granularity
+    (precombine_step docstring). Leave off where an oracle compares
+    exact bits or alert timestamps must be per-event.
+
+    Checkpoint format: STATE_SCHEMA gained a 6th field (``limit``) in
+    r7. A checkpoint written by the 5-field era cannot be restored
+    (Spark's state-store schema validation rejects it — start a fresh
+    checkpoint directory); if validation is disabled, restored 5-tuples
+    are padded with a NULL limit defensively.
     """
     key_struct = [flows.schema[k] for k in key_cols]
     out_schema = T.StructType(
@@ -341,10 +733,17 @@ def mavg_alert_stream(
     if limits_df is not None:
         lim = _validated_limits(limits_df, key_cols, limit_col, "_limit")
         prepped = prepped.join(lim, key_cols, "left")
-    fn = make_mavg_state_fn(
-        key_cols, window_sec, threshold, back2norm_sec, thresholds, under,
-        idle_timeout_sec, silent_watch,
-    )
+    if precombine:
+        prepped = precombine_events(prepped, key_cols, int(window_sec * 1e9))
+        fn = make_mavg_state_fn_pc(
+            key_cols, window_sec, threshold, back2norm_sec, thresholds,
+            under, idle_timeout_sec, silent_watch,
+        )
+    else:
+        fn = make_mavg_state_fn(
+            key_cols, window_sec, threshold, back2norm_sec, thresholds,
+            under, idle_timeout_sec, silent_watch,
+        )
     # timeouts serve the alarmed-key watch (silent keys must reach GONE,
     # act-thread parity) and idle-state compaction. Request the timeout
     # conf only when one of them is in play: a ProcessingTimeTimeout conf
