@@ -666,3 +666,64 @@ def test_mavg_precombine_collapses_flows_to_keys(spark):
     assert [e[:2] for e in ev_pc] == [(13, "NEW")]
     print(f"\nmavg 200k flows/2k keys: per-event {t_pe:.2f}s, "
           f"precombine {t_pc:.2f}s")
+
+
+def test_mavg_bucketed_high_cardinality(spark):
+    """r8: bucketed state at carrier key cardinality — 120k distinct
+    keys through 64 buckets in one micro-batch. The state store holds
+    at most 64 rows (one pickled key-table per bucket, the reference's
+    per-thread-trie layout), the map-side-joined limit still fires the
+    one planted alarm, and wall time is printed beside the per-key
+    figure recorded in SCALE.md §Round-7 (~44s at this size on the
+    per-key layout: 120k groups x ~0.4ms protocol cost)."""
+    import glob as g
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from xenoeye_spark.streaming.mavg_stream import mavg_alert_stream
+
+    n_keys = 120_000
+    base = 1_700_000_000
+    stage = tempfile.mkdtemp(prefix="mavg_bkt_src_")
+    ckpt = tempfile.mkdtemp(prefix="mavg_bkt_ckpt_")
+    limits_df = spark.range(n_keys).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 7, 0.05).otherwise(1e18).alias("limit"),
+    )
+    d = tempfile.mkdtemp(prefix="mavg_bkt_stage_")
+    spark.range(n_keys).select(
+        F.col("id").alias("k"),
+        F.lit(float(base)).cast("timestamp").alias("ts"),
+        F.lit(1.0).alias("v"),
+    ).write.parquet(d, mode="overwrite")
+    for i, f in enumerate(g.glob(os.path.join(d, "*.parquet"))):
+        shutil.copy(f, os.path.join(stage, f"b0_{i}.parquet"))
+
+    events: list = []
+    stream = (
+        spark.readStream.schema("k long, ts timestamp, v double")
+        .parquet(stage)
+    )
+    alerts = mavg_alert_stream(
+        stream, ["k"], "v", window_sec=10, threshold=1e18,
+        silent_watch=False, limits_df=limits_df, buckets=64,
+    )
+    t0 = time.time()
+    q = (
+        alerts.writeStream
+        .foreachBatch(lambda df, e: events.extend(df.collect()))
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    dt = time.time() - t0
+    prog = [p for p in (q.recentProgress or []) if p.get("stateOperators")]
+    assert prog, "no stateful micro-batch completed"
+    so = max(p["stateOperators"][0]["numRowsTotal"] for p in prog)
+    assert so <= 64, f"state rows {so} exceed bucket count"
+    assert [(r["k"], r["event"]) for r in events] == [(7, "NEW")]
+    assert events[0]["threshold"] == pytest.approx(0.05)
+    print(f"\nmavg 120k keys first-touch, 64 buckets: {dt:.1f}s "
+          f"({120_000/dt:,.0f} keys/s on local[4])")

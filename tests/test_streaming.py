@@ -1897,3 +1897,95 @@ def test_mavg_precombine_limits_df(spark, tmp_path):
     _run_stream_over_dirs(spark, dirs, build, collected)
     assert collected and collected[0]["event"] == "NEW"
     assert all(r["threshold"] == 50.0 for r in collected)
+
+
+def test_mavg_bucketed_equivalent_to_per_key(spark, tmp_path):
+    """r8: bucketed state (one pickled {key: state} dict per hash
+    bucket — the reference's per-thread-trie layout) replays the exact
+    event sequence of the per-key layout across micro-batches,
+    including GONE on a later batch; the raw-row bucketed path shares
+    replay_rows with the per-key path, so rates are bit-equal. The
+    precombined bucketed path matches to composite-FP tolerance."""
+    burst = (
+        [("k1", float(BASE + i), 1000.0) for i in range(10)]
+        + [("k2", float(BASE + i), 0.001) for i in range(10)]
+        + [("k3", float(BASE + i), 800.0) for i in range(5)]
+    )
+    quiet = (
+        [("k1", float(BASE + 100 + i * 10), 0.001) for i in range(10)]
+        + [("k3", float(BASE + 100), 900.0)]
+    )
+    dirs = _write_batches(spark, str(tmp_path / "src"), [burst, quiet])
+
+    def run(**kw):
+        collected = []
+
+        def build(stream, ckpt, out):
+            alerts = mavg_alert_stream(
+                stream, ["k"], "v", window_sec=10, threshold=50.0,
+                back2norm_sec=20, silent_watch=False, **kw,
+            )
+
+            def sink(df, epoch):
+                out.extend(df.collect())
+
+            return (
+                alerts.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+
+        _run_stream_over_dirs(spark, dirs, build, collected)
+        return sorted(
+            (r["k"], r["event"], r["ts_ns"], r["rate"]) for r in collected
+        )
+
+    per_key = run()
+    bucketed = run(buckets=4)
+    assert bucketed == per_key          # same replay core -> bit-equal
+    # precombined bucketed: same per-key event SEQUENCES; the quiet
+    # batch spans the grace period, so GONE's timestamp legitimately
+    # moves to the batch end (documented batch granularity)
+    pc_bucketed = run(buckets=4, precombine=True)
+    assert sorted((k, e) for k, e, *_ in pc_bucketed) == sorted(
+        (k, e) for k, e, *_ in per_key
+    )
+    evs = [(k, e) for k, e, *_ in per_key]
+    assert ("k1", "NEW") in evs and ("k1", "GONE") in evs
+    assert ("k3", "NEW") in evs and ("k2", "NEW") not in evs
+
+
+def test_mavg_bucketed_limits_df_and_validation(spark, tmp_path):
+    """Bucketed mode resolves per-key limits from the map-side join and
+    refuses buckets < 1."""
+    burst = [("k1", float(BASE + i), 1000.0) for i in range(10)]
+    dirs = _write_batches(spark, str(tmp_path / "src"), [burst])
+    lim_df = spark.createDataFrame([("k1", 50.0)], "k string, limit double")
+
+    flows = spark.createDataFrame(
+        [("k1", float(BASE), 1.0)], "k string, ts double, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="buckets"):
+        mavg_alert_stream(flows, ["k"], "v", 10, 1.0, buckets=0)
+
+    collected = []
+
+    def build(stream, ckpt, out):
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=10, threshold=1e18,
+            back2norm_sec=20, silent_watch=False, buckets=8,
+            limits_df=lim_df,
+        )
+
+        def sink(df, epoch):
+            out.extend(df.collect())
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    _run_stream_over_dirs(spark, dirs, build, collected)
+    assert collected and collected[0]["event"] == "NEW"
+    assert all(r["threshold"] == 50.0 for r in collected)

@@ -632,6 +632,191 @@ def _time_now_ns() -> int:
     return time.time_ns()
 
 
+# ---------------------------------------------------------------------------
+# Bucketed state (r8): amortize the per-GROUP state-protocol cost.
+#
+# Measured r7/r8: applyInPandasWithState costs ~0.4ms per GROUP per
+# micro-batch (state get/update round-trip + per-group pandas
+# assembly) — at carrier key cardinality (500k keys) that protocol
+# cost IS the workload (~2.7k keys/s per 4 cores), and collapsing ROWS
+# (the pre-combine above) cannot touch it because the group count is
+# the key count either way. The reference solves the same problem with
+# per-thread tries holding MANY keys each (monit-objects-mavg.c tries,
+# fwm.c per-thread tkvdb banks merged at flush); the Spark analogue is
+# bucketing: group by hash(key) % buckets and keep ONE state row per
+# bucket — a dict of per-key state tuples — so the protocol cost is
+# paid per BUCKET and the per-key work inside is plain python over the
+# bucket's slice. State per bucket is O(keys_in_bucket) (~50 bytes per
+# entry pickled), the same memory the per-key layout spends, just
+# packed; hash bucketing keeps it even. The silent-watch timeout walks
+# the bucket's alarmed keys exactly like the reference's act thread
+# walks its tries, and idle keys age out at each tick (try_reset_db
+# parity, purge granularity = the tick period instead of an exact
+# per-key timeout).
+# ---------------------------------------------------------------------------
+
+BUCKET_STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType())])
+
+
+def _native_key(parts: tuple) -> tuple:
+    """Normalize a pandas-groupby key to stable python-native scalars so
+    the bucket table's dict keys survive pickle round-trips and match
+    the thresholds dict (numpy scalars hash like their python twins,
+    but storing natives keeps the state blob implementation-agnostic)."""
+    from xenoeye_spark.config.limits import norm_group_key
+
+    return norm_group_key(tuple(
+        p.item() if hasattr(p, "item") else p for p in parts
+    ))
+
+
+def make_mavg_bucket_fn(
+    key_cols: list[str],
+    window_sec: int,
+    threshold: float,
+    back2norm_sec: int = 30,
+    thresholds: dict[tuple, float] | None = None,
+    under: bool = False,
+    idle_timeout_sec: int | None = None,
+    silent_watch: bool = True,
+    precombined: bool = False,
+):
+    """applyInPandasWithState fn over BUCKET groups: state is one pickled
+    dict {key_tuple: (n, t_prev, alarm, below_since, first_seen, limit)}
+    per bucket. ``precombined`` selects the per-key step (folded rows ->
+    precombine_step, raw rows -> replay_rows); semantics per key are
+    identical to the per-key-group fns."""
+    import pickle
+
+    window_ns = int(window_sec * 1e9)
+    back2norm_ns = int(back2norm_sec * 1e9)
+    watch_ms = int(max(min(back2norm_sec / 4, 5), 1) * 1000)
+    idle_ns = None if idle_timeout_sec is None else int(idle_timeout_sec * 1e9)
+
+    def _arm(state: GroupState, table: dict) -> None:
+        if silent_watch and any(st[2] != S_NONE for st in table.values()):
+            state.setTimeoutDuration(watch_ms)
+        elif idle_timeout_sec is not None:
+            state.setTimeoutDuration(idle_timeout_sec * 1000)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cols = [*key_cols, "event", "rate", "threshold", "ts_ns"]
+        events: list[tuple] = []
+
+        if state.hasTimedOut:
+            if not state.exists:
+                state.remove()
+                return
+            table = pickle.loads(bytes(state.get[0]))
+            now_ns = int(_time_now_ns())
+            keep: dict = {}
+            for k, st in table.items():
+                limit = st[5] if st[5] is not None else (
+                    (thresholds or {}).get(k, threshold)
+                )
+                if silent_watch and st[2] != S_NONE:
+                    core, ev, _watch = silent_transition(
+                        st[:5], now_ns, k, limit, window_sec, window_ns,
+                        back2norm_ns, under,
+                    )
+                    events.extend(ev)
+                    st = (*core, st[5])
+                if (
+                    idle_ns is not None
+                    and st[2] == S_NONE
+                    and st[1] is not None
+                    and now_ns - st[1] >= idle_ns
+                ):
+                    continue  # try_reset_db: age the idle key out
+                keep[k] = st
+            if keep:
+                state.update((pickle.dumps(keep),))
+                _arm(state, keep)
+            else:
+                state.remove()
+            if events:
+                yield pd.DataFrame(events, columns=cols)
+            return
+
+        table = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # ONE sort + numpy segment slicing instead of a pandas groupby
+        # iteration: per-group pandas overhead (sort_values/to_numpy per
+        # group) costs ~0.2ms per KEY and would re-create the very
+        # per-key tax bucketing exists to amortize
+        sort_cols = (
+            [*key_cols, "pt1"] if precombined
+            else [*key_cols, "_ts_ns", "_val"]
+        )
+        rows = rows.sort_values(sort_cols, kind="mergesort",
+                                ignore_index=True)
+        import numpy as _np
+
+        heads = _key_heads(rows, key_cols)
+        starts = _np.flatnonzero(heads)
+        ends = _np.append(starts[1:], len(rows))
+        karrs = [rows[kc].to_numpy() for kc in key_cols]
+        lim_arr = (
+            rows["_limit"].to_numpy(dtype=float)
+            if "_limit" in rows.columns else None
+        )
+        thr = thresholds or {}
+
+        def _resolve_limit(s: int, e: int, st: tuple, k: tuple) -> float:
+            if lim_arr is not None:
+                seg = lim_arr[s:e]
+                ok = seg[~_np.isnan(seg)]
+                if len(ok):
+                    return float(ok[0])
+                if st[5] is not None:
+                    return st[5]
+            return thr.get(k, threshold)
+
+        if precombined:
+            recs = list(rows.itertuples(index=False))
+            for s, e in zip(starts, ends):
+                k = _native_key(tuple(arr[s] for arr in karrs))
+                st = table.get(k, (0.0, None, S_NONE, None, None, None))
+                limit = _resolve_limit(s, e, st, k)
+                core = st[:5]
+                kev: list[tuple] = []
+                for r in recs[s:e]:
+                    core, ev = precombine_step(
+                        core, r, k, limit, window_sec, window_ns,
+                        back2norm_ns, under,
+                    )
+                    kev.extend(ev)
+                if core[2] in (S_NEW, S_UPDATE) and not kev:
+                    kev.append(
+                        (*k, S_UPDATE, core[0] / window_sec, limit, core[1])
+                    )
+                table[k] = (*core, float(limit))
+                events.extend(kev)
+        else:
+            ts_arr = rows["_ts_ns"].to_numpy()
+            val_arr = rows["_val"].to_numpy()
+            for s, e in zip(starts, ends):
+                k = _native_key(tuple(arr[s] for arr in karrs))
+                st = table.get(k, (0.0, None, S_NONE, None, None, None))
+                limit = _resolve_limit(s, e, st, k)
+                core, kev = replay_rows(
+                    st[:5], ts_arr[s:e], val_arr[s:e], k, limit,
+                    window_sec, window_ns, back2norm_ns, under,
+                )
+                table[k] = (*core, float(limit))
+                events.extend(kev)
+        state.update((pickle.dumps(table),))
+        _arm(state, table)
+        if events:
+            yield pd.DataFrame(events, columns=cols)
+
+    return fn
+
+
 def _validated_limits(
     limits_df: DataFrame, key_cols: list[str], limit_col: str, out_col: str
 ) -> DataFrame:
@@ -670,6 +855,7 @@ def mavg_alert_stream(
     limits_df: DataFrame | None = None,
     limit_col: str = "limit",
     precombine: bool = False,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Wire the stateful fn onto a (streaming or batch-test) DataFrame.
 
@@ -703,11 +889,27 @@ def mavg_alert_stream(
     (precombine_step docstring). Leave off where an oracle compares
     exact bits or alert timestamps must be per-event.
 
+    ``buckets`` (r8): group the state op by ``hash(key) %% buckets``
+    instead of by key, holding one pickled {key: state} dict per
+    bucket — the reference's per-thread-trie layout. This amortizes
+    the ~0.4ms-per-GROUP state-protocol cost over thousands of keys,
+    the dominating term at carrier key cardinality (see the bucketed-
+    state section comment; measured 60x+ on the 500k-key first-touch).
+    Composes with ``precombine``. Per-key semantics are identical and
+    equivalence-tested; the trades are idle-key purge granularity (the
+    watch/TTL tick instead of an exact per-key timeout) and bucket-
+    level state rewrite per batch (any active key rewrites its
+    bucket's blob — size buckets so a blob is ~thousands of keys).
+    Pick buckets ~ 4-16x total cores; state-store partition count
+    still bounds parallelism downstream.
+
     Checkpoint format: STATE_SCHEMA gained a 6th field (``limit``) in
     r7. A checkpoint written by the 5-field era cannot be restored
     (Spark's state-store schema validation rejects it — start a fresh
     checkpoint directory); if validation is disabled, restored 5-tuples
-    are padded with a NULL limit defensively.
+    are padded with a NULL limit defensively. ``buckets`` mode uses a
+    different state schema entirely (one binary blob per bucket) —
+    switching layouts requires a fresh checkpoint.
     """
     key_struct = [flows.schema[k] for k in key_cols]
     out_schema = T.StructType(
@@ -735,6 +937,32 @@ def mavg_alert_stream(
         prepped = prepped.join(lim, key_cols, "left")
     if precombine:
         prepped = precombine_events(prepped, key_cols, int(window_sec * 1e9))
+    if buckets is not None:
+        if buckets < 1:
+            raise ValueError(f"buckets must be >= 1: {buckets}")
+        fn = make_mavg_bucket_fn(
+            key_cols, window_sec, threshold, back2norm_sec, thresholds,
+            under, idle_timeout_sec, silent_watch, precombined=precombine,
+        )
+        use_timeouts = silent_watch or idle_timeout_sec is not None
+        return (
+            prepped.withColumn(
+                "_bkt", F.pmod(F.xxhash64(*key_cols), F.lit(buckets))
+            )
+            .groupBy("_bkt")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=out_schema,
+                stateStructType=BUCKET_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=(
+                    GroupStateTimeout.ProcessingTimeTimeout
+                    if use_timeouts
+                    else GroupStateTimeout.NoTimeout
+                ),
+            )
+        )
+    if precombine:
         fn = make_mavg_state_fn_pc(
             key_cols, window_sec, threshold, back2norm_sec, thresholds,
             under, idle_timeout_sec, silent_watch,
