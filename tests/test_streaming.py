@@ -1989,3 +1989,19 @@ def test_mavg_bucketed_limits_df_and_validation(spark, tmp_path):
     _run_stream_over_dirs(spark, dirs, build, collected)
     assert collected and collected[0]["event"] == "NEW"
     assert all(r["threshold"] == 50.0 for r in collected)
+
+
+def test_mavg_config_bucket_knobs(spark, tmp_path):
+    """r8: mo.conf mavg sections accept "buckets"/"precombine" and the
+    engine passes them to the apply backend (the per-thread-trie
+    analogue of the reference's mem-m cap)."""
+    from xenoeye_spark.config.mo import MavgConfig
+
+    mc = MavgConfig.from_dict({
+        "name": "m1", "fields": ["octets", "src host"],
+        "time": 10, "buckets": 64, "precombine": True,
+    })
+    assert mc.buckets == 64 and mc.precombine is True
+    assert MavgConfig.from_dict(
+        {"name": "m2", "fields": ["octets"]}
+    ).buckets is None

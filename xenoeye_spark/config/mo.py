@@ -83,6 +83,11 @@ class MavgConfig:
     time: int = 5                      # monit-objects.h default window
     dump: int = 0
     mem_m: int = 256
+    # r8 scale knobs for the apply backend: "buckets" groups state by
+    # hash(key)%N (the per-thread-trie analogue of mem-m's trie cap),
+    # "precombine" folds each (key, batch) map-side before the state op
+    buckets: int | None = None
+    precombine: bool = False
     overlimit: list[OverlimitConfig] = field(default_factory=list)
     # traffic-drop levels, same shape as overlimit with inverted compare
     # (monit-objects-mavg-under.c, EXTRA.md:653-676)
@@ -96,6 +101,8 @@ class MavgConfig:
             time=int(d.get("time", 5)),
             dump=int(d.get("dump", 0)),
             mem_m=int(d.get("mem-m", 256)),
+            buckets=(int(d["buckets"]) if "buckets" in d else None),
+            precombine=bool(d.get("precombine", False)),
             overlimit=[OverlimitConfig.from_dict(o) for o in d.get("overlimit", [])],
             underlimit=[OverlimitConfig.from_dict(o) for o in d.get("underlimit", [])],
         )

@@ -187,6 +187,8 @@ class Engine:
                         thresholds=per_key,
                         under=under,
                         silent_watch=self.silent_watch,
+                        precombine=mavg.precombine,
+                        buckets=mavg.buckets,
                     )
                 sink = AlertActionSink(
                     mo_name=name.replace("/", "_"),

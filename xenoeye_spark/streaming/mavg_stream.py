@@ -894,7 +894,8 @@ def mavg_alert_stream(
     bucket — the reference's per-thread-trie layout. This amortizes
     the ~0.4ms-per-GROUP state-protocol cost over thousands of keys,
     the dominating term at carrier key cardinality (see the bucketed-
-    state section comment; measured 60x+ on the 500k-key first-touch).
+    state section comment; measured 40-45x on the 500k-key
+    first-touch: 2.1k -> 84-95k keys/s on local[4], SCALE.md §Round-8).
     Composes with ``precombine``. Per-key semantics are identical and
     equivalence-tested; the trades are idle-key purge granularity (the
     watch/TTL tick instead of an exact per-key timeout) and bucket-
