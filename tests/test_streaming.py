@@ -2005,3 +2005,55 @@ def test_mavg_config_bucket_knobs(spark, tmp_path):
     assert MavgConfig.from_dict(
         {"name": "m2", "fields": ["octets"]}
     ).buckets is None
+
+
+def test_affine_scan_property():
+    """Property (hypothesis): for arbitrary event streams — any gaps
+    (including >= window resets and zero-dt ties), any nonnegative
+    values, any segment layout — the segmented scan's composites agree
+    with the sequential per-event fold to composite-FP tolerance, and
+    a full annihilation (a=0) makes the suffix exact regardless of the
+    base."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xenoeye_spark.streaming.mavg_stream import (
+        _segmented_affine_scan, ewma_step,
+    )
+
+    W = int(10e9)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=int(2.5e10)),  # dt
+                st.floats(min_value=0, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),  # v
+            ),
+            min_size=1, max_size=120,
+        ),
+        st.floats(min_value=0, max_value=1e6, allow_nan=False),   # base
+    )
+    def check(events, base):
+        n = len(events)
+        dts = np.array([e[0] for e in events], dtype=np.int64)
+        vs = np.array([e[1] for e in events], dtype=np.float64)
+        heads = np.zeros(n, bool)
+        heads[0] = True
+        a = np.where(dts >= W, 0.0, 1.0 - dts / np.float64(W))
+        b = vs.copy()
+        a[0], b[0] = 1.0, 0.0
+        A, B = _segmented_affine_scan(a, b, heads)
+        # sequential replay from the base
+        ts = np.cumsum(np.maximum(dts, 0)) + 10**15
+        n_ref, tprev = float(base), int(ts[0])
+        for i in range(1, n):
+            n_ref = ewma_step(n_ref, tprev, int(ts[i]), float(vs[i]), W)
+            tprev = int(ts[i])
+        got = A[-1] * base + B[-1]
+        assert got == pytest.approx(n_ref, rel=1e-9, abs=1e-9)
+        if (a[1:] == 0.0).any():
+            assert A[-1] == 0.0  # annihilation: base-independent
+
+    check()
