@@ -629,6 +629,13 @@ def test_mavg_precombine_collapses_flows_to_keys(spark):
     ).collect()[0]
     assert agg["rows"] == n_keys
     assert agg["flows"] == n_keys * per_key
+    # plan shape: the fold (MapInPandas) runs AFTER the key repartition
+    # (order-sensitive fold needs key-contiguous partitions) and before
+    # anything else — the stateful op downstream re-shuffles only the
+    # folded O(keys) rows
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert plan.index("MapInPandas") < plan.index("hashpartitioning(k")
 
     src = tempfile.mkdtemp(prefix="mavg_pc_src_")
     d = tempfile.mkdtemp(prefix="mavg_pc_stage_")
