@@ -466,7 +466,11 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= 0.55)
         .select("doc_id")
     )
-    d2 = d1.join(good, "doc_id", "left_semi")
+    # stage-3's connected-components loop re-derives its input lineage
+    # once per convergence round — checkpoint the (small) surviving-doc
+    # frame so rounds reread a materialized table, not dedup+stats
+    # (r8: 5.0s -> 4.3s warmed at sf0.1)
+    d2 = d1.join(good, "doc_id", "left_semi").localCheckpoint(eager=False)
     pairs = ngram_jaccard_pairs(d2, n=3, threshold=0.35)
     dup_members = dedup_groups(pairs).filter(
         F.col("doc_id") != F.col("keep_id")
