@@ -182,3 +182,78 @@ def test_warc_streaming_inflate_bounds_buffer():
         seen += 1
         assert len(content) <= 2048 + 200
     assert seen == 500
+
+
+def test_warc_walker_roundtrip_property():
+    """Property (hypothesis): arbitrary records — binary content of any
+    size (including empty and CRLF-laden bodies that look like record
+    separators), arbitrary header values — round-trip through
+    encode_warc in all three layouts (plain, per-record gzip,
+    whole-file gzip) and come back byte-identical through the streaming
+    walker. Guards the r8 offset-pointer buffer arithmetic."""
+    import gzip as _gzip
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    content = st.binary(min_size=0, max_size=4096)
+    uri = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=0, max_size=40,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(uri, content), min_size=1, max_size=8))
+    def check(recs):
+        encoded = [
+            ({"WARC-Type": "resource", "WARC-Target-URI": u}, c)
+            for u, c in recs
+        ]
+        for layout in ("plain", "member", "whole"):
+            data = encode_warc(encoded, per_record_gzip=(layout == "member"))
+            if layout == "whole":
+                data = _gzip.compress(data, mtime=0)
+            got = list(split_warc_records(data))
+            assert [c for _, c in got] == [c for _, c in encoded]
+            assert [h.get("warc-target-uri") for h, _ in got] == [
+                u for u, _ in recs
+            ]
+
+    check()
+
+
+def test_warc_walker_never_hangs_on_garbage():
+    """Property (hypothesis): arbitrary byte soup — including inputs
+    starting with the gzip magic, truncated valid files, and bit-flipped
+    valid files — either walks to completion or raises ValueError;
+    never any other exception, never an infinite loop (bounded by the
+    input's own byte count)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = encode_warc(
+        [({"WARC-Type": "resource"}, b"seed-content-" * 20)],
+        per_record_gzip=True,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.one_of(
+        st.binary(min_size=0, max_size=2048),
+        st.binary(min_size=0, max_size=2).map(lambda p: p + base),
+        st.integers(min_value=0, max_value=len(base) - 1).map(
+            lambda i: base[:i]
+        ),
+        st.tuples(
+            st.integers(min_value=0, max_value=len(base) - 1),
+            st.integers(min_value=1, max_value=255),
+        ).map(lambda t: base[:t[0]] + bytes([base[t[0]] ^ t[1]])
+              + base[t[0] + 1:]),
+    ))
+    def check(data):
+        try:
+            n = sum(1 for _ in split_warc_records(bytes(data)))
+            assert n >= 0
+        except ValueError:
+            pass
+
+    check()
