@@ -754,11 +754,9 @@ def make_mavg_bucket_fn(
         )
         rows = rows.sort_values(sort_cols, kind="mergesort",
                                 ignore_index=True)
-        import numpy as _np
-
         heads = _key_heads(rows, key_cols)
-        starts = _np.flatnonzero(heads)
-        ends = _np.append(starts[1:], len(rows))
+        starts = np.flatnonzero(heads)
+        ends = np.append(starts[1:], len(rows))
         karrs = [rows[kc].to_numpy() for kc in key_cols]
         lim_arr = (
             rows["_limit"].to_numpy(dtype=float)
@@ -769,7 +767,7 @@ def make_mavg_bucket_fn(
         def _resolve_limit(s: int, e: int, st: tuple, k: tuple) -> float:
             if lim_arr is not None:
                 seg = lim_arr[s:e]
-                ok = seg[~_np.isnan(seg)]
+                ok = seg[~np.isnan(seg)]
                 if len(ok):
                     return float(ok[0])
                 if st[5] is not None:
