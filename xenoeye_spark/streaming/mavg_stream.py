@@ -169,10 +169,12 @@ def silent_transition(
 # would be an unbounded STREAMING aggregation (state forever per key),
 # not a per-batch collapse. The streaming-legal shape is the house
 # pattern (streaming/wutil.py): a stateless mapInPandas pre-combine —
-# here after repartition(key) + sortWithinPartitions(key, ts) so every
-# key is contiguous and time-ordered within one partition, because the
-# fold is order-sensitive (partials of one key from different partitions
-# could interleave in time and cannot be merged exactly). The fold
+# here after repartition(key), with the (key, ts) sort INSIDE the
+# mapInPandas (sortWithinPartitions is also rejected on streams), so
+# every key is contiguous and time-ordered within one partition —
+# required because the fold is order-sensitive (partials of one key
+# from different partitions could interleave in time and cannot be
+# merged exactly). The fold
 # itself is a segmented Hillis-Steele scan over the affine monoid —
 # fully numpy-vectorized across ALL rows of an Arrow batch, no per-event
 # Python. Underflow of long composites to 0.0 is the mathematically
@@ -303,9 +305,9 @@ def precombine_events(
 ) -> DataFrame:
     """One folded row per (key, micro-batch): repartition by key so each
     key lives in exactly one partition (the order-sensitive fold cannot
-    merge time-interleaved partials), sort within partitions, scan. The
-    state op re-shuffles only the O(keys) folded rows. A key straddling
-    consecutive Arrow batches is held back and prepended to the next."""
+    merge time-interleaved partials), then sort + scan the partition's
+    slice inside the stateless mapInPandas. The state op re-shuffles
+    only the O(keys) folded rows."""
     has_limit = "_limit" in prepped.columns
     fields = [prepped.schema[k] for k in key_cols] + [
         T.StructField(nm, dt) for nm, dt in _PC_FIELDS
