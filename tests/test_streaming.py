@@ -2109,3 +2109,113 @@ def test_mavg_bucketed_idle_purge(spark, tmp_path):
     # with live state the dt >= T reset gives the same rate, so also
     # assert the purge actually removed the bucket's state rows
     assert final["rate"] == pytest.approx(7.0 / 10, rel=1e-6)
+
+
+def test_precombine_step_properties():
+    """Property (hypothesis): for arbitrary single-key event streams cut
+    into arbitrary micro-batches, against the per-event replay:
+      P1 — the accumulator and t_prev after every batch agree to
+           composite-FP tolerance (always);
+      P2 — the pre-combined path never invents an alarm: it emits NEW
+           for a batch only if the per-event replay breached in that
+           batch (its peak candidates are exact sample points, hence a
+           LOWER bound on the true peak);
+      P3 — on unambiguous batches (every event breaches or none does —
+           the common attack/quiet shapes) the event TYPE sequences are
+           identical."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xenoeye_spark.streaming.mavg_stream import (
+        S_NEW, S_NONE, fold_sorted, precombine_step, replay_rows,
+    )
+
+    W_SEC, W_NS = 10, int(10e9)
+    GRACE_NS = int(20e9)
+    LIMIT = 50.0
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(                          # batches of (dt_sec, hot?)
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=1, max_value=30),
+                    st.booleans(),
+                ),
+                min_size=1, max_size=12,
+            ),
+            min_size=1, max_size=5,
+        ),
+        st.booleans(),                     # unambiguous mode for P3
+    )
+    def check(batches, unambiguous):
+        t = 1_700_000_000 * 10**9
+        st_replay = (0.0, None, S_NONE, None, None)
+        st_pc = (0.0, None, S_NONE, None, None)
+        ev_replay_types, ev_pc_types = [], []
+        pc_new_batches, replay_breach_batches = set(), set()
+        for bi, batch in enumerate(batches):
+            if unambiguous:
+                hot_all = batch[0][1]
+                batch = [(dt, hot_all) for dt, _ in batch]
+            rows = []
+            for dt_sec, hot in batch:
+                t += dt_sec * 10**9
+                # hot: rate far above limit; cold: far below
+                rows.append((t, 5000.0 if hot else 0.001))
+            ts = np.array([r[0] for r in rows], dtype=np.int64)
+            vs = np.array([r[1] for r in rows], dtype=np.float64)
+            new_r, ev_r = replay_rows(
+                st_replay, ts, vs, ("k",), LIMIT, W_SEC, W_NS, GRACE_NS,
+                False,
+            )
+            # breach detection for P2: replay the rates directly
+            n, tp = st_replay[0], st_replay[1]
+            breached = False
+            from xenoeye_spark.streaming.mavg_stream import ewma_step
+            for tt, vv in zip(ts, vs):
+                n = ewma_step(n, tp, int(tt), float(vv), W_NS)
+                tp = int(tt)
+                if n / W_SEC >= LIMIT:
+                    breached = True
+            if breached:
+                replay_breach_batches.add(bi)
+            st_replay = new_r
+            ev_replay_types.extend(e[1] for e in ev_r)
+
+            pdf = pd.DataFrame(
+                {"k": "k", "_ts_ns": ts, "_val": vs}
+            )
+            folded = fold_sorted(pdf, ["k"], W_NS)
+            assert len(folded) == 1
+            r = next(folded.itertuples(index=False))
+            new_pc, ev_pc = precombine_step(
+                st_pc, r, ("k",), LIMIT, W_SEC, W_NS, GRACE_NS, False,
+            )
+            ev_pc = list(ev_pc)
+            # the state fn's steady-refresh clause (replay_rows embeds
+            # the same rule)
+            if new_pc[2] in (S_NEW, "UPDATE") and not ev_pc:
+                ev_pc.append(
+                    ("k", "UPDATE", new_pc[0] / W_SEC, LIMIT, new_pc[1])
+                )
+            if any(e[1] == S_NEW for e in ev_pc):
+                pc_new_batches.add(bi)
+            st_pc = new_pc
+            ev_pc_types.extend(e[1] for e in ev_pc)
+
+            # P1
+            assert st_pc[1] == st_replay[1]
+            assert st_pc[0] == pytest.approx(
+                st_replay[0], rel=1e-9, abs=1e-12
+            )
+        # P2
+        assert pc_new_batches <= replay_breach_batches
+        # P3
+        if unambiguous:
+            # replay's per-batch trailing UPDATE refresh is emitted by
+            # both paths; compare full type sequences
+            assert ev_pc_types == ev_replay_types
+
+    check()
