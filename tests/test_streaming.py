@@ -2120,8 +2120,10 @@ def test_precombine_step_properties():
            for a batch only if the per-event replay breached in that
            batch (its peak candidates are exact sample points, hence a
            LOWER bound on the true peak);
-      P3 — on unambiguous batches (every event breaches or none does —
-           the common attack/quiet shapes) the event TYPE sequences are
+      P3 — on rate-unambiguous batches (every event breaches or none
+           does — enforced by a >= window reset gap between batches, so
+           a cold batch cannot START breaching on the previous batch's
+           decayed accumulator) the event TYPE sequences are
            identical."""
     import pandas as pd
     from hypothesis import given, settings
@@ -2160,7 +2162,13 @@ def test_precombine_step_properties():
                 hot_all = batch[0][1]
                 batch = [(dt, hot_all) for dt, _ in batch]
             rows = []
-            for dt_sec, hot in batch:
+            for j, (dt_sec, hot) in enumerate(batch):
+                if unambiguous and j == 0:
+                    dt_sec += 31  # >= window gap: batch starts reset,
+                    # so its rates are its own (and >= grace, so GONE
+                    # resolves at batch boundaries in both paths)
+                else:
+                    dt_sec = min(dt_sec, 9)  # no intra-batch resets
                 t += dt_sec * 10**9
                 # hot: rate far above limit; cold: far below
                 rows.append((t, 5000.0 if hot else 0.001))
