@@ -482,6 +482,35 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card (r8) — the per-language summary every curation
+    run emits before and after each stage: document counts, exact-dup
+    counts (count minus distinct md5), quality-threshold pass counts,
+    and token totals, grouped by the stopword-vote language guess. Every
+    measure is an INTEGER (sums of longs, threshold counts over the
+    per-row rounded score), so the oracle comparison is exact — no
+    cross-engine float-aggregation ordering in play. One explode-free
+    pass: language_id and text_stats are row-local projections, the
+    rollup is a single groupBy on the (tiny) language key."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = language_id(docs)
+    stats = text_stats(docs)
+    base = docs.select("doc_id", F.md5(F.col("text")).alias("_th"))
+    j = base.join(lang, "doc_id").join(stats, "doc_id")
+    return (
+        j.groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("_th"))
+            .cast("long").alias("n_dup_docs"),
+            F.sum(F.when(F.col("quality_score") >= 0.55, 1).otherwise(0))
+            .cast("long").alias("n_quality"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+
+
 def q_dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable MinHash+LSH: same operator pipeline as
     q_dedup_minhash_lsh (signatures -> banded candidates -> exact-Jaccard
@@ -2085,6 +2114,12 @@ GATE_CORE = [
 # everything deferred to r8/r9 (indices 0..32 and 66) was driver-proven
 # in r6, so no query's proof gap exceeds the rotation cycle.
 GATE_POOL = [
+    # --- r8 layout note: corpus_report (NEW r8) sits at the pool END so
+    # the r8 wrap window ([66:] + [:30]) gates its first round, per the
+    # rotation contract; with 69 entries the r8 head slice shrinks to
+    # [:30], so dedup_minhash_lsh_expr moved to 29 (swapped with
+    # mask_spans, r6-proven -> due r9 at the cycle bound) to keep its
+    # r5->r8 proof promise. ---
     # --- deferred side (all r6-proven): r6 additions ---
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
     "ivfpq_topk", "incremental_dedup", "hist_quantiles",
@@ -2097,14 +2132,11 @@ GATE_POOL = [
     # the fix must be driver-proven THIS round) ---
     "pii_scrub", "text_normalize", "semdedup", "chunk_docs",
     "repetition", "quantize", "rand_proj", "temperature",
-    "char_entropy", "best_of_class", "mask_spans",
-    # --- deferred side: dedup_minhash_lsh_expr moved to index 30 in r8
-    # (r5-proven; the r7 layout placed it at 31 intending an r8 proof,
-    # but the r8 wrap window covers [66:]+[:31] — one short. The swap
-    # with dedup_exact keeps its gap at the 3-round cycle bound; the
-    # r6-proven dedup_exact/dedup_ngram_jaccard at 31/32 re-prove at
-    # r9, also the cycle bound.)
-    "dedup_minhash_lsh_expr", "dedup_exact", "dedup_ngram_jaccard",
+    "char_entropy", "best_of_class", "dedup_minhash_lsh_expr",
+    # --- deferred side: mask_spans here (r6-proven, re-proves r9, the
+    # cycle bound) after the r8 swap with dedup_minhash_lsh_expr above;
+    # dedup_exact/dedup_ngram_jaccard likewise r6-proven -> r9.
+    "mask_spans", "dedup_exact", "dedup_ngram_jaccard",
     # --- r7 window slice [33:66): r1-r4 backlog in historical order ---
     "text_stats", "text_langid", "sim_topk", "token_count",
     "doc_fingerprint_expr", "emb_neardup", "sim_ivf_fixed",
@@ -2117,8 +2149,8 @@ GATE_POOL = [
     # --- r7 window slice: proof-critical r7 entries ---
     "substring_dedup", "warc_ingest", "url_filter", "decode_quarantine",
     "star_topn",
-    # --- indices 66/67: join the r8 window via the rotation wrap ---
-    "pack_sequences", "bigram_lm",
+    # --- tail: joins the r8 window via the rotation wrap ---
+    "pack_sequences", "bigram_lm", "corpus_report",
 ]
 
 GATE_ROWS_ONLY = [
@@ -2185,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_expr": q_dedup_minhash_lsh_expr,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
+        "corpus_report": q_corpus_report,
         "sim_topk": q_sim_topk,
         "mavg_ewma": q_mavg_ewma,
         "report_xe_rep": q_report_xe_rep,
@@ -2860,6 +2893,49 @@ WITH w AS (
   SELECT doc_id, *, {lang_best} AS best FROM s
 )
 SELECT doc_id, {lang_case} AS lang_guess FROM b
+""",
+        # corpus_report: per-language rollup re-deriving language_id +
+        # text_stats' quality verbatim; every measure integer, so exact
+        "corpus_report": f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, {lang_scores} FROM w
+), b AS (
+  SELECT doc_id, *, {lang_best} AS best FROM s
+), lang AS (
+  SELECT doc_id, {lang_case} AS lang_guess FROM b
+), m0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END AS punct_ratio,
+         CASE WHEN len(t) > 0 THEN
+           CAST(len(list_filter(t, x -> lower(x) IN ({stop_en}))) AS DOUBLE) / len(t)
+         ELSE 0 END AS stopword_ratio
+  FROM m0
+), st AS (
+  SELECT doc_id, n_tokens,
+         round(least(n_tokens / 100.0, 1.0) * 0.4
+               + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+               + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality_score
+  FROM m
+), base AS (SELECT doc_id, md5(text) AS th FROM documents)
+SELECT lang_guess,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN quality_score >= 0.55 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM base JOIN lang USING(doc_id) JOIN st USING(doc_id)
+GROUP BY lang_guess
 """,
         # stratified_sample: language buckets -> exact 50-per-bucket
         # deterministic sample; the rank key is the overflow-free 31-bit

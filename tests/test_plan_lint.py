@@ -211,14 +211,16 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r8 window: the rotation wrap ([66:] + [:31]) must prove the three
+    # r8 window: the rotation wrap ([66:] + [:30]) must prove the three
     # r5-proven stragglers at their cycle bound (pack_sequences and
     # bigram_lm joined the pool in r7 past the r7 slice;
-    # dedup_minhash_lsh_expr was swapped to index 30 for exactly this
-    # window) and the whole r6-addition block (last driver proof r6)
+    # dedup_minhash_lsh_expr was swapped to index 29 for exactly this
+    # window), the whole r6-addition block (last driver proof r6), and
+    # the r8-new corpus_report (first round must gate)
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r5_stale = {"pack_sequences", "bigram_lm", "dedup_minhash_lsh_expr"}
     assert r5_stale <= win_now
+    assert "corpus_report" in win_now
     r6_block = {"count_min", "pq_topk", "hll_distinct", "bloom_contam",
                 "ivfpq_topk", "incremental_dedup", "hist_quantiles",
                 "video_decode", "decompress", "image_resize",
@@ -227,11 +229,12 @@ def test_gate_rotation_schedule():
                 "image_decode", "audio_decode", "bpe_pairs"}
     assert r6_block <= win_now
     # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the deferred slice holds the r7-proven window plus the two
-    # r6-proven dedup entries re-proving at r9 — exactly the cycle bound
+    # cycle: the deferred slice holds the r7-proven window plus the
+    # three r6-proven entries (mask_spans displaced by the r8 swap,
+    # dedup_exact, dedup_ngram_jaccard) re-proving at r9 — the bound
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
     r7_proven = set(pool[33:66])
-    r6_proven_ok = {"dedup_exact", "dedup_ngram_jaccard"}
+    r6_proven_ok = {"mask_spans", "dedup_exact", "dedup_ngram_jaccard"}
     assert overflow_now <= r7_proven | r6_proven_ok
 
 
