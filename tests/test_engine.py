@@ -342,3 +342,48 @@ def test_engine_mavg_tws_backend(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_engine_mavg_bucketed_knobs_e2e(spark, tmp_path):
+    """r8: mo.conf "buckets"/"precombine" reach the apply backend and the
+    pipeline still produces the same alert notifications end to end."""
+    root = tmp_path / "modir"
+    mo = root / "border"
+    mo.mkdir(parents=True)
+    (mo / "mo.conf").write_text("""
+{
+  "filter": "proto 6",
+  "mavg": [ {"name": "m1", "fields": ["src host", "octets"], "time": 10,
+             "buckets": 8, "precombine": true,
+             "overlimit": [ {"name": "hi", "default": [0.5]} ]} ]
+}
+""")
+    src_dir = tmp_path / "flows"
+    df = spark.createDataFrame(
+        _flows_rows(),
+        "ts long, ip4_src_addr long, ip4_dst_addr long, in_bytes long, "
+        "protocol long, l4_dst_port long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(src_dir))
+
+    eng = Engine(
+        str(root),
+        exp_dir=str(tmp_path / "exp"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        run_scripts=False,
+        silent_watch=False,
+    )
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    builders = eng.builders(stream)
+    assert [n for n, _ in builders] == ["border.mavg.m1.octets.hi"]
+    queries = [make().trigger(availableNow=True).start()
+               for _, make in builders]
+    for q in queries:
+        q.awaitTermination(60)
+        q.stop()
+        q.awaitTermination(30)
+    notif = sorted(os.listdir(tmp_path / "state" / "notifications"))
+    assert notif == [
+        f"border-m1-hi-{0x0A000001}", f"border-m1-hi-{0x0A000002}",
+    ]
