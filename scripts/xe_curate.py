@@ -29,7 +29,10 @@ gate / oracle suite):
 
 Writes ``<output>/documents.parquet`` plus, with ``--report``, a
 one-line JSON of per-step row counts to stdout (machine-parseable,
-like bench.py). Exit code 0 on success.
+like bench.py); ``--report-card`` appends the per-language corpus
+report card (docs / exact dups / quality passes / token totals — the
+same rollup the driver gate oracles as ``corpus_report``). Exit code 0
+on success.
 """
 
 from __future__ import annotations
@@ -71,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="window length for the substr_dedup stage")
     ap.add_argument("--splits", default="train=0.95,val=0.05")
     ap.add_argument("--report", action="store_true")
+    ap.add_argument("--report-card", action="store_true",
+                    help="with --report: append the per-language corpus "
+                         "report card (docs/dups/quality/tokens)")
     ap.add_argument("--master", default="local[*]")
     args = ap.parse_args(argv)
 
@@ -185,8 +191,32 @@ def main(argv: list[str] | None = None) -> int:
     # records no count, and argv order never indexes the dict
     counts["output"] = last
     if args.report:
-        print(json.dumps({"tool": "xe_curate", "steps": steps,
-                          "counts": counts}))
+        out = {"tool": "xe_curate", "steps": steps, "counts": counts}
+        if args.report_card and "text" in docs.columns:
+            # per-language report card over the CURATED output — the
+            # same all-integer rollup the driver gate oracles
+            # (corpus_report): language vote x (docs, exact dups,
+            # quality passes, token totals)
+            from xenoeye_spark.datapipe.text import language_id, text_stats
+
+            lang = language_id(docs)
+            stats = text_stats(docs)
+            card = (
+                docs.select("doc_id", F.md5(F.col("text")).alias("_th"))
+                .join(lang, "doc_id").join(stats, "doc_id")
+                .groupBy("lang_guess")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    (F.count(F.lit(1)) - F.countDistinct("_th"))
+                    .cast("long").alias("n_dup_docs"),
+                    F.sum(F.when(F.col("quality_score") >= 0.55, 1)
+                          .otherwise(0)).cast("long").alias("n_quality"),
+                    F.sum("n_tokens").cast("long").alias("total_tokens"),
+                )
+                .orderBy("lang_guess")
+            )
+            out["report_card"] = [r.asDict() for r in card.collect()]
+        print(json.dumps(out))
     return 0
 
 

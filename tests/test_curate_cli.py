@@ -81,3 +81,30 @@ def test_curate_substr_dedup_rewrites_in_place(spark, tmp_path, capsys):
     ).collect()[0][0]
     assert got.count() == before.count()
     assert chars(got) < chars(before)
+
+
+def test_report_card(tmp_path, capsys):
+    """r8: --report-card appends the per-language rollup (the oracled
+    corpus_report shape) computed over the CURATED output."""
+    import json
+
+    from scripts.xe_curate import main
+
+    rc = main([
+        "--input", "/root/testdata/sf0.001",
+        "--output", str(tmp_path / "out"),
+        "--steps", "exact_dedup",
+        "--report", "--report-card",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(line)
+    card = rep["report_card"]
+    assert card and all(
+        set(r) == {"lang_guess", "n_docs", "n_dup_docs", "n_quality",
+                   "total_tokens"} for r in card
+    )
+    # post-exact-dedup output has zero remaining exact dups by definition
+    assert all(r["n_dup_docs"] == 0 for r in card)
+    assert sum(r["n_docs"] for r in card) == rep["counts"]["output"]
