@@ -489,26 +489,13 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and token totals, grouped by the stopword-vote language guess. Every
     measure is an INTEGER (sums of longs, threshold counts over the
     per-row rounded score), so the oracle comparison is exact — no
-    cross-engine float-aggregation ordering in play. One explode-free
-    pass: language_id and text_stats are row-local projections, the
-    rollup is a single groupBy on the (tiny) language key."""
-    docs = _t(spark, sf_dir, "documents")
-    lang = language_id(docs)
-    stats = text_stats(docs)
-    base = docs.select("doc_id", F.md5(F.col("text")).alias("_th"))
-    j = base.join(lang, "doc_id").join(stats, "doc_id")
-    return (
-        j.groupBy("lang_guess")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (F.count(F.lit(1)) - F.countDistinct("_th"))
-            .cast("long").alias("n_dup_docs"),
-            F.sum(F.when(F.col("quality_score") >= 0.55, 1).otherwise(0))
-            .cast("long").alias("n_quality"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.max("n_tokens").cast("long").alias("max_tokens"),
-        )
-    )
+    cross-engine float-aggregation ordering in play. One shared
+    definition (datapipe.text.corpus_report) also backs xe_curate's
+    --report-card; the gate pins quality_min=0.55, the oracle's
+    literal."""
+    from xenoeye_spark.datapipe.text import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"), quality_min=0.55)
 
 
 def q_dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -194,27 +194,14 @@ def main(argv: list[str] | None = None) -> int:
         out = {"tool": "xe_curate", "steps": steps, "counts": counts}
         if args.report_card and "text" in docs.columns:
             # per-language report card over the CURATED output — the
-            # same all-integer rollup the driver gate oracles
-            # (corpus_report): language vote x (docs, exact dups,
-            # quality passes, token totals)
-            from xenoeye_spark.datapipe.text import language_id, text_stats
+            # same rollup the driver gate oracles (corpus_report), with
+            # n_quality counted against THIS run's --quality-min so the
+            # card is consistent with the per-step counts
+            from xenoeye_spark.datapipe.text import corpus_report
 
-            lang = language_id(docs)
-            stats = text_stats(docs)
-            card = (
-                docs.select("doc_id", F.md5(F.col("text")).alias("_th"))
-                .join(lang, "doc_id").join(stats, "doc_id")
-                .groupBy("lang_guess")
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    (F.count(F.lit(1)) - F.countDistinct("_th"))
-                    .cast("long").alias("n_dup_docs"),
-                    F.sum(F.when(F.col("quality_score") >= 0.55, 1)
-                          .otherwise(0)).cast("long").alias("n_quality"),
-                    F.sum("n_tokens").cast("long").alias("total_tokens"),
-                )
-                .orderBy("lang_guess")
-            )
+            card = corpus_report(
+                docs, quality_min=args.quality_min
+            ).orderBy("lang_guess")
             out["report_card"] = [r.asDict() for r in card.collect()]
         print(json.dumps(out))
     return 0

@@ -103,7 +103,7 @@ def test_report_card(tmp_path, capsys):
     card = rep["report_card"]
     assert card and all(
         set(r) == {"lang_guess", "n_docs", "n_dup_docs", "n_quality",
-                   "total_tokens"} for r in card
+                   "total_tokens", "max_tokens"} for r in card
     )
     # post-exact-dedup output has zero remaining exact dups by definition
     assert all(r["n_dup_docs"] == 0 for r in card)

@@ -2227,3 +2227,39 @@ def test_precombine_step_properties():
             assert ev_pc_types == ev_replay_types
 
     check()
+
+
+def test_precombine_step_grace_closed_then_rebreach():
+    """r8 review fix: state ALMOST_GONE, then one batch whose first
+    event is below the limit and past the grace period, followed by a
+    re-attack — the per-event replay emits GONE then NEW; the
+    pre-combined step must too (previously the whole cycle collapsed
+    into a silent UPDATE and the action scripts never ran)."""
+    import pandas as pd
+
+    from xenoeye_spark.streaming.mavg_stream import (
+        S_ALMOST_GONE, fold_sorted, precombine_step, replay_rows,
+    )
+
+    W_SEC, W_NS, GRACE_NS = 10, int(10e9), int(20e9)
+    LIMIT = 50.0
+    t0 = 1_700_000_000 * 10**9
+    # state: alarmed, dipped at t0 (below_since=t0), value decayed low
+    st = (1.0, t0, S_ALMOST_GONE, t0, t0 - 10**9)
+    # batch arrives 25s later (silence > grace): quiet first, then burst
+    ts = np.array([t0 + int(25e9), t0 + int(26e9), t0 + int(27e9)],
+                  dtype=np.int64)
+    vs = np.array([0.001, 5000.0, 5000.0])
+    _, ev_replay = replay_rows(st, ts, vs, ("k",), LIMIT, W_SEC, W_NS,
+                               GRACE_NS, False)
+    assert [e[1] for e in ev_replay] == ["GONE", "NEW"]
+
+    pdf = pd.DataFrame({"k": "k", "_ts_ns": ts, "_val": vs})
+    r = next(fold_sorted(pdf, ["k"], W_NS).itertuples(index=False))
+    new_st, ev_pc = precombine_step(st, r, ("k",), LIMIT, W_SEC, W_NS,
+                                    GRACE_NS, False)
+    assert [e[1] for e in ev_pc] == ["GONE", "NEW"]
+    # GONE resolves at the batch's first event with its exact rate
+    assert ev_pc[0][4] == int(ts[0])
+    assert ev_pc[0][2] == ev_replay[0][2]
+    assert new_st[2] == "NEW"

@@ -257,3 +257,35 @@ def test_warc_walker_never_hangs_on_garbage():
             pass
 
     check()
+
+
+def test_warc_walker_compaction_boundary():
+    """r8 review fix: fill() must never compact mid-record — a record
+    whose header lands just past the 1 MiB compaction threshold while
+    its body needs another read used to hit stale he/body_start offsets
+    and fail (or corrupt) on a perfectly valid file. Build files whose
+    record boundaries straddle the threshold at many phases and assert
+    every record round-trips bit-exact."""
+    from xenoeye_spark.datapipe.warc import _CHUNK
+
+    for phase in (-3, -1, 0, 1, 7, 4093):
+        # one big record pushes the consumed offset near _CHUNK, then
+        # many small records force repeated fills around the boundary
+        big = bytes(range(256)) * ((_CHUNK + phase) // 256 // 2)
+        recs = [({"WARC-Type": "resource", "WARC-Target-URI": "big"}, big)]
+        for i in range(50):
+            recs.append((
+                {"WARC-Type": "resource", "WARC-Target-URI": f"s{i}"},
+                (f"small-{i}-" * 40).encode(),
+            ))
+        recs.append(
+            ({"WARC-Type": "resource", "WARC-Target-URI": "big2"}, big)
+        )
+        data = encode_warc(recs)
+        got = list(split_warc_records(data))
+        assert len(got) == len(recs)
+        assert all(g[1] == r[1] for g, r in zip(got, recs))
+        # and through member gzip (different fill cadence)
+        got_gz = list(split_warc_records(
+            encode_warc(recs, per_record_gzip=True)))
+        assert all(g[1] == r[1] for g, r in zip(got_gz, recs))

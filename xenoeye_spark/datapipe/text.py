@@ -88,6 +88,42 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return with_scores.select(F.col(id_col), guess.alias("lang_guess"))
 
 
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_min: float = 0.55,
+) -> DataFrame:
+    """Per-language corpus report card (r8): document counts, exact-dup
+    counts (count minus distinct md5), quality-threshold passes, and
+    token totals, grouped by the stopword-vote language guess — the
+    summary a curation run emits per stage. Every measure is an INTEGER
+    (threshold counts over the per-row rounded score, sums of longs),
+    so cross-engine comparison is exact. Single definition shared by
+    the oracled gate query (quality_min=0.55, the oracle's literal) and
+    xe_curate --report-card (which passes its --quality-min).
+
+    One row-local projection pass per input; the rollup is one groupBy
+    on the (tiny) language key — no explode, no wide shuffle."""
+    lang = language_id(docs, text_col, id_col)
+    stats = text_stats(docs, text_col, id_col)
+    base = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
+    return (
+        base.join(lang, id_col).join(stats, id_col)
+        .groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("_th"))
+            .cast("long").alias("n_dup_docs"),
+            F.sum(
+                F.when(F.col("quality_score") >= quality_min, 1).otherwise(0)
+            ).cast("long").alias("n_quality"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

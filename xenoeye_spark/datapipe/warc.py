@@ -85,11 +85,12 @@ def split_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
             pos = 0
 
     def fill(need: int) -> None:
-        """Ensure >= need unconsumed bytes are buffered (or EOF)."""
+        """Ensure >= need unconsumed bytes are buffered (or EOF).
+        NEVER compacts: callers hold absolute buffer offsets (he,
+        body_start) across fills — compaction happens only at the
+        record-loop top, where no offsets are live."""
         nonlocal eof
         while not eof and len(buf) - pos < need:
-            if pos >= _CHUNK:
-                compact()
             try:
                 chunk = fobj.read(_CHUNK)
             except (EOFError, OSError, zlib_error) as e:
@@ -100,6 +101,8 @@ def split_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
                 buf.extend(chunk)
 
     while True:
+        if pos >= _CHUNK:
+            compact()  # amortized; only here, where no offsets are live
         fill(2)
         while buf[pos:pos + 2] == b"\r\n":  # skip record separators
             pos += 2
@@ -138,8 +141,6 @@ def split_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
             )
         yield hdrs, bytes(buf[body_start:body_start + clen])
         pos = body_start + clen
-        if pos >= _CHUNK:
-            compact()
 
 
 def parse_http_response(content: bytes) -> tuple[int | None, dict, bytes]:
@@ -242,11 +243,17 @@ def warc_records(
                             payload.decode("utf-8", "replace"),
                         ))
                         if on_error == "fail" and len(file_rows) >= CHUNK_ROWS:
-                            # flush early only where an error would kill
-                            # the job anyway; 'null' must see the walk
-                            # complete before emitting anything
+                            # flush early (and YIELD mid-file, or a
+                            # single 100k-record shard would still
+                            # buffer every parsed row) only where an
+                            # error would kill the job anyway; 'null'
+                            # must see the walk complete before
+                            # emitting anything
                             out_rows.extend(file_rows)
                             file_rows = []
+                            if len(out_rows) >= CHUNK_ROWS:
+                                yield pd.DataFrame(out_rows, columns=cols)
+                                out_rows = []
                 except ValueError:
                     if on_error == "fail":
                         raise

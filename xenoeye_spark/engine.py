@@ -167,6 +167,15 @@ class Engine:
                         mavg_alert_stream_tws,
                     )
 
+                    if mavg.buckets is not None:
+                        # silently running per-key would make the user
+                        # believe the scale knob is active (r8 review)
+                        raise ValueError(
+                            f"mavg section {mavg.name!r}: 'buckets' is "
+                            "an apply-backend knob; the tws backend "
+                            "keys state per flow key (use "
+                            "mavg_backend='apply' or drop the knob)"
+                        )
                     # timers replace the apply-path's silent watch
                     alerts = mavg_alert_stream_tws(
                         proj, key_names, "_mval",
@@ -176,6 +185,7 @@ class Engine:
                         ts_col=ts_col,
                         thresholds=per_key,
                         under=under,
+                        precombine=mavg.precombine,
                     )
                 else:
                     alerts = mavg_alert_stream(

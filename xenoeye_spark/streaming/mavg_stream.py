@@ -152,6 +152,47 @@ def silent_transition(
     return (n, t_prev, S_ALMOST_GONE, below_since, first_seen), [], True
 
 
+def _pad_state(st: tuple) -> tuple:
+    """Pad a pre-r7 5-field state tuple (no persisted limit) to 6."""
+    return (*st, None) if len(st) == 5 else st
+
+
+def _first_notnull(series) -> float | None:
+    """First non-null of a pandas Series, else None (the map-side-joined
+    _limit column is constant per key, so 'first' is 'the value')."""
+    s = series.dropna()
+    return float(s.iloc[0]) if len(s) else None
+
+
+def resolve_limit(
+    joined: float | None, stored: float | None, dict_limit: float
+) -> float:
+    """ONE definition of the per-key limit precedence (SURVEY §7.3):
+    map-side-joined value > limit persisted in state > closure dict /
+    default. Used by every mavg state fn so the backends cannot drift."""
+    if joined is not None:
+        return float(joined)
+    if stored is not None:
+        return stored
+    return dict_limit
+
+
+def _arm_timeout(
+    state: GroupState,
+    alarmed: bool,
+    silent_watch: bool,
+    watch_ms: int,
+    idle_timeout_sec: int | None,
+) -> None:
+    """Shared timeout arming: the alarmed-key act-thread watch wins;
+    otherwise the idle-compaction TTL if configured."""
+    if silent_watch and alarmed:
+        state.setTimeoutDuration(watch_ms)
+    elif idle_timeout_sec is not None:
+        state.setTimeoutDuration(idle_timeout_sec * 1000)
+
+
+
 # ---------------------------------------------------------------------------
 # Map-side pre-combine (r8): collapse each (key, micro-batch) to ONE row
 # before the Python state protocol.
@@ -189,8 +230,13 @@ def silent_transition(
 # fold. Alarm semantics under pre-combine are BATCH-granular: the state
 # machine steps once per (key, micro-batch) from exact sample points of
 # the n_i series (see precombine_step), so transition timestamps can
-# shift by up to one batch interval vs per-event replay; event TYPES and
-# ordering are preserved. Default stays precombine=False.
+# shift by up to one batch interval vs per-event replay. Guarantees:
+# the alarm STATE at batch boundaries matches replay on unambiguous
+# batches, alarms are never invented (the peak samples are a lower
+# bound), and a grace period closed by the batch's FIRST event fires
+# its GONE before any re-breach; a full recovery+re-breach cycle whose
+# grace closes only MID-batch still collapses (documented in
+# precombine_step). Default stays precombine=False.
 # ---------------------------------------------------------------------------
 
 _PC_FIELDS: list[tuple[str, T.DataType]] = [
@@ -395,8 +441,23 @@ def precombine_step(
     hits = [(t, nv) for t, nv in cands if breach(nv, t)]
     events: list[tuple] = []
     if hits:
-        below_since = None
         tb, nb = min(hits, key=lambda x: x[0])
+        if (
+            alarm == S_ALMOST_GONE
+            and below_since is not None
+            and not breach(n1, t1)
+            and t1 - below_since >= back2norm_ns
+        ):
+            # the batch's FIRST event is below the limit and closes the
+            # grace period before any detected breach — per-event replay
+            # fires GONE at exactly that event, so emit it (rate n1/W at
+            # t1, both exact) and let the breach below re-open a NEW
+            # alarm. Without this, an inter-batch silence spanning the
+            # grace followed by a re-attack in the same batch would
+            # collapse the whole GONE+NEW cycle into a silent UPDATE.
+            events.append((*key, S_GONE, n1 / window_sec, limit, t1))
+            alarm = S_NONE
+        below_since = None
         if alarm == S_NONE:
             alarm = S_NEW
             events.append((*key, S_NEW, nb / window_sec, limit, tb))
@@ -458,19 +519,15 @@ def make_mavg_state_fn_pc(
                 yield out
             return
 
-        st = state.get if state.exists else (0.0, None, S_NONE, None, None, None)
-        if len(st) == 5:  # pre-r7 checkpoint: no persisted limit yet
-            st = (*st, None)
+        st = _pad_state(state.get) if state.exists else (
+            0.0, None, S_NONE, None, None, None,
+        )
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values("pt1", kind="mergesort")
         if "_limit" in rows.columns:
-            joined = rows["_limit"].dropna()
-            if len(joined):
-                limit = float(joined.iloc[0])
-            elif st[5] is not None:
-                limit = st[5]
-            else:
-                limit = dict_limit
+            limit = resolve_limit(
+                _first_notnull(rows["_limit"]), st[5], dict_limit
+            )
         else:
             limit = dict_limit
         core = st[:5]
@@ -489,10 +546,8 @@ def make_mavg_state_fn_pc(
                 (*key, S_UPDATE, core[0] / window_sec, limit, core[1])
             )
         state.update((*core, float(limit)))
-        if silent_watch and core[2] != S_NONE:
-            state.setTimeoutDuration(watch_ms)
-        elif idle_timeout_sec is not None:
-            state.setTimeoutDuration(idle_timeout_sec * 1000)
+        _arm_timeout(state, core[2] != S_NONE, silent_watch, watch_ms,
+                     idle_timeout_sec)
         if events:
             yield pd.DataFrame(events, columns=cols)
 
@@ -517,13 +572,11 @@ def _handle_timeout(
        (the act thread's job, monit-objects-mavg-act.c:391-397)
     2. idle-key compaction (try_reset_db, mavg.c:776-885)
     """
-    st = state.get if state.exists else None
-    if st is not None and len(st) == 5:
-        st = (*st, None)
+    st = _pad_state(state.get) if state.exists else None
     if silent_watch and st is not None and st[2] != S_NONE:
         # the resolved limit was persisted at replay time, so a
         # map-side-joined limit survives the key going silent
-        limit = st[5] if st[5] is not None else dict_limit
+        limit = resolve_limit(None, st[5], dict_limit)
         now_ns = int(_time_now_ns())
         new_st, events, watch = silent_transition(
             st[:5], now_ns, key, limit, window_sec, window_ns,
@@ -592,25 +645,16 @@ def make_mavg_state_fn(
                 yield out
             return
 
-        if state.exists:
-            st = state.get
-            if len(st) == 5:  # pre-r7 checkpoint: no persisted limit yet
-                st = (*st, None)
-        else:
-            st = (0.0, None, S_NONE, None, None, None)
+        st = _pad_state(state.get) if state.exists else (
+            0.0, None, S_NONE, None, None, None,
+        )
 
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values("_ts_ns", kind="mergesort")
-        # limit resolution: map-side-joined _limit column (the at-scale
-        # path) > previously stored > closure dict > default
         if "_limit" in rows.columns:
-            joined = rows["_limit"].dropna()
-            if len(joined):
-                limit = float(joined.iloc[0])
-            elif st[5] is not None:
-                limit = st[5]
-            else:
-                limit = dict_limit
+            limit = resolve_limit(
+                _first_notnull(rows["_limit"]), st[5], dict_limit
+            )
         else:
             limit = dict_limit
         new_st, events = replay_rows(
@@ -618,10 +662,8 @@ def make_mavg_state_fn(
             limit, window_sec, window_ns, back2norm_ns, under,
         )
         state.update((*new_st, float(limit)))
-        if silent_watch and new_st[2] != S_NONE:
-            state.setTimeoutDuration(watch_ms)
-        elif idle_timeout_sec is not None:
-            state.setTimeoutDuration(idle_timeout_sec * 1000)
+        _arm_timeout(state, new_st[2] != S_NONE, silent_watch, watch_ms,
+                     idle_timeout_sec)
         if events:
             yield pd.DataFrame(events, columns=cols)
 
@@ -696,10 +738,10 @@ def make_mavg_bucket_fn(
     idle_ns = None if idle_timeout_sec is None else int(idle_timeout_sec * 1e9)
 
     def _arm(state: GroupState, table: dict) -> None:
-        if silent_watch and any(st[2] != S_NONE for st in table.values()):
-            state.setTimeoutDuration(watch_ms)
-        elif idle_timeout_sec is not None:
-            state.setTimeoutDuration(idle_timeout_sec * 1000)
+        _arm_timeout(
+            state, any(st[2] != S_NONE for st in table.values()),
+            silent_watch, watch_ms, idle_timeout_sec,
+        )
 
     def fn(
         key: tuple,
@@ -717,8 +759,8 @@ def make_mavg_bucket_fn(
             now_ns = int(_time_now_ns())
             keep: dict = {}
             for k, st in table.items():
-                limit = st[5] if st[5] is not None else (
-                    (thresholds or {}).get(k, threshold)
+                limit = resolve_limit(
+                    None, st[5], (thresholds or {}).get(k, threshold)
                 )
                 if silent_watch and st[2] != S_NONE:
                     core, ev, _watch = silent_transition(
@@ -766,22 +808,22 @@ def make_mavg_bucket_fn(
         )
         thr = thresholds or {}
 
-        def _resolve_limit(s: int, e: int, st: tuple, k: tuple) -> float:
-            if lim_arr is not None:
-                seg = lim_arr[s:e]
-                ok = seg[~np.isnan(seg)]
-                if len(ok):
-                    return float(ok[0])
-                if st[5] is not None:
-                    return st[5]
-            return thr.get(k, threshold)
+        def _seg_limit(s: int, e: int, st: tuple, k: tuple) -> float:
+            if lim_arr is None:
+                return thr.get(k, threshold)
+            seg = lim_arr[s:e]
+            ok = seg[~np.isnan(seg)]
+            return resolve_limit(
+                float(ok[0]) if len(ok) else None, st[5],
+                thr.get(k, threshold),
+            )
 
         if precombined:
             recs = list(rows.itertuples(index=False))
             for s, e in zip(starts, ends):
                 k = _native_key(tuple(arr[s] for arr in karrs))
                 st = table.get(k, (0.0, None, S_NONE, None, None, None))
-                limit = _resolve_limit(s, e, st, k)
+                limit = _seg_limit(s, e, st, k)
                 core = st[:5]
                 kev: list[tuple] = []
                 for r in recs[s:e]:
@@ -802,7 +844,7 @@ def make_mavg_bucket_fn(
             for s, e in zip(starts, ends):
                 k = _native_key(tuple(arr[s] for arr in karrs))
                 st = table.get(k, (0.0, None, S_NONE, None, None, None))
-                limit = _resolve_limit(s, e, st, k)
+                limit = _seg_limit(s, e, st, k)
                 core, kev = replay_rows(
                     st[:5], ts_arr[s:e], val_arr[s:e], k, limit,
                     window_sec, window_ns, back2norm_ns, under,

@@ -51,8 +51,11 @@ from xenoeye_spark.streaming.mavg_stream import (
     S_NONE,
     S_UPDATE,
     STATE_SCHEMA,
+    _first_notnull,
+    _pad_state,
     precombine_step,
     replay_rows,
+    resolve_limit,
     silent_transition,
 )
 
@@ -104,7 +107,7 @@ class MavgProcessor(StatefulProcessor):
         self, key, rows, timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         got = self.state.get()
-        st = tuple(got) if got is not None else (
+        st = _pad_state(tuple(got)) if got is not None else (
             0.0, None, S_NONE, None, None, None,
         )
         dict_limit = self.thresholds.get(
@@ -113,16 +116,11 @@ class MavgProcessor(StatefulProcessor):
 
         pdf = pd.concat(list(rows), ignore_index=True)
         pdf = pdf.sort_values("xe_ts_ns", kind="mergesort")
-        # same resolution order as the applyInPandasWithState twin:
-        # map-side-joined column > stored > closure dict > default
+        # same resolution order as the applyInPandasWithState twin
         if "xe_limit" in pdf.columns:
-            joined = pdf["xe_limit"].dropna()
-            if len(joined):
-                limit = float(joined.iloc[0])
-            elif st[5] is not None:
-                limit = st[5]
-            else:
-                limit = dict_limit
+            limit = resolve_limit(
+                _first_notnull(pdf["xe_limit"]), st[5], dict_limit
+            )
         else:
             limit = dict_limit
         new_st, events = replay_rows(
@@ -151,10 +149,10 @@ class MavgProcessor(StatefulProcessor):
         st = self.state.get()
         if st is None:
             return
-        st = tuple(st)
-        limit = st[5] if st[5] is not None else self.thresholds.get(
+        st = _pad_state(tuple(st))
+        limit = resolve_limit(None, st[5], self.thresholds.get(
             norm_group_key(tuple(key)), self.threshold
-        )
+        ))
         now_ns = expiredTimerInfo.getExpiryTimeInMs() * 1_000_000
         new_st, events, watch = silent_transition(
             st[:5], now_ns, tuple(key), limit, self.window_sec,
@@ -183,11 +181,9 @@ class MavgPcProcessor(MavgProcessor):
         self, key, rows, timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         got = self.state.get()
-        st = tuple(got) if got is not None else (
+        st = _pad_state(tuple(got)) if got is not None else (
             0.0, None, S_NONE, None, None, None,
         )
-        if len(st) == 5:  # pre-r7 checkpoint: no persisted limit yet
-            st = (*st, None)
         dict_limit = self.thresholds.get(
             norm_group_key(tuple(key)), self.threshold
         )
@@ -196,13 +192,9 @@ class MavgPcProcessor(MavgProcessor):
         # in event-time order
         pdf = pdf.sort_values("pt1", kind="mergesort")
         if "xe_limit" in pdf.columns:
-            joined = pdf["xe_limit"].dropna()
-            if len(joined):
-                limit = float(joined.iloc[0])
-            elif st[5] is not None:
-                limit = st[5]
-            else:
-                limit = dict_limit
+            limit = resolve_limit(
+                _first_notnull(pdf["xe_limit"]), st[5], dict_limit
+            )
         else:
             limit = dict_limit
         core = st[:5]
