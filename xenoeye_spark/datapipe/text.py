@@ -34,9 +34,11 @@ def _tokens(text_col: Column) -> Column:
     return ws_tokens(text_col)
 
 
-def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc: n_tokens, n_chars, avg_token_len, punct_ratio,
-    stopword_ratio (en), quality_score in [0,1]."""
+def _stats_exprs(text_col: str) -> dict[str, Column]:
+    """The text_stats column expressions, keyed by output name — ONE
+    definition consumed by text_stats and by the fused single-scan
+    corpus_report (all row-local, so they compose into any projection
+    without a join)."""
     toks = _tokens(F.col(text_col))
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -52,21 +54,29 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * F.lit(0.3)
         + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
     )
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "n_chars": n_chars.cast("long"),
+        "avg_token_len": F.round(avg_tok, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(quality, 6),
+    }
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc: n_tokens, n_chars, avg_token_len, punct_ratio,
+    stopword_ratio (en), quality_score in [0,1]."""
+    exprs = _stats_exprs(text_col)
     return docs.select(
-        F.col(id_col),
-        n_tokens.cast("long").alias("n_tokens"),
-        n_chars.cast("long").alias("n_chars"),
-        F.round(avg_tok, 6).alias("avg_token_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality_score"),
+        F.col(id_col), *[c.alias(n) for n, c in exprs.items()]
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-vote language guess: the language whose stopword set hits
-    the most tokens wins; ties broken by language code order; no hits ->
-    'und' (undetermined)."""
+def _lang_guess_expr(text_col: str) -> Column:
+    """The stopword-vote language guess as ONE inline Column (no staged
+    score columns), shared by language_id and the fused corpus_report.
+    Ties break by language code order; no hits -> 'und'."""
     toks = _tokens(F.lower(F.col(text_col)))
 
     # NB: the lambda must be unary — PySpark treats a 2-arg lambda in
@@ -75,17 +85,25 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     def _hits(sw: list[str]) -> Column:
         return F.size(F.filter(toks, lambda t: t.isin(sw)))
 
-    scores = [_hits(sw).alias(f"_s_{lang}") for lang, sw in STOPWORDS.items()]
     langs = list(STOPWORDS)
-    with_scores = docs.select(F.col(id_col), F.col(text_col), *scores)
-    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    scores = {lang: _hits(sw) for lang, sw in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
     guess = F.lit("und")
     # reverse order so earlier languages win ties via later .when override
     for lang in reversed(langs):
         guess = F.when(
-            (F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)
+            (scores[lang] == best) & (best > 0), F.lit(lang)
         ).otherwise(guess)
-    return with_scores.select(F.col(id_col), guess.alias("lang_guess"))
+    return guess
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language guess: the language whose stopword set hits
+    the most tokens wins; ties broken by language code order; no hits ->
+    'und' (undetermined)."""
+    return docs.select(
+        F.col(id_col), _lang_guess_expr(text_col).alias("lang_guess")
+    )
 
 
 def corpus_report(
@@ -103,14 +121,20 @@ def corpus_report(
     the oracled gate query (quality_min=0.55, the oracle's literal) and
     xe_curate --report-card (which passes its --quality-min).
 
-    One row-local projection pass per input; the rollup is one groupBy
-    on the (tiny) language key — no explode, no wide shuffle."""
-    lang = language_id(docs, text_col, id_col)
-    stats = text_stats(docs, text_col, id_col)
-    base = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
+    ONE scan, ZERO joins: every input to the rollup (language vote,
+    stats, md5) is row-local, so they fuse into a single projection —
+    at corpus scale a join-based composition would re-scan the corpus
+    three times for no reason. The rollup is one groupBy on the (tiny)
+    language key — no explode, no wide shuffle."""
+    stats = _stats_exprs(text_col)
+    fused = docs.select(
+        _lang_guess_expr(text_col).alias("lang_guess"),
+        F.md5(F.col(text_col)).alias("_th"),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["quality_score"].alias("quality_score"),
+    )
     return (
-        base.join(lang, id_col).join(stats, id_col)
-        .groupBy("lang_guess")
+        fused.groupBy("lang_guess")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.count(F.lit(1)) - F.countDistinct("_th"))
