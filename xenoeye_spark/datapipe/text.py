@@ -73,10 +73,13 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def _lang_guess_expr(text_col: str) -> Column:
-    """The stopword-vote language guess as ONE inline Column (no staged
-    score columns), shared by language_id and the fused corpus_report.
-    Ties break by language code order; no hits -> 'und'."""
+def _lang_score_cols(text_col: str) -> dict[str, Column]:
+    """Per-language stopword hit counts, staged as real columns in a
+    projection before the vote (see _lang_guess_from_scores). Staging
+    guarantees each score is computed once; inlining them into the vote
+    expression would lean on Catalyst subexpression elimination across
+    higher-order-filter lambdas (measured equal when warmed, but the
+    guarantee beats the bet — the vote references every score twice)."""
     toks = _tokens(F.lower(F.col(text_col)))
 
     # NB: the lambda must be unary — PySpark treats a 2-arg lambda in
@@ -85,14 +88,21 @@ def _lang_guess_expr(text_col: str) -> Column:
     def _hits(sw: list[str]) -> Column:
         return F.size(F.filter(toks, lambda t: t.isin(sw)))
 
+    return {lang: _hits(sw) for lang, sw in STOPWORDS.items()}
+
+
+def _lang_guess_from_scores() -> Column:
+    """The vote over STAGED score columns named _s_<lang> (ONE
+    definition of the tie rule, shared by language_id and the fused
+    corpus_report). Ties break by language code order; no hits ->
+    'und'."""
     langs = list(STOPWORDS)
-    scores = {lang: _hits(sw) for lang, sw in STOPWORDS.items()}
-    best = F.greatest(*scores.values())
+    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
     guess = F.lit("und")
     # reverse order so earlier languages win ties via later .when override
     for lang in reversed(langs):
         guess = F.when(
-            (scores[lang] == best) & (best > 0), F.lit(lang)
+            (F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(guess)
     return guess
 
@@ -101,8 +111,13 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Stopword-vote language guess: the language whose stopword set hits
     the most tokens wins; ties broken by language code order; no hits ->
     'und' (undetermined)."""
-    return docs.select(
-        F.col(id_col), _lang_guess_expr(text_col).alias("lang_guess")
+    staged = docs.select(
+        F.col(id_col),
+        *[c.alias(f"_s_{lang}")
+          for lang, c in _lang_score_cols(text_col).items()],
+    )
+    return staged.select(
+        F.col(id_col), _lang_guess_from_scores().alias("lang_guess")
     )
 
 
@@ -127,11 +142,16 @@ def corpus_report(
     three times for no reason. The rollup is one groupBy on the (tiny)
     language key — no explode, no wide shuffle."""
     stats = _stats_exprs(text_col)
-    fused = docs.select(
-        _lang_guess_expr(text_col).alias("lang_guess"),
+    staged = docs.select(
         F.md5(F.col(text_col)).alias("_th"),
         stats["n_tokens"].alias("n_tokens"),
         stats["quality_score"].alias("quality_score"),
+        *[c.alias(f"_s_{lang}")
+          for lang, c in _lang_score_cols(text_col).items()],
+    )
+    fused = staged.select(
+        _lang_guess_from_scores().alias("lang_guess"),
+        "_th", "n_tokens", "quality_score",
     )
     return (
         fused.groupBy("lang_guess")
