@@ -491,7 +491,7 @@ def test_mavg_high_cardinality_state_bounded(spark, tmp_path):
         )
         # armed TTL timers keep availableNow scheduling batches: wait for
         # the input batch, then stop explicitly
-        deadline = time.time() + 300
+        deadline = time.time() + 600  # survives a fully loaded suite run
         while time.time() < deadline:
             if any(
                 (p or {}).get("numInputRows", 0) > 0
