@@ -2111,6 +2111,146 @@ def test_mavg_bucketed_idle_purge(spark, tmp_path):
     assert final["rate"] == pytest.approx(7.0 / 10, rel=1e-6)
 
 
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState double for driving the
+    bucket fn deterministically (no streaming query, no wall clock)."""
+
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        if self._val is None:
+            raise ValueError("state does not exist")
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+
+    def remove(self):
+        self._val = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _drive_bucket_fn(fn, pdf, state):
+    import pandas as pd
+
+    out = list(fn((0,), iter([pdf]), state))
+    return pd.concat(out, ignore_index=True) if out else None
+
+
+def test_mavg_bucketed_silent_walk_in_data_path(monkeypatch):
+    """r9 (ADVICE high): a bucket holding a busy key receives data every
+    micro-batch, so the GROUP timeout never fires — the DATA path must
+    run the act-thread walk: an alarmed key with no rows this batch
+    transitions ALMOST_GONE -> GONE via silent decay while another key
+    keeps the bucket busy, with hasTimedOut never set."""
+    import pickle
+
+    import pandas as pd
+
+    from xenoeye_spark.streaming import mavg_stream as ms
+
+    t1 = BASE * 10**9
+    clock = {"now": t1 + 10 * 10**9}
+    monkeypatch.setattr(ms, "_time_now_ns", lambda: clock["now"])
+
+    fn = ms.make_mavg_bucket_fn(
+        ["k"], window_sec=2, threshold=10.0, back2norm_sec=1,
+        silent_watch=True,
+    )
+    state = _FakeGroupState()
+
+    def batch(rows):
+        return pd.DataFrame(rows, columns=["k", "_ts_ns", "_val"])
+
+    # batch 1: k1 breaches (NEW), k2 stays tiny; both seen -> no walk events
+    out = _drive_bucket_fn(fn, batch(
+        [("k1", t1 + i * 10**9, 1000.0) for i in range(5)]
+        + [("k2", t1, 0.001)]
+    ), state)
+    assert ("k1", "NEW") in {(r.k, r.event) for r in out.itertuples()}
+
+    # batch 2: ONLY k2 — k1 silent, decayed to 0 => ALMOST_GONE (no event)
+    clock["now"] += 3 * 10**9
+    _drive_bucket_fn(fn, batch([("k2", t1 + 20 * 10**9, 0.001)]), state)
+    _lw, table = pickle.loads(bytes(state.get[0]))
+    assert table[("k1",)][2] == ms.S_ALMOST_GONE
+
+    # batch 3: ONLY k2 again, past back2norm => GONE from the data path
+    clock["now"] += 2 * 10**9
+    out = _drive_bucket_fn(fn, batch([("k2", t1 + 30 * 10**9, 0.001)]), state)
+    assert ("k1", "GONE") in {(r.k, r.event) for r in out.itertuples()}
+    _lw, table = pickle.loads(bytes(state.get[0]))
+    assert table[("k1",)][2] == ms.S_NONE
+    assert not state.hasTimedOut  # the whole cycle ran without a timeout
+
+
+def test_mavg_bucketed_idle_purge_in_data_path(monkeypatch):
+    """r9: idle keys age out of a BUSY bucket's table on the data-path
+    walk (previously only the never-firing group timeout purged them),
+    and the walk is gated to one pass per tick (last_walk in the blob).
+    Pre-r9 bare-dict blobs load compatibly."""
+    import pickle
+
+    import pandas as pd
+
+    from xenoeye_spark.streaming import mavg_stream as ms
+
+    t1 = BASE * 10**9
+    clock = {"now": t1}
+    monkeypatch.setattr(ms, "_time_now_ns", lambda: clock["now"])
+
+    fn = ms.make_mavg_bucket_fn(
+        ["k"], window_sec=2, threshold=1e18, back2norm_sec=1,
+        silent_watch=False, idle_timeout_sec=1,
+    )
+    # seed with a PRE-R9 blob (bare table, no last_walk header)
+    state = _FakeGroupState()
+    state.update((pickle.dumps(
+        {("k1",): (5.0, t1, ms.S_NONE, None, t1, None)}
+    ),))
+
+    def batch(rows):
+        return pd.DataFrame(rows, columns=["k", "_ts_ns", "_val"])
+
+    # k2 keeps the bucket busy 5s later; k1 idle past the 1s TTL -> purged
+    clock["now"] = t1 + 5 * 10**9
+    _drive_bucket_fn(fn, batch([("k2", t1 + 5 * 10**9, 1.0)]), state)
+    lw, table = pickle.loads(bytes(state.get[0]))
+    assert ("k1",) not in table and ("k2",) in table
+    assert lw == clock["now"]
+
+    # within the same tick the walk is gated: k2 would be TTL-stale by
+    # event-time but the gate hasn't reopened -> untouched
+    clock["now"] += int(0.2 * 10**9)
+    _drive_bucket_fn(fn, batch([("k3", t1 + 6 * 10**9, 1.0)]), state)
+    lw2, table = pickle.loads(bytes(state.get[0]))
+    assert lw2 == lw and ("k2",) in table
+
+
+def test_bucketed_silent_key_goes_back_to_norm(spark, tmp_path):
+    """r9 e2e: the ADVICE scenario through a real stream — buckets=1 so
+    k2's rows keep the single bucket busy every batch; silent k1 must
+    still clear to GONE (data-path walk, since the group never times
+    out while k2 flows)."""
+    from tests.test_mavg_tws import _silent_key_scenario
+
+    def bucket_variant(stream, key_cols, val_col, **kw):
+        kw.pop("timer_sec", None)
+        return mavg_alert_stream(stream, key_cols, val_col, buckets=1, **kw)
+
+    _silent_key_scenario(spark, tmp_path, bucket_variant)
+
+
 def test_precombine_step_properties():
     """Property (hypothesis): for arbitrary single-key event streams cut
     into arbitrary micro-batches, against the per-event replay:

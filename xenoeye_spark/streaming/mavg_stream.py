@@ -726,22 +726,74 @@ def make_mavg_bucket_fn(
     precombined: bool = False,
 ):
     """applyInPandasWithState fn over BUCKET groups: state is one pickled
-    dict {key_tuple: (n, t_prev, alarm, below_since, first_seen, limit)}
-    per bucket. ``precombined`` selects the per-key step (folded rows ->
-    precombine_step, raw rows -> replay_rows); semantics per key are
-    identical to the per-key-group fns."""
+    (last_walk_ns, {key_tuple: (n, t_prev, alarm, below_since,
+    first_seen, limit)}) per bucket. ``precombined`` selects the per-key
+    step (folded rows -> precombine_step, raw rows -> replay_rows);
+    semantics per key are identical to the per-key-group fns.
+
+    Silent keys (r9): a GROUP timeout fires only when the BUCKET gets no
+    data for the whole interval — with thousands of keys per bucket that
+    is never, so the hasTimedOut branch alone would strand alarmed keys
+    that go silent (no GONE) and never age idle keys out. The data path
+    therefore also walks the table entries that received no rows this
+    batch (silent_transition for alarmed keys, idle-TTL purge for stale
+    ones), gated to one walk per watch tick by ``last_walk_ns`` stored
+    in the blob — the same cadence the reference's act thread walks its
+    tries at (monit-objects-mavg-act.c:342-444)."""
     import pickle
 
     window_ns = int(window_sec * 1e9)
     back2norm_ns = int(back2norm_sec * 1e9)
     watch_ms = int(max(min(back2norm_sec / 4, 5), 1) * 1000)
     idle_ns = None if idle_timeout_sec is None else int(idle_timeout_sec * 1e9)
+    if silent_watch:
+        walk_gate_ns = watch_ms * 1_000_000
+    elif idle_ns is not None:
+        # purge granularity = the tick period (try_reset_db parity)
+        walk_gate_ns = int(max(min(idle_timeout_sec / 4, 5), 1) * 1e9)
+    else:
+        walk_gate_ns = None
+
+    def _load_blob(raw: bytes) -> tuple[int, dict]:
+        obj = pickle.loads(raw)
+        if isinstance(obj, dict):  # pre-r9 blob: bare table, never walked
+            return 0, obj
+        return obj
 
     def _arm(state: GroupState, table: dict) -> None:
         _arm_timeout(
             state, any(st[2] != S_NONE for st in table.values()),
             silent_watch, watch_ms, idle_timeout_sec,
         )
+
+    def _walk_silent(
+        table: dict, seen: set, now_ns: int, events: list[tuple]
+    ) -> None:
+        """silent_transition + idle purge for every key WITHOUT rows this
+        tick; mutates ``table`` in place, appends to ``events``."""
+        thr = thresholds or {}
+        drop: list[tuple] = []
+        for k, st in table.items():
+            if k in seen:
+                continue
+            limit = resolve_limit(None, st[5], thr.get(k, threshold))
+            if silent_watch and st[2] != S_NONE:
+                core, ev, _watch = silent_transition(
+                    st[:5], now_ns, k, limit, window_sec, window_ns,
+                    back2norm_ns, under,
+                )
+                events.extend(ev)
+                st = (*core, st[5])
+                table[k] = st
+            if (
+                idle_ns is not None
+                and st[2] == S_NONE
+                and st[1] is not None
+                and now_ns - st[1] >= idle_ns
+            ):
+                drop.append(k)  # try_reset_db: age the idle key out
+        for k in drop:
+            del table[k]
 
     def fn(
         key: tuple,
@@ -755,38 +807,21 @@ def make_mavg_bucket_fn(
             if not state.exists:
                 state.remove()
                 return
-            table = pickle.loads(bytes(state.get[0]))
+            _lw, table = _load_blob(bytes(state.get[0]))
             now_ns = int(_time_now_ns())
-            keep: dict = {}
-            for k, st in table.items():
-                limit = resolve_limit(
-                    None, st[5], (thresholds or {}).get(k, threshold)
-                )
-                if silent_watch and st[2] != S_NONE:
-                    core, ev, _watch = silent_transition(
-                        st[:5], now_ns, k, limit, window_sec, window_ns,
-                        back2norm_ns, under,
-                    )
-                    events.extend(ev)
-                    st = (*core, st[5])
-                if (
-                    idle_ns is not None
-                    and st[2] == S_NONE
-                    and st[1] is not None
-                    and now_ns - st[1] >= idle_ns
-                ):
-                    continue  # try_reset_db: age the idle key out
-                keep[k] = st
-            if keep:
-                state.update((pickle.dumps(keep),))
-                _arm(state, keep)
+            _walk_silent(table, set(), now_ns, events)
+            if table:
+                state.update((pickle.dumps((now_ns, table)),))
+                _arm(state, table)
             else:
                 state.remove()
             if events:
                 yield pd.DataFrame(events, columns=cols)
             return
 
-        table = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        last_walk, table = (
+            _load_blob(bytes(state.get[0])) if state.exists else (0, {})
+        )
         rows = pd.concat(list(pdfs), ignore_index=True)
         # ONE sort + numpy segment slicing instead of a pandas groupby
         # iteration: per-group pandas overhead (sort_values/to_numpy per
@@ -818,10 +853,12 @@ def make_mavg_bucket_fn(
                 thr.get(k, threshold),
             )
 
+        seen: set = set()
         if precombined:
             recs = list(rows.itertuples(index=False))
             for s, e in zip(starts, ends):
                 k = _native_key(tuple(arr[s] for arr in karrs))
+                seen.add(k)
                 st = table.get(k, (0.0, None, S_NONE, None, None, None))
                 limit = _seg_limit(s, e, st, k)
                 core = st[:5]
@@ -843,6 +880,7 @@ def make_mavg_bucket_fn(
             val_arr = rows["_val"].to_numpy()
             for s, e in zip(starts, ends):
                 k = _native_key(tuple(arr[s] for arr in karrs))
+                seen.add(k)
                 st = table.get(k, (0.0, None, S_NONE, None, None, None))
                 limit = _seg_limit(s, e, st, k)
                 core, kev = replay_rows(
@@ -851,8 +889,17 @@ def make_mavg_bucket_fn(
                 )
                 table[k] = (*core, float(limit))
                 events.extend(kev)
-        state.update((pickle.dumps(table),))
-        _arm(state, table)
+        # data-path silent walk: a busy bucket never times out as a
+        # GROUP, so this is where its silent keys transition/age out
+        now_ns = int(_time_now_ns())
+        if walk_gate_ns is not None and now_ns - last_walk >= walk_gate_ns:
+            _walk_silent(table, seen, now_ns, events)
+            last_walk = now_ns
+        if table:
+            state.update((pickle.dumps((last_walk, table)),))
+            _arm(state, table)
+        else:
+            state.remove()
         if events:
             yield pd.DataFrame(events, columns=cols)
 
