@@ -2077,7 +2077,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_WINDOW = 50
-GATE_ROUND = 8
+GATE_ROUND = 9
 
 # Per-round pins: queries forced INTO that round's window regardless of
 # the rotation offset. A pin evicts an in-window entry that the NEXT
@@ -2101,6 +2101,11 @@ GATE_CORE = [
 # everything deferred to r8/r9 (indices 0..32 and 66) was driver-proven
 # in r6, so no query's proof gap exceeds the rotation cycle.
 GATE_POOL = [
+    # --- r9 layout note: 69 entries, offset (3*33)%69 = 30, window =
+    # [30:63] — covers the three r6-proven entries at their cycle bound
+    # (mask_spans, dedup_exact, dedup_ngram_jaccard) plus the r7-proven
+    # backlog; url_filter/decode_quarantine/star_topn (r7-proven) defer
+    # to the r10 wrap window, their cycle bound. ---
     # --- r8 layout note: corpus_report (NEW r8) sits at the pool END so
     # the r8 wrap window ([66:] + [:30]) gates its first round, per the
     # rotation contract; with 69 entries the r8 head slice shrinks to

@@ -211,31 +211,24 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r8 window: the rotation wrap ([66:] + [:30]) must prove the three
-    # r5-proven stragglers at their cycle bound (pack_sequences and
-    # bigram_lm joined the pool in r7 past the r7 slice;
-    # dedup_minhash_lsh_expr was swapped to index 29 for exactly this
-    # window), the whole r6-addition block (last driver proof r6), and
-    # the r8-new corpus_report (first round must gate)
+    # r9 window (slice [30:63]): must prove the three r6-proven entries
+    # at their cycle bound (mask_spans — displaced by the r8 swap —
+    # dedup_exact, dedup_ngram_jaccard) plus the r1-r4 backlog block
+    # whose last driver proof was r7
     win_now = set(names[:DRIVER_GATE_WINDOW])
-    r5_stale = {"pack_sequences", "bigram_lm", "dedup_minhash_lsh_expr"}
-    assert r5_stale <= win_now
-    assert "corpus_report" in win_now
-    r6_block = {"count_min", "pq_topk", "hll_distinct", "bloom_contam",
-                "ivfpq_topk", "incremental_dedup", "hist_quantiles",
-                "video_decode", "decompress", "image_resize",
-                "fuzzy_dedup", "domain_cap", "token_budget",
-                "kmeans_step", "ann_recall", "training_prep",
-                "image_decode", "audio_decode", "bpe_pairs"}
-    assert r6_block <= win_now
+    r6_stale = {"mask_spans", "dedup_exact", "dedup_ngram_jaccard"}
+    assert r6_stale <= win_now
+    assert {"text_stats", "substring_dedup", "warc_ingest"} <= win_now
     # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the deferred slice holds the r7-proven window plus the
-    # three r6-proven entries (mask_spans displaced by the r8 swap,
-    # dedup_exact, dedup_ngram_jaccard) re-proving at r9 — the bound
+    # cycle: the deferred slice holds the r8-proven wrap window
+    # (pool[:30] + the tail three) plus the three r7-proven entries
+    # (url_filter, decode_quarantine, star_topn) re-proving at r10 —
+    # exactly the 3-round cycle bound
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
-    r7_proven = set(pool[33:66])
-    r6_proven_ok = {"mask_spans", "dedup_exact", "dedup_ngram_jaccard"}
-    assert overflow_now <= r7_proven | r6_proven_ok
+    r8_proven = set(pool[:30]) | {"pack_sequences", "bigram_lm",
+                                  "corpus_report"}
+    r7_proven_ok = {"url_filter", "decode_quarantine", "star_topn"}
+    assert overflow_now <= r8_proven | r7_proven_ok
 
 
 # ------------------------------------------- pushed-predicate re-inlining
