@@ -467,10 +467,18 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     # stage-3's connected-components loop re-derives its input lineage
-    # once per convergence round — checkpoint the (small) surviving-doc
-    # frame so rounds reread a materialized table, not dedup+stats
-    # (r8: 5.0s -> 4.3s warmed at sf0.1)
-    d2 = d1.join(good, "doc_id", "left_semi").localCheckpoint(eager=False)
+    # once per convergence round — persist the (small) surviving-doc
+    # frame so rounds reread materialized blocks, not dedup+stats
+    # (r8: 5.0s -> 4.3s warmed at sf0.1). persist, NOT localCheckpoint
+    # (r9, ADVICE): checkpointed partitions are unrecoverable after an
+    # executor loss on a real cluster — persist keeps the lineage so a
+    # lost block recomputes instead of failing the query.
+    from pyspark.storagelevel import StorageLevel
+
+    d2 = (
+        d1.join(good, "doc_id", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = ngram_jaccard_pairs(d2, n=3, threshold=0.35)
     dup_members = dedup_groups(pairs).filter(
         F.col("doc_id") != F.col("keep_id")

@@ -387,3 +387,60 @@ def test_engine_mavg_bucketed_knobs_e2e(spark, tmp_path):
     assert notif == [
         f"border-m1-hi-{0x0A000001}", f"border-m1-hi-{0x0A000002}",
     ]
+
+
+def test_engine_mavg_buckets_auto(spark, tmp_path, monkeypatch):
+    """r9: "buckets": "auto" resolves to 8x the session's cores at
+    stream-build time and reaches mavg_alert_stream as that int; a
+    non-int non-auto value is refused at parse time (a typo silently
+    running per-key would defeat the knob)."""
+    import pytest as _pytest
+
+    import xenoeye_spark.engine as engmod
+    from xenoeye_spark.config.mo import MavgConfig
+
+    with _pytest.raises(ValueError, match="buckets"):
+        MavgConfig.from_dict(
+            {"name": "m", "fields": ["octets"], "buckets": "asap"}
+        )
+    assert MavgConfig.from_dict(
+        {"name": "m", "fields": ["octets"], "buckets": "auto"}
+    ).buckets == "auto"
+
+    root = tmp_path / "modir"
+    mo = root / "border"
+    mo.mkdir(parents=True)
+    (mo / "mo.conf").write_text("""
+{
+  "filter": "proto 6",
+  "mavg": [ {"name": "m1", "fields": ["src host", "octets"], "time": 10,
+             "buckets": "auto",
+             "overlimit": [ {"name": "hi", "default": [0.5]} ]} ]
+}
+""")
+    seen: dict = {}
+    real = engmod.mavg_alert_stream
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(engmod, "mavg_alert_stream", spy)
+
+    df = spark.createDataFrame(
+        _flows_rows(),
+        "ts long, ip4_src_addr long, ip4_dst_addr long, in_bytes long, "
+        "protocol long, l4_dst_port long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src_dir = tmp_path / "flows"
+    df.coalesce(1).write.parquet(str(src_dir))
+    eng = Engine(
+        str(root), exp_dir=str(tmp_path / "exp"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        run_scripts=False, silent_watch=False,
+    )
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    eng.builders(stream)  # builds the plan; the spy sees the kwargs
+    expect = 8 * max(1, spark.sparkContext.defaultParallelism)
+    assert seen.get("buckets") == expect

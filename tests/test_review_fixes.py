@@ -599,6 +599,12 @@ def test_bench_final_line_fits_driver_capture():
         "flows_per_sec_note": "synthetic flows through filter+fwm+topN, "
                               "median of 3 warmed runs in a clean JVM, "
                               "n=100000000, local[32]",
+        # r9 probe fields ride the line too — budget must still hold
+        "mavg_flows_per_sec": 999_999_999,
+        "mavg_flows_per_sec_min": 999_999_999,
+        "mavg_flows_per_sec_max": 999_999_999,
+        "mavg_note": "n=50000000 keys=500000 buckets=64 median of 6",
+        "noisy": False,
     }
     line = build_final_line(timings, 99999.9, 6, "0.1", "subprocess", probe)
     assert len(line.encode()) <= FINAL_LINE_MAX_BYTES

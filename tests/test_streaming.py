@@ -2237,6 +2237,83 @@ def test_mavg_bucketed_idle_purge_in_data_path(monkeypatch):
     assert lw2 == lw and ("k2",) in table
 
 
+def test_mavg_bucketed_rocksdb_restore(spark, tmp_path):
+    """r9: bucketed state under RocksDBStateStoreProvider — the store it
+    would run on at carrier scale — survives a stop + restart from the
+    checkpoint: the alarm raised before the restart is NOT re-raised
+    after it (continuity: the restored run sees alarm=NEW in the blob
+    and emits the steady-state UPDATE instead), and the run's progress
+    carries rocksdb metrics proving the provider was engaged."""
+    import shutil
+    import tempfile
+
+    n = 5_000
+    t0 = float(BASE)
+
+    def mkbatch(ts):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            F.lit(ts).cast("timestamp").alias("ts"),
+            F.when(F.col("id") == 7, 1000.0).otherwise(1.0).alias("v"),
+        )
+
+    stage = tempfile.mkdtemp(prefix="rdb_src_")
+    ckpt = tempfile.mkdtemp(prefix="rdb_ckpt_")
+
+    def stage_batch(df, tag):
+        d = tempfile.mkdtemp(prefix=f"rdb_{tag}_")
+        df.coalesce(1).write.parquet(d, mode="overwrite")
+        for i, f in enumerate(glob.glob(os.path.join(d, "*.parquet"))):
+            shutil.copy(f, os.path.join(stage, f"{tag}_{i}.parquet"))
+
+    def run():
+        events: list = []
+        progress: list = []
+        stream = (
+            spark.readStream.schema("k long, ts timestamp, v double")
+            .parquet(stage)
+        )
+        alerts = mavg_alert_stream(
+            stream, ["k"], "v", window_sec=10, threshold=50.0,
+            silent_watch=False, buckets=8,
+        )
+        q = (
+            alerts.writeStream
+            .foreachBatch(lambda df, e: events.extend(df.collect()))
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        progress.extend(p for p in (q.recentProgress or []) if p)
+        return events, progress
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stage_batch(mkbatch(t0), "b0")
+        ev1, prog1 = run()              # first run: k7 crosses -> NEW
+        assert [(r["k"], r["event"]) for r in ev1] == [(7, "NEW")]
+        # provider proof: rocksdb custom metrics present in progress
+        metrics = {
+            m
+            for p in prog1 for so in p.get("stateOperators", [])
+            for m in (so.get("customMetrics") or {})
+        }
+        assert any("rocksdb" in m.lower() for m in metrics), metrics
+
+        # stop happened (availableNow drained); restart from the SAME
+        # checkpoint with a new batch: k7 still breaching must come back
+        # as the steady-state UPDATE, never a second NEW
+        stage_batch(mkbatch(t0 + 1.0), "b1")
+        ev2, _ = run()
+        assert [(r["k"], r["event"]) for r in ev2] == [(7, "UPDATE")]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_bucketed_silent_key_goes_back_to_norm(spark, tmp_path):
     """r9 e2e: the ADVICE scenario through a real stream — buckets=1 so
     k2's rows keep the single bucket busy every batch; silent k1 must

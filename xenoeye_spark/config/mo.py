@@ -51,6 +51,23 @@ def parse_jsonc(text: str) -> dict:
     return json.loads(stripped)
 
 
+def _parse_buckets(v) -> int | str | None:
+    """mavg "buckets": an int, the string "auto" (resolved to ~8x the
+    session's cores at stream-build time), or absent. Anything else is a
+    config error — a typo silently running per-key would defeat the one
+    knob that makes carrier-scale mavg viable."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        if v.strip().lower() == "auto":
+            return "auto"
+        if not v.strip().lstrip("+-").isdigit():
+            raise ValueError(
+                f'mavg "buckets" must be an int or "auto", got {v!r}'
+            )
+    return int(v)
+
+
 @dataclass
 class OverlimitConfig:
     """One overlimit level (CONFIG.md:392-420)."""
@@ -85,8 +102,12 @@ class MavgConfig:
     mem_m: int = 256
     # r8 scale knobs for the apply backend: "buckets" groups state by
     # hash(key)%N (the per-thread-trie analogue of mem-m's trie cap),
-    # "precombine" folds each (key, batch) map-side before the state op
-    buckets: int | None = None
+    # "precombine" folds each (key, batch) map-side before the state op.
+    # r9: "buckets": "auto" sizes N at ~8x the session's cores at stream
+    # build time — the production default for any high-cardinality mavg
+    # (the per-key layout is the measured-worst at carrier scale,
+    # SCALE.md §Round-8/§Round-9)
+    buckets: int | str | None = None
     precombine: bool = False
     overlimit: list[OverlimitConfig] = field(default_factory=list)
     # traffic-drop levels, same shape as overlimit with inverted compare
@@ -101,7 +122,7 @@ class MavgConfig:
             time=int(d.get("time", 5)),
             dump=int(d.get("dump", 0)),
             mem_m=int(d.get("mem-m", 256)),
-            buckets=(int(d["buckets"]) if "buckets" in d else None),
+            buckets=_parse_buckets(d.get("buckets")),
             precombine=bool(d.get("precombine", False)),
             overlimit=[OverlimitConfig.from_dict(o) for o in d.get("overlimit", [])],
             underlimit=[OverlimitConfig.from_dict(o) for o in d.get("underlimit", [])],

@@ -188,6 +188,17 @@ class Engine:
                         precombine=mavg.precombine,
                     )
                 else:
+                    buckets = mavg.buckets
+                    if buckets == "auto":
+                        # ~8x the session's cores: blobs stay a few
+                        # thousand keys at carrier cardinality while
+                        # every core gets bucket-groups to work on
+                        # (SCALE.md §Round-8 sizing rule)
+                        buckets = 8 * max(
+                            1,
+                            proj.sparkSession.sparkContext
+                            .defaultParallelism,
+                        )
                     alerts = mavg_alert_stream(
                         proj, key_names, "_mval",
                         window_sec=mavg.time,
@@ -198,7 +209,7 @@ class Engine:
                         under=under,
                         silent_watch=self.silent_watch,
                         precombine=mavg.precombine,
-                        buckets=mavg.buckets,
+                        buckets=buckets,
                     )
                 sink = AlertActionSink(
                     mo_name=name.replace("/", "_"),
