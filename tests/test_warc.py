@@ -168,6 +168,38 @@ def test_warc_chunked_flush_identical_output(spark, monkeypatch):
     assert chunked == baseline and len(baseline) == 25
 
 
+def test_warc_null_mode_chunked_two_pass(spark, monkeypatch):
+    """r9: null mode no longer buffers a whole file's parsed rows — the
+    two-pass walk (validate, then re-walk and emit) flushes every
+    CHUNK_ROWS like fail mode. Force a tiny chunk so one good
+    many-record file spans many flushes, mix in a truncated file, and
+    assert rows identical to the default-chunk run: good file complete
+    and ordered, bad file exactly one quarantine row."""
+    from xenoeye_spark.datapipe import warc as warc_mod
+
+    recs = [_resp_rec(f"http://ex/{i}", f"body {i}".encode())
+            for i in range(25)]
+    good = encode_warc(recs, per_record_gzip=True)
+    bad = encode_warc([_resp_rec("http://ex/cut", b"z" * 200)])[:-60]
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))],
+        "source_id long, content binary",
+    )
+    baseline = sorted(
+        (r.source_id, r.rec_index, r.target_uri, r.payload_md5)
+        for r in warc_records(df, on_error="null").collect()
+    )
+    monkeypatch.setattr(warc_mod, "CHUNK_ROWS", 4)
+    chunked = sorted(
+        (r.source_id, r.rec_index, r.target_uri, r.payload_md5)
+        for r in warc_records(df, on_error="null").collect()
+    )
+    assert chunked == baseline
+    assert [(s, i) for s, i, *_ in baseline] == (
+        [(1, i) for i in range(25)] + [(2, -1)]
+    )
+
+
 def test_warc_streaming_inflate_bounds_buffer():
     """r8: the walker's working buffer stays O(largest record), not
     O(shard): walk a many-record member-gzipped file and watch the

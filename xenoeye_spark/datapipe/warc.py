@@ -196,73 +196,80 @@ def warc_records(
     a corrupt crawl shard should stop the job; ``'null'`` emits ONE
     quarantine row (rec_index = -1, everything else NULL) per bad file
     — and ONLY that row: records parsed before the failure point are
-    discarded, so a quarantined file never double-ingests when it is
-    re-routed/re-fetched (the whole-file contract).
+    never emitted, so a quarantined file never double-ingests when it
+    is re-routed/re-fetched (the whole-file contract).
 
     Scale: one mapInPandas projection, no shuffle; cost per row is the
-    file's own bytes. Memory (r8): the record walk streams gzip members
-    (split_warc_records), and parsed rows flush every ``CHUNK_ROWS``
-    in fail mode — peak task memory is O(compressed file + largest
-    record + chunk), not O(inflated shard). In ``'null'`` mode rows
-    buffer per FILE (the whole-file quarantine contract requires
-    knowing the walk finished before any row may be emitted), so the
-    bound there is O(compressed file + one file's parsed rows).
+    file's own bytes. Memory: the record walk streams gzip members
+    (split_warc_records, r8) and parsed rows flush every ``CHUNK_ROWS``
+    — peak task memory is O(compressed file + largest record + chunk)
+    in BOTH modes. ``'null'`` achieves that bound with a two-pass walk
+    (r9): pass 1 validates the whole file without materializing a
+    single row (the whole-file quarantine contract — no row may emit
+    unless the walk completes), pass 2 re-walks and emits chunked. The
+    price is a second inflate of bad-file-capable inputs on the null
+    path only — CPU, not memory, and only where the caller asked for
+    quarantine semantics.
     """
     if on_error not in ("fail", "null"):
         raise ValueError(f"on_error must be fail|null: {on_error!r}")
     cols = [f.name for f in RECORDS_SCHEMA.fields]
 
+    def walk(sid: int, raw: bytes) -> Iterator[tuple]:
+        for idx, (hdrs, content) in enumerate(split_warc_records(raw)):
+            wtype = hdrs.get("warc-type", "")
+            if wtype == "response":
+                status, _, payload = parse_http_response(content)
+            else:
+                status, payload = None, content
+            yield (
+                sid, idx, wtype, hdrs.get("warc-target-uri"),
+                status, len(payload), hashlib.md5(payload).hexdigest(),
+                payload.decode("utf-8", "replace"),
+            )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # completed-FILE rows accumulate into shared Arrow batches of
-        # ~CHUNK_ROWS: one pandas frame per file would cost ~2ms of
-        # frame+Arrow overhead per file (measured 13x on the sf0.1
-        # many-small-shards gate query), while per-file frames buy
-        # nothing — file atomicity only requires that a file's rows
-        # join the batch AFTER its walk completes
+        # rows accumulate into shared Arrow batches of ~CHUNK_ROWS: one
+        # pandas frame per file would cost ~2ms of frame+Arrow overhead
+        # per file (measured 13x on the sf0.1 many-small-shards gate
+        # query). File atomicity in null mode is carried by the
+        # validation pass, not by buffering — a file's rows only start
+        # flowing after its walk has been PROVEN to complete.
         out_rows: list[tuple] = []
+
+        def flush_if_full():
+            nonlocal out_rows
+            if len(out_rows) >= CHUNK_ROWS:
+                frame = pd.DataFrame(out_rows, columns=cols)
+                out_rows = []
+                return frame
+            return None
+
         for pdf in batches:
             for sid, raw in zip(pdf["_id"], pdf["_c"]):
-                sid = int(sid)
-                file_rows: list[tuple] = []
-                try:
-                    for idx, (hdrs, content) in enumerate(
-                        split_warc_records(bytes(raw))
-                    ):
-                        wtype = hdrs.get("warc-type", "")
-                        if wtype == "response":
-                            status, _, payload = parse_http_response(
-                                content
-                            )
-                        else:
-                            status, payload = None, content
-                        file_rows.append((
-                            sid, idx, wtype,
-                            hdrs.get("warc-target-uri"),
-                            status, len(payload),
-                            hashlib.md5(payload).hexdigest(),
-                            payload.decode("utf-8", "replace"),
-                        ))
-                        if on_error == "fail" and len(file_rows) >= CHUNK_ROWS:
-                            # flush early (and YIELD mid-file, or a
-                            # single 100k-record shard would still
-                            # buffer every parsed row) only where an
-                            # error would kill the job anyway; 'null'
-                            # must see the walk complete before
-                            # emitting anything
-                            out_rows.extend(file_rows)
-                            file_rows = []
-                            if len(out_rows) >= CHUNK_ROWS:
-                                yield pd.DataFrame(out_rows, columns=cols)
-                                out_rows = []
-                except ValueError:
-                    if on_error == "fail":
-                        raise
-                    file_rows = [(sid, -1, None, None, None, None, None,
-                                  None)]
-                out_rows.extend(file_rows)
-                if len(out_rows) >= CHUNK_ROWS:
-                    yield pd.DataFrame(out_rows, columns=cols)
-                    out_rows = []
+                sid, raw = int(sid), bytes(raw)
+                if on_error == "null":
+                    # pass 1: validate without materializing rows. The
+                    # walk is deterministic over the same bytes, so a
+                    # clean pass 1 guarantees pass 2 cannot raise.
+                    try:
+                        for _ in split_warc_records(raw):
+                            pass
+                    except ValueError:
+                        out_rows.append((sid, -1, None, None, None,
+                                         None, None, None))
+                        f = flush_if_full()
+                        if f is not None:
+                            yield f
+                        continue
+                # fail mode (an error kills the job anyway), or a
+                # null-mode file whose validation pass completed:
+                # emit chunked, mid-file included
+                for row in walk(sid, raw):
+                    out_rows.append(row)
+                    f = flush_if_full()
+                    if f is not None:
+                        yield f
         if out_rows:
             yield pd.DataFrame(out_rows, columns=cols)
 
