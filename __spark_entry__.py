@@ -1528,6 +1528,23 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars", "domain_rank")
 
 
+def q_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped global best-k (r9): the 100 longest documents
+    overall but at most 5 per source — eval-set / few-shot-pool
+    selection. Greedy down the global score order == per-group top-m
+    then global top-k (datapipe.sampling.diverse_topk), so the oracle
+    is two plain ROW_NUMBERs. Integer score (length(text)) with the
+    (score desc, doc_id asc) total order — engine-exact, and the salted
+    pre-prune provably never changes the result."""
+    from xenoeye_spark.datapipe.sampling import diverse_topk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("score"),
+    )
+    out = diverse_topk(docs, "score", 100, "source", 5)
+    return out.select("doc_id", "source", "score", "pick_rank")
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget selection per language (r6): walk docs by
     (n_chars desc, doc_id asc) and keep while the running token total
@@ -2109,11 +2126,15 @@ GATE_CORE = [
 # everything deferred to r8/r9 (indices 0..32 and 66) was driver-proven
 # in r6, so no query's proof gap exceeds the rotation cycle.
 GATE_POOL = [
-    # --- r9 layout note: 69 entries, offset (3*33)%69 = 30, window =
-    # [30:63] — covers the three r6-proven entries at their cycle bound
+    # --- r9 layout note: 70 entries (diverse_topk NEW at 30, inside
+    # the window per the contract), offset (3*33)%70 = 29, window =
+    # [29:62) — covers the three r6-proven entries at their cycle bound
     # (mask_spans, dedup_exact, dedup_ngram_jaccard) plus the r7-proven
-    # backlog; url_filter/decode_quarantine/star_topn (r7-proven) defer
-    # to the r10 wrap window, their cycle bound. ---
+    # backlog and warc_ingest (swapped to 29 with
+    # dedup_minhash_lsh_expr, r8-proven, which defers to the r10 wrap —
+    # its cycle bound is r11). substring_dedup / url_filter /
+    # decode_quarantine / star_topn (r7-proven) defer to the r10 wrap
+    # window [62:70)+[0:25), their cycle bound. ---
     # --- r8 layout note: corpus_report (NEW r8) sits at the pool END so
     # the r8 wrap window ([66:] + [:30]) gates its first round, per the
     # rotation contract; with 69 entries the r8 head slice shrinks to
@@ -2132,10 +2153,13 @@ GATE_POOL = [
     # the fix must be driver-proven THIS round) ---
     "pii_scrub", "text_normalize", "semdedup", "chunk_docs",
     "repetition", "quantize", "rand_proj", "temperature",
-    "char_entropy", "best_of_class", "dedup_minhash_lsh_expr",
-    # --- deferred side: mask_spans here (r6-proven, re-proves r9, the
-    # cycle bound) after the r8 swap with dedup_minhash_lsh_expr above;
-    # dedup_exact/dedup_ngram_jaccard likewise r6-proven -> r9.
+    "char_entropy", "best_of_class", "warc_ingest",
+    # --- r9 window head: warc_ingest above (r7-proven, swapped with
+    # dedup_minhash_lsh_expr which moved to the tail), diverse_topk
+    # (NEW r9, first round must gate), then the three r6-proven entries
+    # at their cycle bound; dedup_exact/dedup_ngram_jaccard likewise
+    # r6-proven -> r9.
+    "diverse_topk",
     "mask_spans", "dedup_exact", "dedup_ngram_jaccard",
     # --- r7 window slice [33:66): r1-r4 backlog in historical order ---
     "text_stats", "text_langid", "sim_topk", "token_count",
@@ -2146,9 +2170,11 @@ GATE_POOL = [
     "interval_join", "gopher_quality", "segment_dedup", "bm25",
     "vocab_topk", "kmv_distinct", "contamination", "length_quantiles",
     "tfidf_topterms", "hash_split",
-    # --- r7 window slice: proof-critical r7 entries ---
-    "substring_dedup", "warc_ingest", "url_filter", "decode_quarantine",
-    "star_topn",
+    # --- r7 window slice: proof-critical r7 entries (warc_ingest moved
+    # to the r9 head by the swap; dedup_minhash_lsh_expr holds its old
+    # slot) ---
+    "substring_dedup", "dedup_minhash_lsh_expr", "url_filter",
+    "decode_quarantine", "star_topn",
     # --- tail: joins the r8 window via the rotation wrap ---
     "pack_sequences", "bigram_lm", "corpus_report",
 ]
@@ -2279,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "fuzzy_dedup": q_fuzzy_dedup,
         "domain_cap": q_domain_cap,
+        "diverse_topk": q_diverse_topk,
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
@@ -4063,6 +4090,24 @@ FROM v WHERE d <= 40
 """,
         # domain_cap: the salted pre-prune provably never changes the
         # result, so the oracle is the plain per-source ROW_NUMBER cap.
+        # diverse_topk: greedy global walk == per-group top-m then
+        # global top-k; both stages plain ROW_NUMBERs over the integer
+        # (length(text) desc, doc_id asc) total order.
+        "diverse_topk": """
+WITH g AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS score,
+         row_number() OVER (
+           PARTITION BY source ORDER BY length(text) DESC, doc_id ASC
+         ) AS gr
+  FROM documents
+), s AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS pick_rank
+  FROM g WHERE gr <= 5
+)
+SELECT doc_id, source, score, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM s WHERE pick_rank <= 100
+""",
         "domain_cap": """
 WITH r AS (
   SELECT doc_id, source, n_chars,

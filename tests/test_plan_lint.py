@@ -211,23 +211,28 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r9 window (slice [30:63]): must prove the three r6-proven entries
-    # at their cycle bound (mask_spans — displaced by the r8 swap —
-    # dedup_exact, dedup_ngram_jaccard) plus the r1-r4 backlog block
-    # whose last driver proof was r7
+    # r9 window (70 entries, slice [29:62)): must prove the three
+    # r6-proven entries at their cycle bound (mask_spans — displaced by
+    # the r8 swap — dedup_exact, dedup_ngram_jaccard), the r1-r4
+    # backlog block whose last driver proof was r7, warc_ingest
+    # (swapped to the window head), and the r9-new diverse_topk (first
+    # round must gate)
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r6_stale = {"mask_spans", "dedup_exact", "dedup_ngram_jaccard"}
     assert r6_stale <= win_now
-    assert {"text_stats", "substring_dedup", "warc_ingest"} <= win_now
+    assert {"text_stats", "warc_ingest", "diverse_topk"} <= win_now
     # nothing deferred out of the window has a proof gap beyond the
     # cycle: the deferred slice holds the r8-proven wrap window
-    # (pool[:30] + the tail three) plus the three r7-proven entries
-    # (url_filter, decode_quarantine, star_topn) re-proving at r10 —
-    # exactly the 3-round cycle bound
+    # (pool head + the tail three + dedup_minhash_lsh_expr from the
+    # swap) plus the four r7-proven entries (substring_dedup,
+    # url_filter, decode_quarantine, star_topn) re-proving at the r10
+    # wrap — exactly the 3-round cycle bound
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
-    r8_proven = set(pool[:30]) | {"pack_sequences", "bigram_lm",
-                                  "corpus_report"}
-    r7_proven_ok = {"url_filter", "decode_quarantine", "star_topn"}
+    r8_proven = set(pool[:29]) | {"pack_sequences", "bigram_lm",
+                                  "corpus_report",
+                                  "dedup_minhash_lsh_expr"}
+    r7_proven_ok = {"substring_dedup", "url_filter",
+                    "decode_quarantine", "star_topn"}
     assert overflow_now <= r8_proven | r7_proven_ok
 
 

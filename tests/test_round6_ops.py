@@ -1414,3 +1414,49 @@ def test_bpe_compatible_prefix_rules():
         rows(("a", "a", 9), ("a", "b", 8)), 8, 1
     )
     assert adm == [("a", "a", 9)] and not done
+
+
+def test_diverse_topk_greedy_twin(spark):
+    """r9: diverse_topk == the greedy walk down the global score order
+    that skips rows whose group already holds m picks — checked against
+    a literal python greedy fold, including score ties (id tiebreak),
+    groups smaller than m, and k cutting mid-group; presplit never
+    changes the result; k/m validation raises."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.sampling import diverse_topk
+
+    rows = [Row(doc_id=i, dom=f"d{i % 5}", score=(i * 13) % 7)
+            for i in range(100)]
+    df = spark.createDataFrame(rows)
+
+    with _pytest.raises(ValueError, match="diverse_topk"):
+        diverse_topk(df, "score", 0, "dom", 3)
+
+    def run(presplit):
+        return [
+            (r.pick_rank, r.doc_id, r.dom)
+            for r in diverse_topk(
+                df, "score", 12, "dom", 3, presplit=presplit
+            ).orderBy("pick_rank").collect()
+        ]
+
+    got = run(32)
+    assert got == run(0) == run(4)
+
+    # literal greedy twin
+    taken: dict[str, int] = {}
+    twin = []
+    for r in sorted(rows, key=lambda r: (-r.score, r.doc_id)):
+        if taken.get(r.dom, 0) < 3:
+            taken[r.dom] = taken.get(r.dom, 0) + 1
+            twin.append((len(twin) + 1, r.doc_id, r.dom))
+        if len(twin) == 12:
+            break
+    assert got == twin
+    # the cap binds: no group exceeds m
+    per_dom: dict[str, int] = {}
+    for _, _, dom in got:
+        per_dom[dom] = per_dom.get(dom, 0) + 1
+    assert max(per_dom.values()) <= 3 and len(got) == 12

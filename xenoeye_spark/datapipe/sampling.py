@@ -478,3 +478,56 @@ def token_budget_select(
         .filter(F.col("cum_tokens") <= budget)
         .drop("_len")
     )
+
+
+def diverse_topk(
+    df: DataFrame,
+    score_col: str,
+    k: int,
+    group_col: str,
+    m_per_group: int,
+    id_col: str = "doc_id",
+    presplit: int = 32,
+) -> DataFrame:
+    """Global best-k selection under a per-group diversity cap: the ``k``
+    highest-scoring rows overall with at most ``m_per_group`` from any
+    one group — "the best 100 documents, but no more than 5 per domain"
+    (eval-set and few-shot-pool curation; r9). Equivalent to the greedy
+    walk down the global score order that skips rows whose group is
+    already full: within one group, the only rows that can fill the
+    group before a given row are its HIGHER-scoring group-mates, so a
+    row survives the greedy walk iff it is within its group's top-m AND
+    within the global top-k of those survivors — which is exactly the
+    two-stage plan below.
+
+    Deterministic: ``score_col`` desc with ``id_col`` asc tiebreak at
+    both stages. Output adds ``pick_rank`` (1-based global rank).
+
+    Scale shape: the per-group cap IS ``domain_cap`` (salted mergeable
+    pre-prune: <= presplit * m rows per group reach the exact window,
+    independent of group skew); the global cut is orderBy().limit(k),
+    which Spark plans as TakeOrderedAndProject (per-partition k-row
+    heaps merged on the driver — no global sort, no single-reducer
+    window over the survivors). The final rank window runs over k rows.
+    """
+    if k < 1 or m_per_group < 1:
+        raise ValueError(
+            f"diverse_topk: k and m_per_group must be >= 1 "
+            f"(got k={k}, m_per_group={m_per_group})"
+        )
+    if "pick_rank" in df.columns:
+        raise ValueError(
+            "diverse_topk: input column 'pick_rank' collides with the "
+            "operator's output name — rename it"
+        )
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    capped = domain_cap(
+        df, group_col, m_per_group,
+        order_cols=[F.col(score_col).desc()],
+        id_col=id_col, presplit=presplit,
+    ).drop("domain_rank")
+    picked = capped.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return picked.withColumn(
+        "pick_rank", F.row_number().over(w).cast("long")
+    )
