@@ -129,6 +129,10 @@ NOTES = {
     "hist_quantiles": "bin counts partial-aggregate map-side (bin-wise "
     "SUM is the merge); the cumsum window runs over <= sub*64 bins per "
     "group, not the values.",
+    "diverse_topk": "per-group cap gets WindowGroupLimit pushdown "
+    "(partial rank-limit BEFORE each exchange); the global cut is "
+    "TakeOrderedAndProject (per-partition heaps, no global sort); the "
+    "rank window runs over the k survivors only.",
 }
 
 
