@@ -1545,6 +1545,20 @@ def q_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "score", "pick_rank")
 
 
+def q_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization (r9): clamp n_chars into its
+    language's [p5, p95] band — the outlier guard before mean-based
+    source weighting. Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition (the
+    length_quantiles-proven pairing); bounds round to 6 decimals BEFORE
+    the clamp on both sides, so every clipped value is engine-exact."""
+    from xenoeye_spark.operators.summary import quantile_clip
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = quantile_clip(docs, ["lang"], "n_chars", lo=0.05, hi=0.95)
+    return out.select("doc_id", "lang", "n_chars", "clipped")
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget selection per language (r6): walk docs by
     (n_chars desc, doc_id asc) and keep while the running token total
@@ -2126,15 +2140,17 @@ GATE_CORE = [
 # everything deferred to r8/r9 (indices 0..32 and 66) was driver-proven
 # in r6, so no query's proof gap exceeds the rotation cycle.
 GATE_POOL = [
-    # --- r9 layout note: 70 entries (diverse_topk NEW at 30, inside
-    # the window per the contract), offset (3*33)%70 = 29, window =
-    # [29:62) — covers the three r6-proven entries at their cycle bound
-    # (mask_spans, dedup_exact, dedup_ngram_jaccard) plus the r7-proven
-    # backlog and warc_ingest (swapped to 29 with
-    # dedup_minhash_lsh_expr, r8-proven, which defers to the r10 wrap —
-    # its cycle bound is r11). substring_dedup / url_filter /
+    # --- r9 layout note: 71 entries (diverse_topk + quantile_clip NEW
+    # at 30/31, inside the window per the contract), offset
+    # (3*33)%71 = 28, window = [28:61) — covers the three r6-proven
+    # entries at their cycle bound (mask_spans, dedup_exact,
+    # dedup_ngram_jaccard), the r7-proven backlog through
+    # length_quantiles, warc_ingest (swapped to 29 with
+    # dedup_minhash_lsh_expr, r8-proven, which defers to the r10 wrap)
+    # and best_of_class (r8-proven, pulled in by the head shift).
+    # tfidf_topterms / hash_split / substring_dedup / url_filter /
     # decode_quarantine / star_topn (r7-proven) defer to the r10 wrap
-    # window [62:70)+[0:25), their cycle bound. ---
+    # window [61:71)+[0:23), their cycle bound. ---
     # --- r8 layout note: corpus_report (NEW r8) sits at the pool END so
     # the r8 wrap window ([66:] + [:30]) gates its first round, per the
     # rotation contract; with 69 entries the r8 head slice shrinks to
@@ -2159,7 +2175,7 @@ GATE_POOL = [
     # (NEW r9, first round must gate), then the three r6-proven entries
     # at their cycle bound; dedup_exact/dedup_ngram_jaccard likewise
     # r6-proven -> r9.
-    "diverse_topk",
+    "diverse_topk", "quantile_clip",
     "mask_spans", "dedup_exact", "dedup_ngram_jaccard",
     # --- r7 window slice [33:66): r1-r4 backlog in historical order ---
     "text_stats", "text_langid", "sim_topk", "token_count",
@@ -2306,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup": q_fuzzy_dedup,
         "domain_cap": q_domain_cap,
         "diverse_topk": q_diverse_topk,
+        "quantile_clip": q_quantile_clip,
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
@@ -4090,6 +4107,22 @@ FROM v WHERE d <= 40
 """,
         # domain_cap: the salted pre-prune provably never changes the
         # result, so the oracle is the plain per-source ROW_NUMBER cap.
+        # quantile_clip: per-group winsorize; quantile_cont shares
+        # percentile's linear-interpolation definition (the
+        # length_quantiles-proven pairing), bounds rounded before the
+        # clamp on both sides.
+        "quantile_clip": """
+WITH b AS (
+  SELECT lang,
+         round(quantile_cont(n_chars, 0.05), 6) AS _qlo,
+         round(quantile_cont(n_chars, 0.95), 6) AS _qhi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       round(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b._qlo), b._qhi), 6)
+         AS clipped
+FROM documents d JOIN b USING (lang)
+""",
         # diverse_topk: greedy global walk == per-group top-m then
         # global top-k; both stages plain ROW_NUMBERs over the integer
         # (length(text) desc, doc_id asc) total order.

@@ -211,28 +211,30 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r9 window (70 entries, slice [29:62)): must prove the three
+    # r9 window (71 entries, slice [28:61)): must prove the three
     # r6-proven entries at their cycle bound (mask_spans — displaced by
     # the r8 swap — dedup_exact, dedup_ngram_jaccard), the r1-r4
     # backlog block whose last driver proof was r7, warc_ingest
-    # (swapped to the window head), and the r9-new diverse_topk (first
-    # round must gate)
+    # (swapped to the window head), and the r9-new diverse_topk +
+    # quantile_clip (first round must gate)
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r6_stale = {"mask_spans", "dedup_exact", "dedup_ngram_jaccard"}
     assert r6_stale <= win_now
-    assert {"text_stats", "warc_ingest", "diverse_topk"} <= win_now
+    assert {"text_stats", "warc_ingest", "diverse_topk",
+            "quantile_clip"} <= win_now
     # nothing deferred out of the window has a proof gap beyond the
     # cycle: the deferred slice holds the r8-proven wrap window
     # (pool head + the tail three + dedup_minhash_lsh_expr from the
-    # swap) plus the four r7-proven entries (substring_dedup,
-    # url_filter, decode_quarantine, star_topn) re-proving at the r10
-    # wrap — exactly the 3-round cycle bound
+    # swap) plus the six r7-proven entries (tfidf_topterms, hash_split,
+    # substring_dedup, url_filter, decode_quarantine, star_topn)
+    # re-proving at the r10 wrap [61:71)+[0:23) — exactly the 3-round
+    # cycle bound
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
-    r8_proven = set(pool[:29]) | {"pack_sequences", "bigram_lm",
+    r8_proven = set(pool[:28]) | {"pack_sequences", "bigram_lm",
                                   "corpus_report",
                                   "dedup_minhash_lsh_expr"}
-    r7_proven_ok = {"substring_dedup", "url_filter",
-                    "decode_quarantine", "star_topn"}
+    r7_proven_ok = {"tfidf_topterms", "hash_split", "substring_dedup",
+                    "url_filter", "decode_quarantine", "star_topn"}
     assert overflow_now <= r8_proven | r7_proven_ok
 
 

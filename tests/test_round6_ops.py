@@ -1460,3 +1460,53 @@ def test_diverse_topk_greedy_twin(spark):
     for _, _, dom in got:
         per_dom[dom] = per_dom.get(dom, 0) + 1
     assert max(per_dom.values()) <= 3 and len(got) == 12
+
+
+def test_quantile_clip_twin(spark):
+    """r9: quantile_clip clamps each row into its group's [lo, hi]
+    percentile band — checked against a literal numpy winsorize with
+    the same linear-interpolation percentile; rows inside the band pass
+    through unchanged, outliers land exactly on the rounded bound; the
+    sketch path stays within its accuracy; validation raises."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from xenoeye_spark.operators.summary import quantile_clip
+
+    rows = [Row(doc_id=i, g=f"g{i % 2}", v=((i * 37) % 101) * 10)
+            for i in range(80)]
+    df = spark.createDataFrame(rows)
+
+    with _pytest.raises(ValueError, match="quantile_clip"):
+        quantile_clip(df, ["g"], "v", lo=0.9, hi=0.1)
+    with _pytest.raises(ValueError, match="collide"):
+        quantile_clip(df.withColumnRenamed("v", "clipped"), ["g"],
+                      "clipped")
+
+    got = {
+        r.doc_id: r.clipped
+        for r in quantile_clip(df, ["g"], "v", 0.1, 0.9).collect()
+    }
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r)
+    n_clipped = 0
+    for g, members in by_g.items():
+        vals = np.array([m.v for m in members], dtype=float)
+        lo = round(float(np.percentile(vals, 10)), 6)   # linear interp
+        hi = round(float(np.percentile(vals, 90)), 6)
+        for m in members:
+            want = round(min(max(float(m.v), lo), hi), 6)
+            assert got[m.doc_id] == want
+            n_clipped += want != float(m.v)
+    assert n_clipped > 0          # the band actually binds on this data
+
+    # sketch path: same shape, bounds within coarse tolerance
+    approx = {
+        r.doc_id: r.clipped
+        for r in quantile_clip(df, ["g"], "v", 0.1, 0.9,
+                               exact=False).collect()
+    }
+    assert set(approx) == set(got)
+    assert all(abs(approx[k] - got[k]) <= 60 for k in got)

@@ -50,6 +50,60 @@ def group_quantiles(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def quantile_clip(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    exact: bool = True,
+    accuracy: int = 10000,
+    out_col: str = "clipped",
+) -> DataFrame:
+    """Per-group winsorization (r9): clamp ``value_col`` into its
+    group's [lo, hi] quantile band — the standard outlier guard before
+    any mean-based weighting of quality/length signals (a handful of
+    pathological documents otherwise dominate a source's average).
+    Keeps every input column and adds ``out_col`` (double, 6 decimals).
+
+    Bounds use the same exact-``percentile`` / GK-sketch pair as
+    group_quantiles (exact buffers a group's values — bounded groups;
+    ``exact=False`` is the 100-TB path), rounded to 6 decimals BEFORE
+    the clamp so the comparison is engine-exact and a SQL oracle can
+    re-derive every clipped value with quantile_cont.
+
+    Scale shape: inherently two-pass (bounds, then clamp) — but the
+    bounds pass collapses to one row per group map-side, the bounds
+    table is dimension-sized, and Catalyst broadcasts it back for the
+    clamp join; the clamp itself is a pure projection.
+    """
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(
+            f"quantile_clip: need 0 <= lo <= hi <= 1 (got {lo}, {hi})"
+        )
+    reserved = {"_qlo", "_qhi", out_col} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"quantile_clip: input columns {sorted(reserved)} collide "
+            "with the operator's working/output names — rename them"
+        )
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    bounds = df.groupBy(*keys).agg(
+        F.round(F.expr(f"{fn}({value_col}, {lo!r}{acc})"), 6).alias("_qlo"),
+        F.round(F.expr(f"{fn}({value_col}, {hi!r}{acc})"), 6).alias("_qhi"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(bounds, list(keys))
+        .withColumn(
+            out_col,
+            F.round(F.least(F.greatest(v, F.col("_qlo")), F.col("_qhi")), 6),
+        )
+        .drop("_qlo", "_qhi")
+    )
+
+
 # ------------------------------------------------------------ log-histogram
 
 def log_hist_quantiles(
