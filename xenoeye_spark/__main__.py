@@ -25,14 +25,14 @@ import time
 def spool_pcap_captures(spark, entries, spool: str) -> int:
     """Replay pcap-capture entries into the bridge spool.
 
-    The reference's pcapture runs libpcap live on an interface
-    (pcapture.c); with no interface to sniff here, a pcap entry whose
-    ``interface`` resolves to file path(s)/glob is replayed — datagrams
-    extracted distributed (sources/pcap.py) and appended to the same
-    spool the UDP bridges feed, so the standing queries consume both
-    identically (the tcpreplay testing model, README.md:37). A BPF
-    ``filter`` contributes its ``port N`` terms as a destination-port
-    prefilter. Returns the number of entries replayed."""
+    A pcap entry whose ``interface`` resolves to file path(s)/glob is
+    replayed — datagrams extracted distributed (sources/pcap.py) and
+    appended to the same spool the UDP bridges feed, so the standing
+    queries consume both identically (the tcpreplay testing model,
+    README.md:37). A BPF ``filter`` contributes its ``port N`` terms as
+    a destination-port prefilter. Entries naming a real NIC are handled
+    by ``start_live_captures`` (AF_PACKET sniffing, pcapture.c parity).
+    Returns the number of entries replayed."""
     import glob as globmod
     import re
 
@@ -43,12 +43,7 @@ def spool_pcap_captures(spark, entries, spool: str) -> int:
         if e.kind != "pcap" or not e.interface:
             continue
         if not globmod.glob(e.interface):
-            print(
-                f"pcap capture {e.interface!r}: no such file(s); live "
-                "interface capture is not available in this runtime",
-                file=sys.stderr,
-            )
-            continue
+            continue  # not a file/glob: start_live_captures handles it
         ports = {int(p) for p in re.findall(r"port\s+(\d+)", e.bpf or "")}
         # idempotence across restarts: a marker keyed by the resolved
         # files' (path, mtime, size) skips re-replay — the file source's
@@ -69,6 +64,43 @@ def spool_pcap_captures(spark, entries, spool: str) -> int:
         open(marker, "w").close()
         done += 1
     return done
+
+
+def start_live_captures(entries, spool: str, template_journal=None) -> list:
+    """Start one AF_PACKET live capture per pcap entry whose
+    ``interface`` names a NIC rather than file path(s) — the
+    pcapture.c path (sources/live.py). Needs CAP_NET_RAW; a denied or
+    missing interface logs loudly and is skipped (the reference's
+    pcap_open_live fails the same way). Returns the started captures
+    (each has .stop(), same lifecycle as UdpBridge)."""
+    import glob as globmod
+
+    from xenoeye_spark.sources.live import LiveCapture, parse_bpf_ports
+
+    caps = []
+    for e in entries:
+        if e.kind != "pcap" or not e.interface or globmod.glob(e.interface):
+            continue
+        try:
+            ports = parse_bpf_ports(e.bpf)
+            cap = LiveCapture(
+                spool, e.interface, ports=ports,
+                template_journal=template_journal,
+            ).start()
+        except (OSError, ValueError) as err:
+            print(
+                f"pcap capture {e.interface!r}: no such file(s) and live "
+                f"capture failed ({err}) — entry skipped",
+                file=sys.stderr,
+            )
+            continue
+        caps.append(cap)
+        print(
+            f"live capture on {e.interface} "
+            f"(ports={sorted(ports) if ports else 'all'}) -> {spool}",
+            file=sys.stderr,
+        )
+    return caps
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -145,6 +177,13 @@ def main(argv: list[str] | None = None) -> int:
     if n_pcap:
         print(f"{n_pcap} pcap capture(s) replayed -> {spool}",
               file=sys.stderr)
+    # pcap entries naming a NIC instead of files: sniff live
+    # (pcapture.c parity; shares the bridges' stop() lifecycle)
+    bridges.extend(
+        start_live_captures(
+            cfg.capture + cfg.sflow_capture, spool, template_journal=tj
+        )
+    )
 
     packets = (
         spark.readStream.schema("data binary, dev_ip long, recv_ts timestamp")

@@ -22,39 +22,22 @@ import threading
 import time
 
 
-class UdpBridge:
-    def __init__(
-        self,
-        out_dir: str,
-        host: str = "127.0.0.1",
-        port: int = 0,
-        roll_packets: int = 1000,
-        roll_seconds: float = 1.0,
-        template_journal=None,
-    ):
-        """``template_journal``: optional sources.netflow.TemplateJournal;
-        template-bearing packets (rare) are appended so templates survive
-        daemon restarts (netflow-templates.c parity)."""
-        self.out_dir = out_dir
-        self.template_journal = template_journal
-        os.makedirs(out_dir, exist_ok=True)
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self.sock.bind((host, port))
-        self.sock.settimeout(0.2)
-        self.port = self.sock.getsockname()[1]
-        self.roll_packets = roll_packets
-        self.roll_seconds = roll_seconds
-        self._stop = threading.Event()
-        self._thread: threading.Thread | None = None
-        self._seq = 0
-        # spool names must be unique across BRIDGES (several ports share
-        # one spool dir) and across RESTARTS (seq restarts at 0, but the
-        # file source has already recorded the old paths as processed —
-        # recycled names would be silently skipped; equal names from a
-        # sibling bridge would be clobbered by os.rename)
-        self._uniq = f"{self.port}_{os.getpid()}_{time.time_ns()}"
+class ParquetSpool:
+    """Rolling (data, dev_ip, recv_ts) parquet writer shared by every
+    single-node capture front end (UDP bridge, live AF_PACKET capture).
+    Spool names must be unique across WRITERS (several captures share
+    one spool dir) and across RESTARTS (seq restarts at 0, but the file
+    source has already recorded the old paths as processed — recycled
+    names would be silently skipped; equal names from a sibling writer
+    would be clobbered by os.rename)."""
 
-    def _flush(self, batch: list[tuple[bytes, int, float]]) -> None:
+    def __init__(self, out_dir: str, tag: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._seq = 0
+        self._uniq = f"{tag}_{os.getpid()}_{time.time_ns()}"
+
+    def flush(self, batch: list[tuple[bytes, int, float]]) -> None:
         if not batch:
             return
         import pyarrow as pa
@@ -75,6 +58,35 @@ class UdpBridge:
         pq.write_table(table, tmp)
         os.rename(tmp, final)
         self._seq += 1
+
+
+class UdpBridge:
+    def __init__(
+        self,
+        out_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        roll_packets: int = 1000,
+        roll_seconds: float = 1.0,
+        template_journal=None,
+    ):
+        """``template_journal``: optional sources.netflow.TemplateJournal;
+        template-bearing packets (rare) are appended so templates survive
+        daemon restarts (netflow-templates.c parity)."""
+        self.out_dir = out_dir
+        self.template_journal = template_journal
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind((host, port))
+        self.sock.settimeout(0.2)
+        self.port = self.sock.getsockname()[1]
+        self.roll_packets = roll_packets
+        self.roll_seconds = roll_seconds
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._spool = ParquetSpool(out_dir, str(self.port))
+
+    def _flush(self, batch: list[tuple[bytes, int, float]]) -> None:
+        self._spool.flush(batch)
 
     def _loop(self) -> None:
         batch: list[tuple[bytes, int, float]] = []
