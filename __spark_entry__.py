@@ -1559,6 +1559,82 @@ def q_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars", "clipped")
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (r9): every doc becomes a synthetic page
+    (title with an entity, a style block, a multi-line script for
+    doc_id%3==0, the body with planted &lt;/&gt;/&nbsp; entities, 1-2
+    links, a multi-line trailing comment) built by PURE string concat —
+    so the oracle re-builds the identical page in SQL and re-runs the
+    identical Java-regex/RE2-agreeing strip chain. Exercises every
+    branch: script/style/comment removal across newlines, tag drop,
+    entity decode order, title extraction, link counting."""
+    from xenoeye_spark.datapipe.text import extract_html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title> Doc "), F.col("doc_id").cast("string"),
+        F.lit(" &amp; "), F.col("lang"),
+        F.lit(" </title>\n<style>p {margin:0}\n</style></head><body>"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit('<script type="text/javascript">var x='),
+            F.col("doc_id").cast("string"), F.lit(";\nf('t');</script>"),
+        )).otherwise(F.lit("")),
+        F.lit('<p id="c">'), F.col("text"),
+        F.lit(' &lt;EOF&gt;&nbsp;end</p>'),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit('<a href="/next">next</a>')).otherwise(F.lit("")),
+        F.lit('<a\nhref="/home">home</a><!-- trail\ncomment --></body></html>'),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return extract_html_text(pages).select(
+        "doc_id", "title", "text", "n_links", "html_chars", "text_chars"
+    )
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (r9): hashed unigram+bigram bucket
+    distributions for target (lang='en') vs the whole corpus, per-doc
+    log importance weight in integer micro-nats, top-200 by weight.
+    The single floor() per BUCKET absorbs the engines' ln() ulp
+    difference; everything after it is int64 arithmetic, so the oracle
+    re-derives every weight exactly (hash family = the kmv-proven
+    31-poly/Knuth-mix fold)."""
+    from xenoeye_spark.datapipe.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return (
+        dsir_weights(docs, target, n_buckets=1024)
+        .orderBy(F.col("logw_micro").desc(), F.col("doc_id").asc())
+        .limit(200)
+        .select("doc_id", "logw_micro", "n_grams")
+    )
+
+
+# mixture_interleave weights: four ratio classes, four sources dropped
+# (weight-0 semantics — "the mixture IS the filter"). lcm = 12.
+MIXTURE_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20) if i % 5 != 4}
+_MIX_LCM = 12  # lcm(1, 2, 3, 4); asserted against math.lcm in the tests
+
+
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture interleave (r9): the first 200 positions of the
+    deterministic data-loader order over 16 weighted sources (weights
+    1..4, four sources dropped). Key = (2*rank-1) * (lcm/w) — integer
+    arithmetic end-to-end, so the oracle is one ROW_NUMBER and a CASE
+    multiplier; TakeOrderedAndProject carries the global cut (no
+    single-reducer window)."""
+    from xenoeye_spark.datapipe.sampling import mixture_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mixture_order(docs, MIXTURE_WEIGHTS)
+        .orderBy("interleave_key", "source", "doc_id")
+        .limit(200)
+        .select("doc_id", "source", "src_rank", "interleave_key")
+    )
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget selection per language (r6): walk docs by
     (n_chars desc, doc_id asc) and keep while the running token total
@@ -2140,17 +2216,20 @@ GATE_CORE = [
 # everything deferred to r8/r9 (indices 0..32 and 66) was driver-proven
 # in r6, so no query's proof gap exceeds the rotation cycle.
 GATE_POOL = [
-    # --- r9 layout note: 71 entries (diverse_topk + quantile_clip NEW
-    # at 30/31, inside the window per the contract), offset
-    # (3*33)%71 = 28, window = [28:61) — covers the three r6-proven
-    # entries at their cycle bound (mask_spans, dedup_exact,
-    # dedup_ngram_jaccard), the r7-proven backlog through
-    # length_quantiles, warc_ingest (swapped to 29 with
-    # dedup_minhash_lsh_expr, r8-proven, which defers to the r10 wrap)
-    # and best_of_class (r8-proven, pulled in by the head shift).
+    # --- r9 layout note (mid-round growth): 74 entries after
+    # html_extract / dsir_sample / mixture_interleave (NEW r9, inserted
+    # at 28-30 — inside the window per the contract). Offset
+    # (3*33)%74 = 25, window = [25:58): rand_proj/temperature/
+    # char_entropy (r8-proven, pulled in by the modulus shift — early
+    # re-proof, harmless), the three NEW entries, best_of_class,
+    # warc_ingest, diverse_topk + quantile_clip (also NEW r9), the
+    # three r6-proven entries at their cycle bound (mask_spans,
+    # dedup_exact, dedup_ngram_jaccard) and the r1-r4 backlog through
+    # gopher_quality. segment_dedup / bm25 / vocab_topk / kmv_distinct
+    # / contamination / length_quantiles (r7-proven) now defer with
     # tfidf_topterms / hash_split / substring_dedup / url_filter /
-    # decode_quarantine / star_topn (r7-proven) defer to the r10 wrap
-    # window [61:71)+[0:23), their cycle bound. ---
+    # decode_quarantine / star_topn to the r10 wrap window
+    # [58:74)+[0:17) — exactly their 3-round cycle bound. ---
     # --- r8 layout note: corpus_report (NEW r8) sits at the pool END so
     # the r8 wrap window ([66:] + [:30]) gates its first round, per the
     # rotation contract; with 69 entries the r8 head slice shrinks to
@@ -2169,12 +2248,15 @@ GATE_POOL = [
     # the fix must be driver-proven THIS round) ---
     "pii_scrub", "text_normalize", "semdedup", "chunk_docs",
     "repetition", "quantize", "rand_proj", "temperature",
-    "char_entropy", "best_of_class", "warc_ingest",
-    # --- r9 window head: warc_ingest above (r7-proven, swapped with
-    # dedup_minhash_lsh_expr which moved to the tail), diverse_topk
-    # (NEW r9, first round must gate), then the three r6-proven entries
-    # at their cycle bound; dedup_exact/dedup_ngram_jaccard likewise
+    "char_entropy",
+    # --- r9 window: the three mid-round additions (NEW r9, first
+    # round must gate), then warc_ingest (r7-proven, swapped with
+    # dedup_minhash_lsh_expr which moved to the tail), diverse_topk +
+    # quantile_clip (NEW r9), then the three r6-proven entries at
+    # their cycle bound; dedup_exact/dedup_ngram_jaccard likewise
     # r6-proven -> r9.
+    "html_extract", "dsir_sample", "mixture_interleave",
+    "best_of_class", "warc_ingest",
     "diverse_topk", "quantile_clip",
     "mask_spans", "dedup_exact", "dedup_ngram_jaccard",
     # --- r7 window slice [33:66): r1-r4 backlog in historical order ---
@@ -2323,6 +2405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "diverse_topk": q_diverse_topk,
         "quantile_clip": q_quantile_clip,
+        "html_extract": q_html_extract,
+        "dsir_sample": q_dsir_sample,
+        "mixture_interleave": q_mixture_interleave,
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
@@ -4140,6 +4225,117 @@ WITH g AS (
 )
 SELECT doc_id, source, score, CAST(pick_rank AS BIGINT) AS pick_rank
 FROM s WHERE pick_rank <= 100
+""",
+        # html_extract: the page is rebuilt by the same concat, then
+        # the same strip chain — the Java-regex/RE2-agreeing pattern
+        # subset (no backrefs/lookaround) and the fixed entity decode
+        # order make every step engine-identical.
+        "html_extract": """
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; '
+    || lang || ' </title>' || chr(10) || '<style>p {margin:0}'
+    || chr(10) || '</style></head><body>' ||
+    CASE WHEN doc_id % 3 = 0
+         THEN '<script type="text/javascript">var x='
+              || CAST(doc_id AS VARCHAR) || ';' || chr(10)
+              || 'f(''t'');</script>'
+         ELSE '' END ||
+    '<p id="c">' || text || ' &lt;EOF&gt;&nbsp;end</p>' ||
+    CASE WHEN doc_id % 2 = 0 THEN '<a href="/next">next</a>'
+         ELSE '' END ||
+    '<a' || chr(10) || 'href="/home">home</a><!-- trail' || chr(10)
+    || 'comment --></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(html,
+      '(?is)<head\\b[^>]*>.*?</head\\s*>', ' ', 'g'),
+      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '<[^>]*>', ' ', 'g') AS raw_text,
+    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title\\s*>', 1)
+      AS raw_title
+  FROM pages
+), decoded AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      raw_title, '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),
+      '&nbsp;',' '),'&amp;','&'), '\\s+', ' ', 'g')) AS title,
+    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      raw_text, '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),
+      '&nbsp;',' '),'&amp;','&'), '\\s+', ' ', 'g')) AS text
+  FROM stripped
+)
+SELECT doc_id, title, text,
+  CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]')) AS BIGINT)
+    AS n_links,
+  CAST(length(html) AS BIGINT) AS html_chars,
+  CAST(length(text) AS BIGINT) AS text_chars
+FROM decoded
+""",
+        # dsir_sample: the whole recipe re-derived — kmv-proven hash
+        # fold per gram, add-one smoothing, ONE floor per bucket into
+        # integer micro-nats, int64 weight sums, (weight desc, id asc)
+        # top-200.
+        "dsir_sample": """
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, lang,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(gram, ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1073741789) * 2654435761 % 1073741789
+      % 1024 AS bucket
+  FROM (
+    SELECT doc_id, lang,
+      unnest(list_concat(t,
+        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+        AS gram
+    FROM toks
+  )
+), doc_counts AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2
+), raw_b AS (
+  SELECT bucket, sum(cnt) AS rb FROM doc_counts GROUP BY 1
+), tgt_b AS (
+  SELECT bucket, count(*) AS tb FROM occ WHERE lang = 'en' GROUP BY 1
+), tots AS (
+  SELECT (SELECT sum(rb) FROM raw_b) AS rtot,
+         (SELECT sum(tb) FROM tgt_b) AS ttot
+), ratio AS (
+  SELECT r.bucket,
+    CAST(floor(1000000.0 * ln(
+      ((coalesce(tb, 0) + 1.0) / (ttot + 1024.0))
+      / ((rb + 1.0) / (rtot + 1024.0)))) AS BIGINT) AS lr
+  FROM raw_b r LEFT JOIN tgt_b USING (bucket) CROSS JOIN tots
+)
+SELECT doc_id, CAST(sum(cnt * lr) AS BIGINT) AS logw_micro,
+       CAST(sum(cnt) AS BIGINT) AS n_grams
+FROM doc_counts JOIN ratio USING (bucket)
+GROUP BY 1 ORDER BY logw_micro DESC, doc_id ASC LIMIT 200
+""",
+        # mixture_interleave: one ROW_NUMBER per source + a CASE
+        # multiplier — integer keys end-to-end.
+        "mixture_interleave": f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+  FROM documents
+  WHERE source IN ({", ".join(repr(s) for s in sorted(MIXTURE_WEIGHTS))})
+)
+SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+  CAST((2 * src_rank - 1) * (CASE source {" ".join(
+    f"WHEN '{s}' THEN {_MIX_LCM // w}"
+    for s, w in sorted(MIXTURE_WEIGHTS.items()))} END) AS BIGINT)
+    AS interleave_key
+FROM ranked
+ORDER BY interleave_key, source, doc_id LIMIT 200
 """,
         "domain_cap": """
 WITH r AS (

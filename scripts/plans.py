@@ -137,6 +137,19 @@ NOTES = {
     "percentile buffers bounded groups; approx_percentile is the "
     "100-TB path behind the same API); the dimension-sized bounds "
     "table broadcasts back and the clamp is a pure projection.",
+    "html_extract": "page synthesis + the whole strip chain are ONE "
+    "pure JVM projection over one scan — zero shuffles, zero Python; "
+    "regex cost linear in page bytes.",
+    "dsir_sample": "the published two-pass shape: fit scans each "
+    "corpus once into bucket-keyed counts (map-side combine bounds "
+    "both shuffles at O(n_buckets x partitions); totals are window "
+    "sums over the n_buckets-row table, NOT scalar aggs that would "
+    "re-scan); apply scans raw once more into per-doc int-pair "
+    "counts, broadcast-joins the 1024-row ratio, TakeOrdered cut.",
+    "mixture_interleave": "weight filter pushed into the scan "
+    "(INSET); one exchange on source for the rank window; the key is "
+    "integer arithmetic and the global cut is TakeOrderedAndProject "
+    "— no single-reducer window.",
 }
 
 

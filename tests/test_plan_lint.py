@@ -30,6 +30,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #                    broadcast) as its exact baseline side
 #   pq_topk        — the 3-row query-set broadcast against the PQ
 #                    codes table (ADC scoring; same shape as sim_topk)
+# (dsir_sample briefly carried two one-row corpus-total BNL attaches;
+# the fit now derives totals as window sums over the n_buckets-row
+# stats table, so its plan is BNL-free.)
 BNL_ALLOWED = {
     "sim_topk", "bm25", "tfidf_topterms", "bigram_lm",
     "quantize", "temperature", "ann_recall", "pq_topk",
@@ -211,30 +214,34 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r9 window (71 entries, slice [28:61)): must prove the three
-    # r6-proven entries at their cycle bound (mask_spans — displaced by
-    # the r8 swap — dedup_exact, dedup_ngram_jaccard), the r1-r4
-    # backlog block whose last driver proof was r7, warc_ingest
-    # (swapped to the window head), and the r9-new diverse_topk +
-    # quantile_clip (first round must gate)
+    # r9 window (74 entries after the mid-round additions, slice
+    # [25:58)): must prove the three r6-proven entries at their cycle
+    # bound (mask_spans — displaced by the r8 swap — dedup_exact,
+    # dedup_ngram_jaccard), the r1-r4 backlog block whose last driver
+    # proof was r7, warc_ingest (swapped to the window head), and the
+    # five r9-new queries (first round must gate)
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r6_stale = {"mask_spans", "dedup_exact", "dedup_ngram_jaccard"}
     assert r6_stale <= win_now
     assert {"text_stats", "warc_ingest", "diverse_topk",
-            "quantile_clip"} <= win_now
+            "quantile_clip", "html_extract", "dsir_sample",
+            "mixture_interleave"} <= win_now
     # nothing deferred out of the window has a proof gap beyond the
     # cycle: the deferred slice holds the r8-proven wrap window
     # (pool head + the tail three + dedup_minhash_lsh_expr from the
-    # swap) plus the six r7-proven entries (tfidf_topterms, hash_split,
-    # substring_dedup, url_filter, decode_quarantine, star_topn)
-    # re-proving at the r10 wrap [61:71)+[0:23) — exactly the 3-round
-    # cycle bound
+    # swap) plus the twelve r7-proven entries (the r1-r4 backlog tail
+    # segment_dedup..length_quantiles pushed out by the 74-entry
+    # modulus shift, plus tfidf_topterms, hash_split, substring_dedup,
+    # url_filter, decode_quarantine, star_topn) re-proving at the r10
+    # wrap [58:74)+[0:17) — exactly the 3-round cycle bound
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
     r8_proven = set(pool[:28]) | {"pack_sequences", "bigram_lm",
                                   "corpus_report",
                                   "dedup_minhash_lsh_expr"}
     r7_proven_ok = {"tfidf_topterms", "hash_split", "substring_dedup",
-                    "url_filter", "decode_quarantine", "star_topn"}
+                    "url_filter", "decode_quarantine", "star_topn",
+                    "segment_dedup", "bm25", "vocab_topk",
+                    "kmv_distinct", "contamination", "length_quantiles"}
     assert overflow_now <= r8_proven | r7_proven_ok
 
 

@@ -1,0 +1,235 @@
+"""Round-9 additions: HTML text extraction, DSIR importance weights,
+weighted mixture interleave — each against a literal python twin, plus
+the documented heuristic boundaries and validation errors."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ html_extract
+
+def _py_extract(html: str) -> tuple[str, str, int]:
+    """Literal python twin of extract_html_text (same regex subset —
+    Python re and Java regex agree on it like RE2 does)."""
+    from xenoeye_spark.datapipe.text import (
+        HTML_DROP_PATTERNS, HTML_ENTITIES, HTML_LINK_RE, HTML_TITLE_RE,
+    )
+
+    body = html
+    for pat in HTML_DROP_PATTERNS:
+        body = re.sub(pat, " ", body)
+    m = re.search(HTML_TITLE_RE, html)
+    title = m.group(1) if m else ""
+
+    def decode(s: str) -> str:
+        for src, dst in HTML_ENTITIES:
+            s = s.replace(src, dst)
+        return re.sub(r"\s+", " ", s).strip()
+
+    return decode(title), decode(body), len(re.findall(HTML_LINK_RE, html))
+
+
+HTML_CASES = [
+    # ordinary page: title, style, script with newlines, entities, links
+    ('<html><head><title>T &amp; U</title><style>a{}</style></head>'
+     '<body><script>var x;\ny;</script><p>A &lt;b&gt;&nbsp;C</p>'
+     '<a href="u">l</a><A HREF="v">m</A></body></html>'),
+    # no title, uppercase/whitespace-laden tags, comment spanning lines
+    ('<BODY>< p >x</ p ><!-- multi\nline\ncomment -->y  z</BODY>'),
+    # single-pass entity decode: &amp;lt; must yield the literal "&lt;"
+    ('<p>&amp;lt;tag&amp;gt; stays escaped; &quot;q&quot; &#39;s&#39;</p>'),
+    # UNCLOSED script: documented heuristic — code leaks as text
+    ('<div><script>leaks();</div>after'),
+    # attribute containing ">" in quotes: tag regex stops at first ">"
+    ('<p title="a>b">body</p>'),
+    # empty and markup-only pages
+    '', '<br/><hr>',
+]
+
+
+def test_html_extract_matches_python_twin(spark):
+    from xenoeye_spark.datapipe.text import extract_html_text
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(HTML_CASES)], "doc_id long, html string"
+    )
+    got = {
+        r.doc_id: (r.title, r.text, r.n_links, r.html_chars, r.text_chars)
+        for r in extract_html_text(df).collect()
+    }
+    assert len(got) == len(HTML_CASES)
+    for i, h in enumerate(HTML_CASES):
+        title, text, n_links = _py_extract(h)
+        assert got[i] == (title, text, n_links, len(h), len(text)), (
+            f"case {i}: {h!r} -> {got[i]}"
+        )
+    # spot-check the planted semantics, not just twin parity
+    assert got[0][:2] == ("T & U", 'A <b> C l m') and got[0][2] == 2
+    assert got[2][1] == '&lt;tag&gt; stays escaped; "q" \'s\''
+    assert "leaks();" in got[3][1]          # unclosed script leaks
+    assert got[4][1] == 'b">body'           # ">" inside quoted attr
+    assert got[5] == ("", "", 0, 0, 0)
+
+
+# -------------------------------------------------------------------- dsir
+
+def _py_dsir(raw: list[tuple[int, str]], target: list[str],
+             n_buckets: int) -> dict[int, tuple[int, int]]:
+    """Literal python twin: same hash fold, add-one smoothing, one
+    floor per bucket, integer weight sums."""
+    P, M, MIX = 1_073_741_789, 31, 2_654_435_761
+
+    def grams(text: str) -> list[str]:
+        t = [x for x in re.split(r"\s+", text.strip()) if x]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g: str) -> int:
+        acc = 0
+        for ch in g:
+            acc = (acc * M + ord(ch)) % P
+        return acc * MIX % P % n_buckets
+
+    raw_occ = {i: Counter(bucket(g) for g in grams(t)) for i, t in raw}
+    raw_b: Counter = Counter()
+    for c in raw_occ.values():
+        raw_b.update(c)
+    tgt_b: Counter = Counter()
+    for t in target:
+        tgt_b.update(bucket(g) for g in grams(t))
+    rtot, ttot = sum(raw_b.values()), sum(tgt_b.values())
+    lr = {
+        b: math.floor(1e6 * math.log(
+            ((tgt_b.get(b, 0) + 1.0) / (ttot + n_buckets))
+            / ((rb + 1.0) / (rtot + n_buckets))))
+        for b, rb in raw_b.items()
+    }
+    return {
+        i: (sum(cnt * lr[b] for b, cnt in c.items()), sum(c.values()))
+        for i, c in raw_occ.items() if c
+    }
+
+
+def test_dsir_weights_match_python_twin(spark):
+    from xenoeye_spark.datapipe.sampling import dsir_weights
+
+    raw = [
+        (0, "spark shuffles partitions and spark broadcasts joins"),
+        (1, "le chat noir dort sur le tapis rouge"),
+        (2, "spark partitions spark partitions spark"),
+        (3, "der hund läuft schnell durch den wald"),
+        (4, "  "),                       # no grams -> absent
+        (5, "broadcast joins beat shuffles"),
+    ]
+    tgt_texts = ["spark broadcasts joins", "partitions and shuffles",
+                 "spark spark shuffles"]
+    raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(tgt_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.logw_micro, r.n_grams)
+        for r in dsir_weights(raw_df, tgt_df, n_buckets=64).collect()
+    }
+    assert got == _py_dsir(raw, tgt_texts, 64)
+    # steering: the english-spark docs outscore french/german ones
+    assert min(got[0][0], got[2][0], got[5][0]) > max(got[1][0], got[3][0])
+    assert 4 not in got                  # empty doc carries no evidence
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(raw_df, tgt_df, n_buckets=1)
+
+
+def test_dsir_fit_apply_split_matches_inline(spark):
+    """fit-once/apply-many: a saved ratio table reproduces the inline
+    target= path exactly, the ratio is total over the bucket space,
+    and the exactly-one-of validation raises both ways."""
+    from xenoeye_spark.datapipe.sampling import dsir_fit, dsir_weights
+
+    raw_df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta gamma delta delta")],
+        "doc_id long, text string",
+    )
+    tgt_df = spark.createDataFrame([(9, "beta gamma")],
+                                   "doc_id long, text string")
+    ratio = dsir_fit(raw_df, tgt_df, n_buckets=32)
+    rows = ratio.collect()
+    assert len(rows) == 32                       # total over the space
+    assert sorted(r.bucket for r in rows) == list(range(32))
+    inline = dsir_weights(raw_df, tgt_df, n_buckets=32).collect()
+    applied = dsir_weights(raw_df, ratio=ratio, n_buckets=32).collect()
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(inline, key=key) == sorted(applied, key=key)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(raw_df, tgt_df, ratio=ratio)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(raw_df)
+
+
+# ----------------------------------------------------------- mixture_order
+
+def test_mixture_order_matches_weighted_round_robin(spark):
+    from math import lcm
+
+    from xenoeye_spark.datapipe.sampling import mixture_order
+
+    weights = {"a": 3, "b": 1, "c": 2}
+    rows = [Row(doc_id=i, source="abcx"[i % 4]) for i in range(80)]
+    df = spark.createDataFrame(rows)
+    out = (
+        mixture_order(df, weights)
+        .orderBy("interleave_key", "source", "doc_id")
+        .collect()
+    )
+    # twin: each source's i-th doc at key (2i-1) * L/w, merged
+    big = lcm(*weights.values())
+    twin = []
+    for s, w in weights.items():
+        ids = sorted(r.doc_id for r in rows if r.source == s)
+        twin += [
+            (i, s, rank, (2 * rank - 1) * (big // w))
+            for rank, i in enumerate(ids, start=1)
+        ]
+    twin.sort(key=lambda t: (t[3], t[1], t[0]))
+    assert [(r.doc_id, r.source, r.src_rank, r.interleave_key)
+            for r in out] == twin
+    # weight-0 semantics: source "x" is gone entirely
+    assert all(r.source != "x" for r in out)
+    # ratio property: over the full order, counts follow the weights
+    n_a = sum(1 for r in out if r.source == "a")
+    n_b = sum(1 for r in out if r.source == "b")
+    assert n_a == 20 and n_b == 20        # all rows of every kept source
+    # and in the first 6 virtual slots of each L-block the pattern is
+    # dominated by the heavier source
+    first12 = [r.source for r in out[:12]]
+    assert first12.count("a") >= first12.count("c") >= first12.count("b")
+
+
+def test_mixture_order_validation(spark):
+    from xenoeye_spark.datapipe.sampling import mixture_order
+
+    df = spark.createDataFrame([Row(doc_id=1, source="a")])
+    with pytest.raises(ValueError, match="no source has positive weight"):
+        mixture_order(df, {"a": 0})
+    with pytest.raises(ValueError, match="integers"):
+        mixture_order(df, {"a": 1.5})
+    with pytest.raises(ValueError, match="lcm"):
+        # pairwise-coprime big weights blow the lcm cap
+        mixture_order(df, {"a": 1021, "b": 1031, "c": 1033})
+
+
+def test_mixture_weights_lcm_constant():
+    """The oracle's hard-coded lcm stays true to MIXTURE_WEIGHTS."""
+    from math import lcm
+
+    import __spark_entry__ as entrymod
+
+    assert entrymod._MIX_LCM == lcm(*entrymod.MIXTURE_WEIGHTS.values())

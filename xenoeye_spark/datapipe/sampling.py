@@ -531,3 +531,280 @@ def diverse_topk(
     return picked.withColumn(
         "pick_rank", F.row_number().over(w).cast("long")
     )
+
+
+# ------------------------------------------------- DSIR importance resampling
+
+# Feature-hash width default: 1024 buckets is the published recipe's
+# order of magnitude (DSIR uses 10^4 for full CC; the ratio table stays
+# broadcast-trivial at either size).
+DSIR_BUCKETS = 1024
+# log-ratios are fixed-point MICRO-NATS (floor(1e6 * ln ratio) as
+# int64): one floor per BUCKET absorbs the engines' <=1-ulp ln()
+# difference (flip probability ~1e-9 per bucket), and every per-doc
+# sum after it is integer arithmetic — order-free, engine-exact.
+DSIR_LR_SCALE = 1_000_000
+
+
+def _gram_bucket_expr(tokens_col: str, n_buckets: int) -> F.Column:
+    """Unigram+bigram hashed-feature buckets over an ALREADY-TOKENIZED
+    array column, as ONE array expression (narrow, JVM): tokens ++
+    space-joined adjacent pairs, each through the shared 31-poly/
+    Knuth-mix hash family (ranking.KMV_P/KMV_M/KMV_MIX — the same fold
+    every oracle-checked hash twin uses), mod ``n_buckets``. Hashing
+    inside the array means the explode that follows carries INTs, not
+    gram strings — the shuffle is (id, bucket) pairs with map-side
+    combine, never text. Callers stage the tokenizer as a column first
+    (the char_entropy pattern: Catalyst does not CSE a tokenizer
+    repeated across expression sites)."""
+    from xenoeye_spark.datapipe.ranking import KMV_M, KMV_MIX, KMV_P
+
+    t = tokens_col
+    poly = (
+        f"aggregate(transform(split(g, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * {KMV_M} + x) % {KMV_P})"
+    )
+    return F.expr(
+        f"transform("
+        f"  concat("
+        f"    {t},"
+        f"    zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)),"
+        f"             slice({t}, 2, greatest(size({t}) - 1, 0)),"
+        f"             (a, b) -> concat(a, ' ', b))"
+        f"  ),"
+        f"  g -> ({poly}) * {KMV_MIX} % {KMV_P} % {n_buckets}"
+        f")"
+    )
+
+
+def _gram_bucket_occurrences(
+    df: DataFrame, text_col: str, id_col: str | None, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) — or bucket-only when ``id_col`` is None — one row
+    per gram OCCURRENCE (multiplicity matters to the weights)."""
+    cols = ([F.col(id_col)] if id_col else []) + [
+        ws_tokens(text_col).alias("_t")
+    ]
+    staged = df.select(*cols)
+    return staged.select(
+        *([F.col(id_col)] if id_col else []),
+        F.explode(_gram_bucket_expr("_t", n_buckets)).alias("bucket"),
+    )
+
+
+def dsir_fit(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The FIT pass of DSIR (Xie et al., NeurIPS 2023 — public
+    recipe): estimate the hashed unigram+bigram bucket distributions
+    of the ``target`` and ``raw`` corpora and return the per-bucket
+    log importance ratio
+
+        lr(b) = floor(1e6 * ln(p_target(b) / p_raw(b)))
+
+    as an EXACTLY-n_buckets-row table (bucket, lr) with add-one
+    smoothing (p_b = (count_b + 1) / (total + B)); buckets unseen in
+    either corpus get the smoothed-floor ratio, so the table is total
+    over the feature space and can be saved and re-applied to any
+    later batch (the published fit-once / apply-many shape).
+
+    Scale shape: each corpus is scanned ONCE — a narrow JVM gram
+    projection feeding a bucket-keyed count whose map-side combine
+    bounds the shuffle at O(n_buckets x partitions). Totals are
+    global window sums over the n_buckets-row table (a separate
+    .agg() would be a second consumer of the gram subtree and re-scan
+    the corpus; the single-partition WindowExec is bounded by
+    n_buckets rows by construction — the one place a global window is
+    the scale-CORRECT choice).
+    """
+    if n_buckets < 2 or n_buckets > 1_000_000:
+        raise ValueError(
+            f"dsir_fit: n_buckets must be in [2, 1e6], got {n_buckets}"
+        )
+    b = F.lit(float(n_buckets))
+    raw_b = (
+        _gram_bucket_occurrences(raw, text_col, None, n_buckets)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("rb"))
+    )
+    tgt_b = (
+        _gram_bucket_occurrences(target, text_col, None, n_buckets)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("tb"))
+    )
+    domain = raw.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    wall = Window.partitionBy()
+    stats = (
+        domain.join(raw_b, "bucket", "left")
+        .join(tgt_b, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("rb"), F.lit(0)).alias("rb"),
+            F.coalesce(F.col("tb"), F.lit(0)).alias("tb"),
+        )
+        .select(
+            "bucket", "rb", "tb",
+            F.sum("rb").over(wall).alias("rtot"),
+            F.sum("tb").over(wall).alias("ttot"),
+        )
+    )
+    return stats.select(
+        "bucket",
+        F.floor(
+            F.lit(float(DSIR_LR_SCALE))
+            * F.log(
+                ((F.col("tb") + F.lit(1.0)) / (F.col("ttot") + b))
+                / ((F.col("rb") + F.lit(1.0)) / (F.col("rtot") + b))
+            )
+        ).cast("long").alias("lr"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    ratio: DataFrame | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023 — public recipe): score every ``raw`` document by how much
+    more likely its hashed-n-gram bag is under the ``target``
+    distribution than under the raw distribution, so a cheap bag-of-
+    n-grams proxy steers corpus selection toward the target domain.
+
+        logw(d) = sum over gram occurrences g in d of
+                  [ln p_target(bucket(g)) - ln p_raw(bucket(g))]
+
+    Pass either ``target`` (fit runs inline via dsir_fit) or a saved
+    ``ratio`` table from a previous dsir_fit — the fit-once /
+    apply-many split the published recipe assumes at scale. The
+    published sampler adds Gumbel noise before the top-k cut; this
+    variant is DETERMINISTIC (pure top-k by weight — callers wanting
+    the stochastic flavor can add permuted_order-seeded noise, the
+    same trade stratified_sample makes). Empty documents carry no
+    n-gram evidence and are absent from the output (weight undefined,
+    not 0).
+
+    Output: (id_col, logw_micro, n_grams) — logw in integer micro-nats
+    (DSIR_LR_SCALE), n_grams the occurrence count the sum ran over.
+
+    Scale shape (100 TB): the apply pass scans ``raw`` once — narrow
+    JVM gram projection, per-doc (id, bucket) counts (an int-pair
+    shuffle with map-side combine), broadcast join against the
+    n_buckets-row ratio, one more map-side-combined groupBy on id.
+    With ``target`` given, the inline fit adds one scan of each corpus
+    (bucket-only aggregations — see dsir_fit); the raw corpus is thus
+    read twice, fit + apply, exactly the two passes the reference
+    recipe makes, and persisting the ratio between runs removes the
+    fit pass entirely. Nothing all-pairs; the only single-partition
+    stage holds n_buckets rows.
+    """
+    if (target is None) == (ratio is None):
+        raise ValueError(
+            "dsir_weights: pass exactly one of target= or ratio="
+        )
+    if n_buckets < 2 or n_buckets > 1_000_000:
+        raise ValueError(
+            f"dsir_weights: n_buckets must be in [2, 1e6], got {n_buckets}"
+        )
+    # NOTE: a saved ratio= table must come from a fit with the SAME
+    # n_buckets — the apply hashes grams with n_buckets here, and a
+    # narrower table would silently drop buckets at the inner join.
+    if ratio is None:
+        ratio = dsir_fit(raw, target, text_col, n_buckets)
+    doc_counts = (
+        _gram_bucket_occurrences(raw, text_col, id_col, n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        doc_counts.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr")).cast("long")
+            .alias("logw_micro"),
+            F.sum("cnt").cast("long").alias("n_grams"),
+        )
+    )
+
+
+# ------------------------------------------------ weighted mixture interleave
+
+def mixture_order(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted interleave of a multi-source corpus — the
+    data-loader mixing schedule (sample source s with probability
+    proportional to w_s) materialized as a total order, so a training
+    run streams one shard sequence and sees sources arrive in their
+    mixture ratio from step one (no per-epoch reshuffle service).
+
+    Each source's i-th document (1-based rank by ``id_col``) lands at
+    interleave key (2i - 1) * (L / w_s) with L = lcm(weights): source
+    ranks spread evenly over a virtual axis where source s advances
+    L/w_s per document — the classic weighted round-robin with
+    CENTERED slots, all INTEGER arithmetic (no FP, engine-exact). Two
+    sources can share a key; (key, source, id) is the documented total
+    order. Sources missing from ``weights`` (or weighted 0) are
+    dropped — the mixture IS the filter.
+
+    Output: input columns + ``src_rank`` (1-based within source) +
+    ``interleave_key``. Consumers range-partition / TakeOrdered on the
+    key; a full global row_number would be a single-reducer window and
+    is deliberately NOT emitted.
+
+    Scale shape: one shuffle keyed by ``source_col`` for the per-source
+    rank window — a reducer per source, fine for the tens-of-sources
+    mixtures this models. For sources too large for one reducer, pass a
+    precomputed rank via ``rank_col`` (the shard writer's two-pass
+    distributed rank — layout.write_shards — is the pattern: range
+    partition, count, broadcast offsets, local row_number).
+
+    Overflow guard: keys must stay int64 — raised per-row when
+    src_rank > 2^61 / L (the shared _checked_id/raise_error idiom), and
+    lcm itself is capped at 2^20 (mixture ratios are small integers; a
+    runaway lcm means the weights are wrong, not the guard).
+    """
+    from math import lcm
+
+    pos = {s: int(w) for s, w in weights.items() if int(w) > 0}
+    if not pos:
+        raise ValueError("mixture_order: no source has positive weight")
+    if any(int(w) != w for w in weights.values()):
+        raise ValueError("mixture_order: weights must be integers")
+    big = lcm(*pos.values())
+    if big > (1 << 20):
+        raise ValueError(
+            f"mixture_order: lcm(weights) = {big} > 2^20 — mixture "
+            "ratios should be small integers (reduce them)"
+        )
+    rank_limit = (1 << 61) // big
+    step = F.create_map(
+        *[x for s, w in sorted(pos.items())
+          for x in (F.lit(s), F.lit(big // w))]
+    )
+    w_rank = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+    ranked = (
+        df.filter(F.col(source_col).isin(list(pos)))
+        .withColumn("src_rank", F.row_number().over(w_rank).cast("long"))
+    )
+    guarded = F.when(
+        F.col("src_rank") > rank_limit,
+        F.raise_error(F.concat(
+            F.lit(f"mixture_order: src_rank exceeds int64-safe bound "
+                  f"{rank_limit} for lcm={big}: "),
+            F.col("src_rank").cast("string"),
+        )).cast("long"),
+    ).otherwise(
+        (F.lit(2) * F.col("src_rank") - F.lit(1))
+        * step[F.col(source_col)]
+    )
+    return ranked.withColumn("interleave_key", guarded.cast("long"))

@@ -997,3 +997,88 @@ def decompress_text(
     return staged.mapInPandas(run, schema=out_schema).select(
         F.col("_id").alias(id_col), "text"
     )
+
+
+# ---------------------------------------------------------------- HTML
+
+# Entity subset decoded by extract_html_text, in DECODE ORDER. One
+# pass, fixed order: '&amp;' decodes LAST so a literal "&amp;lt;" in
+# the source yields "&lt;" (the text the author wrote), never "<" —
+# the standard single-pass contract. Plain (non-regex) replaces, so
+# both engines apply the identical transform.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+# Markup-removal patterns, applied in order. The subset is chosen to
+# mean the same thing under Java regex (Spark) and RE2 (DuckDB): no
+# backreferences, no lookaround (RE2 has neither) — only (?is) flags,
+# lazy quantifiers, \b, \s and character classes, which the two
+# engines implement identically.
+HTML_DROP_PATTERNS: list[str] = [
+    r"(?is)<head\b[^>]*>.*?</head\s*>",       # whole head: title/meta/
+    #   style never belong in body text (title is extracted separately)
+    r"(?is)<script\b[^>]*>.*?</script\s*>",   # code, incl. newlines
+    r"(?is)<style\b[^>]*>.*?</style\s*>",     # stylesheets (body ones)
+    r"(?s)<!--.*?-->",                        # comments
+    r"<[^>]*>",                               # every remaining tag
+]
+HTML_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title\s*>"
+HTML_LINK_RE = r"(?i)<a[\s>]"
+
+
+def _decode_entities(c: Column) -> Column:
+    for src, dst in HTML_ENTITIES:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return c
+
+
+def _collapse_ws(c: Column) -> Column:
+    return F.trim(F.regexp_replace(c, F.lit(r"\s+"), F.lit(" ")))
+
+
+def extract_html_text(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML -> text extraction: the step between WARC ingest (whose
+    2xx bodies are overwhelmingly HTML) and every downstream text
+    operator (quality stats, language id, dedup keys). Public-practice
+    shape: strip scripts/styles/comments, drop tags, decode a fixed
+    entity subset, collapse whitespace — the regex-heuristic tier of
+    extractors like trafilatura/jusText, NOT a conforming parser.
+
+    Documented heuristic boundaries (identical in the oracle): an
+    UNCLOSED <script> (or <head>) leaks its content as text (the lazy
+    match needs the closing tag); CDATA sections and conditional
+    comments are treated as plain markup; only the six-entity subset
+    in HTML_ENTITIES is decoded (numeric references beyond &#39; pass
+    through verbatim).
+    Real crawls route the rare pathological page to the quality filter
+    downstream, which is exactly where length/entropy bands catch
+    stripped-to-garbage extractions.
+
+    Output per row: ``title`` (entity-decoded, ws-collapsed <title>
+    content; '' when absent), ``text`` (the extraction), ``n_links``
+    (<a> tag count — the link-density numerator), ``html_chars`` /
+    ``text_chars`` (markup-to-text ratio, the classic boilerplate
+    signal).
+
+    Scale shape: a pure JVM projection — one scan, zero shuffles, no
+    Python; regex cost is linear in page bytes. spread() guards the
+    single-row-group small-corpus case like every per-row kernel here.
+    """
+    body = F.col(html_col)
+    for pat in HTML_DROP_PATTERNS:
+        body = F.regexp_replace(body, F.lit(pat), F.lit(" "))
+    title = F.regexp_extract(F.col(html_col), HTML_TITLE_RE, 1)
+    return spread(docs).select(
+        F.col(id_col),
+        _collapse_ws(_decode_entities(title)).alias("title"),
+        _collapse_ws(_decode_entities(body)).alias("text"),
+        F.regexp_count(F.col(html_col), F.lit(HTML_LINK_RE))
+        .cast("long").alias("n_links"),
+        F.length(html_col).cast("long").alias("html_chars"),
+    ).withColumn("text_chars", F.length("text").cast("long"))
