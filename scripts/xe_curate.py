@@ -17,6 +17,11 @@ gate / oracle suite):
   decompress    — gzip/zlib binary ``content`` column -> text
                   (datapipe.text.decompress_text); no-op when the
                   input already has a text column
+  html          — treat ``text`` as HTML and extract the prose
+                  (datapipe.text.extract_html_text): strips head/
+                  script/style/comments/tags, decodes the entity
+                  subset, adds a ``title`` column — the step between
+                  a crawl ingest and every text-quality rule
   exact_dedup   — keep each exact text's lowest-id copy
   quality       — Gopher-style rules + composite score cut
   neardup       — MinHash-LSH candidates -> exact-Jaccard verify ->
@@ -44,8 +49,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 CANONICAL = [
-    "decompress", "exact_dedup", "quality", "neardup", "substr_dedup",
-    "decontaminate", "split",
+    "decompress", "html", "exact_dedup", "quality", "neardup",
+    "substr_dedup", "decontaminate", "split",
 ]
 
 
@@ -109,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
         text = decompress_text(docs)
         docs = docs.drop("content", "text").join(text, "doc_id")
         counts["decompress"] = last = docs.count()
+
+    if "html" in steps:
+        from xenoeye_spark.datapipe.text import extract_html_text
+
+        prose = extract_html_text(
+            docs.select("doc_id", F.col("text").alias("html"))
+        ).select("doc_id", "title", "text")
+        docs = docs.drop("text", "title").join(prose, "doc_id")
+        counts["html"] = last = docs.count()
 
     if "exact_dedup" in steps:
         from xenoeye_spark.datapipe.dedup import exact_dedup

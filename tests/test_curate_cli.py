@@ -108,3 +108,33 @@ def test_report_card(tmp_path, capsys):
     # post-exact-dedup output has zero remaining exact dups by definition
     assert all(r["n_dup_docs"] == 0 for r in card)
     assert sum(r["n_docs"] for r in card) == rep["counts"]["output"]
+
+
+def test_curate_html_step(spark, tmp_path, capsys):
+    """The html step strips markup BEFORE dedup/quality: two pages with
+    identical prose but different markup become exact duplicates, and a
+    title column appears."""
+    src = tmp_path / "htmlsrc"
+    rows = [
+        (0, "<html><head><title>A</title></head><body>"
+            "<p>same prose here</p></body></html>"),
+        (1, "<div class='x'><b>same</b> prose   here</div>"),
+        (2, "<script>junk()</script><p>other prose entirely</p>"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(src / "documents.parquet")
+    )
+    out = tmp_path / "curated_html"
+    rc = main([
+        "--input", str(src), "--output", str(out),
+        "--steps", "html,exact_dedup", "--report",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["counts"]["html"] == 3
+    assert rep["counts"]["exact_dedup"] == 2   # 0 and 1 collapse
+    df = spark.read.parquet(str(out / "documents.parquet"))
+    got = {r.doc_id: (r.title, r.text) for r in df.collect()}
+    assert got[0] == ("A", "same prose here")
+    assert 1 not in got                        # higher-id exact dup
+    assert got[2] == ("", "other prose entirely")

@@ -222,3 +222,18 @@ def test_curation_pipeline_end_to_end_on_stream(spark):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert sorted(map(tuple, got)) == want
+
+
+def test_extract_html_text_on_stream(spark):
+    """r9: HTML extraction is a pure JVM projection, so the same
+    function plans and runs unchanged on a stream (xe_curate's html
+    step over a live crawl ingest)."""
+    from xenoeye_spark.datapipe.text import extract_html_text
+
+    rows = [
+        (0, "<html><head><title>T</title></head><body><p>a b</p>"
+            "<a href='u'>l</a></body></html>"),
+        (1, "<p>x &amp; y</p><!-- c -->"),
+        (2, ""),
+    ]
+    _drive(spark, extract_html_text, "doc_id long, html string", rows)
