@@ -1635,6 +1635,42 @@ def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal (r9): every space becomes
+    a newline, so each document is a line-per-token page dense with
+    natural repeats (and runs of spaces become blank separator lines
+    that must survive). The keep rule — first occurrence of each
+    non-blank line — is the array_position contract, identical under
+    DuckDB's 1-based list_position."""
+    from xenoeye_spark.datapipe.text import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    return dedup_lines(planted).select(
+        "doc_id", "text", "n_lines", "n_kept"
+    )
+
+
+def q_hash_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear text classification (r9): fit the multinomial-NB
+    weights on the corpus's own lang labels (hash_nb_fit — integer
+    micro-nat weights, the dsir fixed-point contract), then classify
+    every document (hash_linear_classify). The whole model — every
+    (label, bucket) weight incl. the unseen-bucket floors, the priors,
+    the argmax with the smallest-label tie rule — re-derives in SQL."""
+    from xenoeye_spark.datapipe.ranking import (
+        hash_linear_classify, hash_nb_fit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = hash_nb_fit(docs, "lang", n_buckets=1024)
+    return hash_linear_classify(docs, model, n_buckets=1024).select(
+        "doc_id", "label", "score_micro"
+    )
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget selection per language (r6): walk docs by
     (n_chars desc, doc_id asc) and keep while the running token total
@@ -2216,20 +2252,22 @@ GATE_CORE = [
 # everything deferred to r8/r9 (indices 0..32 and 66) was driver-proven
 # in r6, so no query's proof gap exceeds the rotation cycle.
 GATE_POOL = [
-    # --- r9 layout note (mid-round growth): 74 entries after
-    # html_extract / dsir_sample / mixture_interleave (NEW r9, inserted
-    # at 28-30 — inside the window per the contract). Offset
-    # (3*33)%74 = 25, window = [25:58): rand_proj/temperature/
-    # char_entropy (r8-proven, pulled in by the modulus shift — early
-    # re-proof, harmless), the three NEW entries, best_of_class,
-    # warc_ingest, diverse_topk + quantile_clip (also NEW r9), the
-    # three r6-proven entries at their cycle bound (mask_spans,
-    # dedup_exact, dedup_ngram_jaccard) and the r1-r4 backlog through
-    # gopher_quality. segment_dedup / bm25 / vocab_topk / kmv_distinct
-    # / contamination / length_quantiles (r7-proven) now defer with
-    # tfidf_topterms / hash_split / substring_dedup / url_filter /
-    # decode_quarantine / star_topn to the r10 wrap window
-    # [58:74)+[0:17) — exactly their 3-round cycle bound. ---
+    # --- r9 layout note (mid-round growth): 76 entries after the five
+    # r9 additions (html_extract / dsir_sample / mixture_interleave /
+    # dedup_lines / hash_classify, inserted at 28-32 — inside the
+    # window per the contract). Offset (3*33)%76 = 23, window =
+    # [23:56): repetition..char_entropy (r8-proven, pulled in by the
+    # modulus shift — early re-proof, harmless), the five NEW entries,
+    # best_of_class, warc_ingest, diverse_topk + quantile_clip (also
+    # NEW r9), the three r6-proven entries at their cycle bound
+    # (mask_spans, dedup_exact, dedup_ngram_jaccard) and the r1-r4
+    # backlog through asof_join. sessionize / time_rollup /
+    # interval_join / gopher_quality / segment_dedup / bm25 /
+    # vocab_topk / kmv_distinct / contamination / length_quantiles
+    # (r7-proven) now defer with tfidf_topterms / hash_split /
+    # substring_dedup / url_filter / decode_quarantine / star_topn to
+    # the r10 wrap window [56:76)+[0:13) — exactly their 3-round cycle
+    # bound. ---
     # --- r8 layout note: corpus_report (NEW r8) sits at the pool END so
     # the r8 wrap window ([66:] + [:30]) gates its first round, per the
     # rotation contract; with 69 entries the r8 head slice shrinks to
@@ -2256,6 +2294,7 @@ GATE_POOL = [
     # their cycle bound; dedup_exact/dedup_ngram_jaccard likewise
     # r6-proven -> r9.
     "html_extract", "dsir_sample", "mixture_interleave",
+    "dedup_lines", "hash_classify",
     "best_of_class", "warc_ingest",
     "diverse_topk", "quantile_clip",
     "mask_spans", "dedup_exact", "dedup_ngram_jaccard",
@@ -2408,6 +2447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "dsir_sample": q_dsir_sample,
         "mixture_interleave": q_mixture_interleave,
+        "dedup_lines": q_dedup_lines,
+        "hash_classify": q_hash_classify,
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
@@ -4336,6 +4377,84 @@ SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
     AS interleave_key
 FROM ranked
 ORDER BY interleave_key, source, doc_id LIMIT 200
+""",
+        # dedup_lines: the keep rule IS list_position's first-match
+        # contract (1-based where Spark's lambda index is 0-based).
+        "dedup_lines": """
+WITH planted AS (
+  SELECT doc_id, replace(text, ' ', chr(10)) AS t FROM documents
+), lx AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ls FROM planted
+), kx AS (
+  SELECT doc_id, ls,
+    list_filter(ls, (x, i) -> trim(x) = '' OR list_position(ls, x) = i)
+      AS kept
+  FROM lx
+)
+SELECT doc_id,
+  array_to_string(kept, chr(10)) AS text,
+  CAST(len(list_filter(ls, x -> trim(x) != '')) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(kept, x -> trim(x) != '')) AS BIGINT) AS n_kept
+FROM kx
+""",
+        # hash_classify: the full NB model re-derived — per-(label,
+        # bucket) counts over the kmv-proven hash fold, label-window
+        # totals, one floor per weight, integer scores, smallest-label
+        # argmax tie rule.
+        "hash_classify": """
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, lang,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(gram, ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1073741789) * 2654435761 % 1073741789
+      % 1024 AS bucket
+  FROM (
+    SELECT doc_id, lang,
+      unnest(list_concat(t,
+        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+        AS gram
+    FROM toks
+  )
+), cnts AS (
+  SELECT lang, bucket, count(*) AS cb FROM occ GROUP BY 1, 2
+), lt AS (
+  SELECT lang, count(*) AS ndocs,
+         sum(count(*)) OVER () AS n_total,
+         count(*) OVER () AS n_labels
+  FROM documents GROUP BY lang
+), wt AS (
+  SELECT d.lang, d.bucket, coalesce(cb, 0) AS cb,
+         sum(coalesce(cb, 0)) OVER (PARTITION BY d.lang) AS tot,
+         d.ndocs, d.n_total, d.n_labels
+  FROM (SELECT l.*, r.range AS bucket
+        FROM lt l CROSS JOIN range(1024) r) d
+  LEFT JOIN cnts c ON d.lang = c.lang AND d.bucket = c.bucket
+), model AS (
+  SELECT lang AS label, bucket,
+    CAST(floor(1000000.0 * ln((cb + 1.0) / (tot + 1024.0))) AS BIGINT)
+      AS w_micro,
+    CAST(floor(1000000.0 * ln((ndocs + 1.0) / (n_total + n_labels)))
+      AS BIGINT) AS bias_micro
+  FROM wt
+), doc_counts AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2
+), scores AS (
+  SELECT doc_id, label,
+         CAST(sum(cnt * w_micro) + max(bias_micro) AS BIGINT)
+           AS score_micro
+  FROM doc_counts JOIN model USING (bucket) GROUP BY 1, 2
+), pick AS (
+  SELECT doc_id, label, score_micro,
+    row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, label ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, label, score_micro FROM pick WHERE rn = 1
 """,
         "domain_cap": """
 WITH r AS (

@@ -150,6 +150,15 @@ NOTES = {
     "(INSET); one exchange on source for the rank window; the key is "
     "integer arithmetic and the global cut is TakeOrderedAndProject "
     "— no single-reducer window.",
+    "dedup_lines": "pure row-local higher-order expressions over one "
+    "scan — zero shuffles, zero Python; O(lines^2) per row, both "
+    "factors document-local.",
+    "hash_classify": "fit = one gram pass into (label, bucket) counts "
+    "(map-side combine bounds the shuffle at O(L x B x partitions)) + "
+    "a label-column-only prior scan; the L x B model domain is the "
+    "one reviewed BNL (dimension-tiny cross join); inference = one "
+    "more gram pass, broadcast model join, argmax as a combinable "
+    "min(struct) agg — no per-doc window.",
 }
 
 

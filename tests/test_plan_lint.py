@@ -30,12 +30,17 @@ SF_DIR = "/root/testdata/sf0.001"
 #                    broadcast) as its exact baseline side
 #   pq_topk        — the 3-row query-set broadcast against the PQ
 #                    codes table (ADC scoring; same shape as sim_topk)
+#   hash_classify  — the deliberate L x n_buckets model-domain cross
+#                    join (labels table x range(1024)): NB needs a
+#                    weight for EVERY (label, bucket), seen or not,
+#                    and both sides are dimension-tiny
 # (dsir_sample briefly carried two one-row corpus-total BNL attaches;
 # the fit now derives totals as window sums over the n_buckets-row
 # stats table, so its plan is BNL-free.)
 BNL_ALLOWED = {
     "sim_topk", "bm25", "tfidf_topterms", "bigram_lm",
     "quantize", "temperature", "ann_recall", "pq_topk",
+    "hash_classify",
 }
 
 
@@ -214,26 +219,27 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r9 window (74 entries after the mid-round additions, slice
-    # [25:58)): must prove the three r6-proven entries at their cycle
+    # r9 window (76 entries after the mid-round additions, slice
+    # [23:56)): must prove the three r6-proven entries at their cycle
     # bound (mask_spans — displaced by the r8 swap — dedup_exact,
-    # dedup_ngram_jaccard), the r1-r4 backlog block whose last driver
+    # dedup_ngram_jaccard), the r1-r4 backlog head whose last driver
     # proof was r7, warc_ingest (swapped to the window head), and the
-    # five r9-new queries (first round must gate)
+    # seven r9-new queries (first round must gate)
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r6_stale = {"mask_spans", "dedup_exact", "dedup_ngram_jaccard"}
     assert r6_stale <= win_now
     assert {"text_stats", "warc_ingest", "diverse_topk",
             "quantile_clip", "html_extract", "dsir_sample",
-            "mixture_interleave"} <= win_now
+            "mixture_interleave", "dedup_lines",
+            "hash_classify"} <= win_now
     # nothing deferred out of the window has a proof gap beyond the
     # cycle: the deferred slice holds the r8-proven wrap window
     # (pool head + the tail three + dedup_minhash_lsh_expr from the
-    # swap) plus the twelve r7-proven entries (the r1-r4 backlog tail
-    # segment_dedup..length_quantiles pushed out by the 74-entry
-    # modulus shift, plus tfidf_topterms, hash_split, substring_dedup,
+    # swap) plus the sixteen r7-proven entries (the r1-r4 backlog tail
+    # sessionize..length_quantiles pushed out by the 76-entry modulus
+    # shift, plus tfidf_topterms, hash_split, substring_dedup,
     # url_filter, decode_quarantine, star_topn) re-proving at the r10
-    # wrap [58:74)+[0:17) — exactly the 3-round cycle bound
+    # wrap [56:76)+[0:13) — exactly the 3-round cycle bound
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
     r8_proven = set(pool[:28]) | {"pack_sequences", "bigram_lm",
                                   "corpus_report",
@@ -241,7 +247,9 @@ def test_gate_rotation_schedule():
     r7_proven_ok = {"tfidf_topterms", "hash_split", "substring_dedup",
                     "url_filter", "decode_quarantine", "star_topn",
                     "segment_dedup", "bm25", "vocab_topk",
-                    "kmv_distinct", "contamination", "length_quantiles"}
+                    "kmv_distinct", "contamination", "length_quantiles",
+                    "sessionize", "time_rollup", "interval_join",
+                    "gopher_quality"}
     assert overflow_now <= r8_proven | r7_proven_ok
 
 

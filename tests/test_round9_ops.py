@@ -233,3 +233,118 @@ def test_mixture_weights_lcm_constant():
     import __spark_entry__ as entrymod
 
     assert entrymod._MIX_LCM == lcm(*entrymod.MIXTURE_WEIGHTS.values())
+
+
+# -------------------------------------------------------------- dedup_lines
+
+def test_dedup_lines_twin_and_semantics(spark):
+    from xenoeye_spark.datapipe.text import dedup_lines
+
+    docs = [
+        (0, "nav\nhome\nbody text\nnav\n\nmore body\nnav\nhome"),
+        (1, "a\n\n\na\n  \na"),        # blanks (incl. spaces) survive
+        (2, ""),                        # empty doc
+        (3, "only one line"),
+    ]
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_kept)
+        for r in dedup_lines(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+
+    def twin(t):
+        ls = t.split("\n")
+        kept, seen = [], set()
+        for x in ls:
+            if x.strip() == "":
+                kept.append(x)
+            elif x not in seen:
+                seen.add(x)
+                kept.append(x)
+        nb = [x for x in ls if x.strip() != ""]
+        kb = [x for x in kept if x.strip() != ""]
+        return "\n".join(kept), len(nb), len(kb)
+
+    for i, t in docs:
+        assert got[i] == twin(t), f"doc {i}"
+    assert got[0][0] == "nav\nhome\nbody text\n\nmore body"
+    assert got[1] == ("a\n\n\n  ", 3, 1)
+    assert got[2] == ("", 0, 0)
+
+
+# ------------------------------------------------------------ hash classify
+
+def test_hash_nb_classifier_twin(spark):
+    """Model and prediction against a literal python NB twin; the model
+    is total over label x bucket; ties break to the smallest label;
+    self-classification separates two clearly distinct vocabularies."""
+    from xenoeye_spark.datapipe.ranking import (
+        hash_linear_classify, hash_nb_fit,
+    )
+
+    B = 64
+    docs = [
+        (0, "spark shuffle partition broadcast join", "tech"),
+        (1, "join shuffle spark spark partition", "tech"),
+        (2, "violin sonata allegro tempo forte", "music"),
+        (3, "tempo allegro violin forte sonata sonata", "music"),
+        (4, "spark partition shuffle", "tech"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    model = hash_nb_fit(df, "lang", n_buckets=B)
+    rows = model.collect()
+    assert len(rows) == 2 * B                   # total over the space
+    assert {r.label for r in rows} == {"music", "tech"}
+
+    # python twin
+    P, M, MIX = 1_073_741_789, 31, 2_654_435_761
+
+    def grams(t):
+        w = t.split()
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(g):
+        acc = 0
+        for ch in g:
+            acc = (acc * M + ord(ch)) % P
+        return acc * MIX % P % B
+
+    cnt: dict = {}
+    ndocs: Counter = Counter()
+    for _, t, lab in docs:
+        ndocs[lab] += 1
+        for g in grams(t):
+            cnt[(lab, bucket(g))] = cnt.get((lab, bucket(g)), 0) + 1
+    tot = Counter()
+    for (lab, _), c in cnt.items():
+        tot[lab] += c
+    N, L = sum(ndocs.values()), len(ndocs)
+    w_twin = {
+        (lab, bk): math.floor(1e6 * math.log(
+            (cnt.get((lab, bk), 0) + 1.0) / (tot[lab] + B)))
+        for lab in ndocs for bk in range(B)
+    }
+    bias_twin = {
+        lab: math.floor(1e6 * math.log((n + 1.0) / (N + L)))
+        for lab, n in ndocs.items()
+    }
+    got_model = {(r.label, r.bucket): (r.w_micro, r.bias_micro)
+                 for r in rows}
+    for k, w in w_twin.items():
+        assert got_model[k] == (w, bias_twin[k[0]]), k
+
+    pred = {r.doc_id: (r.label, r.score_micro)
+            for r in hash_linear_classify(df, model, n_buckets=B).collect()}
+    for i, t, lab in docs:
+        sc = {
+            c: bias_twin[c]
+            + sum(w_twin[(c, bucket(g))] for g in grams(t))
+            for c in ndocs
+        }
+        best = min(sorted(sc), key=lambda c: (-sc[c], c))
+        assert pred[i] == (best, sc[best]), f"doc {i}"
+        assert pred[i][0] == lab                # separable vocabularies
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        hash_nb_fit(df, "lang", n_buckets=1)

@@ -713,3 +713,153 @@ def bpe_encode(
             .alias("n_bpe_tokens"),
         )
     )
+
+
+# ------------------------------------------- hashed linear text classifier
+
+def hash_nb_fit(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier over hashed
+    unigram+bigram buckets — the classic linear baseline in exactly the
+    fasttext shape (a weight per (label, feature-bucket) + a per-label
+    bias), so the inference twin ``hash_linear_classify`` also accepts
+    any EXTERNALLY trained linear model exported to the same table.
+    Public recipe throughout (McCallum & Nigam AAAI'98 workshop NB;
+    hashing trick per Weinberger et al. ICML'09); features and hash
+    family are the DSIR ones (sampling._gram_bucket_expr).
+
+    Weights are integer micro-nats with add-one smoothing, ONE floor
+    per (label, bucket) — the dsir_fit fixed-point contract, so the
+    oracle re-derives every weight exactly:
+
+        w(c, b)  = floor(1e6 * ln((cnt_{c,b} + 1) / (tot_c + B)))
+        bias(c)  = floor(1e6 * ln((n_docs_c + 1) / (N + L)))
+
+    Returns the TOTAL (L x n_buckets)-row model (label, bucket,
+    w_micro, bias_micro): unseen buckets carry the smoothed floor —
+    NB's unseen-feature penalty is load-bearing, never zero.
+
+    Scale shape: ONE gram pass over the corpus into (label, bucket)
+    counts (map-side combine bounds the shuffle at O(L x B x
+    partitions)), one label-column-only scan for the priors (column
+    pruning makes it cheap), and window sums over the tiny model table
+    for the totals — the dsir_fit pattern, never a corpus re-scan.
+    """
+    from pyspark.sql import Window
+
+    from xenoeye_spark.datapipe.sampling import (
+        DSIR_LR_SCALE, _gram_bucket_occurrences,
+    )
+
+    if n_buckets < 2 or n_buckets > 1_000_000:
+        raise ValueError(
+            f"hash_nb_fit: n_buckets must be in [2, 1e6], got {n_buckets}"
+        )
+    b = F.lit(float(n_buckets))
+    cnts = (
+        _gram_bucket_occurrences(docs, text_col, label_col, n_buckets)
+        .groupBy(label_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    wlbl = Window.partitionBy(label_col)
+    wall = Window.partitionBy()
+    labels = (
+        docs.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .select(
+            label_col, "ndocs",
+            F.sum("ndocs").over(wall).alias("n_total"),
+            F.count(F.lit(1)).over(wall).alias("n_labels"),
+        )
+    )
+    domain = labels.crossJoin(
+        docs.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    )
+    return (
+        domain.join(cnts, [label_col, "bucket"], "left")
+        .select(
+            label_col, "bucket", "ndocs", "n_total", "n_labels",
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+        .withColumn("tot", F.sum("cb").over(wlbl))
+        .select(
+            F.col(label_col).alias("label"),
+            "bucket",
+            F.floor(
+                F.lit(float(DSIR_LR_SCALE))
+                * F.log((F.col("cb") + F.lit(1.0)) / (F.col("tot") + b))
+            ).cast("long").alias("w_micro"),
+            F.floor(
+                F.lit(float(DSIR_LR_SCALE))
+                * F.log(
+                    (F.col("ndocs") + F.lit(1.0))
+                    / (F.col("n_total") + F.col("n_labels"))
+                )
+            ).cast("long").alias("bias_micro"),
+        )
+    )
+
+
+def hash_linear_classify(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Score every document under a hashed linear model (label, bucket,
+    w_micro, bias_micro — hash_nb_fit output or any exported linear /
+    fasttext-style classifier re-bucketed to the shared hash family)
+    and emit the argmax label:
+
+        score(d, c) = bias(c) + sum over gram occurrences g in d
+                      of w(c, bucket(g))
+
+    Integer arithmetic end-to-end, so the winner is engine-exact; ties
+    break to the lexicographically smallest label. Documents with no
+    grams are absent (no evidence — the dsir_weights contract). The
+    model must be TOTAL over [0, n_buckets) for every label and fitted
+    with the same n_buckets (hash_nb_fit guarantees both; a partial
+    table would silently zero unseen-feature penalties at the join).
+
+    Output: (id_col, label, score_micro).
+
+    Scale shape: one gram pass into per-doc (id, bucket) int-pair
+    counts (map-side combined), a broadcast join against the L x B
+    model (expands x L), one more map-side-combined groupBy on
+    (id, label), then the argmax as a min(struct) aggregate — combiner
+    -friendly, never a per-doc window shuffle.
+    """
+    from xenoeye_spark.datapipe.sampling import _gram_bucket_occurrences
+
+    doc_counts = (
+        _gram_bucket_occurrences(docs, text_col, id_col, n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scored = (
+        doc_counts.join(F.broadcast(model), "bucket")
+        .groupBy(id_col, "label")
+        .agg(
+            (F.sum(F.col("cnt") * F.col("w_micro"))
+             + F.max("bias_micro")).alias("score_micro")
+        )
+    )
+    pick = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("score_micro")).alias("neg"),
+                F.col("label").alias("label"),
+                F.col("score_micro").alias("score_micro"),
+            )
+        ).alias("_best")
+    )
+    return pick.select(
+        F.col(id_col),
+        F.col("_best.label").alias("label"),
+        F.col("_best.score_micro").alias("score_micro"),
+    )

@@ -1082,3 +1082,49 @@ def extract_html_text(
         .cast("long").alias("n_links"),
         F.length(html_col).cast("long").alias("html_chars"),
     ).withColumn("text_chars", F.length("text").cast("long"))
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal — the RefinedWeb/Gopher
+    cleaning rule that strips intra-page boilerplate (nav menus, cookie
+    banners, chat echoes) by keeping only the FIRST occurrence of each
+    non-blank line; blank lines are paragraph separators and always
+    survive. Corpus-WIDE segment boilerplate is the sibling operator
+    ``dedup.segment_dedup``; this one never leaves the row.
+
+    Pure higher-order expressions, no shuffle, no Python: the kept set
+    is ``filter(lines, (x, i) -> blank(x) or first_index(x) == i)`` —
+    array_position's first-match contract IS the keep rule, identical
+    in the oracle (DuckDB list_position, 1-based where Spark's lambda
+    index is 0-based). O(lines^2) worst case per document, both
+    factors row-local (a pathological million-line doc belongs to the
+    length filter upstream, not this rule).
+
+    Output: (id_col, text rewritten with '\\n' joins, n_lines,
+    n_kept) — n_* count NON-BLANK lines so the pair measures the rule.
+    """
+    lines = F.col("_lines")
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.trim(x) == "")
+        | (F.array_position(lines, x) == i + F.lit(1)),
+    )
+    nonblank = F.filter(lines, lambda x: F.trim(x) != "")
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.split(F.col(text_col), "\n").alias("_lines"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(kept, "\n").alias("text"),
+            F.size(nonblank).cast("long").alias("n_lines"),
+            F.size(F.filter(kept, lambda x: F.trim(x) != ""))
+            .cast("long").alias("n_kept"),
+        )
+    )
