@@ -237,3 +237,16 @@ def test_extract_html_text_on_stream(spark):
         (2, ""),
     ]
     _drive(spark, extract_html_text, "doc_id long, html string", rows)
+
+
+def test_dedup_lines_on_stream(spark):
+    """r9: within-doc line dedup is row-local expressions only, so it
+    runs unchanged on a stream."""
+    from xenoeye_spark.datapipe.text import dedup_lines
+
+    rows = [
+        (0, "nav\nhome\nbody\nnav\n\nmore"),
+        (1, "a\na\na"),
+        (2, ""),
+    ]
+    _drive(spark, dedup_lines, DOCS_SCHEMA, rows)
