@@ -30,6 +30,9 @@ gate / oracle suite):
                   all but its globally first occurrence (Lee et al.
                   2022 ExactSubstr; rows kept, text rewritten)
   decontaminate — drop docs sharing 5-gram shingles with --eval-input
+  dsir          — keep the --dsir-keep docs whose hashed-n-gram bags
+                  look most like --dsir-target (DSIR importance
+                  selection; runs after cleaning, before split)
   split         — deterministic hash split into named fractions
 
 Writes ``<output>/documents.parquet`` plus, with ``--report``, a
@@ -50,7 +53,7 @@ sys.path.insert(0, "/root/repo")
 
 CANONICAL = [
     "decompress", "html", "exact_dedup", "quality", "neardup",
-    "substr_dedup", "decontaminate", "split",
+    "substr_dedup", "decontaminate", "dsir", "split",
 ]
 
 
@@ -77,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--quality-min", type=float, default=0.3)
     ap.add_argument("--substr-len", type=int, default=32,
                     help="window length for the substr_dedup stage")
+    ap.add_argument("--dsir-target", default=None,
+                    help="target-corpus dir for the dsir step")
+    ap.add_argument("--dsir-keep", type=int, default=None,
+                    help="documents to keep in the dsir step")
     ap.add_argument("--splits", default="train=0.95,val=0.05")
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--report-card", action="store_true",
@@ -94,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
     steps = [st for st in CANONICAL if st in requested]
     if "decontaminate" in steps and not args.eval_input:
         raise SystemExit("decontaminate requires --eval-input")
+    if "dsir" in steps and not (args.dsir_target and args.dsir_keep):
+        raise SystemExit("dsir requires --dsir-target and --dsir-keep")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -190,6 +199,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         docs = docs.join(dirty, "doc_id", "left_anti")
         counts["decontaminate"] = last = docs.count()
+
+    if "dsir" in steps:
+        from xenoeye_spark.datapipe.sampling import dsir_weights
+
+        tgt = spark.read.parquet(f"{args.dsir_target}/documents.parquet")
+        keep = (
+            dsir_weights(docs, tgt)
+            .orderBy(F.col("logw_micro").desc(), F.col("doc_id").asc())
+            .limit(args.dsir_keep)
+            .select("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+        counts["dsir"] = last = docs.count()
 
     if "split" in steps:
         from xenoeye_spark.datapipe.sampling import hash_split

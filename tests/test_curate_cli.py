@@ -138,3 +138,31 @@ def test_curate_html_step(spark, tmp_path, capsys):
     assert got[0] == ("A", "same prose here")
     assert 1 not in got                        # higher-id exact dup
     assert got[2] == ("", "other prose entirely")
+
+
+def test_curate_dsir_step(spark, tmp_path):
+    """The dsir step keeps exactly --dsir-keep docs, all from the input,
+    steered toward the target corpus (English target -> the kept set is
+    en-heavier than the corpus base rate); missing args raise."""
+    tgt = tmp_path / "dsir_tgt"
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        "lang = 'en'"
+    ).write.parquet(str(tgt / "documents.parquet"))
+
+    out = tmp_path / "curated_dsir"
+    rc = main([
+        "--input", SF_DIR, "--output", str(out),
+        "--steps", "dsir",
+        "--dsir-target", str(tgt), "--dsir-keep", "100",
+    ])
+    assert rc == 0
+    kept = spark.read.parquet(str(out / "documents.parquet"))
+    assert kept.count() == 100
+    en_frac = kept.filter("lang = 'en'").count() / 100
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base_frac = (base.filter("lang = 'en'").count() / base.count())
+    assert en_frac > base_frac          # the selection steers
+
+    with pytest.raises(SystemExit, match="dsir requires"):
+        main(["--input", SF_DIR, "--output", str(out),
+              "--steps", "dsir"])

@@ -382,3 +382,38 @@ def test_html_extract_fuzz_vs_twin(spark):
            for r in extract_html_text(df).collect()}
     for i, p in enumerate(pages):
         assert got[i] == _py_extract(p), f"page {i}: {p!r}"
+
+
+def test_mixture_order_feeds_shard_writer(spark, tmp_path):
+    """Composition: mixture_order's integer key is a valid shard-writer
+    order column, so a training run streams shards in the mixture
+    schedule. Shard 0 must hold exactly the first rows of the
+    (interleave_key, doc_id) twin order — the writer's documented
+    totalization when keys repeat across sources."""
+    from xenoeye_spark.datapipe.layout import write_training_shards
+    from xenoeye_spark.datapipe.sampling import mixture_order
+
+    weights = {"a": 2, "b": 1}
+    rows = [Row(doc_id=i, source="ab"[i % 2]) for i in range(60)]
+    ordered = mixture_order(spark.createDataFrame(rows), weights)
+    path = str(tmp_path / "mix_shards")
+    n = write_training_shards(
+        ordered, path, order_col="interleave_key",
+        rows_per_shard=16, id_col="doc_id",
+    )
+    assert n == -(-60 // 16)                    # shard COUNT
+    got = [
+        (r.doc_id, r.source)
+        for r in spark.read.parquet(f"{path}/_shard=0")
+        .orderBy("interleave_key", "doc_id").collect()
+    ]
+    from math import lcm
+
+    big = lcm(*weights.values())
+    twin = []
+    for s, w in weights.items():
+        ids = sorted(r.doc_id for r in rows if r.source == s)
+        twin += [((2 * k - 1) * (big // w), i, s)
+                 for k, i in enumerate(ids, start=1)]
+    twin.sort(key=lambda t: (t[0], t[1]))
+    assert got == [(i, s) for _, i, s in twin[:16]]
