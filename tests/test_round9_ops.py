@@ -417,3 +417,12 @@ def test_mixture_order_feeds_shard_writer(spark, tmp_path):
                  for k, i in enumerate(ids, start=1)]
     twin.sort(key=lambda t: (t[0], t[1]))
     assert got == [(i, s) for _, i, s in twin[:16]]
+
+
+def test_hash_linear_classify_validates_model_shape(spark):
+    from xenoeye_spark.datapipe.ranking import hash_linear_classify
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    bad = spark.createDataFrame([(0, "x")], "bucket long, label string")
+    with pytest.raises(ValueError, match="model lacks columns"):
+        hash_linear_classify(df, bad)

@@ -836,6 +836,14 @@ def hash_linear_classify(
     """
     from xenoeye_spark.datapipe.sampling import _gram_bucket_occurrences
 
+    need = {"label", "bucket", "w_micro", "bias_micro"}
+    missing = need - set(model.columns)
+    if missing:
+        raise ValueError(
+            f"hash_linear_classify: model lacks columns {sorted(missing)}"
+            " — expected hash_nb_fit's (label, bucket, w_micro, "
+            "bias_micro) shape"
+        )
     doc_counts = (
         _gram_bucket_occurrences(docs, text_col, id_col, n_buckets)
         .groupBy(id_col, "bucket")
