@@ -426,3 +426,41 @@ def test_hash_linear_classify_validates_model_shape(spark):
     bad = spark.createDataFrame([(0, "x")], "bucket long, label string")
     with pytest.raises(ValueError, match="model lacks columns"):
         hash_linear_classify(df, bad)
+
+
+def test_gram_hash_fn_fast_path(spark):
+    """hash_fn='xxhash64' (the measured ~4x-faster native kernel) keeps
+    every semantic property: dsir fit/apply equality, steering toward
+    the target, classifier separability; bad names raise."""
+    from xenoeye_spark.datapipe.ranking import (
+        hash_linear_classify, hash_nb_fit,
+    )
+    from xenoeye_spark.datapipe.sampling import dsir_fit, dsir_weights
+
+    raw = spark.createDataFrame(
+        [(0, "spark shuffle partition join"),
+         (1, "violin sonata allegro tempo"),
+         (2, "spark join shuffle broadcast")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(9, "spark shuffle broadcast join")], "doc_id long, text string"
+    )
+    ratio = dsir_fit(raw, tgt, n_buckets=64, hash_fn="xxhash64")
+    inline = {r.doc_id: r.logw_micro for r in dsir_weights(
+        raw, tgt, n_buckets=64, hash_fn="xxhash64").collect()}
+    applied = {r.doc_id: r.logw_micro for r in dsir_weights(
+        raw, ratio=ratio, n_buckets=64, hash_fn="xxhash64").collect()}
+    assert inline == applied
+    assert min(inline[0], inline[2]) > inline[1]      # steering holds
+
+    lab = raw.withColumn(
+        "lang", F.when(F.col("doc_id") == 1, "music").otherwise("tech")
+    )
+    model = hash_nb_fit(lab, "lang", n_buckets=64, hash_fn="xxhash64")
+    pred = {r.doc_id: r.label for r in hash_linear_classify(
+        lab, model, n_buckets=64, hash_fn="xxhash64").collect()}
+    assert pred == {0: "tech", 1: "music", 2: "tech"}
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        dsir_fit(raw, tgt, hash_fn="md5")

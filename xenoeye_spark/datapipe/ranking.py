@@ -722,6 +722,7 @@ def hash_nb_fit(
     label_col: str = "lang",
     text_col: str = "text",
     n_buckets: int = 1024,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """Train a multinomial Naive Bayes classifier over hashed
     unigram+bigram buckets — the classic linear baseline in exactly the
@@ -761,7 +762,8 @@ def hash_nb_fit(
         )
     b = F.lit(float(n_buckets))
     cnts = (
-        _gram_bucket_occurrences(docs, text_col, label_col, n_buckets)
+        _gram_bucket_occurrences(docs, text_col, label_col, n_buckets,
+                                 hash_fn)
         .groupBy(label_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
@@ -810,6 +812,7 @@ def hash_linear_classify(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """Score every document under a hashed linear model (label, bucket,
     w_micro, bias_micro — hash_nb_fit output or any exported linear /
@@ -845,7 +848,8 @@ def hash_linear_classify(
             "bias_micro) shape"
         )
     doc_counts = (
-        _gram_bucket_occurrences(docs, text_col, id_col, n_buckets)
+        _gram_bucket_occurrences(docs, text_col, id_col, n_buckets,
+                                 hash_fn)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -546,24 +546,44 @@ DSIR_BUCKETS = 1024
 DSIR_LR_SCALE = 1_000_000
 
 
-def _gram_bucket_expr(tokens_col: str, n_buckets: int) -> F.Column:
+def _gram_bucket_expr(
+    tokens_col: str, n_buckets: int, hash_fn: str = "poly"
+) -> F.Column:
     """Unigram+bigram hashed-feature buckets over an ALREADY-TOKENIZED
     array column, as ONE array expression (narrow, JVM): tokens ++
-    space-joined adjacent pairs, each through the shared 31-poly/
-    Knuth-mix hash family (ranking.KMV_P/KMV_M/KMV_MIX — the same fold
-    every oracle-checked hash twin uses), mod ``n_buckets``. Hashing
-    inside the array means the explode that follows carries INTs, not
-    gram strings — the shuffle is (id, bucket) pairs with map-side
-    combine, never text. Callers stage the tokenizer as a column first
-    (the char_entropy pattern: Catalyst does not CSE a tokenizer
-    repeated across expression sites)."""
+    space-joined adjacent pairs, each hashed mod ``n_buckets``.
+    Hashing inside the array means the explode that follows carries
+    INTs, not gram strings — the shuffle is (id, bucket) pairs with
+    map-side combine, never text. Callers stage the tokenizer as a
+    column first (the char_entropy pattern: Catalyst does not CSE a
+    tokenizer repeated across expression sites).
+
+    ``hash_fn``:
+    - "poly" (default): the shared 31-poly/Knuth-mix fold
+      (ranking.KMV_P/KMV_M/KMV_MIX) — interpreted per char, but
+      re-derivable in any engine: the ORACLE-EXACT family every gate
+      query uses.
+    - "xxhash64": Spark's native codegen hash — measured ~4x faster
+      end-to-end on the gram kernel (the production fast path, same
+      doc_fingerprint/doc_fingerprint_expr pairing as elsewhere).
+      Bucket assignments differ from "poly", so fit and apply must use
+      the SAME hash_fn; cross-engine oracles can't re-derive it.
+    """
     from xenoeye_spark.datapipe.ranking import KMV_M, KMV_MIX, KMV_P
 
     t = tokens_col
-    poly = (
-        f"aggregate(transform(split(g, ''), ch -> ascii(ch)), 0L, "
-        f"(acc, x) -> (acc * {KMV_M} + x) % {KMV_P})"
-    )
+    if hash_fn == "poly":
+        poly = (
+            f"aggregate(transform(split(g, ''), ch -> ascii(ch)), 0L, "
+            f"(acc, x) -> (acc * {KMV_M} + x) % {KMV_P})"
+        )
+        kernel = f"({poly}) * {KMV_MIX} % {KMV_P} % {n_buckets}"
+    elif hash_fn == "xxhash64":
+        kernel = f"pmod(xxhash64(g), {n_buckets})"
+    else:
+        raise ValueError(
+            f"hash_fn must be 'poly' or 'xxhash64', got {hash_fn!r}"
+        )
     return F.expr(
         f"transform("
         f"  concat("
@@ -572,13 +592,14 @@ def _gram_bucket_expr(tokens_col: str, n_buckets: int) -> F.Column:
         f"             slice({t}, 2, greatest(size({t}) - 1, 0)),"
         f"             (a, b) -> concat(a, ' ', b))"
         f"  ),"
-        f"  g -> ({poly}) * {KMV_MIX} % {KMV_P} % {n_buckets}"
+        f"  g -> {kernel}"
         f")"
     )
 
 
 def _gram_bucket_occurrences(
-    df: DataFrame, text_col: str, id_col: str | None, n_buckets: int
+    df: DataFrame, text_col: str, id_col: str | None, n_buckets: int,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """(id, bucket) — or bucket-only when ``id_col`` is None — one row
     per gram OCCURRENCE (multiplicity matters to the weights)."""
@@ -588,7 +609,9 @@ def _gram_bucket_occurrences(
     staged = df.select(*cols)
     return staged.select(
         *([F.col(id_col)] if id_col else []),
-        F.explode(_gram_bucket_expr("_t", n_buckets)).alias("bucket"),
+        F.explode(
+            _gram_bucket_expr("_t", n_buckets, hash_fn)
+        ).alias("bucket"),
     )
 
 
@@ -597,6 +620,7 @@ def dsir_fit(
     target: DataFrame,
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """The FIT pass of DSIR (Xie et al., NeurIPS 2023 — public
     recipe): estimate the hashed unigram+bigram bucket distributions
@@ -626,11 +650,11 @@ def dsir_fit(
         )
     b = F.lit(float(n_buckets))
     raw_b = (
-        _gram_bucket_occurrences(raw, text_col, None, n_buckets)
+        _gram_bucket_occurrences(raw, text_col, None, n_buckets, hash_fn)
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("rb"))
     )
     tgt_b = (
-        _gram_bucket_occurrences(target, text_col, None, n_buckets)
+        _gram_bucket_occurrences(target, text_col, None, n_buckets, hash_fn)
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("tb"))
     )
     domain = raw.sparkSession.range(n_buckets).select(
@@ -670,6 +694,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
     ratio: DataFrame | None = None,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al., NeurIPS
     2023 — public recipe): score every ``raw`` document by how much
@@ -713,12 +738,14 @@ def dsir_weights(
             f"dsir_weights: n_buckets must be in [2, 1e6], got {n_buckets}"
         )
     # NOTE: a saved ratio= table must come from a fit with the SAME
-    # n_buckets — the apply hashes grams with n_buckets here, and a
-    # narrower table would silently drop buckets at the inner join.
+    # n_buckets AND hash_fn — the apply hashes grams here, and a
+    # mismatched table silently mis-buckets (narrower: drops at the
+    # inner join). hash_fn="xxhash64" is the ~4x-faster production
+    # kernel; "poly" (default) is the oracle-exact family.
     if ratio is None:
-        ratio = dsir_fit(raw, target, text_col, n_buckets)
+        ratio = dsir_fit(raw, target, text_col, n_buckets, hash_fn)
     doc_counts = (
-        _gram_bucket_occurrences(raw, text_col, id_col, n_buckets)
+        _gram_bucket_occurrences(raw, text_col, id_col, n_buckets, hash_fn)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
