@@ -137,17 +137,22 @@ def test_warc_documents_on_stream(spark):
 
 
 def test_curation_pipeline_end_to_end_on_stream(spark):
-    """r8: the shape a real crawl pipeline runs — WARC shards arrive on
-    a file stream, and ONE foreachBatch closure runs the full batch
-    composition per micro-batch: warc_documents -> gopher_quality cut
-    -> exact_dedup -> pack_sequences. Stateful stages (dedup's groupBy,
-    packing's window) are legal INSIDE foreachBatch because each
-    micro-batch is a plain batch frame; with the whole corpus in one
-    availableNow trigger the result must be row-identical to running
-    the same composition in batch."""
+    """r8 (extended r9 with the html step): the shape a real crawl
+    pipeline runs — WARC shards arrive on a file stream, and ONE
+    foreachBatch closure runs the full batch composition per
+    micro-batch: warc_documents -> extract_html_text -> gopher_quality
+    cut -> exact_dedup -> pack_sequences. Stateful stages (dedup's
+    groupBy, packing's window) are legal INSIDE foreachBatch because
+    each micro-batch is a plain batch frame; with the whole corpus in
+    one availableNow trigger the result must be row-identical to
+    running the same composition in batch. Docs 0 and 2 share prose
+    under DIFFERENT markup — only the extraction step makes them exact
+    duplicates, so the dedup count proves html ran."""
     from xenoeye_spark.datapipe.dedup import exact_dedup
     from xenoeye_spark.datapipe.sampling import pack_sequences
-    from xenoeye_spark.datapipe.text import gopher_quality
+    from xenoeye_spark.datapipe.text import (
+        extract_html_text, gopher_quality,
+    )
     from xenoeye_spark.datapipe.warc import (
         encode_warc, http_response_bytes, warc_documents,
     )
@@ -160,15 +165,20 @@ def test_curation_pipeline_end_to_end_on_stream(spark):
         4: "curation pipelines stream shards through batch operators",
         5: "tiny",                                          # fails gopher
     }
+    markup = {
+        0: '<html><head><title>A</title></head><body><p>{}</p></body></html>',
+        2: '<div class="x"><b>{}</b><!-- alt markup --></div>',
+    }
     rows = []
     for sid in range(3):  # two docs per shard
         recs = [({"WARC-Type": "warcinfo"}, b"software: xe\r\n")]
         for j in (0, 1):
             i = sid * 2 + j
+            page = markup.get(i, "<body><p>{}</p></body>").format(bodies[i])
             recs.append((
                 {"WARC-Type": "response",
                  "WARC-Target-URI": f"http://c/{i}"},
-                http_response_bytes(bodies[i].encode()),
+                http_response_bytes(page.encode()),
             ))
         rows.append((sid, bytearray(encode_warc(
             recs, per_record_gzip=(sid % 2 == 0)))))
@@ -186,6 +196,10 @@ def test_curation_pipeline_end_to_end_on_stream(spark):
             .alias("doc_id"),
             "target_uri", "text", "body_len",
         )
+        prose = extract_html_text(
+            docs.select("doc_id", F.col("text").alias("html"))
+        ).select("doc_id", "text")
+        docs = docs.drop("text").join(prose, "doc_id")
         q = gopher_quality(docs, id_col="doc_id")
         kept = docs.join(
             q.filter(F.col("gopher_pass")).select("doc_id"), "doc_id"
