@@ -1671,6 +1671,63 @@ def q_hash_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL shard ingest (r9): documents regroup into ~40 shard files
+    (JSON line per doc, sorted by doc_id, trailing newline), gzipped
+    for even file ids; doc_id%13==7 lines are truncated mid-object
+    (malformed). ``jsonl_documents`` must decompress, split, parse and
+    line-quarantine — the oracle re-derives the parsed rows as the
+    round-trip IDENTITY on documents plus one all-NULL quarantine row
+    per planted break."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    from xenoeye_spark.datapipe.text import jsonl_documents
+
+    docs = _t(spark, sf_dir, "documents")
+
+    line = F.when(
+        F.col("doc_id") % 13 == 7,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                 F.lit(', "lang": "')),          # truncated mid-object
+    ).otherwise(
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+            F.lit(', "lang": "'), F.col("lang"),
+            F.lit('", "text": "'), F.col("text"), F.lit('"}'),
+        )
+    )
+    shards = (
+        docs.select((F.col("doc_id") % 40).alias("source_id"),
+                    F.struct("doc_id", line.alias("l")).alias("_s"))
+        .groupBy("source_id")
+        .agg(F.array_sort(F.collect_list("_s")).alias("_ls"))
+        .select(
+            "source_id",
+            F.concat(
+                F.array_join(F.transform("_ls", lambda s: s["l"]), "\n"),
+                F.lit("\n"),
+            ).alias("_text"),
+        )
+    )
+
+    def pack(batches):
+        for pdf in batches:
+            out = []
+            for fid, txt in zip(pdf["source_id"], pdf["_text"]):
+                data = txt.encode("utf-8")
+                if int(fid) % 2 == 0:
+                    data = _gzip.compress(data, mtime=0)
+                out.append((int(fid), bytearray(data)))
+            yield pd.DataFrame(out, columns=["source_id", "content"])
+
+    files = shards.mapInPandas(pack, schema="source_id long, content binary")
+    return jsonl_documents(
+        files, "doc_id long, lang string, text string", on_error="null"
+    ).select("doc_id", "lang", "text", "source_id", "is_malformed")
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget selection per language (r6): walk docs by
     (n_chars desc, doc_id asc) and keep while the running token total
@@ -2252,22 +2309,22 @@ GATE_CORE = [
 # everything deferred to r8/r9 (indices 0..32 and 66) was driver-proven
 # in r6, so no query's proof gap exceeds the rotation cycle.
 GATE_POOL = [
-    # --- r9 layout note (mid-round growth): 76 entries after the five
+    # --- r9 layout note (mid-round growth): 77 entries after the six
     # r9 additions (html_extract / dsir_sample / mixture_interleave /
-    # dedup_lines / hash_classify, inserted at 28-32 — inside the
-    # window per the contract). Offset (3*33)%76 = 23, window =
-    # [23:56): repetition..char_entropy (r8-proven, pulled in by the
-    # modulus shift — early re-proof, harmless), the five NEW entries,
-    # best_of_class, warc_ingest, diverse_topk + quantile_clip (also
-    # NEW r9), the three r6-proven entries at their cycle bound
-    # (mask_spans, dedup_exact, dedup_ngram_jaccard) and the r1-r4
-    # backlog through asof_join. sessionize / time_rollup /
-    # interval_join / gopher_quality / segment_dedup / bm25 /
-    # vocab_topk / kmv_distinct / contamination / length_quantiles
-    # (r7-proven) now defer with tfidf_topterms / hash_split /
-    # substring_dedup / url_filter / decode_quarantine / star_topn to
-    # the r10 wrap window [56:76)+[0:13) — exactly their 3-round cycle
-    # bound. ---
+    # dedup_lines / hash_classify / jsonl_ingest, inserted at 28-33 —
+    # inside the window per the contract). Offset (3*33)%77 = 22,
+    # window = [22:55): chunk_docs..char_entropy (r8-proven, pulled in
+    # by the modulus shift — early re-proof, harmless), the six NEW
+    # entries, best_of_class, warc_ingest, diverse_topk +
+    # quantile_clip (also NEW r9), the three r6-proven entries at
+    # their cycle bound (mask_spans, dedup_exact, dedup_ngram_jaccard)
+    # and the r1-r4 backlog through dedup_groups. stratified_sample /
+    # asof_join / sessionize / time_rollup / interval_join /
+    # gopher_quality / segment_dedup / bm25 / vocab_topk /
+    # kmv_distinct / contamination / length_quantiles (r7-proven) now
+    # defer with tfidf_topterms / hash_split / substring_dedup /
+    # url_filter / decode_quarantine / star_topn to the r10 wrap
+    # window [55:77)+[0:11) — exactly their 3-round cycle bound. ---
     # --- r8 layout note: corpus_report (NEW r8) sits at the pool END so
     # the r8 wrap window ([66:] + [:30]) gates its first round, per the
     # rotation contract; with 69 entries the r8 head slice shrinks to
@@ -2294,7 +2351,7 @@ GATE_POOL = [
     # their cycle bound; dedup_exact/dedup_ngram_jaccard likewise
     # r6-proven -> r9.
     "html_extract", "dsir_sample", "mixture_interleave",
-    "dedup_lines", "hash_classify",
+    "dedup_lines", "hash_classify", "jsonl_ingest",
     "best_of_class", "warc_ingest",
     "diverse_topk", "quantile_clip",
     "mask_spans", "dedup_exact", "dedup_ngram_jaccard",
@@ -2449,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_interleave": q_mixture_interleave,
         "dedup_lines": q_dedup_lines,
         "hash_classify": q_hash_classify,
+        "jsonl_ingest": q_jsonl_ingest,
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
@@ -4455,6 +4513,21 @@ WITH toks AS (
   FROM scores
 )
 SELECT doc_id, label, score_micro FROM pick WHERE rn = 1
+""",
+        # jsonl_ingest: the op's output is the round-trip IDENTITY on
+        # documents (clean lines parse back to exactly their source
+        # rows) plus one all-NULL quarantine row per planted
+        # truncated line.
+        "jsonl_ingest": """
+SELECT doc_id, lang, text,
+       CAST(doc_id % 40 AS BIGINT) AS source_id,
+       FALSE AS is_malformed
+FROM documents WHERE doc_id % 13 != 7
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR),
+       CAST(doc_id % 40 AS BIGINT), TRUE
+FROM documents WHERE doc_id % 13 = 7
 """,
         "domain_cap": """
 WITH r AS (

@@ -159,6 +159,10 @@ NOTES = {
     "one reviewed BNL (dimension-tiny cross join); inference = one "
     "more gram pass, broadcast model join, argmax as a combinable "
     "min(struct) agg — no per-doc window.",
+    "jsonl_ingest": "one scan, zero shuffles in the op itself "
+    "(decompress is one mapInPandas projection; split/explode/"
+    "from_json are narrow JVM stages); the fixture's groupBy builds "
+    "the shard files, not the operator.",
 }
 
 

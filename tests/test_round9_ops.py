@@ -464,3 +464,59 @@ def test_gram_hash_fn_fast_path(spark):
 
     with pytest.raises(ValueError, match="hash_fn"):
         dsir_fit(raw, tgt, hash_fn="md5")
+
+
+# ------------------------------------------------------------ jsonl ingest
+
+def test_jsonl_documents_roundtrip_and_quarantine(spark):
+    import gzip
+
+    from xenoeye_spark.datapipe.text import jsonl_documents
+
+    shard0 = (                       # plain, one broken line, one {}
+        b'{"doc_id": 1, "lang": "en", "text": "a b"}\n'
+        b'{"doc_id": 2, "lang": "fr"\n'
+        b'{}\n'
+        b'\n'
+        b'{"doc_id": 3, "lang": "de", "text": "c"}\n'
+    )
+    shard1 = gzip.compress(
+        b'{"doc_id": 4, "lang": "es", "text": "d e f"}\n', mtime=0
+    )
+    files = spark.createDataFrame(
+        [(0, bytearray(shard0)), (1, bytearray(shard1))],
+        "source_id long, content binary",
+    )
+    rows = jsonl_documents(
+        files, "doc_id long, lang string, text string", on_error="null"
+    ).collect()
+    good = {r.doc_id: (r.lang, r.text, r.source_id, r.is_malformed)
+            for r in rows if not r.is_malformed}
+    # {} is a LEGITIMATE empty object, not malformed
+    assert good == {
+        1: ("en", "a b", 0, False),
+        3: ("de", "c", 0, False),
+        4: ("es", "d e f", 1, False),
+        None: (None, None, 0, False),
+    }
+    badrows = [r for r in rows if r.is_malformed]
+    assert len(badrows) == 1 and badrows[0].source_id == 0
+    assert badrows[0].doc_id is None and badrows[0].text is None
+
+    # fail mode raises on the malformed line
+    with pytest.raises(Exception, match="malformed line in file 0"):
+        jsonl_documents(
+            files, "doc_id long, lang string, text string",
+            on_error="fail",
+        ).collect()
+    # but parses a clean corpus
+    clean = jsonl_documents(
+        files.filter("source_id = 1"),
+        "doc_id long, lang string, text string", on_error="fail",
+    ).collect()
+    assert [(r.doc_id, r.is_malformed) for r in clean] == [(4, False)]
+
+    with pytest.raises(ValueError, match="collide"):
+        jsonl_documents(files, "source_id long, text string")
+    with pytest.raises(ValueError, match="on_error"):
+        jsonl_documents(files, "doc_id long", on_error="skip")

@@ -1128,3 +1128,98 @@ def dedup_lines(
             .cast("long").alias("n_kept"),
         )
     )
+
+
+def jsonl_documents(
+    files: DataFrame,
+    schema: str,
+    content_col: str = "content",
+    file_id_col: str = "source_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """JSONL shard ingest — the single most common LLM-corpus file
+    format (one JSON object per line, shards usually .jsonl.gz): a
+    (file_id, binary content) table becomes one row per parsed record,
+    typed by the caller's ``schema`` (a Spark DDL string, e.g.
+    "doc_id long, lang string, text string").
+
+    Pipeline: magic-sniffed decompression (``decompress_text`` — gzip/
+    bz2/xz/zlib/plain per row, executor-side), a newline split +
+    explode (narrow), then Spark's native ``from_json`` per line —
+    JVM, no Python in the parse path. Blank lines are skipped (the
+    trailing newline of every well-formed shard). Malformed lines are
+    detected via the standard corrupt-record idiom (PERMISSIVE
+    from_json fills a ``_corrupt`` sidecar column exactly for lines
+    that failed to parse — a bare NULL-struct check cannot tell a
+    broken line from a legitimate ``{}``): ``on_error='fail'`` raises
+    on the first one with the offending file id and line prefix;
+    ``'null'`` quarantines them as rows with every schema field NULL
+    and ``is_malformed`` = true, keeping the blast radius one LINE —
+    unlike the WARC walker's whole-file quarantine, a JSONL line is a
+    self-contained record and the format recovers at the next
+    newline. ``_corrupt`` is therefore a reserved field name.
+
+    Output: schema fields + (file_id_col, is_malformed).
+
+    Scale shape: one scan, zero shuffles — decompression is one
+    mapInPandas projection, split/explode/from_json are narrow JVM
+    stages. Peak task memory is O(decompressed shard) (the split
+    materializes the line array per file row); size shards like WARC
+    shards (~1 GB compressed) and partition the OUTPUT to ~256 MB
+    parquet before the heavy stages, per DEPLOY.md.
+    """
+    if on_error not in ("fail", "null"):
+        raise ValueError(
+            f"on_error must be 'fail' or 'null', got {on_error!r}"
+        )
+    field_names = [
+        f.name for f in T._parse_datatype_string(schema).fields
+    ]
+    clash = set(field_names) & {file_id_col, "is_malformed", "_corrupt"}
+    if clash:
+        raise ValueError(
+            f"jsonl_documents: schema fields {sorted(clash)} collide "
+            "with the operator's output columns"
+        )
+    text = decompress_text(
+        files, content_col=content_col, id_col=file_id_col,
+        on_error=on_error,
+    )
+    lines = text.select(
+        F.col(file_id_col),
+        F.explode(F.split(F.col("text"), "\n")).alias("_line"),
+    ).filter(F.trim(F.col("_line")) != "")
+    # PERMISSIVE from_json yields a non-null struct of NULL fields for
+    # a corrupt line — indistinguishable from a legitimately-empty
+    # object. The standard Spark idiom disambiguates: extend the
+    # schema with a corrupt-record column; it is non-NULL exactly for
+    # malformed lines.
+    parsed = lines.select(
+        F.col(file_id_col),
+        F.col("_line"),
+        F.from_json(
+            F.col("_line"), schema + ", _corrupt string",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("_rec"),
+    )
+    bad = F.col("_rec._corrupt").isNotNull() | F.col("_rec").isNull()
+    if on_error == "fail":
+        guard = F.when(
+            bad,
+            F.raise_error(F.concat(
+                F.lit("jsonl_documents: malformed line in file "),
+                F.col(file_id_col).cast("string"),
+                F.lit(": "), F.substring("_line", 1, 80),
+            )),
+        ).otherwise(F.lit(True))
+        parsed = parsed.filter(guard)
+    field_cols = [
+        F.when(bad, F.lit(None)).otherwise(F.col(f"_rec.{name}"))
+        .alias(name)
+        for name in field_names
+    ]
+    return parsed.select(
+        *field_cols,
+        F.col(file_id_col),
+        bad.alias("is_malformed"),
+    )
