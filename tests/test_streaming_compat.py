@@ -264,3 +264,30 @@ def test_dedup_lines_on_stream(spark):
         (2, ""),
     ]
     _drive(spark, dedup_lines, DOCS_SCHEMA, rows)
+
+
+def test_jsonl_documents_on_stream(spark):
+    """r9: JSONL ingest is decompress (stateless mapInPandas) + narrow
+    JVM parse stages, so shards can arrive on a live file stream."""
+    import gzip
+
+    from xenoeye_spark.datapipe.text import jsonl_documents
+
+    rows = [
+        (0, bytearray(b'{"doc_id": 1, "text": "a"}\n{"doc_id": 2\n')),
+        (1, bytearray(gzip.compress(b'{"doc_id": 3, "text": "b"}\n',
+                                    mtime=0))),
+    ]
+    def op(df):
+        # _drive sorts raw tuples, so map the quarantine NULLs to
+        # sortable sentinels (the quarantine semantics themselves are
+        # test_round9_ops' job; this test is stream/batch parity)
+        out = jsonl_documents(df, "doc_id long, text string",
+                              on_error="null")
+        return out.select(
+            F.coalesce("doc_id", F.lit(-1)).alias("doc_id"),
+            F.coalesce("text", F.lit("")).alias("text"),
+            "source_id", "is_malformed",
+        )
+
+    _drive(spark, op, "source_id long, content binary", rows)
