@@ -520,3 +520,25 @@ def test_jsonl_documents_roundtrip_and_quarantine(spark):
         jsonl_documents(files, "source_id long, text string")
     with pytest.raises(ValueError, match="on_error"):
         jsonl_documents(files, "doc_id long", on_error="skip")
+
+
+def test_jsonl_undecompressable_shard_leaves_a_marker(spark):
+    """A truncated gzip shard must surface as exactly ONE all-NULL
+    quarantine row in 'null' mode (not silently vanish), and raise in
+    'fail' mode."""
+    import gzip
+
+    from xenoeye_spark.datapipe.text import jsonl_documents
+
+    ok = gzip.compress(b'{"doc_id": 1, "text": "a"}\n', mtime=0)
+    files = spark.createDataFrame(
+        [(0, bytearray(ok)), (1, bytearray(ok[:10]))],
+        "source_id long, content binary",
+    )
+    rows = jsonl_documents(files, "doc_id long, text string",
+                           on_error="null").collect()
+    marks = [(r.source_id, r.is_malformed, r.doc_id) for r in rows]
+    assert sorted(marks) == [(0, False, 1), (1, True, None)]
+    with pytest.raises(Exception):
+        jsonl_documents(files, "doc_id long, text string",
+                        on_error="fail").collect()

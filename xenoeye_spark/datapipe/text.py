@@ -1157,7 +1157,10 @@ def jsonl_documents(
     and ``is_malformed`` = true, keeping the blast radius one LINE —
     unlike the WARC walker's whole-file quarantine, a JSONL line is a
     self-contained record and the format recovers at the next
-    newline. ``_corrupt`` is therefore a reserved field name.
+    newline. ``_corrupt`` is therefore a reserved field name. An
+    UNDECOMPRESSABLE shard (truncated gzip, bad CRC) in 'null' mode
+    surfaces as exactly one all-NULL quarantine row carrying its file
+    id — never a silent zero-row disappearance.
 
     Output: schema fields + (file_id_col, is_malformed).
 
@@ -1185,9 +1188,19 @@ def jsonl_documents(
         files, content_col=content_col, id_col=file_id_col,
         on_error=on_error,
     )
+    # An UNDECOMPRESSABLE shard yields text NULL in 'null' mode; the
+    # split/explode would silently drop it (zero rows, no marker).
+    # Surface it as one whole-file quarantine line instead — the
+    # sentinel can never survive from real content because blank-ish
+    # lines are filtered and from_json marks it corrupt anyway.
     lines = text.select(
         F.col(file_id_col),
-        F.explode(F.split(F.col("text"), "\n")).alias("_line"),
+        F.explode(
+            F.coalesce(
+                F.split(F.col("text"), "\n"),
+                F.array(F.lit("\x00undecompressable")),
+            )
+        ).alias("_line"),
     ).filter(F.trim(F.col("_line")) != "")
     # PERMISSIVE from_json yields a non-null struct of NULL fields for
     # a corrupt line — indistinguishable from a legitimately-empty
