@@ -14,6 +14,10 @@ Steps (each optional, run in the listed canonical order regardless of
 argv order; every step is the operator already proven by the driver
 gate / oracle suite):
 
+  jsonl         — the input is (source_id, content) JSONL shards
+                  (.jsonl / .jsonl.gz): parse every line into typed
+                  doc rows per --jsonl-schema, count and drop the
+                  quarantined malformed lines
   decompress    — gzip/zlib binary ``content`` column -> text
                   (datapipe.text.decompress_text); no-op when the
                   input already has a text column
@@ -52,7 +56,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 CANONICAL = [
-    "decompress", "html", "exact_dedup", "quality", "neardup",
+    "jsonl", "decompress", "html", "exact_dedup", "quality", "neardup",
     "substr_dedup", "decontaminate", "dsir", "split",
 ]
 
@@ -80,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--quality-min", type=float, default=0.3)
     ap.add_argument("--substr-len", type=int, default=32,
                     help="window length for the substr_dedup stage")
+    ap.add_argument("--jsonl-schema",
+                    default="doc_id long, lang string, text string",
+                    help="record schema for the jsonl ingest step")
     ap.add_argument("--dsir-target", default=None,
                     help="target-corpus dir for the dsir step")
     ap.add_argument("--dsir-keep", type=int, default=None,
@@ -116,6 +123,21 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
     counts = {"input": docs.count()}
     last = counts["input"]
+
+    if "jsonl" in steps:
+        from xenoeye_spark.datapipe.text import jsonl_documents
+
+        missing = {"source_id", "content"} - set(docs.columns)
+        if missing:
+            raise SystemExit(
+                f"jsonl step needs shard columns {sorted(missing)}"
+            )
+        parsed = jsonl_documents(docs, args.jsonl_schema, on_error="null")
+        if "doc_id" not in parsed.columns:
+            raise SystemExit("--jsonl-schema must include doc_id")
+        counts["jsonl_malformed"] = parsed.filter("is_malformed").count()
+        docs = parsed.filter(~F.col("is_malformed")).drop("is_malformed")
+        counts["jsonl"] = last = docs.count()
 
     if "decompress" in steps and "content" in docs.columns:
         from xenoeye_spark.datapipe.text import decompress_text

@@ -166,3 +166,42 @@ def test_curate_dsir_step(spark, tmp_path):
     with pytest.raises(SystemExit, match="dsir requires"):
         main(["--input", SF_DIR, "--output", str(out),
               "--steps", "dsir"])
+
+
+def test_curate_jsonl_ingest_step(spark, tmp_path, capsys):
+    """A .jsonl.gz shard directory runs straight through the pipeline:
+    the jsonl step parses typed rows, counts and drops the quarantined
+    malformed lines, and the rest of the steps see ordinary docs."""
+    import gzip
+
+    src = tmp_path / "shards"
+    shard0 = (
+        b'{"doc_id": 1, "lang": "en", "text": "good prose here"}\n'
+        b'{"doc_id": 2, "lang": "en"\n'                   # malformed
+        b'{"doc_id": 3, "lang": "en", "text": "good prose here"}\n'
+    )
+    shard1 = gzip.compress(
+        b'{"doc_id": 4, "lang": "fr", "text": "autre texte ici"}\n',
+        mtime=0,
+    )
+    spark.createDataFrame(
+        [(0, bytearray(shard0)), (1, bytearray(shard1))],
+        "source_id long, content binary",
+    ).write.parquet(str(src / "documents.parquet"))
+
+    out = tmp_path / "curated_jsonl"
+    rc = main([
+        "--input", str(src), "--output", str(out),
+        "--steps", "jsonl,exact_dedup", "--report",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = rep["counts"]
+    assert c == {"input": 2, "jsonl_malformed": 1, "jsonl": 3,
+                 "exact_dedup": 2, "output": 2}
+    df = spark.read.parquet(str(out / "documents.parquet"))
+    assert {r.doc_id for r in df.collect()} == {1, 4}   # 3 = exact dup
+
+    with pytest.raises(SystemExit, match="shard columns"):
+        main(["--input", SF_DIR, "--output", str(out),
+              "--steps", "jsonl"])
