@@ -542,3 +542,12 @@ def test_jsonl_undecompressable_shard_leaves_a_marker(spark):
     with pytest.raises(Exception):
         jsonl_documents(files, "doc_id long, text string",
                         on_error="fail").collect()
+
+
+def test_dsir_weights_validates_ratio_shape(spark):
+    from xenoeye_spark.datapipe.sampling import dsir_weights
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    bad = spark.createDataFrame([(0,)], "bucket long")
+    with pytest.raises(ValueError, match="ratio= lacks columns"):
+        dsir_weights(df, ratio=bad)

@@ -744,6 +744,13 @@ def dsir_weights(
     # kernel; "poly" (default) is the oracle-exact family.
     if ratio is None:
         ratio = dsir_fit(raw, target, text_col, n_buckets, hash_fn)
+    else:
+        missing = {"bucket", "lr"} - set(ratio.columns)
+        if missing:
+            raise ValueError(
+                f"dsir_weights: ratio= lacks columns {sorted(missing)}"
+                " — expected dsir_fit's (bucket, lr) shape"
+            )
     doc_counts = (
         _gram_bucket_occurrences(raw, text_col, id_col, n_buckets, hash_fn)
         .groupBy(id_col, "bucket")
