@@ -551,3 +551,40 @@ def test_dsir_weights_validates_ratio_shape(spark):
     bad = spark.createDataFrame([(0,)], "bucket long")
     with pytest.raises(ValueError, match="ratio= lacks columns"):
         dsir_weights(df, ratio=bad)
+
+
+def test_jsonl_fuzz_never_crashes_in_null_mode(spark):
+    """Decoder-fuzz discipline for the new ingest surface: seeded
+    random garbage shards (binary noise, half-valid JSON, gzip
+    prefixes, empty) must never raise in 'null' mode, every emitted
+    row must carry a known source_id, and quarantine flags must be
+    consistent (malformed rows all-NULL, clean rows parse-complete)."""
+    import random
+
+    from xenoeye_spark.datapipe.text import jsonl_documents
+
+    rng = random.Random(99)
+    shards = []
+    for fid in range(40):
+        kind = fid % 4
+        if kind == 0:                      # pure binary noise
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(64)))
+        elif kind == 1:                    # gzip magic + noise
+            data = b"\x1f\x8b" + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(32)))
+        elif kind == 2:                    # half-valid jsonl
+            data = (b'{"doc_id": %d}\n{"doc_id":\nnot json\n' % fid)
+        else:                              # clean
+            data = b'{"doc_id": %d, "text": "ok"}\n' % fid
+        shards.append((fid, bytearray(data)))
+    rows = jsonl_documents(
+        spark.createDataFrame(shards, "source_id long, content binary"),
+        "doc_id long, text string", on_error="null",
+    ).collect()
+    assert {r.source_id for r in rows} <= set(range(40))
+    for r in rows:
+        if r.is_malformed:
+            assert r.doc_id is None and r.text is None
+    # every clean shard's row came through
+    clean_ids = {r.doc_id for r in rows if not r.is_malformed}
+    assert {fid for fid in range(40) if fid % 4 == 3} <= clean_ids
