@@ -1728,6 +1728,25 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "text", "source_id", "is_malformed")
 
 
+def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile (r9): every doc_id%5==0 text re-enters the
+    corpus once more (and %15==0 twice more), so the exact-dup
+    class-size histogram has planted 2- and 3-classes on top of
+    whatever natural duplication the corpus carries — the oracle
+    rebuilds the same union and recounts, assumption-free."""
+    from xenoeye_spark.datapipe.dedup import dup_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs
+        .union(docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        .union(docs.filter(F.col("doc_id") % 15 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    )
+    return dup_profile(corpus).select("class_size", "n_classes", "n_docs")
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget selection per language (r6): walk docs by
     (n_chars desc, doc_id asc) and keep while the running token total
@@ -2309,22 +2328,24 @@ GATE_CORE = [
 # everything deferred to r8/r9 (indices 0..32 and 66) was driver-proven
 # in r6, so no query's proof gap exceeds the rotation cycle.
 GATE_POOL = [
-    # --- r9 layout note (mid-round growth): 77 entries after the six
-    # r9 additions (html_extract / dsir_sample / mixture_interleave /
-    # dedup_lines / hash_classify / jsonl_ingest, inserted at 28-33 —
-    # inside the window per the contract). Offset (3*33)%77 = 22,
-    # window = [22:55): chunk_docs..char_entropy (r8-proven, pulled in
-    # by the modulus shift — early re-proof, harmless), the six NEW
-    # entries, best_of_class, warc_ingest, diverse_topk +
-    # quantile_clip (also NEW r9), the three r6-proven entries at
-    # their cycle bound (mask_spans, dedup_exact, dedup_ngram_jaccard)
-    # and the r1-r4 backlog through dedup_groups. stratified_sample /
-    # asof_join / sessionize / time_rollup / interval_join /
-    # gopher_quality / segment_dedup / bm25 / vocab_topk /
-    # kmv_distinct / contamination / length_quantiles (r7-proven) now
-    # defer with tfidf_topterms / hash_split / substring_dedup /
-    # url_filter / decode_quarantine / star_topn to the r10 wrap
-    # window [55:77)+[0:11) — exactly their 3-round cycle bound. ---
+    # --- r9 layout note (mid-round growth): 78 entries after the
+    # seven r9 additions (html_extract / dsir_sample /
+    # mixture_interleave / dedup_lines / hash_classify / jsonl_ingest
+    # / dedup_profile, inserted at 28-34 — inside the window per the
+    # contract). Offset (3*33)%78 = 21, window = [21:54):
+    # semdedup..char_entropy (r8-proven, pulled in by the modulus
+    # shift — early re-proof, harmless), the seven NEW entries,
+    # best_of_class, warc_ingest, diverse_topk + quantile_clip (also
+    # NEW r9), the three r6-proven entries at their cycle bound
+    # (mask_spans, dedup_exact, dedup_ngram_jaccard) and the r1-r4
+    # backlog through simhash_expr. simhash_neardup_expr /
+    # dedup_groups / stratified_sample / asof_join / sessionize /
+    # time_rollup / interval_join / gopher_quality / segment_dedup /
+    # bm25 / vocab_topk / kmv_distinct / contamination /
+    # length_quantiles (r7-proven) now defer with tfidf_topterms /
+    # hash_split / substring_dedup / url_filter / decode_quarantine /
+    # star_topn to the r10 wrap window [54:78)+[0:10) — exactly their
+    # 3-round cycle bound. ---
     # --- r8 layout note: corpus_report (NEW r8) sits at the pool END so
     # the r8 wrap window ([66:] + [:30]) gates its first round, per the
     # rotation contract; with 69 entries the r8 head slice shrinks to
@@ -2351,7 +2372,7 @@ GATE_POOL = [
     # their cycle bound; dedup_exact/dedup_ngram_jaccard likewise
     # r6-proven -> r9.
     "html_extract", "dsir_sample", "mixture_interleave",
-    "dedup_lines", "hash_classify", "jsonl_ingest",
+    "dedup_lines", "hash_classify", "jsonl_ingest", "dedup_profile",
     "best_of_class", "warc_ingest",
     "diverse_topk", "quantile_clip",
     "mask_spans", "dedup_exact", "dedup_ngram_jaccard",
@@ -2507,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "hash_classify": q_hash_classify,
         "jsonl_ingest": q_jsonl_ingest,
+        "dedup_profile": q_dedup_profile,
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
@@ -4528,6 +4550,23 @@ SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR),
        CAST(doc_id % 40 AS BIGINT), TRUE
 FROM documents WHERE doc_id % 13 = 7
+""",
+        # dedup_profile: same planted union, same md5 classes, same
+        # count-of-counts — assumption-free about natural duplication.
+        "dedup_profile": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 15 = 0
+), classes AS (
+  SELECT md5(text) AS h, count(*) AS sz FROM corpus GROUP BY 1
+)
+SELECT CAST(sz AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM classes GROUP BY sz
 """,
         "domain_cap": """
 WITH r AS (

@@ -163,6 +163,10 @@ NOTES = {
     "(decompress is one mapInPandas projection; split/explode/"
     "from_json are narrow JVM stages); the fixture's groupBy builds "
     "the shard files, not the operator.",
+    "dedup_profile": "the exact_dedup md5 aggregation (map-side "
+    "combined) plus a count-of-counts groupBy on O(distinct sizes) "
+    "keys — both shuffles bounded, output dozens of rows at any "
+    "corpus size.",
 }
 
 

@@ -219,27 +219,27 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r9 window (77 entries after the mid-round additions, slice
-    # [22:55)): must prove the three r6-proven entries at their cycle
+    # r9 window (78 entries after the mid-round additions, slice
+    # [21:54)): must prove the three r6-proven entries at their cycle
     # bound (mask_spans — displaced by the r8 swap — dedup_exact,
     # dedup_ngram_jaccard), the r1-r4 backlog head whose last driver
     # proof was r7, warc_ingest (swapped to the window head), and the
-    # eight r9-new queries (first round must gate)
+    # nine r9-new queries (first round must gate)
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r6_stale = {"mask_spans", "dedup_exact", "dedup_ngram_jaccard"}
     assert r6_stale <= win_now
     assert {"text_stats", "warc_ingest", "diverse_topk",
             "quantile_clip", "html_extract", "dsir_sample",
             "mixture_interleave", "dedup_lines",
-            "hash_classify", "jsonl_ingest"} <= win_now
+            "hash_classify", "jsonl_ingest", "dedup_profile"} <= win_now
     # nothing deferred out of the window has a proof gap beyond the
     # cycle: the deferred slice holds the r8-proven wrap window
     # (pool head + the tail three + dedup_minhash_lsh_expr from the
-    # swap) plus the eighteen r7-proven entries (the r1-r4 backlog
-    # tail stratified_sample..length_quantiles pushed out by the
-    # 77-entry modulus shift, plus tfidf_topterms, hash_split,
+    # swap) plus the twenty r7-proven entries (the r1-r4 backlog
+    # tail simhash_neardup_expr..length_quantiles pushed out by the
+    # 78-entry modulus shift, plus tfidf_topterms, hash_split,
     # substring_dedup, url_filter, decode_quarantine, star_topn)
-    # re-proving at the r10 wrap [55:77)+[0:11) — exactly the 3-round
+    # re-proving at the r10 wrap [54:78)+[0:10) — exactly the 3-round
     # cycle bound
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
     r8_proven = set(pool[:28]) | {"pack_sequences", "bigram_lm",
@@ -250,7 +250,8 @@ def test_gate_rotation_schedule():
                     "segment_dedup", "bm25", "vocab_topk",
                     "kmv_distinct", "contamination", "length_quantiles",
                     "sessionize", "time_rollup", "interval_join",
-                    "gopher_quality", "stratified_sample", "asof_join"}
+                    "gopher_quality", "stratified_sample", "asof_join",
+                    "simhash_neardup_expr", "dedup_groups"}
     assert overflow_now <= r8_proven | r7_proven_ok
 
 

@@ -643,3 +643,19 @@ def test_hash_classifier_learns_the_quality_rule(spark):
     assert agree > base * 1.2, (
         f"barely better than majority baseline: {agree} vs {base}"
     )
+
+
+def test_dup_profile_histogram(spark):
+    from xenoeye_spark.datapipe.dedup import dup_profile
+
+    rows = [(i, t) for i, t in enumerate(
+        ["a", "a", "a", "b", "b", "c", "d", "d"])]
+    got = {
+        r.class_size: (r.n_classes, r.n_docs)
+        for r in dup_profile(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # sizes: a->3, b->2, d->2, c->1
+    assert got == {3: (1, 3), 2: (2, 4), 1: (1, 1)}
+    assert sum(nd for _, nd in got.values()) == len(rows)

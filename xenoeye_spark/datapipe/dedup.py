@@ -49,6 +49,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def dup_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplication profile — the dedup-PLANNING diagnostic run before
+    any pruning: the exact-dup class-size histogram, i.e. for every
+    class size, how many identical-text classes have that size and how
+    many documents they hold. One glance answers "what fraction of the
+    corpus is verbatim duplication, and is it pairs or mega-classes?"
+    — which decides whether exact dedup alone pays and whether the
+    near-dup pass will hit skewed classes (DEPLOY.md's skew note).
+
+    Output: (class_size, n_classes, n_docs = class_size * n_classes),
+    one row per distinct size — all integers, engine-exact.
+
+    Scale shape: the exact_dedup aggregation (one md5-keyed shuffle,
+    map-side combined) followed by a count-of-counts groupBy whose key
+    cardinality is the number of DISTINCT class sizes (dozens at any
+    corpus size) — the second shuffle is O(sizes x partitions).
+    """
+    classes = exact_dedup(docs, text_col, id_col)
+    return (
+        classes.groupBy(F.col("n_docs").alias("class_size"))
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            F.col("class_size").cast("long").alias("class_size"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            (F.col("class_size") * F.col("n_classes")).cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
 def _shingle_hash_col(toks_col: str, n: int):
     """distinct xxhash64 of each n-token shingle as array<long> — the set
     algebra then runs on 8-byte longs instead of strings (same Jaccard,
