@@ -1,6 +1,10 @@
-"""Round-9 additions: HTML text extraction, DSIR importance weights,
-weighted mixture interleave — each against a literal python twin, plus
-the documented heuristic boundaries and validation errors."""
+"""Round-9 additions: HTML text extraction (incl. adversarial fuzz),
+DSIR importance weights (fit/apply split, hash_fn fast path), weighted
+mixture interleave (+ shard-writer composition), within-doc line
+dedup, the hashed NB/linear classifier (twin, quality-filter demo),
+JSONL ingest (roundtrip, quarantine, garbage fuzz), and the
+duplication profile — each against a literal python twin, plus the
+documented heuristic boundaries and validation errors."""
 
 from __future__ import annotations
 
