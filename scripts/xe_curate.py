@@ -26,6 +26,9 @@ gate / oracle suite):
                   script/style/comments/tags, decodes the entity
                   subset, adds a ``title`` column — the step between
                   a crawl ingest and every text-quality rule
+  lines         — drop repeated non-blank lines WITHIN each document
+                  (datapipe.text.dedup_lines — the RefinedWeb
+                  intra-page boilerplate rule; blank separators stay)
   exact_dedup   — keep each exact text's lowest-id copy
   quality       — Gopher-style rules + composite score cut
   neardup       — MinHash-LSH candidates -> exact-Jaccard verify ->
@@ -56,8 +59,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 CANONICAL = [
-    "jsonl", "decompress", "html", "exact_dedup", "quality", "neardup",
-    "substr_dedup", "decontaminate", "dsir", "split",
+    "jsonl", "decompress", "html", "lines", "exact_dedup", "quality",
+    "neardup", "substr_dedup", "decontaminate", "dsir", "split",
 ]
 
 
@@ -154,6 +157,13 @@ def main(argv: list[str] | None = None) -> int:
         ).select("doc_id", "title", "text")
         docs = docs.drop("text", "title").join(prose, "doc_id")
         counts["html"] = last = docs.count()
+
+    if "lines" in steps:
+        from xenoeye_spark.datapipe.text import dedup_lines
+
+        rewritten = dedup_lines(docs).select("doc_id", "text")
+        docs = docs.drop("text").join(rewritten, "doc_id")
+        counts["lines"] = last = docs.count()
 
     if "exact_dedup" in steps:
         from xenoeye_spark.datapipe.dedup import exact_dedup

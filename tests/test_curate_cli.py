@@ -205,3 +205,21 @@ def test_curate_jsonl_ingest_step(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="shard columns"):
         main(["--input", SF_DIR, "--output", str(out),
               "--steps", "jsonl"])
+
+
+def test_curate_lines_step(spark, tmp_path):
+    """The lines step rewrites each doc in place (row count unchanged,
+    repeated non-blank lines dropped, blank separators kept)."""
+    src = tmp_path / "linesrc"
+    spark.createDataFrame(
+        [(0, "nav\nbody one\nnav\n\nbody two"), (1, "a\na")],
+        "doc_id long, text string",
+    ).write.parquet(str(src / "documents.parquet"))
+    out = tmp_path / "curated_lines"
+    rc = main([
+        "--input", str(src), "--output", str(out), "--steps", "lines",
+    ])
+    assert rc == 0
+    got = {r.doc_id: r.text for r in
+           spark.read.parquet(str(out / "documents.parquet")).collect()}
+    assert got == {0: "nav\nbody one\n\nbody two", 1: "a"}
