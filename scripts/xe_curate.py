@@ -14,6 +14,14 @@ Steps (each optional, run in the listed canonical order regardless of
 argv order; every step is the operator already proven by the driver
 gate / oracle suite):
 
+  warc          — the input is (source_id, content) WARC shards:
+                  every HTTP 2xx response becomes a doc row with
+                  doc_id = source_id * 10^6 + record index (needs
+                  source_id < 4294 to stay in the id-permutation
+                  domain — the split/sampling guards raise loudly
+                  past it; supply your own ids beyond that);
+                  undecompressable/truncated files are counted and
+                  quarantined whole, per the WARC walker contract
   jsonl         — the input is (source_id, content) JSONL shards
                   (.jsonl / .jsonl.gz): parse every line into typed
                   doc rows per --jsonl-schema, count and drop the
@@ -59,8 +67,9 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 CANONICAL = [
-    "jsonl", "decompress", "html", "lines", "exact_dedup", "quality",
-    "neardup", "substr_dedup", "decontaminate", "dsir", "split",
+    "warc", "jsonl", "decompress", "html", "lines", "exact_dedup",
+    "quality", "neardup", "substr_dedup", "decontaminate", "dsir",
+    "split",
 ]
 
 
@@ -113,6 +122,8 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit("decontaminate requires --eval-input")
     if "dsir" in steps and not (args.dsir_target and args.dsir_keep):
         raise SystemExit("dsir requires --dsir-target and --dsir-keep")
+    if "warc" in steps and "jsonl" in steps:
+        raise SystemExit("warc and jsonl are alternative ingests — pick one")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -126,6 +137,32 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
     counts = {"input": docs.count()}
     last = counts["input"]
+
+    if "warc" in steps:
+        from xenoeye_spark.datapipe.warc import warc_records
+
+        missing = {"source_id", "content"} - set(docs.columns)
+        if missing:
+            raise SystemExit(
+                f"warc step needs shard columns {sorted(missing)}"
+            )
+        recs = warc_records(docs, on_error="null")
+        counts["warc_quarantined_files"] = (
+            recs.filter("rec_index = -1").count()
+        )
+        docs = (
+            recs.filter(
+                (F.col("warc_type") == "response")
+                & F.col("http_status").between(200, 299)
+            )
+            .select(
+                (F.col("source_id") * 1_000_000 + F.col("rec_index"))
+                .alias("doc_id"),
+                "source_id", "target_uri",
+                F.col("payload_text").alias("text"),
+            )
+        )
+        counts["warc"] = last = docs.count()
 
     if "jsonl" in steps:
         from xenoeye_spark.datapipe.text import jsonl_documents

@@ -223,3 +223,45 @@ def test_curate_lines_step(spark, tmp_path):
     got = {r.doc_id: r.text for r in
            spark.read.parquet(str(out / "documents.parquet")).collect()}
     assert got == {0: "nav\nbody one\n\nbody two", 1: "a"}
+
+
+def test_curate_warc_step(spark, tmp_path):
+    """WARC shards run the whole pass: 2xx responses become docs with
+    deterministic ids, 404s drop, a truncated shard is counted and
+    quarantined whole, and the html step chains on the extracted
+    bodies."""
+    from xenoeye_spark.datapipe.warc import encode_warc, http_response_bytes
+
+    def shard(pages, gz):
+        recs = [({"WARC-Type": "warcinfo"}, b"software: xe\r\n")]
+        for uri, status, body in pages:
+            recs.append((
+                {"WARC-Type": "response", "WARC-Target-URI": uri},
+                http_response_bytes(body.encode(), status=status),
+            ))
+        return bytearray(encode_warc(recs, per_record_gzip=gz))
+
+    s0 = shard([("http://a/1", 200, "<p>alpha beta</p>"),
+                ("http://a/2", 404, "gone"),
+                ("http://a/3", 200, "<b>gamma</b> delta")], True)
+    s1 = shard([("http://b/1", 200, "<p>epsilon</p>")], False)
+    s2 = bytearray(s0[:30])                       # truncated whole file
+    src = tmp_path / "warcsrc"
+    spark.createDataFrame(
+        [(0, s0), (1, s1), (2, s2)], "source_id long, content binary"
+    ).write.parquet(str(src / "documents.parquet"))
+
+    out = tmp_path / "curated_warc"
+    rc = main([
+        "--input", str(src), "--output", str(out),
+        "--steps", "warc,html,exact_dedup",
+    ])
+    assert rc == 0
+    got = {r.doc_id: r.text for r in
+           spark.read.parquet(str(out / "documents.parquet")).collect()}
+    # warcinfo is rec 0; responses are recs 1.. — 404 (rec 2) dropped
+    assert got == {1: "alpha beta", 3: "gamma delta", 1000001: "epsilon"}
+
+    with pytest.raises(SystemExit, match="alternative ingests"):
+        main(["--input", str(src), "--output", str(out),
+              "--steps", "warc,jsonl"])
