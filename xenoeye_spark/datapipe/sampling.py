@@ -769,11 +769,116 @@ def dsir_weights(
 
 # ------------------------------------------------ weighted mixture interleave
 
+def source_rank(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    rank_col: str = "src_rank",
+) -> DataFrame:
+    """Distributed 1-based rank of each row WITHIN its source, ordered
+    by ``id_col`` — the two-pass zipWithIndex pattern
+    (``layout.write_training_shards``) extended to per-source offsets,
+    for sources too large to funnel through one reducer.
+
+    One range exchange on (source, id) + sort within partitions pins a
+    layout where each source's rows are contiguous and globally ordered
+    across partitions; a tiny per-(partition, source) count collect
+    (<= shuffle.partitions * n_sources rows) yields each source's
+    running offset per partition; an Arrow ``mapInPandas`` pass over
+    the SAME pinned partitions stamps rank = source offset + local
+    position. No window, no per-source reducer — the heaviest source
+    spreads over as many partitions as its volume needs.
+
+    Output: input columns + ``rank_col`` (long, 1-based per source).
+    Feed it to ``mixture_order(..., rank_col=...)`` — the keys are
+    bit-identical to the window path (tested).
+    """
+    from pyspark import StorageLevel, TaskContext
+    from pyspark.sql import types as T
+
+    if rank_col in df.columns:
+        raise ValueError(
+            f"source_rank: column {rank_col!r} already exists in input"
+        )
+    asc = [F.col(source_col).asc(), F.col(id_col).asc()]
+    ranged = (
+        df.repartitionByRange(*asc)
+        .sortWithinPartitions(*asc)
+        .withColumn("_pid", F.spark_partition_id())
+        # both passes (counts, then stamp) must see ONE partition
+        # layout; persist pins it
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        counts = (
+            ranged.groupBy("_pid", source_col).count().collect()
+        )
+        # per-source running offset in partition order: rows of source
+        # s in partition p are preceded by s's rows in partitions < p
+        offsets: dict[tuple[int, object], int] = {}
+        acc: dict[object, int] = {}
+        for r in sorted(counts, key=lambda r: int(r["_pid"])):
+            src = r[source_col]
+            offsets[(int(r["_pid"]), src)] = acc.get(src, 0)
+            acc[src] = acc.get(src, 0) + int(r["count"])
+        out_schema = T.StructType(
+            [f for f in ranged.schema.fields if f.name != "_pid"]
+            + [T.StructField(rank_col, T.LongType())]
+        )
+        data_cols = [f.name for f in out_schema.fields
+                     if f.name != rank_col]
+
+        def stamp(batches):
+            import numpy as np
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            seen: dict[object, int] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if (pdf["_pid"] != pid).any():
+                    raise RuntimeError(
+                        "cached partition id drifted from task "
+                        "partition id"
+                    )
+                out = pdf[data_cols].copy()
+                # contiguous runs per source (sorted layout): rank =
+                # global offset + position within this partition's run
+                srcs = pdf[source_col].to_numpy()
+                local = np.empty(len(pdf), dtype=np.int64)
+                i = 0
+                while i < len(srcs):
+                    j = i
+                    while j < len(srcs) and srcs[j] == srcs[i]:
+                        j += 1
+                    base = offsets.get((pid, srcs[i]), 0) \
+                        + seen.get(srcs[i], 0)
+                    local[i:j] = np.arange(
+                        base + 1, base + 1 + (j - i), dtype=np.int64
+                    )
+                    seen[srcs[i]] = seen.get(srcs[i], 0) + (j - i)
+                    i = j
+                out[rank_col] = local
+                yield out
+
+        out = ranged.mapInPandas(stamp, schema=out_schema)
+        # materialize before unpersist would be the caller's business;
+        # keep lineage valid by leaving the persist in place until the
+        # returned plan is consumed — Spark recomputes safely either
+        # way because the stamp only trusts offsets keyed by _pid.
+        return out
+    except Exception:
+        ranged.unpersist()
+        raise
+
+
 def mixture_order(
     df: DataFrame,
     weights: dict[str, int],
     source_col: str = "source",
     id_col: str = "doc_id",
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Deterministic weighted interleave of a multi-source corpus — the
     data-loader mixing schedule (sample source s with probability
@@ -798,9 +903,13 @@ def mixture_order(
     Scale shape: one shuffle keyed by ``source_col`` for the per-source
     rank window — a reducer per source, fine for the tens-of-sources
     mixtures this models. For sources too large for one reducer, pass a
-    precomputed rank via ``rank_col`` (the shard writer's two-pass
-    distributed rank — layout.write_shards — is the pattern: range
-    partition, count, broadcast offsets, local row_number).
+    precomputed 1-based per-source rank via ``rank_col`` — the window
+    is skipped entirely; ``source_rank`` (above) produces exactly that
+    column with the shard writer's two-pass distributed rank (range
+    partition, count, broadcast offsets, local positions) and its keys
+    are bit-identical to the window path. A caller-supplied rank is
+    validated per-row: NULL or < 1 raises (a 0-based rank would
+    silently shift every slot).
 
     Overflow guard: keys must stay int64 — raised per-row when
     src_rank > 2^61 / L (the shared _checked_id/raise_error idiom), and
@@ -821,15 +930,54 @@ def mixture_order(
             "ratios should be small integers (reduce them)"
         )
     rank_limit = (1 << 61) // big
+    if "interleave_key" in df.columns:
+        raise ValueError(
+            "mixture_order: input already has an 'interleave_key' "
+            "column — rename it first"
+        )
+    if "src_rank" in df.columns and rank_col != "src_rank":
+        raise ValueError(
+            "mixture_order: input already has a 'src_rank' column — "
+            "pass rank_col='src_rank' to use it as the precomputed "
+            "rank, or rename it"
+        )
     step = F.create_map(
         *[x for s, w in sorted(pos.items())
           for x in (F.lit(s), F.lit(big // w))]
     )
-    w_rank = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
-    ranked = (
-        df.filter(F.col(source_col).isin(list(pos)))
-        .withColumn("src_rank", F.row_number().over(w_rank).cast("long"))
-    )
+    kept = df.filter(F.col(source_col).isin(list(pos)))
+    if rank_col is None:
+        w_rank = Window.partitionBy(source_col).orderBy(
+            F.col(id_col).asc()
+        )
+        ranked = kept.withColumn(
+            "src_rank", F.row_number().over(w_rank).cast("long")
+        )
+    else:
+        if rank_col not in df.columns:
+            raise ValueError(
+                f"mixture_order: rank_col {rank_col!r} not in input "
+                f"columns {df.columns}"
+            )
+        # caller-supplied distributed rank (source_rank's two-pass
+        # layout is the named producer): normalize the name, validate
+        # per-row — a NULL or non-positive rank is a caller bug that
+        # would silently shift slots, so it raises at execution
+        ranked = kept if rank_col == "src_rank" else kept.withColumn(
+            "src_rank", F.col(rank_col).cast("long")
+        )
+        ranked = ranked.withColumn(
+            "src_rank",
+            F.when(
+                F.col("src_rank").isNull() | (F.col("src_rank") < 1),
+                F.raise_error(F.concat(
+                    F.lit("mixture_order: precomputed rank must be a "
+                          "1-based positive integer, got "),
+                    F.coalesce(F.col("src_rank").cast("string"),
+                               F.lit("NULL")),
+                )).cast("long"),
+            ).otherwise(F.col("src_rank").cast("long")),
+        )
     guarded = F.when(
         F.col("src_rank") > rank_limit,
         F.raise_error(F.concat(
