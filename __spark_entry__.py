@@ -1551,10 +1551,20 @@ def q_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     source weighting. Spark's exact ``percentile`` and DuckDB's
     ``quantile_cont`` share the linear-interpolation definition (the
     length_quantiles-proven pairing); bounds round to 6 decimals BEFORE
-    the clamp on both sides, so every clipped value is engine-exact."""
+    the clamp on both sides, so every clipped value is engine-exact.
+
+    r10: every 17th doc's lang is nulled on BOTH sides — NULL is a
+    legitimate group (quantile_clip's bounds join is eqNullSafe, its
+    oracle twin IS NOT DISTINCT FROM), so those rows clamp against the
+    NULL group's own band instead of vanishing."""
     from xenoeye_spark.operators.summary import quantile_clip
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang")).alias("lang"),
+        "n_chars",
+    )
     out = quantile_clip(docs, ["lang"], "n_chars", lo=0.05, hi=0.95)
     return out.select("doc_id", "lang", "n_chars", "clipped")
 
@@ -4317,17 +4327,26 @@ FROM v WHERE d <= 40
         # percentile's linear-interpolation definition (the
         # length_quantiles-proven pairing), bounds rounded before the
         # clamp on both sides.
+        # NULL langs (every 17th doc, planted on both sides) form
+        # their own group: GROUP BY keeps the NULL group in both
+        # engines; the join must be IS NOT DISTINCT FROM to mirror
+        # the operator's eqNullSafe bounds join (r10).
         "quantile_clip": """
-WITH b AS (
+WITH d0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang,
+         n_chars
+  FROM documents
+), b AS (
   SELECT lang,
          round(quantile_cont(n_chars, 0.05), 6) AS _qlo,
          round(quantile_cont(n_chars, 0.95), 6) AS _qhi
-  FROM documents GROUP BY lang
+  FROM d0 GROUP BY lang
 )
 SELECT d.doc_id, d.lang, d.n_chars,
        round(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b._qlo), b._qhi), 6)
          AS clipped
-FROM documents d JOIN b USING (lang)
+FROM d0 d JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
 """,
         # diverse_topk: greedy global walk == per-group top-m then
         # global top-k; both stages plain ROW_NUMBERs over the integer

@@ -139,6 +139,46 @@ def test_mixture_order_rank_col_rejects_bad_rank(spark):
         mixture_order(df, {"a": 1}, rank_col="r").collect()
 
 
+# ------------------------------------------ quantile_clip NULL groups
+
+def test_quantile_clip_null_group_survives(spark):
+    """r10 fix: a NULL group key is a legitimate group (matching
+    groupBy / DuckDB GROUP BY) — before the eqNullSafe join those rows
+    silently vanished through the inner equi-join."""
+    from xenoeye_spark.operators.summary import quantile_clip
+
+    rows = (
+        [Row(doc_id=i, g="a", v=float(i)) for i in range(1, 11)]
+        + [Row(doc_id=100 + i, g=None, v=float(10 * i))
+           for i in range(1, 11)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+    out = quantile_clip(df, ["g"], "v", lo=0.1, hi=0.9).collect()
+    # no row lost — the NULL group is present with its own band
+    assert len(out) == len(rows)
+    nulls = sorted(
+        (r.v, r.clipped) for r in out if r.g is None
+    )
+    # NULL group's band is [p10, p90] of ITS OWN values 10..100
+    # (linear interpolation: p10 = 19.0, p90 = 91.0)
+    assert nulls[0] == (10.0, 19.0)
+    assert nulls[-1] == (100.0, 91.0)
+    # the "a" group clamps against its own 1..10 band, untouched by
+    # the NULL group's values
+    a_vals = {r.v: r.clipped for r in out if r.g == "a"}
+    assert a_vals[1.0] == 1.9 and a_vals[10.0] == 9.1
+
+
+def test_quantile_clip_reserved_bounds_key_name(spark):
+    from xenoeye_spark.operators.summary import quantile_clip
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, g="a", _qk_g="x", v=1.0)]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        quantile_clip(df, ["g"], "v")
+
+
 def test_mixture_order_rank_col_feeds_shard_writer(spark, tmp_path):
     """Full 100-TB-shaped composition: distributed per-source rank →
     interleave keys → deterministic shard writer, no window anywhere

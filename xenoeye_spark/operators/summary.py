@@ -76,12 +76,22 @@ def quantile_clip(
     bounds pass collapses to one row per group map-side, the bounds
     table is dimension-sized, and Catalyst broadcasts it back for the
     clamp join; the clamp itself is a pure projection.
+
+    NULL groups: a NULL key value is a legitimate group — the bounds
+    join is null-safe (``eqNullSafe``, r10 fix), matching groupBy's
+    own semantics (and DuckDB's GROUP BY), so NULL-keyed rows clamp
+    against their own group's band instead of silently vanishing from
+    the output through an inner equi-join.
     """
+    from functools import reduce as _reduce
+
     if not 0.0 <= lo <= hi <= 1.0:
         raise ValueError(
             f"quantile_clip: need 0 <= lo <= hi <= 1 (got {lo}, {hi})"
         )
-    reserved = {"_qlo", "_qhi", out_col} & set(df.columns)
+    bkeys = {k: f"_qk_{k}" for k in keys}
+    reserved = ({"_qlo", "_qhi", out_col} | set(bkeys.values())) \
+        & set(df.columns)
     if reserved:
         raise ValueError(
             f"quantile_clip: input columns {sorted(reserved)} collide "
@@ -92,15 +102,21 @@ def quantile_clip(
     bounds = df.groupBy(*keys).agg(
         F.round(F.expr(f"{fn}({value_col}, {lo!r}{acc})"), 6).alias("_qlo"),
         F.round(F.expr(f"{fn}({value_col}, {hi!r}{acc})"), 6).alias("_qhi"),
+    ).select(
+        *[F.col(k).alias(bk) for k, bk in bkeys.items()], "_qlo", "_qhi"
+    )
+    cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(bk)) for k, bk in bkeys.items()],
     )
     v = F.col(value_col).cast("double")
     return (
-        df.join(bounds, list(keys))
+        df.join(bounds, cond)
         .withColumn(
             out_col,
             F.round(F.least(F.greatest(v, F.col("_qlo")), F.col("_qhi")), 6),
         )
-        .drop("_qlo", "_qhi")
+        .drop("_qlo", "_qhi", *bkeys.values())
     )
 
 
