@@ -2314,7 +2314,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_WINDOW = 50
-GATE_ROUND = 9
+GATE_ROUND = 10
 
 # Per-round pins: queries forced INTO that round's window regardless of
 # the rotation offset. A pin evicts an in-window entry that the NEXT

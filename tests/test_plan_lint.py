@@ -219,40 +219,37 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r9 window (78 entries after the mid-round additions, slice
-    # [21:54)): must prove the three r6-proven entries at their cycle
-    # bound (mask_spans — displaced by the r8 swap — dedup_exact,
-    # dedup_ngram_jaccard), the r1-r4 backlog head whose last driver
-    # proof was r7, warc_ingest (swapped to the window head), and the
-    # nine r9-new queries (first round must gate)
+    # r10 wrap window (78 entries, slice [54:78)+[0:9)): must prove
+    # the twenty r7-proven entries at their 3-round cycle bound — the
+    # r1-r4 backlog tail (simhash_neardup_expr..length_quantiles,
+    # pushed out of the r9 window by the 78-entry modulus shift) plus
+    # tfidf_topterms, hash_split, substring_dedup, url_filter,
+    # decode_quarantine, star_topn. The wrap also pulls in the
+    # r8-proven tail three + dedup_minhash_lsh_expr and the pool head
+    # (count_min..decompress, r8-proven, due r11) — early re-proof,
+    # harmless.
     win_now = set(names[:DRIVER_GATE_WINDOW])
-    r6_stale = {"mask_spans", "dedup_exact", "dedup_ngram_jaccard"}
-    assert r6_stale <= win_now
-    assert {"text_stats", "warc_ingest", "diverse_topk",
-            "quantile_clip", "html_extract", "dsir_sample",
-            "mixture_interleave", "dedup_lines",
-            "hash_classify", "jsonl_ingest", "dedup_profile"} <= win_now
+    r7_stale = {"simhash_neardup_expr", "dedup_groups",
+                "stratified_sample", "asof_join", "sessionize",
+                "time_rollup", "interval_join", "gopher_quality",
+                "segment_dedup", "bm25", "vocab_topk", "kmv_distinct",
+                "contamination", "length_quantiles", "tfidf_topterms",
+                "hash_split", "substring_dedup", "url_filter",
+                "decode_quarantine", "star_topn"}
+    assert r7_stale <= win_now
+    assert {"pack_sequences", "bigram_lm", "corpus_report",
+            "dedup_minhash_lsh_expr"} <= win_now
     # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the deferred slice holds the r8-proven wrap window
-    # (pool head + the tail three + dedup_minhash_lsh_expr from the
-    # swap) plus the twenty r7-proven entries (the r1-r4 backlog
-    # tail simhash_neardup_expr..length_quantiles pushed out by the
-    # 78-entry modulus shift, plus tfidf_topterms, hash_split,
-    # substring_dedup, url_filter, decode_quarantine, star_topn)
-    # re-proving at the r10 wrap [54:78)+[0:10) — exactly the 3-round
-    # cycle bound
+    # cycle: the deferred slice [9:54) holds only r8-proven (pool
+    # indices 9..29, due r11 — the next window [9:42) covers them at
+    # exactly the bound) and r9-proven (indices 21..53, the r9
+    # window) entries
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
-    r8_proven = set(pool[:28]) | {"pack_sequences", "bigram_lm",
+    r9_proven = set(pool[21:54])
+    r8_proven = set(pool[:30]) | {"pack_sequences", "bigram_lm",
                                   "corpus_report",
                                   "dedup_minhash_lsh_expr"}
-    r7_proven_ok = {"tfidf_topterms", "hash_split", "substring_dedup",
-                    "url_filter", "decode_quarantine", "star_topn",
-                    "segment_dedup", "bm25", "vocab_topk",
-                    "kmv_distinct", "contamination", "length_quantiles",
-                    "sessionize", "time_rollup", "interval_join",
-                    "gopher_quality", "stratified_sample", "asof_join",
-                    "simhash_neardup_expr", "dedup_groups"}
-    assert overflow_now <= r8_proven | r7_proven_ok
+    assert overflow_now <= r9_proven | r8_proven
 
 
 # ------------------------------------------- pushed-predicate re-inlining
