@@ -4369,7 +4369,9 @@ FROM s WHERE pick_rank <= 100
         # html_extract: the page is rebuilt by the same concat, then
         # the same strip chain — the Java-regex/RE2-agreeing pattern
         # subset (no backrefs/lookaround) and the fixed entity decode
-        # order make every step engine-identical.
+        # order make every step engine-identical. Whitespace is the
+        # explicit [ \t\n\x0B\f\r] class on both sides (HTML_WS, r10):
+        # Java's \s includes \x0B, RE2's does not.
         "html_extract": """
 WITH pages AS (
   SELECT doc_id,
@@ -4391,27 +4393,30 @@ WITH pages AS (
   SELECT doc_id, html,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(html,
-      '(?is)<head\\b[^>]*>.*?</head\\s*>', ' ', 'g'),
-      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
-      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+      '(?is)<head\\b[^>]*>.*?</head[ \\t\\n\\x0B\\f\\r]*>', ' ', 'g'),
+      '(?is)<script\\b[^>]*>.*?</script[ \\t\\n\\x0B\\f\\r]*>', ' ', 'g'),
+      '(?is)<style\\b[^>]*>.*?</style[ \\t\\n\\x0B\\f\\r]*>', ' ', 'g'),
       '(?s)<!--.*?-->', ' ', 'g'),
       '<[^>]*>', ' ', 'g') AS raw_text,
-    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title\\s*>', 1)
+    regexp_extract(html,
+      '(?is)<title[^>]*>(.*?)</title[ \\t\\n\\x0B\\f\\r]*>', 1)
       AS raw_title
   FROM pages
 ), decoded AS (
   SELECT doc_id, html,
     trim(regexp_replace(replace(replace(replace(replace(replace(replace(
       raw_title, '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),
-      '&nbsp;',' '),'&amp;','&'), '\\s+', ' ', 'g')) AS title,
+      '&nbsp;',' '),'&amp;','&'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+      AS title,
     trim(regexp_replace(replace(replace(replace(replace(replace(replace(
       raw_text, '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),
-      '&nbsp;',' '),'&amp;','&'), '\\s+', ' ', 'g')) AS text
+      '&nbsp;',' '),'&amp;','&'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+      AS text
   FROM stripped
 )
 SELECT doc_id, title, text,
-  CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]')) AS BIGINT)
-    AS n_links,
+  CAST(len(regexp_extract_all(html, '(?i)<a[ \\t\\n\\x0B\\f\\r>]'))
+    AS BIGINT) AS n_links,
   CAST(length(html) AS BIGINT) AS html_chars,
   CAST(length(text) AS BIGINT) AS text_chars
 FROM decoded

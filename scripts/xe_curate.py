@@ -73,6 +73,28 @@ CANONICAL = [
 ]
 
 
+def warc_doc_id():
+    """doc_id = source_id * 1e6 + rec_index as a guarded Column: both
+    factors are bounded or the id is corrupt — source_id < 4294 is the
+    documented downstream bound (id-permutation domain); rec_index >=
+    1e6 would silently collide into the NEXT source's id space
+    (breaking exact_dedup's lowest-id-wins and the hash split), so it
+    raises per-row here, mirroring that documented guard."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        F.col("rec_index") >= 1_000_000,
+        F.raise_error(F.concat(
+            F.lit("warc shard exceeds 1e6 records (rec_index="),
+            F.col("rec_index").cast("string"),
+            F.lit(") — doc_id would collide; split the shard or "
+                  "raise the id stride"),
+        )).cast("long"),
+    ).otherwise(
+        F.col("source_id") * 1_000_000 + F.col("rec_index")
+    ).alias("doc_id")
+
+
 def parse_splits(spec: str) -> dict[str, float]:
     out = {}
     for part in spec.split(","):
@@ -156,8 +178,7 @@ def main(argv: list[str] | None = None) -> int:
                 & F.col("http_status").between(200, 299)
             )
             .select(
-                (F.col("source_id") * 1_000_000 + F.col("rec_index"))
-                .alias("doc_id"),
+                warc_doc_id(),
                 "source_id", "target_uri",
                 F.col("payload_text").alias("text"),
             )

@@ -139,6 +139,22 @@ def test_mixture_order_rank_col_rejects_bad_rank(spark):
         mixture_order(df, {"a": 1}, rank_col="r").collect()
 
 
+# ------------------------------------------- xe_curate warc doc_id guard
+
+def test_warc_doc_id_guard(spark):
+    """rec_index >= 1e6 would silently collide into the next source's
+    id space — the guarded expression raises per-row instead."""
+    import scripts.xe_curate as curate
+
+    ok = spark.createDataFrame(
+        [Row(source_id=3, rec_index=999_999)]
+    ).select(curate.warc_doc_id()).collect()
+    assert ok[0].doc_id == 3_999_999
+    bad = spark.createDataFrame([Row(source_id=3, rec_index=1_000_000)])
+    with pytest.raises(Exception, match="exceeds 1e6 records"):
+        bad.select(curate.warc_doc_id()).collect()
+
+
 # ------------------------------------------ quantile_clip NULL groups
 
 def test_quantile_clip_null_group_survives(spark):

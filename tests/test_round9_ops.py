@@ -26,6 +26,8 @@ def _py_extract(html: str) -> tuple[str, str, int]:
         HTML_DROP_PATTERNS, HTML_ENTITIES, HTML_LINK_RE, HTML_TITLE_RE,
     )
 
+    from xenoeye_spark.datapipe.text import HTML_WS
+
     body = html
     for pat in HTML_DROP_PATTERNS:
         body = re.sub(pat, " ", body)
@@ -35,7 +37,7 @@ def _py_extract(html: str) -> tuple[str, str, int]:
     def decode(s: str) -> str:
         for src, dst in HTML_ENTITIES:
             s = s.replace(src, dst)
-        return re.sub(r"\s+", " ", s).strip()
+        return re.sub(HTML_WS + "+", " ", s).strip(" ")
 
     return decode(title), decode(body), len(re.findall(HTML_LINK_RE, html))
 
@@ -356,13 +358,14 @@ def test_hash_nb_classifier_twin(spark):
 
 def test_html_extract_fuzz_vs_twin(spark):
     """Seeded fuzz over an adversarial tag/entity alphabet (mismatched
-    script/head closers, bare '<'/'>', quoted '>', entity prefixes):
-    Spark's Java-regex chain must agree with the python twin on every
-    page. The same 400-page corpus was cross-checked against the RE2
-    chain in DuckDB (0 divergences) when the operator landed; this
-    committed twin run keeps the Java side pinned. ASCII-only alphabet
-    by design — \\s semantics differ across engines only beyond ASCII,
-    and the oracle subset stays inside it."""
+    script/head closers, bare '<'/'>', quoted '>', entity prefixes,
+    and — r10 — a bare vertical tab \\x0B, the one ASCII char where
+    Java's \\s and RE2's \\s disagree, now safe because the chain
+    spells out the explicit [ \\t\\n\\x0B\\f\\r] class on both
+    engines): Spark's Java-regex chain must agree with the python
+    twin on every page. The same corpus was cross-checked against the
+    RE2 chain in DuckDB (0 divergences); this committed twin run
+    keeps the Java side pinned."""
     import random
 
     from xenoeye_spark.datapipe.text import extract_html_text
@@ -375,7 +378,7 @@ def test_html_extract_fuzz_vs_twin(spark):
         "<A>", "</a>", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;",
         "&nbsp;", "&amp;lt;", "word", "x y", "\n", "  ", "<", ">",
         "<br/>", '<p attr="a>b">', "\t", "z<1", "a&b", "<<>>", "</",
-        "<-", "<0>", "<p", "p>",
+        "<-", "<0>", "<p", "p>", "\x0b", "</script\x0b>", "a\x0bb",
     ]
     pages = ["".join(rng.choices(pieces, k=rng.randint(0, 40)))
              for _ in range(150)]

@@ -1014,18 +1014,23 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 # Markup-removal patterns, applied in order. The subset is chosen to
 # mean the same thing under Java regex (Spark) and RE2 (DuckDB): no
 # backreferences, no lookaround (RE2 has neither) — only (?is) flags,
-# lazy quantifiers, \b, \s and character classes, which the two
-# engines implement identically.
+# lazy quantifiers, \b and character classes, which the two engines
+# implement identically. Whitespace is ALWAYS the explicit class
+# below, never \s: Java's \s includes U+000B (vertical tab) while
+# RE2's does not, so a page containing \x0B would silently diverge
+# between Spark and the oracle (r10 fix — the class IS Java's \s,
+# spelled out so RE2 matches it too).
+HTML_WS = r"[ \t\n\x0B\f\r]"
 HTML_DROP_PATTERNS: list[str] = [
-    r"(?is)<head\b[^>]*>.*?</head\s*>",       # whole head: title/meta/
-    #   style never belong in body text (title is extracted separately)
-    r"(?is)<script\b[^>]*>.*?</script\s*>",   # code, incl. newlines
-    r"(?is)<style\b[^>]*>.*?</style\s*>",     # stylesheets (body ones)
+    rf"(?is)<head\b[^>]*>.*?</head{HTML_WS}*>",  # whole head: title/
+    #   meta/style never belong in body text (title extracted apart)
+    rf"(?is)<script\b[^>]*>.*?</script{HTML_WS}*>",  # code+newlines
+    rf"(?is)<style\b[^>]*>.*?</style{HTML_WS}*>",   # body stylesheets
     r"(?s)<!--.*?-->",                        # comments
     r"<[^>]*>",                               # every remaining tag
 ]
-HTML_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title\s*>"
-HTML_LINK_RE = r"(?i)<a[\s>]"
+HTML_TITLE_RE = rf"(?is)<title[^>]*>(.*?)</title{HTML_WS}*>"
+HTML_LINK_RE = r"(?i)<a[ \t\n\x0B\f\r>]"
 
 
 def _decode_entities(c: Column) -> Column:
@@ -1035,7 +1040,10 @@ def _decode_entities(c: Column) -> Column:
 
 
 def _collapse_ws(c: Column) -> Column:
-    return F.trim(F.regexp_replace(c, F.lit(r"\s+"), F.lit(" ")))
+    # explicit class, not \s — see the HTML_WS note above; after the
+    # collapse every run (incl. \x0B) is a plain space, so the
+    # space-only trim agrees across engines too
+    return F.trim(F.regexp_replace(c, F.lit(HTML_WS + "+"), F.lit(" ")))
 
 
 def extract_html_text(
