@@ -139,6 +139,57 @@ def test_mixture_order_rank_col_rejects_bad_rank(spark):
         mixture_order(df, {"a": 1}, rank_col="r").collect()
 
 
+# ----------------------------------- fit/apply hash-consistency guards
+
+def test_dsir_ratio_provenance_guard(spark):
+    """r10: a saved ratio table stamps hash_fn/n_buckets; re-applying
+    with mismatched kernel settings raises instead of silently
+    mis-bucketing. Legacy tables without the columns still apply."""
+    from xenoeye_spark.datapipe.sampling import dsir_fit, dsir_weights
+
+    raw = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame([(9, "beta gamma")],
+                                "doc_id long, text string")
+    ratio = dsir_fit(raw, tgt, n_buckets=32)
+    assert {"hash_fn", "n_buckets"} <= set(ratio.columns)
+    with pytest.raises(Exception, match="hash_fn"):
+        dsir_weights(raw, ratio=ratio, n_buckets=32,
+                     hash_fn="xxhash64").collect()
+    with pytest.raises(Exception, match="n_buckets"):
+        dsir_weights(raw, ratio=ratio, n_buckets=64).collect()
+    # legacy shape (no provenance columns) passes unguarded
+    legacy = ratio.select("bucket", "lr")
+    ok = dsir_weights(raw, ratio=legacy, n_buckets=32).collect()
+    want = dsir_weights(raw, ratio=ratio, n_buckets=32).collect()
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(ok, key=key) == sorted(want, key=key)
+
+
+def test_classifier_provenance_guard(spark):
+    from xenoeye_spark.datapipe.ranking import (
+        hash_linear_classify, hash_nb_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "spark shuffle join", "tech"),
+         (1, "violin sonata tempo", "music")],
+        "doc_id long, text string, lang string",
+    )
+    model = hash_nb_fit(df, "lang", n_buckets=64, hash_fn="xxhash64")
+    assert {"hash_fn", "n_buckets"} <= set(model.columns)
+    with pytest.raises(Exception, match="hash_fn"):
+        hash_linear_classify(df, model, n_buckets=64).collect()
+    with pytest.raises(Exception, match="n_buckets"):
+        hash_linear_classify(df, model, n_buckets=32,
+                             hash_fn="xxhash64").collect()
+    ok = hash_linear_classify(df, model, n_buckets=64,
+                              hash_fn="xxhash64").collect()
+    assert {r.doc_id: r.label for r in ok} == {0: "tech", 1: "music"}
+
+
 # ------------------------------------------- xe_curate warc doc_id guard
 
 def test_warc_doc_id_guard(spark):

@@ -742,7 +742,10 @@ def hash_nb_fit(
 
     Returns the TOTAL (L x n_buckets)-row model (label, bucket,
     w_micro, bias_micro): unseen buckets carry the smoothed floor —
-    NB's unseen-feature penalty is load-bearing, never zero.
+    NB's unseen-feature penalty is load-bearing, never zero. The
+    model carries its provenance (``hash_fn``, ``n_buckets`` columns,
+    r10) so classifying with mismatched kernel settings raises
+    instead of silently mis-bucketing.
 
     Scale shape: ONE gram pass over the corpus into (label, bucket)
     counts (map-side combine bounds the shuffle at O(L x B x
@@ -802,6 +805,8 @@ def hash_nb_fit(
                     / (F.col("n_total") + F.col("n_labels"))
                 )
             ).cast("long").alias("bias_micro"),
+            F.lit(hash_fn).alias("hash_fn"),
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
         )
     )
 
@@ -837,7 +842,9 @@ def hash_linear_classify(
     (id, label), then the argmax as a min(struct) aggregate — combiner
     -friendly, never a per-doc window shuffle.
     """
-    from xenoeye_spark.datapipe.sampling import _gram_bucket_occurrences
+    from xenoeye_spark.datapipe.sampling import (
+        _gram_bucket_occurrences, _guard_kernel_provenance,
+    )
 
     need = {"label", "bucket", "w_micro", "bias_micro"}
     missing = need - set(model.columns)
@@ -847,6 +854,12 @@ def hash_linear_classify(
             " — expected hash_nb_fit's (label, bucket, w_micro, "
             "bias_micro) shape"
         )
+    # fit/apply hash-consistency guard (r10): a saved model fitted
+    # with different hash_fn/n_buckets raises instead of silently
+    # scoring against the wrong buckets
+    model = _guard_kernel_provenance(
+        model, "w_micro", hash_fn, n_buckets, "hash_linear_classify"
+    ).select("label", "bucket", "w_micro", "bias_micro")
     doc_counts = (
         _gram_bucket_occurrences(docs, text_col, id_col, n_buckets,
                                  hash_fn)

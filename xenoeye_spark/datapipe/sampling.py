@@ -633,7 +633,10 @@ def dsir_fit(
     smoothing (p_b = (count_b + 1) / (total + B)); buckets unseen in
     either corpus get the smoothed-floor ratio, so the table is total
     over the feature space and can be saved and re-applied to any
-    later batch (the published fit-once / apply-many shape).
+    later batch (the published fit-once / apply-many shape). The table
+    carries its provenance (``hash_fn``, ``n_buckets`` columns, r10)
+    so a later apply with mismatched kernel settings raises instead of
+    silently mis-bucketing.
 
     Scale shape: each corpus is scanned ONCE — a narrow JVM gram
     projection feeding a bucket-keyed count whose map-side combine
@@ -684,7 +687,44 @@ def dsir_fit(
                 / ((F.col("rb") + F.lit(1.0)) / (F.col("rtot") + b))
             )
         ).cast("long").alias("lr"),
+        F.lit(hash_fn).alias("hash_fn"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
     )
+
+
+def _guard_kernel_provenance(
+    table: DataFrame, value_col: str, hash_fn: str, n_buckets: int,
+    who: str,
+) -> DataFrame:
+    """Fit/apply hash-consistency guard (r10): when a saved fit table
+    carries provenance columns (hash_fn / n_buckets — dsir_fit and
+    hash_nb_fit stamp both), an apply with different kernel settings
+    raises per-row instead of silently mis-bucketing; the check rides
+    the existing ``value_col`` projection (lazy, no extra action) and
+    the provenance columns are dropped after. Pre-r10 tables without
+    the columns pass unguarded (documented legacy shape)."""
+    checks = []
+    if "hash_fn" in table.columns:
+        checks.append(
+            (F.col("hash_fn") != F.lit(hash_fn),
+             F.concat(F.lit(f"{who}: table was fitted with hash_fn="),
+                      F.col("hash_fn"),
+                      F.lit(f" but apply uses {hash_fn!r} — grams "
+                            "would land in different buckets")))
+        )
+    if "n_buckets" in table.columns:
+        checks.append(
+            (F.col("n_buckets") != F.lit(n_buckets),
+             F.concat(F.lit(f"{who}: table was fitted with n_buckets="),
+                      F.col("n_buckets").cast("string"),
+                      F.lit(f" but apply uses {n_buckets}")))
+        )
+    guarded = F.col(value_col)
+    for cond, msg in reversed(checks):
+        guarded = F.when(cond, F.raise_error(msg).cast("long")) \
+            .otherwise(guarded)
+    return table.withColumn(value_col, guarded) \
+        .drop("hash_fn", "n_buckets")
 
 
 def dsir_weights(
@@ -737,11 +777,13 @@ def dsir_weights(
         raise ValueError(
             f"dsir_weights: n_buckets must be in [2, 1e6], got {n_buckets}"
         )
-    # NOTE: a saved ratio= table must come from a fit with the SAME
+    # A saved ratio= table must come from a fit with the SAME
     # n_buckets AND hash_fn — the apply hashes grams here, and a
-    # mismatched table silently mis-buckets (narrower: drops at the
-    # inner join). hash_fn="xxhash64" is the ~4x-faster production
-    # kernel; "poly" (default) is the oracle-exact family.
+    # mismatched table silently mis-buckets. dsir_fit stamps both as
+    # provenance columns (r10) and the guard below raises on
+    # mismatch; pre-r10 tables without the columns pass unguarded.
+    # hash_fn="xxhash64" is the ~4x-faster production kernel; "poly"
+    # (default) is the oracle-exact family (DEPLOY.md).
     if ratio is None:
         ratio = dsir_fit(raw, target, text_col, n_buckets, hash_fn)
     else:
@@ -751,6 +793,9 @@ def dsir_weights(
                 f"dsir_weights: ratio= lacks columns {sorted(missing)}"
                 " — expected dsir_fit's (bucket, lr) shape"
             )
+    ratio = _guard_kernel_provenance(
+        ratio, "lr", hash_fn, n_buckets, "dsir_weights"
+    )
     doc_counts = (
         _gram_bucket_occurrences(raw, text_col, id_col, n_buckets, hash_fn)
         .groupBy(id_col, "bucket")
