@@ -39,6 +39,16 @@ gate / oracle suite):
                   intra-page boilerplate rule; blank separators stay)
   exact_dedup   — keep each exact text's lowest-id copy
   quality       — Gopher-style rules + composite score cut
+  classify      — learned quality filter: score every doc under a
+                  hashed linear model (hash_linear_classify, xxhash64
+                  production kernel) and keep docs whose argmax label
+                  is in --classifier-keep; the model is loaded from
+                  --classifier-model when that path exists, else
+                  fitted (hash_nb_fit) on --classifier-target's
+                  labeled documents.parquet and saved to
+                  --classifier-model for reuse. Empty docs carry no
+                  gram evidence and are dropped (the classifier
+                  contract)
   neardup       — MinHash-LSH candidates -> exact-Jaccard verify ->
                   connected duplicate classes -> keep one per class
   substr_dedup  — excise every repeated --substr-len-char window from
@@ -68,8 +78,8 @@ sys.path.insert(0, "/root/repo")
 
 CANONICAL = [
     "warc", "jsonl", "decompress", "html", "lines", "exact_dedup",
-    "quality", "neardup", "substr_dedup", "decontaminate", "dsir",
-    "split",
+    "quality", "classify", "neardup", "substr_dedup", "decontaminate",
+    "dsir", "split",
 ]
 
 
@@ -116,6 +126,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--threshold", type=float, default=0.7,
                     help="near-dup Jaccard threshold")
     ap.add_argument("--quality-min", type=float, default=0.3)
+    ap.add_argument("--classifier-target", default=None,
+                    help="labeled corpus dir (documents.parquet with "
+                         "--classifier-label) to fit the classify "
+                         "step's model on")
+    ap.add_argument("--classifier-label", default="lang",
+                    help="label column in --classifier-target")
+    ap.add_argument("--classifier-model", default=None,
+                    help="model parquet path: loaded when it exists, "
+                         "else the freshly fitted model is saved there "
+                         "for reuse")
+    ap.add_argument("--classifier-keep", default=None,
+                    help="comma-separated argmax labels the classify "
+                         "step keeps")
     ap.add_argument("--substr-len", type=int, default=32,
                     help="window length for the substr_dedup stage")
     ap.add_argument("--jsonl-schema",
@@ -144,6 +167,14 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit("decontaminate requires --eval-input")
     if "dsir" in steps and not (args.dsir_target and args.dsir_keep):
         raise SystemExit("dsir requires --dsir-target and --dsir-keep")
+    if "classify" in steps:
+        if not args.classifier_keep:
+            raise SystemExit("classify requires --classifier-keep")
+        if not (args.classifier_model or args.classifier_target):
+            raise SystemExit(
+                "classify requires --classifier-model (saved) or "
+                "--classifier-target (fit)"
+            )
     if "warc" in steps and "jsonl" in steps:
         raise SystemExit("warc and jsonl are alternative ingests — pick one")
 
@@ -246,6 +277,41 @@ def main(argv: list[str] | None = None) -> int:
         )
         counts["quality"] = last = docs.count()
 
+    if "classify" in steps:
+        import os
+
+        from xenoeye_spark.datapipe.ranking import (
+            hash_linear_classify, hash_nb_fit,
+        )
+
+        # xxhash64 is the production kernel (DEPLOY.md rule); the fit
+        # tables carry hash_fn/n_buckets provenance, so a saved model
+        # fitted with other settings raises instead of mis-scoring
+        model = None
+        if args.classifier_model and os.path.exists(args.classifier_model):
+            model = spark.read.parquet(args.classifier_model)
+        if model is None:
+            lab = spark.read.parquet(
+                f"{args.classifier_target}/documents.parquet"
+            )
+            model = hash_nb_fit(
+                lab, args.classifier_label, hash_fn="xxhash64"
+            )
+            if args.classifier_model:
+                model.write.mode("overwrite").parquet(
+                    args.classifier_model
+                )
+                model = spark.read.parquet(args.classifier_model)
+        allow = [s.strip() for s in args.classifier_keep.split(",")
+                 if s.strip()]
+        keep = (
+            hash_linear_classify(docs, model, hash_fn="xxhash64")
+            .filter(F.col("label").isin(allow))
+            .select("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+        counts["classify"] = last = docs.count()
+
     if "neardup" in steps:
         from xenoeye_spark.datapipe.dedup import (
             lsh_candidate_pairs, minhash_signatures_expr,
@@ -295,7 +361,10 @@ def main(argv: list[str] | None = None) -> int:
 
         tgt = spark.read.parquet(f"{args.dsir_target}/documents.parquet")
         keep = (
-            dsir_weights(docs, tgt)
+            # xxhash64: the production gram kernel (DEPLOY.md rule);
+            # fit and apply run inline here so they agree by
+            # construction
+            dsir_weights(docs, tgt, hash_fn="xxhash64")
             .orderBy(F.col("logw_micro").desc(), F.col("doc_id").asc())
             .limit(args.dsir_keep)
             .select("doc_id")

@@ -265,3 +265,71 @@ def test_curate_warc_step(spark, tmp_path):
     with pytest.raises(SystemExit, match="alternative ingests"):
         main(["--input", str(src), "--output", str(out),
               "--steps", "warc,jsonl"])
+
+
+def test_curate_classify_step_fit_and_save(spark, tmp_path, capsys):
+    """r10: the learned quality filter as a CLI step — fit on a
+    labeled corpus (here: the corpus itself, lang labels), save the
+    model, keep only argmax-en docs; counts stay monotone."""
+    out = tmp_path / "c_clf"
+    model_path = str(tmp_path / "clf_model.parquet")
+    rc = main([
+        "--input", SF_DIR, "--output", str(out),
+        "--steps", "quality,classify",
+        "--classifier-target", SF_DIR,
+        "--classifier-model", model_path,
+        "--classifier-keep", "en",
+        "--report",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = rep["counts"]
+    assert c["input"] >= c["quality"] >= c["classify"] == c["output"]
+    assert 0 < c["classify"] < c["quality"]   # a real cut, not a no-op
+    kept = spark.read.parquet(str(out / "documents.parquet"))
+    assert kept.count() == c["classify"]
+    # the model was persisted with its kernel provenance (xxhash64 —
+    # the DEPLOY.md production rule the CLI hard-codes)
+    model = spark.read.parquet(model_path)
+    assert {"label", "bucket", "w_micro", "bias_micro",
+            "hash_fn", "n_buckets"} <= set(model.columns)
+    provs = model.select("hash_fn", "n_buckets").distinct().collect()
+    assert [(r.hash_fn, r.n_buckets) for r in provs] == [("xxhash64", 1024)]
+
+
+def test_curate_classify_step_saved_model_reuse(spark, tmp_path, capsys):
+    """The fit-once/apply-many split through the CLI: a second run
+    loads the saved model (no --classifier-target) and keeps exactly
+    the same documents."""
+    model_path = str(tmp_path / "clf_model.parquet")
+    out1, out2 = tmp_path / "r1", tmp_path / "r2"
+    rc = main([
+        "--input", SF_DIR, "--output", str(out1),
+        "--steps", "classify",
+        "--classifier-target", SF_DIR,
+        "--classifier-model", model_path,
+        "--classifier-keep", "en,fr",
+    ])
+    assert rc == 0
+    rc = main([
+        "--input", SF_DIR, "--output", str(out2),
+        "--steps", "classify",
+        "--classifier-model", model_path,
+        "--classifier-keep", "en,fr",
+    ])
+    assert rc == 0
+    ids = lambda p: sorted(  # noqa: E731
+        r.doc_id for r in
+        spark.read.parquet(str(p / "documents.parquet")).collect()
+    )
+    got1, got2 = ids(out1), ids(out2)
+    assert got1 == got2 and len(got1) > 0
+
+
+def test_curate_classify_argv_errors():
+    with pytest.raises(SystemExit, match="classifier-keep"):
+        main(["--input", SF_DIR, "--output", "/tmp/x",
+              "--steps", "classify"])
+    with pytest.raises(SystemExit, match="classifier-model"):
+        main(["--input", SF_DIR, "--output", "/tmp/x",
+              "--steps", "classify", "--classifier-keep", "en"])
