@@ -606,10 +606,15 @@ def test_bench_final_line_fits_driver_capture():
         "mavg_note": "n=50000000 keys=500000 buckets=64 median of 6",
         "noisy": False,
     }
-    line = build_final_line(timings, 99999.9, 6, "0.1", "subprocess", probe)
+    # r10: the spread-flagged names ride the line — budget must hold
+    # with three worst-case-length names present
+    flagged = sorted(names, key=len, reverse=True)[:3]
+    line = build_final_line(timings, 99999.9, 6, "0.1", "subprocess",
+                            probe, flagged)
     assert len(line.encode()) <= FINAL_LINE_MAX_BYTES
     parsed = json.loads(line)
     assert parsed["metric"] == "total_query_wall_sec"
+    assert parsed["noisy_queries"] == flagged
     shown = {k for k in parsed["queries"] if not k.startswith("_")}
     assert shown <= set(names)
     # the top-cost queries are all on the line
@@ -617,10 +622,17 @@ def test_bench_final_line_fits_driver_capture():
     assert set(by_cost[:20]) <= shown
     if shown != set(names):
         assert "_omitted" in parsed["queries"]
+    # legacy call shape (no flag list) still renders without the field
+    legacy = json.loads(
+        build_final_line(timings, 99999.9, 6, "0.1", "subprocess", probe)
+    )
+    assert "noisy_queries" not in legacy
 
     # the overflow path degrades to a parseable headline, never truncates
     fat = {f"query_with_a_long_name_{i}": 9999.99 for i in range(400)}
-    line2 = build_final_line(fat, 1.0, 3, "0.1", "inline", probe)
+    line2 = build_final_line(fat, 1.0, 3, "0.1", "inline", probe,
+                             [f"query_with_a_long_name_{i}" for i in
+                              range(3)])
     assert len(line2.encode()) <= FINAL_LINE_MAX_BYTES
     assert json.loads(line2)["value"] == 1.0
 
