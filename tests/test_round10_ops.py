@@ -106,6 +106,27 @@ def test_mixture_order_rank_col_custom_name(spark):
         [(r.doc_id, r.src_rank, r.interleave_key) for r in want]
 
 
+def test_mixture_order_rank_col_plan_has_no_window(spark):
+    """The escape hatch's point is the PLAN: with a caller rank there
+    must be no Window operator anywhere (source_rank itself is range
+    exchange + mapInPandas, also window-free)."""
+    from xenoeye_spark.datapipe.sampling import mixture_order, source_rank
+
+    df = spark.createDataFrame(_mix_rows(40))
+    plan = (
+        mixture_order(source_rank(df), {"a": 2, "b": 1},
+                      rank_col="src_rank")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    # and the window path (the tens-of-sources default) does use one
+    plan_w = (
+        mixture_order(df, {"a": 2, "b": 1})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan_w
+
+
 def test_mixture_order_rank_col_validation(spark):
     from xenoeye_spark.datapipe.sampling import mixture_order
 
