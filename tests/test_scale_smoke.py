@@ -734,3 +734,41 @@ def test_mavg_bucketed_high_cardinality(spark):
     assert events[0]["threshold"] == pytest.approx(0.05)
     print(f"\nmavg 120k keys first-touch, 64 buckets: {dt:.1f}s "
           f"({120_000/dt:,.0f} keys/s on local[4])")
+
+
+def test_source_rank_5m_rows_dominant_source(spark):
+    """r10: the mixture_order escape hatch at the scale that motivates
+    it — one source holds ~90% of 5M rows. The per-source window path
+    would funnel 4.5M rows through ONE reducer; source_rank spreads
+    them across the range exchange. Asserts rank density per source
+    (max == count, min == 1, sum == n*(n+1)/2 — a full-density proof
+    without collecting rows) and a valid interleave composition."""
+    from xenoeye_spark.datapipe.sampling import mixture_order, source_rank
+
+    n = 5_000_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("big"))
+        .otherwise(F.lit("small")).alias("source"),
+    )
+    ranked = mixture_order(
+        source_rank(df), {"big": 3, "small": 1}, rank_col="src_rank"
+    )
+    stats = {
+        r["source"]: r
+        for r in ranked.groupBy("source").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("src_rank").alias("lo"),
+            F.max("src_rank").alias("hi"),
+            F.sum("src_rank").alias("s"),
+            F.max("interleave_key").alias("max_key"),
+        ).collect()
+    }
+    for src, cnt in (("big", int(n * 0.9)), ("small", n - int(n * 0.9))):
+        r = stats[src]
+        assert r["cnt"] == cnt and r["lo"] == 1 and r["hi"] == cnt
+        assert r["s"] == cnt * (cnt + 1) // 2          # dense, no gaps
+    # interleave keys follow the weights: the last big doc sits at
+    # (2*cnt-1)*(lcm/3), the last small at (2*cnt-1)*(lcm/1)
+    assert stats["big"]["max_key"] == (2 * stats["big"]["cnt"] - 1) * 1
+    assert stats["small"]["max_key"] == (2 * stats["small"]["cnt"] - 1) * 3
