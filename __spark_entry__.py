@@ -1738,6 +1738,49 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "text", "source_id", "is_malformed")
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL deduplication (r10): each doc gets a synthetic URL whose
+    page identity is (doc_id%5 site, doc_id%97 page) and whose SURFACE
+    varies by doc_id%6 — uppercase www host + :443 + trailing slash,
+    utm params, userinfo, a fragment, unsorted query + fbclid, and a
+    reordered query with a trailing slash before '?'. Variants 0-3
+    canonicalize to one key, 4-5 (they carry real params) to another;
+    doc_id%31==0 docs have NULL URLs and must be absent. The whole
+    canonical chain (scheme/fragment/userinfo/www/default-port strip,
+    '?'->'&' fold, tracking filter, param sort, trailing-slash drop)
+    re-derives in SQL."""
+    from xenoeye_spark.datapipe.dedup import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = (d % 5).cast("string")
+    p = (d % 97).cast("string")
+    url = (
+        F.when(d % 31 == 0, F.lit(None).cast("string"))
+        .when(d % 6 == 0, F.concat(
+            F.lit("https://WWW.Site"), s, F.lit(".COM:443/p/"), p,
+            F.lit("/")))
+        .when(d % 6 == 1, F.concat(
+            F.lit("http://site"), s, F.lit(".com/p/"), p,
+            F.lit("?utm_source=feed&utm_campaign=c"),
+            (d % 3).cast("string")))
+        .when(d % 6 == 2, F.concat(
+            F.lit("https://u"), (d % 4).cast("string"),
+            F.lit(":pw@Site"), s, F.lit(".com/p/"), p))
+        .when(d % 6 == 3, F.concat(
+            F.lit("http://site"), s, F.lit(".com/p/"), p,
+            F.lit("#sec-"), (d % 9).cast("string")))
+        .when(d % 6 == 4, F.concat(
+            F.lit("https://site"), s, F.lit(".com/p/"), p,
+            F.lit("?b="), p, F.lit("&a="), s,
+            F.lit("&fbclid=f"), d.cast("string")))
+        .otherwise(F.concat(
+            F.lit("http://site"), s, F.lit(".com/p/"), p,
+            F.lit("/?a="), s, F.lit("&b="), p))
+    )
+    return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
 def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication profile (r9): every doc_id%5==0 text re-enters the
     corpus once more (and %15==0 twice more), so the exact-dup
@@ -2402,6 +2445,15 @@ GATE_POOL = [
     "decode_quarantine", "star_topn",
     # --- tail: joins the r8 window via the rotation wrap ---
     "pack_sequences", "bigram_lm", "corpus_report",
+    # --- r10 layout note (mid-round growth): url_dedup (NEW r10)
+    # appends at the END — 79 entries, offset (4*33)%79 = 53, window
+    # = [53:79)+[0:7): the new entry gates in its first round per the
+    # contract, the twenty r7-proven backlog entries (54..74) stay
+    # in-window at their cycle bound, simhash_expr (53, r9-proven) is
+    # pulled in early (harmless), and video_decode/decompress (7, 8 —
+    # r8-proven) defer to the r11 window [7:40) at exactly the 3-round
+    # bound. ---
+    "url_dedup",
 ]
 
 GATE_ROWS_ONLY = [
@@ -2539,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_classify": q_hash_classify,
         "jsonl_ingest": q_jsonl_ingest,
         "dedup_profile": q_dedup_profile,
+        "url_dedup": q_url_dedup,
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
@@ -4574,6 +4627,80 @@ SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR),
        CAST(doc_id % 40 AS BIGINT), TRUE
 FROM documents WHERE doc_id % 13 = 7
+""",
+        # url_dedup (r10): the synthetic URL surfaces are rebuilt by
+        # the same CASE, then the same canonical chain — the anchored
+        # regex subset is Java/RE2-identical, '?' folds to '&' with a
+        # plain replace, the query tokenizes/filters/sorts with list
+        # functions matching Spark's higher-order array expressions
+        # (binary string order on ASCII params in both engines).
+        "url_dedup": """
+WITH urls AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 31 = 0 THEN NULL
+      WHEN doc_id % 6 = 0 THEN 'https://WWW.Site' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.COM:443/p/' ||
+        CAST(doc_id % 97 AS VARCHAR) || '/'
+      WHEN doc_id % 6 = 1 THEN 'http://site' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
+        CAST(doc_id % 97 AS VARCHAR) ||
+        '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+      WHEN doc_id % 6 = 2 THEN 'https://u' ||
+        CAST(doc_id % 4 AS VARCHAR) || ':pw@Site' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
+        CAST(doc_id % 97 AS VARCHAR)
+      WHEN doc_id % 6 = 3 THEN 'http://site' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
+        CAST(doc_id % 97 AS VARCHAR) || '#sec-' ||
+        CAST(doc_id % 9 AS VARCHAR)
+      WHEN doc_id % 6 = 4 THEN 'https://site' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
+        CAST(doc_id % 97 AS VARCHAR) || '?b=' ||
+        CAST(doc_id % 97 AS VARCHAR) || '&a=' ||
+        CAST(doc_id % 5 AS VARCHAR) || '&fbclid=f' ||
+        CAST(doc_id AS VARCHAR)
+      ELSE 'http://site' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
+        CAST(doc_id % 97 AS VARCHAR) || '/?a=' ||
+        CAST(doc_id % 5 AS VARCHAR) || '&b=' ||
+        CAST(doc_id % 97 AS VARCHAR)
+    END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS u
+  FROM urls WHERE url IS NOT NULL
+), split1 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(
+      lower(regexp_replace(regexp_extract(u, '^([^/]*)', 1),
+                           '^[^@]*@', '')),
+      '^www\\.', ''), ':(80|443)$', '') AS auth,
+    replace(regexp_replace(u, '^[^/]*', ''), '?', '&') AS folded
+  FROM parts
+), split2 AS (
+  SELECT doc_id, auth,
+    regexp_replace(regexp_extract(folded, '^([^&]*)', 1), '/+$', '')
+      AS path,
+    list_sort(list_filter(
+      string_split(regexp_replace(folded, '^[^&]*', ''), '&'),
+      x -> x <> '' AND NOT regexp_matches(
+        x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')
+    )) AS params
+  FROM split1
+), canon AS (
+  SELECT doc_id,
+    auth || path ||
+    CASE WHEN len(params) > 0
+         THEN '&' || array_to_string(params, '&') ELSE '' END AS k
+  FROM split2
+)
+SELECT k AS canon_url,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM canon WHERE k <> '' GROUP BY k
 """,
         # dedup_profile: same planted union, same md5 classes, same
         # count-of-counts — assumption-free about natural duplication.

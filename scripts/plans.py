@@ -133,6 +133,10 @@ NOTES = {
     "(partial rank-limit BEFORE each exchange); the global cut is "
     "TakeOrderedAndProject (per-partition heaps, no global sort); the "
     "rank window runs over the k survivors only.",
+    "url_dedup": "canonicalization is one narrow JVM string/array "
+    "projection; the dedup is exact_dedup's shape on the canonical "
+    "key — ONE map-side-combined shuffle, no window, nothing "
+    "all-pairs.",
     "quantile_clip": "bounds collapse to one row per group (exact "
     "percentile buffers bounded groups; approx_percentile is the "
     "100-TB path behind the same API); the dimension-sized bounds "

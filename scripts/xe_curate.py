@@ -26,6 +26,13 @@ gate / oracle suite):
                   (.jsonl / .jsonl.gz): parse every line into typed
                   doc rows per --jsonl-schema, count and drop the
                   quarantined malformed lines
+  url_dedup     — keep the lowest-id doc per CANONICAL URL
+                  (datapipe.dedup.url_dedup over target_uri/url —
+                  scheme/fragment/userinfo/www/default-port stripped,
+                  tracking params dropped, query params sorted;
+                  RefinedWeb's first dedup stage, before any text
+                  work). Docs with NULL/empty URLs carry no
+                  provenance and are dropped
   decompress    — gzip/zlib binary ``content`` column -> text
                   (datapipe.text.decompress_text); no-op when the
                   input already has a text column
@@ -77,9 +84,9 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 CANONICAL = [
-    "warc", "jsonl", "decompress", "html", "lines", "exact_dedup",
-    "quality", "classify", "neardup", "substr_dedup", "decontaminate",
-    "dsir", "split",
+    "warc", "jsonl", "url_dedup", "decompress", "html", "lines",
+    "exact_dedup", "quality", "classify", "neardup", "substr_dedup",
+    "decontaminate", "dsir", "split",
 ]
 
 
@@ -230,6 +237,21 @@ def main(argv: list[str] | None = None) -> int:
         counts["jsonl_malformed"] = parsed.filter("is_malformed").count()
         docs = parsed.filter(~F.col("is_malformed")).drop("is_malformed")
         counts["jsonl"] = last = docs.count()
+
+    if "url_dedup" in steps:
+        from xenoeye_spark.datapipe.dedup import url_dedup
+
+        ucol = ("target_uri" if "target_uri" in docs.columns
+                else "url" if "url" in docs.columns else None)
+        if ucol is None:
+            raise SystemExit(
+                "url_dedup step needs a target_uri or url column"
+            )
+        keep = url_dedup(docs, url_col=ucol).select(
+            F.col("keep_id").alias("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+        counts["url_dedup"] = last = docs.count()
 
     if "decompress" in steps and "content" in docs.columns:
         from xenoeye_spark.datapipe.text import decompress_text

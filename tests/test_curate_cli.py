@@ -333,3 +333,44 @@ def test_curate_classify_argv_errors():
     with pytest.raises(SystemExit, match="classifier-model"):
         main(["--input", SF_DIR, "--output", "/tmp/x",
               "--steps", "classify", "--classifier-keep", "en"])
+
+
+def test_curate_url_dedup_step(spark, tmp_path):
+    """r10: warc ingest -> URL dedup — a re-crawl of the same page
+    under a different URL SURFACE (www + trailing slash + utm params)
+    keeps only the first-seen doc; the URL-less input errors loudly."""
+    from xenoeye_spark.datapipe.warc import encode_warc, http_response_bytes
+
+    def shard(pages):
+        recs = [({"WARC-Type": "warcinfo"}, b"software: xe\r\n")]
+        for uri, body in pages:
+            recs.append((
+                {"WARC-Type": "response", "WARC-Target-URI": uri},
+                http_response_bytes(body.encode(), status=200),
+            ))
+        return bytearray(encode_warc(recs, per_record_gzip=False))
+
+    s0 = shard([("http://site.com/a", "first crawl"),
+                ("https://other.org/b?z=1&a=2", "page b")])
+    s1 = shard([("https://WWW.Site.COM/a/?utm_source=x", "re-crawl"),
+                ("http://other.org/b?a=2&z=1", "page b again")])
+    src = tmp_path / "warcsrc2"
+    spark.createDataFrame(
+        [(0, s0), (1, s1)], "source_id long, content binary"
+    ).write.parquet(str(src / "documents.parquet"))
+
+    out = tmp_path / "curated_urldedup"
+    rc = main([
+        "--input", str(src), "--output", str(out),
+        "--steps", "warc,url_dedup",
+    ])
+    assert rc == 0
+    got = {r.doc_id: r.target_uri for r in
+           spark.read.parquet(str(out / "documents.parquet")).collect()}
+    # shard 0's two pages survive; shard 1's are canonical re-crawls
+    assert got == {1: "http://site.com/a",
+                   2: "https://other.org/b?z=1&a=2"}
+
+    with pytest.raises(SystemExit, match="target_uri or url"):
+        main(["--input", SF_DIR, "--output", str(out),
+              "--steps", "url_dedup"])

@@ -160,6 +160,99 @@ def test_mixture_order_rank_col_rejects_bad_rank(spark):
         mixture_order(df, {"a": 1}, rank_col="r").collect()
 
 
+# ----------------------------------------------------------- url_dedup
+
+def _py_canonical_url(u: str) -> str | None:
+    """Literal python twin of canonical_url_expr (same regex subset —
+    Python re, Java regex and RE2 agree on it)."""
+    import re
+
+    from xenoeye_spark.datapipe.dedup import URL_TRACKING_RE
+
+    u = u.strip()
+    u = re.sub(r"#.*$", "", u)
+    u = re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", u)
+    m = re.match(r"^([^/]*)", u)
+    auth, rest = m.group(1), u[m.end():]
+    auth = re.sub(r"^[^@]*@", "", auth).lower()
+    auth = re.sub(r"^www\.", "", auth)
+    auth = re.sub(r":(80|443)$", "", auth)
+    folded = rest.replace("?", "&")
+    path, _, params_s = folded.partition("&")
+    path = re.sub(r"/+$", "", path)
+    params = sorted(
+        p for p in params_s.split("&")
+        if p != "" and not re.match(URL_TRACKING_RE, p)
+    )
+    key = auth + path + ("&" + "&".join(params) if params else "")
+    return key or None
+
+
+URL_CASES = [
+    "https://WWW.Example.COM:443/a/b/",
+    "http://example.com/a/b",
+    "https://u:p@example.com:443/a/b/?utm_source=x&utm_campaign=1",
+    "http://example.com/a/b?fbclid=abc#frag",
+    "example.com/a/b",                        # scheme-less
+    "https://example.com/a/b?z=2&a=1",        # param order
+    "http://example.com/a/b?a=1&z=2&gclid=9",
+    "HTTPS://example.com",                    # bare host
+    "http://www.example.com/",
+    "ftp://Files.Example.org:21/pub/",        # non-default port kept
+    "https://example.com/CaseSensitive/Path", # path case kept
+    "http://example.com/p?",                  # empty query
+    "  http://example.com/sp  ",              # surrounding ws
+    "https://example.com/%7Euser",            # pct-encoding NOT normalized
+    "https://example.com/~user",
+    "http://a.example.com/x?utm_medium=&q=1&utm_x=2",
+    "",
+    "   ",
+]
+
+
+def test_canonical_url_expr_matches_twin(spark):
+    from xenoeye_spark.datapipe.dedup import canonical_url_expr
+
+    df = spark.createDataFrame(
+        list(enumerate(URL_CASES)), "i long, url string"
+    )
+    got = {r.i: r.k
+           for r in df.select("i", canonical_url_expr("url").alias("k"))
+           .collect()}
+    for i, u in enumerate(URL_CASES):
+        assert got[i] == _py_canonical_url(u), f"case {i}: {u!r}"
+    # the canonical classes the recipe promises
+    k = _py_canonical_url
+    assert k(URL_CASES[0]) == k(URL_CASES[1]) == k(URL_CASES[2]) \
+        == k(URL_CASES[3]) == k(URL_CASES[4]) == "example.com/a/b"
+    assert k(URL_CASES[5]) == k(URL_CASES[6]) == "example.com/a/b&a=1&z=2"
+    assert k(URL_CASES[7]) == k(URL_CASES[8]) == "example.com"
+    assert k(URL_CASES[9]) == "files.example.org:21/pub"
+    assert k(URL_CASES[13]) != k(URL_CASES[14])     # documented boundary
+    assert k(URL_CASES[15]) == "a.example.com/x&q=1"
+    assert k(URL_CASES[16]) is None and k(URL_CASES[17]) is None
+
+
+def test_url_dedup_groups_and_drops_nulls(spark):
+    from xenoeye_spark.datapipe.dedup import url_dedup
+
+    rows = [
+        Row(doc_id=1, url="https://WWW.Example.COM/a/"),
+        Row(doc_id=2, url="http://example.com/a?utm_source=x"),
+        Row(doc_id=3, url="example.com/a"),
+        Row(doc_id=4, url="https://other.org/b?x=1&a=2"),
+        Row(doc_id=5, url="https://other.org/b?a=2&x=1"),
+        Row(doc_id=6, url=None),
+        Row(doc_id=7, url=""),
+    ]
+    out = {r.canon_url: (r.keep_id, r.n_docs)
+           for r in url_dedup(spark.createDataFrame(rows)).collect()}
+    assert out == {
+        "example.com/a": (1, 3),
+        "other.org/b&a=2&x=1": (4, 2),
+    }
+
+
 # ----------------------------------- fit/apply hash-consistency guards
 
 def test_dsir_ratio_provenance_guard(spark):

@@ -49,6 +49,97 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# Tracking query parameters dropped by URL canonicalization — the
+# documented subset (utm_* campaign tags plus the two big click ids).
+# Anchored prefix match on a single 'name=value' token; extend here,
+# not at call sites, so fit and re-runs stay consistent.
+URL_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+
+
+def canonical_url_expr(url_col) -> "F.Column":
+    """A URL as a canonical DEDUP KEY (not a reparseable URL) — pure
+    JVM string/array expressions, every step RE2-identical so a SQL
+    oracle re-derives the key byte-for-byte:
+
+      1. trim; strip the #fragment;
+      2. strip the scheme (http/https/anything RFC-3986-shaped —
+         scheme never distinguishes a document);
+      3. authority: drop userinfo, LOWERCASE, drop a leading 'www.',
+         drop an explicit default port (:80/:443);
+      4. path+query: '?' folds into '&' (the key is not a URL, so one
+         separator suffices and multi-'?' pathologies vanish), the
+         query tokenizes on '&', tracking params (URL_TRACKING_RE)
+         drop, the REMAINING params SORT (param order never
+         distinguishes a document), trailing '/' on the path drops
+         ('/a/' == '/a', bare host == host + '/').
+
+    Documented boundaries (each a conscious no): percent-encoding is
+    NOT normalized ('%7Euser' != '~user'), the path stays
+    case-sensitive per RFC 3986, IDN/punycode hosts compare as
+    written. NULL and empty URLs yield NULL (no key — callers must not
+    group the URL-less docs into one false dup class; url_dedup drops
+    them).
+    """
+    u = F.trim(url_col if not isinstance(url_col, str) else F.col(url_col))
+    u = F.regexp_replace(u, F.lit(r"#.*$"), F.lit(""))
+    u = F.regexp_replace(
+        u, F.lit(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), F.lit("")
+    )
+    auth = F.regexp_extract(u, r"^([^/]*)", 1)
+    rest = F.regexp_replace(u, F.lit(r"^[^/]*"), F.lit(""))
+    auth = F.lower(F.regexp_replace(auth, F.lit(r"^[^@]*@"), F.lit("")))
+    auth = F.regexp_replace(auth, F.lit(r"^www\."), F.lit(""))
+    auth = F.regexp_replace(auth, F.lit(r":(80|443)$"), F.lit(""))
+    folded = F.replace(rest, F.lit("?"), F.lit("&"))
+    path = F.regexp_extract(folded, r"^([^&]*)", 1)
+    path = F.regexp_replace(path, F.lit(r"/+$"), F.lit(""))
+    params = F.array_sort(F.filter(
+        F.split(F.regexp_replace(folded, F.lit(r"^[^&]*"), F.lit("")), "&"),
+        lambda x: (x != "") & ~x.rlike(URL_TRACKING_RE),
+    ))
+    key = F.concat(
+        auth, path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("&"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
+    return F.when(key == "", F.lit(None).cast("string")).otherwise(key)
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL deduplication — the FIRST dedup stage of the public
+    crawl-curation recipes (RefinedWeb, Penedo et al. 2023 §3.2 runs
+    it before any content dedup: re-crawls and mirror fetches of one
+    page should cost one document, and the URL is free while content
+    hashing is not). Groups documents by ``canonical_url_expr`` and
+    keeps the lowest id per canonical URL — exact_dedup's contract on
+    the URL axis.
+
+    Output: (canon_url, keep_id = min id, n_docs), one row per
+    distinct canonical URL; docs with NULL/empty URLs carry no URL
+    evidence and are absent (they cannot be URL-duplicates of
+    anything — the dsir empty-doc precedent).
+
+    Scale shape: identical to exact_dedup — a narrow canonicalization
+    projection, then ONE shuffle keyed by the canonical string
+    (map-side combined min/count); nothing all-pairs, no window. At
+    100 TB the canonical key is shorter than the page and the pass
+    runs before any text is even decompressed.
+    """
+    canon = canonical_url_expr(url_col)
+    return (
+        docs.select(F.col(id_col), canon.alias("canon_url"))
+        .filter(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 def dup_profile(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
