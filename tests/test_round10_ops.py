@@ -233,6 +233,39 @@ def test_canonical_url_expr_matches_twin(spark):
     assert k(URL_CASES[16]) is None and k(URL_CASES[17]) is None
 
 
+def test_canonical_url_fuzz_vs_twin(spark):
+    """Seeded fuzz over an adversarial URL-piece alphabet (double
+    schemes, empty authorities, @-in-path, repeated '?'/'#', port
+    fragments, tracking prefixes that almost match, '&&' runs, case
+    soup): the JVM expression chain must agree with the python twin on
+    every input — the html_extract fuzz pattern applied to the URL
+    canonicalizer."""
+    import random
+
+    from xenoeye_spark.datapipe.dedup import canonical_url_expr
+
+    rng = random.Random(2026)
+    pieces = [
+        "http://", "https://", "HTTPS://", "ftp://", "://", "//",
+        "www.", "WWW.", "a.B.c", "Example.COM", "xn--bcher-kva.ch",
+        ":443", ":80", ":8080", ":", "@", "u:p@", "/", "//", "/a",
+        "/A/b", "?", "&", "#", "#frag", "?a=1", "&b=2", "?z=9&a=1",
+        "utm_source=x", "&utm_=y", "?utm=notracking", "fbclid=1",
+        "&gclid=2", "&fbclid2=keep", "a=", "=b", "&&", "?&", "/./",
+        "%7E", "~", " ", "p/", "?q=a b",
+    ]
+    urls = ["".join(rng.choices(pieces, k=rng.randint(0, 12)))
+            for _ in range(300)]
+    df = spark.createDataFrame(
+        list(enumerate(urls)), "i long, url string"
+    )
+    got = {r.i: r.k
+           for r in df.select("i", canonical_url_expr("url").alias("k"))
+           .collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == _py_canonical_url(u), f"case {i}: {u!r}"
+
+
 def test_url_dedup_groups_and_drops_nulls(spark):
     from xenoeye_spark.datapipe.dedup import url_dedup
 
