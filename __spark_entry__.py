@@ -1781,6 +1781,27 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", url.alias("url")))
 
 
+def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile bucketing (r10): label every doc head/
+    middle/tail by its language's n_chars terciles — the CCNet
+    head-middle-tail split on a SQL-re-derivable value column.
+    Every 23rd doc's value is nulled on BOTH sides (NULL value ->
+    NULL bucket, no evidence); cuts are Spark's exact ``percentile``
+    vs DuckDB's ``quantile_cont`` (the length_quantiles-proven
+    pairing), rounded to 6 decimals BEFORE the <= comparisons so
+    every label is engine-exact."""
+    from xenoeye_spark.operators.summary import quantile_bucket
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 23 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_chars").cast("double")).alias("v"),
+    )
+    return quantile_bucket(docs, ["lang"], "v").select(
+        "doc_id", "lang", "v", "bucket"
+    )
+
+
 def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication profile (r9): every doc_id%5==0 text re-enters the
     corpus once more (and %15==0 twice more), so the exact-dup
@@ -2445,15 +2466,16 @@ GATE_POOL = [
     "decode_quarantine", "star_topn",
     # --- tail: joins the r8 window via the rotation wrap ---
     "pack_sequences", "bigram_lm", "corpus_report",
-    # --- r10 layout note (mid-round growth): url_dedup (NEW r10)
-    # appends at the END — 79 entries, offset (4*33)%79 = 53, window
-    # = [53:79)+[0:7): the new entry gates in its first round per the
-    # contract, the twenty r7-proven backlog entries (54..74) stay
-    # in-window at their cycle bound, simhash_expr (53, r9-proven) is
-    # pulled in early (harmless), and video_decode/decompress (7, 8 —
-    # r8-proven) defer to the r11 window [7:40) at exactly the 3-round
-    # bound. ---
-    "url_dedup",
+    # --- r10 layout note (mid-round growth): url_dedup and
+    # quantile_bucket (NEW r10) append at the END — 80 entries,
+    # offset (4*33)%80 = 52, window = [52:80)+[0:5): both new entries
+    # gate in their first round per the contract, the twenty
+    # r7-proven backlog entries (54..74) stay in-window at their
+    # cycle bound, emb_neardup_lsh/simhash_expr (52, 53 — r9-proven)
+    # are pulled in early (harmless), and incremental_dedup..
+    # decompress (5..8 — r8-proven) defer to the r11 window [5:38) at
+    # exactly the 3-round bound. ---
+    "url_dedup", "quantile_bucket",
 ]
 
 GATE_ROWS_ONLY = [
@@ -2592,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": q_jsonl_ingest,
         "dedup_profile": q_dedup_profile,
         "url_dedup": q_url_dedup,
+        "quantile_bucket": q_quantile_bucket,
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
@@ -4701,6 +4724,30 @@ SELECT k AS canon_url,
        CAST(min(doc_id) AS BIGINT) AS keep_id,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM canon WHERE k <> '' GROUP BY k
+""",
+        # quantile_bucket (r10): per-lang tercile cuts re-derived with
+        # quantile_cont (rounded pre-compare), the same first-matching
+        # <= rule as a CASE; planted NULL values label NULL on both
+        # sides. The groupBy here sees the NULLed v column too —
+        # quantile_cont ignores NULLs, matching Spark's percentile.
+        "quantile_bucket": """
+WITH d0 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 23 = 0 THEN NULL
+              ELSE CAST(n_chars AS DOUBLE) END AS v
+  FROM documents
+), cuts AS (
+  SELECT lang,
+         round(quantile_cont(v, 1.0/3.0), 6) AS c1,
+         round(quantile_cont(v, 2.0/3.0), 6) AS c2
+  FROM d0 GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.v,
+       CASE WHEN d.v IS NULL THEN NULL
+            WHEN d.v <= c.c1 THEN 'head'
+            WHEN d.v <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d0 d JOIN cuts c ON d.lang = c.lang
 """,
         # dedup_profile: same planted union, same md5 classes, same
         # count-of-counts — assumption-free about natural duplication.

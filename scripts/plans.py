@@ -133,6 +133,10 @@ NOTES = {
     "(partial rank-limit BEFORE each exchange); the global cut is "
     "TakeOrderedAndProject (per-partition heaps, no global sort); the "
     "rank window runs over the k survivors only.",
+    "quantile_bucket": "quantile_clip's two-pass shape: one-row-per-"
+    "group tercile cuts (exact percentile here; approx_percentile is "
+    "the 100-TB path), broadcast back, labeling a pure projection — "
+    "no window, no per-group reducer.",
     "url_dedup": "canonicalization is one narrow JVM string/array "
     "projection; the dedup is exact_dedup's shape on the canonical "
     "key — ONE map-side-combined shuffle, no window, nothing "

@@ -219,17 +219,18 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r10 wrap window (79 entries after the url_dedup append, slice
-    # [53:79)+[0:7)): must prove the twenty r7-proven entries at their
-    # 3-round cycle bound — the r1-r4 backlog tail
-    # (simhash_neardup_expr..length_quantiles, pushed out of the r9
-    # window by the 78-entry modulus shift) plus tfidf_topterms,
-    # hash_split, substring_dedup, url_filter, decode_quarantine,
-    # star_topn — and the NEW r10 query (url_dedup, appended at the
-    # pool end, gating its first round per the contract). The wrap
-    # also pulls in simhash_expr, the r8-proven tail three +
-    # dedup_minhash_lsh_expr and the pool head (count_min..
-    # hist_quantiles, r8-proven, due r11) — early re-proof, harmless.
+    # r10 wrap window (80 entries after the url_dedup +
+    # quantile_bucket appends, slice [52:80)+[0:5)): must prove the
+    # twenty r7-proven entries at their 3-round cycle bound — the
+    # r1-r4 backlog tail (simhash_neardup_expr..length_quantiles,
+    # pushed out of the r9 window by the 78-entry modulus shift) plus
+    # tfidf_topterms, hash_split, substring_dedup, url_filter,
+    # decode_quarantine, star_topn — and the NEW r10 queries
+    # (url_dedup, quantile_bucket — appended at the pool end, gating
+    # their first round per the contract). The wrap also pulls in
+    # emb_neardup_lsh/simhash_expr (r9-proven), the r8-proven tail
+    # three + dedup_minhash_lsh_expr and the pool head (count_min..
+    # ivfpq_topk, r8-proven, due r11) — early re-proof, harmless.
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r7_stale = {"simhash_neardup_expr", "dedup_groups",
                 "stratified_sample", "asof_join", "sessionize",
@@ -239,14 +240,15 @@ def test_gate_rotation_schedule():
                 "hash_split", "substring_dedup", "url_filter",
                 "decode_quarantine", "star_topn"}
     assert r7_stale <= win_now
-    assert "url_dedup" in win_now              # NEW r10: first round gates
+    # NEW r10 queries: first round gates
+    assert {"url_dedup", "quantile_bucket"} <= win_now
     assert {"pack_sequences", "bigram_lm", "corpus_report",
             "dedup_minhash_lsh_expr"} <= win_now
     # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the deferred slice [7:53) holds only r8-proven (pool
-    # indices 7..29, due r11 — the next window [7:40) covers
-    # video_decode/decompress and the rest at exactly the bound) and
-    # r9-proven (indices 21..53, the r9 window) entries
+    # cycle: the deferred slice [5:52) holds only r8-proven (pool
+    # indices 5..29, due r11 — the next window [5:38) covers
+    # incremental_dedup..decompress and the rest at exactly the
+    # bound) and r9-proven (indices 21..53, the r9 window) entries
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
     r9_proven = set(pool[21:54])
     r8_proven = set(pool[:30]) | {"pack_sequences", "bigram_lm",

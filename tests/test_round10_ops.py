@@ -337,6 +337,94 @@ def test_classifier_provenance_guard(spark):
     assert {r.doc_id: r.label for r in ok} == {0: "tech", 1: "music"}
 
 
+# --------------------------------------------------- quantile_bucket
+
+def test_quantile_bucket_twin(spark):
+    """Tercile labels against a literal python twin (same linear-
+    interpolation percentile, same rounded-cut <= rule), incl. a NULL
+    group, NULL values, and ties sitting exactly on a cut."""
+    import math
+
+    from xenoeye_spark.operators.summary import quantile_bucket
+
+    rows = []
+    vals = {}
+    for g, n in (("a", 30), ("b", 7), (None, 5)):
+        vs = [float((i * 7) % 13) for i in range(n)]
+        vals[g] = sorted(vs)
+        rows += [Row(doc_id=len(rows) + i, g=g, v=v)
+                 for i, v in enumerate(vs)]
+    rows.append(Row(doc_id=999, g="a", v=None))
+    df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+    out = {r.doc_id: r.bucket
+           for r in quantile_bucket(df, ["g"], "v").collect()}
+
+    def pctl(sorted_vs, p):        # linear interpolation between ranks
+        k = (len(sorted_vs) - 1) * p
+        lo, hi = math.floor(k), math.ceil(k)
+        return round(
+            sorted_vs[lo] + (sorted_vs[hi] - sorted_vs[lo]) * (k - lo), 6
+        )
+
+    for r in rows:
+        if r.v is None:
+            assert out[r.doc_id] is None
+            continue
+        c1, c2 = pctl(vals[r.g], 1 / 3), pctl(vals[r.g], 2 / 3)
+        want = "head" if r.v <= c1 else "middle" if r.v <= c2 else "tail"
+        assert out[r.doc_id] == want, (r, c1, c2)
+    # every input row labeled (NULL group included)
+    assert len(out) == len(rows)
+
+
+def test_quantile_bucket_validation(spark):
+    from xenoeye_spark.operators.summary import quantile_bucket
+
+    df = spark.createDataFrame([Row(doc_id=1, g="a", v=1.0)])
+    with pytest.raises(ValueError, match="labels"):
+        quantile_bucket(df, ["g"], "v", probs=[0.5], labels=["x"])
+    with pytest.raises(ValueError, match="increasing"):
+        quantile_bucket(df, ["g"], "v", probs=[0.6, 0.4],
+                        labels=["a", "b", "c"])
+    with pytest.raises(ValueError, match="\\(0, 1\\)"):
+        quantile_bucket(df, ["g"], "v", probs=[0.0, 0.5],
+                        labels=["a", "b", "c"])
+    with pytest.raises(ValueError, match="collide"):
+        quantile_bucket(df.withColumn("bucket", F.lit(1)), ["g"], "v")
+
+
+def test_quantile_bucket_ccnet_composition(spark):
+    """The CCNet recipe end-to-end: bigram-LM perplexity scores ->
+    per-language head/middle/tail terciles. Head docs must have the
+    LOWEST perplexity (labels[0] = low end), and each language splits
+    roughly in thirds."""
+    from xenoeye_spark.datapipe.ranking import bigram_lm_score
+    from xenoeye_spark.operators.summary import quantile_bucket
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    scored = bigram_lm_score(ev, tr, k=0.5).join(
+        ev.select("doc_id", "lang"), "doc_id"
+    )
+    labeled = quantile_bucket(scored, ["lang"], "lm_ppl")
+    rows = labeled.select("lang", F.col("lm_ppl").alias("ppl"),
+                          "bucket").collect()
+    assert rows and {r.bucket for r in rows} <= {"head", "middle", "tail"}
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        heads = [r.ppl for r in rs if r.bucket == "head"]
+        tails = [r.ppl for r in rs if r.bucket == "tail"]
+        if heads and tails:
+            assert max(heads) <= min(tails), lang
+        # tercile balance within rounding slack
+        for b in ("head", "middle", "tail"):
+            n = sum(1 for r in rs if r.bucket == b)
+            assert abs(n - len(rs) / 3) <= 2 + len(rs) * 0.1, (lang, b)
+
+
 # ------------------------------------------- xe_curate warc doc_id guard
 
 def test_warc_doc_id_guard(spark):

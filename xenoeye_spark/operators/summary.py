@@ -120,6 +120,86 @@ def quantile_clip(
     )
 
 
+def quantile_bucket(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    probs: list[float] = (1 / 3, 2 / 3),
+    labels: list[str] = ("head", "middle", "tail"),
+    exact: bool = True,
+    accuracy: int = 10000,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Per-group quantile BUCKETING — label every row by which
+    inter-quantile band of its group it falls in. The CCNet move
+    (Wenzek et al. 2020: split each language's corpus into head /
+    middle / tail by LM-perplexity terciles, then train on the head):
+    compose ``bigram_lm_score`` (or any score) into this and the
+    default terciles give exactly that split; it is equally the
+    length-band / quality-band stratifier.
+
+    Row with value v gets labels[i] for the FIRST cut c_i (the probs
+    quantiles of its OWN group, in order) with v <= c_i, else the last
+    label — so labels[0] is the LOW end (for perplexity: head = most
+    fluent). Cut points round to 6 decimals BEFORE the comparison
+    (the quantile_clip trick) so every label is engine-exact and a
+    SQL oracle re-derives it with quantile_cont. NULL values get a
+    NULL label (no evidence); NULL group keys are a legitimate group
+    (eqNullSafe join, groupBy's own semantics).
+
+    Scale shape: quantile_clip's two-pass — a one-row-per-group
+    bounds aggregation (exact percentile buffers bounded groups;
+    ``exact=False`` is the GK-sketch 100-TB path), the dimension-sized
+    cuts table broadcast back, and the labeling itself a pure
+    projection. No window, no per-group reducer.
+    """
+    from functools import reduce as _reduce
+
+    if len(labels) != len(probs) + 1:
+        raise ValueError(
+            f"quantile_bucket: need len(labels) == len(probs) + 1 "
+            f"(got {len(labels)} labels for {len(probs)} cuts)"
+        )
+    if list(probs) != sorted(set(probs)) or not probs:
+        raise ValueError(
+            "quantile_bucket: probs must be strictly increasing and "
+            "non-empty"
+        )
+    if not (0.0 < probs[0] and probs[-1] < 1.0):
+        raise ValueError("quantile_bucket: probs must lie in (0, 1)")
+    bkeys = {k: f"_qk_{k}" for k in keys}
+    cut_cols = [f"_qc_{i}" for i in range(len(probs))]
+    reserved = (set(cut_cols) | {out_col} | set(bkeys.values())) \
+        & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"quantile_bucket: input columns {sorted(reserved)} collide "
+            "with the operator's working/output names — rename them"
+        )
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    cuts = df.groupBy(*keys).agg(*[
+        F.round(F.expr(f"{fn}({value_col}, {p!r}{acc})"), 6).alias(c)
+        for p, c in zip(probs, cut_cols)
+    ]).select(
+        *[F.col(k).alias(bk) for k, bk in bkeys.items()], *cut_cols
+    )
+    cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(bk)) for k, bk in bkeys.items()],
+    )
+    v = F.col(value_col).cast("double")
+    label = F.lit(labels[-1])
+    for c, lab in zip(reversed(cut_cols), reversed(labels[:-1])):
+        label = F.when(v <= F.col(c), F.lit(lab)).otherwise(label)
+    label = F.when(v.isNull(), F.lit(None).cast("string")).otherwise(label)
+    return (
+        df.join(cuts, cond)
+        .withColumn(out_col, label)
+        .drop(*cut_cols, *bkeys.values())
+    )
+
+
 # ------------------------------------------------------------ log-histogram
 
 def log_hist_quantiles(
