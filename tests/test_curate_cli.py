@@ -374,3 +374,56 @@ def test_curate_url_dedup_step(spark, tmp_path):
     with pytest.raises(SystemExit, match="target_uri or url"):
         main(["--input", SF_DIR, "--output", str(out),
               "--steps", "url_dedup"])
+
+
+def test_curate_raw_crawl_full_chain(spark, tmp_path, capsys):
+    """r10: the full raw-crawl front half in ONE run — warc ingest ->
+    URL dedup -> html extraction -> line dedup -> exact dedup ->
+    split. Counts monotone, the URL re-crawl collapses before any
+    text work, and the output carries the split column."""
+    import json as _json
+
+    from xenoeye_spark.datapipe.warc import encode_warc, http_response_bytes
+
+    def shard(pages):
+        recs = [({"WARC-Type": "warcinfo"}, b"software: xe\r\n")]
+        for uri, body in pages:
+            recs.append((
+                {"WARC-Type": "response", "WARC-Target-URI": uri},
+                http_response_bytes(body.encode(), status=200),
+            ))
+        return bytearray(encode_warc(recs, per_record_gzip=False))
+
+    body = "<p>alpha beta</p><p>alpha beta</p><p>gamma</p>"
+    s0 = shard([("http://site.com/a", body),
+                ("https://other.org/b", "<i>unique text</i>")])
+    s1 = shard([("https://WWW.Site.COM/a/", body),       # URL re-crawl
+                ("http://third.net/c", body)])           # same text, new URL
+    src = tmp_path / "crawl"
+    spark.createDataFrame(
+        [(0, s0), (1, s1)], "source_id long, content binary"
+    ).write.parquet(str(src / "documents.parquet"))
+
+    out = tmp_path / "curated_chain"
+    rc = main([
+        "--input", str(src), "--output", str(out),
+        "--steps", "warc,url_dedup,html,lines,exact_dedup,split",
+        "--report",
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = rep["counts"]
+    assert c["warc"] == 4
+    assert c["url_dedup"] == 3          # the re-crawl collapsed by URL
+    assert c["html"] == c["lines"] == 3
+    assert c["exact_dedup"] == 2        # third.net copy collapsed by text
+    assert c["split"] == c["output"] == 2
+    got = spark.read.parquet(str(out / "documents.parquet"))
+    rows = {r.doc_id: (r.text, r.split) for r in got.collect()}
+    assert set(rows) == {1, 2}
+    # line dedup kept only the first "alpha beta" line... html joins
+    # paragraphs with spaces, so the repeat survives AS TEXT unless the
+    # page had newlines — assert the extraction instead
+    assert rows[1][0] == "alpha beta alpha beta gamma"
+    assert rows[2][0] == "unique text"
+    assert all(s in ("train", "val") for _, s in rows.values())
