@@ -286,6 +286,59 @@ def test_url_dedup_groups_and_drops_nulls(spark):
     }
 
 
+def test_url_dedup_streaming_composition(spark, tmp_path):
+    """Streaming URL dedup = canonical_url_expr (stateless projection)
+    + dedup_stream's watermark state: a canonical re-crawl arriving in
+    a later micro-batch is suppressed; distinct canonical URLs pass."""
+    from pyspark.sql import types as T
+
+    from xenoeye_spark.datapipe.dedup import canonical_url_expr
+    from xenoeye_spark.streaming.dedup_stream import dedup_stream
+
+    src = str(tmp_path / "urlsrc")
+    spark.createDataFrame(
+        [("http://site.com/a", "2026-01-01 00:00:00", 1),
+         ("https://other.org/b?z=1&a=2", "2026-01-01 00:00:10", 2)],
+        "url string, ts string, doc_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("https://WWW.Site.COM/a/?utm_source=x",       # re-crawl of 1
+          "2026-01-01 00:00:20", 3),
+         ("http://third.net/c", "2026-01-01 00:00:30", 4)],
+        "url string, ts string, doc_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("canon_url", canonical_url_expr("url"))
+    )
+    out = dedup_stream(stream, ["canon_url"], "ts",
+                       watermark_delay="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("url_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_url"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT canon_url FROM url_dedup_out"
+    ).collect()
+    assert sorted(r.canon_url for r in rows) == [
+        "other.org/b&a=2&z=1", "site.com/a", "third.net/c",
+    ]
+
+
 # ----------------------------------- fit/apply hash-consistency guards
 
 def test_dsir_ratio_provenance_guard(spark):

@@ -40,7 +40,14 @@ def dedup_stream(
     duplicate arriving within ``watermark_delay`` of the original's
     event time is dropped; state for a key is freed once the watermark
     passes it. ``key_cols`` must not include the event-time column
-    (dropDuplicatesWithinWatermark requirement)."""
+    (dropDuplicatesWithinWatermark requirement).
+
+    Streaming URL dedup (r10) is this function over the canonical key:
+    ``dedup_stream(stream.withColumn("canon_url",
+    canonical_url_expr("url")), ["canon_url"], ts_col)`` — the
+    canonicalization is a stateless projection, so the composition
+    inherits this operator's bounded state unchanged (tested in
+    test_round10_ops)."""
     if ts_col in key_cols:
         raise ValueError("ts_col must not be part of key_cols")
     return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
