@@ -326,6 +326,7 @@ def main() -> None:
     noisy_queries = flagged[:3]
 
     detail = {
+        "sf": sf,
         "queries_min": timings_min,
         "queries_spread": timings_spread,
         "total_min": total_min,
@@ -363,12 +364,15 @@ def main() -> None:
         # official run hasn't happened, so last-write-wins converges on
         # the driver's end-of-round run. The round number is parsed from
         # the entry file instead of importing the full module.
+        # r10: an off-default-SF smoke run (SPARK_GRAFT_SF_DIR=sf0.001)
+        # must NEVER claim the round sidecar — its numbers are not
+        # comparable to BASELINE/last round and would silently replace
+        # the auditable sf0.1 record (it nearly did, caught in review).
+        # Scratch bench_detail.json still records every run; the
+        # per-round copy is default-SF only.
         rnd = _gate_round(here)
         sidecar = os.path.join(here, f"BENCH_detail_r{rnd:02d}.json")
-        recorded = os.path.exists(
-            os.path.join(here, f"BENCH_r{rnd:02d}.json")
-        )
-        if not (recorded and os.path.exists(sidecar)):
+        if should_write_round_sidecar(here, rnd):
             with open(sidecar, "w") as f:
                 json.dump(detail, f, indent=1)
     except (OSError, ValueError):
@@ -377,6 +381,26 @@ def main() -> None:
 
     print(build_final_line(timings, total, reps, sf, probe_mode, probe,
                            noisy_queries))
+
+
+def should_write_round_sidecar(
+    here: str, rnd: int, environ: dict | None = None
+) -> bool:
+    """Whether this run may claim BENCH_detail_r{rnd}. Two guards:
+    (1) once the driver's headline exists alongside a sidecar, that
+    pair is the round's auditable record (r9); (2) an off-default-SF
+    run (SPARK_GRAFT_SF_DIR set to anything but sf0.1) never writes it
+    — its numbers aren't comparable to BASELINE/last round (r10)."""
+    env = os.environ if environ is None else environ
+    recorded = os.path.exists(os.path.join(here, f"BENCH_r{rnd:02d}.json"))
+    sidecar = os.path.exists(
+        os.path.join(here, f"BENCH_detail_r{rnd:02d}.json")
+    )
+    default_sf = (
+        "SPARK_GRAFT_SF_DIR" not in env
+        or env["SPARK_GRAFT_SF_DIR"].rstrip("/") == "/root/testdata/sf0.1"
+    )
+    return default_sf and not (recorded and sidecar)
 
 
 def _gate_round(here: str) -> int:

@@ -807,3 +807,34 @@ def test_lsh_cross_empty_new_batch_clear_error(spark):
     # explicit sig_len on an empty batch is fine: zero candidate pairs
     out = lsh_candidate_pairs_cross(empty, corpus, bands=2, sig_len=4)
     assert out.count() == 0
+
+
+def test_round_sidecar_write_guards(tmp_path):
+    """r10: the per-round bench sidecar is claimed only by default-SF
+    runs, and never re-claimed once the driver's headline + sidecar
+    pair exists (the r9 rule). An sf0.001 smoke run nearly replaced
+    the auditable sf0.1 record — this pins the guard."""
+    from bench import should_write_round_sidecar
+
+    here = str(tmp_path)
+    # fresh round, default SF (env unset): write
+    assert should_write_round_sidecar(here, 10, environ={})
+    # default SF spelled explicitly (trailing slash tolerated): write
+    assert should_write_round_sidecar(
+        here, 10, environ={"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1/"}
+    )
+    # off-default smoke run: never
+    assert not should_write_round_sidecar(
+        here, 10, environ={"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001"}
+    )
+    # headline recorded but sidecar missing: still write (completes
+    # the pair)
+    (tmp_path / "BENCH_r10.json").write_text("{}")
+    assert should_write_round_sidecar(here, 10, environ={})
+    # full pair present: the record is sealed
+    (tmp_path / "BENCH_detail_r10.json").write_text("{}")
+    assert not should_write_round_sidecar(here, 10, environ={})
+    # ... even for a default-SF re-run
+    assert not should_write_round_sidecar(
+        here, 10, environ={"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"}
+    )
