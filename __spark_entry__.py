@@ -1739,16 +1739,20 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL deduplication (r10): each doc gets a synthetic URL whose
-    page identity is (doc_id%5 site, doc_id%97 page) and whose SURFACE
-    varies by doc_id%6 — uppercase www host + :443 + trailing slash,
-    utm params, userinfo, a fragment, unsorted query + fbclid, and a
-    reordered query with a trailing slash before '?'. Variants 0-3
-    canonicalize to one key, 4-5 (they carry real params) to another;
-    doc_id%31==0 docs have NULL URLs and must be absent. The whole
-    canonical chain (scheme/fragment/userinfo/www/default-port strip,
-    '?'->'&' fold, tracking filter, param sort, trailing-slash drop)
-    re-derives in SQL."""
+    """URL deduplication (r10; surfaces extended r11 for the upgraded
+    chain): each doc gets a synthetic URL whose page identity is
+    (doc_id%5 site, doc_id%97 page) and whose SURFACE varies by
+    doc_id%6 — uppercase www host + :443 + trailing slash, CASE-SOUP
+    utm params (r11: 'UTM_Source=' must drop like 'utm_source='),
+    userinfo, a fragment, unsorted query + fbclid behind a
+    LOWERCASE-hex path segment, and a reordered query behind the same
+    segment in UPPERCASE hex (r11: '%2f' == '%2F'). Variants 0-3
+    canonicalize to one key, 4-5 (they carry real params and the
+    %-escaped path) to another; doc_id%31==0 docs have NULL URLs and
+    must be absent. The whole canonical chain (scheme/fragment/
+    userinfo/www/default-port strip, %XX hex fold, '?'->'&' fold,
+    case-insensitive tracking filter, param sort, trailing-slash
+    drop) re-derives in SQL."""
     from xenoeye_spark.datapipe.dedup import url_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -1762,7 +1766,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/")))
         .when(d % 6 == 1, F.concat(
             F.lit("http://site"), s, F.lit(".com/p/"), p,
-            F.lit("?utm_source=feed&utm_campaign=c"),
+            F.lit("?UTM_Source=feed&utm_campaign=c"),
             (d % 3).cast("string")))
         .when(d % 6 == 2, F.concat(
             F.lit("https://u"), (d % 4).cast("string"),
@@ -1771,11 +1775,11 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("http://site"), s, F.lit(".com/p/"), p,
             F.lit("#sec-"), (d % 9).cast("string")))
         .when(d % 6 == 4, F.concat(
-            F.lit("https://site"), s, F.lit(".com/p/"), p,
+            F.lit("https://site"), s, F.lit(".com/p%2f"), p,
             F.lit("?b="), p, F.lit("&a="), s,
             F.lit("&fbclid=f"), d.cast("string")))
         .otherwise(F.concat(
-            F.lit("http://site"), s, F.lit(".com/p/"), p,
+            F.lit("http://site"), s, F.lit(".com/p%2F"), p,
             F.lit("/?a="), s, F.lit("&b="), p))
     )
     return url_dedup(docs.select("doc_id", url.alias("url")))
@@ -4651,12 +4655,15 @@ SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
        CAST(doc_id % 40 AS BIGINT), TRUE
 FROM documents WHERE doc_id % 13 = 7
 """,
-        # url_dedup (r10): the synthetic URL surfaces are rebuilt by
-        # the same CASE, then the same canonical chain — the anchored
-        # regex subset is Java/RE2-identical, '?' folds to '&' with a
-        # plain replace, the query tokenizes/filters/sorts with list
-        # functions matching Spark's higher-order array expressions
-        # (binary string order on ASCII params in both engines).
+        # url_dedup (r10; chain upgraded r11): the synthetic URL
+        # surfaces are rebuilt by the same CASE, then the same
+        # canonical chain — the anchored regex subset (incl. the
+        # (?i) tracking filter) is Java/RE2-identical, the %XX
+        # hex-case fold is the same split/uppercase list walk, '?'
+        # folds to '&' with a plain replace, the query tokenizes/
+        # filters/sorts with list functions matching Spark's
+        # higher-order array expressions (binary string order on
+        # ASCII params in both engines).
         "url_dedup": """
 WITH urls AS (
   SELECT doc_id,
@@ -4668,7 +4675,7 @@ WITH urls AS (
       WHEN doc_id % 6 = 1 THEN 'http://site' ||
         CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
         CAST(doc_id % 97 AS VARCHAR) ||
-        '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+        '?UTM_Source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
       WHEN doc_id % 6 = 2 THEN 'https://u' ||
         CAST(doc_id % 4 AS VARCHAR) || ':pw@Site' ||
         CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
@@ -4678,30 +4685,41 @@ WITH urls AS (
         CAST(doc_id % 97 AS VARCHAR) || '#sec-' ||
         CAST(doc_id % 9 AS VARCHAR)
       WHEN doc_id % 6 = 4 THEN 'https://site' ||
-        CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com/p%2f' ||
         CAST(doc_id % 97 AS VARCHAR) || '?b=' ||
         CAST(doc_id % 97 AS VARCHAR) || '&a=' ||
         CAST(doc_id % 5 AS VARCHAR) || '&fbclid=f' ||
         CAST(doc_id AS VARCHAR)
       ELSE 'http://site' ||
-        CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com/p%2F' ||
         CAST(doc_id % 97 AS VARCHAR) || '/?a=' ||
         CAST(doc_id % 5 AS VARCHAR) || '&b=' ||
         CAST(doc_id % 97 AS VARCHAR)
     END AS url
   FROM documents
-), parts AS (
+), parts0 AS (
   SELECT doc_id,
     regexp_replace(regexp_replace(trim(url), '#.*$', ''),
-                   '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS u
+                   '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS u0
   FROM urls WHERE url IS NOT NULL
+), parts AS (
+  -- %XX hex-case fold (r11): the same split/uppercase walk as the
+  -- JVM transform — '%' is not hex, so boundaries are independent
+  SELECT doc_id,
+    CASE WHEN strpos(u0, '%') = 0 THEN u0
+    ELSE string_split(u0, '%')[1] || '%' || array_to_string(
+      list_transform(string_split(u0, '%')[2:],
+        x -> CASE WHEN regexp_matches(x, '^[0-9a-fA-F]{2}')
+             THEN upper(x[1:2]) || x[3:] ELSE x END), '%')
+    END AS u
+  FROM parts0
 ), split1 AS (
   SELECT doc_id,
     regexp_replace(regexp_replace(
-      lower(regexp_replace(regexp_extract(u, '^([^/]*)', 1),
+      lower(regexp_replace(regexp_extract(u, '^([^/?]*)', 1),
                            '^[^@]*@', '')),
       '^www\\.', ''), ':(80|443)$', '') AS auth,
-    replace(regexp_replace(u, '^[^/]*', ''), '?', '&') AS folded
+    replace(regexp_replace(u, '^[^/?]*', ''), '?', '&') AS folded
   FROM parts
 ), split2 AS (
   SELECT doc_id, auth,
@@ -4710,7 +4728,7 @@ WITH urls AS (
     list_sort(list_filter(
       string_split(regexp_replace(folded, '^[^&]*', ''), '&'),
       x -> x <> '' AND NOT regexp_matches(
-        x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')
+        x, '(?i)^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')
     )) AS params
   FROM split1
 ), canon AS (

@@ -172,7 +172,16 @@ def _py_canonical_url(u: str) -> str | None:
     u = u.strip()
     u = re.sub(r"#.*$", "", u)
     u = re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", u)
-    m = re.match(r"^([^/]*)", u)
+    # %XX hex-case fold — the same split/uppercase walk as the JVM
+    # transform ('%' is not a hex digit, so boundaries are independent)
+    if "%" in u:
+        parts = u.split("%")
+        u = parts[0] + "".join(
+            "%" + (p[:2].upper() + p[2:]
+                   if re.match(r"^[0-9a-fA-F]{2}", p) else p)
+            for p in parts[1:]
+        )
+    m = re.match(r"^([^/?]*)", u)
     auth, rest = m.group(1), u[m.end():]
     auth = re.sub(r"^[^@]*@", "", auth).lower()
     auth = re.sub(r"^www\.", "", auth)
@@ -207,6 +216,16 @@ URL_CASES = [
     "http://a.example.com/x?utm_medium=&q=1&utm_x=2",
     "",
     "   ",
+    # --- r11 additions: the authority-split fix and the two folded
+    # boundaries ---
+    "http://h.com?a=1",                       # query, no path
+    "http://h.com/?a=1",                      # same page, '/' form
+    "http://h.com?email=a@evil.com",          # '@' in a no-path query
+    "https://example.com/a/b?UTM_Source=x",   # tracker case-folded
+    "https://example.com/x%2fy",              # %XX hex case folds...
+    "https://example.com/x%2Fy",
+    "https://example.com/x%2gy",              # ...but only real hex
+    "http://h.com/p?k=%3d&K=%3D",             # fold BEFORE param sort
 ]
 
 
@@ -231,6 +250,16 @@ def test_canonical_url_expr_matches_twin(spark):
     assert k(URL_CASES[13]) != k(URL_CASES[14])     # documented boundary
     assert k(URL_CASES[15]) == "a.example.com/x&q=1"
     assert k(URL_CASES[16]) is None and k(URL_CASES[17]) is None
+    # r11: no-path queries key with the '/' form, and the '@' stays in
+    # the query token (the old authority split mis-ate it as userinfo)
+    assert k(URL_CASES[18]) == k(URL_CASES[19]) == "h.com&a=1"
+    assert k(URL_CASES[20]) == "h.com&email=a@evil.com"
+    # r11: tracking params are case-insensitive
+    assert k(URL_CASES[21]) == "example.com/a/b"
+    # r11: %XX hex case folds (real hex pairs only), before the sort
+    assert k(URL_CASES[22]) == k(URL_CASES[23]) == "example.com/x%2Fy"
+    assert k(URL_CASES[24]) == "example.com/x%2gy"
+    assert k(URL_CASES[25]) == "h.com/p&K=%3D&k=%3D"
 
 
 def test_canonical_url_fuzz_vs_twin(spark):
@@ -253,6 +282,10 @@ def test_canonical_url_fuzz_vs_twin(spark):
         "utm_source=x", "&utm_=y", "?utm=notracking", "fbclid=1",
         "&gclid=2", "&fbclid2=keep", "a=", "=b", "&&", "?&", "/./",
         "%7E", "~", " ", "p/", "?q=a b",
+        # r11: no-path queries, '@' after '?', tracker case soup,
+        # %XX case pairs and almost-hex
+        "h?a=1", "?e=a@b", "UTM_Source=x", "&GCLID=9", "%2f", "%2F",
+        "%3d", "%2g", "%", "%%2f", "a%2fb",
     ]
     urls = ["".join(rng.choices(pieces, k=rng.randint(0, 12)))
             for _ in range(300)]

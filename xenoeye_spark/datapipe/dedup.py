@@ -51,9 +51,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 # Tracking query parameters dropped by URL canonicalization — the
 # documented subset (utm_* campaign tags plus the two big click ids).
-# Anchored prefix match on a single 'name=value' token; extend here,
-# not at call sites, so fit and re-runs stay consistent.
-URL_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+# Anchored CASE-INSENSITIVE prefix match on a single 'name=value'
+# token ((?i) anchors identically in Java regex, RE2 and Python re;
+# 'UTM_Source=' is the same tracker as 'utm_source=' — r11, was
+# case-sensitive before). Extend here, not at call sites, so fit and
+# re-runs stay consistent.
+URL_TRACKING_RE = r"(?i)^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
 
 
 def canonical_url_expr(url_col) -> "F.Column":
@@ -64,29 +67,54 @@ def canonical_url_expr(url_col) -> "F.Column":
       1. trim; strip the #fragment;
       2. strip the scheme (http/https/anything RFC-3986-shaped —
          scheme never distinguishes a document);
-      3. authority: drop userinfo, LOWERCASE, drop a leading 'www.',
-         drop an explicit default port (:80/:443);
-      4. path+query: '?' folds into '&' (the key is not a URL, so one
+      3. fold percent-encoding HEX CASE: every '%' followed by two
+         hex digits uppercases them ('%2f' == '%2F' per RFC 3986
+         §2.1; r11 — full percent-DEcoding stays a documented no).
+         Runs BEFORE the param sort so equivalent params sort into
+         the same order, and before the authority lowercase, which
+         therefore wins inside the authority (percent-encoded hosts
+         are not valid reg-names; the fold there only needs to be
+         deterministic, not pretty);
+      4. authority (everything before the first '/' or '?' — a
+         query can follow a path-less authority, 'h?a=1'; r11, the
+         old '[^/]*' split leaked '?…' into the authority where a
+         query '@' triggered the userinfo strip): drop userinfo,
+         LOWERCASE, drop a leading 'www.', drop an explicit default
+         port (:80/:443);
+      5. path+query: '?' folds into '&' (the key is not a URL, so one
          separator suffices and multi-'?' pathologies vanish), the
-         query tokenizes on '&', tracking params (URL_TRACKING_RE)
-         drop, the REMAINING params SORT (param order never
-         distinguishes a document), trailing '/' on the path drops
-         ('/a/' == '/a', bare host == host + '/').
+         query tokenizes on '&', tracking params (URL_TRACKING_RE,
+         case-insensitive) drop, the REMAINING params SORT (param
+         order never distinguishes a document), trailing '/' on the
+         path drops ('/a/' == '/a', bare host == host + '/').
 
     Documented boundaries (each a conscious no): percent-encoding is
-    NOT normalized ('%7Euser' != '~user'), the path stays
-    case-sensitive per RFC 3986, IDN/punycode hosts compare as
-    written. NULL and empty URLs yield NULL (no key — callers must not
-    group the URL-less docs into one false dup class; url_dedup drops
-    them).
+    NOT decoded ('%7Euser' != '~user' — only its hex case folds), the
+    path stays case-sensitive per RFC 3986, IDN/punycode hosts compare
+    as written. NULL and empty URLs yield NULL (no key — callers must
+    not group the URL-less docs into one false dup class; url_dedup
+    drops them).
     """
     u = F.trim(url_col if not isinstance(url_col, str) else F.col(url_col))
     u = F.regexp_replace(u, F.lit(r"#.*$"), F.lit(""))
     u = F.regexp_replace(
         u, F.lit(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), F.lit("")
     )
-    auth = F.regexp_extract(u, r"^([^/]*)", 1)
-    rest = F.regexp_replace(u, F.lit(r"^[^/]*"), F.lit(""))
+    # %XX hex-case fold: split on '%', uppercase the two chars after
+    # each boundary when both are hex ('%' is not hex, so boundaries
+    # never interact), reassemble. Pure array/lambda expressions —
+    # the oracle's list_transform is the same algorithm.
+    _pcts = F.split(u, "%", -1)
+    u = F.array_join(
+        F.transform(_pcts, lambda x, i: F.when(
+            (i > 0) & x.rlike(r"^[0-9a-fA-F]{2}"),
+            F.concat(F.upper(x.substr(F.lit(1), F.lit(2))),
+                     x.substr(F.lit(3), F.length(x))),
+        ).otherwise(x)),
+        "%",
+    )
+    auth = F.regexp_extract(u, r"^([^/?]*)", 1)
+    rest = F.regexp_replace(u, F.lit(r"^[^/?]*"), F.lit(""))
     auth = F.lower(F.regexp_replace(auth, F.lit(r"^[^@]*@"), F.lit("")))
     auth = F.regexp_replace(auth, F.lit(r"^www\."), F.lit(""))
     auth = F.regexp_replace(auth, F.lit(r":(80|443)$"), F.lit(""))
