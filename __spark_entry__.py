@@ -1806,6 +1806,73 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL key projection (NEW r11): every doc's synthetic
+    URL surface targets one of the r11 chain upgrades — no-path
+    queries ('h?a=1' == 'h/?a=1' now that the authority stops at '?'),
+    an '@' INSIDE a no-path query (must stay a query byte, not eat the
+    host as userinfo), case-soup tracking params (UTM_Source= drops),
+    and '%2f' vs '%2F' path segments (hex case folds). Variants 4-6
+    must land on ONE key per (site, page). The per-doc key (url_dedup
+    without the groupBy — the chain itself is the operator under
+    test) re-derives byte-for-byte in SQL; doc_id%7==0 docs carry
+    NULL URLs and must key NULL."""
+    from xenoeye_spark.datapipe.dedup import canonical_url_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = (d % 5).cast("string")
+    p = (d % 89).cast("string")
+    url = (
+        F.when(d % 7 == 0, F.lit(None).cast("string"))
+        .when(d % 7 == 1, F.concat(
+            F.lit("http://host"), s, F.lit(".com?k="), p))
+        .when(d % 7 == 2, F.concat(
+            F.lit("https://host"), s, F.lit(".com/?k="), p))
+        .when(d % 7 == 3, F.concat(
+            F.lit("http://host"), s, F.lit(".com?email=u"), p,
+            F.lit("@ex"), s, F.lit(".com")))
+        .when(d % 7 == 4, F.concat(
+            F.lit("http://host"), s, F.lit(".com/x%2f"), p,
+            F.lit("?UTM_Source=a&q="), p))
+        .when(d % 7 == 5, F.concat(
+            F.lit("https://WWW.Host"), s, F.lit(".COM:443/x%2F"), p,
+            F.lit("/?q="), p))
+        .otherwise(F.concat(
+            F.lit("http://u"), s, F.lit(":pw@host"), s,
+            F.lit(".com/x%2F"), p, F.lit("?q="), p,
+            F.lit("&gclid=g"), d.cast("string")))
+    )
+    return docs.select(
+        "doc_id", canonical_url_expr(url).alias("canon_url")
+    )
+
+
+def q_ppl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet perplexity-tercile split end-to-end (NEW r11; Wenzek
+    et al. 2020 §4.3): an add-0.5-smoothed bigram LM trained on the
+    doc_id%5!=0 split scores every held-out doc, then each language's
+    held-out docs label head/middle/tail by their OWN lm_ppl terciles
+    — bigram_lm_score composed into quantile_bucket, the exact
+    composition xe_curate's ppl_bucket step runs. Docs with < 2
+    tokens have NULL ppl and must label NULL (no evidence). The
+    oracle retrains the whole LM in SQL (the bigram_lm oracle) and
+    re-derives every label with quantile_cont + CASE (the
+    quantile_bucket oracle) — both proven pairings, composed."""
+    from xenoeye_spark.datapipe.ranking import bigram_lm_score
+    from xenoeye_spark.operators.summary import quantile_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    scored = bigram_lm_score(ev, tr, k=0.5).join(
+        ev.select("doc_id", "lang"), "doc_id"
+    )
+    return quantile_bucket(scored, ["lang"], "lm_ppl").select(
+        "doc_id", "lang", "lm_ppl", "bucket"
+    )
+
+
 def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication profile (r9): every doc_id%5==0 text re-enters the
     corpus once more (and %15==0 twice more), so the exact-dup
@@ -2382,7 +2449,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_WINDOW = 50
-GATE_ROUND = 10
+GATE_ROUND = 11
 
 # Per-round pins: queries forced INTO that round's window regardless of
 # the rotation offset. A pin evicts an in-window entry that the NEXT
@@ -2430,9 +2497,26 @@ GATE_POOL = [
     # [:30], so dedup_minhash_lsh_expr moved to 29 (swapped with
     # mask_spans, r6-proven -> due r9 at the cycle bound) to keep its
     # r5->r8 proof promise. ---
+    # --- r11 layout note: 82 entries after url_canon + ppl_split
+    # (NEW r11) insert at index 5 — INSIDE the r11 window, per the
+    # contract. Offset (5*33)%82 = 1, window = [1:34): the two NEW
+    # entries plus the r8-proven due-r11 backlog
+    # (incremental_dedup..char_entropy, old 5..29 -> 7..31) at
+    # exactly the 3-round bound, with pq_topk..ivfpq_topk (1..4,
+    # r10-proven) pulled in early (harmless). Displaced to the r12
+    # window [34:67): hash_classify..dedup_ngram_jaccard (r9-proven,
+    # due r12 — exactly the bound). count_min (0) drops out
+    # (r10-proven, due r13; the r13 wrap [67:82)+[0:19) covers it).
+    # url_dedup (78) CHANGED this round (canonical-chain upgrade):
+    # out-of-window, so its r11 proof is scripts/selftest.py (the
+    # quantile_clip r10 precedent); url_canon — in-window, NEW —
+    # drives the upgraded chain itself through the driver gate. ---
     # --- deferred side (all r6-proven): r6 additions ---
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
-    "ivfpq_topk", "incremental_dedup", "hist_quantiles",
+    "ivfpq_topk",
+    # --- r11 window: the two NEW r11 entries (first round gates) ---
+    "url_canon", "ppl_split",
+    "incremental_dedup", "hist_quantiles",
     "video_decode", "decompress", "image_resize",
     "fuzzy_dedup", "domain_cap", "token_budget", "kmeans_step",
     "ann_recall",
@@ -2619,6 +2703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_profile": q_dedup_profile,
         "url_dedup": q_url_dedup,
         "quantile_bucket": q_quantile_bucket,
+        "url_canon": q_url_canon,
+        "ppl_split": q_ppl_split,
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
@@ -4766,6 +4852,136 @@ SELECT d.doc_id, d.lang, d.v,
             WHEN d.v <= c.c2 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM d0 d JOIN cuts c ON d.lang = c.lang
+""",
+        # url_canon (NEW r11): the per-doc canonical key, same chain
+        # as the url_dedup oracle (fold/split/filter/sort in RE2 +
+        # list functions), LEFT-joined back so NULL-URL docs key NULL.
+        "url_canon": """
+WITH urls AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 7 = 0 THEN NULL
+      WHEN doc_id % 7 = 1 THEN 'http://host' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com?k=' ||
+        CAST(doc_id % 89 AS VARCHAR)
+      WHEN doc_id % 7 = 2 THEN 'https://host' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com/?k=' ||
+        CAST(doc_id % 89 AS VARCHAR)
+      WHEN doc_id % 7 = 3 THEN 'http://host' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com?email=u' ||
+        CAST(doc_id % 89 AS VARCHAR) || '@ex' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com'
+      WHEN doc_id % 7 = 4 THEN 'http://host' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com/x%2f' ||
+        CAST(doc_id % 89 AS VARCHAR) || '?UTM_Source=a&q=' ||
+        CAST(doc_id % 89 AS VARCHAR)
+      WHEN doc_id % 7 = 5 THEN 'https://WWW.Host' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.COM:443/x%2F' ||
+        CAST(doc_id % 89 AS VARCHAR) || '/?q=' ||
+        CAST(doc_id % 89 AS VARCHAR)
+      ELSE 'http://u' ||
+        CAST(doc_id % 5 AS VARCHAR) || ':pw@host' ||
+        CAST(doc_id % 5 AS VARCHAR) || '.com/x%2F' ||
+        CAST(doc_id % 89 AS VARCHAR) || '?q=' ||
+        CAST(doc_id % 89 AS VARCHAR) || '&gclid=g' ||
+        CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+), parts0 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS u0
+  FROM urls WHERE url IS NOT NULL
+), parts AS (
+  SELECT doc_id,
+    CASE WHEN strpos(u0, '%') = 0 THEN u0
+    ELSE string_split(u0, '%')[1] || '%' || array_to_string(
+      list_transform(string_split(u0, '%')[2:],
+        x -> CASE WHEN regexp_matches(x, '^[0-9a-fA-F]{2}')
+             THEN upper(x[1:2]) || x[3:] ELSE x END), '%')
+    END AS u
+  FROM parts0
+), split1 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(
+      lower(regexp_replace(regexp_extract(u, '^([^/?]*)', 1),
+                           '^[^@]*@', '')),
+      '^www\\.', ''), ':(80|443)$', '') AS auth,
+    replace(regexp_replace(u, '^[^/?]*', ''), '?', '&') AS folded
+  FROM parts
+), split2 AS (
+  SELECT doc_id, auth,
+    regexp_replace(regexp_extract(folded, '^([^&]*)', 1), '/+$', '')
+      AS path,
+    list_sort(list_filter(
+      string_split(regexp_replace(folded, '^[^&]*', ''), '&'),
+      x -> x <> '' AND NOT regexp_matches(
+        x, '(?i)^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')
+    )) AS params
+  FROM split1
+), canon AS (
+  SELECT doc_id,
+    auth || path ||
+    CASE WHEN len(params) > 0
+         THEN '&' || array_to_string(params, '&') ELSE '' END AS k
+  FROM split2
+)
+SELECT u.doc_id,
+       CASE WHEN c.k = '' THEN NULL ELSE c.k END AS canon_url
+FROM urls u LEFT JOIN canon c USING (doc_id)
+""",
+        # ppl_split (NEW r11): the bigram_lm oracle's whole-model
+        # retrain feeding the quantile_bucket oracle's cuts + CASE —
+        # the CCNet perplexity-tercile recipe composed end-to-end.
+        "ppl_split": """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+), tr_bg AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+           unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+    FROM toks WHERE doc_id % 5 != 0 AND len(t) >= 2
+  ) GROUP BY 1, 2
+), tr_c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+    SELECT unnest(t) AS w1 FROM toks WHERE doc_id % 5 != 0
+  ) GROUP BY 1
+), v AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nv FROM tr_c1
+), ev AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM toks WHERE doc_id % 5 = 0 AND len(t) >= 2
+), s AS (
+  SELECT ev.doc_id,
+         ln((COALESCE(c2.c2, 0) + 0.5) / (COALESCE(tr_c1.c1, 0) + 0.5 * nv))
+           AS lp
+  FROM ev LEFT JOIN tr_bg c2 USING (w1, w2)
+          LEFT JOIN tr_c1 USING (w1)
+          CROSS JOIN v
+), agg AS (
+  SELECT doc_id, round(exp(-avg(lp)), 4) AS lm_ppl
+  FROM s GROUP BY 1
+), scored AS (
+  -- every eval doc appears; bigram-less docs carry NULL ppl
+  SELECT d.doc_id, d.lang, agg.lm_ppl
+  FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0) d
+  LEFT JOIN agg USING (doc_id)
+), cuts AS (
+  SELECT lang,
+         round(quantile_cont(lm_ppl, 1.0/3.0), 6) AS c1,
+         round(quantile_cont(lm_ppl, 2.0/3.0), 6) AS c2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.lm_ppl,
+       CASE WHEN s.lm_ppl IS NULL THEN NULL
+            WHEN s.lm_ppl <= c.c1 THEN 'head'
+            WHEN s.lm_ppl <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c ON s.lang IS NOT DISTINCT FROM c.lang
 """,
         # dedup_profile: same planted union, same md5 classes, same
         # count-of-counts — assumption-free about natural duplication.

@@ -141,6 +141,15 @@ NOTES = {
     "projection; the dedup is exact_dedup's shape on the canonical "
     "key — ONE map-side-combined shuffle, no window, nothing "
     "all-pairs.",
+    "url_canon": "the whole canonical chain (r11: %XX hex fold, "
+    "'?'-aware authority split, (?i) tracking filter) is ONE pure "
+    "JVM string/array projection over a single-column pruned scan — "
+    "zero shuffles, zero Python.",
+    "ppl_split": "bigram_lm's plan (two map-side-combined count aggs "
+    "+ broadcast model joins + the one-row V scalar) feeding "
+    "quantile_bucket's two-pass (one-row-per-lang tercile cuts, "
+    "broadcast back, labels a pure projection) — no window, no "
+    "per-group reducer anywhere in the composition.",
     "quantile_clip": "bounds collapse to one row per group (exact "
     "percentile buffers bounded groups; approx_percentile is the "
     "100-TB path behind the same API); the dimension-sized bounds "

@@ -34,13 +34,15 @@ SF_DIR = "/root/testdata/sf0.001"
 #                    join (labels table x range(1024)): NB needs a
 #                    weight for EVERY (label, bucket), seen or not,
 #                    and both sides are dimension-tiny
+#   ppl_split      — composes bigram_lm_score, so it carries the same
+#                    ONE-ROW vocabulary-size scalar attach
 # (dsir_sample briefly carried two one-row corpus-total BNL attaches;
 # the fit now derives totals as window sums over the n_buckets-row
 # stats table, so its plan is BNL-free.)
 BNL_ALLOWED = {
     "sim_topk", "bm25", "tfidf_topterms", "bigram_lm",
     "quantize", "temperature", "ann_recall", "pq_topk",
-    "hash_classify",
+    "hash_classify", "ppl_split",
 }
 
 
@@ -219,42 +221,44 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r10 wrap window (80 entries after the url_dedup +
-    # quantile_bucket appends, slice [52:80)+[0:5)): must prove the
-    # twenty r7-proven entries at their 3-round cycle bound — the
-    # r1-r4 backlog tail (simhash_neardup_expr..length_quantiles,
-    # pushed out of the r9 window by the 78-entry modulus shift) plus
-    # tfidf_topterms, hash_split, substring_dedup, url_filter,
-    # decode_quarantine, star_topn — and the NEW r10 queries
-    # (url_dedup, quantile_bucket — appended at the pool end, gating
-    # their first round per the contract). The wrap also pulls in
-    # emb_neardup_lsh/simhash_expr (r9-proven), the r8-proven tail
-    # three + dedup_minhash_lsh_expr and the pool head (count_min..
-    # ivfpq_topk, r8-proven, due r11) — early re-proof, harmless.
+    # r11 window (82 entries after the url_canon + ppl_split inserts
+    # at index 5 — inside the window; offset (5*33)%82 = 1, slice
+    # [1:34)): must prove the r8-proven due-r11 backlog at exactly
+    # its 3-round cycle bound — incremental_dedup..char_entropy (the
+    # r10 layout's [5:30), shifted to [7:32) by the inserts) — and
+    # the NEW r11 queries in their first round. pq_topk..ivfpq_topk
+    # (r10-proven) are pulled in early by the modulus shift
+    # (harmless); count_min drops out (r10-proven, due r13 — the r13
+    # wrap [67:82)+[0:19) covers it).
     win_now = set(names[:DRIVER_GATE_WINDOW])
-    r7_stale = {"simhash_neardup_expr", "dedup_groups",
-                "stratified_sample", "asof_join", "sessionize",
-                "time_rollup", "interval_join", "gopher_quality",
-                "segment_dedup", "bm25", "vocab_topk", "kmv_distinct",
-                "contamination", "length_quantiles", "tfidf_topterms",
-                "hash_split", "substring_dedup", "url_filter",
-                "decode_quarantine", "star_topn"}
-    assert r7_stale <= win_now
-    # NEW r10 queries: first round gates
-    assert {"url_dedup", "quantile_bucket"} <= win_now
-    assert {"pack_sequences", "bigram_lm", "corpus_report",
-            "dedup_minhash_lsh_expr"} <= win_now
+    r8_stale = {"incremental_dedup", "hist_quantiles", "video_decode",
+                "decompress", "image_resize", "fuzzy_dedup",
+                "domain_cap", "token_budget", "kmeans_step",
+                "ann_recall", "training_prep", "image_decode",
+                "audio_decode", "bpe_pairs", "pii_scrub",
+                "text_normalize", "semdedup", "chunk_docs",
+                "repetition", "quantize", "rand_proj", "temperature",
+                "char_entropy"}
+    assert r8_stale <= win_now
+    # NEW r11 queries: first round gates
+    assert {"url_canon", "ppl_split"} <= win_now
+    # url_dedup's canonical chain CHANGED r11 while out-of-window:
+    # url_canon (in-window, above) drives the upgraded chain through
+    # the driver gate; url_dedup itself re-proves via selftest (the
+    # quantile_clip r10 precedent) until its r13 window slot
+    assert "url_dedup" not in win_now
     # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the deferred slice [5:52) holds only r8-proven (pool
-    # indices 5..29, due r11 — the next window [5:38) covers
-    # incremental_dedup..decompress and the rest at exactly the
-    # bound) and r9-proven (indices 21..53, the r9 window) entries
+    # cycle: the overflow holds only r9-proven (hash_classify..
+    # dedup_ngram_jaccard and the r7-slice head through simhash_expr
+    # — all due r12, covered by the r12 window [34:67)) and
+    # r10-proven (the r10 wrap window [52:80)+[0:5) of the 80-pool)
+    # entries
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
-    r9_proven = set(pool[21:54])
-    r8_proven = set(pool[:30]) | {"pack_sequences", "bigram_lm",
-                                  "corpus_report",
-                                  "dedup_minhash_lsh_expr"}
-    assert overflow_now <= r9_proven | r8_proven
+    r9_proven = set(pool[34:56])
+    r10_proven = set(pool[54:]) | {"count_min", "pq_topk",
+                                   "hll_distinct", "bloom_contam",
+                                   "ivfpq_topk"}
+    assert overflow_now <= r9_proven | r10_proven
 
 
 # ------------------------------------------- pushed-predicate re-inlining
