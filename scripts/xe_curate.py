@@ -56,6 +56,17 @@ gate / oracle suite):
                   --classifier-model for reuse. Empty docs carry no
                   gram evidence and are dropped (the classifier
                   contract)
+  ppl_bucket    — the CCNet perplexity split (Wenzek et al. 2020
+                  §4.3): score every doc with an add-0.5-smoothed
+                  bigram LM trained on --ppl-target's
+                  documents.parquet (the published recipe trains on
+                  Wikipedia — point it at a clean corpus), split each
+                  language into head/middle/tail by its OWN ppl
+                  terciles (quantile_bucket; one global split when the
+                  input has no lang column), and keep the --ppl-keep
+                  bands (default head,middle — the common choice).
+                  Docs with < 2 tokens carry no ppl evidence and are
+                  dropped (the classify-step contract)
   neardup       — MinHash-LSH candidates -> exact-Jaccard verify ->
                   connected duplicate classes -> keep one per class
   substr_dedup  — excise every repeated --substr-len-char window from
@@ -85,18 +96,21 @@ sys.path.insert(0, "/root/repo")
 
 CANONICAL = [
     "warc", "jsonl", "url_dedup", "decompress", "html", "lines",
-    "exact_dedup", "quality", "classify", "neardup", "substr_dedup",
-    "decontaminate", "dsir", "split",
+    "exact_dedup", "quality", "classify", "ppl_bucket", "neardup",
+    "substr_dedup", "decontaminate", "dsir", "split",
 ]
 
 
 def warc_doc_id():
     """doc_id = source_id * 1e6 + rec_index as a guarded Column: both
-    factors are bounded or the id is corrupt — source_id < 4294 is the
-    documented downstream bound (id-permutation domain); rec_index >=
-    1e6 would silently collide into the NEXT source's id space
-    (breaking exact_dedup's lowest-id-wins and the hash split), so it
-    raises per-row here, mirroring that documented guard."""
+    factors are bounded or the id is corrupt, and BOTH raise per-row
+    (r11 — only rec_index did before; an oversized source_id silently
+    escaped the documented id-permutation domain and could overflow a
+    32-bit source_id column in the multiply, so the product is
+    computed in long). rec_index >= 1e6 would silently collide into
+    the NEXT source's id space (breaking exact_dedup's lowest-id-wins
+    and the hash split); source_id >= 4294 leaves the downstream
+    id-permutation domain the split/sampling guards document."""
     from pyspark.sql import functions as F
 
     return F.when(
@@ -107,8 +121,17 @@ def warc_doc_id():
             F.lit(") — doc_id would collide; split the shard or "
                   "raise the id stride"),
         )).cast("long"),
+    ).when(
+        F.col("source_id") >= 4294,
+        F.raise_error(F.concat(
+            F.lit("warc source_id="),
+            F.col("source_id").cast("string"),
+            F.lit(" exceeds the id-permutation domain bound (4294) — "
+                  "supply your own doc ids beyond it"),
+        )).cast("long"),
     ).otherwise(
-        F.col("source_id") * 1_000_000 + F.col("rec_index")
+        F.col("source_id").cast("long") * 1_000_000
+        + F.col("rec_index").cast("long")
     ).alias("doc_id")
 
 
@@ -146,6 +169,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--classifier-keep", default=None,
                     help="comma-separated argmax labels the classify "
                          "step keeps")
+    ap.add_argument("--ppl-target", default=None,
+                    help="clean-corpus dir (documents.parquet) to "
+                         "train the ppl_bucket step's bigram LM on")
+    ap.add_argument("--ppl-keep", default="head,middle",
+                    help="comma-separated perplexity bands the "
+                         "ppl_bucket step keeps (head = most fluent)")
     ap.add_argument("--substr-len", type=int, default=32,
                     help="window length for the substr_dedup stage")
     ap.add_argument("--jsonl-schema",
@@ -181,6 +210,15 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 "classify requires --classifier-model (saved) or "
                 "--classifier-target (fit)"
+            )
+    if "ppl_bucket" in steps:
+        if not args.ppl_target:
+            raise SystemExit("ppl_bucket requires --ppl-target")
+        bands = [b.strip() for b in args.ppl_keep.split(",") if b.strip()]
+        bad = set(bands) - {"head", "middle", "tail"}
+        if bad or not bands:
+            raise SystemExit(
+                f"--ppl-keep bands must be head/middle/tail: {args.ppl_keep!r}"
             )
     if "warc" in steps and "jsonl" in steps:
         raise SystemExit("warc and jsonl are alternative ingests — pick one")
@@ -333,6 +371,34 @@ def main(argv: list[str] | None = None) -> int:
         )
         docs = docs.join(keep, "doc_id", "left_semi")
         counts["classify"] = last = docs.count()
+
+    if "ppl_bucket" in steps:
+        from xenoeye_spark.datapipe.ranking import bigram_lm_score
+        from xenoeye_spark.operators.summary import quantile_bucket
+
+        tgt = spark.read.parquet(f"{args.ppl_target}/documents.parquet")
+        keep_bands = [b.strip() for b in args.ppl_keep.split(",")
+                      if b.strip()]
+        scored = bigram_lm_score(docs, tgt, k=0.5).select(
+            "doc_id", "lm_ppl"
+        )
+        # CCNet splits per language; corpora without a lang column
+        # split globally (one constant group)
+        if "lang" in docs.columns:
+            scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+            gkeys = ["lang"]
+        else:
+            scored = scored.withColumn("_all", F.lit(1))
+            gkeys = ["_all"]
+        keep = (
+            quantile_bucket(scored, gkeys, "lm_ppl")
+            # NULL ppl (< 2 tokens) -> NULL bucket -> dropped by isin:
+            # no evidence, no keep (the classify-step contract)
+            .filter(F.col("bucket").isin(keep_bands))
+            .select("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+        counts["ppl_bucket"] = last = docs.count()
 
     if "neardup" in steps:
         from xenoeye_spark.datapipe.dedup import (

@@ -427,3 +427,91 @@ def test_curate_raw_crawl_full_chain(spark, tmp_path, capsys):
     assert rows[1][0] == "alpha beta alpha beta gamma"
     assert rows[2][0] == "unique text"
     assert all(s in ("train", "val") for _, s in rows.values())
+
+
+def test_curate_ppl_bucket_step(spark, tmp_path, capsys):
+    """r11: the CCNet perplexity split as a CLI step — train the
+    bigram LM on the corpus itself, keep head+middle per language;
+    counts stay monotone and the tail cut is real."""
+    out = tmp_path / "c_ppl"
+    rc = main([
+        "--input", SF_DIR, "--output", str(out),
+        "--steps", "quality,ppl_bucket",
+        "--ppl-target", SF_DIR,
+        "--report",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = rep["counts"]
+    assert c["input"] >= c["quality"] >= c["ppl_bucket"] == c["output"]
+    assert 0 < c["ppl_bucket"] < c["quality"]   # the tail dropped
+    kept = spark.read.parquet(str(out / "documents.parquet"))
+    assert kept.count() == c["ppl_bucket"]
+
+
+def test_curate_ppl_bucket_band_distribution(spark, tmp_path, capsys):
+    """Band distribution: keeping all three bands retains every
+    scoreable doc, and the default head+middle keep lands near 2/3 of
+    them (terciles per language, rounding slack for tiny groups)."""
+    out_hm, out_all = tmp_path / "hm", tmp_path / "all"
+    run = lambda out, keep: main([  # noqa: E731
+        "--input", SF_DIR, "--output", str(out),
+        "--steps", "ppl_bucket", "--ppl-target", SF_DIR,
+        "--ppl-keep", keep, "--report",
+    ])
+    assert run(out_hm, "head,middle") == 0
+    assert run(out_all, "head,middle,tail") == 0
+    n = lambda out: spark.read.parquet(  # noqa: E731
+        str(out / "documents.parquet")).count()
+    n_hm, n_all = n(out_hm), n(out_all)
+    assert 0 < n_hm < n_all
+    assert 0.5 <= n_hm / n_all <= 0.85
+    # head+middle docs are exactly a ppl-prefix per language: every
+    # kept doc's ppl is <= every dropped doc's ppl within its lang
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from xenoeye_spark.datapipe.ranking import bigram_lm_score
+
+    ppl = {
+        r.doc_id: (r.lang, r.lm_ppl)
+        for r in bigram_lm_score(docs, docs, k=0.5)
+        .join(docs.select("doc_id", "lang"), "doc_id").collect()
+    }
+    kept_ids = {r.doc_id for r in spark.read.parquet(
+        str(out_hm / "documents.parquet")).select("doc_id").collect()}
+    all_ids = {r.doc_id for r in spark.read.parquet(
+        str(out_all / "documents.parquet")).select("doc_id").collect()}
+    by_lang: dict = {}
+    for did in all_ids:
+        lang, v = ppl[did]
+        by_lang.setdefault(lang, []).append((v, did in kept_ids))
+    for lang, rows in by_lang.items():
+        kept_v = [v for v, k in rows if k]
+        drop_v = [v for v, k in rows if not k]
+        if kept_v and drop_v:
+            assert max(kept_v) <= min(drop_v), lang
+
+
+def test_curate_ppl_bucket_argv_errors():
+    with pytest.raises(SystemExit, match="ppl-target"):
+        main(["--input", SF_DIR, "--output", "/tmp/x",
+              "--steps", "ppl_bucket"])
+    with pytest.raises(SystemExit, match="ppl-keep"):
+        main(["--input", SF_DIR, "--output", "/tmp/x",
+              "--steps", "ppl_bucket", "--ppl-target", SF_DIR,
+              "--ppl-keep", "head,junk"])
+
+
+def test_warc_source_id_guard(spark):
+    """r11 (symmetric to the rec_index guard): source_id past the
+    documented id-permutation domain bound raises per-row instead of
+    silently minting out-of-contract doc_ids; the in-bound product is
+    computed in long."""
+    import scripts.xe_curate as curate
+
+    ok = spark.createDataFrame(
+        [{"source_id": 4293, "rec_index": 999_999}]
+    ).select(curate.warc_doc_id()).collect()
+    assert ok[0].doc_id == 4_293_999_999        # > 2^31: long math
+    bad = spark.createDataFrame([{"source_id": 4294, "rec_index": 0}])
+    with pytest.raises(Exception, match="id-permutation domain"):
+        bad.select(curate.warc_doc_id()).collect()
