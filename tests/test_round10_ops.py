@@ -90,20 +90,47 @@ def test_mixture_order_rank_col_bit_identical(spark):
 
 
 def test_mixture_order_rank_col_custom_name(spark):
-    """A rank under any name is normalized to src_rank in the output;
-    keys match the window path."""
+    """A rank under any name is normalized to src_rank in the output
+    and the original column is CONSUMED (r11): all three paths emit
+    the identical schema; keys match the window path."""
     from xenoeye_spark.datapipe.sampling import mixture_order, source_rank
 
     weights = {"a": 3, "b": 1}
     df = spark.createDataFrame(_mix_rows(60))
     pre = source_rank(df, rank_col="my_rank")
     out = mixture_order(pre, weights, rank_col="my_rank")
-    assert "src_rank" in out.columns and "my_rank" in out.columns
+    wout = mixture_order(df, weights)
+    assert out.columns == wout.columns     # my_rank gone, same order
     key = lambda r: (r.interleave_key, r.source, r.doc_id)  # noqa: E731
-    want = sorted(mixture_order(df, weights).collect(), key=key)
+    want = sorted(wout.collect(), key=key)
     got = sorted(out.collect(), key=key)
     assert [(r.doc_id, r.src_rank, r.interleave_key) for r in got] == \
         [(r.doc_id, r.src_rank, r.interleave_key) for r in want]
+
+
+def test_source_rank_cache_release_contract(spark):
+    """r11: source_rank pins a MEMORY_AND_DISK copy of the ranged
+    input for its two-pass layout — the handle rides the result (and
+    propagates through mixture_order) so a long-lived driver can
+    release it after materializing; at mixture scale the pinned copy
+    IS the corpus."""
+    from xenoeye_spark.datapipe.sampling import mixture_order, source_rank
+
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    out = mixture_order(
+        source_rank(spark.createDataFrame(_mix_rows(80))),
+        {"a": 2, "b": 1}, rank_col="src_rank",
+    )
+    assert out.count() > 0
+    cached = out._xe_cached
+    lvl = cached.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    assert sc._jsc.getPersistentRDDs().size() == base + 1
+    cached.unpersist(blocking=True)
+    lvl = cached.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    assert sc._jsc.getPersistentRDDs().size() == base
 
 
 def test_mixture_order_rank_col_plan_has_no_window(spark):

@@ -772,3 +772,8 @@ def test_source_rank_5m_rows_dominant_source(spark):
     # (2*cnt-1)*(lcm/3), the last small at (2*cnt-1)*(lcm/1)
     assert stats["big"]["max_key"] == (2 * stats["big"]["cnt"] - 1) * 1
     assert stats["small"]["max_key"] == (2 * stats["small"]["cnt"] - 1) * 3
+    # r11 cache-release contract: the pinned 5M-row range layout frees
+    # through the propagated handle — no lingering cached RDD
+    ranked._xe_cached.unpersist(blocking=True)
+    lvl = ranked._xe_cached.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)

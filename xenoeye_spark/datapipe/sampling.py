@@ -836,7 +836,10 @@ def source_rank(
 
     Output: input columns + ``rank_col`` (long, 1-based per source).
     Feed it to ``mixture_order(..., rank_col=...)`` — the keys are
-    bit-identical to the window path (tested).
+    bit-identical to the window path (tested). The result carries the
+    pinned range layout as ``result._xe_cached``; unpersist it after
+    materializing (mixture_order propagates the handle). Requires a
+    DETERMINISTIC input — see the in-body contract note.
     """
     from pyspark import StorageLevel, TaskContext
     from pyspark.sql import types as T
@@ -908,10 +911,23 @@ def source_rank(
                 yield out
 
         out = ranged.mapInPandas(stamp, schema=out_schema)
-        # materialize before unpersist would be the caller's business;
-        # keep lineage valid by leaving the persist in place until the
-        # returned plan is consumed — Spark recomputes safely either
-        # way because the stamp only trusts offsets keyed by _pid.
+        # Cache-release contract (r11, the house _xe_cached
+        # convention): the pinned range layout rides on the result —
+        # after materializing the output (write/collect), call
+        # result._xe_cached.unpersist() to free the MEMORY_AND_DISK
+        # copy; at mixture scale that copy IS the corpus, and a
+        # long-lived driver leaks one per call otherwise.
+        # mixture_order propagates the handle through its
+        # composition. The persist must stay in place until then:
+        # both passes (counts, stamp) saw ONE partition layout, and
+        # if an evicted partition recomputes, the _pid guard catches
+        # partition-id drift — but MEMBERSHIP drift (a
+        # nondeterministic input routing rows differently on
+        # recompute) is undetectable, so the input must be
+        # deterministic (parquet scans and pure projections are;
+        # unseeded rand()/sample() are not; localCheckpoint the
+        # input first if in doubt).
+        out._xe_cached = ranged
         return out
     except Exception:
         ranged.unpersist()
@@ -941,9 +957,11 @@ def mixture_order(
     dropped — the mixture IS the filter.
 
     Output: input columns + ``src_rank`` (1-based within source) +
-    ``interleave_key``. Consumers range-partition / TakeOrdered on the
-    key; a full global row_number would be a single-reducer window and
-    is deliberately NOT emitted.
+    ``interleave_key`` — identical on all three paths (window,
+    rank_col='src_rank', custom rank_col: the caller's rank column is
+    CONSUMED by the rename, r11). Consumers range-partition /
+    TakeOrdered on the key; a full global row_number would be a
+    single-reducer window and is deliberately NOT emitted.
 
     Scale shape: one shuffle keyed by ``source_col`` for the per-source
     rank window — a reducer per source, fine for the tens-of-sources
@@ -1005,11 +1023,15 @@ def mixture_order(
                 f"columns {df.columns}"
             )
         # caller-supplied distributed rank (source_rank's two-pass
-        # layout is the named producer): normalize the name, validate
-        # per-row — a NULL or non-positive rank is a caller bug that
-        # would silently shift slots, so it raises at execution
-        ranked = kept if rank_col == "src_rank" else kept.withColumn(
-            "src_rank", F.col(rank_col).cast("long")
+        # layout is the named producer): normalize the name (the
+        # original column DROPS — r11 — so all three paths emit the
+        # same schema: input columns + src_rank + interleave_key),
+        # validate per-row — a NULL or non-positive rank is a caller
+        # bug that would silently shift slots, so it raises at
+        # execution
+        ranked = kept if rank_col == "src_rank" else (
+            kept.withColumn("src_rank", F.col(rank_col).cast("long"))
+            .drop(rank_col)
         )
         ranked = ranked.withColumn(
             "src_rank",
@@ -1034,4 +1056,11 @@ def mixture_order(
         (F.lit(2) * F.col("src_rank") - F.lit(1))
         * step[F.col(source_col)]
     )
-    return ranked.withColumn("interleave_key", guarded.cast("long"))
+    out = ranked.withColumn("interleave_key", guarded.cast("long"))
+    # propagate a composed source_rank's pinned-cache handle so the
+    # caller can release it after materializing (see source_rank's
+    # cache-release contract)
+    cached = getattr(df, "_xe_cached", None)
+    if cached is not None:
+        out._xe_cached = cached
+    return out
