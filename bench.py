@@ -29,6 +29,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The one default-SF path: the SPARK_GRAFT_SF_DIR fallback in main()
+# AND the sidecar guard's default-SF test must agree, or changing the
+# default in one place silently misclassifies every run (the guard
+# would either never write the round record or let smoke runs claim
+# it).
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
 
 def run_probe_session() -> dict:
     """Flows/sec probe against BASELINE.md's ~700K fps/CPU reference
@@ -183,7 +190,7 @@ def main() -> None:
         print(json.dumps(run_probe_session()))
         return
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", 3)))
     # r9 (VERDICT r8 #3): record host load so a loaded-host run is
@@ -398,7 +405,7 @@ def should_write_round_sidecar(
     )
     default_sf = (
         "SPARK_GRAFT_SF_DIR" not in env
-        or env["SPARK_GRAFT_SF_DIR"].rstrip("/") == "/root/testdata/sf0.1"
+        or env["SPARK_GRAFT_SF_DIR"].rstrip("/") == DEFAULT_SF_DIR
     )
     return default_sf and not (recorded and sidecar)
 
