@@ -444,3 +444,40 @@ def test_engine_mavg_buckets_auto(spark, tmp_path, monkeypatch):
     eng.builders(stream)  # builds the plan; the spy sees the kwargs
     expect = 8 * max(1, spark.sparkContext.defaultParallelism)
     assert seen.get("buckets") == expect
+
+
+def test_engine_rejects_tws_precombine(spark, tmp_path):
+    """r11: the tws JVM-fold precombine was deleted (measured adverse
+    twice — SCALE.md §Round-11); 'precombine' is an apply-backend knob
+    and wiring it to the tws backend must raise at build time, not
+    silently run per-event."""
+    import pytest
+
+    root = tmp_path / "modir"
+    mo_sub = root / "border"
+    mo_sub.mkdir(parents=True)
+    (mo_sub / "mo.conf").write_text("""
+{
+  "filter": "proto 6",
+  "mavg": [ {"name": "m1", "fields": ["src host", "octets"], "time": 10,
+             "precombine": true,
+             "overlimit": [ {"name": "hi", "default": [0.5]} ]} ]
+}
+""")
+    src_dir = tmp_path / "flows"
+    df = spark.createDataFrame(
+        _flows_rows(),
+        "ts long, ip4_src_addr long, ip4_dst_addr long, in_bytes long, "
+        "protocol long, l4_dst_port long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(src_dir))
+    eng = Engine(
+        str(root),
+        exp_dir=str(tmp_path / "exp"),
+        state_dir=str(tmp_path / "state"),
+        run_scripts=False,
+        mavg_backend="tws",
+    )
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    with pytest.raises(ValueError, match="apply-backend knob"):
+        eng.builders(stream)

@@ -184,106 +184,13 @@ def _silent_key_scenario(spark, tmp_path, stream_fn):
     assert "NEW" not in by_key.get("k2", [])
 
 
-def test_jvm_fold_matches_numpy_fold(spark):
-    """r8: the SQL aggregate fold (jvm_fold_windows) and the numpy
-    segmented scan (fold_sorted) compute the same composites and
-    sample points on the same data — count/time fields exactly,
-    floating-point fields to composite-regroup tolerance (the JVM fold
-    is sequential, the scan is tree-regrouped)."""
-    import numpy as np
-    import pandas as pd
-
-    from xenoeye_spark.streaming.mavg_stream import fold_sorted
-    from xenoeye_spark.streaming.mavg_tws import jvm_fold_windows
-
-    rng = np.random.RandomState(5)
-    base = 1_700_000_000
-    rows = []
-    for k in ("a", "b"):
-        t = float(base)
-        for _ in range(60):
-            t += rng.uniform(0.1, 12.0)  # crosses dt >= W resets (W=10)
-            rows.append((k, t, float(rng.uniform(0, 100))))
-    df = spark.createDataFrame(rows, "k string, ts double, v double")
-    prepped = df.select(
-        "k",
-        F.col("ts").cast("timestamp").alias("xe_ts"),
-        (F.col("ts").cast("timestamp").cast("double") * F.lit(1e9))
-        .cast("long").alias("xe_ts_ns"),
-        F.col("v").cast("double").alias("xe_val"),
-    )
-    W = int(10e9)
-    # one giant fold window -> one row per key, comparable to fold_sorted
-    jvm = (
-        jvm_fold_windows(prepped, ["k"], W, False, "3600 seconds",
-                         "0 seconds")
-        .toPandas().sort_values("k").reset_index(drop=True)
-    )
-    pdf = (
-        prepped.toPandas()[["k", "xe_ts_ns", "xe_val"]]
-        .rename(columns={"xe_ts_ns": "_ts_ns", "xe_val": "_val"})
-        .sort_values(["k", "_ts_ns", "_val"], kind="mergesort",
-                     ignore_index=True)
-    )
-    ref = fold_sorted(pdf, ["k"], W).sort_values("k").reset_index(drop=True)
-    for col in ("pk", "pt1", "pv1", "ptk", "ptpr", "ptbm"):
-        assert (jvm[col] == ref[col]).all(), col
-    for col in ("pA", "pB", "pApr", "pBpr", "pAbm", "pBbm"):
-        a = jvm[col].to_numpy(float)
-        b = ref[col].to_numpy(float)
-        assert np.allclose(a, b, rtol=1e-9, atol=1e-12), col
-
-
-@pytest.mark.skipif(
-    not _HAS_PROTOBUF, reason="transformWithState needs python protobuf"
-)
-def test_tws_precombine_alert_stream(spark, tmp_path):
-    """r8: the JVM-fold precombine path end to end — windowed agg ->
-    fold -> transformWithStateInPandas — fires NEW for the bursting key
-    once the watermark closes its fold window. time_mode='none' so the
-    availableNow drain terminates (the processingTime no-data-batch
-    storm is documented on mavg_alert_stream_tws)."""
-    import glob as g
-    import os
-    import shutil
-    import tempfile
-
-    from xenoeye_spark.streaming.mavg_tws import mavg_alert_stream_tws
-
-    base = 1_700_000_000
-    rows = (
-        [("kA", float(base + i), 1000.0) for i in range(5)]
-        + [("kB", float(base + i), 0.001) for i in range(5)]
-        # nudge far ahead so the watermark passes the first fold window
-        + [("kC", float(base + 3600), 0.001)]
-    )
-    src = tempfile.mkdtemp(prefix="twspc_src_")
-    df = spark.createDataFrame(rows, "k string, ts double, v double") \
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    d = tempfile.mkdtemp(prefix="twspc_stage_")
-    df.coalesce(1).write.parquet(d, mode="overwrite")
-    for f in g.glob(os.path.join(d, "*.parquet")):
-        shutil.copy(f, os.path.join(src, os.path.basename(f)))
-
-    events: list = []
-    stream = spark.readStream.schema(
-        "k string, ts timestamp, v double").parquet(src)
-    alerts = mavg_alert_stream_tws(
-        stream, ["k"], "v", window_sec=10, threshold=50.0,
-        precombine=True, fold_window="60 seconds",
-        watermark_delay="1 second", time_mode="none",
-    )
-    q = (
-        alerts.writeStream
-        .foreachBatch(lambda bdf, e: events.extend(bdf.collect()))
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
-    got = sorted(set((r["k"], r["event"]) for r in events))
-    assert ("kA", "NEW") in got
-    assert all(k != "kB" for k, _ in got)
-    # NEW resolves at the fold window's first event with rate v1/W
-    new_row = [r for r in events if r["k"] == "kA" and r["event"] == "NEW"][0]
-    assert new_row["rate"] == pytest.approx(100.0)
-    assert new_row["ts_ns"] == int(base * 1e9)
+# --- history: r8-r10 carried a second precombine on this backend — a
+# fully-JVM windowed aggregate fold (jvm_fold_windows) feeding a
+# MavgPcProcessor, pinned here by test_jvm_fold_matches_numpy_fold
+# (SQL fold == numpy scan, composites to 1e-9, sample points exact)
+# and test_tws_precombine_alert_stream (e2e NEW through the fold
+# window, rate and ts exact). DELETED r11 with the path after losing
+# both measurements (r8 drain: 3-4x slower; r11 steady multi-batch
+# probe: 2.1x slower — SCALE.md §Round-11). The engine now rejects
+# precombine+tws (test_engine.py::test_engine_rejects_tws_precombine);
+# the apply backend keeps the python precombine and its tests. ---

@@ -103,6 +103,8 @@ class MavgConfig:
     # r8 scale knobs for the apply backend: "buckets" groups state by
     # hash(key)%N (the per-thread-trie analogue of mem-m's trie cap),
     # "precombine" folds each (key, batch) map-side before the state op.
+    # Both are APPLY-backend-only — the engine raises on backend='tws'
+    # (the tws JVM-fold twin was retired r11, SCALE.md §Round-11).
     # r9: "buckets": "auto" sizes N at ~8x the session's cores at stream
     # build time — the production default for any high-cardinality mavg
     # (the per-key layout is the measured-worst at carrier scale,

@@ -176,6 +176,16 @@ class Engine:
                             "keys state per flow key (use "
                             "mavg_backend='apply' or drop the knob)"
                         )
+                    if mavg.precombine:
+                        # the tws JVM fold was deleted r11 (measured
+                        # adverse twice — SCALE.md §Round-11); only the
+                        # apply backend has a precombine
+                        raise ValueError(
+                            f"mavg section {mavg.name!r}: 'precombine' "
+                            "is an apply-backend knob (the tws JVM "
+                            "fold was retired; use mavg_backend="
+                            "'apply' or drop the knob)"
+                        )
                     # timers replace the apply-path's silent watch
                     alerts = mavg_alert_stream_tws(
                         proj, key_names, "_mval",
@@ -185,7 +195,6 @@ class Engine:
                         ts_col=ts_col,
                         thresholds=per_key,
                         under=under,
-                        precombine=mavg.precombine,
                     )
                 else:
                     buckets = mavg.buckets

@@ -47,13 +47,10 @@ from pyspark.sql.streaming.stateful_processor import (
 
 from xenoeye_spark.config.limits import norm_group_key
 from xenoeye_spark.streaming.mavg_stream import (
-    S_NEW,
     S_NONE,
-    S_UPDATE,
     STATE_SCHEMA,
     _first_notnull,
     _pad_state,
-    precombine_step,
     replay_rows,
     resolve_limit,
     silent_transition,
@@ -170,182 +167,20 @@ class MavgProcessor(StatefulProcessor):
             )
 
 
-class MavgPcProcessor(MavgProcessor):
-    """Pre-combined twin: consumes ONE folded row per (key, event-time
-    fold window) from the JVM aggregate fold (jvm_fold_windows) instead
-    of raw flows — the Python state protocol pays O(keys x windows),
-    not O(flows). Timer/TTL handling is inherited; only the input-row
-    handler differs (precombine_step replaces replay_rows)."""
-
-    def handleInputRows(
-        self, key, rows, timerValues: TimerValues
-    ) -> Iterator[pd.DataFrame]:
-        got = self.state.get()
-        st = _pad_state(tuple(got)) if got is not None else (
-            0.0, None, S_NONE, None, None, None,
-        )
-        dict_limit = self.thresholds.get(
-            norm_group_key(tuple(key)), self.threshold
-        )
-        pdf = pd.concat(list(rows), ignore_index=True)
-        # several fold windows can close in one micro-batch: apply them
-        # in event-time order
-        pdf = pdf.sort_values("pt1", kind="mergesort")
-        if "xe_limit" in pdf.columns:
-            limit = resolve_limit(
-                _first_notnull(pdf["xe_limit"]), st[5], dict_limit
-            )
-        else:
-            limit = dict_limit
-        core = st[:5]
-        events: list[tuple] = []
-        for r in pdf.itertuples(index=False):
-            core, ev = precombine_step(
-                core, r, tuple(key), limit, self.window_sec,
-                self.window_ns, self.back2norm_ns, self.under,
-            )
-            events.extend(ev)
-        # steady-state notification refresh (act:427-433)
-        if core[2] in (S_NEW, S_UPDATE) and not events:
-            events.append(
-                (*key, S_UPDATE, core[0] / self.window_sec, limit, core[1])
-            )
-        st = (*core, float(limit))
-        self.state.update(st)
-        if st[2] != S_NONE and self.use_timers:
-            self.handle.registerTimer(
-                timerValues.getCurrentProcessingTimeInMs() + self.timer_ms
-            )
-        if events:
-            yield pd.DataFrame(
-                events,
-                columns=[*self.key_cols, "event", "rate", "threshold", "ts_ns"],
-            )
-
-
-def jvm_fold_windows(
-    prepped: DataFrame,
-    key_cols: list[str],
-    window_ns: int,
-    under: bool,
-    fold_window: str,
-    watermark_delay: str,
-    ts_col: str = "xe_ts",
-) -> DataFrame:
-    """Collapse raw flows to ONE row per (key, event-time fold window)
-    entirely JVM-side: a streaming windowed aggregation collects each
-    window's (t, v) events sorted by time, then a SQL ``aggregate``
-    lambda folds them sequentially through the affine decay composite
-        (A, B) -> (sa*A, sa*B + v),   sa = IF(dt >= T, 0, 1 - dt/T)
-    tracking the extremum sample points the batch-granular state machine
-    needs (precombine_step): the extremum of the reset-variant series
-    n_r(i) = A_i*v1 + B_i and of the intercept B_i, each with its
-    (A, B, t). ``under`` flips the tracked extremum (valley for
-    drop detection). The fold is SEQUENTIAL left-to-right, so its
-    arithmetic is the composite order the python twin tests pin down;
-    raw flows never cross into Python — the shuffle, sort and fold all
-    stay JVM-side, which is what lets the pre-combined path track the
-    reference's C throughput (monit-objects-mavg.c:571-593) instead of
-    paying the Arrow/state protocol per flow.
-
-    Emitted columns: key cols, pk/pt1/pv1/ptk/pA/pB + the two candidate
-    trios under mode-dependent names (pApr/pBpr/ptpr + pAbm/pBbm/ptbm,
-    or pAvr/../pAbn/.. when ``under``), + xe_limit when present.
-
-    Append-mode consequence: a fold window only reaches the state op
-    after the watermark passes its end — alert latency is bounded by
-    fold_window + watermark_delay, the usual event-time trade.
-    """
-    has_limit = "xe_limit" in prepped.columns
-    cmp = "<" if under else ">"
-    wd = float(window_ns)
-    # steps[i] precomputes the decay factor so the fold's lambda does
-    # not recompute the dt branch for every tracked field
-    steps = f"""
-      CASE WHEN size(evs) < 2 THEN CAST(array() AS
-             array<struct<sa: double, v: double, t: bigint>>)
-      ELSE transform(
-        sequence(1, size(evs) - 1),
-        i -> named_struct(
-          'sa', IF(evs[i].t - evs[i-1].t >= {window_ns}L,
-                   CAST(0.0 AS DOUBLE),
-                   CAST(1.0 AS DOUBLE)
-                     - CAST(evs[i].t - evs[i-1].t AS DOUBLE) / {wd!r}D),
-          'v', evs[i].v,
-          't', evs[i].t))
-      END"""
-    fold = f"""
-      aggregate(
-        {steps},
-        named_struct(
-          'a', CAST(1.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
-          'tprev', evs[0].t,
-          'pr', evs[0].v, 'apr', CAST(1.0 AS DOUBLE),
-          'bpr', CAST(0.0 AS DOUBLE), 'tpr', evs[0].t,
-          'bm', CAST(0.0 AS DOUBLE), 'abm', CAST(1.0 AS DOUBLE),
-          'bbm', CAST(0.0 AS DOUBLE), 'tbm', evs[0].t),
-        (acc, e) -> named_struct(
-          'a', e.sa * acc.a,
-          'b', e.sa * acc.b + e.v,
-          'tprev', e.t,
-          'pr', IF((e.sa * acc.a) * evs[0].v + (e.sa * acc.b + e.v)
-                     {cmp} acc.pr,
-                   (e.sa * acc.a) * evs[0].v + (e.sa * acc.b + e.v),
-                   acc.pr),
-          'apr', IF((e.sa * acc.a) * evs[0].v + (e.sa * acc.b + e.v)
-                      {cmp} acc.pr,
-                    e.sa * acc.a, acc.apr),
-          'bpr', IF((e.sa * acc.a) * evs[0].v + (e.sa * acc.b + e.v)
-                      {cmp} acc.pr,
-                    e.sa * acc.b + e.v, acc.bpr),
-          'tpr', IF((e.sa * acc.a) * evs[0].v + (e.sa * acc.b + e.v)
-                      {cmp} acc.pr,
-                    e.t, acc.tpr),
-          'bm', IF(e.sa * acc.b + e.v {cmp} acc.bm,
-                   e.sa * acc.b + e.v, acc.bm),
-          'abm', IF(e.sa * acc.b + e.v {cmp} acc.bm,
-                    e.sa * acc.a, acc.abm),
-          'bbm', IF(e.sa * acc.b + e.v {cmp} acc.bm,
-                    e.sa * acc.b + e.v, acc.bbm),
-          'tbm', IF(e.sa * acc.b + e.v {cmp} acc.bm, e.t, acc.tbm)))
-    """
-    evs_struct = F.struct(
-        F.col("xe_ts_ns").alias("t"), F.col("xe_val").alias("v")
-    )
-    aggs = [F.sort_array(F.collect_list(evs_struct)).alias("evs")]
-    if has_limit:
-        aggs.append(F.first("xe_limit", ignorenulls=True).alias("xe_limit"))
-    g = (
-        prepped.withWatermark(ts_col, watermark_delay)
-        .groupBy(*key_cols, F.window(ts_col, fold_window))
-        .agg(*aggs)
-    )
-    trio = ("vr", "bn") if under else ("pr", "bm")
-    sel = [
-        *key_cols,
-        F.expr("size(evs)").cast("long").alias("pk"),
-        F.expr("evs[0].t").alias("pt1"),
-        F.expr("evs[0].v").alias("pv1"),
-        F.expr(fold).alias("pf"),
-    ]
-    if has_limit:
-        sel.append("xe_limit")
-    g = g.select(*sel)
-    out = [
-        *key_cols, "pk", "pt1", "pv1",
-        F.col("pf.tprev").alias("ptk"),
-        F.col("pf.a").alias("pA"),
-        F.col("pf.b").alias("pB"),
-        F.col("pf.apr").alias(f"pA{trio[0]}"),
-        F.col("pf.bpr").alias(f"pB{trio[0]}"),
-        F.col("pf.tpr").alias(f"pt{trio[0]}"),
-        F.col("pf.abm").alias(f"pA{trio[1]}"),
-        F.col("pf.bbm").alias(f"pB{trio[1]}"),
-        F.col("pf.tbm").alias(f"pt{trio[1]}"),
-    ]
-    if has_limit:
-        out.append("xe_limit")
-    return g.select(*out)
+# r8 shipped a second precombine here — MavgPcProcessor consuming a
+# fully-JVM windowed aggregate fold (jvm_fold_windows: sort_array(
+# collect_list) + a sequential SQL `aggregate` lambda over the affine
+# decay monoid) so raw flows never crossed into Python. DELETED r11
+# after losing its second measurement: 3-4x slower than per-event rows
+# in the r8 availableNow drain (worst case: every raw row persisted
+# into RocksDB before any window closed), and still 2.1x slower in the
+# steady multi-batch regime built to favor it (10 batches, each
+# closing the previous fold window — 67s vs 31s over 20M flows / 5k
+# keys on local[32]). The windowed agg's raw-row state persistence
+# dominates the Arrow crossing it saves at every shape measured;
+# SCALE.md §Round-11 records the protocol, the numbers and the
+# decision. The apply-backend python precombine (mavg_stream,
+# precombine=True) is the surviving O(keys)-input path.
 
 
 def mavg_alert_stream_tws(
@@ -362,9 +197,6 @@ def mavg_alert_stream_tws(
     timer_sec: int | None = None,
     limits_df: DataFrame | None = None,
     limit_col: str = "limit",
-    precombine: bool = False,
-    fold_window: str = "5 seconds",
-    watermark_delay: str = "10 seconds",
     time_mode: str = "processingTime",
 ) -> DataFrame:
     """transformWithState twin of ``mavg_alert_stream`` — same output
@@ -372,16 +204,10 @@ def mavg_alert_stream_tws(
     for silent keys and TTL'd idle state. ``limits_df`` is the at-scale
     per-key limit path (map-side join; see mavg_alert_stream).
 
-    ``precombine`` (r8): insert the JVM windowed fold
-    (``jvm_fold_windows``) so the state op consumes ONE row per (key,
-    ``fold_window``) instead of every flow — transformWithState is the
-    one stateful op Spark allows downstream of a streaming aggregation,
-    which is what makes the fully-JVM pre-combine possible (the
-    applyInPandasWithState twin's precombine must fold in Python).
-    Semantics trade as documented on mavg_stream.precombine_step:
-    composite-FP accumulator (~1e-12 relative) and fold-window-granular
-    alarm transitions; alert latency gains fold_window +
-    ``watermark_delay`` (append-mode windowed agg).
+    This backend is per-event only: its r8 JVM-fold precombine was
+    DELETED r11 after losing both measurements (see the module note
+    above and SCALE.md §Round-11); the O(keys)-input precombine lives
+    on the applyInPandasWithState backend (``mavg_alert_stream``).
 
     ``time_mode``: 'processingTime' (default) arms the act-thread-parity
     timers for alarmed keys. CAVEAT (measured r8): under
@@ -428,8 +254,6 @@ def mavg_alert_stream_tws(
         )
     prepped = flows.select(
         *key_cols,
-        *([F.col(ts_col).cast("timestamp").alias("xe_ts")]
-          if precombine else []),
         (F.col(ts_col).cast("timestamp").cast("double") * F.lit(1e9))
         .cast("long").alias("xe_ts_ns"),
         F.col(val_col).cast("double").alias("xe_val"),
@@ -439,22 +263,11 @@ def mavg_alert_stream_tws(
 
         lim = _validated_limits(limits_df, key_cols, limit_col, "xe_limit")
         prepped = prepped.join(lim, key_cols, "left")
-    if precombine:
-        prepped = jvm_fold_windows(
-            prepped, key_cols, int(window_sec * 1e9), under,
-            fold_window, watermark_delay,
-        )
-        proc: MavgProcessor = MavgPcProcessor(
-            key_cols, window_sec, threshold, back2norm_sec, thresholds,
-            under, idle_ttl_sec, timer_sec,
-            use_timers=(time_mode == "processingTime"),
-        )
-    else:
-        proc = MavgProcessor(
-            key_cols, window_sec, threshold, back2norm_sec, thresholds,
-            under, idle_ttl_sec, timer_sec,
-            use_timers=(time_mode == "processingTime"),
-        )
+    proc = MavgProcessor(
+        key_cols, window_sec, threshold, back2norm_sec, thresholds,
+        under, idle_ttl_sec, timer_sec,
+        use_timers=(time_mode == "processingTime"),
+    )
     return prepped.groupBy(*key_cols).transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=out_schema,
