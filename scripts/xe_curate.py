@@ -103,30 +103,34 @@ CANONICAL = [
 
 def warc_doc_id():
     """doc_id = source_id * 1e6 + rec_index as a guarded Column: both
-    factors are bounded or the id is corrupt, and BOTH raise per-row
-    (r11 — only rec_index did before; an oversized source_id silently
-    escaped the documented id-permutation domain and could overflow a
-    32-bit source_id column in the multiply, so the product is
-    computed in long). rec_index >= 1e6 would silently collide into
-    the NEXT source's id space (breaking exact_dedup's lowest-id-wins
-    and the hash split); source_id >= 4294 leaves the downstream
-    id-permutation domain the split/sampling guards document."""
+    factors are range-checked or the id is corrupt, and BOTH raise
+    per-row (r11 — only rec_index's upper bound did before; an
+    oversized source_id silently escaped the documented
+    id-permutation domain and could overflow a 32-bit source_id
+    column in the multiply, so the product is computed in long, and a
+    NEGATIVE factor from a corrupt walker would collide into a lower
+    source's id space just as silently). rec_index outside [0, 1e6)
+    collides with a neighboring source's id space (breaking
+    exact_dedup's lowest-id-wins and the hash split); source_id
+    outside [0, 4294) leaves the downstream id-permutation domain the
+    split/sampling guards document."""
     from pyspark.sql import functions as F
 
     return F.when(
-        F.col("rec_index") >= 1_000_000,
+        ~F.col("rec_index").between(0, 999_999),
         F.raise_error(F.concat(
-            F.lit("warc shard exceeds 1e6 records (rec_index="),
+            F.lit("warc rec_index="),
             F.col("rec_index").cast("string"),
-            F.lit(") — doc_id would collide; split the shard or "
+            F.lit(" outside [0, 1e6) — doc_id would collide into "
+                  "another source's id space; split the shard or "
                   "raise the id stride"),
         )).cast("long"),
     ).when(
-        F.col("source_id") >= 4294,
+        ~F.col("source_id").between(0, 4293),
         F.raise_error(F.concat(
             F.lit("warc source_id="),
             F.col("source_id").cast("string"),
-            F.lit(" exceeds the id-permutation domain bound (4294) — "
+            F.lit(" outside the id-permutation domain [0, 4294) — "
                   "supply your own doc ids beyond it"),
         )).cast("long"),
     ).otherwise(
@@ -211,12 +215,15 @@ def main(argv: list[str] | None = None) -> int:
                 "classify requires --classifier-model (saved) or "
                 "--classifier-target (fit)"
             )
+    ppl_bands: list[str] = []
     if "ppl_bucket" in steps:
         if not args.ppl_target:
             raise SystemExit("ppl_bucket requires --ppl-target")
-        bands = [b.strip() for b in args.ppl_keep.split(",") if b.strip()]
-        bad = set(bands) - {"head", "middle", "tail"}
-        if bad or not bands:
+        # parsed ONCE here; the step body uses this validated list
+        ppl_bands = [b.strip() for b in args.ppl_keep.split(",")
+                     if b.strip()]
+        bad = set(ppl_bands) - {"head", "middle", "tail"}
+        if bad or not ppl_bands:
             raise SystemExit(
                 f"--ppl-keep bands must be head/middle/tail: {args.ppl_keep!r}"
             )
@@ -377,8 +384,6 @@ def main(argv: list[str] | None = None) -> int:
         from xenoeye_spark.operators.summary import quantile_bucket
 
         tgt = spark.read.parquet(f"{args.ppl_target}/documents.parquet")
-        keep_bands = [b.strip() for b in args.ppl_keep.split(",")
-                      if b.strip()]
         scored = bigram_lm_score(docs, tgt, k=0.5).select(
             "doc_id", "lm_ppl"
         )
@@ -394,7 +399,7 @@ def main(argv: list[str] | None = None) -> int:
             quantile_bucket(scored, gkeys, "lm_ppl")
             # NULL ppl (< 2 tokens) -> NULL bucket -> dropped by isin:
             # no evidence, no keep (the classify-step contract)
-            .filter(F.col("bucket").isin(keep_bands))
+            .filter(F.col("bucket").isin(ppl_bands))
             .select("doc_id")
         )
         docs = docs.join(keep, "doc_id", "left_semi")

@@ -103,7 +103,7 @@ _SLOW_TESTS = {
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "smoke: fast tier — `pytest -m smoke` runs the whole "
-        "correctness surface in <10 min (README)")
+        "correctness surface in <7 min (README)")
     config.addinivalue_line(
         "markers", "slow: measured heavy tail — streaming equivalence "
         "drains, multi-million-row smokes, soak/e2e daemons")

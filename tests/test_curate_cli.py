@@ -515,3 +515,6 @@ def test_warc_source_id_guard(spark):
     bad = spark.createDataFrame([{"source_id": 4294, "rec_index": 0}])
     with pytest.raises(Exception, match="id-permutation domain"):
         bad.select(curate.warc_doc_id()).collect()
+    neg = spark.createDataFrame([{"source_id": -1, "rec_index": 0}])
+    with pytest.raises(Exception, match="id-permutation domain"):
+        neg.select(curate.warc_doc_id()).collect()

@@ -550,8 +550,13 @@ def test_warc_doc_id_guard(spark):
     ).select(curate.warc_doc_id()).collect()
     assert ok[0].doc_id == 3_999_999
     bad = spark.createDataFrame([Row(source_id=3, rec_index=1_000_000)])
-    with pytest.raises(Exception, match="exceeds 1e6 records"):
+    with pytest.raises(Exception, match="outside \\[0, 1e6\\)"):
         bad.select(curate.warc_doc_id()).collect()
+    # r11: a NEGATIVE rec_index from a corrupt walker would collide
+    # into the previous source's id space just as silently
+    neg = spark.createDataFrame([Row(source_id=3, rec_index=-1)])
+    with pytest.raises(Exception, match="outside \\[0, 1e6\\)"):
+        neg.select(curate.warc_doc_id()).collect()
 
 
 # ------------------------------------------ quantile_clip NULL groups
