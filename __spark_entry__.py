@@ -1873,6 +1873,33 @@ def q_ppl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate line removal (NEW r11; the C4 /
+    RefinedWeb line-level correction): every doc gets a universal
+    'SIGN IN | REGISTER' line, one of three 'copyright footer k'
+    variants (each in ~1/3 of docs) and a per-doc unique line
+    appended. At min_docs=5 the universal and variant lines strip
+    from EVERY doc (the first copy too — unlike dedup_lines /
+    segment_dedup's first-wins), the unique lines survive, and any
+    naturally duplicated corpus text strips identically on both
+    engines. The rebuilt text, the non-blank line count and the
+    stripped count re-derive verbatim in SQL."""
+    from xenoeye_spark.datapipe.text import strip_common_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSIGN IN | REGISTER"),
+            F.lit("\ncopyright footer "), (d % 3).cast("string"),
+            F.lit("\nunique line "), d.cast("string"),
+        ).alias("text"),
+    )
+    return strip_common_lines(planted, min_docs=5)
+
+
 def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication profile (r9): every doc_id%5==0 text re-enters the
     corpus once more (and %15==0 twice more), so the exact-dup
@@ -2497,20 +2524,23 @@ GATE_POOL = [
     # [:30], so dedup_minhash_lsh_expr moved to 29 (swapped with
     # mask_spans, r6-proven -> due r9 at the cycle bound) to keep its
     # r5->r8 proof promise. ---
-    # --- r11 layout note: 82 entries after url_canon + ppl_split
-    # (NEW r11) insert at index 5 — INSIDE the r11 window, per the
-    # contract. Offset (5*33)%82 = 1, window = [1:34): the two NEW
-    # entries plus the r8-proven due-r11 backlog
-    # (incremental_dedup..char_entropy, old 5..29 -> 7..31) at
-    # exactly the 3-round bound, with pq_topk..ivfpq_topk (1..4,
-    # r10-proven) pulled in early (harmless). Displaced to the r12
-    # window [34:67): hash_classify..dedup_ngram_jaccard (r9-proven,
-    # due r12 — exactly the bound). count_min (0) drops out
-    # (r10-proven, due r13; the r13 wrap [67:82)+[0:19) covers it).
-    # url_dedup (78) CHANGED this round (canonical-chain upgrade):
-    # out-of-window, so its r11 proof is scripts/selftest.py (the
-    # quantile_clip r10 precedent); url_canon — in-window, NEW —
-    # drives the upgraded chain itself through the driver gate. ---
+    # --- r11 layout note: 83 entries after url_canon + ppl_split
+    # (NEW r11, inserted at index 5) and strip_common_lines (NEW r11,
+    # appended at the END — mid-round growth, the r8/r10 pattern).
+    # Offset (5*33)%83 = 82, window = [82:83)+[0:32): all three NEW
+    # entries gate in their first round per the contract, the
+    # r8-proven due-r11 backlog (incremental_dedup..char_entropy,
+    # 7..29) sits in-window at exactly the 3-round bound, and
+    # count_min..ivfpq_topk (0..4, r10-proven) plus html_extract/
+    # dsir_sample (30..31, r9-proven) pull in early (harmless).
+    # Displaced to the r12 window [32:65): mixture_interleave..
+    # dedup_ngram_jaccard and the r7-slice head (r9-proven, due r12 —
+    # exactly the bound); the r10-proven tail (54..81) re-proves
+    # across r12/r13 within bound. url_dedup (80) CHANGED this round
+    # (canonical-chain upgrade): out-of-window, so its r11 proof is
+    # scripts/selftest.py (the quantile_clip r10 precedent);
+    # url_canon — in-window, NEW — drives the upgraded chain itself
+    # through the driver gate. ---
     # --- deferred side (all r6-proven): r6 additions ---
     "count_min", "pq_topk", "hll_distinct", "bloom_contam",
     "ivfpq_topk",
@@ -2564,6 +2594,8 @@ GATE_POOL = [
     # decompress (5..8 — r8-proven) defer to the r11 window [5:38) at
     # exactly the 3-round bound. ---
     "url_dedup", "quantile_bucket",
+    # --- r11 append: NEW entry at the END joins the r11 wrap window ---
+    "strip_common_lines",
 ]
 
 GATE_ROWS_ONLY = [
@@ -2705,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bucket": q_quantile_bucket,
         "url_canon": q_url_canon,
         "ppl_split": q_ppl_split,
+        "strip_common_lines": q_strip_common_lines,
         "token_budget": q_token_budget,
         "kmeans_step": q_kmeans_step,
         "ann_recall": q_ann_recall,
@@ -4982,6 +5015,38 @@ SELECT s.doc_id, s.lang, s.lm_ppl,
             WHEN s.lm_ppl <= c.c2 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM scored s JOIN cuts c ON s.lang IS NOT DISTINCT FROM c.lang
+""",
+        # strip_common_lines (NEW r11): the same planted suffixes, the
+        # same frequency rule (count DISTINCT docs per non-blank line,
+        # >= 5 is boilerplate), the rebuild as a list_filter keeping
+        # blanks and non-common lines in original order — md5-digest
+        # equality on the Spark side IS string equality here.
+        "strip_common_lines": """
+WITH p AS (
+  SELECT doc_id,
+         text || chr(10) || 'SIGN IN | REGISTER' ||
+         chr(10) || 'copyright footer ' || CAST(doc_id % 3 AS VARCHAR) ||
+         chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+), ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS l FROM p
+), ex AS (
+  SELECT DISTINCT doc_id, ln
+  FROM (SELECT doc_id, unnest(l) AS ln FROM ls)
+), common AS (
+  SELECT ln FROM ex WHERE trim(ln) <> ''
+  GROUP BY ln HAVING count(*) >= 5
+), cl AS (
+  SELECT coalesce(list(ln), CAST([] AS VARCHAR[])) AS c FROM common
+)
+SELECT doc_id,
+  array_to_string(
+    list_filter(l, x -> trim(x) = '' OR NOT list_contains(c, x)),
+    chr(10)) AS text,
+  CAST(len(list_filter(l, x -> trim(x) <> '')) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(l, x -> trim(x) <> '' AND list_contains(c, x)))
+    AS BIGINT) AS n_stripped
+FROM ls CROSS JOIN cl
 """,
         # dedup_profile: same planted union, same md5 classes, same
         # count-of-counts — assumption-free about natural duplication.

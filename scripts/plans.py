@@ -150,6 +150,12 @@ NOTES = {
     "quantile_bucket's two-pass (one-row-per-lang tercile cuts, "
     "broadcast back, labels a pure projection) — no window, no "
     "per-group reducer anywhere in the composition.",
+    "strip_common_lines": "one (digest, doc) distinct + count agg "
+    "(both map-side combinable; 16-byte digests shuffle, never line "
+    "text), the >= min_docs common set small by construction, a "
+    "digest-keyed left_anti join back (AQE broadcasts it) and a "
+    "per-doc regroup rebuilding the text in line order — nothing "
+    "quadratic, no window.",
     "quantile_clip": "bounds collapse to one row per group (exact "
     "percentile buffers bounded groups; approx_percentile is the "
     "100-TB path behind the same API); the dimension-sized bounds "

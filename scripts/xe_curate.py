@@ -44,6 +44,12 @@ gate / oracle suite):
   lines         — drop repeated non-blank lines WITHIN each document
                   (datapipe.text.dedup_lines — the RefinedWeb
                   intra-page boilerplate rule; blank separators stay)
+  common_lines  — strip CORPUS-frequency boilerplate lines (C4 /
+                  RefinedWeb line-level corrections): any non-blank
+                  line appearing in >= --min-line-docs distinct
+                  documents is removed from every document, first
+                  copy included (datapipe.text.strip_common_lines);
+                  rows are kept, text rewritten
   exact_dedup   — keep each exact text's lowest-id copy
   quality       — Gopher-style rules + composite score cut
   classify      — learned quality filter: score every doc under a
@@ -96,8 +102,8 @@ sys.path.insert(0, "/root/repo")
 
 CANONICAL = [
     "warc", "jsonl", "url_dedup", "decompress", "html", "lines",
-    "exact_dedup", "quality", "classify", "ppl_bucket", "neardup",
-    "substr_dedup", "decontaminate", "dsir", "split",
+    "common_lines", "exact_dedup", "quality", "classify", "ppl_bucket",
+    "neardup", "substr_dedup", "decontaminate", "dsir", "split",
 ]
 
 
@@ -173,6 +179,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--classifier-keep", default=None,
                     help="comma-separated argmax labels the classify "
                          "step keeps")
+    ap.add_argument("--min-line-docs", type=int, default=5,
+                    help="common_lines step: a non-blank line in this "
+                         "many distinct docs is boilerplate")
     ap.add_argument("--ppl-target", default=None,
                     help="clean-corpus dir (documents.parquet) to "
                          "train the ppl_bucket step's bigram LM on")
@@ -320,6 +329,16 @@ def main(argv: list[str] | None = None) -> int:
         rewritten = dedup_lines(docs).select("doc_id", "text")
         docs = docs.drop("text").join(rewritten, "doc_id")
         counts["lines"] = last = docs.count()
+
+    if "common_lines" in steps:
+        from xenoeye_spark.datapipe.text import strip_common_lines
+
+        rewritten = strip_common_lines(
+            docs, min_docs=args.min_line_docs
+        ).select("doc_id", "text")
+        docs = docs.drop("text").join(rewritten, "doc_id")
+        # rows are kept (text rewritten in place), like substr_dedup
+        counts["common_lines"] = last = docs.count()
 
     if "exact_dedup" in steps:
         from xenoeye_spark.datapipe.dedup import exact_dedup

@@ -518,3 +518,36 @@ def test_warc_source_id_guard(spark):
     neg = spark.createDataFrame([{"source_id": -1, "rec_index": 0}])
     with pytest.raises(Exception, match="id-permutation domain"):
         neg.select(curate.warc_doc_id()).collect()
+
+
+def test_curate_common_lines_step(spark, tmp_path, capsys):
+    """r11: corpus-frequency boilerplate strip as a CLI step — a
+    footer planted in every doc disappears from every doc (first copy
+    included), per-doc unique text survives, rows are kept."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "cl_src"
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = base.count()
+    (
+        base.select(
+            "doc_id",
+            F.concat(F.col("text"),
+                     F.lit("\nGLOBAL FOOTER | COOKIES")).alias("text"),
+        )
+        .write.parquet(str(src / "documents.parquet"))
+    )
+    out = tmp_path / "cl_out"
+    rc = main([
+        "--input", str(src), "--output", str(out),
+        "--steps", "common_lines", "--min-line-docs", "5", "--report",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["counts"]["common_lines"] == rep["counts"]["input"] == n
+    got = spark.read.parquet(str(out / "documents.parquet"))
+    assert got.count() == n                     # rows kept
+    assert got.filter(
+        F.col("text").contains("GLOBAL FOOTER")
+    ).count() == 0                              # stripped everywhere
+    assert got.filter(F.length("text") > 0).count() > 0

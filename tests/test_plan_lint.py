@@ -221,15 +221,17 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r11 window (82 entries after the url_canon + ppl_split inserts
-    # at index 5 — inside the window; offset (5*33)%82 = 1, slice
-    # [1:34)): must prove the r8-proven due-r11 backlog at exactly
-    # its 3-round cycle bound — incremental_dedup..char_entropy (the
-    # r10 layout's [5:30), shifted to [7:32) by the inserts) — and
-    # the NEW r11 queries in their first round. pq_topk..ivfpq_topk
-    # (r10-proven) are pulled in early by the modulus shift
-    # (harmless); count_min drops out (r10-proven, due r13 — the r13
-    # wrap [67:82)+[0:19) covers it).
+    # r11 window (83 entries after the url_canon + ppl_split inserts
+    # at index 5 and the strip_common_lines append at the end;
+    # offset (5*33)%83 = 82, slice [82:83)+[0:32)): must prove the
+    # r8-proven due-r11 backlog at exactly its 3-round cycle bound —
+    # incremental_dedup..char_entropy (the r10 layout's [5:30),
+    # shifted to [7:32) by the inserts) — and the NEW r11 queries in
+    # their first round. count_min..ivfpq_topk (r10-proven) and
+    # html_extract/dsir_sample (r9-proven) pull in early by the
+    # modulus shift (harmless); mixture_interleave/dedup_lines
+    # (r9-proven, due r12) land in the r12 window [32:65) at exactly
+    # the bound.
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r8_stale = {"incremental_dedup", "hist_quantiles", "video_decode",
                 "decompress", "image_resize", "fuzzy_dedup",
@@ -241,23 +243,23 @@ def test_gate_rotation_schedule():
                 "char_entropy"}
     assert r8_stale <= win_now
     # NEW r11 queries: first round gates
-    assert {"url_canon", "ppl_split"} <= win_now
+    assert {"url_canon", "ppl_split", "strip_common_lines"} <= win_now
     # url_dedup's canonical chain CHANGED r11 while out-of-window:
     # url_canon (in-window, above) drives the upgraded chain through
     # the driver gate; url_dedup itself re-proves via selftest (the
     # quantile_clip r10 precedent) until its r13 window slot
     assert "url_dedup" not in win_now
     # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the overflow holds only r9-proven (hash_classify..
-    # dedup_ngram_jaccard and the r7-slice head through simhash_expr
-    # — all due r12, covered by the r12 window [34:67)) and
-    # r10-proven (the r10 wrap window [52:80)+[0:5) of the 80-pool)
-    # entries
+    # cycle: the overflow holds only r9-proven (html_extract..
+    # simhash_expr — mixture_interleave/dedup_lines and the r7-slice
+    # head included, all due r12, covered by the r12 window [32:65))
+    # and r10-proven (the r10 wrap window [52:80)+[0:5) of the
+    # 80-pool = [54:82)+[0:5) here) entries
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
-    r9_proven = set(pool[34:56])
-    r10_proven = set(pool[54:]) | {"count_min", "pq_topk",
-                                   "hll_distinct", "bloom_contam",
-                                   "ivfpq_topk"}
+    r9_proven = set(pool[30:56])
+    r10_proven = set(pool[54:82]) | {"count_min", "pq_topk",
+                                     "hll_distinct", "bloom_contam",
+                                     "ivfpq_topk"}
     assert overflow_now <= r9_proven | r10_proven
 
 

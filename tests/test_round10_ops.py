@@ -633,3 +633,61 @@ def test_mixture_order_rank_col_feeds_shard_writer(spark, tmp_path):
     assert counts == {
         s: sum(1 for r in rows if r.source == s) for s in weights
     }
+
+
+# ------------------------------------------- strip_common_lines (r11)
+
+def _py_strip_common(rows, min_docs):
+    """Literal python twin of strip_common_lines: count DISTINCT docs
+    per non-blank line, strip >= min_docs lines from every doc."""
+    freq: dict[str, set] = {}
+    for did, text in rows:
+        for ln in text.split("\n"):
+            if ln.strip() != "":
+                freq.setdefault(ln, set()).add(did)
+    common = {ln for ln, s in freq.items() if len(s) >= min_docs}
+    out = {}
+    for did, text in rows:
+        ls = text.split("\n")
+        kept = [x for x in ls if x.strip() == "" or x not in common]
+        nb = sum(1 for x in ls if x.strip() != "")
+        keptnb = sum(1 for x in kept if x.strip() != "")
+        out[did] = ("\n".join(kept), nb, nb - keptnb)
+    return out
+
+
+def test_strip_common_lines_matches_twin(spark):
+    from xenoeye_spark.datapipe.text import strip_common_lines
+
+    rows = (
+        # footer in 6 docs (>= min_docs=3), banner in exactly 3,
+        # near-miss in 2, blanks, repeated-within-one-doc line (one
+        # doc only -> survives), a doc that empties completely
+        [(i, f"body {i}\nFOOTER\n\nu{i}") for i in range(6)]
+        + [(10 + i, f"x {i}\nBANNER") for i in range(3)]
+        + [(20 + i, f"y {i}\nnear miss") for i in range(2)]
+        + [(30, "solo\nsolo\nsolo")]
+        + [(31, "FOOTER\nBANNER")]
+    )
+    want = _py_strip_common(rows, 3)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_lines, r.n_stripped)
+           for r in strip_common_lines(df, min_docs=3).collect()}
+    assert got == want
+    # the rule's promises, independently of the twin
+    assert got[31] == ("", 2, 2)                 # emptied entirely
+    assert got[0] == ("body 0\n\nu0", 3, 1)      # blank survived
+    assert got[30] == ("solo\nsolo\nsolo", 3, 0)  # one-doc repeat kept
+    assert got[20][2] == 0                        # below threshold
+
+
+def test_strip_common_lines_validation_and_every_doc(spark):
+    from xenoeye_spark.datapipe.text import strip_common_lines
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_docs"):
+        strip_common_lines(df, min_docs=1)
+    # a single-doc corpus: nothing is common, everything survives
+    out = strip_common_lines(df, min_docs=2).collect()
+    assert [(r.doc_id, r.text, r.n_lines, r.n_stripped)
+            for r in out] == [(1, "a", 1, 0)]

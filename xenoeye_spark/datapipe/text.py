@@ -1138,6 +1138,79 @@ def dedup_lines(
     )
 
 
+def strip_common_lines(
+    docs: DataFrame,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-FREQUENCY boilerplate line removal (NEW r11) — the C4 /
+    RefinedWeb "line-level corrections" rule: a non-blank line that
+    appears in >= ``min_docs`` DISTINCT documents is boilerplate (nav
+    bars, cookie banners, footers, "sign in" prompts) and is removed
+    from EVERY document. Unlike ``dedup_lines`` (within-doc repeats)
+    and ``segment_dedup`` (corpus-wide FIRST occurrence wins), the
+    first copy dies too — a nav bar's first crawl is still a nav bar.
+    Blank lines are paragraph separators and always survive (they are
+    excluded from the frequency count for the same reason).
+
+    Scale shape: one (digest, doc) distinct + count aggregation (both
+    map-side combinable; the count shuffles 16-byte md5 digests, never
+    line text), the common set filtered to the >= min_docs heavy
+    hitters — small by construction at any real threshold — then a
+    digest-keyed left_anti join back over the exploded lines (AQE
+    broadcasts the common side while it fits) and a per-doc regroup
+    that rebuilds the text in original line order. Nothing quadratic;
+    no window.
+
+    Output: (id_col, text rewritten with '\\n' joins — '' when every
+    line was boilerplate, n_lines = non-blank input lines,
+    n_stripped = non-blank lines removed). Every input doc appears.
+    """
+    if min_docs < 2:
+        raise ValueError(
+            f"strip_common_lines: min_docs must be >= 2, got {min_docs} "
+            "(1 would strip every non-blank line)"
+        )
+    lines = F.split(F.col(text_col), "\n")
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(lines).alias("_pos", "_ln"),
+    ).withColumn("_h", F.md5(F.col("_ln")))
+    common = (
+        ex.filter(F.trim(F.col("_ln")) != "")
+        .select("_h", id_col).distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    kept = ex.join(common, "_h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
+                lambda s: s["_ln"],
+            ),
+            "\n",
+        ).alias("_new"),
+        F.sum((F.trim(F.col("_ln")) != "").cast("long")).alias("_kept"),
+    )
+    nonblank = F.size(F.filter(lines, lambda x: F.trim(x) != ""))
+    return (
+        spread(docs)
+        .select(F.col(id_col), nonblank.cast("long").alias("n_lines"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_new"), F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long").alias("n_stripped"),
+        )
+    )
+
+
 def jsonl_documents(
     files: DataFrame,
     schema: str,
