@@ -72,15 +72,44 @@ def test_boundaries_raise_loudly():
     d[24] = 16
     with pytest.raises(NotImplementedError, match="16-bit"):
         decode_png(bytes(d))
-    # Adam7
+    # flipping the interlace flag on a NON-interlaced stream (r11:
+    # Adam7 decodes now) leaves a byte layout no pass walk can
+    # consume exactly — loud mismatch, not garbage pixels
     d = bytearray(data)
     d[28] = 1
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="IDAT size mismatch"):
+        decode_png(bytes(d))
+    d = bytearray(data)
+    d[28] = 2                           # undefined interlace method
+    with pytest.raises(ValueError, match="bad interlace"):
         decode_png(bytes(d))
     with pytest.raises(ValueError):
         decode_png(b"NOTAPNG" + bytes(10))
     with pytest.raises(Exception):
         decode_png(bytes(data[:40]))    # truncated IDAT
+
+
+def test_adam7_interlace_roundtrip():
+    """r11: Adam7 decode — every (size, filter) cell round-trips
+    bit-exactly and equals the non-interlaced decode of the same
+    pixels; sizes below 8 exercise EMPTY passes (zero bytes), and
+    gray/palette/RGBA cover the sample layouts."""
+    rng = np.random.RandomState(11)
+    for (h, w) in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 13), (1, 9)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            adam = decode_png(encode_png(img, 2, ft, interlace=True))
+            assert (adam == img).all(), (h, w, ft)
+    g = rng.randint(0, 256, size=(5, 11), dtype=np.uint8)
+    assert (decode_png(encode_png(g, 0, 4, interlace=True))[:, :, 0]
+            == g).all()
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(6, 7), dtype=np.uint8)
+    assert (decode_png(encode_png(idx, 3, 1, palette=pal, interlace=True))
+            == pal[idx]).all()
+    rgba = rng.randint(0, 256, size=(9, 4, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba, 6, 3, interlace=True))
+            == rgba[:, :, :3]).all()
 
 
 def test_dispatch_sniffs_png():

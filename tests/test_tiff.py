@@ -54,6 +54,36 @@ def test_boundaries_raise_loudly():
         decode_tiff(encode_tiff(img)[:30])
 
 
+def test_planar_configuration_roundtrip():
+    """r11: PlanarConfiguration=2 decodes — plane-major strips equal
+    the chunky decode of the same pixels across byte orders and
+    strip heights; a gray planar file degrades to the single-plane
+    chunky layout; an undefined planar value raises."""
+    import struct
+
+    rng = np.random.RandomState(5)
+    for (h, w) in [(1, 1), (5, 7), (16, 9)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for endian in "<>":
+            for rps in (None, 2):
+                got = decode_tiff(encode_tiff(img, endian, rps, planar=2))
+                assert (got == img).all(), (h, w, endian, rps)
+    g = rng.randint(0, 256, size=(4, 6), dtype=np.uint8)
+    assert (decode_tiff(encode_tiff(g, planar=2))[:, :, 0] == g).all()
+    with pytest.raises(ValueError, match="planar must be"):
+        encode_tiff(g, planar=3)
+    # a corrupt PlanarConfiguration value raises at decode
+    data = bytearray(encode_tiff(
+        rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8), planar=2))
+    n = struct.unpack_from("<H", data, 8)[0]
+    for i in range(n):
+        base = 10 + 12 * i
+        if struct.unpack_from("<H", data, base)[0] == 284:
+            struct.pack_into("<H", data, base + 8, 3)
+    with pytest.raises(ValueError, match="bad PlanarConfiguration"):
+        decode_tiff(bytes(data))
+
+
 def test_dispatch_sniffs_tiff():
     img = np.full((5, 5, 3), 33, dtype=np.uint8)
     for endian in ("<", ">"):

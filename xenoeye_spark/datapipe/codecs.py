@@ -289,10 +289,11 @@ def sniff_format(data: bytes) -> str | None:
 def decode_image(data: bytes) -> np.ndarray:
     """Decode any supported image to (H, W, 3) uint8 — the raw
     containers here, BASELINE JPEG via the pure-numpy entropy decoder
-    in ``codecs_jpeg``, 8-bit PNG via stdlib-zlib inflate +
-    unfilter in ``codecs_png``, and GIF via the hand-rolled LZW in
-    ``codecs_gif`` (all r6); raises NotImplementedError for the rest
-    (H.264/progressive JPEG), the honest boundary."""
+    in ``codecs_jpeg``, 8-bit PNG (interlace none or Adam7, r11) via
+    stdlib-zlib inflate + unfilter in ``codecs_png``, GIF via the
+    hand-rolled LZW in ``codecs_gif``, and uncompressed TIFF (chunky
+    or planar, r11) in ``codecs_tiff``; raises NotImplementedError
+    for the rest (H.264/progressive JPEG), the honest boundary."""
     kind = sniff_format(data)
     if kind in ("ppm", "pgm"):
         return decode_ppm(data)

@@ -6,13 +6,16 @@ chunk walk -> inflate -> per-scanline unfilter.
 
 Scope (decoder): bit depth 8, color types 0 (gray), 2 (RGB),
 3 (palette), 4 (gray+alpha), 6 (RGBA); filters 0-4 (None/Sub/Up/
-Average/Paeth); alpha is dropped (the multimodal contract is HxWx3).
-Adam7 interlace and bit depths != 8 raise NotImplementedError.
+Average/Paeth); alpha is dropped (the multimodal contract is HxWx3);
+BOTH interlace methods — none and Adam7 (r11: the seven fixed
+sub-grids each unfilter as their own mini-image, empty passes carry
+no bytes, and the deinterlace is a numpy strided scatter). Bit
+depths != 8 raise NotImplementedError.
 
 Scope (encoder, tests only): gray/RGB/RGBA/palette writers with a
-caller-chosen per-scanline filter type, so tests exercise each
-unfilter path against a python twin rather than only filter-0
-round-trips.
+caller-chosen per-scanline filter type and optional Adam7 interlace,
+so tests exercise each unfilter path and the deinterlace scatter
+against a python twin rather than only filter-0 round-trips.
 
 Unfilter cost: None/Up vectorize across the row; Sub/Average/Paeth
 carry a sequential dependency along x and run as a per-byte loop over
@@ -40,53 +43,31 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to (H, W, 3) uint8 RGB
-    (gray replicated, palette resolved, alpha dropped)."""
-    if data[:8] != _SIG:
-        raise ValueError("not a PNG (bad signature)")
-    i = 8
-    ihdr = None
-    idat = bytearray()
-    plte: bytes | None = None
-    while i + 8 <= len(data):
-        ln, typ = struct.unpack(">I4s", data[i:i + 8])
-        chunk = data[i + 8:i + 8 + ln]
-        if typ == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", chunk
-            )
-            if depth != 8:
-                raise NotImplementedError(f"{depth}-bit PNG")
-            if interlace:
-                raise NotImplementedError("Adam7 interlaced PNG")
-            if ctype not in _SPP:
-                raise ValueError(f"bad color type {ctype}")
-            if comp or filt:
-                raise ValueError("bad compression/filter method")
-            ihdr = (w, h, ctype)
-        elif typ == b"PLTE":
-            plte = chunk
-        elif typ == b"IDAT":
-            idat.extend(chunk)
-        elif typ == b"IEND":
-            break
-        i += 12 + ln
-    if ihdr is None:
-        raise ValueError("no IHDR")
-    w, h, ctype = ihdr
-    spp = _SPP[ctype]
-    raw = zlib.decompress(bytes(idat))
-    stride = w * spp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT size mismatch")
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) — W3C PNG §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _unfilter(raw: bytes, offset: int, h: int, w: int, spp: int):
+    """Unfilter one (sub-)image of ``h`` scanlines x ``w`` pixels
+    starting at ``offset`` in the inflated stream; returns
+    ((h, w*spp) uint8, bytes consumed). The per-pass images of an
+    Adam7 stream are filtered EXACTLY like a standalone image (each
+    pass restarts with a zero prior scanline), so interlaced decode is
+    seven calls of this + a strided scatter."""
+    stride = w * spp
+    need = h * (stride + 1)
+    if offset + need > len(raw):
+        raise ValueError("IDAT size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        ft = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int64)
         if ft == 0:
             cur = line
@@ -107,8 +88,64 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad filter type {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    return out, need
 
-    px = out.reshape(h, w, spp)
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG (interlace none or Adam7) to (H, W, 3)
+    uint8 RGB (gray replicated, palette resolved, alpha dropped)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    plte: bytes | None = None
+    while i + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[i:i + 8])
+        chunk = data[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
+            if ctype not in _SPP:
+                raise ValueError(f"bad color type {ctype}")
+            if comp or filt:
+                raise ValueError("bad compression/filter method")
+            ihdr = (w, h, ctype, interlace)
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IDAT":
+            idat.extend(chunk)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise ValueError("no IHDR")
+    w, h, ctype, interlace = ihdr
+    spp = _SPP[ctype]
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        out, consumed = _unfilter(raw, 0, h, w, spp)
+        if consumed != len(raw):
+            raise ValueError("IDAT size mismatch")
+        px = out.reshape(h, w, spp)
+    else:                                         # Adam7
+        px = np.zeros((h, w, spp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue                          # empty pass: no bytes
+            sub, consumed = _unfilter(raw, off, ph, pw, spp)
+            off += consumed
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, spp)
+        if off != len(raw):
+            raise ValueError("IDAT size mismatch")
     if ctype == 0:
         g = px[:, :, 0]
         return np.stack([g, g, g], axis=2)
@@ -140,26 +177,11 @@ def _chunk(typ: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
 
 
-def encode_png(
-    img: np.ndarray,
-    ctype: int = 2,
-    filter_type: int = 0,
-    palette: np.ndarray | None = None,
-) -> bytes:
-    """Minimal PNG writer (tests only): 8-bit, non-interlaced, ONE
-    filter type applied to every scanline so each unfilter path can be
-    exercised deliberately. ``img``: (H, W) for gray/palette indices,
-    (H, W, 3) RGB, (H, W, 4) RGBA."""
-    img = np.asarray(img, dtype=np.uint8)
-    if ctype in (0, 3):
-        h, w = img.shape
-        px = img.reshape(h, w, 1)
-    else:
-        h, w, _ = img.shape
-        px = img
-    spp = _SPP[ctype]
-    assert px.shape[2] == spp, (px.shape, ctype)
-    stride = w * spp
+def _filter_pass(px: np.ndarray, spp: int, filter_type: int) -> bytes:
+    """Filter one (sub-)image (h, w, spp) with ONE filter type on
+    every scanline; the exact inverse of _unfilter on that pass."""
+    h = px.shape[0]
+    stride = px.shape[1] * spp
     flat = px.reshape(h, stride).astype(np.int64)
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int64)
@@ -185,8 +207,41 @@ def encode_png(
                     raise ValueError(f"bad filter {filter_type}")
         raw.extend(f.astype(np.uint8).tobytes())
         prev = cur
+    return bytes(raw)
+
+
+def encode_png(
+    img: np.ndarray,
+    ctype: int = 2,
+    filter_type: int = 0,
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG writer (tests only): 8-bit, ONE filter type applied
+    to every scanline so each unfilter path can be exercised
+    deliberately; ``interlace=True`` writes the Adam7 pass layout
+    (r11) so the deinterlace scatter round-trips. ``img``: (H, W) for
+    gray/palette indices, (H, W, 3) RGB, (H, W, 4) RGBA."""
+    img = np.asarray(img, dtype=np.uint8)
+    if ctype in (0, 3):
+        h, w = img.shape
+        px = img.reshape(h, w, 1)
+    else:
+        h, w, _ = img.shape
+        px = img
+    spp = _SPP[ctype]
+    assert px.shape[2] == spp, (px.shape, ctype)
+    if interlace:
+        raw = b"".join(
+            _filter_pass(px[y0::dy, x0::dx], spp, filter_type)
+            for x0, y0, dx, dy in _ADAM7
+            if px[y0::dy, x0::dx].size
+        )
+    else:
+        raw = _filter_pass(px, spp, filter_type)
     out = _SIG
-    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    out += _chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0))
     if ctype == 3:
         if palette is None:
             raise ValueError("palette ctype needs a palette")

@@ -4,9 +4,12 @@ uncompressed (Compression=1) 8-bit grayscale/RGB, both byte orders
 spec: TIFF 6.0 (Adobe). Like BMP/PPM this is a header walk over raw
 sample bytes — the IFD (tag directory) is the only structure.
 
-LZW/PackBits/JPEG-in-TIFF compression, tiles, planar configuration 2,
-and bit depths != 8 raise NotImplementedError (the honest boundary);
-extra channels (alpha) are dropped to the HxWx3 contract.
+LZW/PackBits/JPEG-in-TIFF compression, tiles, and bit depths != 8
+raise NotImplementedError (the honest boundary); planar configuration
+2 decodes (r11 — strips are plane-major per TIFF 6.0 §"Planar
+Configuration", so the concatenated strip bytes are spp contiguous
+HxW planes, one transpose from chunky); extra channels (alpha) are
+dropped to the HxWx3 contract.
 """
 
 from __future__ import annotations
@@ -73,8 +76,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
             f"compressed TIFF (Compression={comp}) needs codec logic "
             "beyond raw strips"
         )
-    if tags.get(_TAG_PLANAR, [1])[0] != 1:
-        raise NotImplementedError("planar (non-chunky) TIFF")
+    planar = tags.get(_TAG_PLANAR, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"bad PlanarConfiguration {planar}")
     spp = tags.get(_TAG_SPP, [1])[0]
     bits = tags.get(_TAG_BITS, [8])
     if any(b != 8 for b in bits):
@@ -90,9 +94,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError(
             f"truncated TIFF strips: {len(raw)} < {w * h * spp}"
         )
-    px = np.frombuffer(
-        raw, dtype=np.uint8, count=w * h * spp
-    ).reshape(h, w, spp)
+    if planar == 2 and spp > 1:
+        # strips are stored plane after plane (TIFF 6.0), so the
+        # concatenated bytes are spp contiguous HxW planes
+        px = np.transpose(
+            np.frombuffer(raw, dtype=np.uint8, count=w * h * spp)
+            .reshape(spp, h, w),
+            (1, 2, 0),
+        )
+    else:
+        px = np.frombuffer(
+            raw, dtype=np.uint8, count=w * h * spp
+        ).reshape(h, w, spp)
     if spp == 1:
         g = px[:, :, 0]
         photometric = tags.get(_TAG_PHOTOMETRIC, [1])[0]
@@ -103,21 +116,34 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 
 def encode_tiff(
-    img: np.ndarray, endian: str = "<", rows_per_strip: int | None = None
+    img: np.ndarray, endian: str = "<", rows_per_strip: int | None = None,
+    planar: int = 1,
 ) -> bytes:
     """Minimal uncompressed TIFF writer (tests only): 8-bit gray
-    (H, W) or RGB (H, W, 3), chunky, strip-per-``rows_per_strip``
-    (default: one strip), either byte order."""
+    (H, W) or RGB (H, W, 3), strip-per-``rows_per_strip`` (default:
+    one strip), either byte order; ``planar=2`` (r11) writes
+    plane-major strips (each plane split on the same rows_per_strip,
+    planes back to back) so the planar decode path round-trips."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         h, w = img.shape
         spp = 1
     else:
         h, w, spp = img.shape
+    if planar not in (1, 2):
+        raise ValueError(f"planar must be 1 or 2, got {planar}")
     rps = rows_per_strip or h
-    strips = [
-        img[y:y + rps].tobytes() for y in range(0, h, rps)
-    ]
+    if planar == 2 and spp > 1:
+        planes = np.transpose(img, (2, 0, 1))      # (spp, h, w)
+        strips = [
+            planes[p, y:y + rps].tobytes()
+            for p in range(spp) for y in range(0, h, rps)
+        ]
+    else:
+        planar = 1
+        strips = [
+            img[y:y + rps].tobytes() for y in range(0, h, rps)
+        ]
 
     entries = []        # (tag, type, count, value_or_bytes)
     hdr = (b"II" if endian == "<" else b"MM") + struct.pack(
@@ -137,6 +163,7 @@ def encode_tiff(
         (_TAG_SPP, 3, [spp]),
         (_TAG_ROWS_PER_STRIP, 3, [rps]),
         (_TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
+        (_TAG_PLANAR, 3, [planar]),
     ]
     n = len(tag_list)
     extra = bytearray()
