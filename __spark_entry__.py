@@ -2244,9 +2244,11 @@ def q_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and %5==1 is truncated mid-stream — ``decompress_text``'s
     on_error='null' must quarantine exactly those rows to NULL and
     decode the rest. Each doc also plants an image: a valid PPM,
-    except doc_id%4==0 plants a PROGRESSIVE JPEG (a baseline stream
-    with SOF0 re-marked 0xc2) — ``decode_image`` must refuse it with
-    the exact NotImplementedError message, never garbage pixels. The
+    except doc_id%4==0 plants an ARITHMETIC-CODED JPEG (a baseline
+    stream with SOF0 re-marked 0xc9; r11 — the plant was progressive
+    SOF2 until the progressive process learned to decode) —
+    ``decode_image`` must refuse it with the exact
+    NotImplementedError message, never garbage pixels. The
     oracle re-derives quarantine membership, surviving text lengths,
     and the refusal strings from the planted id arithmetic."""
     import gzip as _gzip
@@ -2262,8 +2264,8 @@ def q_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_jpeg = bytearray(encode_jpeg_gray(np.full((8, 8), 100.0)))
     i0 = base_jpeg.index(b"\xff\xc0")
-    base_jpeg[i0 + 1] = 0xC2                      # SOF0 -> SOF2
-    prog_jpeg = bytes(base_jpeg)
+    base_jpeg[i0 + 1] = 0xC9                      # SOF0 -> arithmetic
+    arith_jpeg = bytes(base_jpeg)
     ppm = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
 
     def build(batches):
@@ -2276,7 +2278,7 @@ def q_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     gz[-5] ^= 0xFF                # corrupt the CRC32
                 elif i % 5 == 1:
                     gz = gz[:11]                  # header + 1 byte
-                img = prog_jpeg if i % 4 == 0 else ppm
+                img = arith_jpeg if i % 4 == 0 else ppm
                 rows.append((i, bytearray(gz), bytearray(img)))
             yield pd.DataFrame(rows, columns=["doc_id", "content", "img"])
 
@@ -5710,8 +5712,8 @@ SELECT doc_id,
        CASE WHEN (doc_id % 5) IN (0, 1) THEN NULL
             ELSE CAST(length(text) AS BIGINT) END AS text_len,
        CASE WHEN doc_id % 4 = 0
-            THEN 'NotImplementedError: non-baseline JPEG '
-                 || '(SOF marker 0xc2)'
+            THEN 'NotImplementedError: unsupported JPEG process '
+                 || '(SOF marker 0xc9)'
             ELSE '' END AS img_err
 FROM documents WHERE doc_id < 2048
 """,

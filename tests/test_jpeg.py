@@ -13,7 +13,8 @@ import pytest
 
 from xenoeye_spark.datapipe.codecs import decode_image, sniff_format
 from xenoeye_spark.datapipe.codecs_jpeg import (
-    decode_jpeg, encode_jpeg_gray, encode_jpeg_rgb,
+    decode_jpeg, encode_jpeg_gray, encode_jpeg_progressive,
+    encode_jpeg_rgb,
 )
 
 
@@ -106,13 +107,16 @@ def test_non_multiple_of_8_dims_crop():
     assert out.shape == (19, 13, 3)
 
 
-def test_progressive_raises_loudly():
-    """Flip SOF0 to SOF2 in a valid stream: the decoder must refuse
-    with NotImplementedError, not decode garbage."""
+def test_unsupported_processes_raise_loudly():
+    """Arithmetic-coded and 12-bit streams must refuse with
+    NotImplementedError, not decode garbage; a BASELINE stream
+    relabeled SOF2 (r11: progressive decodes now) is structurally
+    inconsistent — its single scan claims the whole 0-63 band — and
+    must fail loudly too."""
     data = bytearray(encode_jpeg_gray(np.full((8, 8), 100.0)))
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    data[i + 1] = 0xC9                  # arithmetic sequential
+    with pytest.raises(NotImplementedError, match="unsupported"):
         decode_jpeg(bytes(data))
     with pytest.raises(NotImplementedError):
         # 12-bit precision
@@ -120,6 +124,78 @@ def test_progressive_raises_loudly():
         j = bytes(d2).index(b"\xff\xc0")
         d2[j + 4] = 12
         decode_jpeg(bytes(d2))
+    d3 = bytearray(encode_jpeg_gray(np.full((8, 8), 100.0)))
+    k = bytes(d3).index(b"\xff\xc0")
+    d3[k + 1] = 0xC2
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        decode_jpeg(bytes(d3))
+
+
+def _prog_test_image(h, w, rng):
+    y, x = np.mgrid[0:h, 0:w]
+    base = 128 + 80 * np.sin(x / 7.0) * np.cos(y / 5.0)
+    img = np.stack([base, 255 - base, (x * 3 + y * 2) % 256], axis=2)
+    return np.clip(img + rng.randint(-20, 21, size=img.shape),
+                   0, 255).astype(np.uint8)
+
+
+def test_progressive_decode_matches_baseline():
+    """r11: progressive decode — both scan scripts (spectral
+    selection only; one bit of successive approximation with DC/AC
+    refinement scans) reconstruct BIT-IDENTICALLY to the baseline
+    decode of the same quantized coefficients, across pad crops,
+    noise (ZRL/large magnitudes), flats (pure EOB runs) and sparse
+    spikes (cross-block EOBn with correction bits)."""
+    rng = np.random.RandomState(17)
+    cases = [
+        _prog_test_image(13, 19, rng),
+        rng.randint(0, 256, size=(24, 16, 3), dtype=np.uint8),
+        np.full((17, 9, 3), 200, np.uint8),
+        np.where(rng.rand(40, 40, 3) < 0.002,
+                 rng.randint(0, 256, size=(40, 40, 3)),
+                 128).astype(np.uint8),
+    ]
+    for img in cases:
+        base = decode_jpeg(encode_jpeg_rgb(img))
+        for succ in (False, True):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, successive=succ))
+            assert (prog == base).all(), (img.shape, succ)
+    g = rng.randint(0, 256, size=(11, 17), dtype=np.uint8)
+    gb = decode_jpeg(encode_jpeg_gray(g.astype(float),
+                                      quant=np.full(64, 16)))
+    for succ in (False, True):
+        gp = decode_jpeg(encode_jpeg_progressive(g, successive=succ))
+        assert (gp == gb).all(), succ
+
+
+def test_progressive_truncated_stream_decodes_coarsely():
+    """The point of progressive: cutting the stream after the early
+    scans still yields a viewable approximation — the DC-only prefix
+    decodes to the blockwise means, and each added scan reduces the
+    error vs the full decode monotonically."""
+    rng = np.random.RandomState(3)
+    img = _prog_test_image(24, 24, rng)
+    data = encode_jpeg_progressive(img, successive=True)
+    # scan boundaries = every SOS marker
+    sos = []
+    i = 0
+    while True:
+        j = data.find(b"\xff\xda", i)
+        if j < 0:
+            break
+        sos.append(j)
+        i = j + 2
+    # 2 DC scans + 3 components x 2 bands x (first + refine) = 14
+    assert len(sos) == 14
+    full = decode_jpeg(data).astype(int)
+    errs = []
+    for cut in (1, 4, 7, len(sos)):
+        prefix = (data[:sos[cut]] if cut < len(sos) else data[:-2])
+        part = decode_jpeg(prefix + b"\xff\xd9").astype(int)
+        errs.append(np.abs(part - full).mean())
+    assert errs[-1] == 0
+    assert errs[0] > errs[1] >= errs[2] >= errs[3]
 
 
 def test_dispatch_sniffs_jpeg():

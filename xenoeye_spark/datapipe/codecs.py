@@ -288,12 +288,13 @@ def sniff_format(data: bytes) -> str | None:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Decode any supported image to (H, W, 3) uint8 — the raw
-    containers here, BASELINE JPEG via the pure-numpy entropy decoder
-    in ``codecs_jpeg``, 8-bit PNG (interlace none or Adam7, r11) via
-    stdlib-zlib inflate + unfilter in ``codecs_png``, GIF via the
-    hand-rolled LZW in ``codecs_gif``, and uncompressed TIFF (chunky
-    or planar, r11) in ``codecs_tiff``; raises NotImplementedError
-    for the rest (H.264/progressive JPEG), the honest boundary."""
+    containers here, BASELINE + PROGRESSIVE (r11) JPEG via the
+    pure-numpy entropy decoder in ``codecs_jpeg``, 8-bit PNG
+    (interlace none or Adam7, r11) via stdlib-zlib inflate + unfilter
+    in ``codecs_png``, GIF via the hand-rolled LZW in ``codecs_gif``,
+    and uncompressed TIFF (chunky or planar, r11) in ``codecs_tiff``;
+    raises NotImplementedError for the rest (H.264/VP9, arithmetic
+    JPEG), the honest boundary."""
     kind = sniff_format(data)
     if kind in ("ppm", "pgm"):
         return decode_ppm(data)
@@ -318,6 +319,7 @@ def decode_image(data: bytes) -> np.ndarray:
     raise NotImplementedError(
         "unrecognized image format (video codecs need libs not present "
         "in this environment); supported: PPM/PGM/BMP raw containers + "
-        "baseline JPEG (codecs_jpeg) + 8-bit PNG (codecs_png) + GIF "
-        "(codecs_gif) + uncompressed TIFF (codecs_tiff)"
+        "baseline/progressive JPEG (codecs_jpeg) + 8-bit PNG "
+        "(codecs_png) + GIF (codecs_gif) + uncompressed TIFF "
+        "(codecs_tiff)"
     )

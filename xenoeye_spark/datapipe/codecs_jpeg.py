@@ -1,13 +1,19 @@
-"""Pure-numpy BASELINE JPEG codec — decoder (and a minimal test
-encoder) for sequential-DCT 8-bit JPEG/JFIF, public spec ITU-T T.81.
+"""Pure-numpy JPEG codec — decoder (and a minimal test encoder) for
+8-bit JPEG/JFIF, public spec ITU-T T.81.
 
-Scope (decoder): baseline process only — SOI/APPn/COM/DQT/SOF0/DHT/
+Scope (decoder): the BASELINE process — SOI/APPn/COM/DQT/SOF0/DHT/
 DRI/SOS/EOI markers, 1- or 3-component frames, sampling factors
 4:4:4 / 4:2:2 / 4:2:0, byte stuffing and restart markers, 8-bit
 quantization tables (16-bit accepted), JFIF full-range BT.601
-YCbCr -> RGB. Progressive (SOF2), arithmetic coding, and 12-bit
-precision raise NotImplementedError — loudly, like every other honest
-boundary in this repo.
+YCbCr -> RGB — AND the PROGRESSIVE process (SOF2, r11): coefficients
+accumulate across scans in zigzag space and the IDCT runs once at
+EOI; all four scan kinds decode (DC first/refine, AC first/refine
+per T.81 G.1.2 — spectral selection bands, successive-approximation
+point transforms, EOB runs, refinement correction bits), interleaved
+DC scans walk MCUs while non-interleaved scans walk the component's
+OWN ceil-block grid. Arithmetic coding, hierarchical/lossless
+processes, and 12-bit precision raise NotImplementedError — loudly,
+like every other honest boundary in this repo.
 
 Scope (encoder, tests only): grayscale or 4:4:4 color, the T.81
 Annex K example Huffman tables (public), caller-supplied or flat
@@ -167,6 +173,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None
     restart_interval = 0
+    coef: list[np.ndarray] | None = None         # progressive state
+    geom: tuple | None = None
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -202,7 +210,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 huff[(tc, th)] = _HuffTable(bits, seg[j + 17:j + 17 + n])
                 j += 17 + n
-        elif marker == 0xC0:                     # SOF0 baseline
+        elif marker in (0xC0, 0xC2):             # SOF0 baseline / SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -211,22 +219,42 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker {marker:#x})"
+                f"unsupported JPEG process (SOF marker {marker:#x})"
             )
         elif marker == 0xDD:                     # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                     # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = {}
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 15)
+            if frame.get("prog"):
+                if coef is None:
+                    coef, geom = _prog_init(frame)
+                ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+                rd = _BitReader(data, i + 2 + seg_len)
+                _progressive_scan(
+                    rd, frame, scan, ss, se, ahal >> 4, ahal & 15,
+                    huff, restart_interval, coef, geom,
+                )
+                # resume the marker walk at the next true marker (the
+                # reader may sit before residual pad bits / RSTn bytes)
+                j = rd.pos
+                while j + 1 < len(data):
+                    if (data[j] == 0xFF and data[j + 1] != 0x00
+                            and not 0xD0 <= data[j + 1] <= 0xD7):
+                        break
+                    j += 1
+                i = j
+                continue
             # baseline supports ns < frame components only via multiple
             # SOS scans; _decode_scan is single-interleaved-scan only —
             # refuse loudly rather than KeyError on the missing id
@@ -241,7 +269,210 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 restart_interval,
             )
         i += 2 + seg_len
+    if frame is not None and frame.get("prog") and coef is not None:
+        return _prog_finish(frame, coef, geom, qt)
     raise ValueError("no SOS marker found")
+
+
+def _prog_init(frame):
+    """Progressive state: per-component zigzag coefficient arrays on
+    the MCU-padded block grid, plus the shared geometry tuple."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    coef = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
+    ]
+    return coef, (hmax, vmax, mcux, mcuy)
+
+
+def _ac_first(rd, blk, ss, se, al, ac_tbl, eobrun):
+    """One block of an AC first scan (Ah=0): T.81 G.1.2.2 — EOB runs,
+    ZRL, point-transformed coefficients."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16                           # ZRL
+                continue
+            eobrun = (1 << r) - 1                 # this block included
+            if r:
+                eobrun += rd.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(rd, blk, ss, se, al, ac_tbl, eobrun):
+    """One block of an AC refinement scan (Ah=Al+1): T.81 G.1.2.3 —
+    each history-nonzero coefficient walked past consumes one
+    correction bit; runs count only history-zero positions; EOB runs
+    still consume the remaining correction bits of covered blocks."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        if rd.bits(1) and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:                       # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                newval = p1 if rd.bits(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refine overflow")
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:                            # finish this block
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(rd, frame, scan, ss, se, ah, al, huff, ri,
+                      coef, geom):
+    """Drain one progressive SOS into the coefficient state."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = geom
+    idxs = [ci for ci, c in enumerate(comps) if c["id"] in scan]
+    if not idxs:
+        raise ValueError("scan references unknown component ids")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC")
+    if ss == 0 and len(idxs) > 1:
+        # interleaved DC scan over MCUs
+        pred = {ci: 0 for ci in idxs}
+        cnt = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and cnt == ri:
+                    rd.restart()
+                    pred = {ci: 0 for ci in idxs}
+                    cnt = 0
+                for ci in idxs:
+                    c = comps[ci]
+                    td = scan[c["id"]][0]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coef[ci][my * c["v"] + by,
+                                           mx * c["h"] + bx]
+                            if ah == 0:
+                                t = rd.huff(huff[(0, td)])
+                                pred[ci] += _extend(rd.bits(t), t)
+                                blk[0] = pred[ci] << al
+                            elif rd.bits(1):
+                                blk[0] |= (1 << al)
+                cnt += 1
+        return
+    if len(idxs) > 1:
+        raise ValueError("progressive AC scan with multiple components")
+    ci = idxs[0]
+    c = comps[ci]
+    # non-interleaved scans walk the component's OWN ceil-block grid,
+    # not the MCU-padded one (T.81 A.2.2)
+    cw = -(-(frame["w"] * c["h"]) // (8 * hmax))
+    ch = -(-(frame["h"] * c["v"]) // (8 * vmax))
+    td, ta = scan[c["id"]]
+    pred = 0
+    eobrun = 0
+    cnt = 0
+    for byi in range(ch):
+        for bxi in range(cw):
+            if ri and cnt == ri:
+                rd.restart()
+                pred, eobrun, cnt = 0, 0, 0
+            blk = coef[ci][byi, bxi]
+            if ss == 0:                           # DC, single component
+                if ah == 0:
+                    t = rd.huff(huff[(0, td)])
+                    pred += _extend(rd.bits(t), t)
+                    blk[0] = pred << al
+                elif rd.bits(1):
+                    blk[0] |= (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first(
+                    rd, blk, ss, se, al, huff[(1, ta)], eobrun)
+            else:
+                eobrun = _ac_refine(
+                    rd, blk, ss, se, al, huff[(1, ta)], eobrun)
+            cnt += 1
+
+
+def _prog_finish(frame, coef, geom, qt):
+    """Dequantize + IDCT the accumulated coefficients once, at EOI."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = geom
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        bh, bw = coef[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros(64)
+                blk[_ZIGZAG] = coef[ci][by, bx] * q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _idct2(blk.reshape(8, 8)) + 128.0
+                )
+        planes.append(plane)
+    return _finish(frame, comps, planes, hmax, vmax)
+
+
+def _finish(frame, comps, planes, hmax, vmax):
+    """Crop, chroma-upsample and color-convert decoded planes — shared
+    by the baseline scan decoder and the progressive reconstruction."""
+    h, w = frame["h"], frame["w"]
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        # replicate-upsample subsampled chroma to full resolution
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
@@ -294,24 +525,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
-    h, w = frame["h"], frame["w"]
-    out_planes = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
-        # replicate-upsample subsampled chroma to full resolution
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:h, :w])
-    if len(out_planes) == 1:
-        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return np.stack([g, g, g], axis=2)
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _finish(frame, comps, planes, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -548,5 +762,246 @@ def encode_jpeg_rgb(img: np.ndarray, subsample: bool = False,
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + _AC_LUM_VALS)
     out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     out += bytes(wtr.out)
+    out += b"\xff\xd9"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# minimal progressive encoder (tests only)
+# ---------------------------------------------------------------------------
+
+# Progressive AC scans need EOBn (r, 0) codes the Annex K baseline
+# table lacks. A flat canonical table — every symbol at length 8 —
+# over the full (run 0-15, size 0-10) grid covers EOBn, ZRL, the
+# first-pass magnitudes and the size-1 refinement codes; 176 symbols
+# fit length 8 (max 256), so the canonical form is valid and trivially
+# correct by construction.
+_AC_PROG_VALS = bytes((r << 4) | s for r in range(16) for s in range(11))
+_AC_PROG_BITS = [0] * 7 + [len(_AC_PROG_VALS)] + [0] * 8
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al with truncation toward zero
+    (T.81 G.1.2.1 — DC uses the arithmetic shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    successive: bool = True,
+) -> bytes:
+    """Minimal PROGRESSIVE encoder (tests only): grayscale (H, W) or
+    4:4:4 color (H, W, 3), SOF2 + a fixed scan script. With
+    ``successive=True`` the script uses one bit of successive
+    approximation (DC Al=1 + refine, AC bands 1-5 / 6-63 at Al=1 +
+    refines) so every decoder scan kind — DC first/refine, AC
+    first/refine, EOB runs with correction bits — is exercised;
+    ``successive=False`` emits spectral selection only (Ah=Al=0).
+    The refinement encoder streams per T.81 G.1.2.3: runs count only
+    history-zero positions, correction bits buffer until the next
+    emitted code, and empty blocks accumulate cross-block EOB runs
+    carrying their buffered bits."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    if quant is None:
+        quant = np.full(64, 16 if gray else 8, dtype=np.int64)
+    quant = np.asarray(quant, dtype=np.int64).reshape(64)
+    if gray:
+        planes = [img]
+        ids = [1]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        ids = [1, 2, 3]
+    h, w = planes[0].shape
+    by, bx = -(-h // 8), -(-w // 8)
+    zz = []
+    for p in planes:
+        padded = np.pad(
+            p, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge"
+        )
+        arr = np.zeros((by, bx, 64), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                cf = _fdct2(
+                    padded[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] - 128.0
+                )
+                arr[yb, xb] = np.round(
+                    cf.reshape(64)[_ZIGZAG] / quant
+                ).astype(np.int64)
+        zz.append(arr)
+
+    dc_t = _HuffTable(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_t = _HuffTable(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def sos(comp_ids, ss, se, ah, al, entropy):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return (struct.pack(">BBH", 0xFF, 0xDA, len(hdr) + 2)
+                + hdr + entropy)
+
+    def dc_first(al):
+        wtr = _BitWriter()
+        pred = [0] * len(planes)
+        for yb in range(by):
+            for xb in range(bx):
+                for ci in range(len(planes)):
+                    v = int(zz[ci][yb, xb, 0]) >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    t = _csize(diff)
+                    code, ln = dc_t.enc[t]
+                    wtr.write(code, ln)
+                    if t:
+                        wtr.write(
+                            diff if diff >= 0 else diff + (1 << t) - 1, t)
+        wtr.flush()
+        return sos(ids, 0, 0, 0, al, bytes(wtr.out))
+
+    def dc_refine(al):
+        wtr = _BitWriter()
+        for yb in range(by):
+            for xb in range(bx):
+                for ci in range(len(planes)):
+                    wtr.write((int(zz[ci][yb, xb, 0]) >> al) & 1, 1)
+        wtr.flush()
+        return sos(ids, 0, 0, al + 1, al, bytes(wtr.out))
+
+    def ac_first(ci, ss, se, al):
+        wtr = _BitWriter()
+        pending = 0
+
+        def flush_eob():
+            nonlocal pending
+            if pending:
+                rb = pending.bit_length() - 1
+                code, ln = ac_t.enc[rb << 4]
+                wtr.write(code, ln)
+                if rb:
+                    wtr.write(pending - (1 << rb), rb)
+                pending = 0
+
+        for yb in range(by):
+            for xb in range(bx):
+                band = [_pt(int(zz[ci][yb, xb, k]), al)
+                        for k in range(ss, se + 1)]
+                nz = [i for i, v in enumerate(band) if v]
+                if not nz:
+                    pending += 1
+                    if pending == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_t.enc[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    s = _csize(v)
+                    code, ln = ac_t.enc[(run << 4) | s]
+                    wtr.write(code, ln)
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if nz[-1] < len(band) - 1:
+                    pending = 1
+        flush_eob()
+        wtr.flush()
+        return sos([ids[ci]], ss, se, 0, al, bytes(wtr.out))
+
+    def ac_refine(ci, ss, se, al):
+        wtr = _BitWriter()
+        pending = 0
+        pend_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal pending, pend_bits
+            if pending:
+                rb = pending.bit_length() - 1
+                code, ln = ac_t.enc[rb << 4]
+                wtr.write(code, ln)
+                if rb:
+                    wtr.write(pending - (1 << rb), rb)
+                for bbit in pend_bits:
+                    wtr.write(bbit, 1)
+                pending, pend_bits = 0, []
+
+        for yb in range(by):
+            for xb in range(bx):
+                events: list[tuple[int, list[int]]] = []
+                r = 0
+                corr: list[int] = []
+                for k in range(ss, se + 1):
+                    v = int(zz[ci][yb, xb, k])
+                    a = abs(v) >> al
+                    if a >= 2:                    # history-nonzero
+                        corr.append(a & 1)
+                    elif a == 1:                  # newly significant
+                        events.append(
+                            (((r << 4) | 1),
+                             [1 if v > 0 else 0] + corr))
+                        corr, r = [], 0
+                    else:
+                        r += 1
+                        if r == 16:
+                            events.append((0xF0, corr))
+                            corr, r = [], 0
+                if events:
+                    flush_eob()
+                    for sym, bits in events:
+                        code, ln = ac_t.enc[sym]
+                        wtr.write(code, ln)
+                        for bbit in bits:
+                            wtr.write(bbit, 1)
+                    if r or corr:
+                        pending, pend_bits = 1, corr
+                else:
+                    pending += 1
+                    pend_bits += corr
+                    if pending == 32767:
+                        flush_eob()
+        flush_eob()
+        wtr.flush()
+        return sos([ids[ci]], ss, se, al + 1, al, bytes(wtr.out))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in quant))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for cid in ids:
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + _DC_LUM_VALS)
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_PROG_BITS) + _AC_PROG_VALS)
+    if successive:
+        out += dc_first(1)
+        for ci in range(len(planes)):
+            out += ac_first(ci, 1, 5, 1)
+        for ci in range(len(planes)):
+            out += ac_first(ci, 6, 63, 1)
+        out += dc_refine(0)
+        for ci in range(len(planes)):
+            out += ac_refine(ci, 1, 5, 0)
+        for ci in range(len(planes)):
+            out += ac_refine(ci, 6, 63, 0)
+    else:
+        out += dc_first(0)
+        for ci in range(len(planes)):
+            out += ac_first(ci, 1, 5, 0)
+        for ci in range(len(planes)):
+            out += ac_first(ci, 6, 63, 0)
     out += b"\xff\xd9"
     return out

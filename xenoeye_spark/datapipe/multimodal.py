@@ -9,12 +9,13 @@ per row on the driver.
 Decode kernels (r6): every modality has REAL pure-python/numpy
 decode paths — PPM/PGM, 24-bit BMP, uncompressed TIFF (both byte
 orders), PCM + G.711 WAV (``datapipe.codecs``/``codecs_tiff``),
-BASELINE JPEG via the hand-rolled T.81 entropy decoder
-(``codecs_jpeg``; analytically anchored in test_jpeg), 8-bit PNG via
-stdlib-zlib inflate + unfilter (``codecs_png``), GIF via hand-rolled
-LZW (``codecs_gif``), and MJPEG-in-AVI / animated-GIF video frames
-(``codecs_avi``/``gif_frames``). The codecs that genuinely need
-native libs (H.264, progressive JPEG) stay honestly stubbed and
+BASELINE and PROGRESSIVE (r11) JPEG via the hand-rolled T.81 entropy
+decoder (``codecs_jpeg``; analytically anchored in test_jpeg), 8-bit
+PNG incl. Adam7 via stdlib-zlib inflate + unfilter (``codecs_png``),
+GIF via hand-rolled LZW (``codecs_gif``), and MJPEG-in-AVI /
+animated-GIF video frames (``codecs_avi``/``gif_frames``). The
+codecs that genuinely need native libs (H.264/VP9) or an arithmetic
+entropy coder stay honestly stubbed and
 ``decode_image`` raises NotImplementedError for them. ``fake=True`` keeps the deterministic
 content-hash fake decoder for tests that need arbitrary bytes to
 "decode".
@@ -70,10 +71,11 @@ def decode_and_featurize(
 ) -> DataFrame:
     """mapInPandas stage: binary -> (dims, mean luma, tiny feature vector).
 
-    ``fake=False`` (the default) decodes PPM/PGM/BMP, baseline JPEG,
-    8-bit PNG, GIF, and uncompressed TIFF content for real via
+    ``fake=False`` (the default) decodes PPM/PGM/BMP,
+    baseline + progressive JPEG, 8-bit PNG (incl. Adam7), GIF, and
+    uncompressed TIFF (chunky or planar) content for real via
     ``datapipe.codecs`` and raises NotImplementedError on the rest
-    (H.264/progressive JPEG/Adam7/planar TIFF — the honest boundary);
+    (H.264/VP9, arithmetic JPEG — the honest boundary);
     ``fake=True`` forces the deterministic content-hash fake kernel.
     """
 
