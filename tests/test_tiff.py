@@ -45,7 +45,7 @@ def test_boundaries_raise_loudly():
     for i in range(n):
         base = 10 + 12 * i
         if struct.unpack_from("<H", data, base)[0] == 259:
-            struct.pack_into("<H", data, base + 8, 5)   # LZW
+            struct.pack_into("<H", data, base + 8, 7)   # JPEG-in-TIFF
     with pytest.raises(NotImplementedError, match="compressed TIFF"):
         decode_tiff(bytes(data))
     with pytest.raises(ValueError, match="not a TIFF"):
@@ -90,3 +90,39 @@ def test_dispatch_sniffs_tiff():
         d = encode_tiff(img, endian=endian)
         assert sniff_format(d) == "tiff"
         assert (decode_image(d) == 33).all()
+
+
+def test_packbits_lzw_predictor_roundtrips():
+    """r11: PackBits (§9) and LZW (§13, MSB-first with the mandated
+    early width change) decompress strip-by-strip, with the
+    horizontal-differencing predictor (tag 317=2) undone as a per-row
+    cumulative sum — every (compression x predictor x planar x strip
+    height) cell round-trips, incl. a 64x64 noise image that forces
+    LZW through all code widths and a mid-stream Clear."""
+    rng = np.random.RandomState(21)
+    imgs = [
+        rng.randint(0, 256, size=(16, 23, 3), dtype=np.uint8),
+        np.full((9, 30, 3), 77, np.uint8),
+        rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8),
+    ]
+    for img in imgs:
+        for comp in (5, 32773):
+            for pred in (1, 2):
+                for pl in (1, 2):
+                    got = decode_tiff(encode_tiff(
+                        img, "<", 5, planar=pl,
+                        compression=comp, predictor=pred))
+                    assert (got == img).all(), (img.shape, comp, pred, pl)
+    g = rng.randint(0, 256, size=(13, 7), dtype=np.uint8)
+    got = decode_tiff(encode_tiff(g, ">", 3, compression=5, predictor=2))
+    assert (got[:, :, 0] == g).all()
+    # undefined predictor raises at decode
+    import struct
+    data = bytearray(encode_tiff(g, compression=5, predictor=2))
+    n = struct.unpack_from("<H", data, 8)[0]
+    for i in range(n):
+        base = 10 + 12 * i
+        if struct.unpack_from("<H", data, base)[0] == 317:
+            struct.pack_into("<H", data, base + 8, 3)
+    with pytest.raises(NotImplementedError, match="predictor"):
+        decode_tiff(bytes(data))
