@@ -92,6 +92,8 @@ def _unlzw(src: bytes, expected: int) -> bytes:
         if code == 257:                           # EOI
             break
         if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW code")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
