@@ -639,19 +639,24 @@ def test_mixture_order_rank_col_feeds_shard_writer(spark, tmp_path):
 
 def _py_strip_common(rows, min_docs):
     """Literal python twin of strip_common_lines: count DISTINCT docs
-    per non-blank line, strip >= min_docs lines from every doc."""
+    per non-blank line, strip >= min_docs lines from every doc. NOTE
+    strip(' '): Spark trim and DuckDB trim are SPACE-only — python's
+    all-whitespace strip() would call a tab-only line blank where the
+    engines don't."""
+    blank = lambda x: x.strip(" ") == ""  # noqa: E731
+
     freq: dict[str, set] = {}
     for did, text in rows:
         for ln in text.split("\n"):
-            if ln.strip() != "":
+            if not blank(ln):
                 freq.setdefault(ln, set()).add(did)
     common = {ln for ln, s in freq.items() if len(s) >= min_docs}
     out = {}
     for did, text in rows:
         ls = text.split("\n")
-        kept = [x for x in ls if x.strip() == "" or x not in common]
-        nb = sum(1 for x in ls if x.strip() != "")
-        keptnb = sum(1 for x in kept if x.strip() != "")
+        kept = [x for x in ls if blank(x) or x not in common]
+        nb = sum(1 for x in ls if not blank(x))
+        keptnb = sum(1 for x in kept if not blank(x))
         out[did] = ("\n".join(kept), nb, nb - keptnb)
     return out
 
@@ -668,6 +673,9 @@ def test_strip_common_lines_matches_twin(spark):
         + [(20 + i, f"y {i}\nnear miss") for i in range(2)]
         + [(30, "solo\nsolo\nsolo")]
         + [(31, "FOOTER\nBANNER")]
+        # a tab-only line is NOT blank under the engines' space-only
+        # trim: shared by 3 docs, it must strip like any other line
+        + [(40 + i, f"tabdoc {i}\n\t\nu{40 + i}") for i in range(3)]
     )
     want = _py_strip_common(rows, 3)
     df = spark.createDataFrame(rows, "doc_id long, text string")

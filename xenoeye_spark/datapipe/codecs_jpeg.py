@@ -176,7 +176,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     coef: list[np.ndarray] | None = None         # progressive state
     geom: tuple | None = None
     i = 2
-    while i < len(data):
+    while i + 1 < len(data):
         if data[i] != 0xFF:
             i += 1
             continue
@@ -208,6 +208,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tc, th = seg[j] >> 4, seg[j] & 15
                 bits = list(seg[j + 1:j + 17])
                 n = sum(bits)
+                if len(bits) < 16 or j + 17 + n > len(seg):
+                    raise ValueError("truncated DHT segment")
                 huff[(tc, th)] = _HuffTable(bits, seg[j + 17:j + 17 + n])
                 j += 17 + n
         elif marker in (0xC0, 0xC2):             # SOF0 baseline / SOF2 prog
@@ -253,7 +255,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             and not 0xD0 <= data[j + 1] <= 0xD7):
                         break
                     j += 1
-                i = j
+                # no further marker (truncated stream, possibly on a
+                # trailing lone 0xFF): fall out of the loop so the
+                # accumulated coefficients still reconstruct coarsely
+                i = j if j + 1 < len(data) else len(data)
                 continue
             # baseline supports ns < frame components only via multiple
             # SOS scans; _decode_scan is single-interleaved-scan only —

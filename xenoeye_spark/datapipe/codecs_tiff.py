@@ -183,6 +183,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         # rows (the last one fewer) of one plane (planar) or of the
         # whole chunky image
         rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+        if rps <= 0:
+            raise ValueError(f"bad RowsPerStrip {rps}")
         per_plane = -(-h // rps)
         row_bytes = w * (1 if planar == 2 and spp > 1 else spp)
         pieces = []
