@@ -228,3 +228,80 @@ def test_decode_and_featurize_jpeg_spark(spark):
     for i, level in enumerate([200, 104, 48]):
         assert (got[i].width, got[i].height) == (8, 16), i
         assert abs(got[i].mean_luma - level) < 0.6, (i, got[i].mean_luma)
+
+
+# ----------------------------------------------- r12 corrupt-input fixes
+
+def _sos_offsets(data):
+    out, i = [], 0
+    while True:
+        j = data.find(b"\xff\xda", i)
+        if j < 0:
+            return out
+        out.append(j)
+        i = j + 2
+
+
+def test_progressive_corrupt_scan_header_raises_valueerror():
+    """r12 advice: out-of-range Ss/Se/Ah/Al or a missing huffman table
+    in a progressive SOS must raise the corrupt-input ValueError, not
+    numpy IndexError / dict KeyError."""
+    rng = np.random.RandomState(5)
+    img = _prog_test_image(16, 16, rng)
+    data = encode_jpeg_progressive(img, successive=True)
+    sos = _sos_offsets(data)
+    assert len(sos) >= 3
+
+    def patched(off, delta):
+        b = bytearray(data)
+        for k, v in delta.items():
+            b[off + k] = v
+        return bytes(b)
+
+    # SOS layout: FF DA LL LL ns (cs tables)*ns ss se ahal.
+    # The AC-first scans have ns=1 -> ss at off+7, se at off+8,
+    # ahal at off+9; locate one by its ns byte.
+    ac = next(o for o in sos[2:] if data[o + 4] == 1)
+    for delta in (
+        {8: 200},               # se > 63
+        {7: 60, 8: 10},         # ss > se
+        {9: 0xEE},              # ah/al out of range
+        {6: 0x0F},              # AC huffman table 15: never defined
+    ):
+        with pytest.raises(ValueError, match="corrupt progressive"):
+            decode_jpeg(patched(ac, delta))
+    # a DC-first scan referencing an undefined DC table
+    dc = sos[0]
+    ns = data[dc + 4]
+    b = bytearray(data)
+    for c in range(ns):
+        b[dc + 6 + 2 * c] = 0xF0          # Td=15 for every component
+    with pytest.raises(ValueError, match="corrupt progressive"):
+        decode_jpeg(bytes(b))
+
+
+def test_fill_bytes_between_scans_are_skipped():
+    """r12 advice: runs of 0xFF fill bytes (legal pad before any
+    marker, T.81 B.1.1.2) between progressive scans must not derail
+    the post-scan marker resume or the outer segment walk."""
+    rng = np.random.RandomState(9)
+    img = _prog_test_image(16, 24, rng)
+    data = encode_jpeg_progressive(img, successive=False)
+    ref = decode_jpeg(data)
+    sos = _sos_offsets(data)
+    assert len(sos) >= 2
+    # splice 1-3 fill bytes ahead of every SOS after the first, and
+    # before the EOI too
+    padded = bytearray(data[:sos[1]])
+    prev = sos[1]
+    for n, off in enumerate(sos[2:] + [len(data) - 2], start=1):
+        padded += b"\xff" * (1 + n % 3) + data[prev:off]
+        prev = off
+    padded += b"\xff\xff" + data[-2:]
+    got = decode_jpeg(bytes(padded))
+    assert (got == ref).all()
+    # baseline streams tolerate fill bytes between header segments too
+    g = encode_jpeg_gray(np.full((8, 8), 77.0))
+    k = g.find(b"\xff\xdb")
+    gb = g[:k] + b"\xff\xff\xff" + g[k:]
+    assert (decode_jpeg(gb) == decode_jpeg(g)).all()

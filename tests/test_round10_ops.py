@@ -699,3 +699,18 @@ def test_strip_common_lines_validation_and_every_doc(spark):
     out = strip_common_lines(df, min_docs=2).collect()
     assert [(r.doc_id, r.text, r.n_lines, r.n_stripped)
             for r in out] == [(1, "a", 1, 0)]
+
+
+def test_strip_common_lines_preserves_null_text(spark):
+    """r12 advice: a NULL-text doc (an upstream quarantine marker,
+    e.g. decompress on_error='null') must come back with NULL text and
+    NULL counts — never silently rewritten to ''."""
+    from xenoeye_spark.datapipe.text import strip_common_lines
+
+    rows = [(i, f"body {i}\nFOOTER") for i in range(4)] + [(9, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_lines, r.n_stripped)
+           for r in strip_common_lines(df, min_docs=3).collect()}
+    assert got[9] == (None, None, None)
+    assert got[0] == ("body 0", 2, 1)           # the rule still runs
+    assert set(got) == {0, 1, 2, 3, 9}          # every doc appears

@@ -3,6 +3,8 @@ photometric inversion, alpha drop, loud boundaries. No Spark."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -125,4 +127,27 @@ def test_packbits_lzw_predictor_roundtrips():
         if struct.unpack_from("<H", data, base)[0] == 317:
             struct.pack_into("<H", data, base + 8, 3)
     with pytest.raises(NotImplementedError, match="predictor"):
+        decode_tiff(bytes(data))
+
+
+def test_corrupt_strip_count_raises_not_empty():
+    """r12 advice: more strips than RowsPerStrip implies (corrupt
+    StripOffsets / RowsPerStrip mismatch) must raise the corrupt-file
+    ValueError instead of silently decompressing empty pieces."""
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    data = bytearray(encode_tiff(img, "<", rows_per_strip=2,
+                                 compression=32773))
+    # patch the inline RowsPerStrip (tag 278) value from 2 to 6: the
+    # file still carries 3 strips but now claims one strip covers all
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    patched = False
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", data, base)
+        if tag == 278:
+            struct.pack_into("<I", data, base + 8, 6)
+            patched = True
+    assert patched
+    with pytest.raises(ValueError, match="corrupt TIFF"):
         decode_tiff(bytes(data))

@@ -181,6 +181,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             i += 1
             continue
         marker = data[i + 1]
+        if marker == 0xFF:                       # fill byte (B.1.1.2)
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -251,9 +254,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 # reader may sit before residual pad bits / RSTn bytes)
                 j = rd.pos
                 while j + 1 < len(data):
-                    if (data[j] == 0xFF and data[j + 1] != 0x00
-                            and not 0xD0 <= data[j + 1] <= 0xD7):
-                        break
+                    if data[j] == 0xFF:
+                        nb = data[j + 1]
+                        if nb == 0xFF:        # fill byte (legal pad
+                            j += 1            # before any marker) —
+                            continue          # stay on the run's tail
+                        if nb != 0x00 and not 0xD0 <= nb <= 0xD7:
+                            break
                     j += 1
                 # no further marker (truncated stream, possibly on a
                 # trailing lone 0xFF): fall out of the loop so the
@@ -378,6 +385,26 @@ def _progressive_scan(rd, frame, scan, ss, se, ah, al, huff, ri,
         raise ValueError("scan references unknown component ids")
     if ss == 0 and se != 0:
         raise ValueError("progressive scan mixes DC and AC")
+    # corrupt-header gate (T.81 B.2.3 ranges) — raise the same
+    # ValueError class the other corrupt-input paths use instead of
+    # letting numpy/dict lookups surface IndexError/KeyError
+    if se > 63 or ss > se or ah > 13 or al > 13:
+        raise ValueError(
+            "corrupt progressive scan header "
+            f"(Ss={ss} Se={se} Ah={ah} Al={al} out of range)"
+        )
+    for _ci in idxs:
+        _td, _ta = scan[comps[_ci]["id"]]
+        if ss == 0 and ah == 0 and (0, _td) not in huff:
+            raise ValueError(
+                "corrupt progressive scan header: DC huffman table "
+                f"{_td} not defined"
+            )
+        if ss > 0 and (1, _ta) not in huff:
+            raise ValueError(
+                "corrupt progressive scan header: AC huffman table "
+                f"{_ta} not defined"
+            )
     if ss == 0 and len(idxs) > 1:
         # interleaved DC scan over MCUs
         pred = {ci: 0 for ci in idxs}

@@ -186,6 +186,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if rps <= 0:
             raise ValueError(f"bad RowsPerStrip {rps}")
         per_plane = -(-h // rps)
+        n_expect = per_plane * (spp if planar == 2 and spp > 1 else 1)
+        if len(offsets) != n_expect:
+            # corrupt StripOffsets would otherwise drive `rows` <= 0
+            # below and yield silently-empty decompressed pieces
+            raise ValueError(
+                f"corrupt TIFF: {len(offsets)} strips, expected "
+                f"{n_expect} (RowsPerStrip={rps}, h={h}, planar={planar})"
+            )
         row_bytes = w * (1 if planar == 2 and spp > 1 else spp)
         pieces = []
         un = _unlzw if comp == 5 else _unpackbits

@@ -1166,6 +1166,9 @@ def strip_common_lines(
     Output: (id_col, text rewritten with '\\n' joins — '' when every
     line was boilerplate, n_lines = non-blank input lines,
     n_stripped = non-blank lines removed). Every input doc appears.
+    A NULL input text stays NULL (with NULL counts) — an upstream
+    quarantine marker (e.g. decompress on_error='null') must survive
+    this step unchanged.
     """
     if min_docs < 2:
         raise ValueError(
@@ -1197,13 +1200,21 @@ def strip_common_lines(
         F.sum((F.trim(F.col("_ln")) != "").cast("long")).alias("_kept"),
     )
     nonblank = F.size(F.filter(lines, lambda x: F.trim(x) != ""))
+    isnull = F.col(text_col).isNull()
     return (
         spread(docs)
-        .select(F.col(id_col), nonblank.cast("long").alias("n_lines"))
+        .select(
+            F.col(id_col),
+            F.when(isnull, F.lit(None)).otherwise(nonblank)
+            .cast("long").alias("n_lines"),
+            isnull.alias("_innull"),
+        )
         .join(rebuilt, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("_new"), F.lit("")).alias("text"),
+            F.when(F.col("_innull"), F.lit(None))
+            .otherwise(F.coalesce(F.col("_new"), F.lit("")))
+            .alias("text"),
             "n_lines",
             (F.col("n_lines") - F.coalesce(F.col("_kept"), F.lit(0)))
             .cast("long").alias("n_stripped"),
