@@ -1415,6 +1415,23 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_bpe_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two sequential BPE merge rounds, unrolled (NEW r12): the
+    oracled sibling of the iterative ``bpe_train`` (rows-only by
+    nature). Each round's argmax pair under the (count desc, a, b)
+    total order — a broadcast one-row attach, no collect — is fused
+    everywhere via boundary-safe sentinel-string ``replace`` (greedy
+    leftmost non-overlapping: the textbook merge, proven equivalent
+    to bpe_train's fold in tests). Output: the two chosen merges
+    (step 1, 2) with pre-merge counts plus the top-100 post-merge
+    pair table (step 0) — DuckDB re-derives every round bit-for-bit,
+    so the driver gate now covers the train-side merge semantics the
+    rows-only entries could not."""
+    from xenoeye_spark.datapipe.ranking import bpe_steps
+
+    return bpe_steps(_t(spark, sf_dir, "documents"), n_steps=2, k=100)
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (r6): each doc plants a PPM (even ids) or a
     24-bit BMP (odd ids) whose pixel (y,x,c) = (id + y*w + x + 7c) %
@@ -2478,7 +2495,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_WINDOW = 50
-GATE_ROUND = 11
+GATE_ROUND = 12
 
 # Per-round pins: queries forced INTO that round's window regardless of
 # the rotation offset. A pin evicts an in-window entry that the NEXT
@@ -2565,7 +2582,23 @@ GATE_POOL = [
     # quantile_clip (NEW r9), then the three r6-proven entries at
     # their cycle bound; dedup_exact/dedup_ngram_jaccard likewise
     # r6-proven -> r9.
-    "html_extract", "dsir_sample", "mixture_interleave",
+    "html_extract", "dsir_sample",
+    # --- r12 layout note: 84 entries after bpe_steps (NEW r12,
+    # inserted HERE at index 32). Offset (6*33)%84 = 30, window =
+    # [30:63): html_extract/dsir_sample (30..31, r11-proven) pull in
+    # early (harmless), bpe_steps gates in its first round per the
+    # contract, the r9-proven due-r12 backlog (mixture_interleave..
+    # sim_lsh_topk, now 33..54) sits in-window at exactly the 3-round
+    # bound, and emb_neardup_lsh..time_rollup (55..62, r10-proven)
+    # re-prove a round early (harmless). Displaced by the insert:
+    # interval_join/gopher_quality/segment_dedup (now 63..65,
+    # r10-proven) land in the r13 wrap window [63:84)+[0:12) at
+    # exactly their 3-round bound, alongside the rest of the
+    # r10-proven tail (bm25..quantile_bucket) and strip_common_lines
+    # (r11-proven, early). r14 [12:45) then carries the r11-proven
+    # 12..29 at their bound; r15 [45:78) the r12-proven 45..62. ---
+    "bpe_steps",
+    "mixture_interleave",
     "dedup_lines", "hash_classify", "jsonl_ingest", "dedup_profile",
     "best_of_class", "warc_ingest",
     "diverse_topk", "quantile_clip",
@@ -2724,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_steps": q_bpe_steps,
         "fuzzy_dedup": q_fuzzy_dedup,
         "domain_cap": q_domain_cap,
         "diverse_topk": q_diverse_topk,
@@ -4493,6 +4527,66 @@ SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
 FROM p GROUP BY 1, 2
 ORDER BY pair_count DESC, a, b
 LIMIT 100
+""",
+        # bpe_steps (NEW r12): the two merge rounds re-derived in SQL
+        # — sentinel-wrapped symbol strings, argmax under the same
+        # (count desc, a, b) total order, replace()-based greedy
+        # leftmost merge (leftmost non-overlapping on both engines),
+        # then the post-merge pair table. chr(1)/chr(2) sentinels;
+        # words containing them are dropped identically on both sides.
+        "bpe_steps": r"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                x -> x != '')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, count(*) AS cnt FROM w GROUP BY 1
+  HAVING len(word) >= 2 AND NOT contains(word, chr(1))
+     AND NOT contains(word, chr(2))
+), s0 AS (
+  SELECT cnt, chr(1) || array_to_string(string_split(word, ''),
+         chr(2) || chr(1)) || chr(2) AS s
+  FROM wc
+), p1 AS (
+  SELECT l[i] AS a, l[i+1] AS b, cnt
+  FROM (SELECT cnt, string_split(substr(s, 2, len(s) - 2),
+               chr(2) || chr(1)) AS l FROM s0) t,
+       unnest(generate_series(1, len(l) - 1)) g(i)
+), c1 AS (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM p1 GROUP BY 1, 2
+  ORDER BY pc DESC, a, b LIMIT 1
+), s1 AS (
+  SELECT cnt,
+         replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+                 chr(1) || m.a || m.b || chr(2)) AS s
+  FROM s0 CROSS JOIN c1 m
+), p2 AS (
+  SELECT l[i] AS a, l[i+1] AS b, cnt
+  FROM (SELECT cnt, string_split(substr(s, 2, len(s) - 2),
+               chr(2) || chr(1)) AS l FROM s1) t,
+       unnest(generate_series(1, len(l) - 1)) g(i)
+), c2 AS (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM p2 GROUP BY 1, 2
+  ORDER BY pc DESC, a, b LIMIT 1
+), s2 AS (
+  SELECT cnt,
+         replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+                 chr(1) || m.a || m.b || chr(2)) AS s
+  FROM s1 CROSS JOIN c2 m
+), pf AS (
+  SELECT l[i] AS a, l[i+1] AS b, cnt
+  FROM (SELECT cnt, string_split(substr(s, 2, len(s) - 2),
+               chr(2) || chr(1)) AS l FROM s2) t,
+       unnest(generate_series(1, len(l) - 1)) g(i)
+)
+SELECT CAST(1 AS INTEGER) AS step, a, b, pc AS pair_count FROM c1
+UNION ALL
+SELECT CAST(2 AS INTEGER), a, b, pc FROM c2
+UNION ALL
+SELECT * FROM (
+  SELECT CAST(0 AS INTEGER) AS step, a, b,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM pf GROUP BY 2, 3 ORDER BY pair_count DESC, a, b LIMIT 100)
 """,
         # fuzzy_dedup: the all-pairs Jaccard prefilter (same expression
         # as dedup_ngram_jaccard, loosened to 0.15) then DuckDB's

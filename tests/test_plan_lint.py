@@ -36,13 +36,15 @@ SF_DIR = "/root/testdata/sf0.001"
 #                    and both sides are dimension-tiny
 #   ppl_split      — composes bigram_lm_score, so it carries the same
 #                    ONE-ROW vocabulary-size scalar attach
+#   bpe_steps      — each unrolled merge round attaches its ONE-ROW
+#                    argmax pair (limit 1) as a broadcast cross join
 # (dsir_sample briefly carried two one-row corpus-total BNL attaches;
 # the fit now derives totals as window sums over the n_buckets-row
 # stats table, so its plan is BNL-free.)
 BNL_ALLOWED = {
     "sim_topk", "bm25", "tfidf_topterms", "bigram_lm",
     "quantize", "temperature", "ann_recall", "pq_topk",
-    "hash_classify", "ppl_split",
+    "hash_classify", "ppl_split", "bpe_steps",
 }
 
 
@@ -221,46 +223,38 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r11 window (83 entries after the url_canon + ppl_split inserts
-    # at index 5 and the strip_common_lines append at the end;
-    # offset (5*33)%83 = 82, slice [82:83)+[0:32)): must prove the
-    # r8-proven due-r11 backlog at exactly its 3-round cycle bound —
-    # incremental_dedup..char_entropy (the r10 layout's [5:30),
-    # shifted to [7:32) by the inserts) — and the NEW r11 queries in
-    # their first round. count_min..ivfpq_topk (r10-proven) and
-    # html_extract/dsir_sample (r9-proven) pull in early by the
-    # modulus shift (harmless); mixture_interleave/dedup_lines
-    # (r9-proven, due r12) land in the r12 window [32:65) at exactly
-    # the bound.
+    # r12 window (84 entries after the bpe_steps insert at index 32;
+    # offset (6*33)%84 = 30, slice [30:63)): must prove the r9-proven
+    # due-r12 backlog at exactly its 3-round cycle bound —
+    # mixture_interleave..sim_lsh_topk (old [32:54), shifted to
+    # [33:55) by the insert) — and the NEW r12 query in its first
+    # round. html_extract/dsir_sample (30..31, r11-proven) pull in
+    # early by the modulus shift (harmless); emb_neardup_lsh..
+    # time_rollup (55..62, r10-proven, due r13) also re-prove a round
+    # early. The insert displaces interval_join/gopher_quality/
+    # segment_dedup (r10-proven) to the r13 wrap window [63:84)+
+    # [0:12) at exactly their bound.
     win_now = set(names[:DRIVER_GATE_WINDOW])
-    r8_stale = {"incremental_dedup", "hist_quantiles", "video_decode",
-                "decompress", "image_resize", "fuzzy_dedup",
-                "domain_cap", "token_budget", "kmeans_step",
-                "ann_recall", "training_prep", "image_decode",
-                "audio_decode", "bpe_pairs", "pii_scrub",
-                "text_normalize", "semdedup", "chunk_docs",
-                "repetition", "quantize", "rand_proj", "temperature",
-                "char_entropy"}
-    assert r8_stale <= win_now
-    # NEW r11 queries: first round gates
-    assert {"url_canon", "ppl_split", "strip_common_lines"} <= win_now
-    # url_dedup's canonical chain CHANGED r11 while out-of-window:
-    # url_canon (in-window, above) drives the upgraded chain through
-    # the driver gate; url_dedup itself re-proves via selftest (the
-    # quantile_clip r10 precedent) until its r13 window slot
-    assert "url_dedup" not in win_now
+    r9_stale = {"mixture_interleave", "dedup_lines", "hash_classify",
+                "jsonl_ingest", "dedup_profile", "best_of_class",
+                "warc_ingest", "diverse_topk", "quantile_clip",
+                "mask_spans", "dedup_exact", "dedup_ngram_jaccard",
+                "text_stats", "text_langid", "sim_topk", "token_count",
+                "doc_fingerprint_expr", "emb_neardup", "sim_ivf_fixed",
+                "multimodal_dims", "frame_fanout", "sim_lsh_topk"}
+    assert r9_stale <= win_now
+    # NEW r12 query: first round gates
+    assert "bpe_steps" in win_now
     # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the overflow holds only r9-proven (html_extract..
-    # simhash_expr — mixture_interleave/dedup_lines and the r7-slice
-    # head included, all due r12, covered by the r12 window [32:65))
-    # and r10-proven (the r10 wrap window [52:80)+[0:5) of the
-    # 80-pool = [54:82)+[0:5) here) entries
+    # cycle: the overflow holds only r11-proven entries (pool[0:32],
+    # proven in the r11 wrap window [82:83)+[0:32) of the 83-pool,
+    # plus strip_common_lines — all due r14, covered by the r13/r14
+    # windows) and r10-proven entries (old 62..81 -> pool[63:83),
+    # due r13, covered by the r13 wrap window [63:84)+[0:12))
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
-    r9_proven = set(pool[30:56])
-    r10_proven = set(pool[54:82]) | {"count_min", "pq_topk",
-                                     "hll_distinct", "bloom_contam",
-                                     "ivfpq_topk"}
-    assert overflow_now <= r9_proven | r10_proven
+    r11_proven = set(pool[0:32]) | {"strip_common_lines"}
+    r10_proven = set(pool[55:83])
+    assert overflow_now <= r11_proven | r10_proven
 
 
 # ------------------------------------------- pushed-predicate re-inlining

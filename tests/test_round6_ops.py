@@ -1510,3 +1510,70 @@ def test_quantile_clip_twin(spark):
     }
     assert set(approx) == set(got)
     assert all(abs(approx[k] - got[k]) <= 60 for k in got)
+
+
+# ------------------------------------------------------ bpe_steps (r12)
+
+def test_bpe_steps_matches_bpe_train_merges(spark):
+    """The unrolled 2-step variant chooses exactly the merges the
+    sequential trainer does (same statistic, same total order), and
+    its replace()-based merge equals the trainer's fold."""
+    from xenoeye_spark.datapipe.ranking import bpe_steps, bpe_train
+
+    rows = [(i, t) for i, t in enumerate([
+        "the cat sat on the mat", "the hat is that",
+        "this aaaa that aaa", "banana bandana",
+        "low lower lowest newest new", "the the then"] * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bpe_steps(df, n_steps=2, k=10).collect()
+    steps = sorted((r.step, r.a, r.b, r.pair_count)
+                   for r in out if r.step > 0)
+    merges = bpe_train(df, n_merges=2)
+    assert [(s - 1, a, b, c) for s, a, b, c in steps] == merges
+    final = {(r.a, r.b): r.pair_count for r in out if r.step == 0}
+    # the post-merge table speaks the merged symbols
+    assert final[("th", "e")] == 18
+    assert len(final) == 10
+
+
+def test_bpe_steps_greedy_and_boundary_edges(spark):
+    """Greedy leftmost non-overlap ('aaa' + (a,a) -> [aa, a]: the
+    second-round count sees ONE (aa,a) pair per word) and boundary
+    safety (a fused symbol's suffix never false-matches the next
+    round's pair)."""
+    from xenoeye_spark.datapipe.ranking import bpe_steps
+
+    # 'aaa' x 9, 'aab' x 3: round 1 merges (a,a) with count
+    # 9*2? no — pairs per word count positionally: 'aaa' has (a,a)
+    # twice -> 9*2 + 3 = 21; round 2 then sees [aa,a] and [aa,b]
+    df = spark.createDataFrame(
+        [(i, " ".join(["aaa"] * 3)) for i in range(3)]
+        + [(10 + i, "aab") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = {(r.step, r.a, r.b): r.pair_count
+           for r in bpe_steps(df, n_steps=2, k=10).collect()}
+    assert out[(1, "a", "a")] == 21
+    assert out[(2, "aa", "a")] == 9
+    # post-merge-2: 'aaa' is one symbol; only (aa,b) remains
+    assert out[(0, "aa", "b")] == 3
+    assert (0, "a", "a") not in out
+
+    # boundary: corpus where round 1 fuses (t,h); a word 'xth e'-like
+    # shape must NOT let round 2's (h,e) eat the 'h' inside 'th'
+    df2 = spark.createDataFrame(
+        [(i, "th th th he he hx") for i in range(2)]
+        + [(10, "othe othe")],
+        "doc_id long, text string",
+    )
+    out2 = {(r.step, r.a, r.b): r.pair_count
+            for r in bpe_steps(df2, n_steps=2, k=20).collect()}
+    # round 1: (t,h) x8 (th x6 + inside othe x2); round 2: (h,e) x4
+    # (the 'h e' inside othe became 'th e', so it no longer counts)
+    assert out2[(1, "t", "h")] == 8
+    assert out2[(2, "h", "e")] == 4
+    # 'othe' -> [o, th, e]: the (h,e) merge must NOT eat the 'h'
+    # inside the fused 'th' — (th,e) survives, (t,he) never appears
+    assert out2[(0, "th", "e")] == 2
+    assert out2[(0, "o", "th")] == 2
+    assert (0, "t", "he") not in out2

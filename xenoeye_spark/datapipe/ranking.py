@@ -638,6 +638,113 @@ def bpe_train(
     return merges
 
 
+def bpe_steps(
+    docs: DataFrame,
+    n_steps: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """A fixed number of sequential BPE merge rounds, fully unrolled
+    into one declarative plan — the ORACLED sibling of ``bpe_train``
+    (whose open-ended iteration is rows-only by nature). Same
+    statistic and total order as ``bpe_pair_counts``; same greedy
+    leftmost non-overlapping merge as ``bpe_train``'s fold, here
+    expressed as a string-level ``replace`` over a sentinel-wrapped
+    symbol string so an independent SQL engine re-derives every merge
+    and the post-merge pair table bit-for-bit.
+
+    Representation: each word becomes ``\\x01 sym \\x02`` per symbol,
+    concatenated (symbols never contain the sentinels — words carrying
+    them are dropped identically on both engines). Merging pair (a, b)
+    is then ``replace(s, '\\x01a\\x02\\x01b\\x02', '\\x01ab\\x02')``:
+    plain leftmost non-overlapping replacement IS the textbook BPE
+    merge, and the closed-bracket wrapping makes it boundary-safe
+    (a symbol whose suffix equals ``a`` can never false-match).
+
+    Each round's argmax pair attaches as a broadcast one-row cross
+    join (no collect; the plan-lint one-row allow-list shape). The
+    corpus-scale pass is the single word count — every merge round
+    runs over DISTINCT words only, so at 100 TB the unrolled rounds
+    cost the same as at 100 GB.
+
+    Output rows: (step=1..n_steps, a, b, pair_count) — the chosen
+    merge of each round with its pre-merge count — plus (step=0, a,
+    b, pair_count): the top ``k`` adjacent-symbol pairs AFTER all
+    merges, by (count desc, a, b).
+    """
+    S, E = "chr(1)", "chr(2)"
+    words = docs.select(F.explode(_toks(text_col)).alias("word"))
+    wc = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.length("word") >= 2)
+        .filter(~F.col("word").contains("\x01")
+                & ~F.col("word").contains("\x02"))
+    )
+    wrapped = wc.select(
+        F.col("_cnt"),
+        F.expr(
+            f"concat({S}, array_join(transform("
+            "sequence(1, char_length(word)), i -> substr(word, i, 1)), "
+            f"concat({E}, {S})), {E})"
+        ).alias("s"),
+    )
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        syms = df.select(
+            "_cnt",
+            F.split(
+                F.expr("substring(s, 2, char_length(s) - 2)"),
+                "\x02\x01",
+            ).alias("_syms"),
+        ).filter(F.size("_syms") >= 2)
+        return (
+            syms.select(
+                "_cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_syms) - 1), "
+                        "i -> struct(_syms[i-1] AS a, _syms[i] AS b))"
+                    )
+                ).alias("_p"),
+            )
+            .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .agg(F.sum("_cnt").cast("long").alias("pair_count"))
+        )
+
+    out: DataFrame | None = None
+    for step in range(1, n_steps + 1):
+        top1 = (
+            pair_counts(wrapped)
+            .orderBy(F.col("pair_count").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(1)
+            .select(F.col("a").alias("_ma"), F.col("b").alias("_mb"),
+                    F.col("pair_count").alias("_mpc"))
+        )
+        rec = top1.select(
+            F.lit(step).cast("int").alias("step"),
+            F.col("_ma").alias("a"), F.col("_mb").alias("b"),
+            F.col("_mpc").alias("pair_count"),
+        )
+        out = rec if out is None else out.unionByName(rec)
+        wrapped = wrapped.crossJoin(F.broadcast(top1)).select(
+            "_cnt",
+            F.expr(
+                f"replace(s, concat({S}, _ma, {E}, {S}, _mb, {E}), "
+                f"concat({S}, _ma, _mb, {E}))"
+            ).alias("s"),
+        )
+    final = (
+        pair_counts(wrapped)
+        .orderBy(F.col("pair_count").desc(), F.col("a").asc(),
+                 F.col("b").asc())
+        .limit(k)
+        .select(F.lit(0).cast("int").alias("step"), "a", "b",
+                "pair_count")
+    )
+    return (out.unionByName(final) if out is not None else final)
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[int, str, str, int]],
