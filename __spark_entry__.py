@@ -1433,18 +1433,24 @@ def q_bpe_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode (r6): each doc plants a PPM (even ids) or a
-    24-bit BMP (odd ids) whose pixel (y,x,c) = (id + y*w + x + 7c) %
-    256 — built by ``codecs.encode_ppm/encode_bmp`` in one mapInPandas
-    stage, decoded back by the pure-numpy header-parse decoders inside
+    """REAL image decode (r6; plant widened r12): each doc plants, by
+    id % 4: a PPM (0), a 24-bit BMP (1), or — NEW r12 — a TILED
+    LZW+predictor TIFF (2), each with pixel (y,x,c) = (id + y*w + x +
+    7c) % 256 (lossless paths, one shared closed form); or a FLAT
+    gray JPEG-in-TIFF (3) of even value v = (id % 128) * 2 — flat
+    even-valued blocks are DC-exact through the JPEG path, and half
+    of those (id % 8 == 7) carry their DQT/DHT via the JPEGTables
+    tag to drive the Technote-2 merge. All built in one mapInPandas
+    stage, decoded back by the pure-numpy decoders inside
     ``decode_and_featurize`` (NO fake flag). Width, height, and mean
-    luma all have closed forms the oracle re-derives from
-    generate_series — integer pixel sums are float-exact on both
-    engines, so round(6) sees identical doubles."""
+    luma all have closed forms the oracle re-derives — integer pixel
+    sums are float-exact on both engines, so round(6) sees identical
+    doubles."""
     import numpy as np
     import pandas as pd
 
     from xenoeye_spark.datapipe.codecs import encode_bmp, encode_ppm
+    from xenoeye_spark.datapipe.codecs_tiff import encode_tiff
     from xenoeye_spark.datapipe.multimodal import (
         MEDIA_SCHEMA, decode_and_featurize,
     )
@@ -1457,12 +1463,25 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 i = int(did)
                 w, h = 4 + i % 13, 3 + i % 7
-                yy, xx, cc = np.meshgrid(
-                    np.arange(h), np.arange(w), np.arange(3),
-                    indexing="ij",
-                )
-                img = ((i + yy * w + xx + cc * 7) % 256).astype(np.uint8)
-                content = encode_ppm(img) if i % 2 == 0 else encode_bmp(img)
+                if i % 4 == 3:
+                    flat = np.full((h, w), (i % 128) * 2, np.uint8)
+                    content = encode_tiff(
+                        flat, "<", rows_per_strip=8, compression=7,
+                        jpeg_tables=(i % 8 == 7),
+                    )
+                else:
+                    yy, xx, cc = np.meshgrid(
+                        np.arange(h), np.arange(w), np.arange(3),
+                        indexing="ij",
+                    )
+                    img = ((i + yy * w + xx + cc * 7) % 256).astype(
+                        np.uint8)
+                    content = (
+                        encode_ppm(img) if i % 4 == 0
+                        else encode_bmp(img) if i % 4 == 1
+                        else encode_tiff(img, "<", compression=5,
+                                         predictor=2, tile=(16, 16))
+                    )
                 rows.append((i, bytearray(content),
                              ("image/raw", w, h, 3)))
             yield pd.DataFrame(
@@ -2596,7 +2615,11 @@ GATE_POOL = [
     # exactly their 3-round bound, alongside the rest of the
     # r10-proven tail (bm25..quantile_bucket) and strip_common_lines
     # (r11-proven, early). r14 [12:45) then carries the r11-proven
-    # 12..29 at their bound; r15 [45:78) the r12-proven 45..62. ---
+    # 12..29 at their bound; r15 [45:78) the r12-proven 45..62.
+    # image_decode (18) CHANGED r12 while out-of-window (plant
+    # widened with tiled-LZW + JPEG-in-TIFF fixtures): its r12 proof
+    # is scripts/selftest.py per the quantile_clip-r10 / url_dedup-r11
+    # precedent, until its r14 window slot. ---
     "bpe_steps",
     "mixture_interleave",
     "dedup_lines", "hash_classify", "jsonl_ingest", "dedup_profile",
@@ -4473,6 +4496,7 @@ WITH d AS (
   FROM d,
        unnest(generate_series(0, h - 1)) y(i),
        unnest(generate_series(0, w - 1)) x(i)
+  WHERE media_id % 4 != 3
   GROUP BY 1, 2, 3
 )
 SELECT media_id,
@@ -4481,6 +4505,17 @@ SELECT media_id,
        round(0.299 * (sr / n) + 0.587 * (sg / n) + 0.114 * (sb / n), 6)
          AS mean_luma
 FROM px
+UNION ALL
+-- id % 4 == 3: flat gray JPEG-in-TIFF of even value v (DC-exact, so
+-- every channel decodes to exactly v; same luma expression shape)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       round(0.299 * CAST((media_id % 128) * 2 AS DOUBLE)
+             + 0.587 * CAST((media_id % 128) * 2 AS DOUBLE)
+             + 0.114 * CAST((media_id % 128) * 2 AS DOUBLE), 6)
+         AS mean_luma
+FROM d WHERE media_id % 4 = 3
 """,
         # audio_decode: closed-form PCM sample stats — exact integer
         # sums, same division/sqrt shape as the numpy kernel.

@@ -47,8 +47,14 @@ def test_boundaries_raise_loudly():
     for i in range(n):
         base = 10 + 12 * i
         if struct.unpack_from("<H", data, base)[0] == 259:
-            struct.pack_into("<H", data, base + 8, 7)   # JPEG-in-TIFF
+            struct.pack_into("<H", data, base + 8, 8)   # Deflate
     with pytest.raises(NotImplementedError, match="compressed TIFF"):
+        decode_tiff(bytes(data))
+    for i in range(n):
+        base = 10 + 12 * i
+        if struct.unpack_from("<H", data, base)[0] == 259:
+            struct.pack_into("<H", data, base + 8, 6)   # old-style JPEG
+    with pytest.raises(NotImplementedError, match="old-style"):
         decode_tiff(bytes(data))
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"XX" + bytes(20))
@@ -150,4 +156,118 @@ def test_corrupt_strip_count_raises_not_empty():
             patched = True
     assert patched
     with pytest.raises(ValueError, match="corrupt TIFF"):
+        decode_tiff(bytes(data))
+
+
+# ------------------------------------------------ tiles + JPEG (r12)
+
+def test_tiled_roundtrips_all_compressions():
+    """Tile layout (TIFF 6.0 §15): every (compression x planar x
+    predictor x tile-dims) cell round-trips bit-exactly, including
+    non-multiple-of-tile image dims (right/bottom padding cropped)."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(21, 37, 3), dtype=np.uint8)
+    for comp in (1, 5, 32773):
+        for planar in (1, 2):
+            for pred in (1, 2):
+                for tdims in ((16, 16), (8, 16), (32, 16)):
+                    d = encode_tiff(img, "<", planar=planar,
+                                    compression=comp, predictor=pred,
+                                    tile=tdims)
+                    assert (decode_tiff(d) == img).all(), (
+                        comp, planar, pred, tdims)
+    g = rng.randint(0, 256, size=(19, 10), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(g, ">", compression=5, predictor=2,
+                                  tile=(16, 16)))
+    assert (out[:, :, 0] == g).all()
+
+
+def test_tiled_corrupt_tile_count_raises():
+    img = np.zeros((20, 20, 3), dtype=np.uint8)
+    data = bytearray(encode_tiff(img, "<", tile=(16, 16)))
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", data, base)[0] == 322:  # TileWidth
+            struct.pack_into("<I", data, base + 8, 32)
+    with pytest.raises(ValueError, match="corrupt TIFF"):
+        decode_tiff(bytes(data))
+
+
+def test_jpeg_in_tiff_assembly_equals_per_segment_decode():
+    """Compression=7: the assembled canvas must equal the per-segment
+    decode_jpeg outputs region-by-region — the TIFF layer adds
+    placement, not pixels. Both strip and tile layouts, with and
+    without the JPEGTables abbreviation."""
+    from xenoeye_spark.datapipe.codecs_jpeg import decode_jpeg
+    from xenoeye_spark.datapipe.codecs_tiff import (
+        _TAG_JPEG_TABLES, _TAG_STRIP_COUNTS, _TAG_STRIP_OFFSETS,
+        _TAG_TILE_COUNTS, _TAG_TILE_OFFSETS, _merge_jpeg_tables,
+        _read_ifd,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    for jt in (False, True):
+        # strips of 8 rows
+        d = encode_tiff(img, "<", rows_per_strip=8, compression=7,
+                        jpeg_tables=jt)
+        tags = _read_ifd(d, "<")
+        assert (_TAG_JPEG_TABLES in tags) == jt
+        tables = bytes(tags[_TAG_JPEG_TABLES]) if jt else None
+        out = decode_tiff(d)
+        for si, (o, c) in enumerate(zip(tags[_TAG_STRIP_OFFSETS],
+                                        tags[_TAG_STRIP_COUNTS])):
+            seg = decode_jpeg(_merge_jpeg_tables(d[o:o + c], tables))
+            assert (out[si * 8:(si + 1) * 8] == seg[:8]).all(), si
+        # 16x16 tiles over a 24x40 image (padded 2x3 grid)
+        d = encode_tiff(img, "<", tile=(16, 16), compression=7,
+                        jpeg_tables=jt)
+        tags = _read_ifd(d, "<")
+        tables = bytes(tags[_TAG_JPEG_TABLES]) if jt else None
+        out = decode_tiff(d)
+        assert out.shape == (24, 40, 3)
+        for ti, (o, c) in enumerate(zip(tags[_TAG_TILE_OFFSETS],
+                                        tags[_TAG_TILE_COUNTS])):
+            ty, tx = divmod(ti, 3)
+            seg = decode_jpeg(_merge_jpeg_tables(d[o:o + c], tables))
+            region = out[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            assert (region == seg[:region.shape[0],
+                                  :region.shape[1]]).all(), ti
+
+
+def test_jpeg_in_tiff_flat_exact_and_gray():
+    """Flat blocks are DC-exact through the JPEG path, so these
+    decode bit-exactly; gray strips go through the gray encoder and
+    the 3-channel replication contract holds."""
+    flat = np.full((32, 48, 3), 120, np.uint8)
+    for jt in (False, True):
+        out = decode_tiff(encode_tiff(flat, "<", compression=7,
+                                      tile=(16, 16), jpeg_tables=jt))
+        assert (out == flat).all(), jt
+    g = np.full((16, 24), 200, np.uint8)
+    out = decode_tiff(encode_tiff(g, "<", compression=7,
+                                  rows_per_strip=8))
+    assert out.shape == (16, 24, 3)
+    assert (out == 200).all()
+
+
+def test_jpeg_in_tiff_corrupt_tables_raise():
+    from xenoeye_spark.datapipe.codecs_tiff import _merge_jpeg_tables
+
+    with pytest.raises(ValueError, match="JPEGTables"):
+        _merge_jpeg_tables(b"\xff\xd8xx", b"not a jpeg stream")
+    with pytest.raises(ValueError, match="no SOI"):
+        _merge_jpeg_tables(b"junk", b"\xff\xd8\xff\xd9")
+    # a raw (non-JPEG) segment under Compression=7 fails loudly
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_tiff(img, "<"))
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", data, base)[0] == 259:
+            struct.pack_into("<H", data, base + 8, 7)
+    with pytest.raises(ValueError):
         decode_tiff(bytes(data))

@@ -8,12 +8,17 @@ Compression: none (1), PackBits (32773 — the §9 RLE) and LZW (5 —
 the §13 MSB-first variable-width code stream with the mandated
 "early change"), each decompressed strip-by-strip; the horizontal
 differencing predictor (tag 317 = 2) that LZW commonly pairs with
-undoes as a per-row per-channel cumulative sum (all r11; JPEG-in-TIFF
-and tiles still raise — the honest boundary). Planar configuration 2
-decodes (r11 — strips are plane-major per TIFF 6.0 §"Planar
-Configuration", so the concatenated strip bytes are spp contiguous
-HxW planes, one transpose from chunky); bit depths != 8 raise;
-extra channels (alpha) are dropped to the HxWx3 contract.
+undoes as a per-row per-channel cumulative sum (all r11). New in
+r12: the TILE layout (§15 — padded TileWidth x TileLength grid,
+raster order, one grid per plane when planar) for all of the above,
+and new-style JPEG-in-TIFF (Compression=7, TIFF 6.0 Supplement 2 /
+Technote 2): each strip/tile is an independent JPEG stream decoded
+by ``codecs_jpeg``, with the shared-tables JPEGTables (347) merge.
+Planar configuration 2 decodes (r11 — strips are plane-major per
+TIFF 6.0 §"Planar Configuration", so the concatenated strip bytes
+are spp contiguous HxW planes, one transpose from chunky); bit
+depths != 8 and old-style JPEG (Compression=6) raise; extra
+channels (alpha) are dropped to the HxWx3 contract.
 """
 
 from __future__ import annotations
@@ -34,9 +39,14 @@ _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 
 _TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
+_TAG_JPEG_TABLES = 347
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 7: "B"}
 
 
 def _unpackbits(src: bytes, expected: int) -> bytes:
@@ -141,7 +151,10 @@ def _read_ifd(data: bytes, endian: str) -> dict[int, list[int]]:
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """Decode an uncompressed 8-bit TIFF to (H, W, 3) uint8 RGB."""
+    """Decode an 8-bit TIFF to (H, W, 3) uint8 RGB — strip or tile
+    layout, Compression 1/5/32773/7 (raw / LZW / PackBits / new-style
+    JPEG per the TIFF 6.0 Supplement 2 + Technote 2 JPEGTables
+    scheme), chunky or planar, either byte order."""
     if data[:2] == b"II":
         endian = "<"
     elif data[:2] == b"MM":
@@ -155,10 +168,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
     w = tags[_TAG_WIDTH][0]
     h = tags[_TAG_HEIGHT][0]
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp == 6:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF (Compression=6, the withdrawn "
+            "TIFF 6.0 §22 scheme) — only new-style (7) is supported"
+        )
+    if comp not in (1, 5, 32773, 7):
         raise NotImplementedError(
             f"compressed TIFF (Compression={comp}) needs codec logic "
-            "beyond raw/PackBits/LZW strips"
+            "beyond raw/PackBits/LZW/JPEG"
         )
     predictor = tags.get(_TAG_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
@@ -170,6 +188,19 @@ def decode_tiff(data: bytes) -> np.ndarray:
     bits = tags.get(_TAG_BITS, [8])
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"{bits}-bit TIFF")
+    photometric = tags.get(_TAG_PHOTOMETRIC, [1])[0]
+    if comp == 7:
+        return _decode_tiff_jpeg(data, tags, endian, w, h, spp,
+                                 planar, photometric)
+    if _TAG_TILE_OFFSETS in tags:
+        px = _decode_tiff_tiles(data, tags, w, h, spp, planar, comp,
+                                predictor)
+        if spp == 1:
+            g = px[:, :, 0]
+            if photometric == 0:          # WhiteIsZero: invert
+                g = 255 - g
+            return np.stack([g, g, g], axis=2)
+        return px[:, :, :3].copy()
     offsets = tags[_TAG_STRIP_OFFSETS]
     counts = tags.get(
         _TAG_STRIP_COUNTS, [w * h * spp]
@@ -234,6 +265,137 @@ def decode_tiff(data: bytes) -> np.ndarray:
             g = 255 - g
         return np.stack([g, g, g], axis=2)
     return px[:, :, :3].copy()            # drop alpha channels
+
+
+def _decode_tiff_tiles(
+    data: bytes, tags: dict[int, list[int]], w: int, h: int, spp: int,
+    planar: int, comp: int, predictor: int,
+) -> np.ndarray:
+    """Tile layout (TIFF 6.0 §15): the image is a grid of
+    TileWidth x TileLength tiles, ALWAYS padded to full tile size
+    (unlike strips), raster-ordered left-to-right top-to-bottom, one
+    full grid per plane when PlanarConfiguration=2. Each tile
+    decompresses independently; the horizontal predictor runs per
+    tile row. Returns the cropped (h, w, spp) chunky array."""
+    tw = tags[_TAG_TILE_WIDTH][0]
+    tl = tags[_TAG_TILE_LENGTH][0]
+    if tw <= 0 or tl <= 0:
+        raise ValueError(f"bad tile dims {tw}x{tl}")
+    ta, td = -(-w // tw), -(-h // tl)
+    nplanes = spp if planar == 2 and spp > 1 else 1
+    ch = 1 if nplanes > 1 else spp
+    per_plane = ta * td
+    offsets = tags[_TAG_TILE_OFFSETS]
+    counts = tags.get(_TAG_TILE_COUNTS, [tw * tl * ch] * len(offsets))
+    if len(offsets) != per_plane * nplanes:
+        raise ValueError(
+            f"corrupt TIFF: {len(offsets)} tiles, expected "
+            f"{per_plane * nplanes} ({ta}x{td} grid x {nplanes} planes)"
+        )
+    need = tw * tl * ch
+    un = _unlzw if comp == 5 else _unpackbits
+    canvas = np.zeros((nplanes, td * tl, ta * tw, ch), dtype=np.uint8)
+    for ti, (o, c) in enumerate(zip(offsets, counts)):
+        plane, idx = divmod(ti, per_plane)
+        ty, tx = divmod(idx, ta)
+        if comp == 1:
+            raw = data[o:o + c]
+            if len(raw) < need:
+                raise ValueError("truncated TIFF tile")
+        else:
+            raw = un(data[o:o + c], need)
+        arr = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(
+            tl, tw, ch
+        )
+        if predictor == 2:
+            arr = (
+                np.cumsum(arr.astype(np.int64), axis=1) % 256
+            ).astype(np.uint8)
+        canvas[plane, ty * tl:(ty + 1) * tl,
+               tx * tw:(tx + 1) * tw] = arr
+    cropped = canvas[:, :h, :w, :]
+    if nplanes > 1:
+        return np.transpose(cropped[:, :, :, 0], (1, 2, 0))
+    return cropped[0]
+
+
+def _merge_jpeg_tables(seg: bytes, tables: bytes | None) -> bytes:
+    """TIFF Technote 2: the JPEGTables tag holds an abbreviated
+    tables-only JPEG stream (SOI .. EOI); each strip/tile stream gets
+    those segments logically inserted after its own SOI."""
+    if tables is None:
+        return seg
+    if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+        raise ValueError("corrupt JPEGTables (no SOI/EOI bracket)")
+    if seg[:2] != b"\xff\xd8":
+        raise ValueError("corrupt JPEG tile/strip (no SOI)")
+    return seg[:2] + tables[2:-2] + seg[2:]
+
+
+def _decode_tiff_jpeg(
+    data: bytes, tags: dict[int, list[int]], endian: str, w: int,
+    h: int, spp: int, planar: int, photometric: int,
+) -> np.ndarray:
+    """New-style JPEG-in-TIFF (Compression=7, TIFF 6.0 Supplement 2 /
+    Technote 2): every strip or tile is an independent JPEG stream —
+    interchange format, or abbreviated with the shared tables carried
+    once in the JPEGTables (347) tag. Decodes each segment with the
+    in-house baseline/progressive decoder and assembles the RGB
+    canvas; YCbCr->RGB happens inside the JPEG decode (the normal
+    Photometric=6 case), so no second conversion here."""
+    from xenoeye_spark.datapipe.codecs_jpeg import decode_jpeg
+
+    if planar == 2 and spp > 1:
+        raise NotImplementedError(
+            "planar (PlanarConfiguration=2) JPEG-in-TIFF"
+        )
+    traw = tags.get(_TAG_JPEG_TABLES)
+    tables = bytes(traw) if traw else None
+    tiled = _TAG_TILE_OFFSETS in tags
+    if tiled:
+        tw, tl = tags[_TAG_TILE_WIDTH][0], tags[_TAG_TILE_LENGTH][0]
+        if tw <= 0 or tl <= 0:
+            raise ValueError(f"bad tile dims {tw}x{tl}")
+        offsets = tags[_TAG_TILE_OFFSETS]
+        counts = tags[_TAG_TILE_COUNTS]
+        ta, td = -(-w // tw), -(-h // tl)
+        if len(offsets) != ta * td:
+            raise ValueError(
+                f"corrupt TIFF: {len(offsets)} JPEG tiles, expected "
+                f"{ta * td}"
+            )
+        origins = [(divmod(i, ta)[0] * tl, divmod(i, ta)[1] * tw)
+                   for i in range(len(offsets))]
+        spans = [(tl, tw)] * len(offsets)
+        canvas = np.zeros((td * tl, ta * tw, 3), dtype=np.uint8)
+    else:
+        offsets = tags[_TAG_STRIP_OFFSETS]
+        counts = tags[_TAG_STRIP_COUNTS]
+        rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+        if rps <= 0:
+            raise ValueError(f"bad RowsPerStrip {rps}")
+        if len(offsets) != -(-h // rps):
+            raise ValueError(
+                f"corrupt TIFF: {len(offsets)} JPEG strips, expected "
+                f"{-(-h // rps)}"
+            )
+        origins = [(i * rps, 0) for i in range(len(offsets))]
+        spans = [(min(rps, h - i * rps), w) for i in range(len(offsets))]
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    for (o, c), (oy, ox), (sh, sw) in zip(
+        zip(offsets, counts), origins, spans
+    ):
+        rgb = decode_jpeg(_merge_jpeg_tables(data[o:o + c], tables))
+        if rgb.shape[0] < sh or rgb.shape[1] < sw:
+            raise ValueError(
+                f"JPEG segment {rgb.shape[:2]} smaller than its "
+                f"{sh}x{sw} region"
+            )
+        canvas[oy:oy + sh, ox:ox + sw] = rgb[:sh, :sw]
+    out = canvas[:h, :w]
+    if spp == 1 and photometric == 0:     # WhiteIsZero gray JPEG
+        out = 255 - out
+    return out.copy()
 
 
 def _packbits(src: bytes) -> bytes:
@@ -307,17 +469,43 @@ def _lzw(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG interchange stream into (tables stream,
+    abbreviated stream) per TIFF Technote 2: DQT/DHT segments move to
+    a SOI..EOI tables-only stream; everything else (SOF, SOS, entropy
+    data) stays. Tests-only, like the encoders."""
+    assert stream[:2] == b"\xff\xd8"
+    tables = bytearray(b"\xff\xd8")
+    abbrev = bytearray(b"\xff\xd8")
+    i = 2
+    while i + 1 < len(stream):
+        marker = stream[i + 1]
+        if marker == 0xDA:                    # SOS: rest is entropy
+            abbrev += stream[i:]
+            break
+        seg_len = struct.unpack(">H", stream[i + 2:i + 4])[0]
+        chunk = stream[i:i + 2 + seg_len]
+        (tables if marker in (0xDB, 0xC4) else abbrev).extend(chunk)
+        i += 2 + seg_len
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(abbrev)
+
+
 def encode_tiff(
     img: np.ndarray, endian: str = "<", rows_per_strip: int | None = None,
     planar: int = 1, compression: int = 1, predictor: int = 1,
+    tile: tuple[int, int] | None = None, jpeg_tables: bool = False,
 ) -> bytes:
     """Minimal TIFF writer (tests only): 8-bit gray (H, W) or RGB
-    (H, W, 3), strip-per-``rows_per_strip`` (default: one strip),
-    either byte order; ``planar=2`` (r11) writes plane-major strips
-    (each plane split on the same rows_per_strip, planes back to
-    back); ``compression`` 1/5/32773 (none/LZW/PackBits, r11) applied
-    per strip, with ``predictor=2`` horizontal differencing before
-    the compressor — so every decode path round-trips."""
+    (H, W, 3), strip-per-``rows_per_strip`` (default: one strip) or
+    tiled via ``tile=(tile_width, tile_length)`` (r12 — tiles padded
+    to full size per TIFF 6.0 §15), either byte order; ``planar=2``
+    (r11) writes plane-major strips/tiles; ``compression`` 1/5/32773
+    (none/LZW/PackBits, r11) applied per segment with ``predictor=2``
+    horizontal differencing, or 7 (r12 — new-style JPEG, one
+    interchange stream per segment, chunky only; ``jpeg_tables=True``
+    moves the shared DQT/DHT into the JPEGTables tag and writes
+    abbreviated streams) — so every decode path round-trips."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         h, w = img.shape
@@ -326,14 +514,26 @@ def encode_tiff(
         h, w, spp = img.shape
     if planar not in (1, 2):
         raise ValueError(f"planar must be 1 or 2, got {planar}")
-    if compression not in (1, 5, 32773):
-        raise ValueError(f"compression must be 1/5/32773: {compression}")
+    if compression not in (1, 5, 32773, 7):
+        raise ValueError(f"compression must be 1/5/32773/7: {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2: {predictor}")
+    if compression == 7 and (planar == 2 and spp > 1):
+        raise ValueError("JPEG-in-TIFF writer is chunky-only")
     rps = rows_per_strip or h
 
     def prep(a: np.ndarray, ch: int) -> bytes:
-        a = a.reshape(a.shape[0], w, ch).astype(np.int64)
+        if compression == 7:
+            from xenoeye_spark.datapipe.codecs_jpeg import (
+                encode_jpeg_gray, encode_jpeg_rgb,
+            )
+            a = a.reshape(a.shape[0], -1, ch)
+            if ch == 3:
+                return encode_jpeg_rgb(a)
+            return encode_jpeg_gray(
+                a[:, :, 0].astype(np.float64), quant=np.full(64, 16)
+            )
+        a = a.reshape(a.shape[0], -1, ch).astype(np.int64)
         if predictor == 2:
             d = a.copy()
             d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) % 256
@@ -345,7 +545,32 @@ def encode_tiff(
             return _packbits(b)
         return b
 
-    if planar == 2 and spp > 1:
+    if tile is not None:
+        tw, tl = tile
+        ta, td = -(-w // tw), -(-h // tl)
+        pad = np.zeros(
+            (td * tl, ta * tw) + (() if img.ndim == 2 else (spp,)),
+            dtype=np.uint8,
+        )
+        pad[:h, :w] = img
+        if planar == 2 and spp > 1:
+            planes = np.transpose(pad.reshape(td * tl, ta * tw, spp),
+                                  (2, 0, 1))
+            strips = [
+                prep(planes[p, ty * tl:(ty + 1) * tl,
+                            tx * tw:(tx + 1) * tw], 1)
+                for p in range(spp)
+                for ty in range(td) for tx in range(ta)
+            ]
+        else:
+            planar = 1
+            pad3 = pad.reshape(td * tl, ta * tw, spp)
+            strips = [
+                prep(pad3[ty * tl:(ty + 1) * tl,
+                          tx * tw:(tx + 1) * tw], spp)
+                for ty in range(td) for tx in range(ta)
+            ]
+    elif planar == 2 and spp > 1:
         planes = np.transpose(img, (2, 0, 1))      # (spp, h, w)
         strips = [
             prep(planes[p, y:y + rps], 1)
@@ -357,7 +582,13 @@ def encode_tiff(
             prep(img[y:y + rps], spp) for y in range(0, h, rps)
         ]
 
-    entries = []        # (tag, type, count, value_or_bytes)
+    tables: bytes | None = None
+    if compression == 7 and jpeg_tables:
+        split = [_split_jpeg_tables(s) for s in strips]
+        tables = split[0][0]
+        assert all(t == tables for t, _ in split), "tables must agree"
+        strips = [a for _, a in split]
+
     hdr = (b"II" if endian == "<" else b"MM") + struct.pack(
         endian + "HI", 42, 8
     )
@@ -365,19 +596,32 @@ def encode_tiff(
     def ifd_bytes(n):
         return 2 + 12 * n + 4
 
+    off_tag = _TAG_TILE_OFFSETS if tile is not None else _TAG_STRIP_OFFSETS
     tag_list = [
         (_TAG_WIDTH, 3, [w]),
         (_TAG_HEIGHT, 3, [h]),
         (_TAG_BITS, 3, [8] * spp),
         (_TAG_COMPRESSION, 3, [compression]),
-        (_TAG_PHOTOMETRIC, 3, [2 if spp == 3 else 1]),
-        (_TAG_STRIP_OFFSETS, 4, None),    # filled below
+        (_TAG_PHOTOMETRIC, 3,
+         [6 if compression == 7 and spp == 3 else 2 if spp == 3 else 1]),
+        (off_tag, 4, None),               # filled below
         (_TAG_SPP, 3, [spp]),
-        (_TAG_ROWS_PER_STRIP, 3, [rps]),
-        (_TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
         (_TAG_PLANAR, 3, [planar]),
     ]
-    if predictor == 2:
+    if tile is not None:
+        tag_list += [
+            (_TAG_TILE_WIDTH, 3, [tile[0]]),
+            (_TAG_TILE_LENGTH, 3, [tile[1]]),
+            (_TAG_TILE_COUNTS, 4, [len(s) for s in strips]),
+        ]
+    else:
+        tag_list += [
+            (_TAG_ROWS_PER_STRIP, 3, [rps]),
+            (_TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
+        ]
+    if tables is not None:
+        tag_list.append((_TAG_JPEG_TABLES, 7, list(tables)))
+    if predictor == 2 and compression != 7:
         tag_list.append((_TAG_PREDICTOR, 3, [2]))
     tag_list.sort()                     # TIFF requires ascending tags
     n = len(tag_list)
@@ -412,7 +656,7 @@ def encode_tiff(
 
     ifd = struct.pack(endian + "H", n)
     for tag, typ, vals in tag_list:
-        if tag == _TAG_STRIP_OFFSETS:
+        if tag == off_tag:
             vals = offs
         ifd += struct.pack(endian + "HHI", tag, typ, len(vals))
         ifd += place(typ, vals)
