@@ -67,10 +67,16 @@ def test_gray_palette_rgba_paths():
 def test_boundaries_raise_loudly():
     img = np.zeros((4, 4, 3), dtype=np.uint8)
     data = bytearray(encode_png(img))
-    # 16-bit depth
+    # relabeling an 8-bit stream as 16-bit (r12: 16-bit decodes now)
+    # leaves a byte layout no row walk can consume exactly
     d = bytearray(data)
     d[24] = 16
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    with pytest.raises(ValueError, match="IDAT size mismatch"):
+        decode_png(bytes(d))
+    # an ILLEGAL (depth, color type) combo refuses up front
+    d = bytearray(data)
+    d[24] = 2                           # 2-bit RGB: not in §11.2.2
+    with pytest.raises(ValueError, match="illegal depth"):
         decode_png(bytes(d))
     # flipping the interlace flag on a NON-interlaced stream (r11:
     # Adam7 decodes now) leaves a byte layout no pass walk can
@@ -117,3 +123,68 @@ def test_dispatch_sniffs_png():
     d = encode_png(img)
     assert sniff_format(d) == "png"
     assert (decode_image(d) == 77).all()
+
+
+# --------------------------------------------- bit depths 1/2/4/16 (r12)
+
+def test_16bit_roundtrips_all_ctypes_filters_interlace():
+    """Depth 16 (big-endian samples, filter delta spp*2 bytes):
+    v*257-coded values strip to exactly v through the high-byte
+    down-conversion, across every non-palette color type, all five
+    filters, both interlace methods."""
+    rng = np.random.RandomState(3)
+    for ctype, shape in ((0, (13, 9)), (2, (13, 9, 3)),
+                         (4, (13, 9, 2)), (6, (13, 9, 4))):
+        v8 = rng.randint(0, 256, size=shape)
+        img16 = (v8 * 257).astype(np.uint16)
+        want = v8.reshape(13, 9, -1)
+        for ft in (0, 1, 2, 3, 4):
+            for il in (False, True):
+                out = decode_png(encode_png(
+                    img16, ctype=ctype, filter_type=ft,
+                    interlace=il, depth=16))
+                if ctype in (0, 4):
+                    assert (out[:, :, 0] == want[:, :, 0]).all(), (
+                        ctype, ft, il)
+                else:
+                    assert (out == want[:, :, :3]).all(), (ctype, ft, il)
+
+
+def test_16bit_high_byte_strip_is_exact_rule():
+    """The down-conversion is the HIGH byte (libpng strip-16): 0x1234
+    -> 0x12, independent of the low byte."""
+    img = np.array([[0x1234, 0x12FF], [0x0001, 0xFFFE]], np.uint16)
+    out = decode_png(encode_png(img, ctype=0, depth=16))
+    assert (out[:, :, 0] == [[0x12, 0x12], [0x00, 0xFF]]).all()
+
+
+def test_sub8_gray_and_palette_roundtrip():
+    """Depths 1/2/4: MSB-first packed samples with partial trailing
+    bytes (widths not multiples of the per-byte sample count), every
+    filter, both interlace methods; gray scales exactly to 0..255,
+    palette indices resolve through PLTE."""
+    rng = np.random.RandomState(9)
+    for d in (1, 2, 4):
+        mx = (1 << d) - 1
+        g = rng.randint(0, mx + 1, size=(11, 23))
+        for ft in (0, 1, 2, 3, 4):
+            for il in (False, True):
+                out = decode_png(encode_png(
+                    g, ctype=0, filter_type=ft, interlace=il, depth=d))
+                assert (out[:, :, 0] == g * (255 // mx)).all(), (d, ft, il)
+        pal = rng.randint(0, 256, size=(mx + 1, 3)).astype(np.uint8)
+        idx = rng.randint(0, mx + 1, size=(7, 15))
+        out = decode_png(encode_png(idx, ctype=3, filter_type=2,
+                                    palette=pal, depth=d))
+        assert (out == pal[idx]).all(), d
+    # 1-bit 1-pixel-wide edge: one sample in one padded byte per row
+    one = np.array([[1], [0], [1]], np.uint8)
+    out = decode_png(encode_png(one, ctype=0, depth=1))
+    assert (out[:, 0, 0] == [255, 0, 255]).all()
+
+
+def test_illegal_depth_combos_refuse():
+    for ctype, d, shape in ((2, 4, (4, 4, 3)), (3, 16, (4, 4)),
+                            (6, 1, (4, 4, 4)), (4, 2, (4, 4, 2))):
+        with pytest.raises(ValueError, match="illegal depth"):
+            encode_png(np.zeros(shape, np.uint8), ctype=ctype, depth=d)
