@@ -321,3 +321,46 @@ def test_warc_walker_compaction_boundary():
         got_gz = list(split_warc_records(
             encode_warc(recs, per_record_gzip=True)))
         assert all(g[1] == r[1] for g, r in zip(got_gz, recs))
+
+
+# -------------------------------------------------- charset policy (r12)
+
+def test_charset_policy_latin1_shiftjis_pinned(spark):
+    """The pinned charset policy: a response's Content-Type charset
+    decodes the body (latin-1, shift_jis); absent/unknown/non-text
+    charsets fall back to UTF-8; bad bytes REPLACE, never quarantine
+    — and payload_md5 still hashes the exact original bytes."""
+    from xenoeye_spark.datapipe.warc import decode_payload_text
+
+    cafe_l1 = "café".encode("latin-1")           # 0xE9: invalid UTF-8
+    tokyo_sj = "東京タワー".encode("shift_jis")
+    recs = [
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/l1"},
+         http_response_bytes(
+             cafe_l1, content_type="text/html; charset=ISO-8859-1")),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/sj"},
+         http_response_bytes(
+             tokyo_sj, content_type='text/html; charset="Shift_JIS"')),
+        # no charset: UTF-8 replace turns the latin-1 byte into U+FFFD
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/none"},
+         http_response_bytes(cafe_l1, content_type="text/html")),
+        # unknown charset name: documented UTF-8 fallback
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/unk"},
+         http_response_bytes(
+             b"plain", content_type="text/html; charset=x-klingon")),
+    ]
+    data = encode_warc(recs)
+    df = spark.createDataFrame([(1, bytearray(data))],
+                               "source_id long, content binary")
+    rows = {r.target_uri: r for r in warc_records(df).collect()}
+    assert rows["http://a/l1"].payload_text == "café"
+    assert rows["http://a/sj"].payload_text == "東京タワー"
+    assert rows["http://a/none"].payload_text == "caf�"
+    assert rows["http://a/unk"].payload_text == "plain"
+    # byte fidelity is charset-independent
+    assert rows["http://a/l1"].payload_md5 == hashlib.md5(
+        cafe_l1).hexdigest()
+    assert rows["http://a/sj"].payload_len == len(tokyo_sj)
+    # the helper alone: non-text codec smuggled into the header
+    assert decode_payload_text(b"abc", "text/plain; charset=zip") == "abc"
+    assert decode_payload_text(b"abc", None) == "abc"

@@ -29,8 +29,10 @@ this is part of the beyond-reference corpus-pipeline tier.
 
 from __future__ import annotations
 
+import codecs
 import gzip
 import hashlib
+import re
 from typing import Iterator
 from zlib import error as zlib_error
 
@@ -166,6 +168,36 @@ def parse_http_response(content: bytes) -> tuple[int | None, dict, bytes]:
     return status, hdrs, content[he + len(_CRLF2):]
 
 
+_CHARSET_RE = re.compile(r'charset\s*=\s*"?([A-Za-z0-9_.:+-]+)"?', re.I)
+
+
+def decode_payload_text(payload: bytes, content_type: str | None) -> str:
+    """Charset policy (r12, pinned by test): honor the HTTP
+    Content-Type charset parameter when present and resolvable in
+    Python's codec registry (latin-1, shift_jis, euc-jp, ...);
+    otherwise — absent, unknown, or a non-text codec — decode UTF-8.
+    Always ``errors='replace'``: extraction REPLACES, it never
+    quarantines a record over undecodable bytes, because byte
+    fidelity lives in payload_md5/payload_len and a crawl row with
+    some U+FFFD is still a usable dedup/quality-filter input where a
+    NULL would silently shrink the corpus. HTML <meta charset> is
+    deliberately NOT consulted (that is a post-extract concern for
+    the html_to_text stage, not the transport layer)."""
+    enc = "utf-8"
+    if content_type:
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            try:
+                codecs.lookup(m.group(1))
+                enc = m.group(1)
+            except LookupError:
+                pass
+    try:
+        return payload.decode(enc, "replace")
+    except Exception:              # non-text codec smuggled in the header
+        return payload.decode("utf-8", "replace")
+
+
 RECORDS_SCHEMA = T.StructType([
     T.StructField("source_id", T.LongType()),
     T.StructField("rec_index", T.LongType()),
@@ -188,9 +220,11 @@ def warc_records(
     (source_id, rec_index, warc_type, target_uri, http_status,
     payload_len, payload_md5, payload_text). For ``response`` records
     the payload is the HTTP body; for others it is the raw record
-    content. ``payload_text`` is the UTF-8 decode (replacement chars on
-    invalid bytes); ``payload_md5`` hashes the exact payload BYTES, so
-    binary payloads stay checkable.
+    content. ``payload_text`` decodes per the pinned charset policy
+    (``decode_payload_text``, r12): the response Content-Type charset
+    when present and known, else UTF-8, always with replacement chars
+    — never a quarantine; ``payload_md5`` hashes the exact payload
+    BYTES, so binary payloads stay checkable.
 
     ``on_error='fail'`` (default) propagates malformed-file errors —
     a corrupt crawl shard should stop the job; ``'null'`` emits ONE
@@ -218,14 +252,16 @@ def warc_records(
     def walk(sid: int, raw: bytes) -> Iterator[tuple]:
         for idx, (hdrs, content) in enumerate(split_warc_records(raw)):
             wtype = hdrs.get("warc-type", "")
+            ctype = None
             if wtype == "response":
-                status, _, payload = parse_http_response(content)
+                status, rhdrs, payload = parse_http_response(content)
+                ctype = rhdrs.get("content-type")
             else:
                 status, payload = None, content
             yield (
                 sid, idx, wtype, hdrs.get("warc-target-uri"),
                 status, len(payload), hashlib.md5(payload).hexdigest(),
-                payload.decode("utf-8", "replace"),
+                decode_payload_text(payload, ctype),
             )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
