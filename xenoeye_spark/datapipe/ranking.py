@@ -663,9 +663,12 @@ def bpe_steps(
 
     Each round's argmax pair attaches as a broadcast one-row cross
     join (no collect; the plan-lint one-row allow-list shape). The
-    corpus-scale pass is the single word count — every merge round
-    runs over DISTINCT words only, so at 100 TB the unrolled rounds
-    cost the same as at 100 GB.
+    corpus-scale pass is the single word count — materialized ONCE
+    via ``localCheckpoint`` (the bpe_train/dedup_groups pattern;
+    without it the unrolled tree re-scans the corpus once per
+    pair-count occurrence — 7 scans measured at n_steps=2) — so
+    every merge round runs over DISTINCT words only and at 100 TB
+    the unrolled rounds cost the same as at 100 GB.
 
     Output rows: (step=1..n_steps, a, b, pair_count) — the chosen
     merge of each round with its pre-merge count — plus (step=0, a,
@@ -679,6 +682,7 @@ def bpe_steps(
         .filter(F.length("word") >= 2)
         .filter(~F.col("word").contains("\x01")
                 & ~F.col("word").contains("\x02"))
+        .localCheckpoint(eager=False)
     )
     wrapped = wc.select(
         F.col("_cnt"),
