@@ -47,7 +47,7 @@ def test_boundaries_raise_loudly():
     for i in range(n):
         base = 10 + 12 * i
         if struct.unpack_from("<H", data, base)[0] == 259:
-            struct.pack_into("<H", data, base + 8, 8)   # Deflate
+            struct.pack_into("<H", data, base + 8, 3)   # CCITT G3 fax
     with pytest.raises(NotImplementedError, match="compressed TIFF"):
         decode_tiff(bytes(data))
     for i in range(n):
@@ -271,3 +271,78 @@ def test_jpeg_in_tiff_corrupt_tables_raise():
             struct.pack_into("<H", data, base + 8, 7)
     with pytest.raises(ValueError):
         decode_tiff(bytes(data))
+
+
+# ------------------------------------------- Deflate + 16-bit (r12)
+
+def test_deflate_roundtrips_strips_and_tiles():
+    """Adobe Deflate (Compression=8): one zlib stream per segment,
+    round-trips across planar/predictor/layout; the legacy 32946 code
+    decodes identically (patched in place); corrupt streams raise."""
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, size=(21, 37, 3), dtype=np.uint8)
+    for planar in (1, 2):
+        for pred in (1, 2):
+            for tdims in (None, (16, 16)):
+                kw = dict(planar=planar, compression=8, predictor=pred)
+                if tdims:
+                    kw["tile"] = tdims
+                else:
+                    kw["rows_per_strip"] = 5
+                d = encode_tiff(img, "<", **kw)
+                assert (decode_tiff(d) == img).all(), (planar, pred, tdims)
+    # legacy ZIP code 32946 = same codec
+    data = bytearray(encode_tiff(img, "<", rows_per_strip=5,
+                                 compression=8))
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", data, base)[0] == 259:
+            struct.pack_into("<H", data, base + 8, 32946)
+    assert (decode_tiff(bytes(data)) == img).all()
+    # corrupt zlib stream raises the corrupt-file error
+    bad = bytearray(encode_tiff(img, "<", rows_per_strip=21,
+                                compression=8))
+    bad[-10:] = b"\x00" * 10
+    with pytest.raises(ValueError, match="Deflate"):
+        decode_tiff(bytes(bad))
+
+
+def test_16bit_roundtrips_high_byte_strip():
+    """16-bit samples (both byte orders, every compression incl.
+    Deflate, strips and tiles, planar, predictor per 16-bit SAMPLE):
+    v*257-coded values strip to exactly v; the predictor math must
+    run at sample width (a byte-wise undo would corrupt every row)."""
+    rng = np.random.RandomState(6)
+    v8 = rng.randint(0, 256, size=(21, 37, 3))
+    img16 = (v8 * 257).astype(np.uint16)
+    for endian in "<>":
+        for comp in (1, 5, 32773, 8):
+            for planar in (1, 2):
+                for pred in (1, 2):
+                    for tdims in (None, (16, 16)):
+                        kw = dict(planar=planar, compression=comp,
+                                  predictor=pred, bits=16)
+                        if tdims:
+                            kw["tile"] = tdims
+                        else:
+                            kw["rows_per_strip"] = 5
+                        out = decode_tiff(encode_tiff(img16, endian, **kw))
+                        assert (out == v8).all(), (
+                            endian, comp, planar, pred, tdims)
+    # high byte, not rounding: 0x12FF -> 0x12
+    g = np.array([[0x12FF, 0x0001], [0xFFFE, 0x8000]], np.uint16)
+    out = decode_tiff(encode_tiff(g, "<", bits=16))
+    assert (out[:, :, 0] == [[0x12, 0x00], [0xFF, 0x80]]).all()
+    # gray 16-bit through LZW + predictor
+    g16 = (rng.randint(0, 256, size=(9, 14)) * 257).astype(np.uint16)
+    out = decode_tiff(encode_tiff(g16, ">", compression=5, predictor=2,
+                                  bits=16))
+    assert (out[:, :, 0] == (g16 >> 8)).all()
+    # mixed / unsupported depths still refuse
+    with pytest.raises(ValueError, match="bits must be"):
+        encode_tiff(g, bits=12)
+    with pytest.raises(ValueError, match="8-bit only"):
+        encode_tiff(np.zeros((8, 8, 3), np.uint16), compression=7,
+                    bits=16)

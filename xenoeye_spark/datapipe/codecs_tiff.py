@@ -4,16 +4,20 @@ uncompressed (Compression=1) 8-bit grayscale/RGB, both byte orders
 spec: TIFF 6.0 (Adobe). Like BMP/PPM this is a header walk over raw
 sample bytes — the IFD (tag directory) is the only structure.
 
-Compression: none (1), PackBits (32773 — the §9 RLE) and LZW (5 —
+Compression: none (1), PackBits (32773 — the §9 RLE), LZW (5 —
 the §13 MSB-first variable-width code stream with the mandated
-"early change"), each decompressed strip-by-strip; the horizontal
-differencing predictor (tag 317 = 2) that LZW commonly pairs with
-undoes as a per-row per-channel cumulative sum (all r11). New in
-r12: the TILE layout (§15 — padded TileWidth x TileLength grid,
-raster order, one grid per plane when planar) for all of the above,
-and new-style JPEG-in-TIFF (Compression=7, TIFF 6.0 Supplement 2 /
-Technote 2): each strip/tile is an independent JPEG stream decoded
-by ``codecs_jpeg``, with the shared-tables JPEGTables (347) merge.
+"early change") and Adobe Deflate (8 / legacy 32946 — one zlib
+stream per segment, r12), each decompressed strip-by-strip; the
+horizontal differencing predictor (tag 317 = 2) that LZW/Deflate
+commonly pair with undoes as a per-row per-channel cumulative sum
+(all r11). New in r12: the TILE layout (§15 — padded TileWidth x
+TileLength grid, raster order, one grid per plane when planar) for
+all of the above, new-style JPEG-in-TIFF (Compression=7, TIFF 6.0
+Supplement 2 / Technote 2): each strip/tile is an independent JPEG
+stream decoded by ``codecs_jpeg``, with the shared-tables JPEGTables
+(347) merge — and 16-bit samples (either byte order, predictor
+differencing per 16-bit sample per §14), stripped to the high byte
+for the HxWx3 uint8 contract.
 Planar configuration 2 decodes (r11 — strips are plane-major per
 TIFF 6.0 §"Planar Configuration", so the concatenated strip bytes
 are spp contiguous HxW planes, one transpose from chunky); bit
@@ -47,6 +51,19 @@ _TAG_JPEG_TABLES = 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 7: "B"}
+
+
+def _undeflate(src: bytes, expected: int) -> bytes:
+    """Adobe Deflate (Compression=8; 32946 is the older ZIP code):
+    each strip/tile is one zlib stream."""
+    import zlib
+    try:
+        out = zlib.decompress(src)
+    except zlib.error as e:
+        raise ValueError(f"corrupt Deflate strip: {e}") from None
+    if len(out) < expected:
+        raise ValueError("truncated Deflate strip")
+    return out[:expected]
 
 
 def _unpackbits(src: bytes, expected: int) -> bytes:
@@ -151,10 +168,11 @@ def _read_ifd(data: bytes, endian: str) -> dict[int, list[int]]:
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """Decode an 8-bit TIFF to (H, W, 3) uint8 RGB — strip or tile
-    layout, Compression 1/5/32773/7 (raw / LZW / PackBits / new-style
-    JPEG per the TIFF 6.0 Supplement 2 + Technote 2 JPEGTables
-    scheme), chunky or planar, either byte order."""
+    """Decode an 8- or 16-bit TIFF to (H, W, 3) uint8 RGB — strip or
+    tile layout, Compression 1/5/32773/8/32946/7 (raw / LZW /
+    PackBits / Deflate / new-style JPEG per the TIFF 6.0 Supplement 2
+    + Technote 2 JPEGTables scheme), chunky or planar, either byte
+    order; 16-bit samples strip to the high byte."""
     if data[:2] == b"II":
         endian = "<"
     elif data[:2] == b"MM":
@@ -173,10 +191,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
             "old-style JPEG-in-TIFF (Compression=6, the withdrawn "
             "TIFF 6.0 §22 scheme) — only new-style (7) is supported"
         )
-    if comp not in (1, 5, 32773, 7):
+    if comp not in (1, 5, 32773, 7, 8, 32946):
         raise NotImplementedError(
             f"compressed TIFF (Compression={comp}) needs codec logic "
-            "beyond raw/PackBits/LZW/JPEG"
+            "beyond raw/PackBits/LZW/Deflate/JPEG"
         )
     predictor = tags.get(_TAG_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
@@ -186,15 +204,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError(f"bad PlanarConfiguration {planar}")
     spp = tags.get(_TAG_SPP, [1])[0]
     bits = tags.get(_TAG_BITS, [8])
-    if any(b != 8 for b in bits):
+    if all(b == 8 for b in bits):
+        bps = 1
+    elif all(b == 16 for b in bits):
+        bps = 2                  # r12: 16-bit samples, high-byte strip
+    else:
         raise NotImplementedError(f"{bits}-bit TIFF")
     photometric = tags.get(_TAG_PHOTOMETRIC, [1])[0]
     if comp == 7:
+        if bps != 1:
+            raise NotImplementedError("16-bit JPEG-in-TIFF")
         return _decode_tiff_jpeg(data, tags, endian, w, h, spp,
                                  planar, photometric)
     if _TAG_TILE_OFFSETS in tags:
         px = _decode_tiff_tiles(data, tags, w, h, spp, planar, comp,
-                                predictor)
+                                predictor, bps, endian)
         if spp == 1:
             g = px[:, :, 0]
             if photometric == 0:          # WhiteIsZero: invert
@@ -203,7 +227,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
         return px[:, :, :3].copy()
     offsets = tags[_TAG_STRIP_OFFSETS]
     counts = tags.get(
-        _TAG_STRIP_COUNTS, [w * h * spp]
+        _TAG_STRIP_COUNTS, [w * h * spp * bps]
     )
     if comp == 1:
         raw = b"".join(
@@ -225,23 +249,29 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 f"corrupt TIFF: {len(offsets)} strips, expected "
                 f"{n_expect} (RowsPerStrip={rps}, h={h}, planar={planar})"
             )
-        row_bytes = w * (1 if planar == 2 and spp > 1 else spp)
+        row_bytes = w * (1 if planar == 2 and spp > 1 else spp) * bps
         pieces = []
-        un = _unlzw if comp == 5 else _unpackbits
+        un = (_unlzw if comp == 5 else _undeflate
+              if comp in (8, 32946) else _unpackbits)
         for si, (o, c) in enumerate(zip(offsets, counts)):
             rows = min(rps, h - (si % per_plane) * rps)
             pieces.append(un(data[o:o + c], rows * row_bytes))
         raw = b"".join(pieces)
+    sdt = np.uint8 if bps == 1 else np.dtype(endian + "u2")
     if predictor == 2:
         # horizontal differencing: undo with a per-row per-channel
-        # cumulative sum mod 256
+        # cumulative sum mod 2^bits (per 16-bit SAMPLE, not per byte,
+        # when bps == 2 — TIFF 6.0 §14)
         ch = 1 if planar == 2 and spp > 1 else spp
-        arr = np.frombuffer(
-            raw, dtype=np.uint8, count=(len(raw) // (w * ch)) * w * ch
-        ).reshape(-1, w, ch)
+        nsamp = (len(raw) // (w * ch * bps)) * w * ch
+        arr = np.frombuffer(raw, dtype=sdt, count=nsamp).reshape(
+            -1, w, ch)
         raw = (
-            np.cumsum(arr.astype(np.int64), axis=1) % 256
-        ).astype(np.uint8).tobytes()
+            np.cumsum(arr.astype(np.int64), axis=1) % (1 << (8 * bps))
+        ).astype(sdt).tobytes()
+    if bps == 2:                  # high-byte strip to the 8-bit contract
+        raw = (np.frombuffer(raw, dtype=sdt, count=len(raw) // 2)
+               .astype(np.uint16) >> 8).astype(np.uint8).tobytes()
     if len(raw) < w * h * spp:
         raise ValueError(
             f"truncated TIFF strips: {len(raw)} < {w * h * spp}"
@@ -269,7 +299,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 def _decode_tiff_tiles(
     data: bytes, tags: dict[int, list[int]], w: int, h: int, spp: int,
-    planar: int, comp: int, predictor: int,
+    planar: int, comp: int, predictor: int, bps: int = 1,
+    endian: str = "<",
 ) -> np.ndarray:
     """Tile layout (TIFF 6.0 §15): the image is a grid of
     TileWidth x TileLength tiles, ALWAYS padded to full tile size
@@ -286,14 +317,17 @@ def _decode_tiff_tiles(
     ch = 1 if nplanes > 1 else spp
     per_plane = ta * td
     offsets = tags[_TAG_TILE_OFFSETS]
-    counts = tags.get(_TAG_TILE_COUNTS, [tw * tl * ch] * len(offsets))
+    counts = tags.get(_TAG_TILE_COUNTS,
+                      [tw * tl * ch * bps] * len(offsets))
     if len(offsets) != per_plane * nplanes:
         raise ValueError(
             f"corrupt TIFF: {len(offsets)} tiles, expected "
             f"{per_plane * nplanes} ({ta}x{td} grid x {nplanes} planes)"
         )
-    need = tw * tl * ch
-    un = _unlzw if comp == 5 else _unpackbits
+    need = tw * tl * ch * bps
+    sdt = np.uint8 if bps == 1 else np.dtype(endian + "u2")
+    un = (_unlzw if comp == 5 else _undeflate
+          if comp in (8, 32946) else _unpackbits)
     canvas = np.zeros((nplanes, td * tl, ta * tw, ch), dtype=np.uint8)
     for ti, (o, c) in enumerate(zip(offsets, counts)):
         plane, idx = divmod(ti, per_plane)
@@ -304,13 +338,16 @@ def _decode_tiff_tiles(
                 raise ValueError("truncated TIFF tile")
         else:
             raw = un(data[o:o + c], need)
-        arr = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(
+        arr = np.frombuffer(raw, dtype=sdt, count=need // bps).reshape(
             tl, tw, ch
         )
         if predictor == 2:
             arr = (
-                np.cumsum(arr.astype(np.int64), axis=1) % 256
-            ).astype(np.uint8)
+                np.cumsum(arr.astype(np.int64), axis=1)
+                % (1 << (8 * bps))
+            ).astype(sdt)
+        if bps == 2:              # high-byte strip per sample
+            arr = (arr.astype(np.uint16) >> 8).astype(np.uint8)
         canvas[plane, ty * tl:(ty + 1) * tl,
                tx * tw:(tx + 1) * tw] = arr
     cropped = canvas[:, :h, :w, :]
@@ -495,18 +532,23 @@ def encode_tiff(
     img: np.ndarray, endian: str = "<", rows_per_strip: int | None = None,
     planar: int = 1, compression: int = 1, predictor: int = 1,
     tile: tuple[int, int] | None = None, jpeg_tables: bool = False,
+    bits: int = 8,
 ) -> bytes:
     """Minimal TIFF writer (tests only): 8-bit gray (H, W) or RGB
     (H, W, 3), strip-per-``rows_per_strip`` (default: one strip) or
     tiled via ``tile=(tile_width, tile_length)`` (r12 — tiles padded
     to full size per TIFF 6.0 §15), either byte order; ``planar=2``
-    (r11) writes plane-major strips/tiles; ``compression`` 1/5/32773
-    (none/LZW/PackBits, r11) applied per segment with ``predictor=2``
+    (r11) writes plane-major strips/tiles; ``compression`` 1/5/32773/8
+    (none/LZW/PackBits/Deflate, r11-r12) applied per segment with ``predictor=2``
     horizontal differencing, or 7 (r12 — new-style JPEG, one
     interchange stream per segment, chunky only; ``jpeg_tables=True``
     moves the shared DQT/DHT into the JPEGTables tag and writes
     abbreviated streams) — so every decode path round-trips."""
-    img = np.asarray(img, dtype=np.uint8)
+    if bits not in (8, 16):
+        raise ValueError(f"bits must be 8 or 16: {bits}")
+    if bits == 16 and compression == 7:
+        raise ValueError("JPEG-in-TIFF writer is 8-bit only")
+    img = np.asarray(img, dtype=np.uint8 if bits == 8 else np.uint16)
     if img.ndim == 2:
         h, w = img.shape
         spp = 1
@@ -514,8 +556,9 @@ def encode_tiff(
         h, w, spp = img.shape
     if planar not in (1, 2):
         raise ValueError(f"planar must be 1 or 2, got {planar}")
-    if compression not in (1, 5, 32773, 7):
-        raise ValueError(f"compression must be 1/5/32773/7: {compression}")
+    if compression not in (1, 5, 32773, 7, 8):
+        raise ValueError(
+            f"compression must be 1/5/32773/7/8: {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2: {predictor}")
     if compression == 7 and (planar == 2 and spp > 1):
@@ -536,13 +579,17 @@ def encode_tiff(
         a = a.reshape(a.shape[0], -1, ch).astype(np.int64)
         if predictor == 2:
             d = a.copy()
-            d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) % 256
+            d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) % (1 << bits)
             a = d
-        b = a.astype(np.uint8).tobytes()
+        b = a.astype(np.uint8 if bits == 8
+                     else np.dtype(endian + "u2")).tobytes()
         if compression == 5:
             return _lzw(b)
         if compression == 32773:
             return _packbits(b)
+        if compression == 8:
+            import zlib
+            return zlib.compress(b)
         return b
 
     if tile is not None:
@@ -550,7 +597,7 @@ def encode_tiff(
         ta, td = -(-w // tw), -(-h // tl)
         pad = np.zeros(
             (td * tl, ta * tw) + (() if img.ndim == 2 else (spp,)),
-            dtype=np.uint8,
+            dtype=img.dtype,
         )
         pad[:h, :w] = img
         if planar == 2 and spp > 1:
@@ -600,7 +647,7 @@ def encode_tiff(
     tag_list = [
         (_TAG_WIDTH, 3, [w]),
         (_TAG_HEIGHT, 3, [h]),
-        (_TAG_BITS, 3, [8] * spp),
+        (_TAG_BITS, 3, [bits] * spp),
         (_TAG_COMPRESSION, 3, [compression]),
         (_TAG_PHOTOMETRIC, 3,
          [6 if compression == 7 and spp == 3 else 2 if spp == 3 else 1]),
