@@ -108,27 +108,58 @@ def test_non_multiple_of_8_dims_crop():
 
 
 def test_unsupported_processes_raise_loudly():
-    """Arithmetic-coded and 12-bit streams must refuse with
+    """Arithmetic-coded and lossless streams must refuse with
     NotImplementedError, not decode garbage; a BASELINE stream
     relabeled SOF2 (r11: progressive decodes now) is structurally
     inconsistent — its single scan claims the whole 0-63 band — and
-    must fail loudly too."""
+    must fail loudly too; 12-bit decodes (r12) but ONLY under
+    SOF1/SOF2 — a 12-bit SOF0 violates B.2.2 and refuses."""
     data = bytearray(encode_jpeg_gray(np.full((8, 8), 100.0)))
     i = bytes(data).index(b"\xff\xc0")
     data[i + 1] = 0xC9                  # arithmetic sequential
     with pytest.raises(NotImplementedError, match="unsupported"):
         decode_jpeg(bytes(data))
-    with pytest.raises(NotImplementedError):
-        # 12-bit precision
-        d2 = bytearray(encode_jpeg_gray(np.full((8, 8), 100.0)))
-        j = bytes(d2).index(b"\xff\xc0")
-        d2[j + 4] = 12
+    data[i + 1] = 0xC3                  # lossless sequential
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        decode_jpeg(bytes(data))
+    # 12-bit baseline SOF0: illegal combination, loud ValueError
+    d2 = bytearray(encode_jpeg_gray(np.full((8, 8), 100.0)))
+    j = bytes(d2).index(b"\xff\xc0")
+    d2[j + 4] = 12
+    with pytest.raises(ValueError, match="SOF0 must be 8-bit"):
+        decode_jpeg(bytes(d2))
+    # unsupported precision value
+    d2[j + 1] = 0xC1
+    d2[j + 4] = 10
+    with pytest.raises(NotImplementedError, match="10-bit"):
         decode_jpeg(bytes(d2))
     d3 = bytearray(encode_jpeg_gray(np.full((8, 8), 100.0)))
     k = bytes(d3).index(b"\xff\xc0")
     d3[k + 1] = 0xC2
     with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(bytes(d3))
+
+
+def test_12bit_extended_sequential_decodes():
+    """r12: 12-bit SOF1 — flat planes are DC-exact at quant 16 (any
+    v*16-coded 8-bit level), a 16x-scaled noise plane at 16x quant
+    yields the BIT-IDENTICAL coefficient stream as its 8-bit twin (so
+    the decode matches exactly), and restart markers work at 12-bit."""
+    for v8 in (0, 7, 120, 255):
+        d = encode_jpeg_gray(np.full((11, 14), v8 * 16.0),
+                             precision=12, quant=np.full(64, 16))
+        assert (decode_jpeg(d) == v8).all(), v8
+    rng = np.random.RandomState(2)
+    g8 = rng.randint(0, 256, size=(24, 17)).astype(float)
+    d8 = decode_jpeg(encode_jpeg_gray(g8, quant=np.full(64, 16)))
+    d12 = decode_jpeg(encode_jpeg_gray(g8 * 16, precision=12,
+                                       quant=np.full(64, 256)))
+    assert (d8 == d12).all()
+    out = decode_jpeg(encode_jpeg_gray(g8 * 16, precision=12,
+                                       restart_interval=2))
+    assert np.abs(out[:, :, 0].astype(int) - g8.astype(int)).mean() < 4
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_gray(g8, precision=10)
 
 
 def _prog_test_image(h, w, rng):

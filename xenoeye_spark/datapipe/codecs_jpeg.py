@@ -11,9 +11,12 @@ EOI; all four scan kinds decode (DC first/refine, AC first/refine
 per T.81 G.1.2 — spectral selection bands, successive-approximation
 point transforms, EOB runs, refinement correction bits), interleaved
 DC scans walk MCUs while non-interleaved scans walk the component's
-OWN ceil-block grid. Arithmetic coding, hierarchical/lossless
-processes, and 12-bit precision raise NotImplementedError — loudly,
-like every other honest boundary in this repo.
+OWN ceil-block grid — AND 12-bit precision (r12) under SOF1 extended
+sequential / SOF2 (level shift 2048, samples scaled to the uint8
+contract before the depth-agnostic color math; 16-bit DQT entries).
+Arithmetic coding and hierarchical/lossless processes raise
+NotImplementedError — loudly, like every other honest boundary in
+this repo.
 
 Scope (encoder, tests only): grayscale or 4:4:4 color, the T.81
 Annex K example Huffman tables (public), caller-supplied or flat
@@ -215,18 +218,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("truncated DHT segment")
                 huff[(tc, th)] = _HuffTable(bits, seg[j + 17:j + 17 + n])
                 j += 17 + n
-        elif marker in (0xC0, 0xC2):             # SOF0 baseline / SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (r12: the
+            # 12-bit-capable Huffman process — scan structure is
+            # identical to baseline) / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("baseline SOF0 must be 8-bit (B.2.2)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "prog": marker == 0xC2}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG process (SOF marker {marker:#x})"
@@ -464,6 +472,18 @@ def _progressive_scan(rd, frame, scan, ss, se, ah, al, huff, ri,
             cnt += 1
 
 
+def _shift(frame) -> float:
+    """Level shift 2^(P-1) (F.1.1.3): 128 at 8-bit, 2048 at 12."""
+    return float(1 << (frame.get("prec", 8) - 1))
+
+
+def _scale(frame) -> float:
+    """Down-conversion to the uint8 contract: 12-bit samples scale
+    by 16 BEFORE the shared 128-centered chroma math in _finish, so
+    color conversion and clipping stay depth-agnostic."""
+    return float(1 << (frame.get("prec", 8) - 8))
+
+
 def _prog_finish(frame, coef, geom, qt):
     """Dequantize + IDCT the accumulated coefficients once, at EOI."""
     comps = frame["comps"]
@@ -478,8 +498,8 @@ def _prog_finish(frame, coef, geom, qt):
                 blk = np.zeros(64)
                 blk[_ZIGZAG] = coef[ci][by, bx] * q
                 plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
-                    _idct2(blk.reshape(8, 8)) + 128.0
-                )
+                    _idct2(blk.reshape(8, 8)) + _shift(frame)
+                ) / _scale(frame)
         planes.append(plane)
     return _finish(frame, comps, planes, hmax, vmax)
 
@@ -552,7 +572,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                             k += 1
                         blk = np.zeros(64)
                         blk[_ZIGZAG] = zz * q
-                        px = _idct2(blk.reshape(8, 8)) + 128.0
+                        px = (_idct2(blk.reshape(8, 8))
+                              + _shift(frame)) / _scale(frame)
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
@@ -613,13 +634,20 @@ def _csize(v: int) -> int:
 
 
 def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None,
-                     restart_interval: int = 0) -> bytes:
-    """Minimal baseline grayscale encoder (tests only): pads to 8x8
-    blocks by edge replication, FDCT + quantize + Annex-K Huffman."""
+                     restart_interval: int = 0,
+                     precision: int = 8) -> bytes:
+    """Minimal grayscale encoder (tests only): pads to 8x8 blocks by
+    edge replication, FDCT + quantize + Annex-K Huffman. Baseline
+    SOF0 at 8-bit; ``precision=12`` (r12) writes SOF1 extended
+    sequential with a 2048 level shift (16-bit DQT when any step
+    exceeds 255) — input samples 0..4095."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12: {precision}")
     img = np.asarray(img, dtype=np.float64)
     h, w = img.shape
     if quant is None:
-        quant = np.full(64, 16, dtype=np.int64)
+        quant = np.full(64, 16 if precision == 8 else 256,
+                        dtype=np.int64)
     quant = np.asarray(quant, dtype=np.int64).reshape(64)
     by, bx = -(-h // 8), -(-w // 8)
     padded = np.pad(img, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
@@ -641,7 +669,8 @@ def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None,
                 mcu = 0
                 pred = 0
                 wtr = _BitWriter()
-            blk = padded[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] - 128.0
+            blk = (padded[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8]
+                   - float(1 << (precision - 1)))
             coef = _fdct2(blk)
             zz = np.round(coef.reshape(64)[_ZIGZAG] / quant).astype(int)
             diff = int(zz[0]) - pred
@@ -680,8 +709,13 @@ def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None,
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
     out = b"\xff\xd8"
-    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in quant))
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+    if quant.max() > 255:
+        out += seg(0xDB, bytes([0x10]) + b"".join(
+            struct.pack(">H", int(x)) for x in quant))
+    else:
+        out += seg(0xDB, bytes([0]) + bytes(int(x) for x in quant))
+    out += seg(0xC0 if precision == 8 else 0xC1,
+               struct.pack(">BHHB", precision, h, w, 1)
                + bytes([1, 0x11, 0]))
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + _DC_LUM_VALS)
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + _AC_LUM_VALS)
