@@ -1496,6 +1496,82 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_media(spark: SparkSession, sf_dir: str, limit: int,
+                 twins_mod: int | None = None):
+    """Shared plant for the perceptual-hash queries: pixel (y,x,c) =
+    (id*5 + y*x*29 + 11c) % 256 (the y*x product makes mod-256 wraps
+    oscillate, so gradient signs — hence dHash bits — vary instead of
+    saturating), dims w=16+id%9, h=12+id%5, PPM even / BMP odd. With
+    ``twins_mod``, every id % twins_mod == 3 doc ALSO plants a
+    near-duplicate twin at id+100000: identical except pixel (0,0)
+    += 80 (mod 256) — exactly one sampled grid cell, so the dHash
+    hamming is <= 1 by construction."""
+    import numpy as np
+    import pandas as pd
+
+    from xenoeye_spark.datapipe.codecs import encode_bmp, encode_ppm
+    from xenoeye_spark.datapipe.multimodal import MEDIA_SCHEMA
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                w, h = 16 + i % 9, 12 + i % 5
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3),
+                    indexing="ij",
+                )
+                img = ((i * 5 + yy * xx * 29 + 11 * cc) % 256).astype(
+                    np.uint8)
+                enc = encode_ppm if i % 2 == 0 else encode_bmp
+                rows.append((i, bytearray(enc(img)),
+                             ("image/raw", w, h, 3)))
+                if twins_mod and i % twins_mod == 3:
+                    tw = img.copy()
+                    tw[0, 0] = ((tw[0, 0].astype(int) + 80) % 256
+                                ).astype(np.uint8)
+                    rows.append((i + 100000, bytearray(enc(tw)),
+                                 ("image/raw", w, h, 3)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "meta"]
+            )
+
+    return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes (NEW r12): REAL decode of the planted
+    closed-form rasters, then the pinned all-integer dHash/aHash
+    definitions (``multimodal.image_perceptual_hash``) — nearest
+    sample grids, division-free gray = R+G+B, gradient-sign /
+    scaled-above-mean bits packed into non-negative 32-bit halves.
+    The oracle re-derives EVERY bit of all four halves from
+    generate_series — no width-reduced twin needed."""
+    from xenoeye_spark.datapipe.multimodal import image_perceptual_hash
+
+    return image_perceptual_hash(_phash_media(spark, sf_dir, 2048))
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs (NEW r12): every id%7==3 doc
+    plants a one-pixel-perturbed twin at id+100000; the banded join
+    (4 disjoint 16-bit blocks -> equi-join -> popcount, EXACT for
+    radius<=3 by pigeonhole) must find exactly the pairs a direct
+    all-pairs hamming filter finds — and the ORACLE IS that direct
+    filter, so the gate independently verifies the banding's
+    no-recall-loss claim on real decoded images."""
+    from xenoeye_spark.datapipe.multimodal import (
+        image_hash_neardup, image_perceptual_hash,
+    )
+
+    hashes = image_perceptual_hash(
+        _phash_media(spark, sf_dir, 1200, twins_mod=7))
+    return image_hash_neardup(hashes, radius=3)
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (r6): each doc plants a PCM16 WAV with
     n = 20 + id%50 samples of s(i) = (id*31 + i*17) % 4001 - 2000 at
@@ -2602,24 +2678,26 @@ GATE_POOL = [
     # their cycle bound; dedup_exact/dedup_ngram_jaccard likewise
     # r6-proven -> r9.
     "html_extract", "dsir_sample",
-    # --- r12 layout note: 84 entries after bpe_steps (NEW r12,
-    # inserted HERE at index 32). Offset (6*33)%84 = 30, window =
-    # [30:63): html_extract/dsir_sample (30..31, r11-proven) pull in
-    # early (harmless), bpe_steps gates in its first round per the
-    # contract, the r9-proven due-r12 backlog (mixture_interleave..
-    # sim_lsh_topk, now 33..54) sits in-window at exactly the 3-round
-    # bound, and emb_neardup_lsh..time_rollup (55..62, r10-proven)
-    # re-prove a round early (harmless). Displaced by the insert:
-    # interval_join/gopher_quality/segment_dedup (now 63..65,
-    # r10-proven) land in the r13 wrap window [63:84)+[0:12) at
-    # exactly their 3-round bound, alongside the rest of the
-    # r10-proven tail (bm25..quantile_bucket) and strip_common_lines
-    # (r11-proven, early). r14 [12:45) then carries the r11-proven
-    # 12..29 at their bound; r15 [45:78) the r12-proven 45..62.
-    # image_decode (18) CHANGED r12 while out-of-window (plant
+    # --- r12 layout note: 86 entries after the THREE r12 inserts at
+    # index 32 (image_phash, image_phash_neardup, bpe_steps — all NEW
+    # r12). Offset (6*33)%86 = 26, window = [26:59): quantize..
+    # dsir_sample (26..31, r11-proven) pull in early (harmless), the
+    # three NEW queries gate in their first round per the contract,
+    # the r9-proven due-r12 backlog (mixture_interleave..
+    # sim_lsh_topk, now 35..56) sits in-window at exactly the 3-round
+    # bound, and emb_neardup_lsh/simhash_expr (57..58, r10-proven)
+    # re-prove a round early. Displaced by the inserts: the rest of
+    # the r10-proven tail (simhash_neardup_expr..quantile_bucket, now
+    # 59..84) lands in the r13 wrap window [59:86)+[0:6) at exactly
+    # its 3-round bound, with count_min..ppl_split (0..5, r11-proven)
+    # and strip_common_lines (85) joining it early/at-bound; r14
+    # [6:39) then carries the r11-proven 6..31 at their bound plus
+    # the NEW trio's re-proof; r15 [39:72) the r12-proven 39..58.
+    # image_decode (now 20) CHANGED r12 while out-of-window (plant
     # widened with tiled-LZW + JPEG-in-TIFF fixtures): its r12 proof
     # is scripts/selftest.py per the quantile_clip-r10 / url_dedup-r11
     # precedent, until its r14 window slot. ---
+    "image_phash", "image_phash_neardup",
     "bpe_steps",
     "mixture_interleave",
     "dedup_lines", "hash_classify", "jsonl_ingest", "dedup_profile",
@@ -2781,6 +2859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode": q_audio_decode,
         "bpe_pairs": q_bpe_pairs,
         "bpe_steps": q_bpe_steps,
+        "image_phash": q_image_phash,
+        "image_phash_neardup": q_image_phash_neardup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "domain_cap": q_domain_cap,
         "diverse_topk": q_diverse_topk,
@@ -4516,6 +4596,111 @@ SELECT media_id,
              + 0.114 * CAST((media_id % 128) * 2 AS DOUBLE), 6)
          AS mean_luma
 FROM d WHERE media_id % 4 = 3
+""",
+        # image_phash (NEW r12): every bit of all four 32-bit halves
+        # re-derived — sampled-grid gray sums from the closed form,
+        # gradient-sign / scaled-above-mean bits, shift-packed. The
+        # halves are non-negative 32-bit values, so no BIGINT
+        # overflow anywhere.
+        "image_phash": r"""
+WITH d AS (
+  SELECT doc_id AS media_id, 16 + doc_id % 9 AS w, 12 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 2048
+), dg AS (
+  SELECT media_id, y.i AS y, x.i AS x,
+    ((media_id*5 + (y.i*h//8)*(x.i*w//9)*29) % 256)
+    + ((media_id*5 + (y.i*h//8)*(x.i*w//9)*29 + 11) % 256)
+    + ((media_id*5 + (y.i*h//8)*(x.i*w//9)*29 + 22) % 256) AS g
+  FROM d, unnest(generate_series(0, 7)) y(i),
+       unnest(generate_series(0, 8)) x(i)
+), db AS (
+  SELECT a.media_id, a.y * 8 + a.x AS k,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM dg a JOIN dg b ON b.media_id = a.media_id AND b.y = a.y
+                     AND b.x = a.x + 1
+  WHERE a.x < 8
+), dh AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN k < 32
+             THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+         AS BIGINT) AS dhash_hi,
+    CAST(sum(CASE WHEN k >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+         AS BIGINT) AS dhash_lo
+  FROM db GROUP BY 1
+), ag AS (
+  SELECT media_id, y.i * 8 + x.i AS k,
+    ((media_id*5 + (y.i*h//8)*(x.i*w//8)*29) % 256)
+    + ((media_id*5 + (y.i*h//8)*(x.i*w//8)*29 + 11) % 256)
+    + ((media_id*5 + (y.i*h//8)*(x.i*w//8)*29 + 22) % 256) AS g
+  FROM d, unnest(generate_series(0, 7)) y(i),
+       unnest(generate_series(0, 7)) x(i)
+), ab AS (
+  SELECT media_id, k,
+         CASE WHEN 64 * g > sum(g) OVER (PARTITION BY media_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM ag
+), ah AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN k < 32
+             THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+         AS BIGINT) AS ahash_hi,
+    CAST(sum(CASE WHEN k >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+         AS BIGINT) AS ahash_lo
+  FROM ab GROUP BY 1
+)
+SELECT d.media_id, CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       dhash_hi, dhash_lo, ahash_hi, ahash_lo
+FROM d JOIN dh USING (media_id) JOIN ah USING (media_id)
+""",
+        # image_phash_neardup (NEW r12): the oracle is the DIRECT
+        # all-pairs hamming filter over the re-derived dHashes (fine
+        # at sf0.01 row counts) — matching it proves the banded
+        # join's pigeonhole exactness claim, not just the hashes.
+        # The twin's single perturbed pixel (0,0) reaches exactly the
+        # (y=0, x=0) grid sample (ys=0 iff y=0 at h>=8; xs=0 iff x=0
+        # at w>=9), expressed by the CASE on the sample coords.
+        "image_phash_neardup": r"""
+WITH pop AS (
+  SELECT doc_id AS media_id, doc_id AS base, 0 AS pert,
+         16 + doc_id % 9 AS w, 12 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 1200
+  UNION ALL
+  SELECT doc_id + 100000, doc_id, 80, 16 + doc_id % 9, 12 + doc_id % 5
+  FROM documents WHERE doc_id < 1200 AND doc_id % 7 = 3
+), dg AS (
+  SELECT media_id, y.i AS y, x.i AS x,
+    ((base*5 + (y.i*h//8)*(x.i*w//9)*29
+      + CASE WHEN y.i = 0 AND x.i = 0 THEN pert ELSE 0 END) % 256)
+    + ((base*5 + (y.i*h//8)*(x.i*w//9)*29 + 11
+      + CASE WHEN y.i = 0 AND x.i = 0 THEN pert ELSE 0 END) % 256)
+    + ((base*5 + (y.i*h//8)*(x.i*w//9)*29 + 22
+      + CASE WHEN y.i = 0 AND x.i = 0 THEN pert ELSE 0 END) % 256) AS g
+  FROM pop, unnest(generate_series(0, 7)) y(i),
+       unnest(generate_series(0, 8)) x(i)
+), db AS (
+  SELECT a.media_id, a.y * 8 + a.x AS k,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM dg a JOIN dg b ON b.media_id = a.media_id AND b.y = a.y
+                     AND b.x = a.x + 1
+  WHERE a.x < 8
+), dh AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN k < 32
+             THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+         AS BIGINT) AS hi,
+    CAST(sum(CASE WHEN k >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+         AS BIGINT) AS lo
+  FROM db GROUP BY 1
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS BIGINT) AS hamming
+FROM dh a JOIN dh b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 """,
         # audio_decode: closed-form PCM sample stats — exact integer
         # sums, same division/sqrt shape as the numpy kernel.

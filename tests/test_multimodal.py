@@ -267,3 +267,93 @@ def test_g711_expansion_matches_audioop_code_for_code():
         # flip declared bit depth to 16
         i = bad.index(b"fmt ")
         decode_wav(bad[:i + 8 + 14] + b"\x10\x00" + bad[i + 8 + 16:])
+
+
+# -------------------------------------------- perceptual hashes (r12)
+
+def _py_phash(img):
+    """Literal python twin of the pinned dHash/aHash definitions."""
+    g = img[:, :, :3].astype(np.int64).sum(axis=2)
+    h, w = g.shape
+    ys = [y * h // 8 for y in range(8)]
+    d = [[g[ys[y], x * w // 9] for x in range(9)] for y in range(8)]
+    dbits = [1 if d[y][x + 1] > d[y][x] else 0
+             for y in range(8) for x in range(8)]
+    a = [g[ys[y], x * w // 8] for y in range(8) for x in range(8)]
+    tot = sum(a)
+    abits = [1 if 64 * v > tot else 0 for v in a]
+
+    def pack(bits):
+        return (sum(b << (31 - k) for k, b in enumerate(bits[:32])),
+                sum(b << (31 - k) for k, b in enumerate(bits[32:])))
+
+    return pack(dbits) + pack(abits)
+
+
+def test_image_perceptual_hash_matches_python_twin(spark):
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.codecs import encode_bmp, encode_ppm
+    from xenoeye_spark.datapipe.multimodal import image_perceptual_hash
+
+    rng = np.random.RandomState(13)
+    rows, want = [], {}
+    for i in range(12):
+        img = rng.randint(0, 256, size=(12 + i % 5, 16 + i % 9, 3),
+                          dtype=np.uint8)
+        enc = encode_ppm if i % 2 == 0 else encode_bmp
+        rows.append(Row(media_id=i, content=bytearray(enc(img))))
+        want[i] = _py_phash(img)
+    got = {r.media_id: (r.dhash_hi, r.dhash_lo, r.ahash_hi, r.ahash_lo)
+           for r in image_perceptual_hash(
+               spark.createDataFrame(rows)).collect()}
+    assert got == want
+    # halves are non-negative 32-bit (the oracle-exactness contract)
+    for v in got.values():
+        assert all(0 <= x < (1 << 32) for x in v)
+
+
+def test_image_hash_neardup_banding_exact(spark):
+    """Planted one-pixel perturbations: the banded join finds exactly
+    the pairs a direct all-pairs hamming filter finds (pigeonhole
+    exactness), and a radius > 3 request refuses."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.codecs import encode_ppm
+    from xenoeye_spark.datapipe.multimodal import (
+        image_hash_neardup, image_perceptual_hash,
+    )
+
+    def mk(i, perturb=False):
+        w, h = 16 + i % 9, 12 + i % 5
+        yy, xx, cc = np.meshgrid(np.arange(h), np.arange(w),
+                                 np.arange(3), indexing="ij")
+        img = ((i * 5 + yy * xx * 29 + 11 * cc) % 256).astype(np.uint8)
+        if perturb:
+            img[0, 0] = ((img[0, 0].astype(int) + 80) % 256
+                         ).astype(np.uint8)
+        return img
+
+    rows = [Row(media_id=i, content=bytearray(encode_ppm(mk(i))))
+            for i in range(40)]
+    rows += [Row(media_id=100 + i,
+                 content=bytearray(encode_ppm(mk(i, True))))
+             for i in range(6)]
+    hashes = image_perceptual_hash(spark.createDataFrame(rows))
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in image_hash_neardup(hashes, radius=3).collect()}
+    hv = {r.media_id: (r.dhash_hi, r.dhash_lo)
+          for r in hashes.collect()}
+    ids = sorted(hv)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = (bin(hv[a][0] ^ hv[b][0]).count("1")
+                   + bin(hv[a][1] ^ hv[b][1]).count("1"))
+            if ham <= 3:
+                want[(a, b)] = ham
+    assert got == want
+    for i in range(6):                  # the planted twins all appear
+        assert (i, 100 + i) in got and got[(i, 100 + i)] <= 1
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_hash_neardup(hashes, radius=4)

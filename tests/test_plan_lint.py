@@ -223,17 +223,17 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r12 window (84 entries after the bpe_steps insert at index 32;
-    # offset (6*33)%84 = 30, slice [30:63)): must prove the r9-proven
+    # r12 window (86 entries after the three r12 inserts at index 32
+    # — image_phash, image_phash_neardup, bpe_steps; offset
+    # (6*33)%86 = 26, slice [26:59)): must prove the r9-proven
     # due-r12 backlog at exactly its 3-round cycle bound —
     # mixture_interleave..sim_lsh_topk (old [32:54), shifted to
-    # [33:55) by the insert) — and the NEW r12 query in its first
-    # round. html_extract/dsir_sample (30..31, r11-proven) pull in
-    # early by the modulus shift (harmless); emb_neardup_lsh..
-    # time_rollup (55..62, r10-proven, due r13) also re-prove a round
-    # early. The insert displaces interval_join/gopher_quality/
-    # segment_dedup (r10-proven) to the r13 wrap window [63:84)+
-    # [0:12) at exactly their bound.
+    # [35:57) by the inserts) — and the NEW r12 queries in their
+    # first round. quantize..dsir_sample (26..31, r11-proven) pull in
+    # early by the modulus shift (harmless); emb_neardup_lsh/
+    # simhash_expr (57..58, r10-proven, due r13) also re-prove a
+    # round early. The inserts displace the rest of the r10-proven
+    # tail to the r13 wrap window [59:86)+[0:6) at exactly its bound.
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r9_stale = {"mixture_interleave", "dedup_lines", "hash_classify",
                 "jsonl_ingest", "dedup_profile", "best_of_class",
@@ -243,17 +243,17 @@ def test_gate_rotation_schedule():
                 "doc_fingerprint_expr", "emb_neardup", "sim_ivf_fixed",
                 "multimodal_dims", "frame_fanout", "sim_lsh_topk"}
     assert r9_stale <= win_now
-    # NEW r12 query: first round gates
-    assert "bpe_steps" in win_now
+    # NEW r12 queries: first round gates
+    assert {"bpe_steps", "image_phash", "image_phash_neardup"} <= win_now
     # nothing deferred out of the window has a proof gap beyond the
     # cycle: the overflow holds only r11-proven entries (pool[0:32],
     # proven in the r11 wrap window [82:83)+[0:32) of the 83-pool,
     # plus strip_common_lines — all due r14, covered by the r13/r14
-    # windows) and r10-proven entries (old 62..81 -> pool[63:83),
-    # due r13, covered by the r13 wrap window [63:84)+[0:12))
+    # windows) and r10-proven entries (old 55..82 -> pool[57:85),
+    # due r13, covered by the r13 wrap window [59:86)+[0:6))
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
     r11_proven = set(pool[0:32]) | {"strip_common_lines"}
-    r10_proven = set(pool[55:83])
+    r10_proven = set(pool[57:85])
     assert overflow_now <= r11_proven | r10_proven
 
 
