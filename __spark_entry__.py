@@ -1433,14 +1433,18 @@ def q_bpe_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode (r6; plant widened r12): each doc plants, by
-    id % 4: a PPM (0), a 24-bit BMP (1), or — NEW r12 — a TILED
-    LZW+predictor TIFF (2), each with pixel (y,x,c) = (id + y*w + x +
-    7c) % 256 (lossless paths, one shared closed form); or a FLAT
-    gray JPEG-in-TIFF (3) of even value v = (id % 128) * 2 — flat
-    even-valued blocks are DC-exact through the JPEG path, and half
-    of those (id % 8 == 7) carry their DQT/DHT via the JPEGTables
-    tag to drive the Technote-2 merge. All built in one mapInPandas
+    """REAL image decode (r6; plant widened r12 — now EVERY in-house
+    still-image decoder sits behind the driver hash). By id % 8:
+    RGB-formula classes (pixel (y,x,c) = (id + y*w + x + 7c) % 256,
+    lossless containers, one shared closed form) — PPM (0), 24-bit
+    BMP (1), TILED LZW+predictor TIFF (2), PNG with Paeth filtering
+    (4); GRAY-formula classes (g(y,x) = (id + y*w + x) % 256,
+    replicated to RGB by the decoders) — GIF via the real LZW
+    encoder over a 256-gray palette (5), 16-bit PNG with v*257-coded
+    samples whose high-byte strip is exactly v (6); and FLAT gray
+    JPEG-in-TIFF of even value v = (id % 128) * 2 (3, 7 — DC-exact
+    by construction; class 7 carries its DQT/DHT via the JPEGTables
+    tag to drive the Technote-2 merge). All built in one mapInPandas
     stage, decoded back by the pure-numpy decoders inside
     ``decode_and_featurize`` (NO fake flag). Width, height, and mean
     luma all have closed forms the oracle re-derives — integer pixel
@@ -1450,12 +1454,15 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from xenoeye_spark.datapipe.codecs import encode_bmp, encode_ppm
+    from xenoeye_spark.datapipe.codecs_gif import encode_gif
+    from xenoeye_spark.datapipe.codecs_png import encode_png
     from xenoeye_spark.datapipe.codecs_tiff import encode_tiff
     from xenoeye_spark.datapipe.multimodal import (
         MEDIA_SCHEMA, decode_and_featurize,
     )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 4096)
+    gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
 
     def build(batches):
         for pdf in batches:
@@ -1463,11 +1470,22 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 i = int(did)
                 w, h = 4 + i % 13, 3 + i % 7
-                if i % 4 == 3:
+                cls = i % 8
+                if cls in (3, 7):
                     flat = np.full((h, w), (i % 128) * 2, np.uint8)
                     content = encode_tiff(
                         flat, "<", rows_per_strip=8, compression=7,
-                        jpeg_tables=(i % 8 == 7),
+                        jpeg_tables=(cls == 7),
+                    )
+                elif cls in (5, 6):
+                    yy, xx = np.meshgrid(np.arange(h), np.arange(w),
+                                         indexing="ij")
+                    g = ((i + yy * w + xx) % 256).astype(np.uint8)
+                    content = (
+                        encode_gif(g, gray_pal) if cls == 5
+                        else encode_png((g.astype(np.uint16) * 257),
+                                        ctype=0, filter_type=2,
+                                        depth=16)
                     )
                 else:
                     yy, xx, cc = np.meshgrid(
@@ -1477,8 +1495,10 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     img = ((i + yy * w + xx + cc * 7) % 256).astype(
                         np.uint8)
                     content = (
-                        encode_ppm(img) if i % 4 == 0
-                        else encode_bmp(img) if i % 4 == 1
+                        encode_ppm(img) if cls == 0
+                        else encode_bmp(img) if cls == 1
+                        else encode_png(img, ctype=2, filter_type=4)
+                        if cls == 4
                         else encode_tiff(img, "<", compression=5,
                                          predictor=2, tile=(16, 16))
                     )
@@ -2694,7 +2714,9 @@ GATE_POOL = [
     # [6:39) then carries the r11-proven 6..31 at their bound plus
     # the NEW trio's re-proof; r15 [39:72) the r12-proven 39..58.
     # image_decode (now 20) CHANGED r12 while out-of-window (plant
-    # widened with tiled-LZW + JPEG-in-TIFF fixtures): its r12 proof
+    # widened to id%8 classes covering EVERY in-house still decoder —
+    # PPM/BMP/tiled-LZW-TIFF/JPEG-in-TIFF(+JPEGTables)/PNG/GIF/
+    # 16-bit-PNG): its r12 proof
     # is scripts/selftest.py per the quantile_clip-r10 / url_dedup-r11
     # precedent, until its r14 window slot. ---
     "image_phash", "image_phash_neardup",
@@ -4568,6 +4590,7 @@ WITH d AS (
          4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
   FROM documents WHERE doc_id < 4096
 ), px AS (
+  -- id%8 in (0,1,2,4): RGB formula through PPM/BMP/tiled-TIFF/PNG
   SELECT media_id, w, h,
          CAST(sum((media_id + y.i * w + x.i) % 256) AS DOUBLE) AS sr,
          CAST(sum((media_id + y.i * w + x.i + 7) % 256) AS DOUBLE) AS sg,
@@ -4576,7 +4599,18 @@ WITH d AS (
   FROM d,
        unnest(generate_series(0, h - 1)) y(i),
        unnest(generate_series(0, w - 1)) x(i)
-  WHERE media_id % 4 != 3
+  WHERE media_id % 8 IN (0, 1, 2, 4)
+  GROUP BY 1, 2, 3
+), gx AS (
+  -- id%8 in (5,6): gray formula through GIF / 16-bit PNG (decoders
+  -- replicate gray to all three channels)
+  SELECT media_id, w, h,
+         CAST(sum((media_id + y.i * w + x.i) % 256) AS DOUBLE) AS sv,
+         CAST(w * h AS DOUBLE) AS n
+  FROM d,
+       unnest(generate_series(0, h - 1)) y(i),
+       unnest(generate_series(0, w - 1)) x(i)
+  WHERE media_id % 8 IN (5, 6)
   GROUP BY 1, 2, 3
 )
 SELECT media_id,
@@ -4586,8 +4620,15 @@ SELECT media_id,
          AS mean_luma
 FROM px
 UNION ALL
--- id % 4 == 3: flat gray JPEG-in-TIFF of even value v (DC-exact, so
--- every channel decodes to exactly v; same luma expression shape)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       round(0.299 * (sv / n) + 0.587 * (sv / n) + 0.114 * (sv / n), 6)
+         AS mean_luma
+FROM gx
+UNION ALL
+-- id % 8 in (3, 7): flat gray JPEG-in-TIFF of even value v
+-- (DC-exact, so every channel decodes to exactly v)
 SELECT media_id,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
@@ -4595,7 +4636,7 @@ SELECT media_id,
              + 0.587 * CAST((media_id % 128) * 2 AS DOUBLE)
              + 0.114 * CAST((media_id % 128) * 2 AS DOUBLE), 6)
          AS mean_luma
-FROM d WHERE media_id % 4 = 3
+FROM d WHERE media_id % 8 IN (3, 7)
 """,
         # image_phash (NEW r12): every bit of all four 32-bit halves
         # re-derived — sampled-grid gray sums from the closed form,
