@@ -47,7 +47,7 @@ def test_boundaries_raise_loudly():
     for i in range(n):
         base = 10 + 12 * i
         if struct.unpack_from("<H", data, base)[0] == 259:
-            struct.pack_into("<H", data, base + 8, 3)   # CCITT G3 fax
+            struct.pack_into("<H", data, base + 8, 9)   # JBIG (T.85)
     with pytest.raises(NotImplementedError, match="compressed TIFF"):
         decode_tiff(bytes(data))
     for i in range(n):

@@ -15,9 +15,12 @@ TileLength grid, raster order, one grid per plane when planar) for
 all of the above, new-style JPEG-in-TIFF (Compression=7, TIFF 6.0
 Supplement 2 / Technote 2): each strip/tile is an independent JPEG
 stream decoded by ``codecs_jpeg``, with the shared-tables JPEGTables
-(347) merge — and 16-bit samples (either byte order, predictor
+(347) merge — 16-bit samples (either byte order, predictor
 differencing per 16-bit sample per §14), stripped to the high byte
-for the HxWx3 uint8 contract.
+for the HxWx3 uint8 contract — and BILEVEL scans (BitsPerSample=1):
+raw packed bits, T.4 Modified Huffman 1-D fax (Compression=2) and
+T.6 Group 4 2-D fax (4) via ``codecs_ccitt``, the formats scanned
+documents actually ship in.
 Planar configuration 2 decodes (r11 — strips are plane-major per
 TIFF 6.0 §"Planar Configuration", so the concatenated strip bytes
 are spp contiguous HxW planes, one transpose from chunky); bit
@@ -168,11 +171,12 @@ def _read_ifd(data: bytes, endian: str) -> dict[int, list[int]]:
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """Decode an 8- or 16-bit TIFF to (H, W, 3) uint8 RGB — strip or
-    tile layout, Compression 1/5/32773/8/32946/7 (raw / LZW /
-    PackBits / Deflate / new-style JPEG per the TIFF 6.0 Supplement 2
-    + Technote 2 JPEGTables scheme), chunky or planar, either byte
-    order; 16-bit samples strip to the high byte."""
+    """Decode a 1-, 8- or 16-bit TIFF to (H, W, 3) uint8 RGB — strip
+    or tile layout, Compression 1/2/4/5/32773/8/32946/7 (raw / MH fax
+    / G4 fax / LZW / PackBits / Deflate / new-style JPEG per the TIFF
+    6.0 Supplement 2 + Technote 2 JPEGTables scheme), chunky or
+    planar, either byte order; 16-bit samples strip to the high
+    byte, bilevel scans map through the fax polarity."""
     if data[:2] == b"II":
         endian = "<"
     elif data[:2] == b"MM":
@@ -191,10 +195,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
             "old-style JPEG-in-TIFF (Compression=6, the withdrawn "
             "TIFF 6.0 §22 scheme) — only new-style (7) is supported"
         )
-    if comp not in (1, 5, 32773, 7, 8, 32946):
+    if comp not in (1, 2, 3, 4, 5, 32773, 7, 8, 32946):
         raise NotImplementedError(
             f"compressed TIFF (Compression={comp}) needs codec logic "
-            "beyond raw/PackBits/LZW/Deflate/JPEG"
+            "beyond raw/PackBits/LZW/Deflate/JPEG/CCITT"
         )
     predictor = tags.get(_TAG_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
@@ -204,13 +208,20 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError(f"bad PlanarConfiguration {planar}")
     spp = tags.get(_TAG_SPP, [1])[0]
     bits = tags.get(_TAG_BITS, [8])
+    photometric = tags.get(_TAG_PHOTOMETRIC, [1])[0]
+    if all(b == 1 for b in bits) and spp == 1:
+        # r12: bilevel — raw packed bits, MH fax (2) or G4 fax (4)
+        return _decode_tiff_bilevel(data, tags, w, h, comp, photometric)
+    if comp in (2, 3, 4):
+        raise NotImplementedError(
+            f"CCITT TIFF (Compression={comp}) requires BitsPerSample=1"
+        )
     if all(b == 8 for b in bits):
         bps = 1
     elif all(b == 16 for b in bits):
         bps = 2                  # r12: 16-bit samples, high-byte strip
     else:
         raise NotImplementedError(f"{bits}-bit TIFF")
-    photometric = tags.get(_TAG_PHOTOMETRIC, [1])[0]
     if comp == 7:
         if bps != 1:
             raise NotImplementedError("16-bit JPEG-in-TIFF")
@@ -295,6 +306,63 @@ def decode_tiff(data: bytes) -> np.ndarray:
             g = 255 - g
         return np.stack([g, g, g], axis=2)
     return px[:, :, :3].copy()            # drop alpha channels
+
+
+def _decode_tiff_bilevel(
+    data: bytes, tags: dict[int, list[int]], w: int, h: int,
+    comp: int, photometric: int,
+) -> np.ndarray:
+    """Bilevel (BitsPerSample=1) strips: raw MSB-first packed bits
+    (Compression=1, or 5/8/32773 decompressed first), T.4 Modified
+    Huffman 1-D fax (2) or T.6 Group 4 2-D fax (4) via
+    ``codecs_ccitt`` (r12). Each strip decodes independently (G4's
+    reference line restarts all-white per strip, per TIFF 6.0).
+    Photometric 0 (WhiteIsZero — the fax default) maps pixel value
+    0 -> 255; photometric 1 inverts."""
+    from xenoeye_spark.datapipe.codecs_ccitt import decode_g4, decode_mh
+
+    if comp == 3:
+        raise NotImplementedError(
+            "CCITT Group 3 with EOLs (Compression=3) — only the "
+            "TIFF-native MH (2) and G4 (4) framings are supported"
+        )
+    if _TAG_TILE_OFFSETS in tags:
+        raise NotImplementedError("tiled bilevel TIFF")
+    offsets = tags[_TAG_STRIP_OFFSETS]
+    counts = tags.get(_TAG_STRIP_COUNTS, [len(data) - offsets[0]])
+    rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+    if rps <= 0:
+        raise ValueError(f"bad RowsPerStrip {rps}")
+    if len(offsets) != -(-h // rps):
+        raise ValueError(
+            f"corrupt TIFF: {len(offsets)} bilevel strips, expected "
+            f"{-(-h // rps)}"
+        )
+    rb = (w + 7) // 8
+    rows_out = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - si * rps)
+        seg = data[o:o + c]
+        if comp == 2:
+            rows_out.append(decode_mh(seg, w, rows))
+            continue
+        if comp == 4:
+            rows_out.append(decode_g4(seg, w, rows))
+            continue
+        if comp == 5:
+            seg = _unlzw(seg, rows * rb)
+        elif comp in (8, 32946):
+            seg = _undeflate(seg, rows * rb)
+        elif comp == 32773:
+            seg = _unpackbits(seg, rows * rb)
+        elif len(seg) < rows * rb:
+            raise ValueError("truncated bilevel TIFF strip")
+        packed = np.frombuffer(seg, dtype=np.uint8, count=rows * rb)
+        bits_arr = np.unpackbits(packed.reshape(rows, rb), axis=1)[:, :w]
+        rows_out.append(bits_arr)
+    v = np.concatenate(rows_out, axis=0)
+    g = ((1 - v) * 255 if photometric == 0 else v * 255).astype(np.uint8)
+    return np.stack([g, g, g], axis=2)
 
 
 def _decode_tiff_tiles(
@@ -544,10 +612,16 @@ def encode_tiff(
     interchange stream per segment, chunky only; ``jpeg_tables=True``
     moves the shared DQT/DHT into the JPEGTables tag and writes
     abbreviated streams) — so every decode path round-trips."""
-    if bits not in (8, 16):
-        raise ValueError(f"bits must be 8 or 16: {bits}")
+    if bits not in (1, 8, 16):
+        raise ValueError(f"bits must be 1, 8 or 16: {bits}")
     if bits == 16 and compression == 7:
         raise ValueError("JPEG-in-TIFF writer is 8-bit only")
+    if compression in (2, 4) and bits != 1:
+        raise ValueError("CCITT fax compression is bilevel-only")
+    if bits == 1 and (compression not in (1, 2, 4) or tile is not None
+                      or planar == 2):
+        raise ValueError(
+            "bilevel writer: compression 1/2/4, strips, chunky only")
     img = np.asarray(img, dtype=np.uint8 if bits == 8 else np.uint16)
     if img.ndim == 2:
         h, w = img.shape
@@ -556,9 +630,9 @@ def encode_tiff(
         h, w, spp = img.shape
     if planar not in (1, 2):
         raise ValueError(f"planar must be 1 or 2, got {planar}")
-    if compression not in (1, 5, 32773, 7, 8):
+    if compression not in (1, 2, 4, 5, 32773, 7, 8):
         raise ValueError(
-            f"compression must be 1/5/32773/7/8: {compression}")
+            f"compression must be 1/2/4/5/32773/7/8: {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2: {predictor}")
     if compression == 7 and (planar == 2 and spp > 1):
@@ -566,6 +640,16 @@ def encode_tiff(
     rps = rows_per_strip or h
 
     def prep(a: np.ndarray, ch: int) -> bytes:
+        if bits == 1:
+            from xenoeye_spark.datapipe.codecs_ccitt import (
+                encode_g4, encode_mh,
+            )
+            a2 = a.reshape(a.shape[0], -1)
+            if compression == 2:
+                return encode_mh(a2)
+            if compression == 4:
+                return encode_g4(a2)
+            return np.packbits(a2, axis=1).tobytes()
         if compression == 7:
             from xenoeye_spark.datapipe.codecs_jpeg import (
                 encode_jpeg_gray, encode_jpeg_rgb,
@@ -650,7 +734,8 @@ def encode_tiff(
         (_TAG_BITS, 3, [bits] * spp),
         (_TAG_COMPRESSION, 3, [compression]),
         (_TAG_PHOTOMETRIC, 3,
-         [6 if compression == 7 and spp == 3 else 2 if spp == 3 else 1]),
+         [0 if bits == 1 else
+          6 if compression == 7 and spp == 3 else 2 if spp == 3 else 1]),
         (off_tag, 4, None),               # filled below
         (_TAG_SPP, 3, [spp]),
         (_TAG_PLANAR, 3, [planar]),
