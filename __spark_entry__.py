@@ -1629,6 +1629,43 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(media)
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint (NEW r12): REAL PCM16 WAV decode of planted
+    clips with s(i) = (id*37 + i*23) % 3001 - 1500 over n = 200 +
+    id%150 samples, then the pinned all-integer envelope-gradient
+    fingerprint (``multimodal.audio_fingerprint``): 65 windows by
+    the i*65//n mapping, bit k = cross-multiplied mean comparison —
+    no floats, so the oracle re-derives every bit of both 32-bit
+    halves from generate_series. Near-dup pairing reuses the
+    driver-proven banded join (image_phash_neardup's operator is
+    column-generic)."""
+    import numpy as np
+    import pandas as pd
+
+    from xenoeye_spark.datapipe.codecs import encode_wav
+    from xenoeye_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, audio_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                n = 200 + i % 150
+                s = (((np.arange(n, dtype=np.int64) * 23 + i * 37)
+                      % 3001) - 1500).astype(np.int16)
+                rows.append((i, bytearray(encode_wav(s, 8000)), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "meta"]
+            )
+
+    media = docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    return audio_fingerprint(media)
+
+
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs (r6): shingle-Jaccard prefilter at
     0.15 (the proven ppjoin pipeline, loosened to a recall gate) then
@@ -2690,7 +2727,7 @@ GATE_POOL = [
     # the fix must be driver-proven THIS round) ---
     "pii_scrub", "text_normalize", "semdedup", "chunk_docs",
     "repetition", "quantize", "rand_proj", "temperature",
-    "char_entropy",
+    "sim_lsh_topk",
     # --- r9 window: the three mid-round additions (NEW r9, first
     # round must gate), then warc_ingest (r7-proven, swapped with
     # dedup_minhash_lsh_expr which moved to the tail), diverse_topk +
@@ -2698,28 +2735,31 @@ GATE_POOL = [
     # their cycle bound; dedup_exact/dedup_ngram_jaccard likewise
     # r6-proven -> r9.
     "html_extract", "dsir_sample",
-    # --- r12 layout note: 86 entries after the THREE r12 inserts at
-    # index 32 (image_phash, image_phash_neardup, bpe_steps — all NEW
-    # r12). Offset (6*33)%86 = 26, window = [26:59): quantize..
-    # dsir_sample (26..31, r11-proven) pull in early (harmless), the
-    # three NEW queries gate in their first round per the contract,
-    # the r9-proven due-r12 backlog (mixture_interleave..
-    # sim_lsh_topk, now 35..56) sits in-window at exactly the 3-round
-    # bound, and emb_neardup_lsh/simhash_expr (57..58, r10-proven)
-    # re-prove a round early. Displaced by the inserts: the rest of
-    # the r10-proven tail (simhash_neardup_expr..quantile_bucket, now
-    # 59..84) lands in the r13 wrap window [59:86)+[0:6) at exactly
-    # its 3-round bound, with count_min..ppl_split (0..5, r11-proven)
-    # and strip_common_lines (85) joining it early/at-bound; r14
-    # [6:39) then carries the r11-proven 6..31 at their bound plus
-    # the NEW trio's re-proof; r15 [39:72) the r12-proven 39..58.
+    # --- r12 layout note: 87 entries after the FOUR r12 inserts at
+    # index 32 (image_phash, image_phash_neardup, audio_fingerprint,
+    # bpe_steps — all NEW r12). Offset (6*33)%87 = 24, window =
+    # [24:57): chunk_docs..dsir_sample (24..31, r11-proven) pull in
+    # early (harmless), the four NEW queries gate in their first
+    # round per the contract, and the r9-proven due-r12 backlog
+    # (mixture_interleave..frame_fanout at 36..56 PLUS sim_lsh_topk,
+    # SWAPPED to index 29 with char_entropy because the fourth
+    # insert's -2 window shift would otherwise push it out at its
+    # exact bound) sits fully in-window. char_entropy (r11-proven,
+    # due r14, now at old sim_lsh_topk's slot 57) gates r13 — early,
+    # harmless. Displaced by the inserts: the r10-proven tail
+    # (emb_neardup_lsh..quantile_bucket, now 58..85) lands across the
+    # r12 tail slice + the r13 wrap window [57:87)+[0:3) within its
+    # 3-round bound, with count_min..ivfpq_topk (0..2 in r13,
+    # r11-proven, early) and strip_common_lines (86, r13) joining;
+    # r14 [3:36) carries the r11-proven 3..31 at their bound plus the
+    # NEW quartet's re-proof; r15 [36:69) the r12-proven 36..56.
     # image_decode (now 20) CHANGED r12 while out-of-window (plant
     # widened to id%8 classes covering EVERY in-house still decoder —
     # PPM/BMP/tiled-LZW-TIFF/JPEG-in-TIFF(+JPEGTables)/PNG/GIF/
     # 16-bit-PNG): its r12 proof
     # is scripts/selftest.py per the quantile_clip-r10 / url_dedup-r11
     # precedent, until its r14 window slot. ---
-    "image_phash", "image_phash_neardup",
+    "image_phash", "image_phash_neardup", "audio_fingerprint",
     "bpe_steps",
     "mixture_interleave",
     "dedup_lines", "hash_classify", "jsonl_ingest", "dedup_profile",
@@ -2729,7 +2769,7 @@ GATE_POOL = [
     # --- r7 window slice [33:66): r1-r4 backlog in historical order ---
     "text_stats", "text_langid", "sim_topk", "token_count",
     "doc_fingerprint_expr", "emb_neardup", "sim_ivf_fixed",
-    "multimodal_dims", "frame_fanout", "sim_lsh_topk", "emb_neardup_lsh",
+    "multimodal_dims", "frame_fanout", "char_entropy", "emb_neardup_lsh",
     "simhash_expr", "simhash_neardup_expr", "dedup_groups",
     "stratified_sample", "asof_join", "sessionize", "time_rollup",
     "interval_join", "gopher_quality", "segment_dedup", "bm25",
@@ -2883,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_steps": q_bpe_steps,
         "image_phash": q_image_phash,
         "image_phash_neardup": q_image_phash_neardup,
+        "audio_fingerprint": q_audio_fingerprint,
         "fuzzy_dedup": q_fuzzy_dedup,
         "domain_cap": q_domain_cap,
         "diverse_topk": q_diverse_topk,
@@ -4742,6 +4783,39 @@ SELECT a.media_id AS id_a, b.media_id AS id_b,
             AS BIGINT) AS hamming
 FROM dh a JOIN dh b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+""",
+        # audio_fingerprint (NEW r12): every bit of both halves
+        # re-derived — window sums via the i*65//n mapping, integer
+        # cross-multiplied mean comparisons, shift-packed like the
+        # image hashes.
+        "audio_fingerprint": r"""
+WITH d AS (
+  SELECT doc_id AS media_id, 200 + doc_id % 150 AS n
+  FROM documents WHERE doc_id < 3000
+), w AS (
+  SELECT media_id, n, (i.i * 65) // n AS j,
+         CAST(sum((media_id * 37 + i.i * 23) % 3001 - 1500) AS BIGINT)
+           AS s,
+         count(*) AS c
+  FROM d, unnest(generate_series(0, n - 1)) i(i)
+  GROUP BY 1, 2, 3
+), b AS (
+  SELECT a.media_id, a.j AS k,
+         CASE WHEN nb.s * a.c > a.s * nb.c THEN 1 ELSE 0 END AS bit
+  FROM w a JOIN w nb ON nb.media_id = a.media_id AND nb.j = a.j + 1
+  WHERE a.j < 64
+), p AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN k < 32
+             THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+         AS BIGINT) AS fp_hi,
+    CAST(sum(CASE WHEN k >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+         AS BIGINT) AS fp_lo
+  FROM b GROUP BY 1
+)
+SELECT d.media_id, CAST(n AS BIGINT) AS n_samples, fp_hi, fp_lo
+FROM d JOIN p USING (media_id)
 """,
         # audio_decode: closed-form PCM sample stats — exact integer
         # sums, same division/sqrt shape as the numpy kernel.

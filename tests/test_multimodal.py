@@ -357,3 +357,55 @@ def test_image_hash_neardup_banding_exact(spark):
         assert (i, 100 + i) in got and got[(i, 100 + i)] <= 1
     with pytest.raises(ValueError, match="pigeonhole"):
         image_hash_neardup(hashes, radius=4)
+
+
+def test_audio_fingerprint_twin_and_neardup(spark):
+    """The pinned envelope-gradient fingerprint matches a literal
+    python twin; a slightly-perturbed clip (one sample nudged) stays
+    within the banded near-dup radius via the SAME column-generic
+    join the image hashes use; a too-short clip refuses."""
+    from pyspark.sql import Row
+
+    from xenoeye_spark.datapipe.codecs import encode_wav
+    from xenoeye_spark.datapipe.multimodal import (
+        audio_fingerprint, image_hash_neardup,
+    )
+
+    def clip(i, perturb=False):
+        n = 200 + i % 150
+        s = (((np.arange(n, dtype=np.int64) * 23 + i * 37) % 3001)
+             - 1500).astype(np.int16)
+        if perturb:
+            s[0] = min(32767, int(s[0]) + 500)
+        return s
+
+    rows = [Row(media_id=i, content=bytearray(encode_wav(clip(i), 8000)))
+            for i in range(15)]
+    rows += [Row(media_id=100 + i,
+                 content=bytearray(encode_wav(clip(i, True), 8000)))
+             for i in range(4)]
+    fp = audio_fingerprint(spark.createDataFrame(rows))
+    got = {r.media_id: r for r in fp.collect()}
+
+    # python twin for id 5
+    s = clip(5).astype(np.int64)
+    n = len(s)
+    j = (np.arange(n) * 65) // n
+    S = np.bincount(j, weights=s, minlength=65).astype(np.int64)
+    C = np.bincount(j, minlength=65).astype(np.int64)
+    bits = (S[1:] * C[:-1] > S[:-1] * C[1:]).astype(int)
+    hi = sum(int(b) << (31 - k) for k, b in enumerate(bits[:32]))
+    lo = sum(int(b) << (31 - k) for k, b in enumerate(bits[32:64]))
+    assert (got[5].fp_hi, got[5].fp_lo) == (hi, lo)
+    assert got[5].n_samples == n
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_hash_neardup(
+                 fp, radius=3, hi_col="fp_hi", lo_col="fp_lo").collect()}
+    for i in range(4):                  # one nudged sample: <=1 window
+        assert (i, 100 + i) in pairs and pairs[(i, 100 + i)] <= 2
+
+    short = [Row(media_id=0,
+                 content=bytearray(encode_wav(clip(0)[:30], 8000)))]
+    with pytest.raises(Exception, match="shorter than"):
+        audio_fingerprint(spark.createDataFrame(short)).collect()

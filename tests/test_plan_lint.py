@@ -223,17 +223,17 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r12 window (86 entries after the three r12 inserts at index 32
-    # — image_phash, image_phash_neardup, bpe_steps; offset
-    # (6*33)%86 = 26, slice [26:59)): must prove the r9-proven
-    # due-r12 backlog at exactly its 3-round cycle bound —
-    # mixture_interleave..sim_lsh_topk (old [32:54), shifted to
-    # [35:57) by the inserts) — and the NEW r12 queries in their
-    # first round. quantize..dsir_sample (26..31, r11-proven) pull in
-    # early by the modulus shift (harmless); emb_neardup_lsh/
-    # simhash_expr (57..58, r10-proven, due r13) also re-prove a
-    # round early. The inserts displace the rest of the r10-proven
-    # tail to the r13 wrap window [59:86)+[0:6) at exactly its bound.
+    # r12 window (87 entries after the four r12 inserts at index 32
+    # — image_phash, image_phash_neardup, audio_fingerprint,
+    # bpe_steps; offset (6*33)%87 = 24, slice [24:57)): must prove
+    # the r9-proven due-r12 backlog at exactly its 3-round cycle
+    # bound — mixture_interleave..frame_fanout (shifted to [36:57)
+    # by the inserts) plus sim_lsh_topk, swapped to index 29 with
+    # char_entropy because the fourth insert's window shift would
+    # otherwise push it out at its bound — and the NEW r12 queries
+    # in their first round. chunk_docs..dsir_sample (24..31,
+    # r11-proven) pull in early by the modulus shift (harmless);
+    # char_entropy (r11-proven, due r14, now at slot 57) gates r13.
     win_now = set(names[:DRIVER_GATE_WINDOW])
     r9_stale = {"mixture_interleave", "dedup_lines", "hash_classify",
                 "jsonl_ingest", "dedup_profile", "best_of_class",
@@ -244,16 +244,20 @@ def test_gate_rotation_schedule():
                 "multimodal_dims", "frame_fanout", "sim_lsh_topk"}
     assert r9_stale <= win_now
     # NEW r12 queries: first round gates
-    assert {"bpe_steps", "image_phash", "image_phash_neardup"} <= win_now
+    assert {"bpe_steps", "image_phash", "image_phash_neardup",
+            "audio_fingerprint"} <= win_now
     # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the overflow holds only r11-proven entries (pool[0:32],
-    # proven in the r11 wrap window [82:83)+[0:32) of the 83-pool,
-    # plus strip_common_lines — all due r14, covered by the r13/r14
-    # windows) and r10-proven entries (old 55..82 -> pool[57:85),
-    # due r13, covered by the r13 wrap window [59:86)+[0:6))
+    # cycle: the overflow holds only r11-proven entries (pool[0:32]
+    # minus the swapped-in sim_lsh_topk, plus char_entropy at its
+    # swapped slot and strip_common_lines — all due r14, covered by
+    # the r13/r14 windows) and r10-proven entries
+    # (emb_neardup_lsh..quantile_bucket, due r13, covered by the r12
+    # tail + the r13 wrap window [57:87)+[0:3))
     overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
-    r11_proven = set(pool[0:32]) | {"strip_common_lines"}
-    r10_proven = set(pool[57:85])
+    r11_proven = (set(pool[0:32]) - {"sim_lsh_topk"}
+                  | {"strip_common_lines", "char_entropy"})
+    r10_proven = set(pool[pool.index("emb_neardup_lsh"):
+                          pool.index("quantile_bucket") + 1])
     assert overflow_now <= r11_proven | r10_proven
 
 

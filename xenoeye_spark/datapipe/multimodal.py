@@ -392,3 +392,67 @@ def image_hash_neardup(
         cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= radius)
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("fp_hi", T.LongType()),
+    T.StructField("fp_lo", T.LongType()),
+])
+
+
+def audio_fingerprint(media: DataFrame, windows: int = 65) -> DataFrame:
+    """Time-domain audio fingerprint — the audio sibling of
+    ``image_perceptual_hash`` (shifted/re-encoded/slightly-edited
+    clips move few bits; unrelated clips differ in ~32). Pinned
+    all-integer definition:
+
+    * mono(i) = SUM over channels of sample i (int — division-free);
+    * window j (j = 0..windows-1) holds samples with i*windows//n ==
+      j (every engine computes that mapping identically; lengths may
+      differ by one);
+    * bit k (k = 0..windows-2) is set iff the MEAN of window k+1
+      exceeds the mean of window k, tested by integer
+      cross-multiplication: S[k+1]*C[k] > S[k]*C[k+1] — gradient
+      signs of the energy envelope, no floats anywhere.
+
+    Default 65 windows -> 64 bits, shipped as the same non-negative
+    32-bit halves as the image hashes — so near-dup pairing is
+    literally ``image_hash_neardup(fp, hi_col='fp_hi',
+    lo_col='fp_lo')`` (that operator is column-generic), and a
+    driver oracle re-derives every bit from a closed-form plant.
+    Clips shorter than ``windows`` samples raise (an empty window
+    has no mean; resample or gate by duration upstream).
+
+    One Arrow-batched mapInPandas stage over ``codecs.decode_wav``
+    (the real RIFF walk), no shuffle, O(own bytes) per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w31 = 1 << (31 - np.arange(32, dtype=np.int64))
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate = codecs.decode_wav(bytes(content))
+                mono = samples.astype(np.int64).sum(axis=1)
+                n = len(mono)
+                if n < windows:
+                    raise ValueError(
+                        f"audio_fingerprint: clip of {n} samples is "
+                        f"shorter than {windows} windows"
+                    )
+                j = (np.arange(n) * windows) // n
+                sums = np.bincount(j, weights=mono, minlength=windows
+                                   ).astype(np.int64)
+                cnts = np.bincount(j, minlength=windows).astype(np.int64)
+                bits = (sums[1:] * cnts[:-1] > sums[:-1] * cnts[1:]
+                        ).astype(np.int64)
+                rows.append((
+                    int(mid), n,
+                    int((bits[:32] * w31).sum()),
+                    int((bits[32:64] * w31[:len(bits) - 32]).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_FP_SCHEMA.fields])
+
+    return spread(media).mapInPandas(run, schema=AUDIO_FP_SCHEMA)
