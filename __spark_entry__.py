@@ -1433,28 +1433,35 @@ def q_bpe_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode (r6; plant widened r12 — now EVERY in-house
-    still-image decoder sits behind the driver hash). By id % 8:
-    RGB-formula classes (pixel (y,x,c) = (id + y*w + x + 7c) % 256,
-    lossless containers, one shared closed form) — PPM (0), 24-bit
-    BMP (1), TILED LZW+predictor TIFF (2), PNG with Paeth filtering
-    (4); GRAY-formula classes (g(y,x) = (id + y*w + x) % 256,
-    replicated to RGB by the decoders) — GIF via the real LZW
-    encoder over a 256-gray palette (5), 16-bit PNG with v*257-coded
-    samples whose high-byte strip is exactly v (6); and FLAT gray
-    JPEG-in-TIFF of even value v = (id % 128) * 2 (3, 7 — DC-exact
-    by construction; class 7 carries its DQT/DHT via the JPEGTables
-    tag to drive the Technote-2 merge). All built in one mapInPandas
-    stage, decoded back by the pure-numpy decoders inside
-    ``decode_and_featurize`` (NO fake flag). Width, height, and mean
-    luma all have closed forms the oracle re-derives — integer pixel
-    sums are float-exact on both engines, so round(6) sees identical
-    doubles."""
+    """REAL image decode (r6; plant widened r12 into the CODEC-MATRIX
+    gate — every in-house still-image decode family behind the
+    driver hash). By id % 12:
+
+    * RGB formula (pixel (y,x,c) = (id + y*w + x + 7c) % 256):
+      PPM (0), 24-bit BMP (1), tiled LZW+predictor TIFF (2), PNG
+      with Paeth filtering (4).
+    * gray formula (g(y,x) = (id + y*w + x) % 256, replicated to RGB
+      by the decoders): GIF via the real LZW encoder over a 256-gray
+      palette (5), 16-bit PNG with v*257 samples (6), 16-bit TIFF
+      under Adobe Deflate (11).
+    * bilevel fax (v(y,x) = 1 iff (id + y*w + x) % 7 < 3; WhiteIsZero
+      polarity, so luma = 255*(1-v)): T.6 Group 4 (8), T.4 MH (9).
+    * flat gray (DC-exact by construction): JPEG-in-TIFF of even
+      value (id % 128)*2 (3, and 7 with the JPEGTables merge), and a
+      bare 12-bit SOF1 JPEG of value (id % 256)*16 — exact for ALL
+      values at quant 16, verified exhaustively (10).
+
+    All built in one mapInPandas stage, decoded back by the
+    pure-numpy decoders inside ``decode_and_featurize`` (NO fake
+    flag). Width, height, and mean luma all have closed forms the
+    oracle re-derives — integer pixel sums are float-exact on both
+    engines, so round(6) sees identical doubles."""
     import numpy as np
     import pandas as pd
 
     from xenoeye_spark.datapipe.codecs import encode_bmp, encode_ppm
     from xenoeye_spark.datapipe.codecs_gif import encode_gif
+    from xenoeye_spark.datapipe.codecs_jpeg import encode_jpeg_gray
     from xenoeye_spark.datapipe.codecs_png import encode_png
     from xenoeye_spark.datapipe.codecs_tiff import encode_tiff
     from xenoeye_spark.datapipe.multimodal import (
@@ -1470,14 +1477,27 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 i = int(did)
                 w, h = 4 + i % 13, 3 + i % 7
-                cls = i % 8
+                cls = i % 12
                 if cls in (3, 7):
                     flat = np.full((h, w), (i % 128) * 2, np.uint8)
                     content = encode_tiff(
                         flat, "<", rows_per_strip=8, compression=7,
                         jpeg_tables=(cls == 7),
                     )
-                elif cls in (5, 6):
+                elif cls == 10:
+                    content = encode_jpeg_gray(
+                        np.full((h, w), float((i % 256) * 16)),
+                        precision=12, quant=np.full(64, 16),
+                    )
+                elif cls in (8, 9):
+                    yy, xx = np.meshgrid(np.arange(h), np.arange(w),
+                                         indexing="ij")
+                    v = (((i + yy * w + xx) % 7) < 3).astype(np.uint8)
+                    content = encode_tiff(
+                        v, "<", compression=4 if cls == 8 else 2,
+                        rows_per_strip=4, bits=1,
+                    )
+                elif cls in (5, 6, 11):
                     yy, xx = np.meshgrid(np.arange(h), np.arange(w),
                                          indexing="ij")
                     g = ((i + yy * w + xx) % 256).astype(np.uint8)
@@ -1485,7 +1505,10 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         encode_gif(g, gray_pal) if cls == 5
                         else encode_png((g.astype(np.uint16) * 257),
                                         ctype=0, filter_type=2,
-                                        depth=16)
+                                        depth=16) if cls == 6
+                        else encode_tiff(
+                            (g.astype(np.uint16) * 257), "<",
+                            compression=8, bits=16)
                     )
                 else:
                     yy, xx, cc = np.meshgrid(
@@ -1508,7 +1531,10 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "content", "meta"]
             )
 
-    media = docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    media = docs.select("doc_id").repartition(32).mapInPandas(
+        build, schema=MEDIA_SCHEMA)  # the parquet scan is ONE
+    # partition at gate SFs: spread the plant+decode python work
+    # across cores (a 32-way shuffle of bare ids is noise)
     feats = decode_and_featurize(media)
     return feats.select(
         "media_id", "width", "height",
@@ -1559,7 +1585,8 @@ def _phash_media(spark: SparkSession, sf_dir: str, limit: int,
                 rows, columns=["media_id", "content", "meta"]
             )
 
-    return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    return docs.select("doc_id").repartition(32).mapInPandas(
+        build, schema=MEDIA_SCHEMA)
 
 
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,7 +1652,10 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "content", "meta"]
             )
 
-    media = docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    media = docs.select("doc_id").repartition(32).mapInPandas(
+        build, schema=MEDIA_SCHEMA)  # the parquet scan is ONE
+    # partition at gate SFs: spread the plant+decode python work
+    # across cores (a 32-way shuffle of bare ids is noise)
     return decode_audio_features(media)
 
 
@@ -1662,7 +1692,10 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "content", "meta"]
             )
 
-    media = docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    media = docs.select("doc_id").repartition(32).mapInPandas(
+        build, schema=MEDIA_SCHEMA)  # the parquet scan is ONE
+    # partition at gate SFs: spread the plant+decode python work
+    # across cores (a 32-way shuffle of bare ids is noise)
     return audio_fingerprint(media)
 
 
@@ -2279,7 +2312,10 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "content", "meta"]
             )
 
-    media = docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    media = docs.select("doc_id").repartition(32).mapInPandas(
+        build, schema=MEDIA_SCHEMA)  # the parquet scan is ONE
+    # partition at gate SFs: spread the plant+decode python work
+    # across cores (a 32-way shuffle of bare ids is noise)
     out = resize_images(media, out_w=4, out_h=4)
     return out.select(
         "media_id", "width", "height",
@@ -2529,7 +2565,10 @@ def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "content", "meta"]
             )
 
-    media = docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    media = docs.select("doc_id").repartition(32).mapInPandas(
+        build, schema=MEDIA_SCHEMA)  # the parquet scan is ONE
+    # partition at gate SFs: spread the plant+decode python work
+    # across cores (a 32-way shuffle of bare ids is noise)
     out = sample_frames(media, every_n=2, n_frames=4)
     return out.select(
         "media_id",
@@ -2754,9 +2793,9 @@ GATE_POOL = [
     # r14 [3:36) carries the r11-proven 3..31 at their bound plus the
     # NEW quartet's re-proof; r15 [36:69) the r12-proven 36..56.
     # image_decode (now 20) CHANGED r12 while out-of-window (plant
-    # widened to id%8 classes covering EVERY in-house still decoder —
-    # PPM/BMP/tiled-LZW-TIFF/JPEG-in-TIFF(+JPEGTables)/PNG/GIF/
-    # 16-bit-PNG): its r12 proof
+    # widened to the id%12 CODEC-MATRIX: PPM/BMP/tiled-LZW-TIFF/
+    # JPEG-in-TIFF(+JPEGTables)/PNG/GIF/16-bit-PNG/G4-fax/MH-fax/
+    # 12-bit-JPEG/Deflate-16-bit-TIFF): its r12 proof
     # is scripts/selftest.py per the quantile_clip-r10 / url_dedup-r11
     # precedent, until its r14 window slot. ---
     "image_phash", "image_phash_neardup", "audio_fingerprint",
@@ -4631,7 +4670,7 @@ WITH d AS (
          4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
   FROM documents WHERE doc_id < 4096
 ), px AS (
-  -- id%8 in (0,1,2,4): RGB formula through PPM/BMP/tiled-TIFF/PNG
+  -- id%12 in (0,1,2,4): RGB formula through PPM/BMP/tiled-TIFF/PNG
   SELECT media_id, w, h,
          CAST(sum((media_id + y.i * w + x.i) % 256) AS DOUBLE) AS sr,
          CAST(sum((media_id + y.i * w + x.i + 7) % 256) AS DOUBLE) AS sg,
@@ -4640,18 +4679,30 @@ WITH d AS (
   FROM d,
        unnest(generate_series(0, h - 1)) y(i),
        unnest(generate_series(0, w - 1)) x(i)
-  WHERE media_id % 8 IN (0, 1, 2, 4)
+  WHERE media_id % 12 IN (0, 1, 2, 4)
   GROUP BY 1, 2, 3
 ), gx AS (
-  -- id%8 in (5,6): gray formula through GIF / 16-bit PNG (decoders
-  -- replicate gray to all three channels)
+  -- id%12 in (5,6,11): gray formula through GIF / 16-bit PNG /
+  -- Deflate 16-bit TIFF (decoders replicate gray to all channels)
   SELECT media_id, w, h,
          CAST(sum((media_id + y.i * w + x.i) % 256) AS DOUBLE) AS sv,
          CAST(w * h AS DOUBLE) AS n
   FROM d,
        unnest(generate_series(0, h - 1)) y(i),
        unnest(generate_series(0, w - 1)) x(i)
-  WHERE media_id % 8 IN (5, 6)
+  WHERE media_id % 12 IN (5, 6, 11)
+  GROUP BY 1, 2, 3
+), bx AS (
+  -- id%12 in (8,9): bilevel fax (G4/MH), WhiteIsZero polarity:
+  -- pixel value 1 (black) -> 0, 0 (white) -> 255
+  SELECT media_id, w, h,
+         CAST(sum(CASE WHEN (media_id + y.i * w + x.i) % 7 < 3
+                  THEN 0 ELSE 255 END) AS DOUBLE) AS sv,
+         CAST(w * h AS DOUBLE) AS n
+  FROM d,
+       unnest(generate_series(0, h - 1)) y(i),
+       unnest(generate_series(0, w - 1)) x(i)
+  WHERE media_id % 12 IN (8, 9)
   GROUP BY 1, 2, 3
 )
 SELECT media_id,
@@ -4668,16 +4719,30 @@ SELECT media_id,
          AS mean_luma
 FROM gx
 UNION ALL
--- id % 8 in (3, 7): flat gray JPEG-in-TIFF of even value v
--- (DC-exact, so every channel decodes to exactly v)
 SELECT media_id,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
-       round(0.299 * CAST((media_id % 128) * 2 AS DOUBLE)
-             + 0.587 * CAST((media_id % 128) * 2 AS DOUBLE)
-             + 0.114 * CAST((media_id % 128) * 2 AS DOUBLE), 6)
+       round(0.299 * (sv / n) + 0.587 * (sv / n) + 0.114 * (sv / n), 6)
          AS mean_luma
-FROM d WHERE media_id % 8 IN (3, 7)
+FROM bx
+UNION ALL
+-- id%12 in (3, 7): flat gray JPEG-in-TIFF of even value v
+-- (DC-exact); id%12 = 10: flat 12-bit SOF1 JPEG of (id%256)*16,
+-- exact for ALL values at quant 16 (verified exhaustively)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       round(0.299 * CAST(CASE WHEN media_id % 12 = 10
+                          THEN media_id % 256
+                          ELSE (media_id % 128) * 2 END AS DOUBLE)
+             + 0.587 * CAST(CASE WHEN media_id % 12 = 10
+                            THEN media_id % 256
+                            ELSE (media_id % 128) * 2 END AS DOUBLE)
+             + 0.114 * CAST(CASE WHEN media_id % 12 = 10
+                            THEN media_id % 256
+                            ELSE (media_id % 128) * 2 END AS DOUBLE), 6)
+         AS mean_luma
+FROM d WHERE media_id % 12 IN (3, 7, 10)
 """,
         # image_phash (NEW r12): every bit of all four 32-bit halves
         # re-derived — sampled-grid gray sums from the closed form,
