@@ -542,6 +542,27 @@ def test_connected_components_property(spark):
         assert got == want, f"mismatch on case with {len(edges)} edges"
 
 
+def test_connected_components_star_path_matches_fast_path(
+    spark, monkeypatch
+):
+    """r12 optimization: small graphs take a single-task union-find
+    fast path; XE_CC_LOCAL_EDGES=0 forces the distributed star rounds.
+    Both paths must emit the identical (node, rep) set — this is the
+    equivalence contract the fast path ships under."""
+    import random
+
+    from xenoeye_spark.datapipe.graph import connected_components
+
+    rng = random.Random(99)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["node"], r["rep"]) for r in connected_components(df).collect()}
+    monkeypatch.setenv("XE_CC_LOCAL_EDGES", "0")
+    star = {(r["node"], r["rep"]) for r in connected_components(df).collect()}
+    assert fast == star == set(_uf_components(edges).items())
+
+
 # ------------------------------------------- r7: exact substring dedup
 
 def _substr_dedup_twin(texts: dict[int, str], L: int):
