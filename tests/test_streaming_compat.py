@@ -61,19 +61,15 @@ def test_language_id_on_stream(spark):
     _drive(spark, language_id, DOCS_SCHEMA, DOC_ROWS)
 
 
-def test_gopher_quality_is_the_documented_boundary(spark):
-    """gopher_quality aggregates per doc (bigram-frequency groupBys),
-    so it is NOT a stateless projection: Spark rejects it on a stream
-    in append mode without a watermark. The test pins that boundary —
-    if a future rewrite makes it expression-only, this should flip to
-    a _drive() case like the others."""
+def test_gopher_quality_on_stream(spark):
+    """r12 optimization flipped gopher_quality to a zero-shuffle
+    per-row projection (the top-bigram count is now an in-row
+    sorted-run fold), so it runs on a stream like the other stateless
+    text operators — exactly the flip the old boundary test
+    documented it should take."""
     from xenoeye_spark.datapipe.text import gopher_quality
 
-    stream = (spark.readStream.schema(DOCS_SCHEMA)
-              .parquet(tempfile.mkdtemp(prefix="gq_")))
-    with pytest.raises(Exception, match="watermark|STREAMING"):
-        (gopher_quality(stream).writeStream.format("noop")
-         .outputMode("append").start())
+    _drive(spark, gopher_quality, DOCS_SCHEMA, DOC_ROWS)
 
 
 def test_pii_scrub_on_stream(spark):

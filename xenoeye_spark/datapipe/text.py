@@ -337,11 +337,14 @@ def gopher_quality(
       - repetition: fraction of bigram slots taken by the single most
         frequent bigram <= threshold (the top-2-gram rule)
 
-    All rules except the bigram one are pure per-row expressions (zero
-    shuffle); the top-bigram count explodes bigrams and re-aggregates on
-    ``id_col`` — two narrow-key shuffles whose cardinality is bounded by
-    token count, the standard shape at any scale. Output: the metrics +
-    per-rule booleans + the conjunction ``gopher_pass``.
+    Every rule — including the top-bigram one — is a pure per-row
+    expression, so the whole operator is a zero-shuffle projection
+    (r12 optimization): a bigram's per-doc multiplicity equals the
+    longest equal-run in the doc's SORTED bigram array, computed by one
+    in-row ``array_sort`` + ``aggregate`` fold instead of the previous
+    explode -> (doc, bigram) count -> per-doc max -> join-back (three
+    exchanges carrying every bigram occurrence of the corpus). Output:
+    the metrics + per-rule booleans + the conjunction ``gopher_pass``.
     """
     toks = _tokens(F.col(text_col))
     n_sym = F.length(
@@ -349,7 +352,10 @@ def gopher_quality(
             F.regexp_replace(F.col(text_col), r"\.\.\.", "#"), r"[^#…]", ""
         )
     )
-    staged = docs.select(
+    # spread: the per-row sort+fold is the CPU-heavy kernel now, and an
+    # unsplittable small scan must not run it single-core (no-op at
+    # scale; see util.spread)
+    staged = spread(docs).select(
         F.col(id_col), toks.alias("_t"), n_sym.alias("_nsym")
     )
     n_words = F.size("_t")
@@ -360,32 +366,39 @@ def gopher_quality(
     ).otherwise(F.lit(0.0))
     n_alpha = F.size(F.filter("_t", lambda t: t.rlike("[A-Za-z]")))
     alpha_frac = F.when(n_words > 0, n_alpha.cast("double") / n_words).otherwise(F.lit(0.0))
-    per_doc = staged.select(
+    # top-bigram count, in-row: max multiplicity of any bigram == the
+    # longest equal-run in the sorted bigram array. One O(k log k) sort
+    # + O(k) fold per doc replaces the corpus-wide bigram shuffle.
+    bigram_arr = F.when(
+        n_words >= 2,
+        F.expr(
+            "transform(sequence(1, size(_t) - 1), "
+            "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bg_n = F.expr(
+        "aggregate(array_sort(_bg), "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev "
+        "    THEN acc.run + 1 ELSE 1L END, "
+        "  'best', greatest(acc.best, CASE WHEN acc.prev IS NOT NULL "
+        "    AND x = acc.prev THEN acc.run + 1 ELSE 1L END)), "
+        "acc -> acc.best)"
+    )
+    # _bg materialized as a real column before the fold references it —
+    # the house lambda-CSE rule (Catalyst does not CSE across lambda
+    # boundaries; see _shingle_hash_col)
+    per_doc = staged.withColumn("_bg", bigram_arr).select(
         id_col,
         n_words.cast("long").alias("n_words"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
         "_nsym",
+        top_bg_n.alias("_top_bg_n"),
     )
-    # top-bigram fraction: explode adjacent pairs, count per (doc, bigram),
-    # take the max count per doc. Bigram slots = n_words - 1.
-    bigrams = staged.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                n_words >= 2,
-                F.expr(
-                    "transform(sequence(1, size(_t) - 1), "
-                    "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_bg"),
-    )
-    top_bg = (
-        bigrams.groupBy(id_col, "_bg").count()
-        .groupBy(id_col).agg(F.max("count").alias("_top_bg_n"))
-    )
-    out = per_doc.join(top_bg, id_col, "left").select(
+    out = per_doc.select(
         F.col(id_col),
         "n_words", "mean_word_len", "alpha_word_frac",
         F.when(
@@ -393,8 +406,7 @@ def gopher_quality(
         ).otherwise(F.lit(0.0)).alias("_swr"),
         F.when(
             F.col("n_words") >= 2,
-            F.coalesce(F.col("_top_bg_n"), F.lit(0)).cast("double")
-            / (F.col("n_words") - 1),
+            F.col("_top_bg_n").cast("double") / (F.col("n_words") - 1),
         ).otherwise(F.lit(0.0)).alias("_tbf"),
     ).select(
         F.col(id_col), "n_words", "mean_word_len", "alpha_word_frac",
@@ -708,12 +720,14 @@ def repetition_stats(
     duplicate tokens, plus the share claimed by the single most
     frequent n-gram.
 
-    Plan: tokens materialized once, n-grams via sequence+transform
-    (O(len) slices), ONE explode -> per-(doc, gram) count with map-side
-    partial aggregation -> per-doc rollup. Token dups come from the
-    same rollup on the token explode. Linear in corpus token count; the
-    (doc_id, gram) shuffle key is unique per doc so popular grams skew
-    nothing across docs.
+    Plan (r12 optimization): a zero-shuffle per-row projection. The
+    duplicate fractions are identities — sum over distinct values of
+    (count - 1) == total - distinct — so ``size - size(array_distinct)``
+    computes them in-row; the top-gram count is the longest equal-run
+    of the SORTED gram array (the same in-row fold as gopher_quality's
+    top-bigram rule). The previous shape exploded every token and gram
+    occurrence through two (doc, value) shuffles and joined the
+    rollups back; all five metrics now come from one projection.
 
     Output: (id_col, n_tokens, n_grams, dup_token_frac, dup_gram_frac,
     top_gram_frac) — fractions round(6), 0.0 for docs too short to
@@ -730,50 +744,43 @@ def repetition_stats(
             lambda i: F.array_join(F.slice("_toks", i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-
-    tok_stats = (
-        toks.select(id_col, F.explode_outer("_toks").alias("_t"))
-        .groupBy(id_col, "_t")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("_t").isNotNull(), F.col("_c"))
-                  .otherwise(F.lit(0))).alias("n_tokens"),
-            F.sum(
-                F.when(F.col("_c") > 1, F.col("_c") - 1).otherwise(F.lit(0))
-            ).alias("_dup_t"),
-        )
+    # grams materialized as a real column before the fold references it
+    # (house lambda-CSE rule); coalesce guards NULL-text docs, whose
+    # token array is NULL (size -> NULL) but must count as 0.
+    staged = toks.withColumn("_g", grams_col)
+    top_run = F.expr(
+        "aggregate(array_sort(_g), "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev "
+        "    THEN acc.run + 1 ELSE 1L END, "
+        "  'best', greatest(acc.best, CASE WHEN acc.prev IS NOT NULL "
+        "    AND x = acc.prev THEN acc.run + 1 ELSE 1L END)), "
+        "acc -> acc.best)"
     )
-    gram_stats = (
-        toks.select(id_col, grams_col.alias("_g"))
-        .select(id_col, F.explode_outer("_g").alias("_gram"))
-        .groupBy(id_col, "_gram")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("_gram").isNotNull(), F.col("_c"))
-                  .otherwise(F.lit(0))).alias("n_grams"),
-            F.sum(
-                F.when(F.col("_c") > 1, F.col("_c") - 1).otherwise(F.lit(0))
-            ).alias("_dup_g"),
-            F.max(F.when(F.col("_gram").isNotNull(), F.col("_c"))
-                  .otherwise(F.lit(0))).alias("_top_g"),
-        )
+    nt = F.coalesce(F.size("_toks"), F.lit(0))
+    ng = F.coalesce(F.size("_g"), F.lit(0))
+    counted = staged.select(
+        F.col(id_col),
+        nt.cast("long").alias("n_tokens"),
+        ng.cast("long").alias("n_grams"),
+        (nt - F.coalesce(F.size(F.array_distinct("_toks")), F.lit(0)))
+        .cast("long").alias("_dup_t"),
+        (ng - F.size(F.array_distinct("_g"))).cast("long").alias("_dup_g"),
+        top_run.alias("_top_g"),
     )
     frac = lambda num, den: F.round(  # noqa: E731
         F.when(F.col(den) > 0, F.col(num) / F.col(den)).otherwise(F.lit(0.0)),
         6,
     )
-    return (
-        tok_stats.join(gram_stats, id_col)
-        .select(
-            F.col(id_col),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.col("n_grams").cast("long").alias("n_grams"),
-            frac("_dup_t", "n_tokens").alias("dup_token_frac"),
-            frac("_dup_g", "n_grams").alias("dup_gram_frac"),
-            frac("_top_g", "n_grams").alias("top_gram_frac"),
-        )
+    return counted.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_grams",
+        frac("_dup_t", "n_tokens").alias("dup_token_frac"),
+        frac("_dup_g", "n_grams").alias("dup_gram_frac"),
+        frac("_top_g", "n_grams").alias("top_gram_frac"),
     )
 
 
