@@ -1147,6 +1147,34 @@ def test_incremental_dedup_matches_bruteforce_twin_at_sf(spark):
         assert abs(best[0] - r.jaccard) < 1e-6 and -best[1] == r.dup_of, d
 
 
+def test_incremental_dedup_fused_table_matches_builders(spark):
+    """r12 optimization: incremental_dedup computes signatures and the
+    verify shingle table from ONE staged shingle-string array per side
+    (sig_and_shingle_table). The fused columns must be bit-identical to
+    the standalone builders (minhash_signatures_expr / shingle_table)
+    they replaced — including the empty/short-doc contracts."""
+    from xenoeye_spark.datapipe.dedup import (
+        minhash_signatures_expr, shingle_table, sig_and_shingle_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    ).unionByName(spark.createDataFrame(
+        [(90001, "", "x", "en", 0), (90002, "one two", "x", "en", 7)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).select(*spark.read.parquet(f"{SF_DIR}/documents.parquet").columns))
+    fused = {r["_id"]: (sorted(r["_sh"]), r["_sz"], list(r["signature"]))
+             for r in sig_and_shingle_table(docs, n=3).collect()}
+    sig = {r["doc_id"]: list(r["signature"])
+           for r in minhash_signatures_expr(docs, n=3).collect()}
+    sh = {r["_id"]: (sorted(r["_sh"]), r["_sz"])
+          for r in shingle_table(docs, 3).collect()}
+    assert set(fused) == set(sig) == set(sh)
+    for d, (fsh, fsz, fsig) in fused.items():
+        assert (fsh, fsz) == sh[d], d
+        assert fsig == sig[d], d
+
+
 # --------------------------------------------------------- log-hist quantile
 
 def test_log_hist_quantiles_matches_python_twin(spark):

@@ -964,6 +964,57 @@ def lsh_candidate_pairs_cross(
     )
 
 
+def sig_and_shingle_table(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ONE staged projection computing BOTH hash families from a single
+    materialized shingle-string array (r12 optimization): the expensive
+    part of a dedup pass is tokenize + n-token window array_join, which
+    MinHash signatures (char-poly base hash) and the Jaccard-verify
+    shingle table (xxhash64) previously each recomputed from the raw
+    text. Output (_id, _sh array<long>, _sz, signature array<long>) —
+    _sh/_sz bit-identical to ``shingle_table``, signature bit-identical
+    to ``minhash_signatures_expr`` (same string array, same hash
+    expressions; pinned by test). Persisted on the batch side like
+    ``shingle_table``."""
+    _, sig_sql = minhash_sig_exprs(n, num_hashes, seed)
+    strs = "_toks" if n == 1 else (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> array_join(slice(_toks, i + 1, {n}), ' ')) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    poly = (
+        "aggregate(transform(split(s, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {_POLY_P})"
+    )
+    # each array materialized before the next references it — the house
+    # lambda-CSE rule (_shingle_hash_col)
+    staged = (
+        _with_tokens(docs, text_col)
+        .withColumn("_sstr", F.expr(strs))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.expr("transform(_sstr, s -> xxhash64(s))")
+            ).alias("_sh"),
+            F.array_distinct(
+                F.expr(f"transform(_sstr, s -> {poly})")
+            ).alias("_h"),
+        )
+    )
+    out = staged.select(
+        "_id", "_sh", F.size("_sh").alias("_sz"),
+        F.expr(sig_sql).alias("signature"),
+    )
+    return out if docs.isStreaming else out.persist()
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -995,24 +1046,24 @@ def incremental_dedup(
     Output: one row per NEW doc — (id, is_dup int 0/1, dup_of
     nullable, jaccard nullable, rounded 6).
     """
-    sig_new = minhash_signatures_expr(
-        new_docs, n=n, num_hashes=num_hashes,
-        text_col=text_col, id_col=id_col, seed=seed,
+    tbl_new = sig_and_shingle_table(
+        new_docs, n, num_hashes, text_col, id_col, seed
     )
-    sig_old = minhash_signatures_expr(
-        corpus, n=n, num_hashes=num_hashes,
-        text_col=text_col, id_col=id_col, seed=seed,
+    tbl_old = sig_and_shingle_table(
+        corpus, n, num_hashes, text_col, id_col, seed
     )
     cand = lsh_candidate_pairs_cross(
-        sig_new, sig_old, bands=bands, id_col=id_col,
+        tbl_new.select(F.col("_id").alias(id_col), "signature"),
+        tbl_old.select(F.col("_id").alias(id_col), "signature"),
+        bands=bands, id_col=id_col,
         sig_len=num_hashes, max_bucket_size=max_bucket_size,
     )
 
-    sh_new = shingle_table(new_docs, n, text_col, id_col).select(
+    sh_new = tbl_new.select(
         F.col("_id").alias("id_new"), F.col("_sh").alias("_sh_n"),
         F.col("_sz").alias("_sz_n"),
     )
-    sh_old = shingle_table(corpus, n, text_col, id_col).select(
+    sh_old = tbl_old.select(
         F.col("_id").alias("id_old"), F.col("_sh").alias("_sh_o"),
         F.col("_sz").alias("_sz_o"),
     )
