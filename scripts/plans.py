@@ -57,9 +57,10 @@ NOTES = {
     "parallel, constant memory per batch.",
     "frame_sample": "one-row-to-many-frames fan-out inside mapInPandas; "
     "no shuffle.",
-    "dedup_groups": "the plan shows only the FINAL round's star joins - "
-    "iteration happens driver-side over localCheckpointed edge sets "
-    "(lineage truncated per round, O(log n) rounds).",
+    "dedup_groups": "small pair graphs (<= XE_CC_LOCAL_EDGES) run one "
+    "coalesced union-find mapInPandas task (r12 optimization - no star "
+    "rounds in the plan); larger graphs iterate the star rounds "
+    "driver-side over localCheckpointed edge sets (O(log n) rounds).",
     "stratified_sample": "broadcast count join prunes each group to "
     "~factor*quota rows BEFORE the single window shuffle; the window "
     "itself ranks only survivors.",
@@ -78,9 +79,9 @@ NOTES = {
     "interval_join": "range containment as a bucketed HASH join "
     "(explode intervals into time buckets, equi-join on bucket+key, "
     "exact range filter after) — no BroadcastNestedLoop.",
-    "gopher_quality": "per-row expression rules; the top-bigram "
-    "repetition rule is the only shuffle (explode -> per-doc max, "
-    "map-side combined).",
+    "gopher_quality": "zero-shuffle per-row projection (r12 "
+    "optimization): the top-bigram rule is an in-row sorted-run fold, "
+    "no explode, no join.",
     "segment_dedup": "one shuffle on segment md5 resolves the "
     "corpus-wide first occurrence via a min-struct agg (map-side "
     "combinable -> popular-segment skew collapses per task).",
@@ -123,9 +124,10 @@ NOTES = {
     "ivfpq_topk": "cell pruning is a broadcast EQUI-join on _cell "
     "(not a BNL): each query scores only its probed cells' code "
     "bytes; encode is one shuffle-free Arrow pass.",
-    "incremental_dedup": "corpus touched twice (signature projection "
-    "+ one banded 3-long-row shuffle), never broadcast; new batch "
-    "probes via (band,bucket) equi-join; one max_by argmax, no window.",
+    "incremental_dedup": "ONE fused tokenize/shingle pass per side "
+    "feeds signatures AND the verify table (r12 optimization); corpus "
+    "never broadcast; new batch probes via (band,bucket) equi-join; "
+    "one max_by argmax, no window.",
     "hist_quantiles": "bin counts partial-aggregate map-side (bin-wise "
     "SUM is the merge); the cumsum window runs over <= sub*64 bins per "
     "group, not the values.",
