@@ -186,7 +186,7 @@ def connected_components(
     # appears, minima map to themselves" rule; equivalence is pinned by
     # tests against the star path on the same graphs.
     local_cut = int(
-        os.environ.get("XE_CC_LOCAL_EDGES", CC_LOCAL_EDGES_DEFAULT)
+        os.environ.get("XE_CC_LOCAL_EDGES") or CC_LOCAL_EDGES_DEFAULT
     )
     if n_edges <= local_cut:
         # coalesce, not repartition: the checkpointed blocks merge into
