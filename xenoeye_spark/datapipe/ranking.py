@@ -248,10 +248,11 @@ def kmv_distinct(
     from pyspark.sql import Window
 
     w_all = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
-    if prefilter_factor is None or prefilter_factor <= 0:
+
+    def _plain(src):
         # single-pass plan: the window sees every distinct hash, so the
         # exact count falls out of max(_r) for free
-        ranked = hashed.select(
+        ranked = src.select(
             group_col, "_h", F.row_number().over(w_all).alias("_r")
         )
         return (
@@ -273,9 +274,29 @@ def kmv_distinct(
             )
         )
 
+    if prefilter_factor is None or prefilter_factor <= 0:
+        return _plain(hashed)
+
+    import os
+
     from pyspark import StorageLevel
 
     hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    # size-adaptive prefilter bypass (r12 optimization, the CC fast-path
+    # decision shape): the prefilter exists so a web-scale group's
+    # distinct vocabulary never sorts on one ranking reducer, but its
+    # broadcast/threshold/fallback machinery is ~2s of pure overhead
+    # when the whole distinct-hash table is small (the gate corpus: 620
+    # rows). One count on the about-to-be-persisted table (a job the
+    # first prefilter consumer would pay anyway) routes small tables to
+    # the proven-identical single-window plan. Bound tunable via
+    # XE_KMV_LOCAL_ROWS; selection equivalence is the existing
+    # test_kmv_prefilter_matches_plain contract.
+    local_rows = int(os.environ.get("XE_KMV_LOCAL_ROWS") or 200_000)
+    if hashed.count() <= local_rows:
+        out = _plain(hashed)
+        out._xe_cached = hashed
+        return out
     counts = hashed.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
     frac = F.least(
         F.lit(1.0), F.lit(float(prefilter_factor * k)) / F.col("_gn")

@@ -86,7 +86,30 @@ def stratified_sample(
         # the prefilter reads df three times (counts, hash-cut, short-group
         # fallback); persist so a non-trivial upstream (e.g. a language-id
         # projection) computes once
+        import os
+
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # size-adaptive bypass (r12 optimization, same decision shape as
+        # kmv_distinct / connected_components): the hash-cut protects a
+        # billion-row group's ranking reducer, but its count/threshold/
+        # fallback joins are pure overhead when the WHOLE input is
+        # small. One count on the just-persisted frame (paid anyway by
+        # the first prefilter consumer) routes small inputs straight to
+        # the window, which then ranks the same persisted rows —
+        # selection-identical by the existing prefilter contract.
+        local_rows = int(
+            os.environ.get("XE_STRAT_LOCAL_ROWS") or 200_000
+        )
+        if df.count() <= local_rows:
+            w_small = Window.partitionBy(group_col).orderBy(
+                hkey.asc(), F.col(id_col).asc()
+            )
+            out = (
+                df.withColumn("sample_rank", F.row_number().over(w_small))
+                .filter(F.col("sample_rank") <= n_per_group)
+            )
+            out._xe_cached = df
+            return out
         counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
         frac = F.least(
             F.lit(1.0),
