@@ -16,6 +16,14 @@ interference is large in both directions — 96 query jobs leave enough
 GC/memory pressure to halve the probe, and the probe's 100M-row stages
 slow the first pandas-UDF queries after it by 5-10x. Two clean sessions
 measure the engine, not each other's garbage.
+
+r13 extends the same isolation to the query suite itself (VERDICT r12
+"What's wrong" #1): the Arrow-heavy media family left python-worker/GC
+residue that made 7 untouched queries read 25-52% "regressed" in the
+r12 driver comparison. The suite now runs as TWO subprocess batches —
+all non-media queries in one fresh JVM (declared order, the
+r11-comparable session), then the media family in its own JVM — with
+the per-batch timing methodology unchanged.
 """
 
 from __future__ import annotations
@@ -185,37 +193,57 @@ def run_mavg_probe(spark, reps: int) -> dict:
     }
 
 
-def main() -> None:
-    if os.environ.get("SPARK_GRAFT_PROBE_ONLY"):
-        print(json.dumps(run_probe_session()))
-        return
+# The Arrow-heavy media/codec family. r12's PERF mis-read 7 untouched
+# near-dup queries as 25-52% regressed because these queries run ahead
+# of them in one shared JVM and leave python-worker/GC residue that
+# clearCache() cannot drop (SCALE.md r12 addendum; VERDICT r12 "What's
+# wrong" #1). The suite therefore runs as TWO subprocess batches — the
+# non-media queries first in one fresh JVM (the r11-comparable
+# session), then this family in its own JVM — so residue cannot cross
+# the family boundary. Timing methodology inside a batch is unchanged.
+MEDIA_BATCH_PREFIXES = (
+    "image_", "audio_", "video_", "frame_", "multimodal_",
+)
+MEDIA_BATCH_NAMES = {"decompress"}
 
+
+def is_media_query(name: str) -> bool:
+    return (
+        name.startswith(MEDIA_BATCH_PREFIXES) or name in MEDIA_BATCH_NAMES
+    )
+
+
+# r7 protocol note: queries whose timings were stable across the
+# r4/r5/r6 driver benches (all three figures within a 1.5x band and
+# <1s spread) run min(reps, 2) — the rotation only grows the query
+# set, and a third rep of a 3-rounds-stable query buys nothing. New,
+# changed, or noisy queries keep the full rep count, and the stall
+# detector still adds reps to ANY query whose runs disagree.
+STABLE_QUERIES = {
+    "classify_stamp", "classify_toppercent", "corpus_curate",
+    "dedup_minhash_lsh_expr", "doc_fingerprint", "doc_fingerprint_expr",
+    "filter_hierarchy", "frame_fanout", "frame_sample", "fwm_func_key",
+    "geoip_lpm", "interval_join", "kmv_distinct", "length_quantiles",
+    "mo_pipeline", "multimodal_dims", "sim_lsh_topk", "sim_topk",
+    "simhash", "simhash_neardup_expr", "stratified_sample",
+    "time_rollup",
+}
+
+
+def time_queries(names: list[str]) -> dict:
+    """Time the named queries in THIS process (one Spark session,
+    bench methodology: warm-up, noop sink, median of reps, stall
+    detector, clearCache between queries). Returns {"timings": ...,
+    "mins": ..., "spreads": ...} with 3-decimal rounded seconds."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", 3)))
-    # r9 (VERDICT r8 #3): record host load so a loaded-host run is
-    # machine-distinguishable from a regression (r8 cost a round of
-    # median forensics). getloadavg is cheap and always available here.
-    load_before = [round(x, 2) for x in os.getloadavg()]
 
     import __spark_entry__ as entrymod
     from xenoeye_spark.session import get_spark
 
     spark = get_spark("xenoeye-bench")
     spark.sparkContext.setLogLevel("ERROR")
-
     qmap = entrymod.queries()
-    only = os.environ.get("SPARK_GRAFT_QUERIES")
-    if only:
-        keep = [q.strip() for q in only.split(",") if q.strip()]
-        unknown = [q for q in keep if q not in qmap]
-        if unknown:
-            # a typo would otherwise benchmark an empty set and print a
-            # plausible-looking headline of 0.0 sec
-            print(f"unknown queries in SPARK_GRAFT_QUERIES: {unknown}",
-                  file=sys.stderr)
-            raise SystemExit(2)
-        qmap = {k: v for k, v in qmap.items() if k in keep}
 
     # warm up the JVM + parquet footers + the Python/Arrow worker pool once
     # so per-query timings measure the query, not session bring-up (the
@@ -225,21 +253,7 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # r7 protocol note: queries whose timings were stable across the
-    # r4/r5/r6 driver benches (all three figures within a 1.5x band and
-    # <1s spread) run min(reps, 2) — the rotation only grows the query
-    # set, and a third rep of a 3-rounds-stable query buys nothing. New,
-    # changed, or noisy queries keep the full rep count, and the stall
-    # detector below still adds reps to ANY query whose runs disagree.
-    stable = {
-        "classify_stamp", "classify_toppercent", "corpus_curate",
-        "dedup_minhash_lsh_expr", "doc_fingerprint", "doc_fingerprint_expr",
-        "filter_hierarchy", "frame_fanout", "frame_sample", "fwm_func_key",
-        "geoip_lpm", "interval_join", "kmv_distinct", "length_quantiles",
-        "mo_pipeline", "multimodal_dims", "sim_lsh_topk", "sim_topk",
-        "simhash", "simhash_neardup_expr", "stratified_sample",
-        "time_rollup",
-    }
+    stable = STABLE_QUERIES
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
@@ -255,7 +269,8 @@ def main() -> None:
     def noisy(runs: list) -> bool:
         return max(runs) > 3 * min(runs) and max(runs) - min(runs) > 1.0
 
-    for name, fn in qmap.items():
+    for name in names:
+        fn = qmap[name]
         want = min(reps, 2) if name in stable else reps
         runs = []
         while len(runs) < want or (noisy(runs) and len(runs) < want + extra_reps):
@@ -273,16 +288,87 @@ def main() -> None:
         # later timings, and makes each query's median self-contained
         # (its own cache materialization included)
         spark.catalog.clearCache()
+    spark.stop()
+    return {"timings": timings, "mins": timings_min,
+            "spreads": timings_spread}
+
+
+def main() -> None:
+    if os.environ.get("SPARK_GRAFT_PROBE_ONLY"):
+        print(json.dumps(run_probe_session()))
+        return
+    if os.environ.get("SPARK_GRAFT_BATCH"):
+        # batch-worker mode: time exactly these queries in this process
+        # (the parent already applied any SPARK_GRAFT_QUERIES filter)
+        names = [
+            q for q in os.environ["SPARK_GRAFT_BATCH"].split(",") if q
+        ]
+        print(json.dumps(time_queries(names)))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", 3)))
+    # r9 (VERDICT r8 #3): record host load so a loaded-host run is
+    # machine-distinguishable from a regression (r8 cost a round of
+    # median forensics). getloadavg is cheap and always available here.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
+    import __spark_entry__ as entrymod
+
+    qnames = list(entrymod.queries())
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    if only:
+        keep = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = [q for q in keep if q not in qnames]
+        if unknown:
+            # a typo would otherwise benchmark an empty set and print a
+            # plausible-looking headline of 0.0 sec
+            print(f"unknown queries in SPARK_GRAFT_QUERIES: {unknown}",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        qnames = [q for q in qnames if q in keep]
+
+    # r13 (VERDICT r12 #1): the suite runs as subprocess batches so the
+    # Arrow-heavy media family cannot pollute the other queries'
+    # timings through shared python-worker/GC state. Declared order is
+    # preserved within each batch; media runs last.
+    batches = [
+        ("main", [q for q in qnames if not is_media_query(q)]),
+        ("media", [q for q in qnames if is_media_query(q)]),
+    ]
+    timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    timings_spread: dict[str, float] = {}
+    batch_mode = "subprocess"
+    for _bname, bnames in batches:
+        if not bnames:
+            continue
+        part: dict = {}
+        try:
+            env = dict(os.environ, SPARK_GRAFT_BATCH=",".join(bnames))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            part = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            # inline fallback keeps the bench alive if subprocess
+            # spawning fails for any environmental reason; the stamp
+            # below makes the degraded isolation visible
+            batch_mode = "inline"
+            part = time_queries(bnames)
+        timings.update(part["timings"])
+        timings_min.update(part["mins"])
+        timings_spread.update(part["spreads"])
 
     total = round(sum(timings.values()), 3)
     total_min = round(sum(timings_min.values()), 3)
 
-    # probe in a fresh JVM (see module docstring). The query-suite JVM is
-    # stopped FIRST — a resident multi-GB parent heap contending with the
-    # probe's 100M-row stages would reintroduce the very interference the
-    # isolation exists to remove. Falls back in-process if the subprocess
-    # fails for any environmental reason.
-    spark.stop()
+    # probe in a fresh JVM (see module docstring): query-suite JVMs have
+    # all exited before the probe spawns, so its 100M-row stages run
+    # free of suite heap/GC interference. Falls back in-process if the
+    # subprocess fails for any environmental reason.
     probe: dict = {}
     probe_mode = "subprocess"
     try:
@@ -293,9 +379,9 @@ def main() -> None:
         )
         probe = json.loads(out.stdout.strip().splitlines()[-1])
     except Exception:
-        # inline fallback shares the parent process with the suite's
-        # GC/memory leftovers — the stamp below makes that visible
-        # instead of silently polluting the headline number
+        # inline fallback runs the probe in the parent process — the
+        # stamp below makes that visible instead of silently polluting
+        # the headline number
         probe_mode = "inline"
         probe = run_probe_session()
 
@@ -342,6 +428,9 @@ def main() -> None:
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "noisy": noisy_run,
         "noisy_queries": flagged,
+        "batch_mode": batch_mode,
+        "batches": {b: len(n) for b, n in batches},
+        "reps_trimmed": sorted(STABLE_QUERIES),
         "probe": probe,
         "protocol": (
             "r7: 3-round-stable queries run min(reps,2); stall detector "
@@ -352,9 +441,14 @@ def main() -> None:
             "machine-distinguishable from regressions. r10: the "
             "headline line also carries noisy_queries (top-3 "
             "spread-flagged names) so per-query outliers are "
-            "attributable without opening this sidecar."
+            "attributable without opening this sidecar. r13: the suite "
+            "runs as two subprocess batches (non-media, then the "
+            "Arrow-heavy media family) so media python-worker/GC "
+            "residue cannot pollute other queries' timings (VERDICT "
+            "r12 #1); per-batch methodology is unchanged. The headline "
+            "line carries compact JSON and only the probe's headline "
+            "figures; min/max/note fields live here."
         ),
-        "reps_trimmed": sorted(stable),
     }
     try:
         here = os.path.dirname(os.path.abspath(__file__))
@@ -447,7 +541,21 @@ def build_final_line(
     cost keeps the informative entries on the line — the omitted tail
     is sub-second queries whose sum is in the headline anyway.
     ``noisy_queries`` (r10) names the top spread-flagged queries so the
-    headline alone attributes per-query outliers to host load."""
+    headline alone attributes per-query outliers to host load.
+
+    r13 (VERDICT r12 #1): the line is rendered with compact JSON
+    separators and carries only the probe's HEADLINE figures
+    (flows_per_sec, flows_per_sec_per_core, mavg_flows_per_sec, noisy)
+    — the prose notes and min/max spreads moved to the sidecar +
+    stderr, freeing ~400 bytes so ~20 more per-query entries fit and
+    queries stop reading as dropped when new ones join the set."""
+
+    line_probe = {
+        k: probe[k]
+        for k in ("flows_per_sec", "flows_per_sec_per_core",
+                  "mavg_flows_per_sec", "noisy")
+        if k in probe
+    }
 
     def render(qmap: dict, omitted: int) -> str:
         shown = dict(qmap)
@@ -461,11 +569,11 @@ def build_final_line(
             "reps": reps,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "probe_mode": probe_mode,
-            **probe,
+            **line_probe,
         }
         if noisy_queries is not None:
             out["noisy_queries"] = noisy_queries[:3]
-        return json.dumps(out)
+        return json.dumps(out, separators=(",", ":"))
 
     by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     keep = {k: round(v, 2) for k, v in by_cost}

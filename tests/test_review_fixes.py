@@ -838,3 +838,56 @@ def test_round_sidecar_write_guards(tmp_path):
     assert not should_write_round_sidecar(
         here, 10, environ={"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"}
     )
+
+
+def test_bench_batch_partition_and_slim_line():
+    """r13 (VERDICT r12 #1): the suite runs as two subprocess batches —
+    is_media_query must partition the declared query set cleanly (the
+    parent unions the parts, so a query claimed by both or neither
+    would double-time or vanish), and the slimmed headline line must
+    carry MORE per-query entries than the r12 rendering so queries
+    stop reading as dropped_from_bench when new ones join. The full
+    probe detail stays in the sidecar (asserted by the keys the line
+    is allowed to carry)."""
+    import json
+
+    import __spark_entry__ as entrymod
+    from bench import (
+        FINAL_LINE_MAX_BYTES, build_final_line, is_media_query,
+    )
+
+    names = list(entrymod.queries())
+    media = [n for n in names if is_media_query(n)]
+    main = [n for n in names if not is_media_query(n)]
+    assert set(media) | set(main) == set(names)
+    assert not set(media) & set(main)
+    # the r12 polluters are all in the isolated batch
+    assert {"image_phash", "image_phash_neardup",
+            "audio_fingerprint"} <= set(media)
+
+    timings = {n: 0.4 + (i % 37) * 0.11 for i, n in enumerate(names)}
+    probe = {
+        "flows_per_sec": 99_999_999, "flows_per_sec_min": 1,
+        "flows_per_sec_max": 99_999_999,
+        "flows_per_sec_per_core": 9_999_999,
+        "flows_per_sec_note": "x" * 120,
+        "mavg_flows_per_sec": 9_999_999,
+        "mavg_flows_per_sec_min": 1, "mavg_flows_per_sec_max": 9_999_999,
+        "mavg_note": "x" * 60, "noisy": True,
+    }
+    line = build_final_line(timings, 99.9, 3, "0.1", "subprocess",
+                            probe, ["a", "b", "c"])
+    assert len(line.encode()) <= FINAL_LINE_MAX_BYTES
+    parsed = json.loads(line)
+    # prose/min-max probe fields are sidecar-only now
+    assert "flows_per_sec_note" not in parsed
+    assert "flows_per_sec_min" not in parsed
+    assert "mavg_note" not in parsed
+    # headline figures still ride the line
+    assert parsed["flows_per_sec"] == 99_999_999
+    assert parsed["mavg_flows_per_sec"] == 9_999_999
+    shown = [k for k in parsed["queries"] if not k.startswith("_")]
+    # r12's rendering fit ~57 entries; the slim line must beat it by
+    # the ~16 VERDICT estimated (>= 75 guards the gain without pinning
+    # an exact byte layout)
+    assert len(shown) >= 75
