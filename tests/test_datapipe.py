@@ -500,13 +500,23 @@ def test_stratified_sample_small_group_keeps_all(spark):
     assert len(out) == 3
 
 
-def test_stratified_sample_prefilter_identical(spark):
+def test_stratified_sample_prefilter_identical(spark, monkeypatch):
+    """XE_STRAT_LOCAL_ROWS=0 pins the REAL prefilter path (r13, ADVICE
+    r12): without it the r12 bypass routes every test-sized input to
+    the plain window and the hash-cut/short-fallback machinery — the
+    scale path — would go unexercised. The bypass arm (default env)
+    must match too."""
     from xenoeye_spark.datapipe.sampling import stratified_sample
 
     df = spark.createDataFrame(
         [(i, "g%d" % (i % 2)) for i in range(1000)], "doc_id long, grp string"
     )
     plain = {(r["grp"], r["doc_id"]) for r in stratified_sample(df, "grp", 10).collect()}
+    bypass = {
+        (r["grp"], r["doc_id"])
+        for r in stratified_sample(df, "grp", 10, prefilter_factor=4).collect()
+    }
+    monkeypatch.setenv("XE_STRAT_LOCAL_ROWS", "0")
     pre = {
         (r["grp"], r["doc_id"])
         for r in stratified_sample(df, "grp", 10, prefilter_factor=4).collect()
@@ -517,7 +527,11 @@ def test_stratified_sample_prefilter_identical(spark):
         (r["grp"], r["doc_id"])
         for r in stratified_sample(df, "grp", 10, prefilter_factor=1).collect()
     }
-    assert plain == pre == tight
+    assert plain == pre == tight == bypass
+    # the output schema (column order) is input columns + sample_rank
+    # on BOTH paths — the r13 fold's equi-join must not reorder
+    out = stratified_sample(df, "grp", 10, prefilter_factor=4)
+    assert out.columns == ["doc_id", "grp", "sample_rank"]
 
 
 def test_connected_components_property(spark):

@@ -453,11 +453,15 @@ def test_cc_rejects_string_ids(spark):
         pass
 
 
-def test_stratified_prefilter_samples_null_group(spark):
+def test_stratified_prefilter_samples_null_group(spark, monkeypatch):
     from pyspark.sql import Row as R
 
     from xenoeye_spark.datapipe.sampling import stratified_sample
 
+    # pin the REAL prefilter path (r13, ADVICE r12) — the default env
+    # would route this test-sized input to the bypass and leave the
+    # NULL-group re-admit unexercised
+    monkeypatch.setenv("XE_STRAT_LOCAL_ROWS", "0")
     rows = [R(doc_id=i, g="x") for i in range(30)] + [
         R(doc_id=100 + i, g=None) for i in range(10)
     ]
@@ -891,3 +895,26 @@ def test_bench_batch_partition_and_slim_line():
     # the ~16 VERDICT estimated (>= 75 guards the gain without pinning
     # an exact byte layout)
     assert len(shown) >= 75
+
+
+def test_env_int_helper(monkeypatch):
+    """r13 (ADVICE r12): malformed env knobs raise naming the variable;
+    unset or empty falls back to the default (empty == unset is the
+    d792618 contract)."""
+    import pytest as _pytest
+
+    from xenoeye_spark.datapipe.util import env_int
+
+    monkeypatch.delenv("XE_TEST_KNOB", raising=False)
+    assert env_int("XE_TEST_KNOB", 7) == 7
+    monkeypatch.setenv("XE_TEST_KNOB", "")
+    assert env_int("XE_TEST_KNOB", 7) == 7
+    monkeypatch.setenv("XE_TEST_KNOB", "  ")
+    assert env_int("XE_TEST_KNOB", 7) == 7
+    monkeypatch.setenv("XE_TEST_KNOB", "42")
+    assert env_int("XE_TEST_KNOB", 7) == 42
+    monkeypatch.setenv("XE_TEST_KNOB", "0")
+    assert env_int("XE_TEST_KNOB", 7) == 0
+    monkeypatch.setenv("XE_TEST_KNOB", "nope")
+    with _pytest.raises(ValueError, match="XE_TEST_KNOB"):
+        env_int("XE_TEST_KNOB", 7)

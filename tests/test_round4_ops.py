@@ -262,11 +262,17 @@ def test_kmv_estimate_formula_and_accuracy(spark):
     assert abs(r.kmv_estimate - len(hashes)) / len(hashes) < 3 / math.sqrt(k)
 
 
-def test_kmv_prefilter_matches_plain(spark):
+def test_kmv_prefilter_matches_plain(spark, monkeypatch):
     """The r5 coarse-threshold prefilter is selection-exact: output equals
     the single-window plan on a fixture that exercises every path — a big
     group the cut actually prunes, a short group the fallback re-admits
-    in full, an under-full group (estimate = exact), and a NULL group."""
+    in full, an under-full group (estimate = exact), and a NULL group.
+
+    XE_KMV_LOCAL_ROWS=0 pins the REAL prefilter path (r13, ADVICE r12):
+    without it the r12 size-adaptive bypass routes every test-sized
+    input to the plain plan and the hash-cut/short-fallback machinery —
+    the scale path — would go unexercised. A third arm runs the bypass
+    (default env) and must match too."""
     rows = []
     # big group: 100 docs x 30 distinct tokens >> k=16
     words = [f"w{i}x" for i in range(3000)]
@@ -280,13 +286,20 @@ def test_kmv_prefilter_matches_plain(spark):
     rows += [Row(doc_id=3000, src=None, text="n1 n2 n3 " + " ".join(f"q{i}" for i in range(40)))]
     docs = spark.createDataFrame(rows)
 
-    plain = kmv_distinct(docs, "src", k=16, prefilter_factor=None)
-    pref = kmv_distinct(docs, "src", k=16, prefilter_factor=2)
     key = lambda r: (r.src or "", r.n_distinct_exact, r.kmv_k, r.kmv_estimate)
+    plain = kmv_distinct(docs, "src", k=16, prefilter_factor=None)
     got_plain = sorted(map(key, plain.collect()))
+
+    bypass = kmv_distinct(docs, "src", k=16, prefilter_factor=2)
+    got_bypass = sorted(map(key, bypass.collect()))
+    bypass._xe_cached.unpersist()
+
+    monkeypatch.setenv("XE_KMV_LOCAL_ROWS", "0")
+    pref = kmv_distinct(docs, "src", k=16, prefilter_factor=2)
     got_pref = sorted(map(key, pref.collect()))
     pref._xe_cached.unpersist()
-    assert got_pref == got_plain
+
+    assert got_pref == got_plain == got_bypass
     assert len(got_pref) == 4
 
 

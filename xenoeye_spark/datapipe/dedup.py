@@ -297,33 +297,54 @@ def ngram_jaccard_pairs(
             .groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
         )
         from pyspark import StorageLevel
+        from pyspark.sql import Window
 
-        ordered = (
+        # r13 (guide §2.3 "shuffle fewer bytes" / §1.2 per-task work):
+        # materialize the prefix POSTINGS directly — (_id, _sz, _p,
+        # _tok), one row per prefix entry — instead of the old
+        # per-doc ordered ARRAY table that each join side re-sliced and
+        # re-posexploded. The row_number window reproduces the
+        # array_sort(collect_list(struct(_df, _tok))) order exactly
+        # ((_df, _tok) asc; total within a doc because _sh is
+        # distinct), and `_p < prefix_len` is the old slice(1, L).
+        # Both join sides are now plain column renames of ONE persisted
+        # table ~4x smaller than the array form (prefix entries only),
+        # and the 2x slice+transform+posexplode per-side work is gone.
+        # The decimal-literal ceil() is kept verbatim from the old
+        # slice expression: Spark parses 0.35 as DECIMAL, and a
+        # double-typed threshold could flip ceil() at exact-integer
+        # products, shortening a prefix and silently dropping a true
+        # pair.
+        prefix_len = F.expr(
+            f"greatest(_sz - cast(ceil({threshold} * _sz) as int) + 1, 1)"
+        )
+        w_doc = Window.partitionBy("_id").orderBy("_df", "_tok")
+        pre = (
             sh.select("_id", "_sz", F.explode("_sh").alias("_tok"))
             .join(tok_df, "_tok")
-            .groupBy("_id", "_sz")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("_df", "_tok"))
-                ).alias("_ord")
-            )
-            # consumed by BOTH prefix sides of the self-join below; without
-            # the persist each side re-runs the explode+DF-join+collect_list
+            .withColumn("_p", F.row_number().over(w_doc) - 1)
+            # df >= 2: a token appearing in exactly ONE doc corpus-wide
+            # can never match across the self-join (and a doc's own
+            # shingles are distinct, so it cannot self-pair) — dropping
+            # its postings changes no candidate. Prunes ~0.1% on the
+            # templated gate corpus but is the dominant cut on a real
+            # crawl, where most shingles are unique (their df-ordered
+            # rarest-first position puts them INTO prefixes).
+            .filter((F.col("_p") < prefix_len) & (F.col("_df") >= 2))
+            .select("_id", "_sz", "_p", "_tok")
+            # consumed by BOTH sides of the self-join below; without the
+            # persist each side re-runs the explode+DF-join+window
             # lineage (the exchange isn't reused across the differing
-            # aliases). O(docs) rows of id + ordered shingle structs.
+            # aliases). O(prefix entries) rows of 4 narrow columns.
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        prefix = F.expr(
-            f"slice(transform(_ord, s -> s._tok), 1, "
-            f"greatest(_sz - cast(ceil({threshold} * _sz) as int) + 1, 1))"
-        )
-        pa = ordered.select(
+        pa = pre.select(
             F.col("_id").alias("id_a"), F.col("_sz").alias("_psz_a"),
-            F.posexplode(prefix).alias("_pa", "_tok"),
+            F.col("_p").alias("_pa"), "_tok",
         )
-        pb = ordered.select(
+        pb = pre.select(
             F.col("_id").alias("id_b"), F.col("_sz").alias("_psz_b"),
-            F.posexplode(prefix).alias("_pb", "_tok"),
+            F.col("_p").alias("_pb"), "_tok",
         )
         # positional filter (ppjoin): J >= t requires overlap
         # alpha = ceil(t/(1+t) * (|a|+|b|)); for the pair's FIRST shared

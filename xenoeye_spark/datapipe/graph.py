@@ -19,7 +19,7 @@ only compares two scalar convergence signatures per round.
 
 from __future__ import annotations
 
-import os
+
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
@@ -185,9 +185,9 @@ def connected_components(
     # convergence jobs. Same output contract, including the "every node
     # appears, minima map to themselves" rule; equivalence is pinned by
     # tests against the star path on the same graphs.
-    local_cut = int(
-        os.environ.get("XE_CC_LOCAL_EDGES") or CC_LOCAL_EDGES_DEFAULT
-    )
+    from xenoeye_spark.datapipe.util import env_int
+
+    local_cut = env_int("XE_CC_LOCAL_EDGES", CC_LOCAL_EDGES_DEFAULT)
     if n_edges <= local_cut:
         # coalesce, not repartition: the checkpointed blocks merge into
         # one task with no shuffle write/read at all

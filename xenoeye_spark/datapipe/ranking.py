@@ -277,57 +277,75 @@ def kmv_distinct(
     if prefilter_factor is None or prefilter_factor <= 0:
         return _plain(hashed)
 
-    import os
-
     from pyspark import StorageLevel
 
+    from xenoeye_spark.datapipe.util import env_int
+
     hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    # per-group distinct-hash counts: the prefilter's broadcast table,
+    # and (r13, VERDICT r12 #5) the source of the bypass total — the
+    # old separate hashed.count() routing job was one extra full pass
+    # over the persisted table, which at 100 TB is the corpus's whole
+    # distinct vocabulary. summing the tiny per-group table costs one
+    # rows-bounded-by-|groups| aggregate instead.
+    counts = hashed.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
     # size-adaptive prefilter bypass (r12 optimization, the CC fast-path
     # decision shape): the prefilter exists so a web-scale group's
     # distinct vocabulary never sorts on one ranking reducer, but its
     # broadcast/threshold/fallback machinery is ~2s of pure overhead
     # when the whole distinct-hash table is small (the gate corpus: 620
-    # rows). One count on the about-to-be-persisted table (a job the
-    # first prefilter consumer would pay anyway) routes small tables to
-    # the proven-identical single-window plan. Bound tunable via
-    # XE_KMV_LOCAL_ROWS; selection equivalence is the existing
-    # test_kmv_prefilter_matches_plain contract.
-    local_rows = int(os.environ.get("XE_KMV_LOCAL_ROWS") or 200_000)
-    if hashed.count() <= local_rows:
+    # rows). Bound tunable via XE_KMV_LOCAL_ROWS; selection equivalence
+    # is the existing test_kmv_prefilter_matches_plain contract.
+    local_rows = env_int("XE_KMV_LOCAL_ROWS", 200_000)
+    total_row = counts.agg(F.sum("_gn").alias("_t")).first()
+    if int(total_row["_t"] or 0) <= local_rows:
         out = _plain(hashed)
         out._xe_cached = hashed
         return out
-    counts = hashed.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
-    frac = F.least(
-        F.lit(1.0), F.lit(float(prefilter_factor * k)) / F.col("_gn")
-    )
-    pruned = (
-        hashed.join(F.broadcast(counts), group_col)
-        .filter(F.col("_h") < (frac * KMV_P).cast("long"))
-        .drop("_gn")
-    )
-    kept = pruned.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kn"))
-    # groups the coarse cut left short of min(k, n) re-enter in full;
-    # start from counts so a group whose every hash was cut (absent
-    # from `kept`) is still caught
-    short = (
-        counts.join(kept, group_col, "left")
-        .filter(
-            F.coalesce(F.col("_kn"), F.lit(0))
-            < F.least(F.lit(k).cast("long"), F.col("_gn"))
+    cut = (
+        F.least(
+            F.lit(1.0), F.lit(float(prefilter_factor * k)) / F.col("_gn")
         )
-        .select(group_col)
+        * KMV_P
+    ).cast("long")
+    # r13 fold (VERDICT r12 #3): the old kept/short machinery scanned
+    # the persisted table four times (counts; kept over the pruned
+    # join; anti-join of pruned; semi-join of hashed) with two
+    # broadcast-of-`short` joins and a union. One conditional
+    # aggregation over the counts-joined table yields each group's
+    # survivor count directly, and ONE broadcast join + filter selects
+    # the same base rows: every hash of a short or NULL group, the
+    # below-cut hashes of everyone else. Selection-identical by
+    # construction (same cut expression, same short rule
+    # survivors < min(k, n)); pinned by the prefilter-equivalence
+    # tests, which force this path via XE_KMV_LOCAL_ROWS=0.
+    meta = (
+        hashed.join(F.broadcast(counts), group_col)
+        .groupBy(group_col, "_gn")
+        .agg(
+            F.count(F.when(F.col("_h") < cut, F.lit(1))).alias("_kn")
+        )
+        .select(
+            group_col, "_gn",
+            (
+                F.col("_kn")
+                < F.least(F.lit(k).cast("long"), F.col("_gn"))
+            ).alias("_short"),
+        )
     )
     base = (
-        pruned.join(F.broadcast(short), group_col, "left_anti")
-        .unionByName(
-            hashed.join(F.broadcast(short), group_col, "left_semi")
+        # LEFT join: NULL-group rows match nothing (meta has no NULL
+        # row — its build join is an equi-join) and survive with
+        # _short/_gn NULL; the isNull disjunct re-admits them in full,
+        # exactly the old union branch.
+        hashed.join(F.broadcast(meta), group_col, "left")
+        .filter(
+            F.col(group_col).isNull()
+            | F.col("_short")
+            | (F.col("_h") < cut)
         )
+        .select(group_col, "_h")
     )
-    # NULL-group rows fall through every equi-join above; the plain
-    # window path sketches the NULL group like any other, so re-admit
-    # its hashes in full to stay selection-identical
-    base = base.unionByName(hashed.filter(F.col(group_col).isNull()))
 
     ranked = base.select(
         group_col, "_h", F.row_number().over(w_all).alias("_r")

@@ -83,24 +83,26 @@ def stratified_sample(
     if prefilter_factor is not None and prefilter_factor > 0:
         from pyspark import StorageLevel
 
-        # the prefilter reads df three times (counts, hash-cut, short-group
-        # fallback); persist so a non-trivial upstream (e.g. a language-id
-        # projection) computes once
-        import os
+        # the prefilter reads df three times (counts, survivor counts,
+        # hash-cut); persist so a non-trivial upstream (e.g. a
+        # language-id projection) computes once
+        from xenoeye_spark.datapipe.util import env_int
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # per-group counts: the prefilter's broadcast table, and (r13,
+        # VERDICT r12 #5) the source of the bypass total — the old
+        # separate df.count() routing job was one extra full pass over
+        # the persisted frame; summing the tiny per-group table costs
+        # one rows-bounded-by-|groups| aggregate instead.
+        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
         # size-adaptive bypass (r12 optimization, same decision shape as
         # kmv_distinct / connected_components): the hash-cut protects a
         # billion-row group's ranking reducer, but its count/threshold/
         # fallback joins are pure overhead when the WHOLE input is
-        # small. One count on the just-persisted frame (paid anyway by
-        # the first prefilter consumer) routes small inputs straight to
-        # the window, which then ranks the same persisted rows —
-        # selection-identical by the existing prefilter contract.
-        local_rows = int(
-            os.environ.get("XE_STRAT_LOCAL_ROWS") or 200_000
-        )
-        if df.count() <= local_rows:
+        # small. Selection-identical by the existing prefilter contract.
+        local_rows = env_int("XE_STRAT_LOCAL_ROWS", 200_000)
+        total_row = counts.agg(F.sum("_gn").alias("_t")).first()
+        if int(total_row["_t"] or 0) <= local_rows:
             w_small = Window.partitionBy(group_col).orderBy(
                 hkey.asc(), F.col(id_col).asc()
             )
@@ -110,38 +112,53 @@ def stratified_sample(
             )
             out._xe_cached = df
             return out
-        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
-        frac = F.least(
-            F.lit(1.0),
-            F.lit(float(prefilter_factor * n_per_group)) / F.col("_gn"),
-        )
-        pruned = (
-            df.join(F.broadcast(counts), group_col)
-            .filter(hkey < (frac * _P31).cast("long"))
-        )
-        kept = pruned.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kn"))
-        # groups the hash-cut left short of quota re-enter in full; start
-        # from counts (not kept) so a group whose every row was cut —
-        # absent from `kept` entirely — is still caught
-        short = (
-            counts.join(kept, group_col, "left")
-            .filter(
-                F.coalesce(F.col("_kn"), F.lit(0))
-                < F.least(F.lit(n_per_group).cast("long"), F.col("_gn"))
+        cut = (
+            F.least(
+                F.lit(1.0),
+                F.lit(float(prefilter_factor * n_per_group)) / F.col("_gn"),
             )
-            .select(group_col)
+            * _P31
+        ).cast("long")
+        # r13 fold (VERDICT r12 #3, the kmv_distinct shape): the old
+        # kept/short machinery scanned the persisted frame four times
+        # (counts; kept over the pruned join; anti-join of pruned;
+        # semi-join of df) with two broadcast-of-`short` joins and a
+        # union. One conditional aggregation over the counts-joined
+        # frame counts each group's hash-cut survivors, and ONE
+        # broadcast join + filter selects the same base rows: every
+        # row of a short or NULL group, the below-cut rows of everyone
+        # else. Pinned by the prefilter-equivalence tests, which force
+        # this path via XE_STRAT_LOCAL_ROWS=0.
+        meta = (
+            df.join(F.broadcast(counts), group_col)
+            .groupBy(group_col, "_gn")
+            .agg(F.count(F.when(hkey < cut, F.lit(1))).alias("_kn"))
+            .select(
+                group_col, "_gn",
+                (
+                    F.col("_kn")
+                    < F.least(
+                        F.lit(n_per_group).cast("long"), F.col("_gn")
+                    )
+                ).alias("_short"),
+            )
         )
-        short_full = df.join(F.broadcast(short), group_col, "left_semi")
         base = (
-            pruned.drop("_gn")
-            .join(F.broadcast(short), group_col, "left_anti")
-            .unionByName(short_full)
+            # LEFT join: NULL-group rows match nothing (meta has no
+            # NULL row) and survive with _short/_gn NULL; the isNull
+            # disjunct re-admits them in full, exactly the old union
+            # branch.
+            df.join(F.broadcast(meta), group_col, "left")
+            .filter(
+                F.col(group_col).isNull()
+                | F.col("_short")
+                | (hkey < cut)
+            )
+            # the equi-join moved group_col to the front; restore the
+            # input column order (the output contract is "input columns
+            # + sample_rank")
+            .select(*df.columns)
         )
-        # NULL-group rows fall through every equi-join above (NULL keys
-        # match nothing), but the plain-window path samples the NULL
-        # group like any other — re-admit them in full so the prefilter
-        # stays selection-identical
-        base = base.unionByName(df.filter(F.col(group_col).isNull()))
     w = Window.partitionBy(group_col).orderBy(
         hkey.asc(), F.col(id_col).asc()
     )

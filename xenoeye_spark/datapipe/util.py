@@ -2,8 +2,26 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def env_int(name: str, default: int) -> int:
+    """Integer env-var knob (r13, ADVICE r12): unset or EMPTY falls back
+    to the default (an empty string means "unset" — the d792618
+    contract), any other non-integer value raises naming the variable
+    instead of a bare ValueError deep inside an operator."""
+    raw = os.environ.get(name)
+    if raw is None or raw.strip() == "":
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name} must be an integer, got {raw!r}"
+        ) from None
 
 # THE canonical whitespace tokenizer, in both Column and SQL-string form.
 # Every text operator (text.py, dedup.py, ranking.py) and every DuckDB
