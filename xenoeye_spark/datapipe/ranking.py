@@ -613,42 +613,21 @@ def bpe_train(
         )
         .localCheckpoint(eager=True)
     )
-    # right-size the round parallelism ONCE (r12 optimization): the
-    # vocab is corpus-size-independent (|distinct words|), and a small
-    # table spread over the session's default partitions pays ~32 tasks
-    # of scheduling per merge round for microseconds of work each.
-    # ~100k words/partition keeps a real 1M-word vocabulary parallel
-    # while a 10k-word one runs 1-task rounds. The count is one cheap
-    # job over the checkpointed blocks, made once — the same adaptive
-    # decision connected_components takes for its star rounds.
-    n_words = vocab.count()
-    spark = vocab.sparkSession
-    sc = spark.sparkContext
-    parts = max(1, min(sc.defaultParallelism, n_words // 100_000 + 1))
-    if parts < vocab.rdd.getNumPartitions():
-        vocab = vocab.coalesce(parts).localCheckpoint(eager=True)
-    merges: list[tuple[int, str, str, int]] = []
-    # AQE off for the merge-round micro-queries only (restored below):
-    # every round aggregates the corpus-size-INDEPENDENT vocab table,
-    # whose shuffle is a few thousand partially-aggregated pair rows —
-    # known small by construction, so AQE's per-stage re-optimization
-    # barrier is a pure driver round-trip per round. Measured at sf0.1:
-    # 12 rounds 3.2s -> 2.3s, merge table bit-identical. The corpus
-    # pass above (the only data-sized stage) ran under AQE already.
-    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        merges = _bpe_merge_rounds(
-            vocab, merges, n_merges, batch, min_count
-        )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-    return merges
+    # r13: the r12 "right-size parallelism + AQE off around the merge
+    # loop" change is REVERTED. Its same-session A/B had claimed
+    # 3.2s -> 2.3s, but the r12 driver bench measured the query 0.85x
+    # (2.19 -> 2.57s median), and two independent interleaved A/Bs this
+    # round reproduced the driver's verdict on this host (current
+    # 3.95/4.40s min vs reverted 3.54/3.78s, identical merge tables):
+    # the per-round coalesce checkpoint and the session-global AQE
+    # toggle (which also raced with any concurrent query on the shared
+    # session — ADVICE r12) cost more than the scheduling overhead they
+    # removed. The merge loop runs under the session's normal AQE.
+    return _bpe_merge_rounds(vocab, [], n_merges, batch, min_count)
 
 
 def _bpe_merge_rounds(vocab, merges, n_merges, batch, min_count):
-    """The sequential merge loop of ``bpe_train`` (split out so the
-    AQE toggle wraps exactly the loop)."""
+    """The sequential merge loop of ``bpe_train``."""
     while len(merges) < n_merges:
         budget = min(max(batch, 1), n_merges - len(merges))
         top = (
