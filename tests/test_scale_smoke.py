@@ -807,3 +807,34 @@ def test_source_rank_5m_rows_dominant_source(spark):
     ranked._xe_cached.unpersist(blocking=True)
     lvl = ranked._xe_cached.storageLevel
     assert not (lvl.useMemory or lvl.useDisk)
+
+
+def test_image_hash_neardup_flat_color_skew(spark):
+    """r13 skew guard (VERDICT r12 #6): 5k images sharing ONE hash (the
+    flat-color degenerate — every dHash gradient sign equal) plus 200
+    mutually-far hashes. The old shape put 5k rows into each of the
+    hot hash's 4 band buckets and the self-join emitted 4x the
+    quadratic candidate set for distinct() to collapse; the grouped
+    shape emits each same-hash pair exactly once from the sorted id
+    list. Completion within the suite timeout is the straggler
+    assertion (house rule, see module docstring); the count pins
+    exactness: C(5000,2) intra pairs, zero cross pairs (distinct
+    hashes differ in all 4 blocks, hamming >= 4)."""
+    from xenoeye_spark.datapipe.multimodal import image_hash_neardup
+
+    flat = spark.range(5_000).select(
+        F.col("id").alias("media_id"),
+        F.lit(0).cast("long").alias("dhash_hi"),
+        F.lit(0).cast("long").alias("dhash_lo"),
+    )
+    spread = spark.range(1, 201).select(
+        (F.col("id") + 10_000).alias("media_id"),
+        ((F.col("id") * 65536) + F.col("id")).cast("long").alias("dhash_hi"),
+        ((F.col("id") * 65536) + F.col("id")).cast("long").alias("dhash_lo"),
+    )
+    out = image_hash_neardup(flat.unionByName(spread), radius=3)
+    n = out.count()
+    cached = getattr(out, "_xe_cached", None)
+    if cached is not None:
+        cached.unpersist()
+    assert n == 5_000 * 4_999 // 2

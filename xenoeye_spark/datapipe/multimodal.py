@@ -362,23 +362,72 @@ def image_hash_neardup(
             f"radius {radius} > 3 breaks the 4-band pigeonhole "
             "guarantee (bits would need >= radius+1 bands)"
         )
+    from pyspark import StorageLevel
+
     mask = (1 << 16) - 1
-    fp = hashes.select(
+    # r13 restructure (guide §2.3 compute-once + §2.5 skew):
+    # 1. The self-join's two sides each re-ran the WHOLE upstream
+    #    lineage — for the phash query that is the full decode+hash
+    #    mapInPandas pipeline, executed twice (plan-verified: two
+    #    MapInPandas chains, one under the BroadcastExchange). Grouping
+    #    by the full hash value into ONE persisted table runs the
+    #    upstream once.
+    # 2. The degenerate-skew case — many images sharing a hash (flat
+    #    colors all hash identically) — previously exploded inside the
+    #    banded join: a g-image hash value put g rows into each of its
+    #    4 (band, block) buckets and the join emitted 4*g^2/2 candidate
+    #    rows for the distinct to collapse. Now the banded join runs
+    #    over DISTINCT hash values only, and same-hash pairs (hamming
+    #    0, always within radius) are emitted directly from the sorted
+    #    id list — pair-count-bounded output, no join blowup, no
+    #    distinct. Images sharing a BLOCK but not the full hash remain
+    #    the banding's documented skew gate, as in LSH.
+    # NULL halves never pair (the old join dropped them via NULL
+    # block keys / NULL hamming); excluded up front.
+    base = hashes.select(
         F.col(id_col).alias("_id"), F.col(hi_col).alias("_hi"),
         F.col(lo_col).alias("_lo"),
+    ).filter(F.col("_hi").isNotNull() & F.col("_lo").isNotNull())
+    groups = (
+        base.groupBy("_hi", "_lo")
+        .agg(
+            F.sort_array(F.collect_list("_id")).alias("_ids"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # same-hash pairs: ids sorted, so (ids[i], ids[j>i]) is already
+    # (id_a < id_b); the tail-slice explode streams the pairs out of
+    # the Generate without materializing the quadratic set in memory
+    intra = (
+        groups.filter(F.col("_n") >= 2)
+        .select(F.posexplode("_ids").alias("_i", "id_a"), "_ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.expr("slice(_ids, _i + 2, size(_ids))")
+            ).alias("id_b"),
+        )
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    fph = groups.select(
+        "_hi", "_lo",
         F.posexplode(F.array(
-            F.shiftrightunsigned(F.col(hi_col), 16).bitwiseAND(F.lit(mask)),
-            F.col(hi_col).bitwiseAND(F.lit(mask)),
-            F.shiftrightunsigned(F.col(lo_col), 16).bitwiseAND(F.lit(mask)),
-            F.col(lo_col).bitwiseAND(F.lit(mask)),
+            F.shiftrightunsigned(F.col("_hi"), 16).bitwiseAND(F.lit(mask)),
+            F.col("_hi").bitwiseAND(F.lit(mask)),
+            F.shiftrightunsigned(F.col("_lo"), 16).bitwiseAND(F.lit(mask)),
+            F.col("_lo").bitwiseAND(F.lit(mask)),
         )).alias("_band", "_block"),
     )
-    a, b = fp.alias("a"), fp.alias("b")
+    a, b = fph.alias("a"), fph.alias("b")
+    hash_lt = (F.col("a._hi") < F.col("b._hi")) | (
+        (F.col("a._hi") == F.col("b._hi"))
+        & (F.col("a._lo") < F.col("b._lo"))
+    )
     cand = (
         a.join(b, ["_band", "_block"])
-        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(hash_lt)
         .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
             F.col("a._hi").alias("_ha"), F.col("a._lo").alias("_la"),
             F.col("b._hi").alias("_hb"), F.col("b._lo").alias("_lb"),
         )
@@ -388,10 +437,35 @@ def image_hash_neardup(
         F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
         + F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
     )
-    return (
-        cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= radius)
+    near = cand.select(
+        "_ha", "_la", "_hb", "_lb", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= radius)
+    ga = groups.select(
+        F.col("_hi").alias("_ha"), F.col("_lo").alias("_la"),
+        F.col("_ids").alias("_ids_a"),
     )
+    gb = groups.select(
+        F.col("_hi").alias("_hb"), F.col("_lo").alias("_lb"),
+        F.col("_ids").alias("_ids_b"),
+    )
+    cross = (
+        near.join(ga, ["_ha", "_la"])
+        .join(gb, ["_hb", "_lb"])
+        .select(
+            F.explode("_ids_a").alias("_xa"), "_ids_b", "hamming"
+        )
+        .select("_xa", F.explode("_ids_b").alias("_xb"), "hamming")
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "hamming",
+        )
+    )
+    out = cross.unionByName(intra)
+    # decode-once persist: callers in long-lived sessions release via
+    # result._xe_cached.unpersist()
+    out._xe_cached = groups
+    return out
 
 
 AUDIO_FP_SCHEMA = T.StructType([
