@@ -1098,20 +1098,31 @@ def incremental_dedup(
         .select("id_new", "id_old", jac.alias("_jac"))
         .filter(F.col("_jac") >= F.lit(threshold))
     )
-    # best corpus match per new doc: TWO mergeable aggregates (no
-    # window — a viral near-dup class collapses map-side): first the
-    # max jaccard per doc, then the MIN id among its exact-tie rows
-    # (same rational -> bit-identical doubles, so equality is exact).
-    # An arithmetic-negation tiebreak inside max_by would break for
-    # non-numeric id columns; this form orders ids by their own type.
-    top = verified.groupBy("id_new").agg(F.max("_jac").alias("_jmax"))
+    # best corpus match per new doc: ONE mergeable struct-min aggregate
+    # (no window — a viral near-dup class collapses map-side). min over
+    # (-jaccard, id_old) picks the max jaccard and breaks exact ties to
+    # the smallest corpus id, with id_old ordered by its OWN type (only
+    # the always-numeric jaccard is negated, so non-numeric id columns
+    # still work — the constraint that previously forced a two-step
+    # max + tie-break join). r13 (guide §2.3): the two-step form ran
+    # the whole candidate+verify pipeline TWICE — `verified` fed both
+    # the max aggregate and the join back — which the plan showed as a
+    # duplicated banded-join/distinct/verify subtree.
     best = (
-        verified.join(top, "id_new")
-        .filter(F.col("_jac") == F.col("_jmax"))
-        .groupBy("id_new")
+        verified.groupBy("id_new")
         .agg(
-            F.min("id_old").alias("dup_of"),
-            F.round(F.max("_jac"), 6).alias("jaccard"),
+            F.min(
+                F.struct(
+                    (-F.col("_jac")).alias("_nj"),
+                    F.col("id_old").alias("dup_of"),
+                    F.col("_jac").alias("_j"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "id_new",
+            F.col("_b.dup_of").alias("dup_of"),
+            F.round(F.col("_b._j"), 6).alias("jaccard"),
         )
     )
     return (
