@@ -127,7 +127,14 @@ def _bucket_udf(plane_sets: list):
         stacked = np.stack(per_table, axis=1)
         return pd.Series(list(stacked))
 
-    return buckets
+    # r13 (guide §4.4): the bucket column feeds equi-joins, whose
+    # implied isnotnull(bucket) the optimizer pushes below the
+    # projection — duplicating the ArrowEvalPython node so the matmul
+    # ran TWICE per side (plan-verified on sim_lsh_topk). The function
+    # is pure, but marking it non-deterministic stops the optimizer
+    # from re-evaluating it across the filter; callers apply it AFTER
+    # their own source filters, so no wanted pushdown is lost.
+    return buckets.asNondeterministic()
 
 
 def lsh_bucket_topk(
@@ -385,6 +392,14 @@ def ivf_topk(
         # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
         d = -2.0 * (m @ cent.T) + cent_sq[None, :]
         return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    # r13 (guide §4.4, the _bucket_udf fix): the _cell column feeds an
+    # equi-join whose implied isnotnull the optimizer pushed below the
+    # projection, duplicating the ArrowEvalPython node — the corpus
+    # cell-assignment matmul ran TWICE (plan-verified on sim_ivf /
+    # ann_recall / ivfpq_topk). Pure function; the marking only stops
+    # the optimizer's re-evaluation.
+    assign_cell = assign_cell.asNondeterministic()
 
     c = spread(corpus, min_bytes=_SPREAD_MIN_BYTES).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
@@ -1064,6 +1079,11 @@ def pq_encode(
             codes[:, s] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
+    # r13 (guide §4.4, the _bucket_udf fix): downstream null-filters /
+    # joins on the codes column otherwise duplicate the eval node —
+    # ivfpq_topk's plan showed the corpus encode matmul twice.
+    encode = encode.asNondeterministic()
+
     return emb.select(
         F.col(id_col),
         encode(F.col(vec_col).cast("array<double>")).alias("codes"),
@@ -1195,6 +1215,12 @@ def ivfpq_encode(
         return pd.DataFrame({
             "cell": cells.astype("int32"), "codes": list(codes),
         })
+
+    # r13 (guide §4.4, the _bucket_udf fix): the extracted _cell column
+    # feeds ivfpq_topk's equi-join; the pushed isnotnull duplicated the
+    # eval node and the whole assign+residual+code matmul ran TWICE
+    # over the corpus (plan-verified). Pure function.
+    encode = encode.asNondeterministic()
 
     enc = corpus.select(
         F.col(id_col),
