@@ -2077,9 +2077,15 @@ def q_ppl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 5 == 0)
     tr = docs.filter(F.col("doc_id") % 5 != 0)
+    # r13 (guide §2.3): quantile_bucket consumes its input twice (the
+    # per-group cuts aggregation, then the labeling join) and Spark
+    # re-executes the subtree per consumer — without the checkpoint the
+    # ENTIRE LM train+score pipeline ran twice (12 parquet scans in the
+    # executed plan, no runtime exchange reuse). The lazy checkpoint
+    # materializes the narrow per-doc scored table once.
     scored = bigram_lm_score(ev, tr, k=0.5).join(
         ev.select("doc_id", "lang"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     return quantile_bucket(scored, ["lang"], "lm_ppl").select(
         "doc_id", "lang", "lm_ppl", "bucket"
     )

@@ -475,6 +475,14 @@ def bigram_lm_score(
 
     tr_bg = bigrams(train_docs)
     c2 = tr_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    # r13 audit note: c1 has TWO consumers (the scoring join and the
+    # vocabulary-size aggregate) and Spark re-executes the unigram
+    # explode+aggregate per consumer. Sharing it via localCheckpoint
+    # and via persist were both A/B-measured at sf0.1 (1.51s old /
+    # 1.62s checkpoint / 1.53s persist min) — inside noise, and the
+    # RDD-backed checkpoint hides size statistics from AQE's broadcast
+    # decision for the scoring join. Left as-is; on a corpus where the
+    # unigram pass dominates, persist (which keeps stats) is the knob.
     c1 = (
         train_docs.select(F.explode(toks).alias("w1"))
         .groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
