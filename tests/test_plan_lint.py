@@ -223,42 +223,29 @@ def test_gate_rotation_schedule():
         assert evicted <= nxt, (
             f"r{rnd} pin evicted {evicted - nxt} past the next round"
         )
-    # r12 window (87 entries after the four r12 inserts at index 32
-    # — image_phash, image_phash_neardup, audio_fingerprint,
-    # bpe_steps; offset (6*33)%87 = 24, slice [24:57)): must prove
-    # the r9-proven due-r12 backlog at exactly its 3-round cycle
-    # bound — mixture_interleave..frame_fanout (shifted to [36:57)
-    # by the inserts) plus sim_lsh_topk, swapped to index 29 with
-    # char_entropy because the fourth insert's window shift would
-    # otherwise push it out at its bound — and the NEW r12 queries
-    # in their first round. chunk_docs..dsir_sample (24..31,
-    # r11-proven) pull in early by the modulus shift (harmless);
-    # char_entropy (r11-proven, due r14, now at slot 57) gates r13.
+    # r13 window (87-entry pool unchanged from r12; offset
+    # (7*33)%87 = 57, wrap slice [57:87)+[0:3)): must prove the
+    # r10-proven due-r13 backlog — emb_neardup_lsh..quantile_bucket,
+    # exactly the entries the r12 comment promised to the "r13 wrap
+    # window" — plus char_entropy (swapped to slot 57 in r12; due
+    # r14, gating a round early: harmless).
     win_now = set(names[:DRIVER_GATE_WINDOW])
-    r9_stale = {"mixture_interleave", "dedup_lines", "hash_classify",
-                "jsonl_ingest", "dedup_profile", "best_of_class",
-                "warc_ingest", "diverse_topk", "quantile_clip",
-                "mask_spans", "dedup_exact", "dedup_ngram_jaccard",
-                "text_stats", "text_langid", "sim_topk", "token_count",
-                "doc_fingerprint_expr", "emb_neardup", "sim_ivf_fixed",
-                "multimodal_dims", "frame_fanout", "sim_lsh_topk"}
-    assert r9_stale <= win_now
-    # NEW r12 queries: first round gates
-    assert {"bpe_steps", "image_phash", "image_phash_neardup",
-            "audio_fingerprint"} <= win_now
-    # nothing deferred out of the window has a proof gap beyond the
-    # cycle: the overflow holds only r11-proven entries (pool[0:32]
-    # minus the swapped-in sim_lsh_topk, plus char_entropy at its
-    # swapped slot and strip_common_lines — all due r14, covered by
-    # the r13/r14 windows) and r10-proven entries
-    # (emb_neardup_lsh..quantile_bucket, due r13, covered by the r12
-    # tail + the r13 wrap window [57:87)+[0:3))
-    overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
-    r11_proven = (set(pool[0:32]) - {"sim_lsh_topk"}
-                  | {"strip_common_lines", "char_entropy"})
     r10_proven = set(pool[pool.index("emb_neardup_lsh"):
                           pool.index("quantile_bucket") + 1])
-    assert overflow_now <= r11_proven | r10_proven
+    assert r10_proven | {"char_entropy"} <= win_now
+    # nothing deferred out of the window has a proof gap beyond the
+    # cycle: the overflow holds only r11-proven entries (pool[0:32]
+    # minus the r12-swapped sim_lsh_topk, plus strip_common_lines —
+    # due r14, covered by the r14 window) and r12-proven entries (the
+    # whole r12 driver window, including the four r12-new queries —
+    # due r15)
+    overflow_now = set(names[DRIVER_GATE_WINDOW:]) - set(rows_only)
+    r11_proven = (set(pool[0:32]) - {"sim_lsh_topk"}
+                  | {"strip_common_lines"})
+    r12_proven = set(
+        entrymod.gate_order(12)[:DRIVER_GATE_WINDOW]
+    )
+    assert overflow_now <= r11_proven | r12_proven
 
 
 # ------------------------------------------- pushed-predicate re-inlining
