@@ -1,10 +1,9 @@
 """Per-query measurement probe for the optimization rounds.
 
 For each named query (default: all), run bench-methodology reps
-(build + noop write) and report wall seconds plus the Spark-side
-shape: number of jobs, stages, tasks, and total shuffle read/write
-bytes — the §1 "where does the time go" numbers the bench headline
-can't show.
+(build + noop write) and report wall seconds plus the first rep's
+Spark job count — the §1 "where does the time go" numbers the bench
+headline can't show.
 
 Usage: python scripts/qprobe.py [-r REPS] [query ...]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
@@ -45,15 +44,9 @@ def main() -> None:
     qs = entrymod.queries()
     names = args if args else list(qs)
 
-    jsc = sc._jsc.sc()
-    store = jsc.statusStore()
-
-    def job_count() -> int:
-        return len(sc.statusTracker().getJobIdsForGroup(None) or [])
-
     for name in names:
         runs = []
-        jobs0 = stages0 = None
+        jobs0 = None
         for rep in range(reps):
             sc.setJobGroup(f"qprobe-{name}", name)
             t0 = time.perf_counter()
